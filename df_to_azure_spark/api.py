@@ -1,0 +1,86 @@
+"""The facade — argument-for-argument mirror of the reference entry point
+``df_to_azure(df, tablename, schema, method, id_field, ...)``
+(``export.py:20-62``), returning a run report instead of an ADF client.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from df_to_azure_spark import checks
+from df_to_azure_spark.operators.lake import ParquetLake
+
+
+@dataclass
+class RunReport:
+    """The ``dataRead/dataWritten/copyDuration`` fields the reference logs
+    per pipeline run (``utils.py:50-53``), produced locally."""
+
+    table: str
+    method: str
+    rows_written: int = 0
+    duration_sec: float = 0.0
+    skipped_empty: bool = False
+    details: dict = field(default_factory=dict)
+
+
+def df_to_spark(
+    df: DataFrame,
+    tablename: str,
+    schema: str = "dbo",
+    method: str = "create",
+    id_field: str | list[str] | None = None,
+    parquet: bool = False,
+    lake_root: str | None = None,
+    sql_sink=None,
+    text_length: int = 255,
+    decimal_precision: int = 2,
+    dtypes: dict[str, str] | None = None,
+    clean_staging: bool = True,
+    count_rows: bool = True,
+) -> RunReport:
+    """Land ``df`` in a SQL table (``sql_sink`` — a configured
+    :class:`~df_to_azure_spark.operators.sql_sink.SqlSink`) or a parquet
+    lake (``parquet=True`` + ``lake_root``), with create/append/upsert
+    semantics.  Validations run before any write, like the reference.
+    """
+    t0 = time.monotonic()
+    checks.validate_method(method)
+    keys = checks.validate_id_field(method, id_field)
+    checks.ensure_unique_column_names(df)
+
+    report = RunReport(table=tablename, method=method)
+    # empty-input short-circuit (reference export.py:96-99); applied to
+    # both paths here (the reference's parquet path lacks it — SURVEY V4)
+    if checks.is_empty(df):
+        report.skipped_empty = True
+        report.duration_sec = time.monotonic() - t0
+        return report
+
+    if parquet:
+        if not lake_root:
+            raise ValueError("parquet=True requires lake_root")
+        lake = ParquetLake(df.sparkSession, lake_root)
+        lake.write(df, tablename, method=method, id_field=keys or None)
+    else:
+        if sql_sink is None:
+            raise ValueError("SQL path requires a configured SqlSink (sql_sink=...)")
+        sql_sink.write(
+            df,
+            tablename,
+            schema=schema,
+            method=method,
+            id_field=keys,
+            text_length=text_length,
+            decimal_precision=decimal_precision,
+            dtypes=dtypes,
+            clean_staging=clean_staging,
+        )
+
+    if count_rows:
+        report.rows_written = df.count()
+    report.duration_sec = time.monotonic() - t0
+    return report

@@ -1,0 +1,153 @@
+"""JDBC sink: create / append / upsert against any SQL database.
+
+Replaces the reference's blob→ADF-copy→Azure-SQL pipeline (SURVEY §2.2
+K2-K4, §2.6 O4-O13) with Spark's parallel JDBC writer: each executor
+partition opens a connection and batch-inserts its rows, which IS the
+bulk-copy fan-out ADF provided — no staging blob or orchestration service
+needed.  The reference's observable behaviors kept:
+
+- create: drop-and-recreate the table from the inferred schema
+  (``export.py:156-175`` — ``if_exists="replace"`` + typed DDL), then load;
+- append: load into the existing table, NO DDL (``export.py:135-154``);
+- upsert: stage to ``staging.{table}``, run generated MERGE, drop staging
+  (see ``operators/merge.py``);
+- idempotent ``CREATE SCHEMA`` bootstrap (``export.py:195-200``).
+
+Scale levers: ``numPartitions`` caps concurrent connections (repartition
+to it so 1000 executors don't open 1000 sessions against one database),
+``batchsize`` sizes the insert batches, ``rewriteBatchedStatements``-class
+options pass through via ``extra_options``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from df_to_azure_spark import schema as schema_mod
+from df_to_azure_spark.checks import ensure_unique_column_names, ensure_unique_keys
+from df_to_azure_spark.exceptions import UpsertError, WrongMethodError
+from df_to_azure_spark.operators import merge as merge_mod
+
+
+class SqlSink:
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        user: str | None = None,
+        password: str | None = None,
+        driver: str | None = None,
+        batchsize: int = 10_000,
+        num_partitions: int | None = 8,
+        extra_options: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.url = url
+        self.properties: dict[str, str] = {}
+        if user is not None:
+            self.properties["user"] = user
+        if password is not None:
+            self.properties["password"] = password
+        if driver is not None:
+            self.properties["driver"] = driver
+        self.batchsize = batchsize
+        self.num_partitions = num_partitions
+        self.extra_options = extra_options or {}
+
+    # -- helpers ---------------------------------------------------------
+    def _qualified(self, table: str, schema: str) -> str:
+        return f"{schema}.{table}"
+
+    def _writer(self, df: DataFrame, mode: str):
+        if self.num_partitions and df.rdd.getNumPartitions() > self.num_partitions:
+            df = df.coalesce(self.num_partitions)
+        w = (
+            df.write.mode(mode)
+            .format("jdbc")
+            .option("url", self.url)
+            .option("batchsize", str(self.batchsize))
+        )
+        for k, v in {**self.properties, **self.extra_options}.items():
+            w = w.option(k, v)
+        return w
+
+    def execute(self, sql: str) -> None:
+        merge_mod.execute_statement(self.spark, self.url, self.properties, sql)
+
+    def create_schema(self, schema: str) -> None:
+        """Idempotent namespace bootstrap (reference ``export.py:195-200``)."""
+        self.execute(
+            f"IF NOT EXISTS (SELECT 1 FROM sys.schemas WHERE name = '{schema}') "
+            f"EXEC('CREATE SCHEMA [{schema}]')"
+        )
+
+    # -- write modes -----------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        schema: str = "dbo",
+        method: str = "create",
+        id_field: list[str] | None = None,
+        text_length: int = 255,
+        decimal_precision: int = 2,
+        dtypes: dict[str, str] | None = None,
+        clean_staging: bool = True,
+    ) -> None:
+        ensure_unique_column_names(df)
+        if method == "create":
+            self.create(df, table, schema, text_length, decimal_precision, dtypes)
+        elif method == "append":
+            self.append(df, table, schema)
+        elif method == "upsert":
+            self.upsert(df, table, schema, id_field or [], clean_staging=clean_staging)
+        else:
+            raise WrongMethodError(f"unknown sql method {method!r}")
+
+    def create(
+        self,
+        df: DataFrame,
+        table: str,
+        schema: str = "dbo",
+        text_length: int = 255,
+        decimal_precision: int = 2,
+        dtypes: dict[str, str] | None = None,
+    ) -> None:
+        """Typed drop-and-recreate + parallel load.  The widening scan and
+        the data write share one source read when ``df`` is cached."""
+        df = schema_mod.normalize_for_sink(df, decimal_precision)
+        inferred = schema_mod.infer_sql_schema(df, text_length, decimal_precision, dtypes)
+        ddl = schema_mod.create_table_column_types(inferred)
+        (
+            self._writer(df, "overwrite")
+            .option("dbtable", self._qualified(table, schema))
+            .option("createTableColumnTypes", ddl)
+            .save()
+        )
+
+    def append(self, df: DataFrame, table: str, schema: str = "dbo") -> None:
+        df = schema_mod.normalize_for_sink(df)
+        self._writer(df, "append").option("dbtable", self._qualified(table, schema)).save()
+
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        schema: str,
+        keys: list[str],
+        clean_staging: bool = True,
+    ) -> None:
+        """Stage → MERGE → cleanup, sequentially (Spark's synchronous
+        actions replace the reference's activity-dependency graph and its
+        1 s polling loop, ``adf.py:232-248`` / ``utils.py:58-84``)."""
+        ensure_unique_keys(df, keys)
+        self.create_schema("staging")
+        self.create(df, table, schema="staging")
+        stmt = merge_mod.merge_statement(table, df.columns, keys, target_schema=schema)
+        try:
+            self.execute(stmt)
+        except Exception as exc:  # surface as the reference's UpsertError
+            raise UpsertError(f"MERGE failed for {schema}.{table}: {exc}") from exc
+        finally:
+            if clean_staging:
+                self.execute(merge_mod.drop_staging_statement(table))

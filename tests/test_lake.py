@@ -1,0 +1,142 @@
+"""Parquet lake round-trips — hermetic port of the reference's
+``tests/test_parquet.py`` goldens (create/append/upsert, NaN rows,
+column-mismatch) and ``test_upsert.py:37-48`` key-ordering."""
+
+from __future__ import annotations
+
+import pytest
+
+from df_to_azure_spark.api import df_to_spark
+from df_to_azure_spark.exceptions import ColumnMismatchError, DuplicateKeysError
+from df_to_azure_spark.operators.lake import ParquetLake
+from df_to_azure_spark.operators.upsert import upsert_frames, upsert_frames_cell_level
+
+
+def sample_1(spark):
+    # reference data/sample_1.csv: keys {1,3,4}
+    return spark.createDataFrame(
+        [(1, "test1", "test2"), (3, "test3", "test4"), (4, "test5", "test6")],
+        ["col_a", "col_b", "col_c"],
+    )
+
+
+def sample_2(spark):
+    # reference data/sample_2.csv: keys {1,3,5,6}; 1 changed, 3 unchanged
+    return spark.createDataFrame(
+        [
+            (1, "updated1", "updated2"),
+            (3, "test3", "test4"),
+            (5, "new5a", "new5b"),
+            (6, "new6a", "new6b"),
+        ],
+        ["col_a", "col_b", "col_c"],
+    )
+
+
+@pytest.fixture
+def lake(spark, tmp_path):
+    return ParquetLake(spark, str(tmp_path / "lake"))
+
+
+def test_create_round_trip(spark, lake):
+    df = sample_1(spark)
+    lake.write(df, "sample", method="create")
+    back = lake.read("sample")
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_create_overwrites(spark, lake):
+    lake.write(sample_1(spark), "sample", method="create")
+    lake.write(sample_2(spark), "sample", method="create")
+    assert lake.read("sample").count() == 4
+
+
+def test_append_is_concat(spark, lake):
+    # reference test_append.py: append twice == concat([df, df])
+    df = sample_1(spark)
+    lake.write(df, "sample", method="create")
+    lake.write(df, "sample", method="append")
+    back = lake.read("sample")
+    assert back.count() == 6
+    assert sorted(back.collect()) == sorted(df.union(df).collect())
+
+
+def test_upsert_golden(spark, lake):
+    """Reference upsert golden (test_upsert.py:37-48): upsert sample_2
+    onto sample_1 by col_a ⇒ keys {1,3,4,5,6}; 1 updated, 4 kept
+    (target-only survives), 5/6 inserted; key-ordered result."""
+    lake.write(sample_1(spark), "sample", method="create")
+    lake.write(sample_2(spark), "sample", method="upsert", id_field="col_a")
+    back = lake.read("sample").orderBy("col_a").collect()
+    assert [r.col_a for r in back] == [1, 3, 4, 5, 6]
+    as_map = {r.col_a: (r.col_b, r.col_c) for r in back}
+    assert as_map[1] == ("updated1", "updated2")   # updated
+    assert as_map[4] == ("test5", "test6")         # target-only survives
+    assert as_map[5] == ("new5a", "new5b")         # inserted
+
+
+def test_upsert_composite_key_full_overlap(spark, lake):
+    # reference employee fixture (test_upsert.py:96-110): all keys overlap
+    # ⇒ result == new exactly
+    e1 = spark.createDataFrame([(1, 1, 40), (1, 2, 40), (2, 1, 40)], ["employee_id", "week_nr", "hours"])
+    e2 = spark.createDataFrame([(1, 1, 36), (1, 2, 38), (2, 1, 40)], ["employee_id", "week_nr", "hours"])
+    lake.write(e1, "employee", method="create")
+    lake.write(e2, "employee", method="upsert", id_field=["employee_id", "week_nr"])
+    back = lake.read("employee")
+    assert sorted(back.collect()) == sorted(e2.collect())
+
+
+def test_upsert_duplicate_keys_raise_before_write(spark, lake):
+    lake.write(sample_1(spark), "sample", method="create")
+    dup = spark.createDataFrame([(1, "a", "b"), (1, "c", "d")], ["col_a", "col_b", "col_c"])
+    with pytest.raises(DuplicateKeysError):
+        lake.write(dup, "sample", method="upsert", id_field="col_a")
+    assert lake.read("sample").count() == 3  # untouched
+
+
+def test_upsert_column_mismatch_raises(spark, lake):
+    lake.write(sample_1(spark), "sample", method="create")
+    extra = sample_2(spark).withColumnRenamed("col_c", "col_x")
+    with pytest.raises(ColumnMismatchError):
+        lake.write(extra, "sample", method="upsert", id_field="col_a")
+
+
+def test_upsert_null_values_in_new_rows(spark, lake):
+    """Reference NaN branch (export.py:392-397): rows with NULLs still
+    replace whole rows (row-level, not cell-level)."""
+    lake.write(sample_1(spark), "sample", method="create")
+    new = spark.createDataFrame(
+        [(1, None, "only_c")], "col_a bigint, col_b string, col_c string"
+    )
+    lake.write(new, "sample", method="upsert", id_field="col_a")
+    row = {r.col_a: r for r in lake.read("sample").collect()}[1]
+    assert row.col_b is None and row.col_c == "only_c"
+
+
+def test_cell_level_upsert_variant(spark):
+    """combine_first parity (export.py:399-404): NULL in new keeps old cell."""
+    existing = spark.createDataFrame([(1, "old_b", "old_c")], ["k", "b", "c"])
+    new = spark.createDataFrame([(1, None, "new_c"), (2, "b2", "c2")], ["k", "b", "c"])
+    out = upsert_frames_cell_level(new, existing, ["k"]).collect()
+    m = {r.k: (r.b, r.c) for r in out}
+    assert m[1] == ("old_b", "new_c")
+    assert m[2] == ("b2", "c2")
+
+
+def test_upsert_frames_no_sort_preserves_algebra(spark):
+    new = spark.createDataFrame([(1, "n")], ["k", "v"])
+    old = spark.createDataFrame([(1, "o"), (2, "o2")], ["k", "v"])
+    out = upsert_frames(new, old, ["k"], sort=False).collect()
+    assert {(r.k, r.v) for r in out} == {(1, "n"), (2, "o2")}
+
+
+def test_facade_empty_short_circuit(spark, tmp_path):
+    empty = spark.createDataFrame([], "col_a int, col_b string")
+    rep = df_to_spark(empty, "t", parquet=True, lake_root=str(tmp_path / "lake"))
+    assert rep.skipped_empty
+    assert not (tmp_path / "lake" / "t").exists()
+
+
+def test_facade_lake_create_report(spark, tmp_path):
+    rep = df_to_spark(sample_1(spark), "t", parquet=True, lake_root=str(tmp_path / "lake"))
+    assert rep.rows_written == 3 and rep.method == "create"

@@ -1,0 +1,46 @@
+"""Generated MERGE text semantics (reference ``db.py:20-53`` +
+``test_upsert.py:137-169`` spaces-in-names)."""
+
+from __future__ import annotations
+
+from df_to_azure_spark.operators.merge import (
+    drop_staging_statement,
+    merge_statement,
+    upsert_procedure,
+)
+
+
+def test_merge_single_key():
+    sql = merge_statement("sample", ["col_a", "col_b", "col_c"], ["col_a"])
+    assert "MERGE [dbo].[sample] AS t" in sql
+    assert "USING [staging].[sample] AS s" in sql
+    assert "ON t.[col_a] = s.[col_a]" in sql
+    assert "UPDATE SET t.[col_b] = s.[col_b], t.[col_c] = s.[col_c]" in sql
+    assert "WHEN NOT MATCHED BY TARGET THEN INSERT ([col_a], [col_b], [col_c])" in sql
+    # pinned: no DELETE clause — target-only rows survive
+    assert "DELETE" not in sql
+
+
+def test_merge_composite_key():
+    sql = merge_statement("emp", ["employee_id", "week_nr", "hours"], ["employee_id", "week_nr"])
+    assert "ON t.[employee_id] = s.[employee_id] AND t.[week_nr] = s.[week_nr]" in sql
+    assert "UPDATE SET t.[hours] = s.[hours]" in sql
+
+
+def test_merge_spaces_and_strip():
+    # reference strips whitespace (db.py:18) and bracket-quotes spaces
+    sql = merge_statement("s3", [" col a ", "col b"], [" col a "])
+    assert "ON t.[col a] = s.[col a]" in sql
+    assert "t.[col b] = s.[col b]" in sql
+
+
+def test_merge_all_key_columns_no_update_clause():
+    sql = merge_statement("t", ["a", "b"], ["a", "b"])
+    assert "WHEN MATCHED" not in sql
+    assert "INSERT ([a], [b])" in sql
+
+
+def test_procedure_wrapper_and_cleanup():
+    proc = upsert_procedure("sample", ["a", "b"], ["a"])
+    assert proc.startswith("CREATE OR ALTER PROCEDURE [UPSERT_sample] AS")
+    assert drop_staging_statement("sample") == "DROP TABLE IF EXISTS [staging].[sample];"
