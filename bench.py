@@ -1,0 +1,57 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall seconds.
+
+Each query is fully materialized through the noop sink (forces every
+operator to execute; no driver-side collect cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from df_to_azure_spark.plans.registry import headline_queries
+    from df_to_azure_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-call classloading
+    warm = next(iter(headline_queries().values()))
+    materialize(warm(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design point for 100 TB: never compare all pairs.  Exact dedup is a
+hash-groupBy (one shuffle on the fingerprint).  Near-dup goes through
+LSH banding so candidate generation is a shuffle on (band, band_hash)
+buckets — O(n) map work + bucket-local joins — instead of an O(n²) cross
+join.  All hashing is ``xxhash64`` (JVM, codegen'd); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by content hash; keep the minimum id as the
+    canonical representative.  One shuffle, map-side partial agg."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated table: one row per distinct text (min-id winner).
+    Window-free formulation: semi-join against the winners so the wide
+    payload columns never enter the aggregation shuffle."""
+    winners = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for permutation p, the min
+    ``xxhash64(p, shingle)`` over the document's word-n-gram shingles.
+    Pure column expressions — signature build is scan-speed, no shuffle."""
+    # Formulation matters enormously here: a nested higher-order
+    # expression (transform over permutations × transform over shingles)
+    # drops out of whole-stage codegen into interpreted eval — measured
+    # ~200s for 5k docs.  Exploding shingles to rows and computing the 64
+    # hashes as flat columns keeps everything codegen'd, and the min per
+    # permutation becomes a map-side partial aggregation: ~100x faster,
+    # and the shuffle carries one 64-long row per (doc, distinct shingle).
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    )
+    hash_cols = [
+        F.xxhash64(F.lit(p), F.col("s")).alias(f"h{p}") for p in range(num_hashes)
+    ]
+    mins = (
+        exploded.select(id_col, *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{p}").alias(f"h{p}") for p in range(num_hashes)])
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"h{p}" for p in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, with the estimated
+    Jaccard (fraction of matching signature components) filtered at
+    ``threshold``.
+
+    Plan shape: signatures (scan) → explode to ``bands`` rows/doc →
+    shuffle on (band, band_hash) → self-join inside buckets → distinct
+    pairs → estimate.  The only quadratic work is within a bucket, which
+    LSH keeps tiny; skewed buckets (e.g. boilerplate docs) are split by
+    AQE skew-join handling.
+    """
+    rows_per_band = num_hashes // bands
+    # signatures are expensive (num_hashes passes over the shingle array):
+    # compute ONCE and persist, so neither the band explode nor the two
+    # join sides re-evaluate the hash expressions.  At cluster scale this
+    # persist becomes a checkpoint/table write between stages.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    # narrow (id, band, bucket) self-join: the shuffle carries 3 columns
+    candidates = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bucket"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        candidates.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: majority vote of token-hash bits.
+    Single pass, no shuffle: fold the token array into 64 bit-counters
+    with ``aggregate``/``zip_with``, then pack the sign bits."""
+    t = tokens(text_col)
+    zeros = F.array_repeat(F.lit(0), 64)
+    bit_votes = F.aggregate(
+        t,
+        zeros,
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(F.bit_get(F.xxhash64(tok), i) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # bit weights as literals ((1<<63) wraps to the sign bit in signed space)
+    powers = F.array(*[F.lit((1 << i) - (1 << 64 if i == 63 else 0)) for i in range(64)])
+    packed = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    Inverted-index formulation (posting-list self-join), not a cross
+    join: explode distinct shingles → self-join on shingle → count shared
+    shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).  At scale, hot shingles
+    (stop-phrase boilerplate) dominate — cap or salt them upstream; here
+    the exactness is the point (it is the oracle for MinHash estimates).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

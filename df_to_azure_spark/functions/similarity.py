@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers, as a 100 TB engine needs both:
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set,
+  JVM-side dot products over every corpus row, per-query top-k via
+  window.  This is the baseline/oracle: linear scan, no index, perfectly
+  parallel.
+- ``lsh_topk``: random-hyperplane LSH — corpus is bucketed by sign-bit
+  hash, queries probe only their own bucket (plus optional multi-probe),
+  cutting the scanned fraction to ~1/2^bits.  The scale path when the
+  corpus is billions of vectors.
+
+All math is double-precision column expressions (``zip_with`` products +
+``aggregate`` left-fold) — deterministic, sequential IEEE order, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold sum of elementwise products (stable order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 8,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Plan: broadcast-nest-loop join (queries are broadcast — the ONLY sane
+    plan for small-q × huge-corpus), cosine per pair, then per-query
+    top-k with a rank window partitioned by query id.  Ties break on
+    corpus id after rounding, so results are stable across partitionings.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id from fixed random hyperplanes (passed in so
+    the bucketing is deterministic and shared between index and probe)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on hyperplane bucket, then exact
+    cosine + rank inside the bucket.  Recall trades off with ``len(planes)``
+    (more planes → smaller buckets → faster, lower recall)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold.  Exact (cross-join lower
+    triangle) — the correctness baseline; swap in ``hyperplane_bucket``
+    pre-grouping for the billion-vector case."""
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 8).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)

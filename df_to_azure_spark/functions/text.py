@@ -1,0 +1,116 @@
+"""Text analysis operators over a document table (north-star surface;
+the reference has no scalar-function library — SURVEY §2.7 — so these are
+engine extensions designed for the 100 TB documents case).
+
+All operators are pure column expressions (JVM-side, codegen'd): no UDFs,
+no shuffles — they scale linearly with the scan and pipeline into any
+downstream agg/join.  Tokenization is whitespace-based by design so the
+semantics are portable to any ANSI SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "und", "das", "ist", "nicht"],
+    "es": ["el", "los", "que", "por", "una"],
+    "fr": ["le", "les", "et", "est", "dans"],
+}
+# priority order for argmax ties (deterministic)
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def _in_set(values: list[str]):
+    """Lambda factory for higher-order filters (a plain closure — default
+    args would be misread as extra lambda parameters by PySpark)."""
+    return lambda x: x.isin(*values)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    return F.size(F.filter(tokens(col), _in_set(sw)))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean characters per token, as double (4-dp rounded)."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total.cast("double") / F.size(t), 4)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: half length-saturation
+    (50 tokens saturates), half stopword-rate band.  The point is the
+    shape — a cheap, codegen'd scorer a 100 TB filter pipeline can run at
+    scan speed — not linguistic sophistication."""
+    n = token_count(col).cast("double")
+    sw = stopword_count(col).cast("double")
+    len_part = F.least(F.lit(1.0), n / F.lit(50.0))
+    sw_ratio = F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+    return F.round(len_part * 0.5 + sw_ratio * 0.5, 4)
+
+
+def language_id(col: Column | str) -> Column:
+    """Marker-word language guess with deterministic priority tie-break:
+    first language in LANG_PRIORITY whose marker count is maximal and > 0,
+    else 'unknown'."""
+    t = tokens(col)
+    counts = {
+        lang: F.size(F.filter(t, _in_set(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    top = F.greatest(*counts.values())
+    expr = F.when(top <= 0, F.lit("unknown"))
+    for lang in LANG_PRIORITY:  # CASE order = priority tie-break
+        expr = expr.when(counts[lang] == top, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 hex digest (portable across engines; use
+    ``F.xxhash64`` when only Spark-side dedup needs it — 8x cheaper)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles ('a b c' style), the MinHash/Jaccard input.
+    Documents shorter than ``n`` tokens yield their full token join as a
+    single shingle so no document vanishes from dedup."""
+    t = tokens(col)
+    k = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Convenience projection: doc stats columns appended in one pass."""
+    return df.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        F.length(F.col(col)).alias("n_chars_computed"),
+        stopword_count(col).alias("n_stopwords"),
+        avg_token_length(col).alias("avg_token_len"),
+        quality_score(col).alias("quality"),
+        language_id(col).alias("lang_guess"),
+        fingerprint(col).alias("fp"),
+    )

@@ -1,0 +1,164 @@
+"""Reference-parity queries: the reference's write-mode/validation
+semantics (SURVEY §2.3-2.5) expressed as pure queries over the driver's
+tables, so the DuckDB oracle can pin them.
+
+Each mirrors a reference behavior:
+- W1 create  → typed snapshot (float → NUMERIC(18,2), ``export.py:228``);
+- W2 append  → concat-with-self golden (``test_append.py:12-39``);
+- W4 upsert  → row-level keyed merge (``export.py:362-404``);
+- cell-level upsert → ``combine_first`` semantics (``export.py:399-404``);
+- T3+T4 widening scans fused into one agg (``export.py:252-282``);
+- V2 duplicate-key probe (``utils.py:87-89``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.operators.upsert import upsert_frames, upsert_frames_cell_level
+from df_to_azure_spark.schema import normalize_for_sink
+from df_to_azure_spark.sources import load_table
+
+
+def w1_create_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the typed projection the SQL sink would land — doubles become
+    exact NUMERIC(18,2) like the reference's lossy-but-pinned default."""
+    orders = load_table(spark, sf_dir, "orders")
+    return normalize_for_sink(orders, decimal_precision=2, cast_floats_to_decimal=True)
+
+
+W1_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
+def w2_append_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: append == concat([df, df]) (the reference's golden)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.unionByName(supplier)
+
+
+W2_ORACLE = "SELECT * FROM supplier UNION ALL SELECT * FROM supplier"
+
+
+def _upsert_delta(customer: DataFrame) -> DataFrame:
+    """Deterministic delta: every 10th customer updated, every 100th
+    cloned to a fresh key."""
+    updated = customer.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upd_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserted = customer.where(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(500.0).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return updated.unionByName(inserted)
+
+
+def w4_upsert_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 row-level upsert algebra: new ∪ (existing anti new)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return upsert_frames(
+        _upsert_delta(customer), customer, ["c_custkey"], sort=False, check_keys=False
+    )
+
+
+W4_ORACLE = """
+WITH new AS (
+  SELECT c_custkey, 'upd_' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+         CAST(500.0 AS DOUBLE), c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT * FROM new
+UNION ALL
+SELECT c.* FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.c_custkey = c.c_custkey)
+"""
+
+
+def w4_upsert_cell_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine_first parity: NULL cells in the delta keep the old value."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    delta = supplier.where(F.col("s_suppkey") % 7 == 0).select(
+        "s_suppkey",
+        F.concat(F.lit("upd_"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+        F.lit(None).cast("double").alias("s_acctbal"),
+    )
+    return upsert_frames_cell_level(delta, supplier, ["s_suppkey"])
+
+
+W4_CELL_ORACLE = """
+WITH new AS (
+  SELECT s_suppkey, 'upd_' || s_name AS s_name, s_nationkey,
+         CAST(NULL AS DOUBLE) AS s_acctbal
+  FROM supplier WHERE s_suppkey % 7 = 0
+)
+SELECT COALESCE(n.s_suppkey, e.s_suppkey) AS s_suppkey,
+       COALESCE(n.s_name, e.s_name) AS s_name,
+       COALESCE(n.s_nationkey, e.s_nationkey) AS s_nationkey,
+       COALESCE(n.s_acctbal, e.s_acctbal) AS s_acctbal
+FROM new n FULL OUTER JOIN supplier e ON n.s_suppkey = e.s_suppkey
+"""
+
+
+def widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T4 fused: ONE aggregation computes every VARCHAR width and every
+    int-bounds check (the reference runs a full scan per column)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.agg(
+        F.expr("CAST(MAX(LENGTH(c_name)) AS BIGINT)").alias("max_len_c_name"),
+        F.expr("CAST(MAX(LENGTH(c_mktsegment)) AS BIGINT)").alias("max_len_c_mktsegment"),
+        F.expr("CAST(MIN(c_custkey) AS BIGINT)").alias("min_c_custkey"),
+        F.expr("CAST(MAX(c_custkey) AS BIGINT)").alias("max_c_custkey"),
+        F.expr("CAST(MIN(c_nationkey) AS BIGINT)").alias("min_c_nationkey"),
+        F.expr("CAST(MAX(c_nationkey) AS BIGINT)").alias("max_c_nationkey"),
+        F.expr(
+            "MAX(c_custkey) > 2147483647 OR MIN(c_custkey) < -2147483648"
+        ).alias("needs_bigint_c_custkey"),
+    )
+
+
+WIDENING_ORACLE = """
+SELECT CAST(MAX(LENGTH(c_name)) AS BIGINT) AS max_len_c_name,
+       CAST(MAX(LENGTH(c_mktsegment)) AS BIGINT) AS max_len_c_mktsegment,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_c_custkey,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_c_custkey,
+       CAST(MIN(c_nationkey) AS BIGINT) AS min_c_nationkey,
+       CAST(MAX(c_nationkey) AS BIGINT) AS max_c_nationkey,
+       MAX(c_custkey) > 2147483647 OR MIN(c_custkey) < -2147483648
+         AS needs_bigint_c_custkey
+FROM customer
+"""
+
+
+def duplicate_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 as a query: which candidate keys would fail the upsert
+    uniqueness gate (here: o_custkey over orders — customers with >1
+    order), with their multiplicities."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+DUP_KEY_ORACLE = """
+SELECT o_custkey AS key, COUNT(*) AS n
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+"""

@@ -1,0 +1,73 @@
+"""The query registry: every operator the engine claims, paired with its
+DuckDB oracle SQL (or None for non-SQL-expressible ops → driver records
+the weaker rows-only check).  ``__spark_entry__.py`` is a thin view over
+this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from df_to_azure_spark.plans import analytics as A
+from df_to_azure_spark.plans import parity as P
+from df_to_azure_spark.plans import training_data as TD
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # --- reference parity (SURVEY §2.3-2.5) ---
+    "w1_create_typed": QuerySpec(P.w1_create_typed, P.W1_ORACLE),
+    "w2_append_union": QuerySpec(P.w2_append_union, P.W2_ORACLE),
+    "w4_upsert_lake": QuerySpec(P.w4_upsert_lake, P.W4_ORACLE, headline=True),
+    "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
+    "widening_scan": QuerySpec(P.widening_scan, P.WIDENING_ORACLE),
+    "duplicate_key_probe": QuerySpec(P.duplicate_key_probe, P.DUP_KEY_ORACLE),
+    # --- analytics (SURVEY §2.7 Spark-native surface) ---
+    "q1_pricing_summary": QuerySpec(A.q1_pricing_summary, A.Q1_ORACLE, headline=True),
+    "q3_shipping_priority": QuerySpec(A.q3_shipping_priority, A.Q3_ORACLE, headline=True),
+    "q5_local_supplier_volume": QuerySpec(A.q5_local_supplier_volume, A.Q5_ORACLE, headline=True),
+    "q6_revenue_forecast": QuerySpec(A.q6_revenue_forecast, A.Q6_ORACLE, headline=True),
+    "top3_parts_per_brand": QuerySpec(A.top3_parts_per_brand, A.TOP3_ORACLE),
+    "rollup_order_totals": QuerySpec(A.rollup_order_totals, A.ROLLUP_ORACLE),
+    "customers_without_orders": QuerySpec(A.customers_without_orders, A.NO_ORDERS_ORACLE),
+    "urgent_customers_by_segment": QuerySpec(
+        A.urgent_customers_by_segment, A.URGENT_SEGMENT_ORACLE
+    ),
+    "running_customer_revenue": QuerySpec(
+        A.running_customer_revenue, A.RUNNING_ORACLE, headline=True
+    ),
+    "events_hourly": QuerySpec(A.events_hourly, A.EVENTS_HOURLY_ORACLE, headline=True),
+    "sessionize_events": QuerySpec(A.sessionize_events, A.SESSIONIZE_ORACLE, headline=True),
+    # --- training-data operators ---
+    "doc_stats": QuerySpec(TD.doc_stats, TD.DOC_STATS_ORACLE),
+    "doc_quality": QuerySpec(TD.doc_quality, TD.DOC_QUALITY_ORACLE),
+    "doc_language_id": QuerySpec(TD.doc_language_id, TD.DOC_LANG_ORACLE),
+    "exact_dedup_groups": QuerySpec(TD.exact_dedup_groups, TD.EXACT_DEDUP_ORACLE, headline=True),
+    "knn_topk": QuerySpec(TD.knn_topk, TD.KNN_ORACLE, headline=True),
+    "embedding_neardup_pairs": QuerySpec(TD.embedding_neardup_pairs, TD.NEARDUP_ORACLE),
+    # --- non-SQL-expressible (rows-only check) ---
+    "minhash_lsh_pairs": QuerySpec(TD.minhash_pairs, None, headline=True),
+    "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, None),
+    "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.spark for n, s in REGISTRY.items() if s.headline}

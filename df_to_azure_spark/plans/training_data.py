@@ -1,0 +1,180 @@
+"""Training-data pipeline queries over `documents` / `embeddings`:
+text analysis, dedup, similarity search — each paired with a DuckDB
+oracle where the semantics are SQL-expressible (list lambdas), else
+registered oracle-less (driver records the weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions import dedup as D
+from df_to_azure_spark.functions import similarity as SIM
+from df_to_azure_spark.functions import text as TXT
+from df_to_azure_spark.sources import load_table
+
+# DuckDB token fragment mirroring functions.text.tokens
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        TXT.avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+DOC_STATS_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4)
+    AS avg_token_len
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.stopword_count("text").cast("long").alias("n_stopwords"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+_SW = "('the','a','of','and','to','in','is')"
+DOC_QUALITY_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(list_filter(toks, x -> x IN {_SW})) AS BIGINT) AS n_stopwords,
+  round(
+    least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5 +
+    (CASE WHEN len(toks) > 0
+          THEN CAST(len(list_filter(toks, x -> x IN {_SW})) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+          ELSE 0.0 END) * 0.5,
+    4) AS quality
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TXT.language_id("text").alias("lang_guess"))
+
+
+def _lang_count_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in TXT.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({markers})))"
+
+
+_LANG_CASE = (
+    "CASE WHEN greatest("
+    + ", ".join(f"c_{l}" for l in TXT.LANG_PRIORITY)
+    + ") <= 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN c_{l} = greatest({', '.join('c_' + x for x in TXT.LANG_PRIORITY)}) THEN '{l}'"
+        for l in TXT.LANG_PRIORITY
+    )
+    + " ELSE 'unknown' END"
+)
+
+DOC_LANG_ORACLE = f"""
+SELECT doc_id, lang, {_LANG_CASE} AS lang_guess
+FROM (
+  SELECT doc_id, lang,
+    {", ".join(f"{_lang_count_sql(l)} AS c_{l}" for l in TXT.LANG_PRIORITY)}
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+)
+"""
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs)
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+# sequential left-fold dot product in DuckDB, mirroring similarity.dot
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), r -> r[1] * r[2])), (acc, x) -> acc + x)"
+    )
+
+
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(queries, emb, k=10)
+
+
+_COS = (
+    f"round({_dot_sql('qv', 'cv')} / "
+    f"(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})), 8)"
+)
+
+KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(emb, threshold=0.8)
+
+
+NEARDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_dot_sql('a.ev', 'b.ev')} /
+             (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})), 8) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round({_dot_sql('a.ev', 'b.ev')} /
+            (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})), 8) >= 0.8
+"""
+
+
+# ---- oracle-less (non-SQL-expressible hashing internals; the driver
+# records the weaker rows-only check for these) ----
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.3)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash64(docs)
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.3)

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # the driver's events table carries TIMESTAMP(NANOS) parquet, which
+        # Spark has no native type for; read as long and let the source
+        # loader project it back to a microsecond timestamp
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

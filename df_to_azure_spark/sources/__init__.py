@@ -1,0 +1,5 @@
+"""Source readers (SURVEY §2.1 S1-S4)."""
+
+from df_to_azure_spark.sources.tables import load_table, load_tables, read_csv
+
+__all__ = ["load_table", "load_tables", "read_csv"]

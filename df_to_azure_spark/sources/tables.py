@@ -1,0 +1,35 @@
+"""Readers for the engine's table sources.
+
+S2 (CSV with header + inferred types, reference ``tests/__init__.py:24-36``)
+and the driver's parquet star schema.  One normalization is applied at the
+source: nanosecond parquet timestamps (which Spark reads only as raw longs
+under ``spark.sql.legacy.parquet.nanosAsLong``) are projected back to
+microsecond timestamps, matching what every other engine (DuckDB, Arrow)
+does on read — truncate toward negative infinity to micros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# columns known to be TIMESTAMP(NANOS) in the driver's testdata
+_NANO_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, []):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference fixture loader semantics: header row + inferred types."""
+    return spark.read.csv(path, header=True, inferSchema=True)

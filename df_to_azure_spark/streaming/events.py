@@ -1,0 +1,138 @@
+"""Streaming operators over the events table: windowed aggregation with
+watermarks, and batch-equivalent forms for oracle checking.
+
+Pattern: every streaming query here has a batch twin with identical
+semantics on a closed input — the stream is driven with
+``availableNow``/``processAllAvailable`` in tests and its output compared
+to the batch twin, which in turn is oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema must be
+    explicit for streaming reads; nanos ts normalized like the batch
+    source)."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        # the file source monitors a DIRECTORY; glob-filter to the events
+        # file so sibling tables in the same dir are not picked up
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    return _normalize_ts(raw)
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data
+    watermark — the canonical streaming agg.  State is bounded by the
+    watermark horizon; at scale, partitioned by (window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 4))).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of ``windowed_counts_stream`` (same grouping, no
+    watermark — a closed input has no late data)."""
+    return (
+        events.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 4))).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str = "stream_out"
+) -> DataFrame:
+    """Drive a streaming frame over all available input synchronously and
+    return the materialized result (complete mode memory sink) — the
+    local harness for stream correctness tests."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when a
+    user's inter-event gap exceeds ``gap_minutes``.  lag + running sum of
+    session-start flags — two analytic windows over one shuffle on
+    user_id."""
+    from pyspark.sql import Window as W
+
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user)))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_ids = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_user.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Dedup operator semantics: exact groups, MinHash vs exact Jaccard,
+SimHash locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions import dedup as D
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark engines and parquet files"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    groups = D.exact_dedup_groups(_docs(spark)).collect()
+    by_n = {r.n_dups: r for r in groups}
+    assert by_n[2].keep_id == 1  # min id wins for the duplicated text
+    assert len(groups) == 3
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    kept = D.exact_dedup(_docs(spark)).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3, 4]
+
+
+def test_minhash_identical_docs_estimate_1(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), threshold=0.0).collect()
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(1, 2)] == 1.0  # identical docs: all signature components match
+    # near-dup pair must be found with a high estimate
+    assert (1, 3) in est and est[(1, 3)] > 0.5
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs(spark), threshold=0.0).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(_docs(spark), threshold=0.0).collect()
+    }
+    for pair, j in exact.items():
+        if pair in est:
+            assert abs(est[pair] - j) < 0.35  # 64 hashes → coarse but correlated
+
+
+def test_simhash_locality(spark):
+    out = {r.doc_id: r.simhash for r in D.simhash64(_docs(spark)).collect()}
+    assert out[1] == out[2]  # identical text → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    # shingles(3): {abc,bcd} vs {abc,bce} → jaccard = 1/3
+    rows = D.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].jaccard - 1 / 3) < 1e-6  # operator rounds to 6 dp

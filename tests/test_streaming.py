@@ -1,0 +1,35 @@
+"""Streaming semantics: the stream twin must equal the batch twin on a
+closed input, driven end-to-end through a real streaming query."""
+
+from __future__ import annotations
+
+from df_to_azure_spark.sources import load_table
+from df_to_azure_spark.streaming import events as SE
+
+
+def test_stream_equals_batch_on_closed_input(spark, sf_smoke):
+    stream_in = SE.read_events_stream(spark, sf_smoke)
+    assert stream_in.isStreaming
+    streamed = SE.run_stream_to_memory(
+        SE.windowed_counts_stream(stream_in), "t_windowed"
+    )
+    batch = SE.windowed_counts_batch(load_table(spark, sf_smoke, "events"))
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
+    assert len(s) > 0
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 100, base),
+        (1, 101, base + dt.timedelta(minutes=10)),   # same session
+        (1, 102, base + dt.timedelta(minutes=50)),   # 40min gap → new session
+        (2, 200, base),                              # other user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {(r.user_id, r.session_seq): r.n_events for r in SE.sessionize(df, 30).collect()}
+    assert out == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
