@@ -1,0 +1,272 @@
+"""Second wave of the analytics surface: pivot/unpivot, cube, grouping
+sets, exact distinct aggregation, set operations, range (band) join,
+as-of join, lag deltas, argmax aggregation.  Same exact-arithmetic oracle
+policy as plans.analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from df_to_azure_spark.operators.asof import asof_join
+from df_to_azure_spark.sources import load_table
+
+DEC_PRICE2 = "CAST(o_totalprice AS DECIMAL(18,2))"
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status with one column per priority class.
+    Explicit pivot values keep the plan single-pass (no distinct scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)))
+    )
+    # stable snake_case names shared with the oracle
+    for p in pri:
+        out = out.withColumnRenamed(p, f"n_{p[0]}")
+    return out.na.fill(0, [f"n_{p[0]}" for p in pri])
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1,
+  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2,
+  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3,
+  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def cube_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (brand, size-class): all 4 grouping combinations."""
+    part = load_table(spark, sf_dir, "part")
+    with_class = part.withColumn(
+        "size_class", F.when(F.col("p_size") < 25, "small").otherwise("large")
+    )
+    return with_class.cube("p_brand", "size_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "total_price"
+        ),
+    )
+
+
+CUBE_ORACLE = """
+SELECT p_brand, size_class, COUNT(*) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM (SELECT p_brand, CASE WHEN p_size < 25 THEN 'small' ELSE 'large' END AS size_class,
+             p_retailprice FROM part)
+GROUP BY CUBE (p_brand, size_class)
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (status), (priority), () — the shape
+    rollup/cube cannot express."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM({DEC_PRICE2}) AS DOUBLE) AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM({DEC_PRICE2}) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) alongside plain counts (expand-based
+    two-phase distinct aggregation in Spark)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def building_and_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: BUILDING-segment customers who also placed an urgent
+    order; EXCEPT would be the anti form (covered by
+    customers_without_orders)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent)
+
+
+INTERSECT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+PRICE_BANDS = [(0.0, 500.0, "budget"), (500.0, 1000.0, "mid"), (1000.0, 1e9, "premium")]
+
+
+def price_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: parts against price bands.  The band table is
+    tiny → broadcast nested-loop, which is the right plan; at scale with
+    a large band table you'd bucketize the range key first."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, band string")
+    joined = part.join(
+        F.broadcast(bands),
+        (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr("CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "total_price"
+        ),
+    )
+
+
+PRICE_BAND_ORACLE = """
+WITH bands(lo, hi, band) AS (
+  VALUES (CAST(0.0 AS DOUBLE), CAST(500.0 AS DOUBLE), 'budget'),
+         (CAST(500.0 AS DOUBLE), CAST(1000.0 AS DOUBLE), 'mid'),
+         (CAST(1000.0 AS DOUBLE), CAST(1e9 AS DOUBLE), 'premium')
+)
+SELECT band, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's latest
+    preceding (or simultaneous) view event.  Union+window formulation —
+    see operators.asof."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["view_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.col("ts_asof").alias("view_ts"),
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       v.event_id AS view_event_id, v.ts AS view_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): per-user change in event value over time."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+VALUE_DELTA_ORACLE = """
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta
+FROM events
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation: each user's most recent event type/value
+    (max_by — single-pass, no window, no self-join)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.expr("max_by(event_type, ts)").alias("last_event_type"),
+        F.expr("max_by(value, ts)").alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+LATEST_EVENT_ORACLE = """
+SELECT user_id, arg_max(event_type, ts) AS last_event_type,
+       arg_max(value, ts) AS last_value, MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-status totals to (status, measure, value)
+    long form via stack()."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total"),
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        "stack(2, 'total', total, 'n', n) AS (measure, value)",
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'total' AS measure, total AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'n', n FROM wide
+"""
+
+
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation surface (HLL distinct + quantile sketch).
+    No SQL oracle — sketches are engine-specific by construction; the
+    driver records the rows-only check."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+    )

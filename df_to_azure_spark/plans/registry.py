@@ -12,6 +12,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from df_to_azure_spark.plans import analytics as A
+from df_to_azure_spark.plans import analytics2 as A2
 from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import training_data as TD
 
@@ -54,10 +55,29 @@ REGISTRY: dict[str, QuerySpec] = {
     "exact_dedup_groups": QuerySpec(TD.exact_dedup_groups, TD.EXACT_DEDUP_ORACLE, headline=True),
     "knn_topk": QuerySpec(TD.knn_topk, TD.KNN_ORACLE, headline=True),
     "embedding_neardup_pairs": QuerySpec(TD.embedding_neardup_pairs, TD.NEARDUP_ORACLE),
+    # --- analytics wave 2 ---
+    "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
+    "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
+    "grouping_sets_orders": QuerySpec(A2.grouping_sets_orders, A2.GROUPING_SETS_ORACLE),
+    "distinct_customers_per_status": QuerySpec(
+        A2.distinct_customers_per_status, A2.DISTINCT_ORACLE
+    ),
+    "building_and_urgent_customers": QuerySpec(
+        A2.building_and_urgent_customers, A2.INTERSECT_ORACLE
+    ),
+    "price_band_counts": QuerySpec(A2.price_band_counts, A2.PRICE_BAND_ORACLE),
+    "purchases_asof_view": QuerySpec(A2.purchases_asof_view, A2.ASOF_ORACLE, headline=True),
+    "events_value_delta": QuerySpec(A2.events_value_delta, A2.VALUE_DELTA_ORACLE),
+    "latest_event_per_user": QuerySpec(A2.latest_event_per_user, A2.LATEST_EVENT_ORACLE),
+    "unpivot_order_measures": QuerySpec(A2.unpivot_order_measures, A2.UNPIVOT_ORACLE),
+    # --- training-data wave 2 ---
+    "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
+    "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
     # --- non-SQL-expressible (rows-only check) ---
     "minhash_lsh_pairs": QuerySpec(TD.minhash_pairs, None, headline=True),
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, None),
-    "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, None),
+    "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
+    "media_features": QuerySpec(TD.media_features, None),
 }
 
 

@@ -178,3 +178,66 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+# exact Jaccard IS SQL-expressible: unnest distinct shingles, posting-list
+# self-join, |A∩B| / (|A|+|B|-|A∩B|) — mirrors dedup.ngram_jaccard_pairs
+NGRAM_JACCARD_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM toked WHERE len(toks) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) /
+             CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) /
+            CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= 0.3
+"""
+
+
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting: alpha runs, digit runs, single symbols —
+    the cheap pre-tokenizer shape real BPE pipelines apply first."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_unique_pieces"),
+    )
+
+
+DOC_TOKEN_BPE_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_pieces,
+  CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+    AS n_unique_pieces
+FROM documents
+"""
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing surface: deterministic synthetic media table →
+    Arrow-batched (stubbed) decode via mapInPandas.  No SQL oracle —
+    mapInPandas is not SQL-expressible; rows-only check."""
+    from df_to_azure_spark.functions import multimodal as MM
+
+    media = MM.synthesize_media(spark, n=200)
+    return MM.extract_features(media)
