@@ -27,34 +27,51 @@ def _bq(name: str) -> str:
     return "[" + name.strip().replace("]", "]]") + "]"
 
 
+def _dq(name: str) -> str:
+    """Double-quote an identifier (ANSI).  Spark's JDBC writer quotes
+    column names on CREATE, so they keep their exact case and the MERGE
+    must quote them identically."""
+    return '"' + name.strip().replace('"', '""') + '"'
+
+
+def _plain(name: str) -> str:
+    """Unquoted identifier — case-folds; matches how Spark passes the
+    ``dbtable`` string through unquoted."""
+    return name.strip()
+
+
 def merge_statement(
     table: str,
     columns: list[str],
     keys: list[str],
     target_schema: str = "dbo",
     staging_schema: str = "staging",
+    dialect: str = "tsql",
 ) -> str:
     """The MERGE text the reference wraps in ``UPSERT_{table}``
     (``db.py:36-53``); generated, never string-formatted from user data
-    beyond identifier quoting."""
+    beyond identifier quoting.  ``dialect='tsql'`` bracket-quotes and uses
+    T-SQL's ``NOT MATCHED BY TARGET``; ``'ansi'`` emits unquoted
+    identifiers and plain ``NOT MATCHED`` (Derby, H2, ...)."""
+    q = _bq if dialect == "tsql" else _dq        # column identifiers
+    qt = _bq if dialect == "tsql" else _plain    # schema/table identifiers
     cols = [c.strip() for c in columns]
     key_set = {k.strip() for k in keys}
     non_keys = [c for c in cols if c not in key_set]
-    on = " AND ".join(f"t.{_bq(k)} = s.{_bq(k)}" for k in keys)
-    update = ", ".join(f"t.{_bq(c)} = s.{_bq(c)}" for c in non_keys)
-    insert_cols = ", ".join(_bq(c) for c in cols)
-    insert_vals = ", ".join(f"s.{_bq(c)}" for c in cols)
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    update = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+    insert_cols = ", ".join(q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    not_matched = "WHEN NOT MATCHED BY TARGET" if dialect == "tsql" else "WHEN NOT MATCHED"
     lines = [
-        f"MERGE {_bq(target_schema)}.{_bq(table)} AS t",
-        f"USING {_bq(staging_schema)}.{_bq(table)} AS s",
+        f"MERGE INTO {qt(target_schema)}.{qt(table)} AS t",
+        f"USING {qt(staging_schema)}.{qt(table)} AS s",
         f"ON {on}",
     ]
     if update:
         lines.append(f"WHEN MATCHED THEN UPDATE SET {update}")
-    lines.append(
-        f"WHEN NOT MATCHED BY TARGET THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
-    )
-    return "\n".join(lines) + ";"
+    lines.append(f"{not_matched} THEN INSERT ({insert_cols}) VALUES ({insert_vals})")
+    return "\n".join(lines) + (";" if dialect == "tsql" else "")
 
 
 def upsert_procedure(
@@ -70,9 +87,15 @@ def upsert_procedure(
     return f"CREATE OR ALTER PROCEDURE {_bq(f'UPSERT_{table}')} AS\nBEGIN\n{body}\nEND;"
 
 
-def drop_staging_statement(table: str, staging_schema: str = "staging") -> str:
-    """Cleanup after the merge (reference ``export.py:284-292``)."""
-    return f"DROP TABLE IF EXISTS {_bq(staging_schema)}.{_bq(table)};"
+def drop_staging_statement(
+    table: str, staging_schema: str = "staging", dialect: str = "tsql"
+) -> str:
+    """Cleanup after the merge (reference ``export.py:284-292``).  ANSI
+    dialects without ``IF EXISTS`` get the plain DROP; callers swallow
+    the does-not-exist error."""
+    if dialect == "tsql":
+        return f"DROP TABLE IF EXISTS {_bq(staging_schema)}.{_bq(table)};"
+    return f"DROP TABLE {_plain(staging_schema)}.{_plain(table)}"
 
 
 def execute_statement(df_or_spark, url: str, properties: dict[str, str], sql: str) -> None:

@@ -40,9 +40,11 @@ class SqlSink:
         batchsize: int = 10_000,
         num_partitions: int | None = 8,
         extra_options: dict[str, str] | None = None,
+        dialect: str = "tsql",
     ):
         self.spark = spark
         self.url = url
+        self.dialect = dialect
         self.properties: dict[str, str] = {}
         if user is not None:
             self.properties["user"] = user
@@ -76,10 +78,17 @@ class SqlSink:
 
     def create_schema(self, schema: str) -> None:
         """Idempotent namespace bootstrap (reference ``export.py:195-200``)."""
-        self.execute(
-            f"IF NOT EXISTS (SELECT 1 FROM sys.schemas WHERE name = '{schema}') "
-            f"EXEC('CREATE SCHEMA [{schema}]')"
-        )
+        if self.dialect == "tsql":
+            self.execute(
+                f"IF NOT EXISTS (SELECT 1 FROM sys.schemas WHERE name = '{schema}') "
+                f"EXEC('CREATE SCHEMA [{schema}]')"
+            )
+        else:  # ANSI engines without IF NOT EXISTS: create and swallow dup
+            try:
+                self.execute(f"CREATE SCHEMA {schema}")
+            except Exception as exc:
+                if "exist" not in str(exc).lower():
+                    raise
 
     # -- write modes -----------------------------------------------------
     def write(
@@ -143,11 +152,20 @@ class SqlSink:
         ensure_unique_keys(df, keys)
         self.create_schema("staging")
         self.create(df, table, schema="staging")
-        stmt = merge_mod.merge_statement(table, df.columns, keys, target_schema=schema)
+        stmt = merge_mod.merge_statement(
+            table, df.columns, keys, target_schema=schema, dialect=self.dialect
+        )
         try:
             self.execute(stmt)
         except Exception as exc:  # surface as the reference's UpsertError
             raise UpsertError(f"MERGE failed for {schema}.{table}: {exc}") from exc
         finally:
             if clean_staging:
-                self.execute(merge_mod.drop_staging_statement(table))
+                try:
+                    self.execute(
+                        merge_mod.drop_staging_statement(table, dialect=self.dialect)
+                    )
+                except Exception:
+                    if self.dialect == "tsql":
+                        raise  # IF EXISTS form should never fail
+

@@ -12,7 +12,7 @@ from df_to_azure_spark.operators.merge import (
 
 def test_merge_single_key():
     sql = merge_statement("sample", ["col_a", "col_b", "col_c"], ["col_a"])
-    assert "MERGE [dbo].[sample] AS t" in sql
+    assert "MERGE INTO [dbo].[sample] AS t" in sql
     assert "USING [staging].[sample] AS s" in sql
     assert "ON t.[col_a] = s.[col_a]" in sql
     assert "UPDATE SET t.[col_b] = s.[col_b], t.[col_c] = s.[col_c]" in sql

@@ -1,0 +1,116 @@
+"""End-to-end SQL path against embedded Derby (ships with Spark, supports
+MERGE) — the hermetic stand-in for the reference's Azure SQL round-trips:
+create with typed DDL, append, staged upsert with generated MERGE +
+staging cleanup (``tests/test_create.py`` / ``test_append.py`` /
+``test_upsert.py`` semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from df_to_azure_spark.exceptions import DuplicateKeysError
+from df_to_azure_spark.operators.sql_sink import SqlSink
+
+DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@pytest.fixture(scope="module")
+def sink(spark, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    s = SqlSink(
+        spark,
+        url=f"jdbc:derby:{db};create=true",
+        driver=DRIVER,
+        dialect="ansi",
+        num_partitions=2,
+    )
+    s.create_schema("dbo")
+    return s
+
+
+def _read(sink, table, schema="dbo"):
+    return (
+        sink.spark.read.format("jdbc")
+        .option("url", sink.url)
+        .option("driver", DRIVER)
+        .option("dbtable", f"{schema}.{table}")
+        .load()
+    )
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [(1, "test1", "test2"), (3, "test3", "test4"), (4, "test5", "test6")],
+        "col_a bigint, col_b string, col_c string",
+    )
+
+
+def test_create_round_trip(spark, sink):
+    df = _sample(spark)
+    sink.write(df, "sample", schema="dbo", method="create")
+    back = _read(sink, "sample")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_create_applies_typed_ddl(spark, sink):
+    df = spark.createDataFrame([(1, 1.555, "x" * 300)], "a bigint, f double, s string")
+    sink.write(df, "typed", schema="dbo", method="create")
+    row = _read(sink, "typed").collect()[0]
+    # double landed as NUMERIC(18,2) server-side → value rounded at 2dp
+    assert float(row.f) == 1.56 or float(row.f) == 1.55  # dialect rounding mode
+    assert row.s == "x" * 300  # widened VARCHAR holds 300 chars
+
+
+def test_append_is_concat(spark, sink):
+    df = _sample(spark)
+    sink.write(df, "sample_app", schema="dbo", method="create")
+    sink.write(df, "sample_app", schema="dbo", method="append")
+    assert _read(sink, "sample_app").count() == 6
+
+
+def test_upsert_merge_golden(spark, sink):
+    """The reference upsert golden, through a REAL staged MERGE."""
+    sink.write(_sample(spark), "sample_up", schema="dbo", method="create")
+    new = spark.createDataFrame(
+        [
+            (1, "updated1", "updated2"),
+            (3, "test3", "test4"),
+            (5, "new5a", "new5b"),
+            (6, "new6a", "new6b"),
+        ],
+        "col_a bigint, col_b string, col_c string",
+    )
+    sink.write(new, "sample_up", schema="dbo", method="upsert", id_field=["col_a"])
+    back = {r.col_a: (r.col_b, r.col_c) for r in _read(sink, "sample_up").collect()}
+    assert sorted(back) == [1, 3, 4, 5, 6]
+    assert back[1] == ("updated1", "updated2")   # updated
+    assert back[4] == ("test5", "test6")         # target-only survives
+    assert back[6] == ("new6a", "new6b")         # inserted
+    # staging cleaned up
+    with pytest.raises(Exception):
+        _read(sink, "sample_up", schema="staging").collect()
+
+
+def test_upsert_composite_key(spark, sink):
+    e1 = spark.createDataFrame(
+        [(1, 1, 40), (1, 2, 40), (2, 1, 40)],
+        "employee_id bigint, week_nr bigint, hours bigint",
+    )
+    e2 = spark.createDataFrame(
+        [(1, 1, 36), (1, 2, 38), (2, 1, 40)],
+        "employee_id bigint, week_nr bigint, hours bigint",
+    )
+    sink.write(e1, "employee", schema="dbo", method="create")
+    sink.write(e2, "employee", schema="dbo", method="upsert", id_field=["employee_id", "week_nr"])
+    back = sorted(tuple(r) for r in _read(sink, "employee").collect())
+    assert back == sorted(tuple(r) for r in e2.collect())
+
+
+def test_upsert_duplicate_keys_raise_before_any_write(spark, sink):
+    sink.write(_sample(spark), "sample_dup", schema="dbo", method="create")
+    dup = spark.createDataFrame(
+        [(1, "a", "b"), (1, "c", "d")], "col_a bigint, col_b string, col_c string"
+    )
+    with pytest.raises(DuplicateKeysError):
+        sink.write(dup, "sample_dup", schema="dbo", method="upsert", id_field=["col_a"])
+    assert _read(sink, "sample_dup").count() == 3
