@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 from df_to_azure_spark.functions.text import fingerprint, shingles, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    under-partitioned (e.g. one small parquet file → one partition, which
+    would serialize a compute-heavy projection onto one core).  The
+    round-robin shuffle of a small input costs microseconds against the
+    hash work it parallelizes; inputs that are already wide pass through.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts by content hash; keep the minimum id as the
     canonical representative.  One shuffle, map-side partial agg."""
@@ -52,7 +65,7 @@ def minhash_signatures(
     # hashes as flat columns keeps everything codegen'd, and the min per
     # permutation becomes a map-side partial aggregation: ~100x faster,
     # and the shuffle carries one 64-long row per (doc, distinct shingle).
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
     )
@@ -139,6 +152,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash per document: majority vote of token-hash bits.
     Single pass, no shuffle: fold the token array into 64 bit-counters
     with ``aggregate``/``zip_with``, then pack the sign bits."""
+    df = _spread(df)
     t = tokens(text_col)
     zeros = F.array_repeat(F.lit(0), 64)
     bit_votes = F.aggregate(
@@ -185,7 +199,10 @@ def ngram_jaccard_pairs(
     the exactness is the point (it is the oracle for MinHash estimates).
     """
     sh = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"))
+        _spread(df).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")

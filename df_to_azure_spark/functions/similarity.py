@@ -27,6 +27,15 @@ def _as_double(col) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """See functions.dedup._spread: widen under-partitioned inputs so the
+    per-row vector math uses every core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold sum of elementwise products (stable order)."""
     return F.aggregate(
@@ -60,7 +69,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
     scored = c.join(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
@@ -133,7 +142,7 @@ def embedding_neardup_pairs(
     """All pairs with cosine ≥ threshold.  Exact (cross-join lower
     triangle) — the correctness baseline; swap in ``hyperplane_bucket``
     pre-grouping for the billion-vector case."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    a = _spread(df).select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
