@@ -28,13 +28,11 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/codegen paths once so per-query numbers measure the
-    # plan, not first-call classloading
-    warm = next(iter(headline_queries().values()))
-    materialize(warm(spark, sf_dir))
-
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():
+        # first run warms codegen/AQE/classloading for this plan; the
+        # second run is the steady-state number
+        materialize(fn(spark, sf_dir))
         t0 = time.monotonic()
         materialize(fn(spark, sf_dir))
         times[name] = round(time.monotonic() - t0, 3)

@@ -13,19 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from df_to_azure_spark.functions.text import fingerprint, shingles, tokens
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives
-    under-partitioned (e.g. one small parquet file → one partition, which
-    would serialize a compute-heavy projection onto one core).  The
-    round-robin shuffle of a small input costs microseconds against the
-    hash work it parallelizes; inputs that are already wide pass through.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from df_to_azure_spark.operators.partitioning import spread as _spread
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -22,18 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+from df_to_azure_spark.operators.partitioning import spread as _spread
+
+
 def _as_double(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """See functions.dedup._spread: widen under-partitioned inputs so the
-    per-row vector math uses every core."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from df_to_azure_spark.operators.partitioning import spread
 from df_to_azure_spark.sources import load_table
 
 # exact-decimal fragments (valid in Spark SQL and DuckDB):
@@ -41,6 +42,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
         F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'")
     )
+    # single-row-group local files scan as one partition; widen so the
+    # decimal partial-agg uses every core (no-op on a real multi-split table)
+    l = spread(l)
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -170,11 +174,13 @@ GROUP BY n_name
 def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure scan-filter-sum: every predicate pushes to the parquet reader."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.where(
-        F.expr(
-            "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
-            "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' AND "
-            "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    return spread(
+        l.where(
+            F.expr(
+                "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+                "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' AND "
+                "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+            )
         )
     ).agg(
         F.expr(
