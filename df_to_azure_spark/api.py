@@ -58,6 +58,9 @@ def df_to_spark(
     if checks.is_empty(df):
         report.skipped_empty = True
         report.duration_sec = time.monotonic() - t0
+        from df_to_azure_spark.utils import log_run_metrics
+
+        log_run_metrics(report)
         return report
 
     if parquet:
@@ -83,4 +86,7 @@ def df_to_spark(
     if count_rows:
         report.rows_written = df.count()
     report.duration_sec = time.monotonic() - t0
+    from df_to_azure_spark.utils import log_run_metrics
+
+    log_run_metrics(report)
     return report

@@ -17,6 +17,12 @@ from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import training_data as TD
 
 
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_windowed_counts
+
+    return stream_windowed_counts(spark, sf_dir)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
@@ -78,6 +84,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, None),
     "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
     "media_features": QuerySpec(TD.media_features, None),
+    "stream_windowed_counts": QuerySpec(_stream_windowed_counts, None),
 }
 
 

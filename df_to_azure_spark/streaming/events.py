@@ -103,6 +103,21 @@ def run_stream_to_memory(
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
+_STREAM_QUERY_SEQ = [0]
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the watermarked windowed agg driven through a REAL
+    streaming query over the events file source, returning the
+    materialized batch result.  Not SQL-expressible (streaming execution)
+    → rows-only check; its batch twin ``events_hourly`` is the
+    oracle-paired equivalent."""
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_windowed_counts_{_STREAM_QUERY_SEQ[0]}"
+    stream = windowed_counts_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, name)
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when a
     user's inter-event gap exceeds ``gap_minutes``.  lag + running sum of
