@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from df_to_azure_spark.exceptions import (
     DoubleColumnNamesError,
     DuplicateKeysError,
+    EngineConfigError,
     MissingIdFieldError,
     WrongMethodError,
 )
@@ -67,6 +68,16 @@ def ensure_unique_keys(df: DataFrame, keys: list[str]) -> None:
         raise DuplicateKeysError(
             f"duplicate key values for id_field={keys}: e.g. {sample}"
         )
+
+
+def validate_required_options(options: dict, required: list[str]) -> None:
+    """V6: required-config presence check (the reference defines
+    ``check_env_variables`` over 15 ADF env vars but never calls it,
+    ``adf.py:62-91``; here the intent is implemented for callers that
+    need connection settings)."""
+    missing = [k for k in required if not options.get(k)]
+    if missing:
+        raise EngineConfigError(f"missing required options: {missing}")
 
 
 def is_empty(df: DataFrame) -> bool:

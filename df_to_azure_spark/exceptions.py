@@ -44,3 +44,8 @@ class UpsertError(EngineError):
 
 class PipelineRunError(EngineError):
     """A write pipeline failed or exceeded its timeout."""
+
+
+class EngineConfigError(EngineError):
+    """Required connection/engine configuration is missing (the intent of
+    the reference's never-invoked ``check_env_variables``, V6)."""

@@ -83,8 +83,32 @@ class ParquetLake:
     def create(self, df: DataFrame, table: str) -> None:
         df.write.mode("overwrite").parquet(self.data_dir(table))
 
-    def append(self, df: DataFrame, table: str) -> None:
-        df.write.mode("append").parquet(self.data_dir(table))
+    def append(self, df: DataFrame, table: str, timestamped_file: bool = False) -> None:
+        """Default: collision-free task part-files (the scale path).
+        ``timestamped_file=True`` reproduces the reference's byte-layout:
+        one ``{table}_{YYYYmmddHHMMSS}.parquet`` file per append call
+        (``export.py:353-360``) — a single-writer convenience for small
+        appends, deliberately NOT the default."""
+        if not timestamped_file:
+            df.write.mode("append").parquet(self.data_dir(table))
+            return
+        import datetime as _dt
+
+        stamp = _dt.datetime.now().strftime("%Y%m%d%H%M%S")
+        tmp = f"{self.table_dir(table)}/.append-{stamp}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs, data_path, jvm = self._fs(self.data_dir(table))
+        if not fs.exists(data_path):
+            fs.mkdirs(data_path)
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        target = jvm.org.apache.hadoop.fs.Path(
+            f"{self.data_dir(table)}/{table}_{stamp}.parquet"
+        )
+        for status in fs.listStatus(tmp_path):
+            name = status.getPath().getName()
+            if name.startswith("part-"):
+                fs.rename(status.getPath(), target)
+        fs.delete(tmp_path, True)
 
     def upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
         ensure_unique_keys(df, keys)

@@ -261,6 +261,51 @@ SELECT o_orderstatus, 'n', n FROM wide
 """
 
 
+def building_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: BUILDING-segment customers minus those with urgent orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.exceptAll(urgent).distinct()
+
+
+EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the semi-structured props column:
+    extract, cast, aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.expr("ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6)").alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type, SUM(k) AS sum_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k, COUNT(*) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregation surface (HLL distinct + quantile sketch).
     No SQL oracle — sketches are engine-specific by construction; the

@@ -76,6 +76,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_value_delta": QuerySpec(A2.events_value_delta, A2.VALUE_DELTA_ORACLE),
     "latest_event_per_user": QuerySpec(A2.latest_event_per_user, A2.LATEST_EVENT_ORACLE),
     "unpivot_order_measures": QuerySpec(A2.unpivot_order_measures, A2.UNPIVOT_ORACLE),
+    "building_never_urgent": QuerySpec(A2.building_never_urgent, A2.EXCEPT_ORACLE),
+    "events_json_props": QuerySpec(A2.events_json_props, A2.EVENTS_JSON_ORACLE),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),

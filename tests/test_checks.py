@@ -44,6 +44,26 @@ def test_unique_keys_single_and_composite(spark):
         checks.ensure_unique_keys(df, ["a"])  # a=1 twice
 
 
+def test_validate_required_options():
+    from df_to_azure_spark.exceptions import EngineConfigError
+
+    checks.validate_required_options({"url": "jdbc:x", "user": "u"}, ["url", "user"])
+    with pytest.raises(EngineConfigError):
+        checks.validate_required_options({"url": ""}, ["url", "password"])
+
+
+def test_csv_source_reads_header_and_types(spark, tmp_path):
+    # S2: reference fixture-loader semantics (header + inferred types)
+    from df_to_azure_spark.sources import read_csv
+
+    p = tmp_path / "f.csv"
+    p.write_text("col_a,col_b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["col_a", "col_b"]
+    assert dict(df.dtypes)["col_a"] == "int"
+    assert df.count() == 2
+
+
 def test_is_empty(spark):
     assert checks.is_empty(spark.createDataFrame([], "a int"))
     assert not checks.is_empty(spark.createDataFrame([(1,)], "a int"))

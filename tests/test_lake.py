@@ -130,6 +130,21 @@ def test_upsert_frames_no_sort_preserves_algebra(spark):
     assert {(r.k, r.v) for r in out} == {(1, "n"), (2, "o2")}
 
 
+def test_timestamped_append_single_file(spark, lake):
+    """T8 parity: one {table}_{stamp}.parquet file per append call."""
+    import re
+
+    df = sample_1(spark)
+    lake.write(df, "ts_sample", method="create")
+    lake.append(df, "ts_sample", timestamped_file=True)
+    back = lake.read("ts_sample")
+    assert back.count() == 6
+    fs, data_path, jvm = lake._fs(lake.data_dir("ts_sample"))
+    names = [s.getPath().getName() for s in fs.listStatus(data_path)]
+    stamped = [n for n in names if re.fullmatch(r"ts_sample_\d{14}\.parquet", n)]
+    assert len(stamped) == 1
+
+
 def test_facade_empty_short_circuit(spark, tmp_path):
     empty = spark.createDataFrame([], "col_a int, col_b string")
     rep = df_to_spark(empty, "t", parquet=True, lake_root=str(tmp_path / "lake"))
