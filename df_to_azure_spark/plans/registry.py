@@ -23,6 +23,12 @@ def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_windowed_counts(spark, sf_dir)
 
 
+def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import run_running_totals
+
+    return run_running_totals(spark, sf_dir)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
@@ -87,6 +93,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
     "media_features": QuerySpec(TD.media_features, None),
     "stream_windowed_counts": QuerySpec(_stream_windowed_counts, None),
+    "stream_running_user_totals": QuerySpec(_stream_running_totals, None),
 }
 
 
