@@ -1,0 +1,179 @@
+"""Third analytics wave — the remaining distinct TPC-H query *shapes*:
+non-equi EXISTS, outer-join histogram, conditional-aggregate share,
+max-over-aggregate, HAVING + semi-join-back, disjunctive predicates.
+Same exact-decimal oracle policy as plans.analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from df_to_azure_spark.plans.analytics import DISC_PRICE
+from df_to_azure_spark.sources import load_table
+
+
+def q4_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS with a non-equi condition — orders having at
+    least one lineitem shipped >30 days after the order date, counted per
+    priority.  The semi-join carries the extra range predicate alongside
+    the key equality."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & F.expr("l_shipdate > o_orderdate + INTERVAL 30 DAYS"),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: LEFT OUTER join + double aggregation — histogram of
+    customers by their order count, zero-order customers included."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+Q13_ORACLE = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY n_orders
+"""
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregation — promo revenue share over a
+    shipping year.  NULL-else CASE so both engines skip non-promo rows in
+    the numerator sum identically."""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+        )
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.expr(
+            f"ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} END) AS DOUBLE)"
+            f" / CAST(SUM({DISC_PRICE}) AS DOUBLE), 6)"
+        ).alias("promo_share_pct")
+    )
+
+
+Q14_ORACLE = f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} END) AS DOUBLE)
+             / CAST(SUM({DISC_PRICE}) AS DOUBLE), 6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: aggregate, then filter to the max of the aggregate via
+    an empty-frame window (no second scan, no self-join)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"
+        )
+    )
+    rev = lineitem.groupBy("l_suppkey").agg(F.expr(f"SUM({DISC_PRICE})").alias("rev_dec"))
+    w = W.partitionBy()
+    return (
+        rev.withColumn("max_rev", F.max("rev_dec").over(w))
+        .where(F.col("rev_dec") == F.col("max_rev"))
+        .select("l_suppkey", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING on a grouped sum, then join back for the order
+    header.  The qualifying key set is tiny → broadcast back-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate, CAST(qty_dec AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs across both join sides — exercises predicate
+    normalization and partial pushdown (the per-table conjuncts Catalyst
+    can factor out still reach the scans)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    cond = F.expr(
+        "(p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)"
+        " OR (p_brand = 'Brand#5' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)"
+        " OR (p_type = 'PROMO' AND l_quantity >= 20)"
+    )
+    return joined.where(cond).agg(
+        F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_ORACLE = f"""
+SELECT CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#5' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_type = 'PROMO' AND l_quantity >= 20)
+"""

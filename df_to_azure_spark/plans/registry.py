@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from df_to_azure_spark.plans import analytics as A
 from df_to_azure_spark.plans import analytics2 as A2
+from df_to_azure_spark.plans import analytics3 as A3
 from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import training_data as TD
 
@@ -84,6 +85,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "unpivot_order_measures": QuerySpec(A2.unpivot_order_measures, A2.UNPIVOT_ORACLE),
     "building_never_urgent": QuerySpec(A2.building_never_urgent, A2.EXCEPT_ORACLE),
     "events_json_props": QuerySpec(A2.events_json_props, A2.EVENTS_JSON_ORACLE),
+    # --- analytics wave 3 (remaining TPC-H shapes) ---
+    "q4_late_shipping": QuerySpec(A3.q4_late_shipping, A3.Q4_ORACLE),
+    "q13_order_count_distribution": QuerySpec(
+        A3.q13_order_count_distribution, A3.Q13_ORACLE
+    ),
+    "q14_promo_revenue_share": QuerySpec(A3.q14_promo_revenue_share, A3.Q14_ORACLE),
+    "q15_top_supplier": QuerySpec(A3.q15_top_supplier, A3.Q15_ORACLE),
+    "q18_large_volume_orders": QuerySpec(A3.q18_large_volume_orders, A3.Q18_ORACLE),
+    "q19_disjunctive_revenue": QuerySpec(A3.q19_disjunctive_revenue, A3.Q19_ORACLE),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
