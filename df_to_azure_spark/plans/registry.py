@@ -66,6 +66,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_quality": QuerySpec(TD.doc_quality, TD.DOC_QUALITY_ORACLE),
     "doc_language_id": QuerySpec(TD.doc_language_id, TD.DOC_LANG_ORACLE),
     "exact_dedup_groups": QuerySpec(TD.exact_dedup_groups, TD.EXACT_DEDUP_ORACLE, headline=True),
+    "exact_dedup_table": QuerySpec(TD.exact_dedup_table, TD.EXACT_DEDUP_TABLE_ORACLE),
     "knn_topk": QuerySpec(TD.knn_topk, TD.KNN_ORACLE, headline=True),
     "embedding_neardup_pairs": QuerySpec(TD.embedding_neardup_pairs, TD.NEARDUP_ORACLE),
     # --- analytics wave 2 ---
@@ -99,6 +100,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
     # --- non-SQL-expressible (rows-only check) ---
     "minhash_lsh_pairs": QuerySpec(TD.minhash_pairs, None, headline=True),
+    "lsh_knn": QuerySpec(TD.lsh_knn, None),
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, None),
     "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
     "media_features": QuerySpec(TD.media_features, None),

@@ -233,6 +233,35 @@ FROM documents
 """
 
 
+def exact_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated documents table itself (min-id winner per text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+EXACT_DEDUP_TABLE_ORACLE = """
+SELECT * FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
+def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k through hyperplane-LSH bucketing — the scale
+    path next to the exact ``knn_topk`` baseline.  Fixed seeded planes
+    keep it deterministic run-to-run; no SQL oracle (bucket assignment is
+    engine-hash-free but the recall contract, not exact equality, is the
+    spec) → rows-only check.  Recall vs the exact baseline is pinned in
+    tests/test_similarity.py."""
+    import random
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").limit(1).collect()[0][0])
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(2)]
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_topk(queries, emb, planes, k=10)
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: deterministic synthetic media table →
     Arrow-batched (stubbed) decode via mapInPandas.  No SQL oracle —
