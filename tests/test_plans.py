@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast dims, partial aggregation) must
+survive refactors.  These read ``explain`` output — cheap, no execution.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from df_to_azure_spark.plans.registry import REGISTRY
+
+
+def _plan(spark, name, sf):
+    df = REGISTRY[name].spark(spark, sf)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_smoke):
+    plan = _plan(spark, "q1_pricing_summary", sf_smoke)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # column pruning: o_orderkey etc are not in lineitem; check the scan
+    # reads only the needed columns (no l_orderkey/l_partkey/l_suppkey)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in scan_schema and "l_suppkey" not in scan_schema
+
+
+def test_q3_broadcasts_dimension_side(spark, sf_smoke):
+    plan = _plan(spark, "q3_shipping_priority", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never sorts the full set
+
+
+def test_q6_all_predicates_pushed(spark, sf_smoke):
+    plan = _plan(spark, "q6_revenue_forecast", sf_smoke)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in pushed, frag
+
+
+def test_upsert_anti_join_carries_keys_only(spark, sf_smoke):
+    plan = _plan(spark, "w4_upsert_lake", sf_smoke)
+    assert "LeftAnti" in plan
+    # the anti probe must be key-only: its broadcast exchange carries one column
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_accidental_cartesian_products(spark, sf_smoke):
+    # cross joins are intentional ONLY in the brute-force similarity ops
+    allowed = {"knn_topk", "embedding_neardup_pairs", "lsh_knn"}
+    for name in REGISTRY:
+        if name in allowed or REGISTRY[name].oracle is None:
+            continue
+        plan = _plan(spark, name, sf_smoke)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_events_hourly_partial_aggregation(spark, sf_smoke):
+    plan = _plan(spark, "events_hourly", sf_smoke)
+    assert "partial_count" in plan or "partial_sum" in plan
