@@ -18,3 +18,32 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side's key
+    into ``salt_buckets`` sub-keys and replicate the right side across
+    every salt value, so one hot key spreads over ``salt_buckets`` tasks
+    instead of melting a single reducer.
+
+    AQE's skew-join split (enabled in the session defaults) handles most
+    skew automatically; explicit salting is for the cases AQE can't see —
+    a skewed aggregation feeding the join, or deterministic layout needs.
+    Result is row-identical to ``left.join(right, on, how)``.
+    """
+    from pyspark.sql import functions as F
+
+    salted_l = left.withColumn(
+        "__salt", (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets).cast("int")
+    ).withColumn("__salt", F.abs(F.col("__salt")))
+    replicated_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_l.join(replicated_r, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
