@@ -146,6 +146,71 @@ FROM customer
 """
 
 
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (generalized T3/T4 widening scan)."""
+    from df_to_azure_spark.functions.profile import profile
+
+    return profile(load_table(spark, sf_dir, "customer"))
+
+
+PROFILE_ORACLE = """
+SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(c_custkey) AS n_nulls, COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+UNION ALL
+SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal), COUNT(DISTINCT c_acctbal) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer
+"""
+
+
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history apply: versioned customer table + a delta of every
+    10th customer renamed, applied at a fixed effective timestamp."""
+    import datetime as dt
+
+    from df_to_azure_spark.operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.withColumn(
+        "valid_from", F.lit("2020-01-01 00:00:00").cast("timestamp")
+    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+    delta = customer.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("v2_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return scd2_apply(
+        current, delta, ["c_custkey"], dt.datetime(2024, 6, 1), check_keys=False
+    )
+
+
+SCD2_ORACLE = """
+WITH current AS (
+  SELECT c.*, TIMESTAMP '2020-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer c
+), delta AS (
+  SELECT c_custkey, 'v2_' || c_name AS c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       valid_from, TIMESTAMP '2024-06-01' AS valid_to
+FROM current WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT * FROM current WHERE c_custkey % 10 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
+FROM delta
+"""
+
+
 def duplicate_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 as a query: which candidate keys would fail the upsert
     uniqueness gate (here: o_custkey over orders — customers with >1

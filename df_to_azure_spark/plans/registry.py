@@ -45,6 +45,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "widening_scan": QuerySpec(P.widening_scan, P.WIDENING_ORACLE),
     "duplicate_key_probe": QuerySpec(P.duplicate_key_probe, P.DUP_KEY_ORACLE),
+    "profile_customer": QuerySpec(P.profile_customer, P.PROFILE_ORACLE),
+    "scd2_customers": QuerySpec(P.scd2_customers, P.SCD2_ORACLE),
     # --- analytics (SURVEY §2.7 Spark-native surface) ---
     "q1_pricing_summary": QuerySpec(A.q1_pricing_summary, A.Q1_ORACLE, headline=True),
     "q3_shipping_priority": QuerySpec(A.q3_shipping_priority, A.Q3_ORACLE, headline=True),
