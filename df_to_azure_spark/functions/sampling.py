@@ -1,0 +1,47 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training pipelines need splits that are (a) stable across runs and
+clusters, (b) derivable per-row with no coordination, (c) portable across
+engines.  Random seeds satisfy none of these at 100 TB; hashing the row
+id does: ``bucket = first16bits(md5(id)) % n`` is the same everywhere —
+including the DuckDB oracle — so a document's split assignment is a pure
+function of its id, forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of the id string."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int") % buckets
+
+
+def _bucket(c: Column) -> Column:
+    return hash_bucket(c, 100)
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a train/val/test label: bucket < train → 'train',
+    < train+val → 'val', else 'test'."""
+    b = _bucket(F.col(id_col))
+    label = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, label)
+
+
+def sample_by_hash(df: DataFrame, id_col: str, percent: int) -> DataFrame:
+    """Deterministic ~percent% sample (same rows every run, any cluster)."""
+    return df.where(_bucket(F.col(id_col)) < percent)

@@ -100,6 +100,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
+    "doc_split_counts": QuerySpec(TD.doc_split_counts, TD.DOC_SPLIT_ORACLE),
+    "incremental_orders_rollup": QuerySpec(
+        TD.incremental_orders_rollup, TD.INCREMENTAL_ORACLE
+    ),
     # --- non-SQL-expressible (rows-only check) ---
     "minhash_lsh_pairs": QuerySpec(TD.minhash_pairs, None, headline=True),
     "lsh_knn": QuerySpec(TD.lsh_knn, None),

@@ -262,6 +262,62 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(queries, emb, planes, k=10)
 
 
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split over documents —
+    stable across runs, clusters, and engines (md5 of the id)."""
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+DOC_SPLIT_ORACLE = """
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM (
+  SELECT n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS b
+        FROM documents)
+)
+GROUP BY split
+"""
+
+
+def incremental_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: state built from pre-1998 orders,
+    merged with the 1998+ delta's partial aggregate — must equal the full
+    recompute (the oracle)."""
+    from df_to_azure_spark.operators.incremental import incremental_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+    base = orders.where(F.expr(cut))
+    delta = orders.where(~F.expr(cut))
+    out = incremental_agg(
+        base,
+        delta,
+        ["o_orderstatus"],
+        {"total_dec": "CAST(o_totalprice AS DECIMAL(18,2))"},
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("total_dec").cast("double").alias("total_price"),
+    )
+
+
+INCREMENTAL_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: deterministic synthetic media table →
     Arrow-batched (stubbed) decode via mapInPandas.  No SQL oracle —

@@ -1,0 +1,45 @@
+"""Hash-split determinism and incremental-aggregate equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions.sampling import sample_by_hash, with_split
+from df_to_azure_spark.operators.incremental import incremental_agg, partial_agg
+
+
+def test_split_is_deterministic_and_partitions(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in with_split(df, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in with_split(df, "doc_id").collect()}
+    assert s1 == s2  # stable across runs
+    counts = {k: list(s1.values()).count(k) for k in ("train", "val", "test")}
+    assert 0.7 < counts["train"] / 2000 < 0.9  # ~80%
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+
+
+def test_sample_by_hash_is_subset_and_stable(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s = sample_by_hash(df, "doc_id", 10)
+    ids1 = {r.doc_id for r in s.collect()}
+    ids2 = {r.doc_id for r in sample_by_hash(df, "doc_id", 10).collect()}
+    assert ids1 == ids2
+    assert 50 < len(ids1) < 200  # ~10%
+    # nested property: a 5% sample is a subset of the 10% sample
+    ids5 = {r.doc_id for r in sample_by_hash(df, "doc_id", 5).collect()}
+    assert ids5 <= ids1
+
+
+def test_incremental_equals_full_recompute(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"),
+    )
+    base = df.where("id % 2 = 0")
+    delta = df.where("id % 2 = 1")
+    inc = {
+        (r.k): (r.n, r.s)
+        for r in incremental_agg(base, delta, ["k"], {"s": "v"}).collect()
+    }
+    full = {(r.k): (r.n, r.s) for r in partial_agg(df, ["k"], {"s": "v"}).collect()}
+    assert inc == full
