@@ -306,6 +306,53 @@ GROUP BY event_type
 """
 
 
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions: ntile quartile + percent_rank per
+    status, deterministic ordering on (price, key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+QUARTILES_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def supplier_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: case, trim/pad, substring, replace,
+    concat — identical semantics in both engines."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        F.upper(F.col("s_name")).alias("name_upper"),
+        F.expr("substr(s_name, 1, 8)").alias("name_prefix"),
+        F.expr("replace(s_name, '#', '-')").alias("name_dashed"),
+        F.expr("lpad(CAST(s_suppkey AS STRING), 8, '0')").alias("padded_key"),
+        F.length("s_name").cast("long").alias("name_len"),
+    )
+
+
+NAME_NORMALIZE_ORACLE = """
+SELECT s_suppkey,
+       upper(s_name) AS name_upper,
+       substr(s_name, 1, 8) AS name_prefix,
+       replace(s_name, '#', '-') AS name_dashed,
+       lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded_key,
+       CAST(length(s_name) AS BIGINT) AS name_len
+FROM supplier
+"""
+
+
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregation surface (HLL distinct + quantile sketch).
     No SQL oracle — sketches are engine-specific by construction; the

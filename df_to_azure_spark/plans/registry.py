@@ -87,6 +87,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "latest_event_per_user": QuerySpec(A2.latest_event_per_user, A2.LATEST_EVENT_ORACLE),
     "unpivot_order_measures": QuerySpec(A2.unpivot_order_measures, A2.UNPIVOT_ORACLE),
     "building_never_urgent": QuerySpec(A2.building_never_urgent, A2.EXCEPT_ORACLE),
+    "order_price_quartiles": QuerySpec(A2.order_price_quartiles, A2.QUARTILES_ORACLE),
+    "supplier_name_normalize": QuerySpec(
+        A2.supplier_name_normalize, A2.NAME_NORMALIZE_ORACLE
+    ),
     "events_json_props": QuerySpec(A2.events_json_props, A2.EVENTS_JSON_ORACLE),
     # --- analytics wave 3 (remaining TPC-H shapes) ---
     "q4_late_shipping": QuerySpec(A3.q4_late_shipping, A3.Q4_ORACLE),
