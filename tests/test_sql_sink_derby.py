@@ -106,6 +106,38 @@ def test_upsert_composite_key(spark, sink):
     assert back == sorted(tuple(r) for r in e2.collect())
 
 
+def test_stale_staging_is_harmless(spark, sink):
+    """Reference subtlety (test_upsert.py:172-238): a staging table left
+    behind (clean_staging=False) with different columns breaks the NEXT
+    upsert there.  Here staging is always recreated (overwrite), so a
+    stale table cannot poison later runs — pinned as an improvement."""
+    sink.write(_sample(spark), "sample_stale", schema="dbo", method="create")
+    new = spark.createDataFrame([(1, "u1", "u2")], "col_a bigint, col_b string, col_c string")
+    sink.write(new, "sample_stale", schema="dbo", method="upsert",
+               id_field=["col_a"], clean_staging=False)
+    assert _read(sink, "sample_stale", schema="staging").count() == 1  # left behind
+    # second upsert with the SAME shape over the stale staging: must succeed
+    new2 = spark.createDataFrame([(3, "x1", "x2")], "col_a bigint, col_b string, col_c string")
+    sink.write(new2, "sample_stale", schema="dbo", method="upsert", id_field=["col_a"])
+    back = {r.col_a: r.col_b for r in _read(sink, "sample_stale").collect()}
+    assert back[1] == "u1" and back[3] == "x1"
+
+
+def test_merge_failure_surfaces_as_upsert_error(spark, sink):
+    """A MERGE that references columns missing from the target fails
+    in-database and surfaces as UpsertError (reference db.py:65-73)."""
+    from df_to_azure_spark.exceptions import UpsertError
+
+    sink.write(_sample(spark), "sample_err", schema="dbo", method="create")
+    wider = spark.createDataFrame(
+        [(1, "a", "b", "EXTRA")],
+        "col_a bigint, col_b string, col_c string, col_d string",
+    )
+    with pytest.raises(UpsertError):
+        sink.write(wider, "sample_err", schema="dbo", method="upsert", id_field=["col_a"])
+    assert _read(sink, "sample_err").count() == 3  # target untouched
+
+
 def test_upsert_duplicate_keys_raise_before_any_write(spark, sink):
     sink.write(_sample(spark), "sample_dup", schema="dbo", method="create")
     dup = spark.createDataFrame(
