@@ -70,6 +70,19 @@ def minhash_signatures(
     )
 
 
+# at most one persisted signature frame per session (see minhash_lsh_pairs)
+_SIG_CACHE: list[DataFrame] = []
+
+
+def clear_signature_cache() -> None:
+    """Unpersist the signature frame cached by the last
+    ``minhash_lsh_pairs`` call.  Callers that materialize the result and
+    want the executor memory back immediately can call this; otherwise
+    the next ``minhash_lsh_pairs`` call releases it."""
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -93,8 +106,12 @@ def minhash_lsh_pairs(
     # signatures are expensive (num_hashes passes over the shingle array):
     # compute ONCE and persist, so neither the band explode nor the two
     # join sides re-evaluate the hash expressions.  At cluster scale this
-    # persist becomes a checkpoint/table write between stages.
+    # persist becomes a checkpoint/table write between stages.  The cache
+    # is released on the NEXT call (or via clear_signature_cache()), so at
+    # most one signature frame is ever pinned per session.
+    clear_signature_cache()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    _SIG_CACHE.append(sigs)
 
     banded = sigs.select(
         id_col,

@@ -122,17 +122,29 @@ class ParquetLake:
 
         The write fully materializes BEFORE the old directory is touched,
         so a plan that lazily reads the old snapshot (as the upsert plan
-        does) is never pulled out from under itself.  The delete+rename
-        pair is not transactional — Delta/Iceberg close that gap with a
-        commit log; at this engine's scope a failed swap leaves the old
-        data intact (rename happens last) or the new snapshot orphaned but
-        complete.
+        does) is never pulled out from under itself.  The swap itself is
+        rename-aside → rename-in → delete-old, so a COMPLETE copy of the
+        table exists on disk at every step: a crash leaves either the old
+        data live, or the old data under ``.old-<ts>`` with the new
+        snapshot orphaned-but-complete, or the new data live with a stale
+        ``.old-<ts>`` to garbage-collect.  (Delta/Iceberg close the
+        atomicity gap with a commit log; that is out of scope here.)
         """
-        tmp = f"{self.table_dir(table)}/.snapshot-{int(time.time() * 1000)}"
+        ts = int(time.time() * 1000)
+        tmp = f"{self.table_dir(table)}/.snapshot-{ts}"
         df.write.mode("overwrite").parquet(tmp)
         fs, data_path, jvm = self._fs(self.data_dir(table))
         tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-        if fs.exists(data_path):
-            fs.delete(data_path, True)
-        if not fs.rename(tmp_path, data_path):
+        old_path = jvm.org.apache.hadoop.fs.Path(
+            f"{self.table_dir(table)}/.old-{ts}"
+        )
+        had_old = fs.exists(data_path)
+        if had_old and not fs.rename(data_path, old_path):
             raise PipelineRunError(f"snapshot swap failed for table {table!r}")
+        if not fs.rename(tmp_path, data_path):
+            # roll the old data back into place so reads keep working
+            if had_old:
+                fs.rename(old_path, data_path)
+            raise PipelineRunError(f"snapshot swap failed for table {table!r}")
+        if had_old:
+            fs.delete(old_path, True)

@@ -35,9 +35,21 @@ def salted_join(
     AQE's skew-join split (enabled in the session defaults) handles most
     skew automatically; explicit salting is for the cases AQE can't see —
     a skewed aggregation feeding the join, or deterministic layout needs.
-    Result is row-identical to ``left.join(right, on, how)``.
+    Result is row-identical to ``left.join(right, on, how)`` for the
+    supported join types.  Right/full-outer joins are rejected: the right
+    side is replicated ``salt_buckets`` times, so every unmatched right
+    row would surface once per replica.
     """
     from pyspark.sql import functions as F
+
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated right "
+            "side would duplicate unmatched right rows; use AQE skew-join "
+            "for right/full outer joins"
+        )
 
     salted_l = left.withColumn(
         "__salt", (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets).cast("int")

@@ -79,9 +79,13 @@ class SqlSink:
     def create_schema(self, schema: str) -> None:
         """Idempotent namespace bootstrap (reference ``export.py:195-200``)."""
         if self.dialect == "tsql":
+            lit = schema.replace("'", "''")  # string-literal escape
+            ident = merge_mod._bq(schema)    # bracket-identifier escape
+            # the CREATE runs inside EXEC's string literal: escape ' twice
+            inner = f"CREATE SCHEMA {ident}".replace("'", "''")
             self.execute(
-                f"IF NOT EXISTS (SELECT 1 FROM sys.schemas WHERE name = '{schema}') "
-                f"EXEC('CREATE SCHEMA [{schema}]')"
+                f"IF NOT EXISTS (SELECT 1 FROM sys.schemas WHERE name = '{lit}') "
+                f"EXEC('{inner}')"
             )
         else:  # ANSI engines without IF NOT EXISTS: create and swallow dup
             try:

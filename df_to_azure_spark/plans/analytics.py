@@ -79,10 +79,11 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join customer⋈orders⋈lineitem, revenue per order, top-10.  The
-    filtered customer side is broadcast (dimension-sized); the
-    orders⋈lineitem join shuffles on the order key.  Top-k selection
-    happens on the exact decimal revenue so the set is deterministic."""
+    """Join customer⋈orders⋈lineitem, revenue per order, top-10.  No
+    broadcast hint: customer scales linearly with data size, so the plan
+    must stay shuffle-join-safe at 100 TB — AQE picks broadcast at small
+    SF automatically.  Top-k selection happens on the exact decimal
+    revenue so the set is deterministic."""
     customer = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -94,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    ).join(customer, orders.o_custkey == customer.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.expr(f"SUM({DISC_PRICE})").alias("rev_dec")
     )
@@ -128,8 +129,14 @@ LIMIT 10
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-table join with two broadcast dimensions (nation, region) and
-    the customer-nation = supplier-nation locality constraint."""
+    """Six-table join.  Only the genuinely bounded dims are broadcast:
+    nation (25 rows) ⋈ region (5 rows) collapse to a ≤25-row frame that
+    pre-filters customer and supplier via broadcast joins (no shuffle).
+    customer/supplier scale linearly with data size, so their joins to
+    the fact tables shuffle on their keys — AQE upgrades them to
+    broadcast automatically at small SF.  The locality constraint
+    c_nationkey = s_nationkey rides the supplier join as a second
+    equi-key, so it prunes during the join instead of after."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
         F.expr(
@@ -137,21 +144,35 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"
         )
     )
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
 
+    # bounded: at most 25 rows, independent of data scale
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+
+    cust = customer.join(
+        F.broadcast(asia_nations),
+        customer.c_nationkey == asia_nations.n_nationkey,
+    ).select("c_custkey", "c_nationkey")
+    supp = supplier.join(
+        F.broadcast(asia_nations),
+        supplier.s_nationkey == asia_nations.n_nationkey,
+    ).select("s_suppkey", "s_nationkey", "n_name")
+
     joined = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .join(
-            F.broadcast(supplier),
-            (lineitem.l_suppkey == supplier.s_suppkey)
-            & (customer.c_nationkey == supplier.s_nationkey),
+            supp,
+            (lineitem.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
         F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("revenue")
@@ -363,8 +384,9 @@ WITH flagged AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end
 FROM with_ids
 GROUP BY user_id, session_seq
 """

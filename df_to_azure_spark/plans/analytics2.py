@@ -298,7 +298,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_ORACLE = """
-SELECT event_type, SUM(k) AS sum_k,
+SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
        ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k, COUNT(*) AS n
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events)

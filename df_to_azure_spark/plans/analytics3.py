@@ -73,7 +73,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     part = load_table(spark, sf_dir, "part")
-    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     return joined.agg(
         F.expr(
             f"ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} END) AS DOUBLE)"
@@ -122,7 +122,8 @@ FROM rev WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
 
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: HAVING on a grouped sum, then join back for the order
-    header.  The qualifying key set is tiny → broadcast back-join."""
+    header.  The qualifying key set is small but data-dependent, so no
+    static broadcast hint — AQE broadcasts it at runtime when it fits."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     big = (
@@ -132,7 +133,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+            big, orders.o_orderkey == big.l_orderkey
         ).select(
             "o_orderkey",
             "o_custkey",
@@ -158,7 +159,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     can factor out still reach the scans)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     cond = F.expr(
         "(p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)"
         " OR (p_brand = 'Brand#5' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)"

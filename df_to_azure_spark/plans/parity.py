@@ -25,12 +25,17 @@ def w1_create_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: the typed projection the SQL sink would land — doubles become
     exact NUMERIC(18,2) like the reference's lossy-but-pinned default."""
     orders = load_table(spark, sf_dir, "orders")
-    return normalize_for_sink(orders, decimal_precision=2, cast_floats_to_decimal=True)
+    typed = normalize_for_sink(orders, decimal_precision=2, cast_floats_to_decimal=True)
+    # The typed DECIMAL(18,2) DDL behavior is pinned by the Derby e2e test
+    # (test_create_applies_typed_ddl); for the cross-engine value hash we
+    # emit DOUBLE — decimal wire representations differ between engines
+    # even when values are identical.
+    return typed.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
 
 
 W1_ORACLE = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
        o_orderdate, o_orderpriority
 FROM orders
 """

@@ -276,7 +276,7 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_SPLIT_ORACLE = """
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT n_chars,
          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

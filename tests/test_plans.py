@@ -27,10 +27,35 @@ def test_q1_filter_pushdown_and_partial_agg(spark, sf_smoke):
     assert "l_partkey" not in scan_schema and "l_suppkey" not in scan_schema
 
 
-def test_q3_broadcasts_dimension_side(spark, sf_smoke):
+def test_q3_topk_and_no_static_broadcast(spark, sf_smoke):
     plan = _plan(spark, "q3_shipping_priority", sf_smoke)
-    assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-k never sorts the full set
+    # no static hint: customer scales with data size, so the join strategy
+    # must come from size estimates/AQE, not a hard-coded broadcast
+    df = REGISTRY["q3_shipping_priority"].spark(spark, sf_smoke)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+
+# Static F.broadcast hints are only allowed on frames whose size is bounded
+# regardless of data scale (nation: 25 rows, region: 5, price bands: literal,
+# nation⋈region: ≤25).  Anything else must be left to AQE/CBO, which use
+# runtime size estimates and therefore stay safe at 100 TB.
+BOUNDED_BROADCAST_VARS = {"region", "nation", "asia_nations", "bands"}
+
+
+def test_broadcast_hints_only_on_bounded_dims():
+    import re
+    from pathlib import Path
+
+    import df_to_azure_spark.plans as plans_pkg
+
+    pat = re.compile(r"F\.broadcast\(\s*(\w+)")
+    for f in Path(plans_pkg.__file__).parent.glob("*.py"):
+        for m in pat.finditer(f.read_text()):
+            assert m.group(1) in BOUNDED_BROADCAST_VARS, (
+                f"{f.name}: F.broadcast({m.group(1)}) — static broadcast of a "
+                "frame that scales with data size; use AQE instead"
+            )
 
 
 def test_q6_all_predicates_pushed(spark, sf_smoke):
