@@ -91,6 +91,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, with the estimated
     Jaccard (fraction of matching signature components) filtered at
@@ -101,6 +102,14 @@ def minhash_lsh_pairs(
     pairs → estimate.  The only quadratic work is within a bucket, which
     LSH keeps tiny; skewed buckets (e.g. boilerplate docs) are split by
     AQE skew-join handling.
+
+    ``hot_bucket_cap``: a bucket holding a huge boilerplate cluster makes
+    cap² candidate pairs in one task.  With a cap, (band, bucket) groups
+    larger than ``cap`` docs are skipped for candidate generation —
+    member pairs are still found through their other ``bands - 1`` bands
+    unless they collide everywhere (i.e. are a giant mutual-duplicate
+    cluster, which exact dedup upstream should have collapsed).  The hot
+    set is tiny → broadcast anti-join.
     """
     rows_per_band = num_hashes // bands
     # signatures are expensive (num_hashes passes over the shingle array):
@@ -127,6 +136,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+    if hot_bucket_cap is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > hot_bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
 
     # narrow (id, band, bucket) self-join: the shuffle carries 3 columns
     candidates = (
@@ -194,14 +212,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hot_shingle_cap: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
     Inverted-index formulation (posting-list self-join), not a cross
     join: explode distinct shingles → self-join on shingle → count shared
-    shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).  At scale, hot shingles
-    (stop-phrase boilerplate) dominate — cap or salt them upstream; here
-    the exactness is the point (it is the oracle for MinHash estimates).
+    shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``hot_shingle_cap``: at scale, stop-phrase boilerplate shingles have
+    posting lists spanning a large fraction of the corpus — the self-join
+    on such a shingle is quadratic in its list length and melts one
+    reducer.  With a cap, shingles appearing in more than ``cap``
+    documents are excluded from the shingle universe (both intersection
+    AND document sizes, so the Jaccard stays internally consistent).
+    Ultra-common shingles carry no similarity signal, so a generous cap
+    leaves results unchanged in practice (pinned by test); the per-task
+    work bound becomes cap², independent of corpus size.  The hot set
+    itself is tiny by construction → broadcast anti-join, no extra
+    shuffle of the postings.
     """
     sh = (
         _spread(df).select(
@@ -209,6 +238,14 @@ def ngram_jaccard_pairs(
             F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
         )
     )
+    if hot_shingle_cap is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_s"))
+            .where(F.col("df_s") > hot_shingle_cap)
+            .select("s")
+        )
+        sh = sh.join(hot, "s", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -134,11 +134,45 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold.  Exact (cross-join lower
-    triangle) — the correctness baseline; swap in ``hyperplane_bucket``
-    pre-grouping for the billion-vector case."""
+    triangle) — the correctness baseline; ``embedding_neardup_pairs_lsh``
+    is the bucketed scale path for the billion-vector case."""
     a = _spread(df).select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 8).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed near-duplicate pairs: hyperplane-LSH pre-grouping, exact
+    cosine only WITHIN buckets — candidate generation is an equi-join on
+    the bucket id instead of an all-pairs cross join, so the quadratic
+    work shrinks by ~1/2^len(planes) and shards across reducers.  This is
+    the 100 TB path next to the exact ``embedding_neardup_pairs``.
+
+    Recall < 1 by construction (a near-dup pair straddling any hyperplane
+    is missed); raise recall with fewer planes or by unioning several
+    independent plane sets (OR-amplification), trade speed with more
+    planes.  The bucketing is deterministic given ``planes``, so the
+    result is engine-reproducible — the registry pairs it with a DuckDB
+    oracle that replicates the bucketing exactly.
+    """
+    v = _spread(df).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    v = v.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",

@@ -30,6 +30,30 @@ def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_running_totals(spark, sf_dir)
 
 
+def _stream_windowed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_vs_batch_windowed_diff
+
+    return stream_vs_batch_windowed_diff(spark, sf_dir)
+
+
+def _stream_diff_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_DIFF_ORACLE
+
+    return STREAM_DIFF_ORACLE
+
+
+def _stream_totals_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import stream_vs_batch_totals_diff
+
+    return stream_vs_batch_totals_diff(spark, sf_dir)
+
+
+def _totals_diff_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import TOTALS_DIFF_ORACLE
+
+    return TOTALS_DIFF_ORACLE
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
@@ -71,6 +95,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "exact_dedup_table": QuerySpec(TD.exact_dedup_table, TD.EXACT_DEDUP_TABLE_ORACLE),
     "knn_topk": QuerySpec(TD.knn_topk, TD.KNN_ORACLE, headline=True),
     "embedding_neardup_pairs": QuerySpec(TD.embedding_neardup_pairs, TD.NEARDUP_ORACLE),
+    "embedding_neardup_pairs_lsh": QuerySpec(
+        TD.embedding_neardup_pairs_lsh, TD.NEARDUP_LSH_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
@@ -116,6 +143,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_features": QuerySpec(TD.media_features, None),
     "stream_windowed_counts": QuerySpec(_stream_windowed_counts, None),
     "stream_running_user_totals": QuerySpec(_stream_running_totals, None),
+    "stream_vs_batch_windowed_diff": QuerySpec(
+        _stream_windowed_diff, _stream_diff_oracle()
+    ),
+    "stream_vs_batch_totals_diff": QuerySpec(
+        _stream_totals_diff, _totals_diff_oracle()
+    ),
 }
 
 

@@ -162,6 +162,60 @@ WHERE round({_dot_sql('a.ev', 'b.ev')} /
 """
 
 
+# Seeded hyperplanes for the bucketed near-dup variant.  The testdata
+# embedding dim is 64 at every SF; both the Spark query and the DuckDB
+# oracle embed the SAME literal planes, so the bucketing — and therefore
+# the full result — is exactly reproducible across engines (dot products
+# are sequential double folds on both sides).
+_NEARDUP_DIM = 64
+_NEARDUP_N_PLANES = 3
+
+
+def _neardup_planes() -> list[list[float]]:
+    import random
+
+    rng = random.Random(7)
+    return [
+        [rng.gauss(0, 1) for _ in range(_NEARDUP_DIM)]
+        for _ in range(_NEARDUP_N_PLANES)
+    ]
+
+
+def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed scale path of ``embedding_neardup_pairs``: candidates
+    come from an equi-join on the hyperplane bucket, not a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs_lsh(emb, _neardup_planes(), threshold=0.8)
+
+
+def _neardup_lsh_oracle() -> str:
+    planes = _neardup_planes()
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN {_dot_sql('ev', lit)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, ev, {bucket} AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_dot_sql('a.ev', 'b.ev')} /
+             (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})), 8) AS cos_sim
+FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_dot_sql('a.ev', 'b.ev')} /
+            (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})), 8) >= 0.8
+"""
+
+
+NEARDUP_LSH_ORACLE = _neardup_lsh_oracle()
+
+
 # ---- oracle-less (non-SQL-expressible hashing internals; the driver
 # records the weaker rows-only check for these) ----
 

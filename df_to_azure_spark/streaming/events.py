@@ -151,3 +151,33 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+def stream_vs_batch_windowed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard equivalence check for the streaming path, registered as a
+    query: symmetric multiset difference between the REAL streaming run
+    of the watermarked windowed agg and its batch twin over the same
+    closed input.  Both sum exact DECIMAL(18,4), so equality is exact —
+    the oracle is the empty set, making the driver's hash check prove
+    stream/batch equivalence instead of a rows-only count."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_diff_{_STREAM_QUERY_SEQ[0]}"
+    streamed = run_stream_to_memory(
+        windowed_counts_stream(read_events_stream(spark, sf_dir)), name
+    )
+    batch = windowed_counts_batch(load_table(spark, sf_dir, "events"))
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_DIFF_ORACLE = """
+SELECT CAST(NULL AS TIMESTAMP) AS window_start, CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total_value,
+       CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

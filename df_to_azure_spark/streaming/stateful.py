@@ -91,3 +91,44 @@ def run_running_totals(spark, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def stream_vs_batch_totals_diff(spark, sf_dir: str) -> DataFrame:
+    """Hard equivalence check for the custom stateful operator: join the
+    final streamed state per user against the batch aggregate and keep
+    only mismatches (count differs, or totals diverge beyond float-
+    accumulation tolerance — the stateful path sums micro-batch partials
+    in pandas, the batch path in the JVM, so bit-equality on doubles is
+    not the contract; 1e-6 is).  Oracle = empty set."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.sources import load_table
+
+    streamed = run_running_totals(spark, sf_dir).select(
+        "user_id",
+        F.col("n_events").alias("n_stream"),
+        F.col("total_value").alias("total_stream"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.round(F.sum("value"), 4).alias("total_batch"),
+        )
+    )
+    joined = streamed.join(batch, "user_id", "full_outer")
+    return joined.where(
+        F.col("n_stream").isNull()
+        | F.col("n_batch").isNull()
+        | (F.col("n_stream") != F.col("n_batch"))
+        | (F.abs(F.col("total_stream") - F.col("total_batch")) > 1e-6)
+    )
+
+
+TOTALS_DIFF_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS BIGINT) AS n_stream, CAST(NULL AS DOUBLE) AS total_stream,
+       CAST(NULL AS BIGINT) AS n_batch, CAST(NULL AS DOUBLE) AS total_batch
+WHERE 1 = 0
+"""

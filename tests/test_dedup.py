@@ -69,3 +69,54 @@ def test_ngram_jaccard_exact_values(spark):
     rows = D.ngram_jaccard_pairs(df, threshold=0.0).collect()
     assert len(rows) == 1
     assert abs(rows[0].jaccard - 1 / 3) < 1e-6  # operator rounds to 6 dp
+
+
+def test_hot_shingle_cap_generous_cap_is_noop(spark, sf_smoke):
+    """On real data, a generous cap excludes nothing → identical results."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.3, hot_shingle_cap=docs.count()
+        ).collect()
+    }
+    assert uncapped == capped
+
+
+def test_hot_shingle_cap_drops_boilerplate(spark):
+    """A shingle present in EVERY doc is boilerplate: capping it removes
+    the quadratic posting join without manufacturing similarity."""
+    boiler = "terms of service apply"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}"),
+            (2, f"epsilon zeta eta theta {boiler}"),
+            (3, f"iota kappa lambda mu {boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    # uncapped: all pairs share the boilerplate shingles → nonzero jaccard
+    uncapped = D.ngram_jaccard_pairs(df, threshold=0.01).collect()
+    assert len(uncapped) == 3
+    # cap at 2: shingles in all 3 docs are dropped; remaining shingles are
+    # disjoint → no candidate pairs at all
+    capped = D.ngram_jaccard_pairs(df, threshold=0.01, hot_shingle_cap=2).collect()
+    assert capped == []
+
+
+def test_hot_bucket_cap_generous_cap_is_noop(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    uncapped = {
+        (r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, hot_bucket_cap=docs.count()
+        ).collect()
+    }
+    assert uncapped == capped

@@ -64,3 +64,29 @@ def test_neardup_pairs_symmetric_free(spark, sf_smoke):
     # lower triangle only: 50*49/2 pairs
     assert len(pairs) == 50 * 49 // 2
     assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_neardup_lsh_subset_and_recall(spark, sf_smoke):
+    """The bucketed near-dup pairs are a SUBSET of the exact pairs (no
+    false positives — cosine is exact within buckets) with useful recall."""
+    from df_to_azure_spark.plans.training_data import _neardup_planes
+
+    emb = _emb(spark, sf_smoke)
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.embedding_neardup_pairs(emb, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.embedding_neardup_pairs_lsh(
+            emb, _neardup_planes(), threshold=0.6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # identical scoring, not an approximation
+    if exact:
+        recall = len(lsh) / len(exact)
+        # near-dup pairs are highly correlated vectors → rarely split by a
+        # hyperplane; 3 planes keeps most of them in one bucket
+        assert recall >= 0.5, recall
