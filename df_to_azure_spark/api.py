@@ -46,8 +46,36 @@ def df_to_spark(
     :class:`~df_to_azure_spark.operators.sql_sink.SqlSink`) or a parquet
     lake (``parquet=True`` + ``lake_root``), with create/append/upsert
     semantics.  Validations run before any write, like the reference.
+
+    Accepts a ``pandas.DataFrame`` as well (the reference's sole input
+    type, ``export.py:20-35``): it is converted via
+    ``spark.createDataFrame`` on the active session.  An empty pandas
+    frame short-circuits like an empty Spark frame — ``createDataFrame``
+    cannot infer a schema from zero rows, and the reference skips the
+    run for empty input anyway (``export.py:96-99``).
     """
     t0 = time.monotonic()
+    try:
+        import pandas as _pd
+    except ImportError:  # pragma: no cover
+        _pd = None
+    if _pd is not None and isinstance(df, _pd.DataFrame):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "pandas input requires an active SparkSession "
+                "(create one with df_to_azure_spark.get_spark())"
+            )
+        if df.empty:
+            report = RunReport(table=tablename, method=method, skipped_empty=True)
+            report.duration_sec = time.monotonic() - t0
+            from df_to_azure_spark.utils import log_run_metrics
+
+            log_run_metrics(report)
+            return report
+        df = spark.createDataFrame(df)
     checks.validate_method(method)
     keys = checks.validate_id_field(method, id_field)
     checks.ensure_unique_column_names(df)
