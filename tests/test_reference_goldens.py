@@ -221,3 +221,27 @@ def test_pandas_empty_frame_short_circuits(spark):
     report = df_to_spark(pd.DataFrame(), "empty", parquet=True, lake_root="/nonexistent")
     assert report.skipped_empty
     assert report.rows_written == 0
+
+
+def test_upsert_with_spaces_in_column_names(spark, tmp_path):
+    # reference: sample_3 has "col a"/"col b" — identifiers with spaces
+    # must survive create + upsert end-to-end (tests/test_upsert.py:135-165)
+    root = str(tmp_path)
+    df_to_spark(_fixture(spark, "sample_1").toDF("col a", "col b", "col_c"),
+                "sample_spaces", parquet=True, lake_root=root)
+    df_to_spark(
+        _fixture(spark, "sample_3"),
+        "sample_spaces",
+        parquet=True,
+        lake_root=root,
+        method="upsert",
+        id_field="col a",
+    )
+    got = _rows(ParquetLake(spark, root).read("sample_spaces"), ["col a"])
+    assert got == [
+        (1, "updated value", "E"),
+        (3, "test", "Z"),
+        (4, "test", "A"),
+        (5, "new value", "F"),
+        (6, "also new", "H"),
+    ]

@@ -42,3 +42,90 @@ def test_upsert_matches_dict_model(spark, new, existing):
     out = upsert_frames(new_df, ex_df, ["k"], sort=False, check_keys=False)
     got = {r.k: r.v for r in out.collect()}
     assert got == model
+
+
+CELL_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 12),
+        st.one_of(st.none(), st.integers(-100, 100)),
+        st.one_of(st.none(), st.integers(-100, 100)),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(new=CELL_ROWS, existing=CELL_ROWS)
+def test_cell_level_upsert_matches_combine_first_model(spark, new, existing):
+    """Cell-level (combine_first) semantics against a dict model: per
+    matched key, a NULL in the new frame falls back to the old value."""
+    from df_to_azure_spark.operators.upsert import upsert_frames_cell_level
+
+    new = _dedup_keys([(k, (a, b)) for k, a, b in new])
+    existing = _dedup_keys([(k, (a, b)) for k, a, b in existing])
+    schema = "k long, a long, b long"
+    new_df = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in new] or [(999999, 0, 0)], schema
+    )
+    ex_df = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in existing] or [(999998, 0, 0)], schema
+    )
+    if not new:
+        new_df = new_df.where("k < 0")
+    if not existing:
+        ex_df = ex_df.where("k < 0")
+
+    model = dict(existing)
+    for k, (a, b) in new:
+        if k in model:
+            oa, ob = model[k]
+            model[k] = (a if a is not None else oa, b if b is not None else ob)
+        else:
+            model[k] = (a, b)
+
+    out = upsert_frames_cell_level(new_df, ex_df, ["k"])
+    got = {r.k: (r.a, r.b) for r in out.collect()}
+    assert got == model
+
+
+COMPOSITE_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 5),
+        st.one_of(st.none(), st.integers(-100, 100)),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(new=COMPOSITE_ROWS, existing=COMPOSITE_ROWS)
+def test_composite_key_upsert_with_null_values(spark, new, existing):
+    """Composite keys + NULLs in non-key columns: row-level upsert must
+    treat NULL as a value (it replaces), never as a join wildcard."""
+    def dedup(rows):
+        seen, out = set(), []
+        for k1, k2, v in rows:
+            if (k1, k2) not in seen:
+                seen.add((k1, k2))
+                out.append((k1, k2, v))
+        return out
+
+    new = dedup(new)
+    existing = dedup(existing)
+    schema = "k1 long, k2 long, v long"
+    new_df = spark.createDataFrame(new or [(99, 99, 0)], schema)
+    ex_df = spark.createDataFrame(existing or [(98, 98, 0)], schema)
+    if not new:
+        new_df = new_df.where("k1 < 0")
+    if not existing:
+        ex_df = ex_df.where("k1 < 0")
+
+    model = {(k1, k2): v for k1, k2, v in existing}
+    model.update({(k1, k2): v for k1, k2, v in new})
+
+    out = upsert_frames(new_df, ex_df, ["k1", "k2"], sort=False, check_keys=False)
+    got = {(r.k1, r.k2): r.v for r in out.collect()}
+    assert got == model
