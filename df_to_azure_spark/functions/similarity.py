@@ -178,3 +178,91 @@ def embedding_neardup_pairs_lsh(
         "id_b",
         F.round(cosine(F.col("va"), F.col("vb")), 8).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (squared-L2 argmin) as a FLAT column
+    expression — one dot product per centroid, chained ``least``/``when``
+    — so corpus assignment is map-side only: no shuffle, no per-row
+    Python, and no nested higher-order lambdas (which fall out of
+    whole-stage codegen).  Ties go to the lowest centroid id.
+
+    Centroids are passed as literals (like ``hyperplane_bucket``'s
+    planes): the centroid count is a bounded model parameter, not data.
+    """
+    v2 = dot(vec, vec)
+    dists = []
+    for c in centroids:
+        c_arr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(sum(x * x for x in c))
+        dists.append(v2 - 2.0 * dot(vec, c_arr) + F.lit(c2))
+    dmin = F.least(*dists)
+    cid = F.when(dists[0] == dmin, F.lit(0))
+    for i in range(1, len(dists)):
+        cid = cid.when(dists[i] == dmin, F.lit(i))
+    return cid.cast("int")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into
+    inverted lists by nearest centroid (map-side ``ivf_assign``, no
+    shuffle); each query probes its ``nprobe`` nearest lists and runs
+    exact cosine + rank inside them.  Scanned fraction ≈ nprobe/C.
+
+    The query→probe-list expansion is relational (tiny broadcast centroid
+    frame → distance → rank window), so the whole plan is joins and
+    windows — deterministic and engine-reproducible given ``centroids``
+    (production systems would k-means them; sampling or seeding keeps
+    them a bounded literal either way).
+    """
+    spark = corpus.sparkSession
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    c = c.withColumn("cid", ivf_assign(F.col("cv"), centroids))
+
+    cent_rows = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    cent = spark.createDataFrame(cent_rows, "cid int, cent array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "cid",
+        (
+            dot(F.col("qv"), F.col("qv"))
+            - 2.0 * dot(F.col("qv"), F.col("cent"))
+            + dot(F.col("cent"), F.col("cent"))
+        ).alias("cd"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cid"))
+    probes = (
+        qd.withColumn("probe_rank", F.row_number().over(wp))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = (
+        c.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

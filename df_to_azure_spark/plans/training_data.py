@@ -380,3 +380,86 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = MM.synthesize_media(spark, n=200)
     return MM.extract_features(media)
+
+
+# IVF centroids: seeded, data-independent literals (production would
+# k-means; deterministic literals keep the oracle exact).  C=8, nprobe=2
+# → each query scans ~1/4 of the corpus.
+_IVF_N_CENTROIDS = 8
+
+
+def _ivf_centroids() -> list[list[float]]:
+    import random
+
+    rng = random.Random(11)
+    return [
+        [rng.gauss(0, 1) for _ in range(_NEARDUP_DIM)]
+        for _ in range(_IVF_N_CENTROIDS)
+    ]
+
+
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k — the inverted-list scale path
+    next to ``knn_topk`` (exact) and ``lsh_knn`` (hyperplane LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(queries, emb, _ivf_centroids(), k=10, nprobe=2)
+
+
+def _ivf_oracle() -> str:
+    cents = _ivf_centroids()
+    # explicit DOUBLE[] cast: DuckDB otherwise types bare numeric list
+    # literals as DECIMAL, which overflows in literal×literal dot products
+    lits = [
+        "CAST([" + ", ".join(repr(x) for x in c) + "] AS DOUBLE[])" for c in cents
+    ]
+    c2s = [repr(float(sum(x * x for x in c))) for c in cents]
+    d_cols = ", ".join(
+        f"({_dot_sql('cv', 'cv')} - 2.0 * {_dot_sql('cv', lits[i])} + {c2s[i]}) AS d{i}"
+        for i in range(len(cents))
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    values = ", ".join(f"({i}, {lits[i]})" for i in range(len(cents)))
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), cd AS (
+  SELECT neighbor_id, cv, {d_cols} FROM c
+), ca AS (
+  SELECT neighbor_id, cv, CAST({case} AS INT) AS cid FROM cd
+), q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qd AS (
+  SELECT query_id, qv, cent.cid,
+         {_dot_sql('qv', 'qv')} - 2.0 * {_dot_sql('qv', 'cent.cv')}
+           + {_dot_sql('cent.cv', 'cent.cv')} AS cd
+  FROM q CROSS JOIN (VALUES {values}) AS cent(cid, cv)
+), probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= 2
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM ca JOIN probes USING (cid)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+IVF_KNN_ORACLE = _ivf_oracle()

@@ -90,3 +90,28 @@ def test_neardup_lsh_subset_and_recall(spark, sf_smoke):
         # near-dup pairs are highly correlated vectors → rarely split by a
         # hyperplane; 3 planes keeps most of them in one bucket
         assert recall >= 0.5, recall
+
+
+def test_ivf_topk_recall_and_subset(spark, sf_smoke):
+    """IVF probe results are drawn from the exact scoring function (any
+    returned pair matches the exact cosine) with useful recall at
+    nprobe=2 of 8 lists (~1/4 of the corpus scanned)."""
+    from df_to_azure_spark.plans.training_data import _ivf_centroids
+
+    emb = _emb(spark, sf_smoke)
+    q = emb.where("vec_id < 5")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(q, emb, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.ivf_topk(q, emb, _ivf_centroids(), k=10, nprobe=2).collect()
+    }
+    # scores are never invented: every IVF hit that is also an exact hit
+    # carries the identical similarity
+    for pair, sim in ivf.items():
+        if pair in exact:
+            assert sim == exact[pair]
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.15, recall
