@@ -99,6 +99,9 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.embedding_neardup_pairs_lsh, TD.NEARDUP_LSH_ORACLE
     ),
     "ivf_knn": QuerySpec(TD.ivf_knn, TD.IVF_KNN_ORACLE),
+    "neardup_components": QuerySpec(
+        TD.neardup_components, TD.NEARDUP_COMPONENTS_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),

@@ -188,7 +188,9 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs_lsh(emb, _neardup_planes(), threshold=0.8)
 
 
-def _neardup_lsh_oracle() -> str:
+def _neardup_bucket_cte() -> str:
+    """Shared CTE text: vectors + their hyperplane bucket (same literal
+    planes as the Spark side)."""
     planes = _neardup_planes()
     bucket_terms = []
     for i, p in enumerate(planes):
@@ -197,23 +199,25 @@ def _neardup_lsh_oracle() -> str:
             f"(CASE WHEN {_dot_sql('ev', lit)} >= 0 THEN {1 << i} ELSE 0 END)"
         )
     bucket = " + ".join(bucket_terms)
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
   FROM embeddings
 ), vb AS (
   SELECT vec_id, ev, {bucket} AS bucket FROM v
+)"""
+
+
+_PAIR_COS = (
+    f"round({_dot_sql('a.ev', 'b.ev')} /"
+    f" (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})), 8)"
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_dot_sql('a.ev', 'b.ev')} /
-             (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})), 8) AS cos_sim
+
+NEARDUP_LSH_ORACLE = f"""
+WITH {_neardup_bucket_cte()}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS} AS cos_sim
 FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_dot_sql('a.ev', 'b.ev')} /
-            (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})), 8) >= 0.8
+WHERE {_PAIR_COS} >= 0.8
 """
-
-
-NEARDUP_LSH_ORACLE = _neardup_lsh_oracle()
 
 
 # ---- oracle-less (non-SQL-expressible hashing internals; the driver
@@ -463,3 +467,39 @@ WHERE rank <= 10
 
 
 IVF_KNN_ORACLE = _ivf_oracle()
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: LSH near-dup pairs (threshold 0.6 for a richer
+    graph) grouped into connected components via distributed min-label
+    propagation — the step that turns candidate PAIRS into deletable
+    duplicate CLUSTERS.  Oracle: DuckDB recursive CTE computing min
+    reachable id per node over the identical pair set."""
+    from df_to_azure_spark.functions.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_neardup_pairs_lsh(
+        emb, _neardup_planes(), threshold=0.6
+    ).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+NEARDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_neardup_bucket_cte()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_PAIR_COS} >= 0.6
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM e
+  UNION
+  SELECT e.v, r.lbl FROM e JOIN reach r ON e.u = r.node
+)
+SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+"""

@@ -1,0 +1,54 @@
+"""Connected-components semantics: min-label propagation against known
+graphs, and the end-to-end canonical-dedup contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from df_to_azure_spark.functions.graph import connected_components, dedup_canonical
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_two_components_and_chain(spark):
+    # component {1,2,3} as a chain, component {10,11} as an edge
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # path graph 0-1-2-...-9: worst case for label propagation (diameter 9);
+    # min label must still flood to the far end
+    edges = [(i, i + 1) for i in range(9)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 10
+
+
+def test_direction_does_not_matter(spark):
+    # edges given "backwards" — the graph is undirected
+    got = _cc(spark, [(5, 1), (9, 5)])
+    assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_max_iter_raises_when_too_small(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_dedup_canonical_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup_canonical(docs, pairs).collect())
+    # 1 survives its cluster, 10 survives its pair, 99 untouched singleton
+    assert kept == [1, 10, 99]
