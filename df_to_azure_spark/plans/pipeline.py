@@ -1,0 +1,166 @@
+"""Corpus-preparation pipeline queries — the operations that sit between
+raw documents and a training shard: vocabulary statistics, repetition-
+based quality signals, PII-style redaction, and a composed filter →
+dedup → split pipeline.  All JVM-side column expressions (no UDFs);
+every query is DuckDB-oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions import text as TXT
+from df_to_azure_spark.plans.training_data import _TOKS
+from df_to_azure_spark.sources import load_table
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary: token → document frequency + total count,
+    top 50 by count.  Plan: explode → one shuffle on token with map-side
+    partial aggregation → TakeOrdered top-k (never a full sort).  At
+    100 TB the combiner collapses each task's token multiset before the
+    exchange, so shuffle volume is bounded by |vocab| per task, not by
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+VOCAB_ORACLE = f"""
+SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n_total DESC, tok
+LIMIT 50
+"""
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters):
+    fraction of tokens that are repeats, and the top token's share.
+
+    Shape: explode → (doc, token) counts → per-doc aggregate.  Two
+    codegen'd shuffles.  NOT the tempting nested-higher-order-lambda
+    form (``transform`` with a ``filter`` over the outer array inside) —
+    nested lambdas fall out of whole-stage codegen and run interpreted,
+    ~100× slower on this engine (measured on the MinHash path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("c").alias("top"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(
+                (F.col("n") - F.col("n_unique")).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("repeat_frac"),
+            F.round(
+                F.col("top").cast("double") / F.col("n").cast("double"), 6
+            ).alias("top_token_share"),
+        )
+    )
+
+
+REPETITION_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+    AS repeat_frac,
+  round(CAST(list_max(list_transform(list_distinct(toks),
+                      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+        / len(toks), 6) AS top_token_share
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+"""
+
+
+def doc_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub: redact digit runs (stand-in for phone/ID patterns
+    — the regex is deliberately engine-portable) and report per-doc
+    redaction counts plus the redacted length.  regexp_replace/count are
+    JVM-side; one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[0-9][0-9][0-9]+"
+    redacted = F.regexp_replace(F.col("text"), pat, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), pat, -1)).cast("long").alias("n_parts"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    ).withColumn("n_redactions", (F.col("n_parts") - 1).cast("long")).drop("n_parts")
+
+
+REDACTION_ORACLE = """
+SELECT doc_id,
+  CAST(length(regexp_replace(text, '[0-9][0-9][0-9]+', '<NUM>', 'g')) AS BIGINT)
+    AS redacted_len,
+  CAST(len(regexp_split_to_array(text, '[0-9][0-9][0-9]+')) - 1 AS BIGINT)
+    AS n_redactions
+FROM documents
+"""
+
+
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline in one plan: quality/length
+    filter → exact dedup (min-id survivor per fingerprint) → hash split →
+    per-(lang, split) counts.  Each stage is an operator tested on its
+    own; this query pins their COMPOSITION, which is what a user actually
+    runs.  Plan: scan → md5 window-free dedup via groupBy semi-join →
+    split hash → one agg shuffle."""
+    from df_to_azure_spark.functions.dedup import exact_dedup
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.where(
+        (F.col("n_chars") >= 50) & (TXT.token_count("text") >= 10)
+    )
+    deduped = exact_dedup(filtered)
+    split = with_split(deduped, "doc_id")
+    return (
+        split.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+TRAINING_MIX_ORACLE = f"""
+WITH filtered AS (
+  SELECT * FROM documents
+  WHERE n_chars >= 50 AND len({_TOKS}) >= 10
+),
+deduped AS (
+  SELECT * FROM filtered
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY md5(text))
+),
+split AS (
+  SELECT lang, n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS b
+        FROM deduped)
+)
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM split GROUP BY lang, split
+"""

@@ -15,6 +15,7 @@ from df_to_azure_spark.plans import analytics as A
 from df_to_azure_spark.plans import analytics2 as A2
 from df_to_azure_spark.plans import analytics3 as A3
 from df_to_azure_spark.plans import parity as P
+from df_to_azure_spark.plans import pipeline as PL
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -100,8 +101,16 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "ivf_knn": QuerySpec(TD.ivf_knn, TD.IVF_KNN_ORACLE),
     "neardup_components": QuerySpec(
-        TD.neardup_components, TD.NEARDUP_COMPONENTS_ORACLE
+        TD.neardup_components, TD.NEARDUP_COMPONENTS_ORACLE, headline=True
     ),
+    "vocab_top_terms": QuerySpec(PL.vocab_top_terms, PL.VOCAB_ORACLE),
+    "doc_repetition_stats": QuerySpec(
+        PL.doc_repetition_stats, PL.REPETITION_ORACLE
+    ),
+    "doc_redaction_stats": QuerySpec(
+        PL.doc_redaction_stats, PL.REDACTION_ORACLE
+    ),
+    "training_mix": QuerySpec(PL.training_mix, PL.TRAINING_MIX_ORACLE, headline=True),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
