@@ -68,29 +68,54 @@ class ParquetLake:
         table: str,
         method: str = "create",
         id_field: list[str] | str | None = None,
+        partition_by: list[str] | str | None = None,
     ) -> None:
         ensure_unique_column_names(df)
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
         if method == "create":
-            self.create(df, table)
+            self.create(df, table, partition_by=parts)
         elif method == "append":
-            self.append(df, table)
+            self.append(df, table, partition_by=parts)
         elif method == "upsert":
             keys = [id_field] if isinstance(id_field, str) else list(id_field or [])
             self.upsert(df, table, keys)
         else:
             raise WrongMethodError(f"unknown lake method {method!r}")
 
-    def create(self, df: DataFrame, table: str) -> None:
-        df.write.mode("overwrite").parquet(self.data_dir(table))
+    def create(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """``partition_by`` lays the table out hive-style
+        (``col=value/`` directories).  At 100 TB this is what makes
+        point/range reads cheap: a filter on the partition column prunes
+        whole directories at planning time (PartitionFilters in the scan,
+        asserted in ``tests/test_lake_partitioning.py``) instead of
+        row-group-filtering every file."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.data_dir(table))
 
-    def append(self, df: DataFrame, table: str, timestamped_file: bool = False) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        timestamped_file: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Default: collision-free task part-files (the scale path).
         ``timestamped_file=True`` reproduces the reference's byte-layout:
         one ``{table}_{YYYYmmddHHMMSS}.parquet`` file per append call
         (``export.py:353-360``) — a single-writer convenience for small
         appends, deliberately NOT the default."""
         if not timestamped_file:
-            df.write.mode("append").parquet(self.data_dir(table))
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.data_dir(table))
             return
         import datetime as _dt
 

@@ -178,3 +178,79 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <
    OR (p_brand = 'Brand#5' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)
    OR (p_type = 'PROMO' AND l_quantity >= 20)
 """
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated aggregate subquery — lineitems whose
+    quantity is below 20% of their part's average quantity.  Decorrelated
+    the way Catalyst would: per-part averages via one groupBy, joined
+    back on the part key (shuffle on l_partkey both sides, AQE handles
+    the rest).  The threshold comparison uses exact decimal arithmetic so
+    both engines select the identical row set."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.expr("AVG(CAST(l_quantity AS DECIMAL(18,2)))").alias("avg_qty")
+    )
+    joined = lineitem.join(per_part, "l_partkey")
+    # the 0.2*avg product stays exact decimal (scale widens, no mid-plan
+    # rounding cast — Spark rounds HALF_UP, DuckDB HALF_EVEN, so any real
+    # rounding here would diverge between engine and oracle)
+    small = joined.where(
+        F.expr("CAST(l_quantity AS DECIMAL(18,2)) < 0.2 * avg_qty")
+    )
+    return small.agg(
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "small_qty_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN (SELECT l_partkey, AVG(CAST(l_quantity AS DECIMAL(18,2))) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) p
+  ON l.l_partkey = p.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) < 0.2 * p.avg_qty
+"""
+
+
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: global scalar subquery + anti join — customers with an
+    above-average positive balance and NO orders, counted per country
+    prefix.  The global average is one tiny aggregate broadcast into the
+    filter (Spark evaluates the scalar subquery as a separate job and
+    folds the value in — equivalent to a cross join with a 1-row frame);
+    the no-orders test is a left-anti shuffle join on the customer key."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    positive = customer.where(F.expr("CAST(c_acctbal AS DECIMAL(18,2)) > 0"))
+    avg_bal = positive.agg(
+        F.expr("AVG(CAST(c_acctbal AS DECIMAL(18,2)))").alias("avg_bal")
+    )
+    rich = positive.crossJoin(F.broadcast(avg_bal)).where(
+        F.expr("CAST(c_acctbal AS DECIMAL(18,2)) > avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy((F.col("c_nationkey") % 10).alias("cntry_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "total_balance"
+        ),
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey % 10 AS cntry_bucket, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+      (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+       WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey % 10
+"""

@@ -141,6 +141,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q15_top_supplier": QuerySpec(A3.q15_top_supplier, A3.Q15_ORACLE),
     "q18_large_volume_orders": QuerySpec(A3.q18_large_volume_orders, A3.Q18_ORACLE),
     "q19_disjunctive_revenue": QuerySpec(A3.q19_disjunctive_revenue, A3.Q19_ORACLE),
+    "q17_small_quantity_revenue": QuerySpec(
+        A3.q17_small_quantity_revenue, A3.Q17_ORACLE
+    ),
+    "q22_idle_balances": QuerySpec(A3.q22_idle_balances, A3.Q22_ORACLE),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),

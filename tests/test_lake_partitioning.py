@@ -1,0 +1,54 @@
+"""Partitioned lake tables: hive layout on disk, partition pruning in
+the plan — the property that makes selective reads cheap at scale."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.operators.lake import ParquetLake
+
+
+def _docs(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/documents.parquet")
+
+
+def test_partitioned_create_layout_and_round_trip(spark, sf_smoke, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path))
+    docs = _docs(spark, sf_smoke)
+    lake.write(docs, "docs", partition_by="lang")
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    on_disk = {
+        p.name.split("=", 1)[1]
+        for p in Path(lake.data_dir("docs")).iterdir()
+        if p.name.startswith("lang=")
+    }
+    assert on_disk == langs
+    back = lake.read("docs")
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+
+
+def test_partition_filter_prunes_at_plan_time(spark, sf_smoke, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path))
+    lake.write(_docs(spark, sf_smoke), "docs", partition_by="lang")
+    df = lake.read("docs").where(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the lang predicate must land in PartitionFilters (directory pruning),
+    # not PushedFilters (row-group filtering inside every file)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0], plan
+
+
+def test_partitioned_append_adds_new_partition(spark, sf_smoke, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path))
+    docs = _docs(spark, sf_smoke)
+    lake.write(docs, "docs", partition_by="lang")
+    extra = docs.limit(5).withColumn("lang", F.lit("zz"))
+    lake.write(extra, "docs", method="append", partition_by="lang")
+    back = lake.read("docs")
+    assert back.where("lang = 'zz'").count() == 5
+    assert back.count() == docs.count() + 5
