@@ -43,11 +43,16 @@ FEATURES_SCHEMA = T.StructType(
 def fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: hash the bytes into a
     fixed-dim unit-scale feature vector.  Replace with a real
-    image/audio featurizer where the codec libraries exist."""
+    image/audio featurizer where the codec libraries exist.
+
+    Derived from the sha256 HEX digits (not raw digest bytes) so the
+    whole decode is replicable in plain SQL — the ``media_features``
+    registry query is oracle-paired, turning the Arrow/mapInPandas
+    plumbing into a hash-checked surface instead of a rows-only one."""
     if payload is None:
         return [0.0] * FEATURE_DIM
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    hexd = hashlib.sha256(payload).hexdigest()
+    return [int(c, 16) / 15.0 for c in hexd[:FEATURE_DIM]]
 
 
 def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub

@@ -154,10 +154,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- non-SQL-expressible (rows-only check) ---
     "minhash_lsh_pairs": QuerySpec(TD.minhash_pairs, None, headline=True),
-    "lsh_knn": QuerySpec(TD.lsh_knn, None),
+    "lsh_knn": QuerySpec(TD.lsh_knn, TD.LSH_KNN_ORACLE),
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, None),
     "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
-    "media_features": QuerySpec(TD.media_features, None),
+    "media_features": QuerySpec(TD.media_features, TD.MEDIA_FEATURES_ORACLE),
     "stream_windowed_counts": QuerySpec(_stream_windowed_counts, None),
     "stream_running_user_totals": QuerySpec(_stream_running_totals, None),
     "stream_vs_batch_windowed_diff": QuerySpec(

@@ -303,21 +303,58 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
 """
 
 
-def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k through hyperplane-LSH bucketing — the scale
-    path next to the exact ``knn_topk`` baseline.  Fixed seeded planes
-    keep it deterministic run-to-run; no SQL oracle (bucket assignment is
-    engine-hash-free but the recall contract, not exact equality, is the
-    spec) → rows-only check.  Recall vs the exact baseline is pinned in
-    tests/test_similarity.py."""
+def _lsh_knn_planes() -> list[list[float]]:
     import random
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").limit(1).collect()[0][0])
     rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(2)]
+    return [[rng.gauss(0, 1) for _ in range(_NEARDUP_DIM)] for _ in range(2)]
+
+
+def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k through hyperplane-LSH bucketing — the scale
+    path next to the exact ``knn_topk`` baseline.  Seeded fixed-dim plane
+    literals are mirrored in the oracle (same sign-fold both engines), so
+    the bucketing AND the in-bucket ranking are exact-hash-checked;
+    recall vs the exact baseline is separately pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return SIM.lsh_topk(queries, emb, planes, k=10)
+    return SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=10)
+
+
+def _lsh_knn_oracle() -> str:
+    planes = _lsh_knn_planes()
+    terms = []
+    for i, pl in enumerate(planes):
+        lit = "CAST([" + ", ".join(repr(x) for x in pl) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN {_dot_sql('ev', lit)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, ev, {bucket} AS bucket FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_dot_sql('q.ev', 'c.ev')} /
+               (sqrt({_dot_sql('q.ev', 'q.ev')}) * sqrt({_dot_sql('c.ev', 'c.ev')})), 8) AS cos_sim
+  FROM vb q JOIN vb c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+LSH_KNN_ORACLE = _lsh_knn_oracle()
 
 
 def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,12 +415,32 @@ FROM orders GROUP BY o_orderstatus
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: deterministic synthetic media table →
-    Arrow-batched (stubbed) decode via mapInPandas.  No SQL oracle —
-    mapInPandas is not SQL-expressible; rows-only check."""
+    Arrow-batched (stub-decoded) features via mapInPandas.  The stub
+    derives features from sha256 HEX digits, so the whole decode is
+    replicable in SQL — the Python/Arrow plumbing is hash-checked against
+    the oracle below, not just row-counted."""
     from df_to_azure_spark.functions import multimodal as MM
 
     media = MM.synthesize_media(spark, n=200)
     return MM.extract_features(media)
+
+
+MEDIA_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT range AS media_id,
+         encode(sha256(CAST(range AS VARCHAR))) AS payload
+  FROM range(0, 200)
+), h AS (
+  SELECT media_id, payload, sha256(decode(payload)) AS hx FROM m
+)
+SELECT media_id,
+  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(payload) AS INT) AS n_bytes,
+  list_transform(range(1, 17),
+    i -> CAST(strpos('0123456789abcdef', hx[i]) - 1 AS DOUBLE) / 15.0
+  ) AS features
+FROM h
+"""
 
 
 # IVF centroids: seeded, data-independent literals (production would
