@@ -164,3 +164,101 @@ split AS (
 SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM split GROUP BY lang, split
 """
+
+
+# ---- bounded-error hard checks for the approximate operators ----------
+# The driver's gate is exact hash equality, which an approximate op can
+# never satisfy directly.  These queries invert the contract: compute the
+# approximation AND its exact reference in one plan, return only the
+# rows that VIOLATE the error bound, and pair with an empty-set oracle —
+# turning "rows-only" surfaces into hard checks.
+
+
+def approx_stats_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct must land within 5% of the exact distinct
+    count, and the p50/p95 sketches inside the observed value range, for
+    every event type.  Violations (expected: none) are returned."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("p"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    bad = (
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            > 0.05 * F.col("exact_users")
+        )
+        | (F.element_at("p", 1) < F.col("vmin"))
+        | (F.element_at("p", 2) > F.col("vmax"))
+        | (F.element_at("p", 1) > F.element_at("p", 2))
+    )
+    return stats.where(bad).select(
+        "event_type", "approx_users", "exact_users"
+    )
+
+
+APPROX_CHECK_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS BIGINT) AS approx_users, CAST(NULL AS BIGINT) AS exact_users
+WHERE 1 = 0
+"""
+
+
+def simhash_invariant_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash contract: byte-identical texts MUST have identical
+    fingerprints.  Returns fingerprint-divergent exact-duplicate pairs
+    (expected: none)."""
+    from df_to_azure_spark.functions.dedup import simhash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash64(docs).join(docs.select("doc_id", "text"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        F.md5("text").alias("fp"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        F.md5("text").alias("fp"),
+    )
+    return (
+        a.join(b, "fp")
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("sh_a") != F.col("sh_b")))
+        .select("id_a", "id_b")
+    )
+
+
+SIMHASH_CHECK_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+WHERE 1 = 0
+"""
+
+
+def minhash_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate vs exact n-gram Jaccard: for every candidate pair
+    the LSH path surfaces, the 64-hash estimate must sit within 0.35 of
+    the exact value (binomial bound at n=64 makes larger errors
+    vanishingly unlikely).  Violations returned; expected none."""
+    from df_to_azure_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = minhash_lsh_pairs(docs, threshold=0.0)
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    joined = est.join(exact, ["id_a", "id_b"])
+    return joined.where(
+        F.abs(F.col("est_jaccard") - F.col("jaccard")) > 0.35
+    ).select("id_a", "id_b", "est_jaccard", "jaccard")
+
+
+MINHASH_CHECK_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(NULL AS DOUBLE) AS est_jaccard, CAST(NULL AS DOUBLE) AS jaccard
+WHERE 1 = 0
+"""

@@ -111,6 +111,15 @@ REGISTRY: dict[str, QuerySpec] = {
         PL.doc_redaction_stats, PL.REDACTION_ORACLE
     ),
     "training_mix": QuerySpec(PL.training_mix, PL.TRAINING_MIX_ORACLE, headline=True),
+    "approx_stats_error_check": QuerySpec(
+        PL.approx_stats_error_check, PL.APPROX_CHECK_ORACLE
+    ),
+    "simhash_invariant_check": QuerySpec(
+        PL.simhash_invariant_check, PL.SIMHASH_CHECK_ORACLE
+    ),
+    "minhash_error_check": QuerySpec(
+        PL.minhash_error_check, PL.MINHASH_CHECK_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
