@@ -40,7 +40,13 @@ def test_q3_topk_and_no_static_broadcast(spark, sf_smoke):
 # regardless of data scale (nation: 25 rows, region: 5, price bands: literal,
 # nation⋈region: ≤25).  Anything else must be left to AQE/CBO, which use
 # runtime size estimates and therefore stay safe at 100 TB.
-BOUNDED_BROADCAST_VARS = {"region", "nation", "asia_nations", "bands"}
+BOUNDED_BROADCAST_VARS = {
+    "region",
+    "nation",
+    "asia_nations",
+    "bands",
+    "avg_bal",  # 1-row global aggregate (q22 scalar subquery)
+}
 
 
 def test_broadcast_hints_only_on_bounded_dims():
