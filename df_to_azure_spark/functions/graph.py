@@ -40,9 +40,11 @@ def connected_components(
     Raises if ``max_iter`` rounds don't converge (pathologically long
     path graphs); near-dup graphs converge in a handful of rounds.
     """
-    # undirected: propagate both ways
+    # undirected: propagate both ways.  Materialize ONCE — the edge list
+    # is re-joined every round, and leaving it lazy would re-run its
+    # whole upstream plan (e.g. an LSH candidate join) once per round.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
 
     labels = (
         e.select(F.col("u").alias("node"))
@@ -57,6 +59,8 @@ def connected_components(
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("component").alias("neigh_component"))
         )
+        # checkpoint FIRST so the join+agg runs once per round; the
+        # convergence count then reads the materialized result
         updated = (
             labels.join(neigh_min, labels.node == neigh_min.node2, "left")
             .select(
@@ -67,13 +71,14 @@ def connected_components(
                     F.coalesce(F.col("neigh_component"), F.col("component")),
                 ).alias("new_component"),
             )
+            .localCheckpoint()
         )
         changed = updated.where(
             F.col("new_component") != F.col("component")
         ).count()
         labels = updated.select(
             "node", F.col("new_component").alias("component")
-        ).localCheckpoint()
+        )
         if changed == 0:
             return labels
     raise RuntimeError(
