@@ -56,10 +56,17 @@ class ParquetLake:
         return fs.exists(jpath)
 
     # -- reads -----------------------------------------------------------
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions the schemas of all part-files —
+        needed after an append added columns (schema evolution); columns
+        absent from older files read as NULL.  Off by default: schema
+        merging lists/reads every file footer, which costs at scale."""
         if not self.exists(table):
             raise PipelineRunError(f"lake table {table!r} does not exist under {self.root}")
-        return self.spark.read.parquet(self.data_dir(table))
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.data_dir(table))
 
     # -- writes ----------------------------------------------------------
     def write(
@@ -134,6 +141,29 @@ class ParquetLake:
             if name.startswith("part-"):
                 fs.rename(status.getPath(), target)
         fs.delete(tmp_path, True)
+
+    def compact(self, table: str, target_files: int = 8) -> int:
+        """Rewrite the table into ``target_files`` part-files and
+        snapshot-swap it in; returns the file count before compaction.
+
+        Appends accumulate small files (every micro-append adds task
+        files); at scale the file-listing and per-file open costs
+        eventually dominate reads — periodic compaction is the standard
+        fix (Delta/Iceberg's OPTIMIZE).  Data is byte-identical, only the
+        layout changes; the swap reuses the crash-safe rename dance of
+        ``_swap_in``."""
+        fs, data_path, _ = self._fs(self.data_dir(table))
+        if not fs.exists(data_path):
+            raise PipelineRunError(f"lake table {table!r} does not exist under {self.root}")
+        before = sum(
+            1
+            for st in fs.listStatus(data_path)
+            if st.getPath().getName().startswith("part-")
+        )
+        # merge_schema so files written before a schema evolution survive
+        df = self.read(table, merge_schema=True).coalesce(target_files)
+        self._swap_in(df, table)
+        return before
 
     def upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
         ensure_unique_keys(df, keys)

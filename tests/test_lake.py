@@ -155,3 +155,41 @@ def test_facade_empty_short_circuit(spark, tmp_path):
 def test_facade_lake_create_report(spark, tmp_path):
     rep = df_to_spark(sample_1(spark), "t", parquet=True, lake_root=str(tmp_path / "lake"))
     assert rep.rows_written == 3 and rep.method == "create"
+
+
+def test_schema_evolution_append_and_merge_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    lake.write(base, "t")
+    evolved = spark.createDataFrame([(3, "c", 9.5)], "id long, v string, score double")
+    lake.write(evolved, "t", method="append")
+    merged = lake.read("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows[3] == ("c", 9.5)
+    assert rows[1] == ("a", None)  # old files read the new column as NULL
+
+
+def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
+    from pathlib import Path
+
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    lake.write(df.repartition(10), "t")
+    for _ in range(3):  # simulate micro-appends accumulating small files
+        lake.write(df.limit(5).repartition(5), "t", method="append")
+    before = lake.compact("t", target_files=2)
+    assert before >= 20
+    files = [
+        p for p in Path(lake.data_dir("t")).iterdir() if p.name.startswith("part-")
+    ]
+    assert len(files) <= 2
+    back = lake.read("t")
+    assert back.count() == 115
+    assert back.where("v != id * 2").count() == 0
