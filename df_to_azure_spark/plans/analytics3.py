@@ -254,3 +254,64 @@ WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey % 10
 """
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS and NOT EXISTS correlated on the SAME table with
+    different predicates — suppliers who were the sole late shipper in a
+    multi-supplier order.  Decorrelated as one semi-join (some other
+    supplier participated) then one anti-join (no other supplier was
+    late) on the order key; all three legs prune to (orderkey, suppkey)
+    pairs before shuffling, so the joins carry two columns regardless of
+    lineitem width."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("l_shipdate > o_orderdate + INTERVAL 30 DAYS").alias("late"),
+    )
+    late = li.where("late").select("l_orderkey", "l_suppkey").dropDuplicates()
+    others = li.select("l_orderkey", F.col("l_suppkey").alias("o_supp")).dropDuplicates()
+    late_others = late.select(
+        "l_orderkey", F.col("l_suppkey").alias("o_supp")
+    )
+
+    multi = late.join(
+        others,
+        (late.l_orderkey == others.l_orderkey) & (late.l_suppkey != others.o_supp),
+        "left_semi",
+    )
+    sole = multi.join(
+        late_others,
+        (multi.l_orderkey == late_others.l_orderkey)
+        & (multi.l_suppkey != late_others.o_supp),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+Q21_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+SELECT l_suppkey, COUNT(*) AS n_waiting_orders
+FROM late l1
+WHERE EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY l_suppkey
+ORDER BY n_waiting_orders DESC, l_suppkey
+LIMIT 10
+"""

@@ -154,6 +154,7 @@ REGISTRY: dict[str, QuerySpec] = {
         A3.q17_small_quantity_revenue, A3.Q17_ORACLE
     ),
     "q22_idle_balances": QuerySpec(A3.q22_idle_balances, A3.Q22_ORACLE),
+    "q21_waiting_suppliers": QuerySpec(A3.q21_waiting_suppliers, A3.Q21_ORACLE),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
