@@ -262,3 +262,78 @@ SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
        CAST(NULL AS DOUBLE) AS est_jaccard, CAST(NULL AS DOUBLE) AS jaccard
 WHERE 1 = 0
 """
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (chunk 32, stride 24) — how
+    long documents become training samples.  posexplode over a computed
+    chunk array: single-level higher-order lambdas (slice + array_join),
+    stays in codegen, no shuffle — each row expands in place."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunk, stride = 32, 24
+    t = TXT.tokens("text")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(t) - F.lit(chunk)) / F.lit(stride) + 1).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(t, i * stride + 1, chunk), " "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+    )
+
+
+DOC_CHUNKS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - 32) / 24.0 + 1) AS INT)) AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+       CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS chunk_tokens
+FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM n)
+"""
+
+
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe: exact-duplicate text shared between the
+    train split and the val/test splits (hash-split assignment, md5
+    fingerprints, fingerprint equi-join).  Returns (test_doc, train_doc)
+    pairs — what must be dropped from train before training."""
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "split", F.md5("text").alias("fp")
+    )
+    train = docs.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    heldout = docs.where(F.col("split") != "train").select(
+        F.col("doc_id").alias("heldout_doc"), "fp"
+    )
+    return heldout.join(train, "fp").select("heldout_doc", "train_doc", "fp")
+
+
+SPLIT_CONTAMINATION_ORACLE = """
+WITH s AS (
+  SELECT doc_id, md5(text) AS fp,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS b
+        FROM documents)
+)
+SELECT h.doc_id AS heldout_doc, t.doc_id AS train_doc, h.fp
+FROM s h JOIN s t ON h.fp = t.fp
+WHERE h.split <> 'train' AND t.split = 'train'
+"""

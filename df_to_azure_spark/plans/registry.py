@@ -120,6 +120,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_error_check": QuerySpec(
         PL.minhash_error_check, PL.MINHASH_CHECK_ORACLE
     ),
+    "doc_chunks": QuerySpec(PL.doc_chunks, PL.DOC_CHUNKS_ORACLE),
+    "split_contamination": QuerySpec(
+        PL.split_contamination, PL.SPLIT_CONTAMINATION_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
