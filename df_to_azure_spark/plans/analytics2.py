@@ -362,3 +362,37 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
     )
+
+
+def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames used elsewhere): per-user
+    rolling 1-hour event count and value sum, anchored on the event
+    timestamp in microseconds.  One shuffle on user_id; the frame scan is
+    per-partition and never materializes the window."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER ("
+            "PARTITION BY user_id ORDER BY unix_micros(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        ).alias("value_last_hour"),
+    )
+
+
+ROLLING_HOUR_ORACLE = """
+SELECT user_id, event_id,
+  COUNT(*) OVER w AS n_last_hour,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""

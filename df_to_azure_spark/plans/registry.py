@@ -145,6 +145,7 @@ REGISTRY: dict[str, QuerySpec] = {
         A2.supplier_name_normalize, A2.NAME_NORMALIZE_ORACLE
     ),
     "events_json_props": QuerySpec(A2.events_json_props, A2.EVENTS_JSON_ORACLE),
+    "events_rolling_hour": QuerySpec(A2.events_rolling_hour, A2.ROLLING_HOUR_ORACLE),
     # --- analytics wave 3 (remaining TPC-H shapes) ---
     "q4_late_shipping": QuerySpec(A3.q4_late_shipping, A3.Q4_ORACLE),
     "q13_order_count_distribution": QuerySpec(
