@@ -396,3 +396,104 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width binning (histogram shape): events bucketed by
+    floor(value / 100), counts + exact-decimal sums per bin.  One agg
+    shuffle; binning is a pure projection so the combiner sees final
+    bins."""
+    events = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / 100).cast("long")
+    return events.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").alias("total"),
+    )
+
+
+VALUE_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(value / 100) AS BIGINT) AS bin, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM events GROUP BY 1
+"""
+
+
+def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates done EXACTLY: variance/stddev derived from
+    exact decimal power sums — sum(x), sum(x²), n — instead of the
+    engines' floating co-moment accumulators, whose results depend on
+    partition merge order and can never hash-match across engines.
+    Decimal sums are associative and exact, so this is deterministic at
+    any parallelism."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("s1"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))").alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n")) ** 2
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("s1").cast("double") / F.col("n"), 4).alias("mean_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+    )
+
+
+DISPERSION_ORACLE = """
+SELECT o_orderstatus, n,
+       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_price,
+       round(sqrt(CAST(s2 AS DOUBLE) / n - pow(CAST(s1 AS DOUBLE) / n, 2)), 4)
+         AS stddev_price
+FROM (
+  SELECT o_orderstatus, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+  FROM orders GROUP BY o_orderstatus
+)
+"""
+
+
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel aggregation: per user, did a view precede a purchase?
+    Conditional min/max timestamps per user (one shuffle), then a global
+    rollup of the stage counts.  Timestamp comparisons stay internal —
+    only counts are emitted, so nanosecond-vs-microsecond representation
+    differences cannot leak into the hash check."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewers"),
+        F.count("last_purchase").alias("n_purchasers"),
+        F.sum(
+            F.when(
+                (F.col("first_view").isNotNull())
+                & (F.col("last_purchase") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )
+
+
+FUNNEL_ORACLE = """
+SELECT COUNT(*) AS n_users,
+       COUNT(first_view) AS n_viewers,
+       COUNT(last_purchase) AS n_purchasers,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase > first_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM events GROUP BY user_id
+)
+"""

@@ -146,6 +146,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_json_props": QuerySpec(A2.events_json_props, A2.EVENTS_JSON_ORACLE),
     "events_rolling_hour": QuerySpec(A2.events_rolling_hour, A2.ROLLING_HOUR_ORACLE),
+    "events_value_histogram": QuerySpec(
+        A2.events_value_histogram, A2.VALUE_HISTOGRAM_ORACLE
+    ),
+    "order_price_dispersion": QuerySpec(
+        A2.order_price_dispersion, A2.DISPERSION_ORACLE
+    ),
+    "funnel_view_to_purchase": QuerySpec(
+        A2.funnel_view_to_purchase, A2.FUNNEL_ORACLE
+    ),
     # --- analytics wave 3 (remaining TPC-H shapes) ---
     "q4_late_shipping": QuerySpec(A3.q4_late_shipping, A3.Q4_ORACLE),
     "q13_order_count_distribution": QuerySpec(
