@@ -315,3 +315,73 @@ GROUP BY l_suppkey
 ORDER BY n_waiting_orders DESC, l_suppkey
 LIMIT 10
 """
+
+
+def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: child keys
+    with no parent row, per relationship.  Key-only anti-joins (two
+    columns shuffled per leg); a healthy warehouse returns zero rows, so
+    the oracle is the empty set — same inverted-contract pattern as the
+    bounded-error checks."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(child, key, parent, pkey, rel):
+        return (
+            child.select(F.col(key).alias("child_key"))
+            .distinct()
+            .join(
+                parent.select(F.col(pkey).alias("child_key")),
+                "child_key",
+                "left_anti",
+            )
+            .select(F.lit(rel).alias("relationship"), "child_key")
+        )
+
+    return (
+        orphans(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            orphans(orders, "o_custkey", customer, "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            orphans(lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier")
+        )
+        .unionByName(
+            orphans(customer, "c_nationkey", nation, "n_nationkey", "customer->nation")
+        )
+    )
+
+
+FK_ORPHAN_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS relationship, CAST(NULL AS BIGINT) AS child_key
+WHERE 1 = 0
+"""
+
+
+def order_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median/quartiles via Spark's `percentile` (full sort
+    within group, linear interpolation) — the exact counterpart of the
+    approx sketch in `approx_event_stats`.  Both engines interpolate on
+    the same sorted doubles, so the result is engine-reproducible."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)"
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(f"ROUND(percentile({v}, 0.25), 4)").alias("p25"),
+        F.expr(f"ROUND(percentile({v}, 0.5), 4)").alias("median"),
+        F.expr(f"ROUND(percentile({v}, 0.75), 4)").alias("p75"),
+    )
+
+
+MEDIAN_ORACLE = """
+SELECT o_orderstatus,
+  round(quantile_cont(v, 0.25), 4) AS p25,
+  round(quantile_cont(v, 0.5), 4) AS median,
+  round(quantile_cont(v, 0.75), 4) AS p75
+FROM (SELECT o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+      FROM orders)
+GROUP BY o_orderstatus
+"""
