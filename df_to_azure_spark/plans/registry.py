@@ -43,6 +43,18 @@ def _stream_diff_oracle() -> str:
     return STREAM_DIFF_ORACLE
 
 
+def _stream_dedup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_dedup_diff
+
+    return stream_dedup_diff(spark, sf_dir)
+
+
+def _stream_dedup_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_DEDUP_ORACLE
+
+    return STREAM_DEDUP_ORACLE
+
+
 def _stream_totals_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.stateful import stream_vs_batch_totals_diff
 
@@ -192,6 +204,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_vs_batch_totals_diff": QuerySpec(
         _stream_totals_diff, _totals_diff_oracle()
     ),
+    "stream_dedup_diff": QuerySpec(_stream_dedup_diff, _stream_dedup_oracle()),
 }
 
 

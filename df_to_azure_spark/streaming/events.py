@@ -181,3 +181,52 @@ SELECT CAST(NULL AS TIMESTAMP) AS window_start, CAST(NULL AS VARCHAR) AS event_t
        CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop repeated event_ids arriving within the
+    watermark horizon (at-least-once sources redeliver; this makes the
+    pipeline effectively-once).  State holds one entry per key seen
+    within the horizon and is evicted by the watermark — bounded memory
+    at any stream length."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_dedup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard equivalence check: feed the events source TWICE (union of two
+    identical streams — a worst-case redelivery), dedup within the
+    watermark, and diff the surviving ids against the batch distinct set.
+    Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_dedup_{_STREAM_QUERY_SEQ[0]}"
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_stream(doubled).select("event_id")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(f"SELECT event_id FROM {name}")
+    batch = load_table(spark, sf_dir, "events").select("event_id").distinct()
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

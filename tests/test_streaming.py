@@ -33,3 +33,11 @@ def test_sessionize_gap_semantics(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
     out = {(r.user_id, r.session_seq): r.n_events for r in SE.sessionize(df, 30).collect()}
     assert out == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_stream_dedup_collapses_redelivery(spark, sf_smoke):
+    """A doubled input stream deduped within the watermark must match the
+    batch distinct set exactly."""
+    from df_to_azure_spark.streaming.events import stream_dedup_diff
+
+    assert stream_dedup_diff(spark, sf_smoke).count() == 0
