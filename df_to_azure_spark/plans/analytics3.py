@@ -385,3 +385,43 @@ FROM (SELECT o_orderstatus,
       FROM orders)
 GROUP BY o_orderstatus
 """
+
+
+def nation_account_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join shape: per-nation customer balance totals against
+    supplier balance totals — either side may be absent, coalesced to
+    zero.  Both inputs are pre-aggregated to ≤|nations| rows BEFORE the
+    join, so the outer join is trivially small no matter the data
+    scale (aggregate-then-join, never join-then-aggregate)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "cust_balance"
+        )
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.expr("CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "supp_balance"
+        )
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("cust_balance", F.lit(0.0)).alias("cust_balance"),
+        F.coalesce("supp_balance", F.lit(0.0)).alias("supp_balance"),
+    )
+
+
+FULL_OUTER_ORACLE = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(cust_balance, 0.0) AS cust_balance,
+       COALESCE(supp_balance, 0.0) AS supp_balance
+FROM (SELECT c_nationkey AS nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_balance
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_balance
+      FROM supplier GROUP BY s_nationkey) s
+  ON c.nationkey = s.nationkey
+"""

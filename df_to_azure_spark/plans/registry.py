@@ -183,6 +183,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(A3.q21_waiting_suppliers, A3.Q21_ORACLE),
     "fk_orphan_check": QuerySpec(A3.fk_orphan_check, A3.FK_ORPHAN_ORACLE),
     "order_price_median": QuerySpec(A3.order_price_median, A3.MEDIAN_ORACLE),
+    "nation_account_full_outer": QuerySpec(
+        A3.nation_account_full_outer, A3.FULL_OUTER_ORACLE
+    ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),

@@ -91,3 +91,23 @@ def test_no_accidental_cartesian_products(spark, sf_smoke):
 def test_events_hourly_partial_aggregation(spark, sf_smoke):
     plan = _plan(spark, "events_hourly", sf_smoke)
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_vocab_partial_aggregation(spark, sf_smoke):
+    plan = _plan(spark, "vocab_top_terms", sf_smoke)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan  # top-50 never full-sorts
+
+
+def test_q17_partial_aggregation_and_pruned_scan(spark, sf_smoke):
+    plan = _plan(spark, "q17_small_quantity_revenue", sf_smoke)
+    assert "partial_sum" in plan or "partial_avg" in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" not in scan  # only partkey/quantity/price are read
+
+
+def test_full_outer_aggregates_before_join(spark, sf_smoke):
+    # aggregate-then-join: the exchanges feeding the outer join must be
+    # on the post-agg key, not raw table shuffles of full rows
+    plan = _plan(spark, "nation_account_full_outer", sf_smoke)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
