@@ -52,3 +52,57 @@ def test_partitioned_append_adds_new_partition(spark, sf_smoke, tmp_path):
     back = lake.read("docs")
     assert back.where("lang = 'zz'").count() == 5
     assert back.count() == docs.count() + 5
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, sf_smoke, tmp_path):
+    import os
+
+    lake = ParquetLake(spark, str(tmp_path))
+    docs = _docs(spark, sf_smoke)
+    lake.write(docs, "docs", partition_by="lang")
+
+    # snapshot the untouched partitions' file mtimes
+    langs = sorted(
+        p for p in os.listdir(lake.data_dir("docs")) if p.startswith("lang=")
+    )
+    target_lang = langs[0].split("=", 1)[1]
+    untouched_dirs = [
+        f"{lake.data_dir('docs')}/{p}" for p in langs[1:]
+    ]
+    before = {
+        d: sorted(os.listdir(d)) for d in untouched_dirs
+    }
+
+    delta = (
+        docs.where(F.col("lang") == target_lang)
+        .limit(10)
+        .withColumn("source", F.lit("UPDATED"))
+    )
+    n = lake.upsert_partitioned(delta, "docs", ["doc_id"], "lang")
+    assert n == 1
+
+    back = lake.read("docs")
+    assert back.count() == docs.count()
+    assert back.where("source = 'UPDATED'").count() == 10
+    # untouched partition directories are bit-identical (same part files)
+    after = {d: sorted(os.listdir(d)) for d in untouched_dirs}
+    assert before == after
+
+
+def test_partitioned_upsert_rejects_partition_moves(spark, sf_smoke, tmp_path):
+    import pytest
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+
+    lake = ParquetLake(spark, str(tmp_path))
+    docs = _docs(spark, sf_smoke)
+    lake.write(docs, "docs", partition_by="lang")
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    # take a doc from langs[1] and claim it now belongs to langs[0]
+    delta = (
+        docs.where(F.col("lang") == langs[1])
+        .limit(1)
+        .withColumn("lang", F.lit(langs[0]))
+    )
+    with pytest.raises(PipelineRunError, match="moves key"):
+        lake.upsert_partitioned(delta, "docs", ["doc_id"], "lang")
