@@ -390,3 +390,43 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events
 FROM with_ids
 GROUP BY user_id, session_seq
 """
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` operator (Spark's built-in gap-based
+    session assignment — a different engine path than the manual
+    lag + running-sum in ``sessionize_events``): per-user 30-minute-gap
+    sessions with event counts.  The window END is last-event + gap by
+    definition, which the oracle mirrors."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), with_ids AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM with_ids
+GROUP BY user_id, session_seq
+"""

@@ -100,6 +100,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_hourly": QuerySpec(A.events_hourly, A.EVENTS_HOURLY_ORACLE, headline=True),
     "sessionize_events": QuerySpec(A.sessionize_events, A.SESSIONIZE_ORACLE, headline=True),
+    "session_window_events": QuerySpec(
+        A.session_window_events, A.SESSION_WINDOW_ORACLE
+    ),
     # --- training-data operators ---
     "doc_stats": QuerySpec(TD.doc_stats, TD.DOC_STATS_ORACLE),
     "doc_quality": QuerySpec(TD.doc_quality, TD.DOC_QUALITY_ORACLE),
