@@ -245,3 +245,31 @@ def test_upsert_with_spaces_in_column_names(spark, tmp_path):
         (5, "new value", "F"),
         (6, "also new", "H"),
     ]
+
+
+def test_upsert_nan_replaces_value(spark, tmp_path):
+    # reference golden: a NaN in the delta REPLACES the existing value on
+    # row-level upsert (tests/test_parquet.py:118-157) — NULL is a value,
+    # not a "keep the old" marker (that's the cell-level variant)
+    root = str(tmp_path)
+    df1 = pd.DataFrame(
+        {"id": [1, 2, 3], "B": ["AA", "BB", "CC"], "C": ["111", "222", "333"]}
+    )
+    df2 = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "B": ["AA", "BB", None, "ZZ"],
+            "C": ["111", "222", "333", "444"],
+        }
+    )
+    df_to_spark(df1, "upsert_nans", parquet=True, lake_root=root, id_field="id")
+    df_to_spark(
+        df2, "upsert_nans", parquet=True, lake_root=root, method="upsert", id_field="id"
+    )
+    got = _rows(ParquetLake(spark, root).read("upsert_nans"), ["id"])
+    assert got == [
+        (1, "AA", "111"),
+        (2, "BB", "222"),
+        (3, None, "333"),
+        (4, "ZZ", "444"),
+    ]
