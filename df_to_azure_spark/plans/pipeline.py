@@ -337,3 +337,22 @@ SELECT h.doc_id AS heldout_doc, t.doc_id AS train_doc, h.fp
 FROM s h JOIN s t ON h.fp = t.fp
 WHERE h.split <> 'train' AND t.split = 'train'
 """
+
+
+def doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample (md5-bucket filter) — reproducible on any
+    engine/cluster/run, unlike rand()-based sampling.  The oracle selects
+    the identical rows, proving cross-engine determinism."""
+    from df_to_azure_spark.functions.sampling import sample_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_by_hash(docs, "doc_id", 10).select("doc_id", "lang", "n_chars")
+
+
+DOC_SAMPLE_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS b
+      FROM documents)
+WHERE b < 10
+"""

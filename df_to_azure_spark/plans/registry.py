@@ -136,6 +136,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL.minhash_error_check, PL.MINHASH_CHECK_ORACLE
     ),
     "doc_chunks": QuerySpec(PL.doc_chunks, PL.DOC_CHUNKS_ORACLE),
+    "doc_sample_10pct": QuerySpec(PL.doc_sample_10pct, PL.DOC_SAMPLE_ORACLE),
     "split_contamination": QuerySpec(
         PL.split_contamination, PL.SPLIT_CONTAMINATION_ORACLE
     ),
