@@ -425,3 +425,34 @@ FULL OUTER JOIN
       FROM supplier GROUP BY s_nationkey) s
   ON c.nationkey = s.nationkey
 """
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join surfaced in the oracle-checked set: orders ⋈
+    customer through ``salted_join`` (hot keys spread over salt buckets),
+    aggregated per market segment.  The oracle is the PLAIN join — the
+    salting must be row-identical, making the rewrite's correctness a
+    hash-checked contract rather than a unit-test claim."""
+    from df_to_azure_spark.operators.partitioning import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "total_price"
+        ),
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
