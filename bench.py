@@ -31,11 +31,15 @@ def main() -> None:
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():
         # first run warms codegen/AQE/classloading for this plan; the
-        # second run is the steady-state number
+        # steady-state number is the best of two timed runs (min filters
+        # out one-off scheduler/GC noise without hiding real cost)
         materialize(fn(spark, sf_dir))
-        t0 = time.monotonic()
-        materialize(fn(spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            materialize(fn(spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -456,3 +456,37 @@ SELECT c_mktsegment, COUNT(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+def customers_outside_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) — the NULL-AWARE anti-join shape, a different
+    physical operator than ``left_anti`` (which treats NULL keys as
+    non-matching; NOT IN must return nothing if the subquery yields any
+    NULL).  Expressed in SQL so Catalyst plans its null-aware variant."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_nia")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nat_nia")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("v_reg_nia")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM v_cust_nia
+        WHERE c_nationkey NOT IN (
+          SELECT n_nationkey FROM v_nat_nia
+          JOIN v_reg_nia ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+NOT_IN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_nationkey NOT IN (
+  SELECT n_nationkey FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY c_mktsegment
+"""

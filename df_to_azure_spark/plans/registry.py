@@ -187,6 +187,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(A3.q21_waiting_suppliers, A3.Q21_ORACLE),
     "fk_orphan_check": QuerySpec(A3.fk_orphan_check, A3.FK_ORPHAN_ORACLE),
     "salted_join_revenue": QuerySpec(A3.salted_join_revenue, A3.SALTED_JOIN_ORACLE),
+    "customers_outside_asia": QuerySpec(A3.customers_outside_asia, A3.NOT_IN_ORACLE),
     "order_price_median": QuerySpec(A3.order_price_median, A3.MEDIAN_ORACLE),
     "nation_account_full_outer": QuerySpec(
         A3.nation_account_full_outer, A3.FULL_OUTER_ORACLE
