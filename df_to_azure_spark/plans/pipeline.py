@@ -356,3 +356,69 @@ FROM (SELECT doc_id, lang, n_chars,
       FROM documents)
 WHERE b < 10
 """
+
+
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity/quality signal without transcendentals: per document, the
+    mean and minimum corpus document-frequency of its distinct tokens
+    (min-df = rarest token; low values flag junk or OOV-heavy docs).
+    Integer/exact-decimal arithmetic only — unlike a log-prob sum, this
+    is order-independent and hash-reproducible across engines at any
+    parallelism.  Plan: distinct-token explode → df() vocab join (AQE
+    broadcasts the vocab when small) → per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(TXT.tokens("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df_tok"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.expr("ROUND(CAST(SUM(df_tok) AS DOUBLE) / COUNT(*), 6)").alias(
+                "mean_df"
+            ),
+            F.min("df_tok").alias("min_df"),
+        )
+    )
+
+
+DOC_COMMONNESS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df_tok FROM toks GROUP BY tok
+)
+SELECT doc_id, COUNT(*) AS n_distinct_tokens,
+       ROUND(CAST(SUM(df_tok) AS DOUBLE) / COUNT(*), 6) AS mean_df,
+       MIN(df_tok) AS min_df
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+def embedding_quantization_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 vector quantization (symmetric, per-vector max-abs scale) —
+    the 4× storage/bandwidth saver for embedding tables — validated by
+    bound: cosine(original, dequantized) must stay ≥ 0.995 for every
+    vector.  Violations returned, oracle = empty set (the inverted
+    contract — rounding details can't hash-match across engines)."""
+    from df_to_azure_spark.functions.similarity import cosine, _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    quant = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    dequant = F.transform(quant, lambda q: q.cast("double") * scale)
+    fidelity = cosine(v, dequant)
+    return (
+        emb.select("vec_id", fidelity.alias("cos_fidelity"))
+        .where(F.col("cos_fidelity") < 0.995)
+    )
+
+
+QUANTIZATION_CHECK_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS cos_fidelity
+WHERE 1 = 0
+"""
