@@ -92,3 +92,42 @@ def upsert_frames_cell_level(
         F.coalesce(F.col(f"n.{c}"), F.col(f"e.{c}")).alias(c) for c in value_cols
     ]
     return joined.select(*cols).orderBy(*keys)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-capture between two versions of a table: one row per
+    differing key, labeled ``added`` / ``removed`` / ``changed``.
+
+    Full-outer join on the keys; non-key columns compared null-safely
+    (``<=>`` semantics — NULL equals NULL, so a NULL→NULL column is not a
+    change).  One shuffle per side on the key columns; comparison is a
+    projection.  Columns are prefixed before the join so the operator is
+    safe even when both versions derive from the same source plan (a
+    self-join, where bare attribute references are ambiguous).  The
+    complement operator to ``upsert_frames``: upsert applies a delta,
+    table_diff recovers one."""
+    check_same_columns(new, old)
+    value_cols = [c for c in new.columns if c not in keys]
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in new.columns])
+    cond = [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change_type = (
+        F.when(F.col(f"__o_{keys[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"__n_{keys[0]}").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k) for k in keys
+    ]
+    return (
+        joined.select(*key_out, change_type.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+    )

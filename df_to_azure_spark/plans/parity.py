@@ -232,3 +232,63 @@ DUP_KEY_ORACLE = """
 SELECT o_custkey AS key, COUNT(*) AS n
 FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
 """
+
+
+def orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two synthetic versions of orders: every 10th order's
+    priority rewritten (changed), every 1000th dropped (removed), clones
+    of every 500th added under new keys (added).  ``table_diff`` must
+    recover exactly that change set; the oracle rebuilds it in SQL with
+    IS NOT DISTINCT FROM semantics."""
+    from df_to_azure_spark.operators.upsert import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = (
+        orders.where(F.col("o_orderkey") % 1000 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("X-CHANGED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        )
+    )
+    return table_diff(orders, new, ["o_orderkey"])
+
+
+VERSION_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'X-CHANGED' ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 500 = 0
+)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+              OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+              THEN 'changed'
+       END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+             OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+             THEN 'changed'
+      END IS NOT NULL
+"""

@@ -84,6 +84,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "duplicate_key_probe": QuerySpec(P.duplicate_key_probe, P.DUP_KEY_ORACLE),
     "profile_customer": QuerySpec(P.profile_customer, P.PROFILE_ORACLE),
     "scd2_customers": QuerySpec(P.scd2_customers, P.SCD2_ORACLE),
+    "orders_version_diff": QuerySpec(P.orders_version_diff, P.VERSION_DIFF_ORACLE),
     # --- analytics (SURVEY §2.7 Spark-native surface) ---
     "q1_pricing_summary": QuerySpec(A.q1_pricing_summary, A.Q1_ORACLE, headline=True),
     "q3_shipping_priority": QuerySpec(A.q3_shipping_priority, A.Q3_ORACLE, headline=True),

@@ -129,3 +129,33 @@ def test_composite_key_upsert_with_null_values(spark, new, existing):
     out = upsert_frames(new_df, ex_df, ["k1", "k2"], sort=False, check_keys=False)
     got = {(r.k1, r.k2): r.v for r in out.collect()}
     assert got == model
+
+
+@settings(max_examples=10, deadline=None)
+@given(old=ROWS, new=ROWS)
+def test_table_diff_recovers_changes(spark, old, new):
+    """table_diff against a dict model: added/removed/changed labels must
+    match exact set comparison of the two versions."""
+    from df_to_azure_spark.operators.upsert import table_diff
+
+    old = _dedup_keys(old)
+    new = _dedup_keys(new)
+    old_df = spark.createDataFrame(old or [(999999, 0)], "k long, v long")
+    new_df = spark.createDataFrame(new or [(999998, 0)], "k long, v long")
+    if not old:
+        old_df = old_df.where("k < 0")
+    if not new:
+        new_df = new_df.where("k < 0")
+
+    om, nm = dict(old), dict(new)
+    expected = {}
+    for k in nm.keys() - om.keys():
+        expected[k] = "added"
+    for k in om.keys() - nm.keys():
+        expected[k] = "removed"
+    for k in om.keys() & nm.keys():
+        if om[k] != nm[k]:
+            expected[k] = "changed"
+
+    got = {r.k: r.change_type for r in table_diff(old_df, new_df, ["k"]).collect()}
+    assert got == expected
