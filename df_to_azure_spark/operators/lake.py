@@ -143,6 +143,23 @@ class ParquetLake:
                 fs.rename(status.getPath(), target)
         fs.delete(tmp_path, True)
 
+    def vacuum(self, table: str) -> list[str]:
+        """Garbage-collect crash leftovers: ``.snapshot-*`` dirs that were
+        written but never swapped in, and ``.old-*`` dirs whose swap
+        completed but whose delete step didn't run (see ``_swap_in`` —
+        every crash mode leaves the LIVE data intact plus at most one
+        orphan, which this removes).  Returns the removed paths."""
+        fs, tdir, jvm = self._fs(self.table_dir(table))
+        if not fs.exists(tdir):
+            return []
+        removed = []
+        for status in fs.listStatus(tdir):
+            name = status.getPath().getName()
+            if name.startswith(".snapshot-") or name.startswith(".old-"):
+                fs.delete(status.getPath(), True)
+                removed.append(name)
+        return removed
+
     def compact(self, table: str, target_files: int = 8) -> int:
         """Rewrite the table into ``target_files`` part-files and
         snapshot-swap it in; returns the file count before compaction.

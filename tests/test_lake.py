@@ -193,3 +193,22 @@ def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
     back = lake.read("t")
     assert back.count() == 115
     assert back.where("v != id * 2").count() == 0
+
+
+def test_vacuum_removes_orphans_keeps_live_data(spark, tmp_path):
+    from pathlib import Path
+
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path))
+    df = spark.range(10).selectExpr("id", "id * 3 AS v")
+    lake.write(df, "t")
+    # simulate crash leftovers
+    tdir = Path(lake.table_dir("t"))
+    (tdir / ".snapshot-123").mkdir()
+    (tdir / ".snapshot-123" / "part-orphan.parquet").write_bytes(b"x")
+    (tdir / ".old-456").mkdir()
+    removed = sorted(lake.vacuum("t"))
+    assert removed == [".old-456", ".snapshot-123"]
+    assert lake.read("t").count() == 10
+    assert lake.vacuum("t") == []  # idempotent
