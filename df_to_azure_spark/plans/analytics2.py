@@ -356,7 +356,9 @@ FROM supplier
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregation surface (HLL distinct + quantile sketch).
     No SQL oracle — sketches are engine-specific by construction; the
-    driver records the rows-only check."""
+    driver records the rows-only check, and ``approx_stats_error_check``
+    hash-checks the error bounds (HLL within 5%, sketch quantiles inside
+    the observed range)."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),

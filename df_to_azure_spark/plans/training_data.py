@@ -221,14 +221,21 @@ WHERE {_PAIR_COS} >= 0.8
 
 
 # ---- oracle-less (non-SQL-expressible hashing internals; the driver
-# records the weaker rows-only check for these) ----
+# records the weaker rows-only check for these — but each has a
+# hash-checked companion query that pins its contract) ----
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-based signatures — not SQL-expressible → rows-only; the
+    estimation contract is hash-checked by ``minhash_error_check``
+    (estimates within the 64-hash binomial bound of exact Jaccard)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, threshold=0.3)
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-bit votes — not SQL-expressible → rows-only; the
+    invariant (identical text ⇒ identical fingerprint) is hash-checked by
+    ``simhash_invariant_check``."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash64(docs)
 

@@ -110,8 +110,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the watermarked windowed agg driven through a REAL
     streaming query over the events file source, returning the
     materialized batch result.  Not SQL-expressible (streaming execution)
-    → rows-only check; its batch twin ``events_hourly`` is the
-    oracle-paired equivalent."""
+    → rows-only check; ``stream_vs_batch_windowed_diff`` hash-checks its
+    exact equivalence to the batch twin ``events_hourly``."""
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_windowed_counts_{_STREAM_QUERY_SEQ[0]}"
     stream = windowed_counts_stream(read_events_stream(spark, sf_dir))
