@@ -55,6 +55,11 @@ def df_to_spark(
     run for empty input anyway (``export.py:96-99``).
     """
     t0 = time.monotonic()
+    # argument validation FIRST — a misconfigured call must fail the same
+    # way for empty and non-empty input (an empty first batch must not
+    # mask a bad method/id_field until data arrives)
+    checks.validate_method(method)
+    keys = checks.validate_id_field(method, id_field)
     try:
         import pandas as _pd
     except ImportError:  # pragma: no cover
@@ -76,8 +81,6 @@ def df_to_spark(
             log_run_metrics(report)
             return report
         df = spark.createDataFrame(df)
-    checks.validate_method(method)
-    keys = checks.validate_id_field(method, id_field)
     checks.ensure_unique_column_names(df)
 
     report = RunReport(table=tablename, method=method)

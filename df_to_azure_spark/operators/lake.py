@@ -86,7 +86,7 @@ class ParquetLake:
             self.append(df, table, partition_by=parts)
         elif method == "upsert":
             keys = [id_field] if isinstance(id_field, str) else list(id_field or [])
-            self.upsert(df, table, keys)
+            self.upsert(df, table, keys, partition_by=parts or None)
         else:
             raise WrongMethodError(f"unknown lake method {method!r}")
 
@@ -143,6 +143,25 @@ class ParquetLake:
                 fs.rename(status.getPath(), target)
         fs.delete(tmp_path, True)
 
+    def partition_columns(self, table: str) -> list[str]:
+        """Detect the table's hive partition columns from the directory
+        layout (``col=value/`` levels, outermost first).  Lets every
+        rewrite path (upsert, compact) preserve partitioning without the
+        caller restating it."""
+        fs, path, jvm = self._fs(self.data_dir(table))
+        cols: list[str] = []
+        while fs.exists(path):
+            subdirs = [
+                st.getPath()
+                for st in fs.listStatus(path)
+                if st.isDirectory() and "=" in st.getPath().getName()
+            ]
+            if not subdirs:
+                break
+            cols.append(subdirs[0].getName().split("=", 1)[0])
+            path = subdirs[0]
+        return cols
+
     def vacuum(self, table: str) -> list[str]:
         """Garbage-collect crash leftovers: ``.snapshot-*`` dirs that were
         written but never swapped in, and ``.old-*`` dirs whose swap
@@ -173,21 +192,42 @@ class ParquetLake:
         fs, data_path, _ = self._fs(self.data_dir(table))
         if not fs.exists(data_path):
             raise PipelineRunError(f"lake table {table!r} does not exist under {self.root}")
-        before = sum(
-            1
-            for st in fs.listStatus(data_path)
-            if st.getPath().getName().startswith("part-")
-        )
+
+        def _count_parts(path) -> int:
+            n = 0
+            for st in fs.listStatus(path):
+                if st.isDirectory():
+                    n += _count_parts(st.getPath())
+                elif st.getPath().getName().startswith("part-"):
+                    n += 1
+            return n
+
+        before = _count_parts(data_path)
+        # preserve hive layout: a compaction must change file count, not
+        # the partitioning scheme (flattening would break PartitionFilters
+        # pruning AND later partition-scoped upserts)
+        parts = self.partition_columns(table)
         # merge_schema so files written before a schema evolution survive
         df = self.read(table, merge_schema=True).coalesce(target_files)
-        self._swap_in(df, table)
+        self._swap_in(df, table, partition_by=parts or None)
         return before
 
-    def upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Full-table keyed upsert.  The rewrite preserves the table's
+        hive layout: partition columns are taken from ``partition_by`` or
+        auto-detected from the existing directory structure, so an upsert
+        never silently flattens a partitioned table."""
         ensure_unique_keys(df, keys)
+        parts = partition_by or self.partition_columns(table)
         existing = self.read(table)
         merged = upsert_frames(df, existing, keys)
-        self._swap_in(merged, table)
+        self._swap_in(merged, table, partition_by=parts or None)
 
     def upsert_partitioned(
         self,
@@ -218,10 +258,21 @@ class ParquetLake:
         spark = df.sparkSession
         touched = [r[0] for r in df.select(partition_col).distinct().collect()]
         existing = self.read(table)
+        # NULL-safe membership: a NULL partition value lands in the hive
+        # default partition, which is a real directory — `isin` alone
+        # would evaluate to NULL for it, silently excluding those rows
+        # from `affected` (data loss on overwrite) and from the guard
+        non_null = [t for t in touched if t is not None]
+        in_touched = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(t is None for t in touched):
+            in_touched = in_touched | F.col(partition_col).isNull()
+        in_touched = F.coalesce(in_touched, F.lit(False))
         # a key arriving with partition value X must not already live in
         # partition Y != X: dynamic overwrite would never clear Y's copy
         moved = (
-            existing.where(~F.col(partition_col).isin(touched))
+            existing.where(~in_touched)
             .join(df.select(*keys), keys, "left_semi")
         )
         if moved.limit(1).count() > 0:
@@ -229,7 +280,7 @@ class ParquetLake:
                 "upsert_partitioned: delta moves key(s) across partitions; "
                 "use the full upsert for partition-changing updates"
             )
-        affected = existing.where(F.col(partition_col).isin(touched))
+        affected = existing.where(in_touched)
         # materialize BEFORE the overwrite: the write replaces the very
         # directories the lazy merge plan reads (the same self-overwrite
         # trap _swap_in avoids); affected partitions are delta-scale, so
@@ -248,7 +299,9 @@ class ParquetLake:
         return len(touched)
 
     # -- snapshot swap ---------------------------------------------------
-    def _swap_in(self, df: DataFrame, table: str) -> None:
+    def _swap_in(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
         """Write ``df`` to a new snapshot dir, then repoint ``data``.
 
         The write fully materializes BEFORE the old directory is touched,
@@ -263,7 +316,10 @@ class ParquetLake:
         """
         ts = int(time.time() * 1000)
         tmp = f"{self.table_dir(table)}/.snapshot-{ts}"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         fs, data_path, jvm = self._fs(self.data_dir(table))
         tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
         old_path = jvm.org.apache.hadoop.fs.Path(

@@ -112,16 +112,25 @@ def table_diff(
     table_diff recovers one."""
     check_same_columns(new, old)
     value_cols = [c for c in new.columns if c not in keys]
-    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
-    n = new.select([F.col(c).alias(f"__n_{c}") for c in new.columns])
+    # presence markers, not key-IS-NULL tests: keys may legitimately be
+    # NULL (the join matches them null-safely), so row presence must be
+    # tracked by a column that is non-null exactly when the side matched
+    o = old.select(
+        [F.col(c).alias(f"__o_{c}") for c in old.columns]
+        + [F.lit(True).alias("__o_present")]
+    )
+    n = new.select(
+        [F.col(c).alias(f"__n_{c}") for c in new.columns]
+        + [F.lit(True).alias("__n_present")]
+    )
     cond = [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
     changed = F.lit(False)
     for c in value_cols:
         changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     change_type = (
-        F.when(F.col(f"__o_{keys[0]}").isNull(), F.lit("added"))
-        .when(F.col(f"__n_{keys[0]}").isNull(), F.lit("removed"))
+        F.when(F.col("__o_present").isNull(), F.lit("added"))
+        .when(F.col("__n_present").isNull(), F.lit("removed"))
         .when(changed, F.lit("changed"))
     )
     key_out = [

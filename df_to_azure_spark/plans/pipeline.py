@@ -289,7 +289,12 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("chunk_id").cast("int").alias("chunk_id"),
         "chunk_text",
-        F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+        # split("") returns [""] (size 1); a zero-token document's single
+        # empty chunk must count 0 tokens, matching the oracle's len([])
+        F.when(F.length("chunk_text") == 0, F.lit(0))
+        .otherwise(F.size(F.split("chunk_text", " ")))
+        .cast("long")
+        .alias("chunk_tokens"),
     )
 
 

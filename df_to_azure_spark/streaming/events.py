@@ -85,13 +85,16 @@ def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFram
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str = "stream_out"
+    stream_df: DataFrame,
+    query_name: str = "stream_out",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drive a streaming frame over all available input synchronously and
-    return the materialized result (complete mode memory sink) — the
-    local harness for stream correctness tests."""
+    return the materialized result (memory sink) — the local harness for
+    stream correctness checks.  ``complete`` for aggregations, ``append``
+    for row-wise operators like dedup."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
@@ -207,17 +210,7 @@ def stream_dedup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir)
     )
     deduped = dedup_stream(doubled).select("event_id")
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    streamed = spark.sql(f"SELECT event_id FROM {name}")
+    streamed = run_stream_to_memory(deduped, name, output_mode="append")
     batch = load_table(spark, sf_dir, "events").select("event_id").distinct()
     return (
         streamed.exceptAll(batch)

@@ -34,11 +34,23 @@ def make_batch_handler(
 
     ledger = f"{table}_batches"
     keys = [id_field] if isinstance(id_field, str) else list(id_field or [])
+    # once a table is observed to exist it can never un-exist; cache the
+    # positive answer so long streams don't pay a JDBC probe per batch
+    _known_exists: set[str] = set()
 
     def _exec(sql: str) -> None:
         merge_mod.execute_statement(sink.spark, sink.url, sink.properties, sql)
 
+    def _is_missing_table_error(exc: Exception) -> bool:
+        msg = str(exc).lower()
+        return any(
+            frag in msg
+            for frag in ("does not exist", "not found", "cannot be found", "unknown table")
+        )
+
     def _table_exists(name: str) -> bool:
+        if name in _known_exists:
+            return True
         try:
             (
                 sink.spark.read.format("jdbc")
@@ -49,25 +61,34 @@ def make_batch_handler(
                 .limit(1)
                 .count()
             )
+            _known_exists.add(name)
             return True
-        except Exception:
-            return False
+        except Exception as exc:
+            # ONLY a genuinely-missing table maps to False; a transient
+            # JDBC failure must propagate — treating it as "missing"
+            # would route to create-over-existing or double-apply a batch
+            if _is_missing_table_error(exc):
+                return False
+            raise
 
     def _ledger_has(batch_id: int) -> bool:
-        try:
-            rows = (
-                sink.spark.read.format("jdbc")
-                .option("url", sink.url)
-                .options(**sink.properties)
-                .option("dbtable", f"{schema}.{ledger}")
-                .load()
-                .where(f"batch_id = {int(batch_id)}")
-                .limit(1)
-                .count()
+        if not _table_exists(ledger):
+            return False
+        rows = (
+            sink.spark.read.format("jdbc")
+            .option("url", sink.url)
+            .options(**sink.properties)
+            # push the predicate into the database, not a full table scan
+            .option(
+                "dbtable",
+                f"(SELECT batch_id FROM {schema}.{ledger} "
+                f"WHERE batch_id = {int(batch_id)}) AS probe",
             )
-            return rows > 0
-        except Exception:
-            return False  # ledger not created yet
+            .load()
+            .limit(1)
+            .count()
+        )
+        return rows > 0
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -76,13 +97,16 @@ def make_batch_handler(
             # first batch creates the table (typed DDL), later ones MERGE
             method = "upsert" if _table_exists(table) else "create"
             sink.write(batch_df, table, schema=schema, method=method, id_field=keys)
+            _known_exists.add(table)
             return
         if _ledger_has(batch_id):
             return  # replayed batch — already applied
         method = "append" if _table_exists(table) else "create"
         sink.write(batch_df, table, schema=schema, method=method)
+        _known_exists.add(table)
         if not _table_exists(ledger):
             _exec(f"CREATE TABLE {schema}.{ledger} (batch_id BIGINT)")
+            _known_exists.add(ledger)
         _exec(
             f"INSERT INTO {schema}.{ledger} (batch_id) VALUES ({int(batch_id)})"
         )

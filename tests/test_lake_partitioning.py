@@ -106,3 +106,57 @@ def test_partitioned_upsert_rejects_partition_moves(spark, sf_smoke, tmp_path):
     )
     with pytest.raises(PipelineRunError, match="moves key"):
         lake.upsert_partitioned(delta, "docs", ["doc_id"], "lang")
+
+
+def test_compact_preserves_partition_layout(spark, sf_smoke, tmp_path):
+    import os
+
+    lake = ParquetLake(spark, str(tmp_path))
+    docs = _docs(spark, sf_smoke)
+    lake.write(docs, "docs", partition_by="lang")
+    for _ in range(2):
+        lake.write(docs.limit(3), "docs", method="append", partition_by="lang")
+    before = lake.compact("docs", target_files=2)
+    assert before > 0
+    # hive layout survives the compaction
+    dirs = [p for p in os.listdir(lake.data_dir("docs")) if p.startswith("lang=")]
+    assert dirs, "compaction flattened the partitioned layout"
+    assert lake.partition_columns("docs") == ["lang"]
+    assert lake.read("docs").count() == docs.count() + 6
+    # pruning still works after compaction
+    df = lake.read("docs").where(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0]
+
+
+def test_plain_upsert_preserves_partition_layout(spark, sf_smoke, tmp_path):
+    import os
+
+    lake = ParquetLake(spark, str(tmp_path))
+    docs = _docs(spark, sf_smoke)
+    lake.write(docs, "docs", partition_by="lang")
+    delta = docs.limit(5)
+    # full upsert WITHOUT restating partition_by: layout auto-detected
+    lake.write(delta, "docs", method="upsert", id_field="doc_id")
+    dirs = [p for p in os.listdir(lake.data_dir("docs")) if p.startswith("lang=")]
+    assert dirs, "plain upsert flattened the partitioned layout"
+    assert lake.read("docs").count() == docs.count()
+
+
+def test_partitioned_upsert_null_partition_value(spark, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, None, 3.0), (4, "b", 4.0)],
+        "id long, grp string, v double",
+    )
+    lake.write(base, "t", partition_by="grp")
+    # delta touches ONLY the NULL partition, updating id=2
+    delta = spark.createDataFrame([(2, None, 99.0)], "id long, grp string, v double")
+    n = lake.upsert_partitioned(delta, "t", ["id"], "grp")
+    assert n == 1
+    back = {r.id: (r.grp, r.v) for r in lake.read("t").collect()}
+    # id=3 lives in the NULL partition too and MUST survive
+    assert back == {1: ("a", 1.0), 2: (None, 99.0), 3: (None, 3.0), 4: ("b", 4.0)}

@@ -159,3 +159,22 @@ def test_table_diff_recovers_changes(spark, old, new):
 
     got = {r.k: r.change_type for r in table_diff(old_df, new_df, ["k"]).collect()}
     assert got == expected
+
+
+def test_table_diff_null_keys(spark):
+    """NULL keys join null-safely: identical NULL-key rows are no diff,
+    and a removed NULL-key row is labeled removed (not 'added')."""
+    from df_to_azure_spark.operators.upsert import table_diff
+
+    schema = "k long, v long"
+    old = spark.createDataFrame([(None, 1), (1, 10)], schema)
+    same = spark.createDataFrame([(None, 1), (1, 10)], schema)
+    assert table_diff(old, same, ["k"]).collect() == []
+
+    gone = spark.createDataFrame([(1, 10)], schema)
+    got = {(r.k, r.change_type) for r in table_diff(old, gone, ["k"]).collect()}
+    assert got == {(None, "removed")}
+
+    changed = spark.createDataFrame([(None, 2), (1, 10)], schema)
+    got = {(r.k, r.change_type) for r in table_diff(old, changed, ["k"]).collect()}
+    assert got == {(None, "changed")}
