@@ -266,3 +266,54 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane LSH: each query probes its own bucket PLUS
+    every bucket at Hamming distance 1 (one sign bit flipped) — the
+    standard recall lift for sign-bit LSH, because a near neighbor that
+    straddles exactly one hyperplane lands one bit away.  Scanned
+    fraction ≈ (1 + len(planes)) / 2^len(planes); still bucketed, never
+    all-pairs.  The probe set is a deterministic function of the bucket
+    id, so the whole query remains exactly engine-reproducible."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket0", hyperplane_bucket(F.col("qv"), planes))
+    # bucket0 plus each single-bit flip
+    probe_buckets = F.array(
+        F.col("bucket0"),
+        *[
+            F.col("bucket0").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(len(planes))
+        ],
+    )
+    q = q.select(
+        "query_id", "qv", F.explode(probe_buckets).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+        # a (query, neighbor) pair can match in several probe buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

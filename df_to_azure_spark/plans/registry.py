@@ -207,6 +207,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- non-SQL-expressible (rows-only check) ---
     "minhash_lsh_pairs": QuerySpec(TD.minhash_pairs, None, headline=True),
     "lsh_knn": QuerySpec(TD.lsh_knn, TD.LSH_KNN_ORACLE),
+    "lsh_knn_multiprobe": QuerySpec(
+        TD.lsh_knn_multiprobe, TD.LSH_MULTIPROBE_ORACLE
+    ),
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, None),
     "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
     "media_features": QuerySpec(TD.media_features, TD.MEDIA_FEATURES_ORACLE),

@@ -567,3 +567,54 @@ reach(node, lbl) AS (
 )
 SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
 """
+
+
+def lsh_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of ``lsh_knn``: queries also probe every
+    bucket one sign-flip away, lifting recall at ~(1+P)/2^P scan cost.
+    Same seeded planes; the oracle replicates the probe expansion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_topk_multiprobe(queries, emb, _lsh_knn_planes(), k=10)
+
+
+def _lsh_multiprobe_oracle() -> str:
+    planes = _lsh_knn_planes()
+    terms = []
+    for i, pl in enumerate(planes):
+        lit = "CAST([" + ", ".join(repr(x) for x in pl) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN {_dot_sql('ev', lit)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    flips = ", ".join(
+        ["CAST(bucket0 AS BIGINT)"]
+        + [f"CAST(xor(bucket0, {1 << i}) AS BIGINT)" for i in range(len(planes))]
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, ev, CAST({bucket} AS BIGINT) AS bucket0 FROM v
+), probes AS (
+  SELECT vec_id AS query_id, ev AS qv, unnest([{flips}]) AS bucket
+  FROM vb WHERE vec_id < 5
+), scored AS (
+  SELECT DISTINCT probes.query_id, c.vec_id AS neighbor_id,
+         round({_dot_sql('probes.qv', 'c.ev')} /
+               (sqrt({_dot_sql('probes.qv', 'probes.qv')}) * sqrt({_dot_sql('c.ev', 'c.ev')})), 8) AS cos_sim
+  FROM probes JOIN vb c ON probes.bucket = c.bucket0
+  WHERE probes.query_id <> c.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+LSH_MULTIPROBE_ORACLE = _lsh_multiprobe_oracle()

@@ -115,3 +115,26 @@ def test_ivf_topk_recall_and_subset(spark, sf_smoke):
             assert sim == exact[pair]
     recall = len(set(ivf) & set(exact)) / len(exact)
     assert recall >= 0.15, recall
+
+
+def test_multiprobe_improves_recall_over_single_probe(spark, sf_smoke):
+    from df_to_azure_spark.plans.training_data import _lsh_knn_planes
+
+    emb = _emb(spark, sf_smoke)
+    q = emb.where("vec_id < 5")
+    planes = _lsh_knn_planes()
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.cosine_topk(q, emb, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(q, emb, planes, k=10).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk_multiprobe(q, emb, planes, k=10).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single  # probing more buckets can only help
+    assert r_multi >= 0.5, (r_single, r_multi)
