@@ -95,13 +95,32 @@ class ParquetLake:
         df: DataFrame,
         table: str,
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        sort_files: int | None = None,
     ) -> None:
         """``partition_by`` lays the table out hive-style
         (``col=value/`` directories).  At 100 TB this is what makes
         point/range reads cheap: a filter on the partition column prunes
         whole directories at planning time (PartitionFilters in the scan,
         asserted in ``tests/test_lake_partitioning.py``) instead of
-        row-group-filtering every file."""
+        row-group-filtering every file.
+
+        ``sort_by`` clusters rows within each task file, so parquet
+        row-group min/max statistics become narrow, disjoint ranges — a
+        selective filter on a sort column then skips most row groups at
+        read time (the second tier of data skipping, below directory
+        pruning).  Footer stats are asserted in
+        ``tests/test_lake_partitioning.py``.  ``sort_files`` pins the
+        range-partition count (AQE otherwise coalesces small inputs to
+        one file; at scale, leave it None and let AQE size the files)."""
+        if sort_by:
+            # range-partition + sort so file-LEVEL ranges are disjoint
+            # too, not just row-groups within a file
+            if sort_files:
+                df = df.repartitionByRange(sort_files, *sort_by)
+            else:
+                df = df.repartitionByRange(*sort_by)
+            df = df.sortWithinPartitions(*sort_by)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

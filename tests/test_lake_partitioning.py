@@ -160,3 +160,30 @@ def test_partitioned_upsert_null_partition_value(spark, tmp_path):
     back = {r.id: (r.grp, r.v) for r in lake.read("t").collect()}
     # id=3 lives in the NULL partition too and MUST survive
     assert back == {1: ("a", 1.0), 2: (None, 99.0), 3: (None, 3.0), 4: ("b", 4.0)}
+
+
+def test_sorted_create_produces_disjoint_rowgroup_stats(spark, tmp_path):
+    """sort_by clustering: parquet footer min/max ranges per file must be
+    narrow and non-overlapping, which is what enables row-group skipping
+    for selective filters on the sort column."""
+    import pyarrow.parquet as pq
+
+    lake = ParquetLake(spark, str(tmp_path))
+    df = spark.range(10_000).selectExpr(
+        "pmod(hash(id), 10000) AS k", "id AS v"
+    )
+    lake.create(df, "t", sort_by=["k"], sort_files=4)
+    files = sorted(Path(lake.data_dir("t")).glob("part-*.parquet"))
+    assert len(files) > 1, "need several files to check disjointness"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # k is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
