@@ -308,8 +308,11 @@ def lsh_topk_multiprobe(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
         )
-        # a (query, neighbor) pair can match in several probe buckets
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed: the P+1 probe buckets are pairwise distinct
+        # (bucket0 and its single-bit flips) and each corpus row carries
+        # exactly one bucket, so a (query, neighbor) pair matches at most
+        # one probe — a dropDuplicates here would be a wasted shuffle of
+        # the dominant intermediate
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

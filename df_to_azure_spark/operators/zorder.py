@@ -31,6 +31,13 @@ def zorder_key(
     contributes bit i to key position ``i*len(cols) + j``).  Flat
     shift/mask expression chain — stays in codegen."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * n} exceeds 63 — the key "
+            "would reach the long sign bit (negative keys break range "
+            "partitioning) or wrap shiftleft's modulo-64 semantics; lower "
+            "bits or cluster fewer columns"
+        )
     max_q = (1 << bits) - 1
     quantized = []
     for c in cols:
@@ -55,12 +62,36 @@ def zorder_key(
 
 def column_minmax(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
     """One aggregate job → ``{col: (min, max)}`` (2 scalars per column)."""
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+        T.TimestampType, T.TimestampNTZType,
+    )
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, numeric):
+            raise ValueError(
+                f"zorder column {c!r} has non-numeric type "
+                f"{df.schema[c].dataType.simpleString()}: its cast to double "
+                "would be NULL for every row and the column would silently "
+                "contribute zero clustering"
+            )
     exprs = []
     for c in cols:
         exprs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
         exprs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
     row = df.agg(*exprs).collect()[0].asDict()
-    return {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
+    out = {}
+    for c in cols:
+        lo, hi = row[f"__min_{c}"], row[f"__max_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder column {c!r} has no non-NULL values (or the input "
+                "is empty) — cannot derive a quantization range"
+            )
+        out[c] = (lo, hi)
+    return out
 
 
 def zorder_layout(
@@ -73,6 +104,10 @@ def zorder_layout(
     result to cluster a table (``ParquetLake.create`` the returned
     frame).  ``num_files`` pins the range-partition count for small
     inputs; at scale leave None and let AQE size files."""
+    if "__zkey" in df.columns:
+        raise ValueError(
+            "input already has a __zkey column — rename it before Z-ordering"
+        )
     stats = column_minmax(df, cols)
     keyed = df.withColumn("__zkey", zorder_key(cols, stats, bits))
     if num_files:

@@ -601,7 +601,7 @@ WITH v AS (
   SELECT vec_id AS query_id, ev AS qv, unnest([{flips}]) AS bucket
   FROM vb WHERE vec_id < 5
 ), scored AS (
-  SELECT DISTINCT probes.query_id, c.vec_id AS neighbor_id,
+  SELECT probes.query_id, c.vec_id AS neighbor_id,
          round({_dot_sql('probes.qv', 'c.ev')} /
                (sqrt({_dot_sql('probes.qv', 'probes.qv')}) * sqrt({_dot_sql('c.ev', 'c.ev')})), 8) AS cos_sim
   FROM probes JOIN vb c ON probes.bucket = c.bucket0

@@ -62,3 +62,21 @@ def test_column_minmax_single_job(spark):
     df = spark.range(100).selectExpr("id AS a", "id * 2 AS b")
     stats = column_minmax(df, ["a", "b"])
     assert stats == {"a": (0.0, 99.0), "b": (0.0, 198.0)}
+
+
+def test_zorder_guards(spark):
+    import pytest
+
+    from df_to_azure_spark.operators.zorder import zorder_key
+
+    df = spark.range(10).selectExpr("id AS a", "CAST(id AS STRING) AS s")
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(["a", "b", "c", "d"], {c: (0.0, 1.0) for c in "abcd"}, bits=16)
+    with pytest.raises(ValueError, match="non-numeric"):
+        column_minmax(df, ["s"])
+    empty = spark.range(10).selectExpr("CAST(NULL AS DOUBLE) AS a")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        column_minmax(empty, ["a"])
+    clash = spark.range(10).selectExpr("id AS x", "id AS __zkey")
+    with pytest.raises(ValueError, match="__zkey"):
+        zorder_layout(clash, ["x"], bits=8)
