@@ -1,0 +1,437 @@
+"""Fourth analytics wave — the TPC-H shapes still missing from the
+registry: role-played dimension joins (Q7), market-share conditional
+aggregation over a 6-way join (Q8), multi-way profit expression (Q9),
+group-by-then-top-k revenue (Q10), and the partsupp-family shapes (Q2,
+Q11, Q16, Q20) re-derived through lineitem as the part↔supplier bridge
+(the driver's star schema has no partsupp table, so "offers"/"stock"
+become shipped-lineitem facts — the join/agg/subquery SHAPES are
+preserved exactly).
+
+Numeric policy shared with plans.analytics: exact decimal arithmetic
+sized so neither engine rounds mid-plan (Spark HALF_UP vs DuckDB
+HALF_EVEN would diverge), DOUBLE only in the final projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from df_to_azure_spark.plans.analytics import DEC_PRICE, DEC_QTY, DISC_PRICE
+from df_to_azure_spark.sources import load_table
+
+YR_SHIP = "CAST(YEAR(l_shipdate) AS BIGINT)"
+YR_ORDER = "CAST(YEAR(o_orderdate) AS BIGINT)"
+
+
+def _supplier_with_nation(spark, sf_dir, names=None):
+    """supplier ⋈ nation (25 rows — auto-broadcast by size estimate; no
+    static hint needed, and supplier itself scales so it must not get one)."""
+    nation = load_table(spark, sf_dir, "nation")
+    if names:
+        nation = nation.where(F.col("n_name").isin(*names))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.join(
+        nation.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        ),
+        "s_nationkey",
+    )
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the SAME dimension role-played twice (supplier's nation
+    vs customer's nation) with a disjunctive pair predicate, grouped by
+    both roles and shipping year.  Nation is pre-filtered to the two
+    trade partners BEFORE the joins, so the fact tables are pruned by
+    two broadcast-size dims instead of filtered after a wide join."""
+    pair = ("NATION_1", "NATION_2")
+    supp = _supplier_with_nation(spark, sf_dir, pair).select("s_suppkey", "supp_nation")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    customer = load_table(spark, sf_dir, "customer").join(
+        nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        ),
+        "c_nationkey",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(supp, lineitem.l_suppkey == supp.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.expr(YR_SHIP).alias("yr")
+    ).agg(
+        F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, yr,
+       CAST(SUM(disc) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         {YR_SHIP} AS yr, {DISC_PRICE} AS disc
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's market per order year —
+    conditional aggregation over a 6-way join.  The share division is
+    the ONLY double arithmetic (exact decimal sums divided at the end);
+    region/nation prune customer rows before the fact join."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.join(
+                region, nation.n_regionkey == region.r_regionkey
+            ).select(F.col("n_nationkey").alias("c_nationkey")),
+            "c_nationkey",
+        )
+        .select("c_custkey")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = _supplier_with_nation(spark, sf_dir).select("s_suppkey", "supp_nation")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey, "left_semi")
+        .join(supp, lineitem.l_suppkey == supp.s_suppkey)
+    )
+    return joined.groupBy(F.expr(YR_ORDER).alias("yr")).agg(
+        F.expr(
+            "ROUND(100.0 * CAST(SUM(CASE WHEN supp_nation = 'NATION_3'"
+            f" THEN {DISC_PRICE} END) AS DOUBLE)"
+            f" / CAST(SUM({DISC_PRICE}) AS DOUBLE), 6)"
+        ).alias("share_pct")
+    )
+
+
+Q8_ORACLE = f"""
+SELECT {YR_ORDER} AS yr,
+       ROUND(100.0 * CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                                   THEN {DISC_PRICE} END) AS DOUBLE)
+             / CAST(SUM({DISC_PRICE}) AS DOUBLE), 6) AS share_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA')
+GROUP BY yr
+"""
+
+# Q9's profit needs a unit cost; without partsupp.ps_supplycost the
+# engine-portable stand-in is 60% of the part's retail price.  Operand
+# precisions sized so no engine rounds: (12,2)*(8,2)→(21,4), *(2,1)→(24,5),
+# and (24,4)-(24,5) widens to scale 5 without rounding.
+PROFIT = (
+    f"(CAST({DISC_PRICE} AS DECIMAL(24,4))"
+    " - CAST(p_retailprice AS DECIMAL(12,2))"
+    "   * CAST(l_quantity AS DECIMAL(8,2))"
+    "   * CAST(0.6 AS DECIMAL(2,1)))"
+)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit (revenue minus cost expression spanning BOTH join
+    sides) per supplier nation per order year, for a part-name pattern.
+    The LIKE filter prunes part before the join; profit stays exact
+    decimal until the final cast."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _supplier_with_nation(spark, sf_dir).select("s_suppkey", "supp_nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supp, lineitem.l_suppkey == supp.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy(
+        F.col("supp_nation").alias("nation"), F.expr(YR_ORDER).alias("yr")
+    ).agg(F.expr(f"CAST(SUM({PROFIT}) AS DOUBLE)").alias("profit"))
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation, {YR_ORDER} AS yr, CAST(SUM({PROFIT}) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, yr
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer over one half-year,
+    top 20.  Aggregates to |customers| rows BEFORE joining the nation
+    name; ordering ties broken by key so the top-k is engine-deterministic."""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ '1997-07-01 00:00:00'"
+        )
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.expr(f"SUM({DISC_PRICE})").alias("rev_dec"))
+    )
+    return (
+        per_cust.join(
+            nation.select(
+                F.col("n_nationkey").alias("c_nationkey"), "n_name"
+            ),
+            "c_nationkey",
+        )
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_nationkey, SUM({DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-07-01'
+  GROUP BY c_custkey, c_name, c_nationkey
+)
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_dec DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each qualifying part, the supplier(s) offering the
+    minimum price within one region — the correlated-MIN subquery,
+    decorrelated into a per-part window MIN (no second scan, no
+    self-join).  "Offer" = the supplier's cheapest shipped price for the
+    part (partsupp stand-in).  Ties keep every minimal supplier, which
+    both engines resolve identically."""
+    supp = _supplier_with_nation(spark, sf_dir)
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    europe_supp = supp.join(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            F.col("n_nationkey").alias("s_nationkey")
+        ),
+        "s_nationkey",
+        "left_semi",
+    ).select("s_suppkey", "supp_nation")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        lineitem.join(europe_supp, lineitem.l_suppkey == europe_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "supp_nation")
+        .agg(F.expr(f"MIN({DEC_PRICE})").alias("offer_dec"))
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        offers.join(part, offers.l_partkey == part.p_partkey)
+        .withColumn("best_dec", F.min("offer_dec").over(w))
+        .where(F.col("offer_dec") == F.col("best_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "supp_nation",
+            F.col("offer_dec").cast("double").alias("best_price"),
+        )
+    )
+
+
+Q2_ORACLE = f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, n_name AS supp_nation,
+         MIN({DEC_PRICE}) AS offer_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey, n_name
+),
+best AS (SELECT l_partkey, MIN(offer_dec) AS best_dec FROM offers GROUP BY l_partkey)
+SELECT o.l_partkey AS p_partkey, p_name, o.l_suppkey AS s_suppkey, supp_nation,
+       CAST(offer_dec AS DOUBLE) AS best_price
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey
+JOIN part ON o.l_partkey = p_partkey
+WHERE p_size = 15 AND p_type = 'STANDARD' AND offer_dec = best_dec
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-group value with a HAVING threshold derived from a
+    GLOBAL scalar subquery (fraction of the grand total).  The grand
+    total is a 1-row aggregate broadcast into the filter; the fraction
+    compare is exact-integer-scaled decimal, so neither engine divides.
+    "Stock value" = shipped value by NATION_5's suppliers (partsupp
+    stand-in)."""
+    supp = _supplier_with_nation(spark, sf_dir, ["NATION_5"]).select("s_suppkey")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        lineitem.join(supp, lineitem.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.expr(f"SUM({DISC_PRICE})").alias("val_dec"))
+    )
+    total_value = pv.agg(
+        F.expr("CAST(SUM(val_dec) AS DECIMAL(28,4))").alias("total_dec")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total_value))
+        .where(F.expr("CAST(val_dec AS DECIMAL(18,4)) * 10000 > total_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.expr("CAST(val_dec AS DOUBLE)").alias("stock_value"),
+        )
+    )
+
+
+Q11_ORACLE = f"""
+WITH pv AS (
+  SELECT l_partkey, SUM({DISC_PRICE}) AS val_dec
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_5')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS stock_value
+FROM pv
+WHERE CAST(val_dec AS DECIMAL(18,4)) * 10000 >
+      (SELECT CAST(SUM(val_dec) AS DECIMAL(28,4)) FROM pv)
+"""
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: COUNT(DISTINCT supplier) per part attribute bucket,
+    minus an excluded supplier set (the NOT IN leg, here a key-only
+    anti-join).  The part↔supplier bridge is lineitem deduplicated to
+    bare (partkey, suppkey) pairs BEFORE the distinct-count shuffle, so
+    the heavy aggregation carries two bigints per row regardless of
+    fact-table width."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(5, 10, 15, 20, 25)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates()
+        .join(excluded, "l_suppkey", "left_anti")
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_size
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested aggregate threshold (pair-level sum vs 20% of the
+    part-level sum) followed by a semi-join back to the supplier
+    dimension.  The share compare is integer-scaled exact decimal; both
+    aggregates reuse ONE shuffle on l_partkey (the part total is a
+    window over the pair aggregate, not a second scan)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr(f"SUM({DEC_QTY})").alias("q_dec"))
+    )
+    w = W.partitionBy("l_partkey")
+    dominant = pairs.withColumn(
+        "tq_dec", F.sum("q_dec").over(w).cast("decimal(18,2)")
+    ).where(F.expr("CAST(q_dec AS DECIMAL(18,2)) * 5 > tq_dec"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            dominant.select(F.col("l_suppkey").alias("s_suppkey")),
+            "s_suppkey",
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_ORACLE = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_dec
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, CAST(SUM(q_dec) AS DECIMAL(18,2)) AS tq_dec
+        FROM pairs GROUP BY l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pairs JOIN tot USING (l_partkey)
+  WHERE CAST(q_dec AS DECIMAL(18,2)) * 5 > tq_dec
+)
+"""

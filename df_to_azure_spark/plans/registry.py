@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from df_to_azure_spark.plans import analytics as A
 from df_to_azure_spark.plans import analytics2 as A2
 from df_to_azure_spark.plans import analytics3 as A3
+from df_to_azure_spark.plans import analytics4 as A4
 from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import pipeline as PL
 from df_to_azure_spark.plans import training_data as TD
@@ -197,6 +198,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "nation_account_full_outer": QuerySpec(
         A3.nation_account_full_outer, A3.FULL_OUTER_ORACLE
     ),
+    # --- analytics wave 4 (role-played dims + partsupp-family shapes) ---
+    "q7_nation_trade": QuerySpec(A4.q7_nation_trade, A4.Q7_ORACLE),
+    "q8_market_share": QuerySpec(A4.q8_market_share, A4.Q8_ORACLE),
+    "q9_product_profit": QuerySpec(A4.q9_product_profit, A4.Q9_ORACLE, headline=True),
+    "q10_returned_revenue": QuerySpec(A4.q10_returned_revenue, A4.Q10_ORACLE),
+    "q2_min_price_supplier": QuerySpec(A4.q2_min_price_supplier, A4.Q2_ORACLE),
+    "q11_important_parts": QuerySpec(A4.q11_important_parts, A4.Q11_ORACLE),
+    "q16_supplier_counts": QuerySpec(A4.q16_supplier_counts, A4.Q16_ORACLE),
+    "q20_dominant_suppliers": QuerySpec(A4.q20_dominant_suppliers, A4.Q20_ORACLE),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),

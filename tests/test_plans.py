@@ -46,6 +46,7 @@ BOUNDED_BROADCAST_VARS = {
     "asia_nations",
     "bands",
     "avg_bal",  # 1-row global aggregate (q22 scalar subquery)
+    "total_value",  # 1-row global aggregate (q11 fraction-of-total threshold)
 }
 
 
@@ -104,6 +105,32 @@ def test_q17_partial_aggregation_and_pruned_scan(spark, sf_smoke):
     assert "partial_sum" in plan or "partial_avg" in plan
     scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_shipdate" not in scan  # only partkey/quantity/price are read
+
+
+def test_q10_topk_never_full_sorts(spark, sf_smoke):
+    plan = _plan(spark, "q10_returned_revenue", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_q16_distinct_pairs_are_key_only(spark, sf_smoke):
+    # the heavy dedup shuffle must carry bare (partkey, suppkey) pairs,
+    # not full lineitem rows
+    plan = _plan(spark, "q16_supplier_counts", sf_smoke)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l and "l_partkey" in l]
+    assert scans and all(
+        "l_quantity" not in s and "l_extendedprice" not in s for s in scans
+    )
+
+
+def test_q20_reuses_one_partkey_shuffle(spark, sf_smoke):
+    # the window total must ride the groupBy's existing l_partkey
+    # partitioning — no second exchange between aggregate and window
+    plan = _plan(spark, "q20_dominant_suppliers", sf_smoke)
+    agg_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning(l_partkey" in l
+    ]
+    assert len(agg_exchanges) <= 1, plan
 
 
 def test_full_outer_aggregates_before_join(spark, sf_smoke):
