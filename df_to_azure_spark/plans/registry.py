@@ -44,6 +44,18 @@ def _stream_diff_oracle() -> str:
     return STREAM_DIFF_ORACLE
 
 
+def _stream_attribution_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_attribution_diff
+
+    return stream_attribution_diff(spark, sf_dir)
+
+
+def _stream_attr_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_ATTR_ORACLE
+
+    return STREAM_ATTR_ORACLE
+
+
 def _stream_dedup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_dedup_diff
 
@@ -232,6 +244,9 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_totals_diff, _totals_diff_oracle()
     ),
     "stream_dedup_diff": QuerySpec(_stream_dedup_diff, _stream_dedup_oracle()),
+    "stream_attribution_diff": QuerySpec(
+        _stream_attribution_diff, _stream_attr_oracle()
+    ),
 }
 
 

@@ -223,3 +223,100 @@ STREAM_DEDUP_ORACLE = """
 SELECT CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def attribution_join_stream(
+    views: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each purchase attributed to every view
+    by the same user within the preceding ``horizon``.  Both sides carry
+    watermarks and the join condition bounds purchase time relative to
+    view time, so Spark can evict view-side state once the watermark
+    passes ``view_ts + horizon`` and purchase-side state at the
+    watermark — bounded state at any stream length (the unbounded-state
+    trap of stream-stream joins is the time-range condition being
+    absent).  At scale both sides shuffle on user_id only."""
+    v = views.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        "view_ts",
+        "purchase_ts",
+    )
+
+
+def attribution_join_batch(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Batch twin of the attribution join — the plain interval self-join."""
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        "view_ts",
+        "purchase_ts",
+    )
+
+
+def stream_attribution_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard equivalence check for the stream-stream interval join: run the
+    REAL streaming join over the closed events source and diff against
+    the batch twin.  Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_attr_{_STREAM_QUERY_SEQ[0]}"
+    src = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_memory(
+        attribution_join_stream(
+            src.where(F.col("event_type") == "view"),
+            src.where(F.col("event_type") == "purchase"),
+        ),
+        name,
+        output_mode="append",
+    )
+    batch = attribution_join_batch(load_table(spark, sf_dir, "events"))
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_ATTR_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS view_event_id,
+       CAST(NULL AS BIGINT) AS purchase_event_id,
+       CAST(NULL AS TIMESTAMP) AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+       CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

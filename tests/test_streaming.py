@@ -41,3 +41,36 @@ def test_stream_dedup_collapses_redelivery(spark, sf_smoke):
     from df_to_azure_spark.streaming.events import stream_dedup_diff
 
     assert stream_dedup_diff(spark, sf_smoke).count() == 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_smoke):
+    """The watermarked stream-stream interval join must equal the plain
+    batch interval self-join on a closed input, and the closed input must
+    actually produce attributed pairs (a vacuous empty-vs-empty pass
+    would prove nothing)."""
+    from df_to_azure_spark.streaming.events import (
+        attribution_join_batch,
+        stream_attribution_diff,
+    )
+
+    assert stream_attribution_diff(spark, sf_smoke).count() == 0
+    batch = attribution_join_batch(load_table(spark, sf_smoke, "events"))
+    assert batch.count() > 0
+
+
+def test_attribution_join_window_semantics(spark):
+    """Purchases outside the horizon or by another user never attribute."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, "view", base),
+        (2, 1, "purchase", base + dt.timedelta(minutes=10)),   # attributed
+        (3, 1, "purchase", base + dt.timedelta(minutes=40)),   # outside 30m
+        (4, 2, "purchase", base + dt.timedelta(minutes=5)),    # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = SE.attribution_join_batch(df, "30 minutes").collect()
+    assert [(r.view_event_id, r.purchase_event_id) for r in out] == [(1, 2)]
