@@ -129,3 +129,64 @@ def stream_to_sql(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def make_lake_batch_handler(
+    lake,
+    table: str,
+    id_field: list[str] | str | None = None,
+):
+    """``foreachBatch`` handler landing micro-batches in a
+    :class:`~df_to_azure_spark.operators.lake.ParquetLake` table — the
+    lake twin of :func:`make_batch_handler`, same replay contract:
+
+    - ``id_field`` given → each batch applies as a keyed lake upsert,
+      idempotent under replay by construction;
+    - no keys → batches APPEND, guarded by a per-table marker-file ledger
+      (``_batches/<batch_id>`` under the table dir — one filesystem stat
+      per batch, no data read).  The marker lands after the data append,
+      so like the SQL path this mode is at-least-once with a one-batch
+      replay window on crash between append and marker.
+    """
+    keys = [id_field] if isinstance(id_field, str) else list(id_field or [])
+
+    def _ledger_path(batch_id: int):
+        fs, _, jvm = lake._fs(lake.table_dir(table))
+        return fs, jvm.org.apache.hadoop.fs.Path(
+            f"{lake.table_dir(table)}/_batches/{int(batch_id)}"
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if keys:
+            if lake.exists(table):
+                lake.upsert(batch_df, table, keys)
+            else:
+                lake.create(batch_df, table)
+            return
+        fs, marker = _ledger_path(batch_id)
+        if fs.exists(marker):
+            return  # replayed batch — already applied
+        if lake.exists(table):
+            lake.append(batch_df, table)
+        else:
+            lake.create(batch_df, table)
+        fs.mkdirs(marker)
+
+    return handle
+
+
+def stream_to_lake(
+    stream_df: DataFrame,
+    lake,
+    table: str,
+    checkpoint_dir: str | None = None,
+    id_field: list[str] | str | None = None,
+):
+    """Start a ``StreamingQuery`` landing ``stream_df`` in a lake table."""
+    handle = make_lake_batch_handler(lake, table, id_field=id_field)
+    writer = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
