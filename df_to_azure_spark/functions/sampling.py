@@ -45,3 +45,28 @@ def with_split(
 def sample_by_hash(df: DataFrame, id_col: str, percent: int) -> DataFrame:
     """Deterministic ~percent% sample (same rows every run, any cluster)."""
     return df.where(_bucket(F.col(id_col)) < percent)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language-rebalancing
+    primitive of corpus preparation (downsample the dominant language,
+    keep the rest).  ``rates`` maps stratum value → integer percent kept.
+
+    The keep/drop decision is ``hash_bucket(id) < rate(stratum)``: a pure
+    per-row expression (flat CASE, stays in whole-stage codegen), so the
+    sample needs no shuffle, no coordination, and is identical on any
+    engine, cluster, or run — and a row's fate is stable under reruns,
+    which is what makes downstream incremental pipelines reproducible.
+    """
+    rate = None
+    for value, pct in rates.items():
+        cond = F.col(strata_col) == value
+        rate = F.when(cond, int(pct)) if rate is None else rate.when(cond, int(pct))
+    rate = F.lit(default_pct) if rate is None else rate.otherwise(default_pct)
+    return df.where(_bucket(F.col(id_col)) < rate)

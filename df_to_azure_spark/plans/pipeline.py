@@ -366,6 +366,34 @@ WHERE b < 10
 """
 
 
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: keep 10% of English (the dominant stratum)
+    and 50% of everything else, deterministically per doc_id.  Returns
+    per-language survivor counts; the oracle replays the identical
+    md5-bucket CASE, so the exact surviving row set is cross-engine
+    pinned (not just approximate rates)."""
+    from df_to_azure_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 10}, default_pct=50
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_chars"),
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS b
+      FROM documents)
+WHERE b < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+GROUP BY lang
+"""
+
+
 def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rarity/quality signal without transcendentals: per document, the
     mean and minimum corpus document-frequency of its distinct tokens

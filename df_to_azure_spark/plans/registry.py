@@ -151,6 +151,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "doc_chunks": QuerySpec(PL.doc_chunks, PL.DOC_CHUNKS_ORACLE),
     "doc_sample_10pct": QuerySpec(PL.doc_sample_10pct, PL.DOC_SAMPLE_ORACLE),
+    "doc_stratified_sample": QuerySpec(
+        PL.doc_stratified_sample, PL.STRATIFIED_SAMPLE_ORACLE
+    ),
     "doc_commonness": QuerySpec(PL.doc_commonness, PL.DOC_COMMONNESS_ORACLE),
     "embedding_quantization_check": QuerySpec(
         PL.embedding_quantization_check, PL.QUANTIZATION_CHECK_ORACLE

@@ -30,6 +30,31 @@ def test_sample_by_hash_is_subset_and_stable(spark):
     assert ids5 <= ids1
 
 
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.functions.sampling import sample_by_hash, stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 10}, default_pct=50)
+    counts = {r.lang: r.cnt for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert 40 < counts["en"] < 200       # ~10% of 1000
+    assert 350 < counts["de"] < 650      # ~50% of 1000
+    # per-stratum rows are exactly the flat-sample rows of that stratum —
+    # the stratified form changes the rate, never the hash decision
+    en_flat = {r.doc_id for r in sample_by_hash(
+        df.where("lang = 'en'"), "doc_id", 10).collect()}
+    en_strat = {r.doc_id for r in kept.where("lang = 'en'").collect()}
+    assert en_strat == en_flat
+    # a stratum with rate 0 (the default for unmapped strata) drops out
+    none_kept = stratified_sample(df, "doc_id", "lang", {"en": 10})
+    assert none_kept.where("lang = 'de'").count() == 0
+
+
 def test_incremental_equals_full_recompute(spark):
     df = spark.range(500).select(
         (F.col("id") % 7).alias("k"),
