@@ -1,5 +1,10 @@
 """Source readers (SURVEY §2.1 S1-S4)."""
 
-from df_to_azure_spark.sources.tables import load_table, load_tables, read_csv
+from df_to_azure_spark.sources.tables import (
+    load_table,
+    load_tables,
+    read_csv,
+    register_star_schema,
+)
 
-__all__ = ["load_table", "load_tables", "read_csv"]
+__all__ = ["load_table", "load_tables", "read_csv", "register_star_schema"]

@@ -30,6 +30,28 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+STAR_SCHEMA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_star_schema(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Register every star-schema table as a temp view so users run plain
+    ANSI SQL against the engine (``spark.sql("SELECT ... FROM lineitem
+    JOIN orders ...")``) with full Catalyst optimization — the SQL
+    passthrough surface.  Views are lazy: registering costs nothing until
+    a query scans a table.  Returns the registered view names."""
+    names = []
+    for t in STAR_SCHEMA_TABLES:
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def read_csv(spark: SparkSession, path: str) -> DataFrame:
     """Reference fixture loader semantics: header row + inferred types."""
     return spark.read.csv(path, header=True, inferSchema=True)

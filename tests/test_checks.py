@@ -67,3 +67,21 @@ def test_csv_source_reads_header_and_types(spark, tmp_path):
 def test_is_empty(spark):
     assert checks.is_empty(spark.createDataFrame([], "a int"))
     assert not checks.is_empty(spark.createDataFrame([(1,)], "a int"))
+
+def test_register_star_schema_sql_passthrough(spark, sf_smoke):
+    """Plain ANSI SQL over the registered views, Catalyst-optimized —
+    the user-facing SQL surface."""
+    from df_to_azure_spark.sources import register_star_schema
+
+    names = register_star_schema(spark, sf_smoke)
+    assert "lineitem" in names and len(names) == 10
+    out = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_orderstatus
+        """
+    ).collect()
+    assert sum(r.n for r in out) == spark.table("orders").count()
+    # nano-ts normalization applies through the view too
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
