@@ -366,6 +366,45 @@ WHERE b < 10
 """
 
 
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas``) doing per-user robust
+    outlier stats over event values — the batch half of the custom-UDAF
+    surface (the streaming half is ``applyInPandasWithState``).  Lower
+    medians are exact elements, so the SQL oracle reproduces the Python
+    result bit-for-bit and the whole Arrow grouped-map path is
+    HASH-checked, not just row-counted."""
+    from df_to_azure_spark.functions.outliers import robust_outlier_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return robust_outlier_stats(events, "user_id", "value", k=3.0)
+
+
+OUTLIERS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+med AS (SELECT user_id, value AS med FROM ranked WHERE rn = (n - 1) // 2 + 1),
+dev AS (SELECT e.user_id, ABS(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (user_id)),
+ranked_ad AS (
+  SELECT user_id, ad,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ad) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM dev
+),
+mad AS (SELECT user_id, ad AS mad FROM ranked_ad WHERE rn = (n - 1) // 2 + 1)
+SELECT d.user_id, COUNT(*) AS n_events, ANY_VALUE(me.med) AS med,
+       ANY_VALUE(ma.mad) AS mad,
+       CAST(SUM(CASE WHEN ma.mad > 0 AND d.ad > 3.0 * ma.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ma USING (user_id) JOIN med me USING (user_id)
+GROUP BY d.user_id
+"""
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language rebalancing: keep 10% of English (the dominant stratum)
     and 50% of everything else, deterministically per doc_id.  Returns

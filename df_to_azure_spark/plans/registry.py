@@ -154,6 +154,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_stratified_sample": QuerySpec(
         PL.doc_stratified_sample, PL.STRATIFIED_SAMPLE_ORACLE
     ),
+    "user_value_outliers": QuerySpec(PL.user_value_outliers, PL.OUTLIERS_ORACLE),
     "doc_commonness": QuerySpec(PL.doc_commonness, PL.DOC_COMMONNESS_ORACLE),
     "embedding_quantization_check": QuerySpec(
         PL.embedding_quantization_check, PL.QUANTIZATION_CHECK_ORACLE

@@ -38,3 +38,22 @@ def test_n_bytes_counted(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.real_decode(b"x", "image")
+
+def test_robust_outlier_stats_grouped_map(spark):
+    """applyInPandas grouped map: lower-median semantics (exact element,
+    even and odd group sizes), zero-MAD short-circuit, outlier count."""
+    from df_to_azure_spark.functions.outliers import robust_outlier_stats
+
+    rows = (
+        # user 1: odd count, clear outlier (med=2, mad=1, |100-2|>3)
+        [(1, v) for v in [1.0, 2.0, 3.0, 100.0, 1.0]]
+        # user 2: even count → lower median (sorted [1,2,3,4] → med=2)
+        + [(2, v) for v in [4.0, 1.0, 3.0, 2.0]]
+        # user 3: constant values → mad=0 → no outliers by definition
+        + [(3, 5.0), (3, 5.0), (3, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = {r.user_id: r for r in robust_outlier_stats(df, "user_id", "value").collect()}
+    assert out[1].med == 2.0 and out[1].mad == 1.0 and out[1].n_outliers == 1
+    assert out[2].med == 2.0  # lower median, not interpolated 2.5
+    assert out[3].mad == 0.0 and out[3].n_outliers == 0
