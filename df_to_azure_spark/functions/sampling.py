@@ -47,6 +47,46 @@ def sample_by_hash(df: DataFrame, id_col: str, percent: int) -> DataFrame:
     return df.where(_bucket(F.col(id_col)) < percent)
 
 
+def with_pack_id(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    target: int,
+    buckets: int = 32,
+    bucket_col: str = "pack_bucket",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Sequence packing: assign each row to a pack of roughly ``target``
+    total ``size_col`` units (documents → fixed-token-budget training
+    sequences).  A row joins the pack its RUNNING TOTAL starts in, so a
+    pack overflows by at most one row — the standard greedy packing.
+
+    True greedy packing is inherently sequential; the scale-safe form
+    packs WITHIN deterministic hash buckets: a window cumulative sum per
+    bucket (one shuffle on the bucket key, ~1/buckets of the data per
+    partition), with pack identity = (bucket, pack seq).  Integer
+    arithmetic end to end, so pack assignment is engine-exact and stable
+    across runs and cluster layouts.
+    """
+    b = hash_bucket(F.col(id_col), buckets)
+    out = df.withColumn(bucket_col, b)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(bucket_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(size_col).cast("long")).over(w)
+    return (
+        out.withColumn("__pack_start", cum - F.col(size_col).cast("long"))
+        # `div` is exact integer division (a double `/` + floor would lose
+        # exactness past 2^53)
+        .withColumn(pack_col, F.expr(f"__pack_start div {int(target)}"))
+        .drop("__pack_start")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

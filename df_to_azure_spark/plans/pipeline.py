@@ -366,6 +366,39 @@ WHERE b < 10
 """
 
 
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing of documents into ~8000-char packs within 8 hash
+    buckets — per-pack document count and fill.  The oracle replays the
+    identical bucket/cumsum/integer-div assignment, so the exact pack
+    membership is cross-engine pinned."""
+    from df_to_azure_spark.functions.sampling import with_pack_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = with_pack_id(docs, "doc_id", "n_chars", target=8000, buckets=8)
+    return packed.groupBy("pack_bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("pack_chars"),
+    )
+
+
+DOC_PACKING_ORACLE = """
+SELECT pack_bucket, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS pack_chars
+FROM (
+  SELECT pack_bucket, n_chars,
+         CAST((CAST(SUM(n_chars) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_chars) // 8000 AS BIGINT)
+           AS pack_id
+  FROM (SELECT doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 8
+                 AS pack_bucket
+        FROM documents)
+)
+GROUP BY pack_bucket, pack_id
+"""
+
+
 def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas UDF (``applyInPandas``) doing per-user robust
     outlier stats over event values — the batch half of the custom-UDAF

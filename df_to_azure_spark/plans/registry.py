@@ -155,6 +155,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL.doc_stratified_sample, PL.STRATIFIED_SAMPLE_ORACLE
     ),
     "user_value_outliers": QuerySpec(PL.user_value_outliers, PL.OUTLIERS_ORACLE),
+    "doc_packing": QuerySpec(PL.doc_packing, PL.DOC_PACKING_ORACLE),
     "doc_commonness": QuerySpec(PL.doc_commonness, PL.DOC_COMMONNESS_ORACLE),
     "embedding_quantization_check": QuerySpec(
         PL.embedding_quantization_check, PL.QUANTIZATION_CHECK_ORACLE

@@ -68,3 +68,24 @@ def test_incremental_equals_full_recompute(spark):
     }
     full = {(r.k): (r.n, r.s) for r in partial_agg(df, ["k"], {"s": "v"}).collect()}
     assert inc == full
+
+def test_pack_id_greedy_semantics(spark):
+    """Packing: rows join the pack their running total STARTS in; a pack
+    overflows by at most one row; assignment is deterministic."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.functions.sampling import with_pack_id
+
+    df = spark.createDataFrame(
+        [(i, 400) for i in range(10)], "doc_id long, n_chars long"
+    )
+    # single bucket → one global greedy sequence ordered by doc_id
+    packed = with_pack_id(df, "doc_id", "n_chars", target=1000, buckets=1)
+    rows = {r.doc_id: r.pack_id for r in packed.collect()}
+    # starts: 0,400,800,1200,... → packs 0,0,0,1,1,2,2,(2800)2,3,3
+    assert rows == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+    sizes = packed.groupBy("pack_id").agg(F.sum("n_chars").alias("s")).collect()
+    assert all(r.s <= 1000 + 400 for r in sizes)  # ≤ target + one row
+    again = {r.doc_id: r.pack_id for r in
+             with_pack_id(df, "doc_id", "n_chars", 1000, buckets=1).collect()}
+    assert again == rows
