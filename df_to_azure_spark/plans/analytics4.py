@@ -419,6 +419,64 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: the hourly rollup re-expressed on a
+    COMPLETE hour grid (every hour × every event type), zero-filling
+    hours with no events — the resample/gap-fill shape dashboards and
+    downstream window functions need (a sparse rollup silently breaks
+    moving averages).  The grid is generated (``sequence`` + explode)
+    from a 1-row bounds aggregate, so grid size is |hours| × |types|
+    regardless of event volume; the event rollup joins onto it by key.
+    At 100 TB the heavy side is aggregated BEFORE the join and the tiny
+    type dim is the only broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(value AS DECIMAL(18,4)))").alias("tot_dec"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
+    )
+    event_types = events.select("event_type").distinct()
+    full = grid.join(F.broadcast(event_types))
+    return full.join(hourly, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.expr(
+            "CAST(COALESCE(tot_dec, CAST(0 AS DECIMAL(18,4))) AS DOUBLE)"
+        ).alias("total_value"),
+    )
+
+
+GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS tot_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT g.hour, t.event_type, COALESCE(h.n, 0) AS n,
+       CAST(COALESCE(h.tot_dec, CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = t.event_type
+"""
+
+
 Q20_ORACLE = """
 WITH pairs AS (
   SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_dec

@@ -224,6 +224,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q11_important_parts": QuerySpec(A4.q11_important_parts, A4.Q11_ORACLE),
     "q16_supplier_counts": QuerySpec(A4.q16_supplier_counts, A4.Q16_ORACLE),
     "q20_dominant_suppliers": QuerySpec(A4.q20_dominant_suppliers, A4.Q20_ORACLE),
+    "events_hourly_gapfill": QuerySpec(
+        A4.events_hourly_gapfill, A4.GAPFILL_ORACLE
+    ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
