@@ -455,6 +455,40 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation: values on every 3rd event are nulled
+    (deterministically, so both engines blank the same cells) and then
+    repaired with the last non-null value per user in time order — the
+    LAST ... IGNORE NULLS window, the idiomatic distributed ffill (one
+    shuffle on user_id; no self-join, no Python).  Leading nulls stay
+    null, which the COALESCE-free form preserves honestly."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    holey = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("value_holey"),
+    )
+    return holey.withColumn(
+        "value_filled", F.last("value_holey", ignorenulls=True).over(w)
+    ).select("user_id", "event_id", "value_holey", "value_filled")
+
+
+FFILL_ORACLE = """
+SELECT user_id, event_id, value_holey,
+       LAST_VALUE(value_holey IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS value_filled
+FROM (SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 3 <> 0 THEN value END AS value_holey
+      FROM events)
+"""
+
+
 GAPFILL_ORACLE = """
 WITH bounds AS (
   SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi

@@ -227,6 +227,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_hourly_gapfill": QuerySpec(
         A4.events_hourly_gapfill, A4.GAPFILL_ORACLE
     ),
+    "events_value_ffill": QuerySpec(A4.events_value_ffill, A4.FFILL_ORACLE),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
