@@ -40,11 +40,15 @@ def connected_components(
     Raises if ``max_iter`` rounds don't converge (pathologically long
     path graphs); near-dup graphs converge in a handful of rounds.
     """
-    # undirected: propagate both ways.  Materialize ONCE — the edge list
-    # is re-joined every round, and leaving it lazy would re-run its
-    # whole upstream plan (e.g. an LSH candidate join) once per round.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    # undirected: propagate both ways.  Materialize the DIRECTED list
+    # first — a union of two branches over a lazy upstream runs that
+    # upstream (e.g. a 10s+ LSH candidate join) once PER BRANCH; after
+    # the checkpoint, mirroring reads materialized rows.  The mirrored
+    # union is checkpointed too so the per-round joins don't re-union.
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    e = e0.union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
 
     labels = (
         e.select(F.col("u").alias("node"))
