@@ -40,6 +40,52 @@ GROUP BY o_orderpriority
 """
 
 
+def q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: IN-list + range filter on the fact side, join to the
+    header, then conditional CASE aggregation splitting a priority column
+    into high/low counts.  (The test data has no ``l_shipmode`` or
+    ``l_receiptdate``, so ``l_returnflag`` plays the ship-mode role and
+    ``l_shipdate`` the receipt-date role — the plan shape is identical:
+    both the IN-list and the range predicate are pushed to the lineitem
+    scan, the join shuffles only the two surviving columns + key, and the
+    CASE folds into the partial aggregate map-side.)"""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+        )
+    ).select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("high_line_count"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("low_line_count"),
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: LEFT OUTER join + double aggregation — histogram of
     customers by their order count, zero-order customers included."""

@@ -530,3 +530,118 @@ QUANTIZATION_CHECK_ORACLE = """
 SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS cos_fidelity
 WHERE 1 = 0
 """
+
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs that appear together
+    in the same order, top 25 by support.  Plan: project to distinct
+    (orderkey, partkey) — two narrow columns — then a self equi-join on
+    the order key with ``pk_a < pk_b`` to emit each unordered pair once,
+    count per pair, TakeOrdered top-k.
+
+    Scale: the join shuffles only key pairs (8+8 bytes/row) and both
+    sides share one exchange (self-join reuse).  Pair expansion is
+    quadratic in basket size, so a degenerate mega-basket (one order
+    with 10⁵ parts) would emit 10¹⁰ rows from a single task; the
+    ``max_basket`` guard drops oversized baskets up front — the same
+    hot-key cap contract as ``ngram_jaccard`` (functions/dedup.py) —
+    and is a no-op on sane retail-shaped data like this (TPC-H baskets
+    are ≤7 lines)."""
+    max_basket = 1000
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    sized = li.join(
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket_n"))
+        .where(F.col("basket_n") <= max_basket)
+        .select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    a = sized.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk_a")
+    )
+    b = sized.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk_b")
+    )
+    pairs = a.join(b, "okey").where(F.col("pk_a") < F.col("pk_b"))
+    return (
+        pairs.groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("pk_a"), F.asc("pk_b"))
+        .limit(25)
+    )
+
+
+PART_COOCCURRENCE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING COUNT(*) <= 1000
+)
+SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b, COUNT(*) AS n_orders
+FROM li a
+JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN sized s ON a.l_orderkey = s.l_orderkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, pk_a, pk_b
+LIMIT 25
+"""
+
+
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 distinct tokens by TF-IDF
+    (``tf · ln(N/df)``).  Plan: explode → per-(doc, token) tf counts →
+    token-keyed df() vocab join (AQE broadcasts the vocab when it fits)
+    → 1-row corpus-count broadcast → per-doc window top-k.
+
+    Cross-engine float note: the score is a product of exact integers
+    with one ``ln`` — rounded to 6 dp before both ranking and output so
+    a ≤1-ulp libm divergence between engines cannot flip the ordering
+    (ties after rounding break on the token string).  Complements
+    ``doc_commonness``, which avoids transcendentals entirely."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = per_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    scored = (
+        per_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.expr("ROUND(tf * LN(CAST(n_corpus AS DOUBLE) / df_tok), 6)"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rk")
+    )
+
+
+DOC_TFIDF_ORACLE = f"""
+WITH per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), vocab AS (
+  SELECT tok, COUNT(*) AS df_tok FROM per_tok GROUP BY tok
+), scored AS (
+  SELECT doc_id, tok,
+         ROUND(tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df_tok), 6) AS tfidf
+  FROM per_tok JOIN vocab USING (tok)
+)
+SELECT doc_id, tok, tfidf, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""

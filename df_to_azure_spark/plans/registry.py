@@ -163,6 +163,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "split_contamination": QuerySpec(
         PL.split_contamination, PL.SPLIT_CONTAMINATION_ORACLE
     ),
+    "part_cooccurrence": QuerySpec(PL.part_cooccurrence, PL.PART_COOCCURRENCE_ORACLE),
+    "doc_tfidf_terms": QuerySpec(PL.doc_tfidf_terms, PL.DOC_TFIDF_ORACLE),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
@@ -196,6 +198,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- analytics wave 3 (remaining TPC-H shapes) ---
     "q4_late_shipping": QuerySpec(A3.q4_late_shipping, A3.Q4_ORACLE),
+    "q12_returnflag_priority": QuerySpec(A3.q12_returnflag_priority, A3.Q12_ORACLE),
     "q13_order_count_distribution": QuerySpec(
         A3.q13_order_count_distribution, A3.Q13_ORACLE
     ),
