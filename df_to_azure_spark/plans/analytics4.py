@@ -527,3 +527,48 @@ WHERE s_suppkey IN (
   WHERE CAST(q_dec AS DECIMAL(18,2)) * 5 > tq_dec
 )
 """
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users grouped by first-activity week
+    (the cohort), counted as retained in each subsequent week they were
+    active — the standard product-analytics triangle.
+
+    Plan: per-user MIN(ts) aggregate (map-side partial, one shuffle on
+    user_id) → join activity weeks back on user_id (AQE broadcasts the
+    cohort side when it fits; at 100 TB both sides shuffle on user_id,
+    the natural key) → distinct-user count per (cohort_week, offset).
+    The week offset is exact integer day arithmetic (``datediff div 7``)
+    so both engines bucket identically; DISTINCT collapses repeat
+    activity inside a week before the final count."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).dropDuplicates()
+    return (
+        act.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""

@@ -532,6 +532,62 @@ WHERE 1 = 0
 """
 
 
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram shingle, slide a
+    w-window over the hash sequence, keep each window's minimum — the
+    selected set is position-robust (insertions shift positions but local
+    minima survive), guaranteeing any match of length ≥ w+k-1 shares a
+    fingerprint.  The standard plagiarism / near-dup index primitive.
+
+    Plan: posexplode shingles → portable md5-prefix hash (same integer in
+    DuckDB, so the whole pipeline is oracle-checkable, unlike MinHash) →
+    per-doc ROWS-frame window MIN → distinct.  One shuffle on doc_id;
+    window state is O(w); short docs keep their truncated first window so
+    no document vanishes (same contract as ``text.shingles``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.posexplode(TXT.shingles("text", 3)).alias("pos0", "sh")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wdoc = W.partitionBy("doc_id")
+    return (
+        sh.withColumn("fp", F.min("h").over(wmin))
+        .withColumn("mx", F.max("pos").over(wdoc))
+        .where(F.col("pos") <= F.greatest(F.col("mx") - 3, F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+DOC_WINNOWING_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> {{'pos': i,
+                 'h': ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT}}
+         )) AS u
+  FROM toked WHERE len(toks) > 0
+), win AS (
+  SELECT doc_id, u.pos AS pos,
+         MIN(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         MAX(u.pos) OVER (PARTITION BY doc_id) AS mx
+  FROM sh
+)
+SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
+"""
+
+
 def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: part pairs that appear together
     in the same order, top 25 by support.  Plan: project to distinct

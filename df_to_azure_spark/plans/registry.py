@@ -165,6 +165,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "part_cooccurrence": QuerySpec(PL.part_cooccurrence, PL.PART_COOCCURRENCE_ORACLE),
     "doc_tfidf_terms": QuerySpec(PL.doc_tfidf_terms, PL.DOC_TFIDF_ORACLE),
+    "doc_winnowing_fingerprints": QuerySpec(
+        PL.doc_winnowing_fingerprints, PL.DOC_WINNOWING_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
@@ -231,6 +234,9 @@ REGISTRY: dict[str, QuerySpec] = {
         A4.events_hourly_gapfill, A4.GAPFILL_ORACLE
     ),
     "events_value_ffill": QuerySpec(A4.events_value_ffill, A4.FFILL_ORACLE),
+    "user_retention_cohorts": QuerySpec(
+        A4.user_retention_cohorts, A4.RETENTION_ORACLE
+    ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
