@@ -267,3 +267,101 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash each k-gram shingle, slide a ``window``-
+    wide frame over the per-document hash sequence, keep each frame's
+    minimum.  Any shared substring of ≥ window+k-1 tokens is guaranteed
+    to share a fingerprint, and the selection is position-robust:
+    edits shift positions but distant local minima survive.
+
+    Returns distinct (id, fp) rows — the inverted-index input for
+    ``winnow_overlap_pairs``.  The hash is the md5-prefix integer (same
+    value in any engine, so pipelines stay oracle-checkable); one
+    shuffle on the id for the window, O(window) state per row, all
+    codegen'd column expressions.  Documents shorter than one full
+    frame keep their truncated first frame, so no document vanishes."""
+    from pyspark.sql import Window as W
+
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "sh"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    wmin = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    wdoc = W.partitionBy(id_col)
+    return (
+        sh.withColumn("fp", F.min("h").over(wmin))
+        .withColumn("mx", F.max("pos").over(wdoc))
+        .where(F.col("pos") <= F.greatest(F.col("mx") - (window - 1), F.lit(1)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    threshold: float = 0.3,
+    hot_fp_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by winnowing-fingerprint Jaccard —
+    the sparse, index-sized alternative to full n-gram Jaccard:
+    winnowing keeps ~2/(window+1) of the shingles, so the posting-list
+    self-join shuffles a fraction of the data for the same guarantee on
+    matches of length ≥ window+shingle_n-1.
+
+    Same inverted-index shape and ``hot_fp_cap`` contract as
+    ``ngram_jaccard_pairs``: fingerprints whose posting list exceeds the
+    cap are boilerplate (shared headers/footers), carry no pair-level
+    signal, and would make cap² work in one reducer — they are dropped
+    from the fingerprint universe (intersections AND sizes, keeping the
+    Jaccard internally consistent)."""
+    fps = winnow_fingerprints(_spread(df), text_col, id_col, shingle_n, window)
+    if hot_fp_cap is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df_fp"))
+            .where(F.col("df_fp") > hot_fp_cap)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.expr(
+        "ROUND(CAST(n_shared AS DOUBLE) / CAST(sz_a + sz_b - n_shared AS DOUBLE), 6)"
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )

@@ -545,25 +545,10 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ROWS-frame window MIN → distinct.  One shuffle on doc_id;
     window state is O(w); short docs keep their truncated first window so
     no document vanishes (same contract as ``text.shingles``)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.posexplode(TXT.shingles("text", 3)).alias("pos0", "sh")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint").alias("h"),
-    )
-    from pyspark.sql import Window as W
+    from df_to_azure_spark.functions.dedup import winnow_fingerprints
 
-    wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    wdoc = W.partitionBy("doc_id")
-    return (
-        sh.withColumn("fp", F.min("h").over(wmin))
-        .withColumn("mx", F.max("pos").over(wdoc))
-        .where(F.col("pos") <= F.greatest(F.col("mx") - 3, F.lit(1)))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", shingle_n=3, window=4)
 
 
 DOC_WINNOWING_ORACLE = f"""
@@ -585,6 +570,61 @@ WITH toked AS (
   FROM sh
 )
 SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
+"""
+
+
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint Jaccard — the sparse
+    companion to ``ngram_jaccard_pairs``: winnowing keeps ~2/(w+1) of
+    the shingles, so the posting self-join shuffles ~40% of the volume
+    for the same ≥ w+k-1-token match guarantee.  Fully oracle-checkable
+    (portable integer hashes), unlike the probabilistic MinHash path."""
+    from df_to_azure_spark.functions.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, "text", "doc_id", shingle_n=3, window=4, threshold=0.2,
+        hot_fp_cap=1000,
+    )
+
+
+WINNOW_PAIRS_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> {{'pos': i,
+                 'h': ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT}}
+         )) AS u
+  FROM toked WHERE len(toks) > 0
+), win AS (
+  SELECT doc_id, u.pos AS pos,
+         MIN(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         MAX(u.pos) OVER (PARTITION BY doc_id) AS mx
+  FROM sh
+), fps0 AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
+), fps AS (
+  SELECT doc_id, fp FROM fps0
+  WHERE fp NOT IN (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > 1000)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) /
+             CAST(sa.sz + sb.sz - n_shared AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_shared AS DOUBLE) /
+            CAST(sa.sz + sb.sz - n_shared AS DOUBLE), 6) >= 0.2
 """
 
 

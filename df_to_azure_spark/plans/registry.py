@@ -168,6 +168,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_winnowing_fingerprints": QuerySpec(
         PL.doc_winnowing_fingerprints, PL.DOC_WINNOWING_ORACLE
     ),
+    "winnow_neardup_pairs": QuerySpec(
+        PL.winnow_neardup_pairs, PL.WINNOW_PAIRS_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),

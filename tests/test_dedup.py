@@ -120,3 +120,47 @@ def test_hot_bucket_cap_generous_cap_is_noop(spark, sf_smoke):
         ).collect()
     }
     assert uncapped == capped
+
+
+def _winnow_docs(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # same content with one token inserted up front: every position shifts
+    shifted = "INSERTED " + base
+    far = "one two three four five six seven eight nine ten eleven twelve"
+    return spark.createDataFrame(
+        [(1, base), (2, shifted), (3, far)], ["doc_id", "text"]
+    )
+
+
+def test_winnow_fingerprints_position_robust(spark):
+    """The winnowing guarantee: a position shift changes window
+    boundaries but local minima survive — the shifted twin must share
+    most fingerprints with the original, the unrelated doc none."""
+    fps = D.winnow_fingerprints(_winnow_docs(spark)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    shared = by_doc[1] & by_doc[2]
+    assert len(shared) >= len(by_doc[1]) * 0.5
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_short_doc_keeps_one_fingerprint(spark):
+    """A doc shorter than one full window must not vanish (truncated
+    first-window contract, mirroring text.shingles)."""
+    tiny = spark.createDataFrame([(7, "just two")], ["doc_id", "text"])
+    fps = D.winnow_fingerprints(tiny).collect()
+    assert len(fps) == 1 and fps[0].doc_id == 7
+
+
+def test_winnow_pairs_match_and_cap_noop(spark):
+    """The shifted twin is found as a near-dup pair; a generous hot-fp
+    cap leaves the result unchanged (same contract as the shingle cap)."""
+    docs = _winnow_docs(spark)
+    pairs = D.winnow_overlap_pairs(docs, threshold=0.2).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    capped = D.winnow_overlap_pairs(docs, threshold=0.2, hot_fp_cap=1000).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, pairs))
