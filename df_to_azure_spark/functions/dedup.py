@@ -287,7 +287,14 @@ def winnow_fingerprints(
     value in any engine, so pipelines stay oracle-checkable); one
     shuffle on the id for the window, O(window) state per row, all
     codegen'd column expressions.  Documents shorter than one full
-    frame keep their truncated first frame, so no document vanishes."""
+    frame keep their truncated first frame, so no document vanishes.
+
+    (An all-array-side formulation — ``transform`` + ``array_min(slice)``
+    sliding minima, zero shuffles — was measured 1.6× SLOWER at sf0.1:
+    higher-order-function lambdas evaluate interpreted, outside
+    whole-stage codegen, and that loses to one codegen'd explode +
+    window exchange.  Measured, not guessed; see the repetition-stats
+    docstring for the same effect.)"""
     from pyspark.sql import Window as W
 
     sh = df.select(

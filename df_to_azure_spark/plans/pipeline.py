@@ -741,3 +741,78 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok)
       FROM scored)
 WHERE rk <= 3
 """
+
+
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction / the BPE-tokenizer-training counting step:
+    adjacent token pairs ranked by PMI (``ln(P(ab) / P(a)P(b))``), min
+    support 5.  The most-frequent-pair table IS one BPE merge iteration;
+    the PMI ranking is the classic collocation measure on top of it.
+
+    Plan: pairs are generated ARRAY-SIDE — a single-level ``transform``
+    over ``sequence(1, n-1)`` (stays in whole-stage codegen; no window
+    shuffle, no posexplode+lag) — then explode → count.  Unigram counts
+    ride a second explode of the same scan; the corpus total is a 1-row
+    broadcast.  All inputs to the PMI are exact integers; the one
+    transcendental is rounded to 6 dp before ranking (same cross-engine
+    policy as ``doc_tfidf_terms``)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", TXT.tokens("text")
+    )
+    bigrams = docs.where(F.expr("size(toks) >= 2")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    bgc = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bg"))
+    uni = docs.select(F.explode("toks").alias("tok"))
+    unic = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    ua = unic.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    ub = unic.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    return (
+        bgc.withColumn("tok_a", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("tok_b", F.expr("split_part(bigram, ' ', 2)"))
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("n_bg") >= 5)
+        .select(
+            "bigram",
+            "n_bg",
+            F.expr(
+                "ROUND(LN(CAST(n_bg AS DOUBLE) * n_total / (n_a * n_b)), 6)"
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+BIGRAM_COLLOCATIONS_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM toked WHERE len(toks) >= 2
+), bgc AS (
+  SELECT bigram, COUNT(*) AS n_bg FROM bg GROUP BY bigram
+), uni AS (
+  SELECT unnest(toks) AS tok FROM toked
+), unic AS (
+  SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY tok
+), tot AS (SELECT COUNT(*) AS n_total FROM uni)
+SELECT bigram, n_bg,
+       ROUND(LN(CAST(n_bg AS DOUBLE) * n_total / (ua.n_tok * ub.n_tok)), 6) AS pmi
+FROM bgc
+CROSS JOIN tot
+JOIN unic ua ON ua.tok = split_part(bigram, ' ', 1)
+JOIN unic ub ON ub.tok = split_part(bigram, ' ', 2)
+WHERE n_bg >= 5
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""

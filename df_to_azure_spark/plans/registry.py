@@ -171,6 +171,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "winnow_neardup_pairs": QuerySpec(
         PL.winnow_neardup_pairs, PL.WINNOW_PAIRS_ORACLE
     ),
+    "bigram_collocations": QuerySpec(
+        PL.bigram_collocations, PL.BIGRAM_COLLOCATIONS_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),

@@ -49,6 +49,7 @@ BOUNDED_BROADCAST_VARS = {
     "total_value",  # 1-row global aggregate (q11 fraction-of-total threshold)
     "event_types",  # distinct event_type — bounded by the type domain (~5)
     "n_docs",  # 1-row global aggregate (doc_tfidf_terms corpus count)
+    "totals",  # 1-row global aggregate (bigram_collocations token total)
 }
 
 
