@@ -169,7 +169,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL.doc_winnowing_fingerprints, PL.DOC_WINNOWING_ORACLE
     ),
     "winnow_neardup_pairs": QuerySpec(
-        PL.winnow_neardup_pairs, PL.WINNOW_PAIRS_ORACLE
+        PL.winnow_neardup_pairs, PL.WINNOW_PAIRS_ORACLE, headline=True
     ),
     "bigram_collocations": QuerySpec(
         PL.bigram_collocations, PL.BIGRAM_COLLOCATIONS_ORACLE
