@@ -816,3 +816,95 @@ WHERE n_bg >= 5
 ORDER BY pmi DESC, bigram
 LIMIT 20
 """
+
+
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration of k-means over the embedding
+    table (K=8, seeds = vectors 0..7): assign every vector to its
+    nearest centroid by squared L2, then recompute per-cluster means —
+    the building block users loop for clustering / IVF coarse training.
+
+    Engine-exactness: squared dim differences are computed in DOUBLE
+    (row-local, order-free) but SUMMED as DECIMAL(28,12) — decimal
+    aggregation is exact, so neither the distance nor the mean depends
+    on partial-aggregation order, and argmin ties break on centroid id.
+    That makes an ITERATIVE numeric algorithm hash-checkable, the same
+    trick as the exact-decimal TPC-H policy.
+
+    Plan: dims are exploded once per side; the 8×64 centroid frame is a
+    broadcast; distance = one shuffle on (vec, centroid) — at 100 TB
+    the assignment is a map-side broadcast join + partial agg, and the
+    recompute shuffles |K|·|dim| cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims_v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("i0", "cx")
+    ).select(
+        "cid",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.col("cx").cast("double").alias("cx"),
+    )
+    dist = (
+        dims_v.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.expr(
+                "SUM(CAST((x - cx) * (x - cx) AS DECIMAL(28,12)))"
+            ).alias("d")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    assign = (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    return (
+        dims_v.join(assign, "vec_id")
+        .groupBy("cid", "i")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("mean_x"),
+        )
+    )
+
+
+KMEANS_STEP_ORACLE = """
+WITH dims_v AS (
+  SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+  FROM (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'i': i, 'x': embedding[i]})) AS u
+        FROM embeddings)
+), cent AS (
+  SELECT vec_id AS cid, u.i AS i, CAST(u.x AS DOUBLE) AS cx
+  FROM (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'i': i, 'x': embedding[i]})) AS u
+        FROM embeddings WHERE vec_id < 8)
+), dist AS (
+  SELECT vec_id, cid, SUM(CAST((x - cx) * (x - cx) AS DECIMAL(28,12))) AS d
+  FROM dims_v JOIN cent USING (i)
+  GROUP BY vec_id, cid
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+    FROM dist)
+  WHERE rk = 1
+)
+SELECT cid, i, COUNT(*) AS n_members,
+       ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_x
+FROM dims_v JOIN assign USING (vec_id)
+GROUP BY cid, i
+"""

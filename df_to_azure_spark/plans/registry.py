@@ -174,6 +174,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bigram_collocations": QuerySpec(
         PL.bigram_collocations, PL.BIGRAM_COLLOCATIONS_ORACLE
     ),
+    "kmeans_step": QuerySpec(PL.kmeans_step, PL.KMEANS_STEP_ORACLE),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),

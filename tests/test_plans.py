@@ -50,6 +50,7 @@ BOUNDED_BROADCAST_VARS = {
     "event_types",  # distinct event_type — bounded by the type domain (~5)
     "n_docs",  # 1-row global aggregate (doc_tfidf_terms corpus count)
     "totals",  # 1-row global aggregate (bigram_collocations token total)
+    "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
 }
 
 
