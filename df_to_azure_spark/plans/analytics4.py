@@ -572,3 +572,53 @@ SELECT cohort_week,
 FROM act JOIN first USING (user_id)
 GROUP BY 1, 2
 """
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user — the
+    time-series mean that weights each reading by how long it was the
+    current one (sensor/metric semantics), not the naive row mean.
+
+    Plan: one window (lead of the epoch-microsecond timestamp) on the
+    user key, then a plain aggregate.  Exactness: durations are integer
+    microseconds, values are cast to exact DECIMAL(18,6) before the
+    weighted sum, so the aggregate is order-independent and the single
+    double division happens once, at output.  Deterministic ordering tie
+    break on event_id for equal timestamps."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("t_us", F.expr("unix_micros(ts)"))
+        .withColumn("next_us", F.lead("t_us").over(w))
+        .where(F.col("next_us").isNotNull())
+        .select(
+            "user_id",
+            (F.col("next_us") - F.col("t_us")).alias("dur_us"),
+            F.expr("CAST(value AS DECIMAL(18,6))").alias("v"),
+        )
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.expr("CAST(SUM(dur_us) AS BIGINT)").alias("total_dur_us"),
+        F.expr(
+            "ROUND(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)"
+        ).alias("twa_value"),
+    )
+
+
+TWA_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       ROUND(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
+         AS twa_value
+FROM seq WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""

@@ -908,3 +908,78 @@ SELECT cid, i, COUNT(*) AS n_members,
 FROM dims_v JOIN assign USING (vec_id)
 GROUP BY cid, i
 """
+
+
+def label_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation by nearest-prototype classification:
+    build the per-label mean vector (class prototype), assign every
+    vector to its nearest prototype by squared L2, and report the
+    confusion counts (true label × predicted label).  The diagonal mass
+    is the label separability of the embedding space — the standard
+    cheap probe before spending on a trained classifier.
+
+    Same engine-exactness contract as ``kmeans_step``: per-dim work in
+    DOUBLE (row-local), every aggregate in exact DECIMAL, argmin ties on
+    the label id.  The prototype frame is |labels|·|dims| cells —
+    bounded by the label domain, hence broadcastable at any data size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    proto = (
+        dims.groupBy(F.col("label").alias("plabel"), F.col("i"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+            ).alias("m")
+        )
+    )
+    dist = (
+        dims.join(F.broadcast(proto), "i")
+        .groupBy("vec_id", "label", "plabel")
+        .agg(F.expr("SUM(CAST((x - m) * (x - m) AS DECIMAL(28,12)))").alias("d"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("plabel"))
+    pred = (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return pred.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("plabel").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+LABEL_CONFUSION_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label, u.i AS i, CAST(u.x AS DOUBLE) AS x
+  FROM (SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'i': i, 'x': embedding[i]})) AS u
+        FROM embeddings)
+), proto AS (
+  SELECT label AS plabel, i,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM dims GROUP BY label, i
+), dist AS (
+  SELECT vec_id, label, plabel,
+         SUM(CAST((x - m) * (x - m) AS DECIMAL(28,12))) AS d
+  FROM dims JOIN proto USING (i)
+  GROUP BY vec_id, label, plabel
+), pred AS (
+  SELECT vec_id, label, plabel FROM (
+    SELECT vec_id, label, plabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, plabel ASC) AS rk
+    FROM dist)
+  WHERE rk = 1
+)
+SELECT label AS true_label, plabel AS predicted_label, COUNT(*) AS n_vectors
+FROM pred GROUP BY label, plabel
+"""

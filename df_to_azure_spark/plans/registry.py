@@ -175,6 +175,9 @@ REGISTRY: dict[str, QuerySpec] = {
         PL.bigram_collocations, PL.BIGRAM_COLLOCATIONS_ORACLE
     ),
     "kmeans_step": QuerySpec(PL.kmeans_step, PL.KMEANS_STEP_ORACLE),
+    "label_prototype_confusion": QuerySpec(
+        PL.label_prototype_confusion, PL.LABEL_CONFUSION_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
@@ -243,6 +246,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_value_ffill": QuerySpec(A4.events_value_ffill, A4.FFILL_ORACLE),
     "user_retention_cohorts": QuerySpec(
         A4.user_retention_cohorts, A4.RETENTION_ORACLE
+    ),
+    "events_time_weighted_avg": QuerySpec(
+        A4.events_time_weighted_avg, A4.TWA_ORACLE
     ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
