@@ -622,3 +622,49 @@ SELECT user_id, COUNT(*) AS n_intervals,
 FROM seq WHERE dur_us IS NOT NULL
 GROUP BY user_id
 """
+
+def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and probabilities of event_type → next event_type
+    — the sequence statistic behind session modeling and next-event
+    prediction features.
+
+    Plan: one lead() window on the user key (tie-broken on event_id for
+    determinism), then an aggregate on the bounded type×type domain; the
+    row-probability denominator rides a second window over the ≤|types|²
+    aggregate, not the raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("to_type", F.lead("event_type").over(w)).where(
+        F.col("to_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)").alias(
+            "p"
+        ),
+    )
+
+
+TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+"""

@@ -983,3 +983,77 @@ WITH dims AS (
 SELECT label AS true_label, plabel AS predicted_label, COUNT(*) AS n_vectors
 FROM pred GROUP BY label, plabel
 """
+
+
+def split_neardup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/eval contamination: pairs of documents in different
+    splits that share ≥3 winnowing fingerprints — catching the near-dup
+    leakage that exact-hash decontamination (``split_contamination``)
+    misses, the way production corpus prep actually decontaminates
+    benchmarks.  Composition of three tested operators: hash split
+    (md5-bucket) × winnowing fingerprints × posting-list join, with the
+    same hot-fp cap contract as ``winnow_neardup_pairs``.
+
+    Plan: fingerprint explode (window per doc) → split label join is a
+    column expression (no extra shuffle — split is a pure function of
+    doc_id) → posting self-join on the fingerprint restricted to
+    train×non-train, count per pair."""
+    from df_to_azure_spark.functions.dedup import winnow_fingerprints
+    from df_to_azure_spark.functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", shingle_n=3, window=4)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df_fp"))
+        .where(F.col("df_fp") > 1000)
+        .select("fp")
+    )
+    fps = fps.join(hot, "fp", "left_anti").withColumn(
+        "is_train", hash_bucket(F.col("doc_id"), 100) < 80
+    )
+    train = fps.where("is_train").select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    eval_ = fps.where(~F.col("is_train")).select(
+        F.col("doc_id").alias("eval_doc"), "fp"
+    )
+    return (
+        train.join(eval_, "fp")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+SPLIT_NEARDUP_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> {{'pos': i,
+                 'h': ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT}}
+         )) AS u
+  FROM toked WHERE len(toks) > 0
+), win AS (
+  SELECT doc_id, u.pos AS pos,
+         MIN(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         MAX(u.pos) OVER (PARTITION BY doc_id) AS mx
+  FROM sh
+), fps0 AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
+), fps AS (
+  SELECT doc_id, fp,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80
+           AS is_train
+  FROM fps0
+  WHERE fp NOT IN (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > 1000)
+)
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+FROM fps t JOIN fps e ON t.fp = e.fp AND t.is_train AND NOT e.is_train
+GROUP BY t.doc_id, e.doc_id
+HAVING COUNT(*) >= 3
+"""

@@ -178,6 +178,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "label_prototype_confusion": QuerySpec(
         PL.label_prototype_confusion, PL.LABEL_CONFUSION_ORACLE
     ),
+    "split_neardup_contamination": QuerySpec(
+        PL.split_neardup_contamination, PL.SPLIT_NEARDUP_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
@@ -249,6 +252,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_time_weighted_avg": QuerySpec(
         A4.events_time_weighted_avg, A4.TWA_ORACLE
+    ),
+    "user_event_transitions": QuerySpec(
+        A4.user_event_transitions, A4.TRANSITIONS_ORACLE
     ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
