@@ -668,3 +668,121 @@ SELECT from_type, to_type, n,
        ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
 FROM counts
 """
+
+def order_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals — the data-profiling
+    binning that adapts to the distribution, unlike the fixed-width
+    ``events_value_histogram``.
+
+    Scale-safe formulation: NOT a global ``ntile`` (a single-partition
+    window sort of the whole table); instead the 9 interior boundaries
+    come from ``percentile_disc`` — one aggregate — and the bucket id is
+    a flat comparison sum against the broadcast 1-row boundary frame.
+    ``percentile_disc`` returns ACTUAL data values (exact DECIMAL cents,
+    no interpolation), so cross-engine bucket edges are bit-identical —
+    interpolated ``percentile_cont`` boundaries would round differently
+    than the data they are compared against."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = "CAST(o_totalprice AS DECIMAL(18,2))"
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = orders.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {v})").alias(
+                f"b{int(p * 10)}"
+            )
+            for p in qs
+        ]
+    )
+    bucket = sum(
+        F.when(F.expr(f"{v} > b{i}"), 1).otherwise(0) for i in range(1, 10)
+    ) + F.lit(1)
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("long").alias("decile"), F.expr(f"{v}").alias("p"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(MIN(p) AS DOUBLE)").alias("lo"),
+            F.expr("CAST(MAX(p) AS DOUBLE)").alias("hi"),
+        )
+    )
+
+
+EQUIDEPTH_ORACLE = """
+WITH bounds AS (
+  SELECT quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.1) AS b1,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.2) AS b2,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.3) AS b3,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.4) AS b4,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5) AS b5,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.6) AS b6,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.7) AS b7,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.8) AS b8,
+         quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9) AS b9
+  FROM orders
+)
+SELECT CAST(1 + (p > b1)::INT + (p > b2)::INT + (p > b3)::INT + (p > b4)::INT
+          + (p > b5)::INT + (p > b6)::INT + (p > b7)::INT + (p > b8)::INT
+          + (p > b9)::INT AS BIGINT) AS decile,
+       COUNT(*) AS n_orders,
+       CAST(MIN(p) AS DOUBLE) AS lo,
+       CAST(MAX(p) AS DOUBLE) AS hi
+FROM (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: per user, the time from the
+    FIRST view to the first purchase AFTER it; reported as conversion
+    counts plus exact p50/p90 latency.  The percentiles run on integer
+    microseconds via ``percentile_disc`` (actual data values — exact and
+    engine-identical; a continuous percentile would interpolate doubles).
+    Plan: two key-only aggregates on user_id + one join — no windows over
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.expr("MIN(unix_micros(ts))").alias("view_us"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("unix_micros(ts)").alias("p_us")
+    )
+    conv = (
+        purch.join(first_view, "user_id")
+        .where(F.col("p_us") > F.col("view_us"))
+        .groupBy("user_id", "view_us")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+        .select((F.col("first_purchase_us") - F.col("view_us")).alias("lat_us"))
+    )
+    n_viewers = first_view.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us) AS BIGINT)"
+        ).alias("p50_latency_us"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us) AS BIGINT)"
+        ).alias("p90_latency_us"),
+    ).crossJoin(F.broadcast(n_viewers))
+
+
+FUNNEL_LATENCY_ORACLE = """
+WITH first_view AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, MIN(epoch_us(ts)) - ANY_VALUE(view_us) AS lat_us
+  FROM events e JOIN first_view fv
+    ON e.user_id = fv.user_id AND epoch_us(e.ts) > fv.view_us
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       quantile_disc(lat_us, 0.5) AS p50_latency_us,
+       quantile_disc(lat_us, 0.9) AS p90_latency_us,
+       (SELECT COUNT(*) FROM first_view) AS n_viewers
+FROM conv
+"""

@@ -551,8 +551,10 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", shingle_n=3, window=4)
 
 
-DOC_WINNOWING_ORACLE = f"""
-WITH toked AS (
+# Shared winnowing-fingerprint CTE prefix (through `fps0` = distinct
+# (doc_id, fp)) — the oracle twin of ``dedup.winnow_fingerprints`` with
+# shingle_n=3, window=4, reused by every winnowing-based oracle below.
+_WINNOW_FPS_CTE = f"""toked AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -568,8 +570,14 @@ WITH toked AS (
                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
          MAX(u.pos) OVER (PARTITION BY doc_id) AS mx
   FROM sh
-)
-SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
+), fps0 AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
+)"""
+
+
+DOC_WINNOWING_ORACLE = f"""
+WITH {_WINNOW_FPS_CTE}
+SELECT doc_id, fp FROM fps0
 """
 
 
@@ -589,25 +597,7 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_PAIRS_ORACLE = f"""
-WITH toked AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
-), sh AS (
-  SELECT doc_id,
-         unnest(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> {{'pos': i,
-                 'h': ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT}}
-         )) AS u
-  FROM toked WHERE len(toks) > 0
-), win AS (
-  SELECT doc_id, u.pos AS pos,
-         MIN(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         MAX(u.pos) OVER (PARTITION BY doc_id) AS mx
-  FROM sh
-), fps0 AS (
-  SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
-), fps AS (
+WITH {_WINNOW_FPS_CTE}, fps AS (
   SELECT doc_id, fp FROM fps0
   WHERE fp NOT IN (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > 1000)
 ), sizes AS (
@@ -1027,25 +1017,7 @@ def split_neardup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPLIT_NEARDUP_ORACLE = f"""
-WITH toked AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
-), sh AS (
-  SELECT doc_id,
-         unnest(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> {{'pos': i,
-                 'h': ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT}}
-         )) AS u
-  FROM toked WHERE len(toks) > 0
-), win AS (
-  SELECT doc_id, u.pos AS pos,
-         MIN(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         MAX(u.pos) OVER (PARTITION BY doc_id) AS mx
-  FROM sh
-), fps0 AS (
-  SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(mx - 3, 1)
-), fps AS (
+WITH {_WINNOW_FPS_CTE}, fps AS (
   SELECT doc_id, fp,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80
            AS is_train
@@ -1056,4 +1028,50 @@ SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
 FROM fps t JOIN fps e ON t.fp = e.fp AND t.is_train AND NOT e.is_train
 GROUP BY t.doc_id, e.doc_id
 HAVING COUNT(*) >= 3
+"""
+
+
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the winnowing near-dup graph — the health
+    probe run before clustering: a heavy tail (one node matching
+    thousands) means boilerplate is about to glue unrelated documents
+    into one giant dedup cluster, and the caps need tightening BEFORE
+    ``connected_components`` runs.  Plan: pairs → explode both endpoints
+    → degree per node → histogram on the (tiny) degree domain."""
+    from df_to_azure_spark.functions.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = winnow_overlap_pairs(
+        docs, "text", "doc_id", shingle_n=3, window=4, threshold=0.2,
+        hot_fp_cap=1000,
+    )
+    ends = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+DEGREE_HISTOGRAM_ORACLE = f"""
+WITH {_WINNOW_FPS_CTE}, fps AS (
+  SELECT doc_id, fp FROM fps0
+  WHERE fp NOT IN (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > 1000)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) /
+              CAST(sa.sz + sb.sz - n_shared AS DOUBLE), 6) >= 0.2
+), deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs)
+  GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
 """

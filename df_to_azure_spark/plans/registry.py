@@ -181,6 +181,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "split_neardup_contamination": QuerySpec(
         PL.split_neardup_contamination, PL.SPLIT_NEARDUP_ORACLE
     ),
+    "neardup_degree_histogram": QuerySpec(
+        PL.neardup_degree_histogram, PL.DEGREE_HISTOGRAM_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),
@@ -255,6 +258,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "user_event_transitions": QuerySpec(
         A4.user_event_transitions, A4.TRANSITIONS_ORACLE
+    ),
+    "order_price_equidepth": QuerySpec(
+        A4.order_price_equidepth, A4.EQUIDEPTH_ORACLE
+    ),
+    "funnel_conversion_latency": QuerySpec(
+        A4.funnel_conversion_latency, A4.FUNNEL_LATENCY_ORACLE
     ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
