@@ -786,3 +786,58 @@ SELECT COUNT(*) AS n_converted,
        (SELECT COUNT(*) FROM first_view) AS n_viewers
 FROM conv
 """
+
+def customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: customers in the SAME nation
+    whose names are within Levenshtein distance 2, reported as a
+    per-(nation, distance) histogram.  The classic fuzzy-dedup shape:
+    BLOCK on a stable attribute (nation), prune candidates with a cheap
+    length filter, run the expensive edit distance only inside blocks —
+    never all-pairs.  Both engines implement unit-cost Levenshtein, so
+    the histogram is exactly oracle-checked.
+
+    Scale: block sizes are |customers|/|nations|; the quadratic term is
+    per-block, and the length pre-filter (|len_a − len_b| ≤ 2 is a
+    necessary condition for distance ≤ 2) cuts candidates before any
+    distance is computed.  A skewed block (one giant nation) would call
+    for sub-blocking on a name prefix — the same salting idea as
+    ``salted_join``."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, "nk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 2)
+    )
+    return pairs.groupBy(F.col("nk").alias("nationkey"), "dist").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+FUZZY_NAME_ORACLE = """
+SELECT a.c_nationkey AS nationkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+       COUNT(*) AS n_pairs
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 2
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY 1, 2
+"""

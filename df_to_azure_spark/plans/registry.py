@@ -265,6 +265,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "funnel_conversion_latency": QuerySpec(
         A4.funnel_conversion_latency, A4.FUNNEL_LATENCY_ORACLE
     ),
+    "customer_fuzzy_name_pairs": QuerySpec(
+        A4.customer_fuzzy_name_pairs, A4.FUZZY_NAME_ORACLE
+    ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
