@@ -110,3 +110,29 @@ def stratified_sample(
         rate = F.when(cond, int(pct)) if rate is None else rate.when(cond, int(pct))
     rate = F.lit(default_pct) if rate is None else rate.otherwise(default_pct)
     return df.where(_bucket(F.col(id_col)) < rate)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic k-row sample per group: rank rows inside each group
+    by their md5 hash (a stable pseudo-random order — same winners every
+    run, any cluster) and keep the first ``k``.  The distributed
+    replacement for per-group reservoir sampling: one shuffle on the
+    group key, no RNG state, and a row's fate never depends on
+    partitioning or arrival order.  Tie-break on the id keeps even
+    hash-colliding rows deterministic."""
+    from pyspark.sql import Window as W
+
+    c = F.col(id_col)
+    w = W.partitionBy(group_col).orderBy(
+        F.md5(c.cast("string")), c
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

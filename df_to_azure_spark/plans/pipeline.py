@@ -1075,3 +1075,28 @@ WITH {_WINNOW_FPS_CTE}, fps AS (
 )
 SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
 """
+
+
+def doc_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-stratum sample: exactly 3 documents per language,
+    chosen by deterministic hash order (``sample_k_per_group``) — the
+    "show me a few examples of every class" primitive, reproducible on
+    any engine or cluster.  One shuffle on the group key; rank state is
+    O(1) per group."""
+    from df_to_azure_spark.functions.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "doc_id", "lang", 3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DOC_SAMPLE_K_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM (SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+WHERE rk <= 3
+"""

@@ -184,6 +184,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "neardup_degree_histogram": QuerySpec(
         PL.neardup_degree_histogram, PL.DEGREE_HISTOGRAM_ORACLE
     ),
+    "doc_sample_k_per_lang": QuerySpec(
+        PL.doc_sample_k_per_lang, PL.DOC_SAMPLE_K_ORACLE
+    ),
     # --- analytics wave 2 ---
     "pivot_status_by_priority": QuerySpec(A2.pivot_status_by_priority, A2.PIVOT_ORACLE),
     "cube_part_stats": QuerySpec(A2.cube_part_stats, A2.CUBE_ORACLE),

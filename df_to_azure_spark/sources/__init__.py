@@ -4,7 +4,14 @@ from df_to_azure_spark.sources.tables import (
     load_table,
     load_tables,
     read_csv,
+    read_json,
     register_star_schema,
 )
 
-__all__ = ["load_table", "load_tables", "read_csv", "register_star_schema"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "register_star_schema",
+]

@@ -55,3 +55,20 @@ def register_star_schema(
 def read_csv(spark: SparkSession, path: str) -> DataFrame:
     """Reference fixture loader semantics: header row + inferred types."""
     return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source (one object per line — the streaming-friendly
+    layout Spark splits by line across tasks; multiline JSON documents
+    cannot be split and serialize the read).
+
+    Pass ``schema`` in production: schema inference costs a full extra
+    pass over the data, and at 100 TB an inferred schema can also drift
+    between runs as new keys appear — pinning it keeps the pipeline
+    deterministic.  Inference is the convenient default for fixtures."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -85,3 +85,17 @@ def test_register_star_schema_sql_passthrough(spark, sf_smoke):
     assert sum(r.n for r in out) == spark.table("orders").count()
     # nano-ts normalization applies through the view too
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_json_source_reads_lines_and_schema(spark, tmp_path):
+    from df_to_azure_spark.sources import read_json
+
+    p = tmp_path / "f.jsonl"
+    p.write_text('{"col_a": 1, "col_b": "x"}\n{"col_a": 2, "col_b": "y"}\n')
+    df = read_json(spark, str(p))
+    assert sorted(df.columns) == ["col_a", "col_b"]
+    assert df.count() == 2
+    # pinned schema skips the inference pass and wins on type control
+    typed = read_json(spark, str(p), "col_a INT, col_b STRING")
+    assert dict(typed.dtypes) == {"col_a": "int", "col_b": "string"}
+    assert {r.col_a for r in typed.collect()} == {1, 2}
