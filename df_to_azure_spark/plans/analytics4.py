@@ -841,3 +841,49 @@ JOIN customer b
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 GROUP BY 1, 2
 """
+
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value statistics: mean before and after
+    winsorizing at the exact p01/p99 — the standard tail-clipping that
+    keeps a few broken readings from dragging a metric.  Clip bounds
+    come from ``percentile_disc`` (actual data values, engine-exact;
+    see ``order_price_equidepth``); the bounded per-type frame joins
+    back broadcast-size, and both means aggregate as exact DECIMAL so
+    results are partition-order-independent."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    v = "CAST(value AS DECIMAL(18,6))"
+    bounds = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.expr(f"percentile_disc(0.01) WITHIN GROUP (ORDER BY {v})").alias("lo"),
+        F.expr(f"percentile_disc(0.99) WITHIN GROUP (ORDER BY {v})").alias("hi"),
+    )
+    clipped = ev.join(
+        F.broadcast(bounds), ev.event_type == bounds.et
+    ).select(
+        "event_type",
+        F.expr(v).alias("vd"),
+        F.expr(f"LEAST(GREATEST({v}, lo), hi)").alias("vw"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6)").alias("mean_raw"),
+        F.expr("ROUND(CAST(SUM(vw) AS DOUBLE) / COUNT(*), 6)").alias(
+            "mean_winsorized"
+        ),
+    )
+
+
+WINSORIZED_ORACLE = """
+WITH bounds AS (
+  SELECT event_type AS et,
+         quantile_disc(CAST(value AS DECIMAL(18,6)), 0.01) AS lo,
+         quantile_disc(CAST(value AS DECIMAL(18,6)), 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_raw,
+       ROUND(CAST(SUM(LEAST(GREATEST(CAST(value AS DECIMAL(18,6)), lo), hi))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
+FROM events JOIN bounds ON event_type = et
+GROUP BY event_type
+"""

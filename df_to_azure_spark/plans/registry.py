@@ -271,6 +271,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "customer_fuzzy_name_pairs": QuerySpec(
         A4.customer_fuzzy_name_pairs, A4.FUZZY_NAME_ORACLE
     ),
+    "winsorized_event_stats": QuerySpec(
+        A4.winsorized_event_stats, A4.WINSORIZED_ORACLE
+    ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),

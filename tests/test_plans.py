@@ -52,7 +52,7 @@ BOUNDED_BROADCAST_VARS = {
     "totals",  # 1-row global aggregate (bigram_collocations token total)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
-    "bounds",  # 1-row decile-boundary aggregate (order_price_equidepth)
+    "bounds",  # per-type clip/decile boundaries — bounded by the type domain
     "n_viewers",  # 1-row global aggregate (funnel_conversion_latency)
 }
 
