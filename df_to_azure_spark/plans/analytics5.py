@@ -1,0 +1,201 @@
+"""Fifth analytics wave — exact-arithmetic statistics over the star
+schema: per-nation OLS revenue trend from closed-form sums, per-user
+event-mix Shannon entropy, and a chi-square independence test between
+order priority and status.
+
+Numeric policy: every floating-point result derives from EXACT integer
+or decimal sums computed distributively (one shuffle per groupBy), with
+the float expression applied once per OUTPUT row in the final
+projection and rounded to 6 places.  That keeps results
+partition-order-independent — the only fp ops happen after aggregation,
+on values that are bit-identical across engines — which is what lets
+DuckDB hash-match these queries exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from df_to_azure_spark.sources import load_table
+
+
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordinary-least-squares trend of order value over time:
+    slope (price units per day) and intercept of ``o_totalprice``
+    regressed on order date, from the closed-form normal equations.
+
+    Spark ships ``regr_slope``/``regr_intercept``, but those aggregate
+    doubles and are partition-order-dependent; instead the five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy) are aggregated EXACTLY
+    (BIGINT / DECIMAL) in one map-side-combinable pass, and the slope
+    is a single double expression over them.  x is centred on
+    1995-01-01 so the decimal sums stay small enough that the final
+    decimal→double casts are exact.
+
+    Scale: orders⋈customer shuffles on custkey (both scale — no static
+    hint, AQE picks the strategy); nation (25 rows) is the only
+    broadcast.  The agg is 25-group, map-side combined: one narrow
+    shuffle of 5 numbers per nation per task.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").alias("y"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    sums = (
+        orders.join(cust, "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("SUM(x)").alias("sx"),
+            F.expr("SUM(y)").alias("sy"),
+            F.expr("SUM(x * x)").alias("sxx"),
+            F.expr("SUM(CAST(x AS DECIMAL(10,0)) * y)").alias("sxy"),
+        )
+    )
+    # all-double arithmetic, identical op order on both sides
+    num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    den = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    inum = "(CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
+    return sums.select(
+        "n_name",
+        F.col("n").alias("n_orders"),
+        F.expr(f"ROUND({num} / {den}, 6)").alias("slope_per_day"),
+        F.expr(f"ROUND({inum} / {den}, 6)").alias("intercept"),
+    )
+
+
+NATION_TREND_ORACLE = """
+WITH pts AS (
+  SELECT n_name,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+), sums AS (
+  SELECT n_name, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(x AS DECIMAL(10,0)) * y) AS sxy
+  FROM pts GROUP BY n_name
+)
+SELECT n_name, n AS n_orders,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS intercept
+FROM sums
+"""
+
+
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (nats) of the event-type mix — the
+    standard behavioural-diversity / bot-detection feature (a user who
+    only ever fires one event type scores 0).
+
+    Uses the factored form H = ln(n) − (Σ c·ln c)/n so one
+    (user, type) count pass plus one per-user pass suffice — no
+    join-back of totals.  Both aggregations are map-side combinable;
+    the ≤|type-domain| float terms per user are summed post-shuffle
+    within one group, and ROUND(6) absorbs the sub-1e-12 ordering
+    noise.  Scale: shuffles on user_id — the natural key; skewed power
+    users are bounded by the type domain (≤5 rows per user after the
+    first agg).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("user_id").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            "ROUND(LN(CAST(SUM(c) AS DOUBLE))"
+            " - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))"
+            " / CAST(SUM(c) AS DOUBLE), 6)"
+        ).alias("entropy_nats"),
+    )
+
+
+USER_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events, COUNT(*) AS n_types,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+             / CAST(SUM(c) AS DOUBLE), 6) AS entropy_nats
+FROM c GROUP BY user_id
+"""
+
+
+def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between ``o_orderpriority`` and
+    ``o_orderstatus``: Σ (observed − expected)²/expected over the
+    contingency table, with expected = row·col/grand marginals.
+
+    The full scan reduces to the ≤|priority|×|status| cell table first
+    (one map-side-combined shuffle); the three marginal windows then
+    run over that TINY frame — window-over-aggregate, not
+    window-over-fact, so the unpartitioned total-count window is a
+    few-row single task, fine at any scale.  dof comes from the
+    distinct level counts of the same cell frame.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = cells.select(
+        "c",
+        F.sum("c").over(W.partitionBy("o_orderpriority")).alias("rp"),
+        F.sum("c").over(W.partitionBy("o_orderstatus")).alias("cs"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    )
+    e = "(CAST(rp AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))"
+    term = f"((CAST(c AS DOUBLE) - {e}) * (CAST(c AS DOUBLE) - {e}) / {e})"
+    return m.agg(
+        F.expr(f"ROUND(SUM({term}), 6)").alias("chi2"),
+        F.expr(
+            "CAST((COUNT(DISTINCT o_orderpriority) - 1)"
+            " * (COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT)"
+        ).alias("dof"),
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_orders"),
+    )
+
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT c,
+         CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS rp,
+         CAST(SUM(c) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS cs,
+         CAST(SUM(c) OVER () AS BIGINT) AS n,
+         o_orderpriority, o_orderstatus
+  FROM cells
+)
+SELECT ROUND(SUM((CAST(c AS DOUBLE) - (CAST(rp AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * (CAST(c AS DOUBLE) - (CAST(rp AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(rp AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS chi2,
+       CAST((COUNT(DISTINCT o_orderpriority) - 1)
+            * (COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM m
+"""

@@ -15,6 +15,7 @@ from df_to_azure_spark.plans import analytics as A
 from df_to_azure_spark.plans import analytics2 as A2
 from df_to_azure_spark.plans import analytics3 as A3
 from df_to_azure_spark.plans import analytics4 as A4
+from df_to_azure_spark.plans import analytics5 as A5
 from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import pipeline as PL
 from df_to_azure_spark.plans import training_data as TD
@@ -129,6 +130,12 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.embedding_neardup_pairs_lsh, TD.NEARDUP_LSH_ORACLE
     ),
     "ivf_knn": QuerySpec(TD.ivf_knn, TD.IVF_KNN_ORACLE),
+    "dedup_cluster_representatives": QuerySpec(
+        TD.dedup_cluster_representatives, TD.CLUSTER_REPS_ORACLE
+    ),
+    "doc_length_weighted_sample": QuerySpec(
+        TD.doc_length_weighted_sample, TD.WEIGHTED_SAMPLE_ORACLE
+    ),
     "neardup_components": QuerySpec(
         TD.neardup_components, TD.NEARDUP_COMPONENTS_ORACLE, headline=True
     ),
@@ -273,6 +280,16 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "winsorized_event_stats": QuerySpec(
         A4.winsorized_event_stats, A4.WINSORIZED_ORACLE
+    ),
+    # --- statistics wave (exact sufficient statistics → one final float) ---
+    "nation_revenue_trend": QuerySpec(
+        A5.nation_revenue_trend, A5.NATION_TREND_ORACLE
+    ),
+    "user_event_entropy": QuerySpec(
+        A5.user_event_entropy, A5.USER_ENTROPY_ORACLE
+    ),
+    "priority_status_chi2": QuerySpec(
+        A5.priority_status_chi2, A5.CHI2_ORACLE
     ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),

@@ -548,8 +548,9 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-NEARDUP_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_neardup_bucket_cte()},
+# CTE block ending in comp(node, component) — shared by the components
+# query and the cluster-representative query built on top of it.
+_NEARDUP_COMP_CTES = f"""WITH RECURSIVE {_neardup_bucket_cte()},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -564,8 +565,106 @@ reach(node, lbl) AS (
   SELECT DISTINCT u, u FROM e
   UNION
   SELECT e.v, r.lbl FROM e JOIN reach r ON e.u = r.node
+),
+comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+)"""
+
+NEARDUP_COMPONENTS_ORACLE = f"""
+{_NEARDUP_COMP_CTES}
+SELECT node, component FROM comp
+"""
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP/DROP decision that follows dedup clustering: per
+    near-dup component, elect one canonical document (longest
+    ``n_chars``, ties to the smallest id — a deterministic,
+    engine-independent rule) and account for what deletion saves.
+
+    Scale: components ⋈ documents shuffles on doc id (both sides scale;
+    no hint).  The rank window partitions by component — near-dup
+    cluster sizes are bounded in practice (and capped upstream by the
+    LSH band width), so no skewed-window risk.  Output is one row per
+    CLUSTER, so the result shrinks with dedup rate, not corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    comp = neardup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    j = comp.join(docs, "node")
+    w = W.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("node"))
+    ranked = j.select("component", "node", "n_chars", F.row_number().over(w).alias("rk"))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.expr("MAX(CASE WHEN rk = 1 THEN node END)").alias("rep_doc_id"),
+        F.expr("MAX(CASE WHEN rk = 1 THEN n_chars END)").alias("rep_n_chars"),
+        F.expr("CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)").alias(
+            "chars_dropped"
+        ),
+    )
+
+
+CLUSTER_REPS_ORACLE = f"""
+{_NEARDUP_COMP_CTES},
+j AS (
+  SELECT c.component, c.node, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+), r AS (
+  SELECT component, node, n_chars,
+         row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, node) AS rk
+  FROM j
 )
-SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+SELECT component, COUNT(*) AS cluster_size,
+       MAX(CASE WHEN rk = 1 THEN node END) AS rep_doc_id,
+       MAX(CASE WHEN rk = 1 THEN n_chars END) AS rep_n_chars,
+       CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+FROM r GROUP BY component
+"""
+
+
+def doc_length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each document
+    with probability proportional to its length (p = n_chars / max),
+    decided by the document's own md5 draw — the importance-sampling
+    primitive for token-budget-aware corpus downsampling, reproducible
+    run-to-run and engine-to-engine (same md5 → same keep set).
+
+    Scale: the 1-row max aggregate broadcasts; the keep decision is a
+    per-row filter (no shuffle, no coordination) that pushes past the
+    scan, then one map-side-combined per-lang rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.expr("MAX(n_chars)").alias("mx"))
+    u = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS DOUBLE)"
+        " / 4503599627370496.0"
+    )
+    p = "CAST(n_chars AS DOUBLE) / CAST(mx AS DOUBLE)"
+    picked = docs.crossJoin(F.broadcast(mx)).where(F.expr(f"{u} < {p}"))
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("chars_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
+picked AS (
+  SELECT d.lang, d.n_chars, d.doc_id
+  FROM documents d, m
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        / 4503599627370496.0
+        < CAST(n_chars AS DOUBLE) / CAST(mx AS DOUBLE)
+)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM picked GROUP BY lang
 """
 
 

@@ -54,6 +54,7 @@ BOUNDED_BROADCAST_VARS = {
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
     "bounds",  # per-type clip/decile boundaries — bounded by the type domain
     "n_viewers",  # 1-row global aggregate (funnel_conversion_latency)
+    "mx",  # 1-row global max aggregate (doc_length_weighted_sample)
 }
 
 
