@@ -19,14 +19,22 @@ SMOKE_DIR = "/root/testdata/sf0.001"
 
 
 def _configure(spark: SparkSession) -> SparkSession:
-    """Apply engine session settings on a driver-provided session (the
-    events table carries TIMESTAMP(NANOS) parquet; UTC keeps timestamps
-    oracle-comparable)."""
+    """Apply engine session settings on a driver-provided session.
+
+    UTC session tz keeps timestamps oracle-comparable regardless of the
+    events parquet's physical encoding (nanos-long / NTZ / TIMESTAMP —
+    the source loader normalizes all three, see ``sources/tables.py``).
+    ``ensure_package_on_workers`` ships the package zip so Python workers
+    can unpickle module-level Pandas-UDF functions even when the harness
+    runs from a cwd where ``df_to_azure_spark`` is not importable."""
+    from df_to_azure_spark.session import ensure_package_on_workers
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; sources handle both shapes
+    ensure_package_on_workers(spark)
     return spark
 
 

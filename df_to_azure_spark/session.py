@@ -18,6 +18,25 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _ensure_worker_import_path() -> None:
+    """Make this package importable inside Python WORKERS, not just the
+    driver.  Module-level Pandas-UDF functions (``applyInPandas``,
+    ``applyInPandasWithState``, ``mapInPandas``) are pickled by
+    *reference*, so every worker re-imports ``df_to_azure_spark`` — which
+    only works if the package root is on the worker's ``sys.path``.
+    Workers inherit ``PYTHONPATH`` from the JVM's environment, and in
+    local mode the JVM inherits ours, so exporting the path *before* the
+    JVM first launches covers any driver cwd.  On a real cluster ship the
+    package instead (``--py-files``/``spark.archives``); this keeps the
+    local path honest so a cwd change can't break stateful queries."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{root}{os.pathsep}{current}" if current else root
+        )
+
+
 def get_spark(
     app_name: str = "df_to_azure_spark",
     cpus: int | None = None,
@@ -31,6 +50,7 @@ def get_spark(
     which is enabled here and shrinks post-shuffle partitions at runtime).
     """
     cpus = cpus or DEFAULT_CPUS
+    _ensure_worker_import_path()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -53,3 +73,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Runtime counterpart of ``_ensure_worker_import_path`` for sessions
+    whose JVM is already running (e.g. a harness-provided session): zip
+    the package and ``addPyFile`` it, so Python workers can unpickle
+    module-referenced Pandas-UDF functions regardless of the driver's cwd
+    or environment.  Idempotent per SparkContext; the zip is rebuilt per
+    process into a stable temp path (addPyFile copies it immediately, so
+    later overwrites are safe)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_df_to_azure_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"df_to_azure_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    "df_to_azure_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._df_to_azure_spark_shipped = True

@@ -3,6 +3,7 @@
 from df_to_azure_spark.sources.tables import (
     load_table,
     load_tables,
+    normalize_ts_col,
     read_csv,
     read_json,
     register_star_schema,
@@ -11,6 +12,7 @@ from df_to_azure_spark.sources.tables import (
 __all__ = [
     "load_table",
     "load_tables",
+    "normalize_ts_col",
     "read_csv",
     "read_json",
     "register_star_schema",

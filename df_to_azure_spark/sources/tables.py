@@ -2,10 +2,22 @@
 
 S2 (CSV with header + inferred types, reference ``tests/__init__.py:24-36``)
 and the driver's parquet star schema.  One normalization is applied at the
-source: nanosecond parquet timestamps (which Spark reads only as raw longs
-under ``spark.sql.legacy.parquet.nanosAsLong``) are projected back to
-microsecond timestamps, matching what every other engine (DuckDB, Arrow)
-does on read — truncate toward negative infinity to micros.
+source: event timestamps are projected to session-zoned ``TIMESTAMP``
+(microsecond precision) regardless of how the parquet file physically
+encodes them.  Three physical shapes occur across environments:
+
+* ``TIMESTAMP(NANOS)`` parquet, which Spark reads only as a raw nanos
+  ``LongType`` under ``spark.sql.legacy.parquet.nanosAsLong`` — divide
+  to micros (truncate toward negative infinity, matching DuckDB/Arrow);
+* ``TIMESTAMP(MICROS, isAdjustedToUTC=false)``, which Spark 4 reads as
+  ``TIMESTAMP_NTZ`` — cast to ``TIMESTAMP`` (the session time zone is
+  pinned UTC in ``__spark_entry__._configure``, so the wall-clock values
+  denote the same instants and oracle hashes are unchanged);
+* plain ``TIMESTAMP`` — already the canonical shape, no-op.
+
+Normalizing here, once, is what keeps the five timestamp-arithmetic
+queries (sessionize, rolling windows, funnels) and the whole streaming
+family environment-independent.
 """
 
 from __future__ import annotations
@@ -14,15 +26,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# columns known to be TIMESTAMP(NANOS) in the driver's testdata
-_NANO_TS_COLUMNS = {"events": ["ts"]}
+# columns normalized to TIMESTAMP at the source, per table
+_EVENT_TS_COLUMNS = {"events": ["ts"]}
+
+
+def normalize_ts_col(df: DataFrame, col: str) -> DataFrame:
+    """Normalize one physical timestamp column to session-zoned
+    ``TIMESTAMP`` (micros).  Handles nanos-as-long, ``TIMESTAMP_NTZ``,
+    and plain ``TIMESTAMP`` identically across environments; raises on
+    any other dtype so a future encoding change fails loudly here, in
+    one place, instead of deep inside five different query plans."""
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # TIMESTAMP(NANOS) read as raw long
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dt, T.TimestampNTZType):  # micros, no tz (Spark 4 default read)
+        return df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise TypeError(
+        f"column {col!r} has unsupported timestamp encoding {dt.simpleString()}; "
+        "expected long (nanos), timestamp_ntz, or timestamp"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    for col in _NANO_TS_COLUMNS.get(name, []):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for col in _EVENT_TS_COLUMNS.get(name, []):
+        df = normalize_ts_col(df, col)
     return df
 
 

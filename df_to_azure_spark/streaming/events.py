@@ -13,35 +13,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_physical_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Probe the events file's PHYSICAL read schema via the batch reader.
 
-
-def _normalize_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    Streaming file sources require an explicit schema, and guessing it is
+    how environments drift silently: the same parquet reads as nanos-long,
+    ``TIMESTAMP_NTZ``, or ``TIMESTAMP`` depending on Spark version and
+    session confs.  Reading one footer batch-side (metadata only — no data
+    scan) guarantees the stream sees exactly what batch sees, so the same
+    ``normalize_ts_col`` applies to both and stream output is
+    byte-identical to the batch twin."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (schema must be
-    explicit for streaming reads; nanos ts normalized like the batch
-    source)."""
+    """File-source stream over the events parquet.  The physical schema is
+    probed from the batch reader and ``ts`` normalized with the same
+    source-level rule as the batch path (nanos-long / NTZ / TIMESTAMP →
+    session-zoned TIMESTAMP), then asserted equal to the normalized batch
+    schema — encoding drift fails loudly here, not as 1970-era dates six
+    queries downstream."""
+    from df_to_azure_spark.sources import load_table, normalize_ts_col
+
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(_events_physical_schema(spark, sf_dir))
         # the file source monitors a DIRECTORY; glob-filter to the events
         # file so sibling tables in the same dir are not picked up
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    return _normalize_ts(raw)
+    stream = normalize_ts_col(raw, "ts")
+    batch_schema = load_table(spark, sf_dir, "events").schema
+    assert stream.schema == batch_schema, (
+        f"normalized stream schema {stream.schema.simpleString()} != "
+        f"batch schema {batch_schema.simpleString()}"
+    )
+    return stream
 
 
 def windowed_counts_stream(
