@@ -317,6 +317,97 @@ class ParquetLake:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return len(touched)
 
+    def merge(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        when_matched: str | None = "update_all",
+        when_not_matched: str | None = "insert_all",
+    ) -> None:
+        """Lake-side MERGE with Delta ``whenMatched``/``whenNotMatched``
+        semantics (SURVEY §2.3 W3; reference ``db.py:20-53`` is the SQL
+        MERGE this mirrors on the lake target).
+
+        Modes (each may be None to skip that clause):
+        - ``when_matched="update_all"``: target rows whose key appears in
+          ``df`` are replaced column-for-column;
+        - ``when_not_matched="insert_all"``: ``df`` rows whose key is
+          absent from the target are inserted.
+        Both together are the classic upsert; insert-only gives
+        append-if-absent (idempotent ingestion); update-only applies a
+        correction without admitting new keys.
+
+        Engine selection: when the ``delta`` package is importable AND the
+        table directory is a Delta table, this routes to
+        ``DeltaTable.merge`` — a log-backed ACID commit, so concurrent
+        readers serialize against the transaction log and always see an
+        entire snapshot, before or after, with no failure window.
+        Otherwise (this container has no delta-spark) it falls back to the
+        same DataFrame algebra + snapshot-swap used by ``upsert``, whose
+        weaker-but-precise concurrency contract is documented on
+        ``_swap_in``.
+        """
+        if when_matched not in ("update_all", None):
+            raise WrongMethodError(f"unknown when_matched {when_matched!r}")
+        if when_not_matched not in ("insert_all", None):
+            raise WrongMethodError(f"unknown when_not_matched {when_not_matched!r}")
+        if when_matched is None and when_not_matched is None:
+            return  # no-op merge
+        ensure_unique_keys(df, keys)
+        if self._delta_merge(df, table, keys, when_matched, when_not_matched):
+            return
+        from df_to_azure_spark.operators.upsert import check_same_columns
+
+        existing = self.read(table)
+        check_same_columns(df, existing)
+        key_cols = [F.col(k) for k in keys]
+        new_keys = F.broadcast(df.select(*key_cols).dropDuplicates(keys))
+        if when_matched and when_not_matched:
+            merged = upsert_frames(df, existing, keys, check_keys=False)
+        elif when_matched:  # update-only: new-key rows in df are dropped
+            updates = df.join(
+                existing.select(*key_cols).dropDuplicates(keys), keys, "left_semi"
+            )
+            merged = updates.unionByName(existing.join(new_keys, keys, "left_anti"))
+        else:  # insert-only: matched df rows are dropped, target untouched
+            inserts = df.join(
+                existing.select(*key_cols).dropDuplicates(keys), keys, "left_anti"
+            )
+            merged = existing.unionByName(inserts)
+        parts = self.partition_columns(table)
+        self._swap_in(merged, table, partition_by=parts or None)
+
+    def _delta_merge(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        when_matched: str | None,
+        when_not_matched: str | None,
+    ) -> bool:
+        """Attempt the log-backed Delta MERGE; returns False when the
+        ``delta`` package is absent or the directory is not a Delta table
+        (no ``_delta_log``), in which case the caller falls back to the
+        snapshot-swap path.  Gated behind an import probe so environments
+        with delta-spark get real ACID merges with zero code change."""
+        try:
+            from delta.tables import DeltaTable  # type: ignore[import-not-found]
+        except ImportError:
+            return False
+        path = self.data_dir(table)
+        if not DeltaTable.isDeltaTable(self.spark, path):
+            return False
+        target = DeltaTable.forPath(self.spark, path)
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        builder = target.alias("t").merge(df.alias("s"), cond)
+        if when_matched:
+            builder = builder.whenMatchedUpdateAll()
+        if when_not_matched:
+            builder = builder.whenNotMatchedInsertAll()
+        builder.execute()
+        return True
+
     # -- snapshot swap ---------------------------------------------------
     def _swap_in(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
@@ -330,8 +421,21 @@ class ParquetLake:
         table exists on disk at every step: a crash leaves either the old
         data live, or the old data under ``.old-<ts>`` with the new
         snapshot orphaned-but-complete, or the new data live with a stale
-        ``.old-<ts>`` to garbage-collect.  (Delta/Iceberg close the
-        atomicity gap with a commit log; that is out of scope here.)
+        ``.old-<ts>`` to garbage-collect (``vacuum`` sweeps both orphan
+        kinds).
+
+        Concurrency contract (precise, and weaker than a commit log):
+        WRITERS must be externally serialized — two concurrent swaps can
+        interleave their renames and strand a snapshot.  READERS never see
+        a torn table — every visible ``data`` directory is a complete
+        snapshot, never a mix of two — but a reader that resolved the file
+        listing before the swap can fail mid-scan with a missing-file
+        error once the old snapshot directory is deleted, and on
+        eventually-consistent object stores list-after-rename can
+        transiently surface neither directory.  Delta/Iceberg close
+        exactly this gap with a transaction log (readers pin a log
+        version, old files are retained until vacuum); ``merge`` routes to
+        Delta when available for that reason.
         """
         ts = int(time.time() * 1000)
         tmp = f"{self.table_dir(table)}/.snapshot-{ts}"

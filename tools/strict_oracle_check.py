@@ -79,8 +79,14 @@ def check(name, spark_df, duck_rel) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from df_to_azure_spark.plans.registry import REGISTRY
     from df_to_azure_spark.session import get_spark
@@ -91,6 +97,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     passed, failed, rows_only = [], [], []
+    results: dict[str, dict] = {}
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
@@ -99,6 +106,7 @@ def main():
             if spec.oracle is None:
                 n = sdf.count()
                 rows_only.append(name)
+                results[name] = {"status": "rows_only", "rows": n}
                 print(f"  {name}: rows-only, {n} rows")
                 continue
             problems = check(name, sdf, con.sql(spec.oracle))
@@ -106,14 +114,31 @@ def main():
             problems = [f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"]
         if problems:
             failed.append(name)
+            results[name] = {"status": "FAIL", "problems": problems}
             print(f"FAIL {name}")
             for p in problems:
                 print(f"     {p}")
         else:
             passed.append(name)
+            results[name] = {"status": "ok"}
             print(f"  ok {name}")
 
     print(f"\n{len(passed)} passed, {len(failed)} FAILED, {len(rows_only)} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "passed": len(passed),
+                    "failed": len(failed),
+                    "rows_only": len(rows_only),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     sys.exit(1 if failed else 0)
 
 
