@@ -357,24 +357,12 @@ class ParquetLake:
         ensure_unique_keys(df, keys)
         if self._delta_merge(df, table, keys, when_matched, when_not_matched):
             return
-        from df_to_azure_spark.operators.upsert import check_same_columns
+        from df_to_azure_spark.operators.upsert import merge_frames
 
-        existing = self.read(table)
-        check_same_columns(df, existing)
-        key_cols = [F.col(k) for k in keys]
-        new_keys = F.broadcast(df.select(*key_cols).dropDuplicates(keys))
-        if when_matched and when_not_matched:
-            merged = upsert_frames(df, existing, keys, check_keys=False)
-        elif when_matched:  # update-only: new-key rows in df are dropped
-            updates = df.join(
-                existing.select(*key_cols).dropDuplicates(keys), keys, "left_semi"
-            )
-            merged = updates.unionByName(existing.join(new_keys, keys, "left_anti"))
-        else:  # insert-only: matched df rows are dropped, target untouched
-            inserts = df.join(
-                existing.select(*key_cols).dropDuplicates(keys), keys, "left_anti"
-            )
-            merged = existing.unionByName(inserts)
+        merged = merge_frames(
+            df, self.read(table), keys, when_matched, when_not_matched,
+            check_keys=False,
+        )
         parts = self.partition_columns(table)
         self._swap_in(merged, table, partition_by=parts or None)
 

@@ -94,6 +94,46 @@ class SqlSink:
                 if "exist" not in str(exc).lower():
                     raise
 
+    def sweep_staging(self, list_sql: str | None = None) -> list[str]:
+        """Garbage-collect ORPHANED staging tables (reference cleanup
+        suite, ``tests/test_zz_clean_up.py:6-41``): a crashed run can die
+        between staging write and the ``clean_staging`` drop, leaving
+        ``staging.{table}`` behind forever.  Lists every table in the
+        staging schema via the engine's catalog and drops each; returns
+        the dropped table names.
+
+        ``list_sql`` overrides the catalog query (one string column of
+        table names).  Defaults: INFORMATION_SCHEMA for T-SQL, the Derby
+        system catalog for ``dialect='ansi'`` (the live e2e engine here)
+        — other ANSI engines pass their own catalog query.  Run it from a
+        scheduler, not the hot path: a sweep while another run is mid-
+        upsert would drop that run's live staging table."""
+        if list_sql is None:
+            if self.dialect == "tsql":
+                list_sql = (
+                    "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES "
+                    "WHERE TABLE_SCHEMA = 'staging'"
+                )
+            else:
+                list_sql = (
+                    "SELECT t.TABLENAME FROM SYS.SYSTABLES t "
+                    "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+                    "WHERE s.SCHEMANAME = 'STAGING' AND t.TABLETYPE = 'T'"
+                )
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", list_sql)
+        )
+        for k, v in {**self.properties, **self.extra_options}.items():
+            reader = reader.option(k, v)
+        tables = [r[0] for r in reader.load().collect()]
+        dropped = []
+        for t in tables:
+            self.execute(merge_mod.drop_staging_statement(t, dialect=self.dialect))
+            dropped.append(t)
+        return dropped
+
     # -- write modes -----------------------------------------------------
     def write(
         self,

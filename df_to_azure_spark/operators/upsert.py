@@ -69,6 +69,43 @@ def upsert_frames(
     return out
 
 
+def merge_frames(
+    new: DataFrame,
+    existing: DataFrame,
+    keys: list[str],
+    when_matched: str | None = "update_all",
+    when_not_matched: str | None = "insert_all",
+    check_keys: bool = True,
+) -> DataFrame:
+    """MERGE algebra with Delta-style clause selection (SURVEY §2.3 W3):
+
+    - both clauses         → classic upsert (``upsert_frames``);
+    - ``update_all`` only  → matched target rows replaced, delta-only
+      keys DROPPED (a correction pass that admits no new rows);
+    - ``insert_all`` only  → target rows untouched, unmatched delta rows
+      appended (idempotent append-if-absent ingestion).
+
+    Shuffle shape: each branch is one semi/anti join on the key columns
+    plus a union — the delta's key set is the only thing joined against
+    the big side, so the target never carries payload through a shuffle
+    it doesn't need.  ``ParquetLake.merge`` materializes this through the
+    snapshot swap (or hands the clauses to Delta when available)."""
+    check_same_columns(new, existing)
+    if check_keys:
+        ensure_unique_keys(new, keys)
+    if when_matched and when_not_matched:
+        return upsert_frames(new, existing, keys, sort=False, check_keys=False)
+    existing_keys = existing.select(*keys).dropDuplicates(keys)
+    if when_matched:
+        updates = new.join(existing_keys, keys, "left_semi")
+        new_keys = F.broadcast(new.select(*keys).dropDuplicates(keys))
+        return updates.unionByName(existing.join(new_keys, keys, "left_anti"))
+    if when_not_matched:
+        inserts = new.join(existing_keys, keys, "left_anti")
+        return existing.unionByName(inserts)
+    return existing
+
+
 def upsert_frames_cell_level(
     new: DataFrame,
     existing: DataFrame,

@@ -95,6 +95,66 @@ WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.c_custkey = c.c_custkey)
 """
 
 
+def w3_merge_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 lake MERGE, whenMatched-only: matched customers replaced, the
+    delta's brand-new keys (the +1,000,000 clones) dropped, everyone else
+    untouched — a correction pass that admits no new rows."""
+    from df_to_azure_spark.operators.upsert import merge_frames
+
+    customer = load_table(spark, sf_dir, "customer")
+    return merge_frames(
+        _upsert_delta(customer), customer, ["c_custkey"],
+        when_matched="update_all", when_not_matched=None, check_keys=False,
+    )
+
+
+W3_UPDATE_ONLY_ORACLE = """
+WITH new AS (
+  SELECT c_custkey, 'upd_' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+         CAST(500.0 AS DOUBLE), c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT n.* FROM new n WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = n.c_custkey)
+UNION ALL
+SELECT c.* FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.c_custkey = c.c_custkey)
+"""
+
+
+def w3_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 lake MERGE, whenNotMatched-only: existing customers untouched
+    (the delta's updates are discarded), only genuinely new keys appended
+    — idempotent append-if-absent ingestion."""
+    from df_to_azure_spark.operators.upsert import merge_frames
+
+    customer = load_table(spark, sf_dir, "customer")
+    return merge_frames(
+        _upsert_delta(customer), customer, ["c_custkey"],
+        when_matched=None, when_not_matched="insert_all", check_keys=False,
+    )
+
+
+W3_INSERT_ONLY_ORACLE = """
+WITH new AS (
+  SELECT c_custkey, 'upd_' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+         CAST(500.0 AS DOUBLE), c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT * FROM customer
+UNION ALL
+SELECT n.* FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = n.c_custkey)
+"""
+
+
 def w4_upsert_cell_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """combine_first parity: NULL cells in the delta keep the old value."""
     supplier = load_table(spark, sf_dir, "supplier")

@@ -94,6 +94,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "w2_append_union": QuerySpec(P.w2_append_union, P.W2_ORACLE),
     "w4_upsert_lake": QuerySpec(P.w4_upsert_lake, P.W4_ORACLE, headline=True),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
+    "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
+    "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),
     "widening_scan": QuerySpec(P.widening_scan, P.WIDENING_ORACLE),
     "duplicate_key_probe": QuerySpec(P.duplicate_key_probe, P.DUP_KEY_ORACLE),
     "profile_customer": QuerySpec(P.profile_customer, P.PROFILE_ORACLE),

@@ -123,6 +123,23 @@ def test_stale_staging_is_harmless(spark, sink):
     assert back[1] == "u1" and back[3] == "x1"
 
 
+def test_sweep_staging_collects_orphans(spark, sink):
+    """The cleanup-suite analogue (reference test_zz_clean_up.py:6-41):
+    crashed-run leftovers in the staging schema are swept in one call;
+    target tables are untouched."""
+    sink.write(_sample(spark), "sweep_tgt", schema="dbo", method="create")
+    # simulate two crashed runs: staging tables written, never dropped
+    sink.create(_sample(spark), "orphan_a", schema="staging")
+    sink.create(_sample(spark), "orphan_b", schema="staging")
+    dropped = sink.sweep_staging()
+    assert {d.lower() for d in dropped} >= {"orphan_a", "orphan_b"}
+    for t in ("orphan_a", "orphan_b"):
+        with pytest.raises(Exception):
+            _read(sink, t, schema="staging").collect()
+    assert _read(sink, "sweep_tgt").count() == 3  # targets untouched
+    assert sink.sweep_staging() == []  # idempotent: nothing left
+
+
 def test_merge_failure_surfaces_as_upsert_error(spark, sink):
     """A MERGE that references columns missing from the target fails
     in-database and surfaces as UpsertError (reference db.py:65-73)."""
