@@ -1100,3 +1100,183 @@ FROM (SELECT doc_id, lang, source, n_chars,
       FROM documents)
 WHERE rk <= 3
 """
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document filter (Rae et al. 2021 §A1.1
+    heuristics), emitting each rule flag plus the final keep verdict so
+    a pipeline can audit WHY a document was rejected:
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10];
+    - symbol-to-word ratio ('#', '...') below 0.1;
+    - at most 90% of lines start with a bullet ('-' or '*');
+    - at least 2 distinct frequent English stopwords present.
+
+    Every signal is rational arithmetic over counts — no transcendentals
+    — so the result is bit-reproducible across engines and parallelism
+    (the property the whole oracle gate rests on).  Single scan, pure
+    codegen'd column expressions, no shuffle: at 100 TB this runs at
+    I/O speed and pipelines straight into the dedup/split stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = TXT.tokens("text")
+    n_words = F.size(t)
+    total_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_word_len = total_chars.cast("double") / n_words
+    n_hash = F.size(F.split("text", "#", -1)) - 1
+    n_ellipsis = F.size(F.split("text", r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.filter(F.split("text", "\n", -1), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike("^[-*]"))
+    )
+    gopher_stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_hits = F.size(
+        F.array_intersect(t, F.array(*[F.lit(s) for s in gopher_stops]))
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "ok_symbols": symbol_ratio < 0.1,
+        "ok_bullets": n_bullet.cast("double") <= 0.9 * n_lines.cast("double"),
+        "ok_stopwords": stop_hits >= 2,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+           AS mean_word_len,
+         CAST(len(regexp_split_to_array(text, '#')) - 1
+              + len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS DOUBLE)
+           / len(toks) AS symbol_ratio,
+         len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*]'))) AS n_bullet,
+         len(lines) AS n_lines,
+         len(list_intersect(toks,
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM base
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 4) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+       symbol_ratio < 0.1 AS ok_symbols,
+       CAST(n_bullet AS DOUBLE) <= 0.9 * CAST(n_lines AS DOUBLE) AS ok_bullets,
+       stop_hits >= 2 AS ok_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         AND (symbol_ratio < 0.1)
+         AND (CAST(n_bullet AS DOUBLE) <= 0.9 * CAST(n_lines AS DOUBLE))
+         AND (stop_hits >= 2) AS keep
+FROM m
+"""
+
+
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score — the CCNet/KenLM-style perplexity
+    filtering signal, made engine-exact: a float ``-log2 p(tok)`` sum is
+    order-dependent across parallelism (and ``log`` itself is not
+    correctly-rounded, so engines disagree in the last ulp), so the
+    surprisal is quantized to INTEGER BITS — ``bit_length(N div n_tok)``
+    is exactly ``floor(log2(N/n_tok)) + 1`` for the corpus-total N and
+    token count n_tok, computed in pure integer arithmetic that every
+    engine reproduces bit-for-bit.  High mean-surprisal docs are
+    OOV/junk-heavy; low ones are boilerplate.
+
+    Plan: token explode → vocab count (one shuffle with map-side
+    combine, bounded by |vocab| per task) → 1-row corpus total broadcast
+    → vocab join back (AQE broadcasts the vocab when small) → per-doc
+    agg.  No transcendentals, no UDFs, no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.length(F.bin(F.expr("n_total div n_tok"))).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6)").alias(
+            "mean_surprisal_bits"
+        ),
+        F.max("bits").cast("bigint").alias("max_surprisal_bits"),
+    )
+
+
+UNIGRAM_SURPRISAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+), total AS (
+  SELECT SUM(n_tok) AS n_total FROM vocab
+), scored AS (
+  SELECT doc_id, length(bin(CAST(n_total // n_tok AS BIGINT))) AS bits
+  FROM toks JOIN vocab USING (tok) CROSS JOIN total
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal_bits,
+       CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — which corpus sources copy from
+    each other: for every source pair, the number of distinct document
+    fingerprints present in BOTH.  The curation signal behind "drop
+    source B, it is 80% a mirror of A".
+
+    Inverted-index shape, never source×source×docs: distinct
+    (fingerprint, source) postings self-join on the fingerprint (a dup
+    group spans few sources, so posting lists are tiny), then one agg on
+    the source pair.  A fingerprint shared by k sources contributes
+    k·(k-1)/2 pairs — bounded by the source count, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        TXT.fingerprint("text").alias("fp"), F.col("source")
+    ).dropDuplicates(["fp", "source"])
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+SOURCE_OVERLAP_ORACLE = """
+WITH fps AS (
+  SELECT DISTINCT md5(text) AS fp, source FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""

@@ -193,6 +193,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "neardup_degree_histogram": QuerySpec(
         PL.neardup_degree_histogram, PL.DEGREE_HISTOGRAM_ORACLE
     ),
+    "gopher_quality_filter": QuerySpec(
+        PL.gopher_quality_filter, PL.GOPHER_ORACLE
+    ),
+    "doc_unigram_surprisal": QuerySpec(
+        PL.doc_unigram_surprisal, PL.UNIGRAM_SURPRISAL_ORACLE
+    ),
+    "source_overlap_matrix": QuerySpec(
+        PL.source_overlap_matrix, PL.SOURCE_OVERLAP_ORACLE
+    ),
     "doc_sample_k_per_lang": QuerySpec(
         PL.doc_sample_k_per_lang, PL.DOC_SAMPLE_K_ORACLE
     ),
