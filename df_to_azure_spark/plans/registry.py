@@ -132,6 +132,9 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.embedding_neardup_pairs_lsh, TD.NEARDUP_LSH_ORACLE
     ),
     "ivf_knn": QuerySpec(TD.ivf_knn, TD.IVF_KNN_ORACLE),
+    "pq_adc_knn": QuerySpec(TD.pq_adc_knn, TD.PQ_ADC_ORACLE),
+    "pq_rerank_knn": QuerySpec(TD.pq_rerank_knn, TD.PQ_RERANK_ORACLE),
+    "pq_code_invariant": QuerySpec(TD.pq_code_invariant, TD.PQ_INVARIANT_ORACLE),
     "dedup_cluster_representatives": QuerySpec(
         TD.dedup_cluster_representatives, TD.CLUSTER_REPS_ORACLE
     ),

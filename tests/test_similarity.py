@@ -138,3 +138,82 @@ def test_multiprobe_improves_recall_over_single_probe(spark, sf_smoke):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single  # probing more buckets can only help
     assert r_multi >= 0.5, (r_single, r_multi)
+
+
+def test_pq_codes_shape_and_consistency(spark, sf_smoke):
+    from df_to_azure_spark.plans.training_data import _PQ_K, _PQ_M, _pq_codebooks
+
+    emb = _emb(spark, sf_smoke)
+    books = _pq_codebooks()
+    codes = S.pq_codes(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        for m in range(_PQ_M):
+            assert 0 <= r[f"code_{m}"] < _PQ_K
+    # identical vectors encode identically (pure function of the vector)
+    again = {r.vec_id: tuple(r[f"code_{m}"] for m in range(_PQ_M))
+             for r in S.pq_codes(emb, books).collect()}
+    first = {r.vec_id: tuple(r[f"code_{m}"] for m in range(_PQ_M)) for r in codes}
+    assert first == again
+
+
+def test_pq_adc_topk_contract_and_plan(spark, sf_smoke):
+    """k rows per query with dense ranks, ADC distances non-decreasing in
+    rank, and the plan is the compressed-domain one: M broadcast joins,
+    no cartesian product, no explode of the corpus side."""
+    from df_to_azure_spark.plans.training_data import _PQ_M, _pq_codebooks
+
+    emb = _emb(spark, sf_smoke)
+    q = emb.where("vec_id < 5")
+    out = S.pq_adc_topk(q, emb, _pq_codebooks(), k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= _PQ_M
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != qid for r in rs)
+
+
+def test_pq_shortlist_rerank_recall(spark, sf_smoke):
+    """Pure ADC recall is capped by quantization error on these
+    near-random synthetic vectors (measured ~0.14 — distances
+    concentrate, compressed codes can't separate them); the
+    shortlist-then-exact-rerank form must recover well above chance
+    (random baseline ≈ 10/n ≈ 0.02; measured 0.74 at C=100)."""
+    from df_to_azure_spark.plans.training_data import (
+        _PQ_RERANK_C,
+        _PQ_RERANK_K,
+        _PQ_RERANK_M,
+    )
+
+    emb = _emb(spark, sf_smoke)
+    q = emb.where("vec_id < 5")
+    # exact squared-L2 top-k (ADC approximates L2, not cosine)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    a = q.select(F.col("vec_id").alias("query_id"),
+                 F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.transform("embedding", lambda x: x.cast("double")).alias("cv"))
+    d = S.dot(F.col("qv"), F.col("qv")) - 2.0 * S.dot(F.col("qv"), F.col("cv")) \
+        + S.dot(F.col("cv"), F.col("cv"))
+    scored = b.crossJoin(F.broadcast(a)).where("query_id <> neighbor_id").select(
+        "query_id", "neighbor_id", d.alias("d2"))
+    w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in scored.withColumn("rk", F.row_number().over(w))
+             .where("rk <= 10").collect()}
+    books = S.sample_codebooks(emb, _PQ_RERANK_M, _PQ_RERANK_K)
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.pq_adc_rerank_topk(
+                  q, emb, books, k=10, shortlist=_PQ_RERANK_C).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
