@@ -51,6 +51,7 @@ BOUNDED_BROADCAST_VARS = {
     "n_docs",  # 1-row global aggregate (doc_tfidf_terms corpus count)
     "totals",  # 1-row global aggregate (bigram_collocations token total)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
+    "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
     "bounds",  # per-type clip/decile boundaries — bounded by the type domain
     "n_viewers",  # 1-row global aggregate (funnel_conversion_latency)
