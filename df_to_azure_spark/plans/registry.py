@@ -57,6 +57,18 @@ def _stream_attr_oracle() -> str:
     return STREAM_ATTR_ORACLE
 
 
+def _stream_attribution_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_attribution_outer_diff
+
+    return stream_attribution_outer_diff(spark, sf_dir)
+
+
+def _stream_attr_outer_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_ATTR_OUTER_ORACLE
+
+    return STREAM_ATTR_OUTER_ORACLE
+
+
 def _stream_dedup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_dedup_diff
 
@@ -332,6 +344,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_dedup_diff": QuerySpec(_stream_dedup_diff, _stream_dedup_oracle()),
     "stream_attribution_diff": QuerySpec(
         _stream_attribution_diff, _stream_attr_oracle()
+    ),
+    "stream_attribution_outer_diff": QuerySpec(
+        _stream_attribution_outer_diff, _stream_attr_outer_oracle()
     ),
 }
 

@@ -328,3 +328,131 @@ SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS view_event_id,
        CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def attribution_left_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view row, with its
+    attributed purchases where they exist and NULLs where none arrived
+    within ``horizon`` — the abandonment feed next to the conversion
+    feed.
+
+    The outer side is the semantically hard part of streaming joins:
+    Spark can only emit a null-matched view once the watermark PROVES no
+    matching purchase can still arrive (past ``view_ts + horizon``, plus
+    an engine-internal eviction margin), so null rows surface with
+    watermark latency, and views near the end of a closed input are
+    never emitted at all — their no-match proof never materializes.
+    Matched rows are NOT gated (they emit as soon as both sides arrive),
+    so equivalence to the batch twin holds for ALL matches and for the
+    null-attributed prefix the watermark actually released — which is
+    exactly what ``stream_attribution_outer_diff`` checks.  State stays
+    bounded: both sides evict by the same watermark as the inner join."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "view_ts",
+        "purchase_event_id",
+        "purchase_ts",
+    )
+
+
+def attribution_left_join_batch(
+    events: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin: the plain left interval self-join."""
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "left",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "view_ts",
+        "purchase_event_id",
+        "purchase_ts",
+    )
+
+
+def stream_attribution_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard equivalence check for the stream-stream LEFT OUTER interval
+    join: symmetric multiset diff vs the batch twin over (a) EVERY
+    matched row — match emission is not watermark-gated, so any
+    divergence there is a bug at any timestamp — and (b) null-attributed
+    views up to the emission boundary the final watermark actually
+    released (the stream's own max null ``view_ts``; Spark's eviction
+    adds an engine-internal margin on top of ``view_ts + horizon``, so
+    deriving the boundary from the emissions is the robust form — the
+    emitted set must still be a clean PREFIX of the batch nulls, or
+    batch-only rows appear inside the boundary and the diff is
+    non-empty).  Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_attr_outer_{_STREAM_QUERY_SEQ[0]}"
+    src = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_memory(
+        attribution_left_join_stream(
+            src.where(F.col("event_type") == "view"),
+            src.where(F.col("event_type") == "purchase"),
+        ),
+        name,
+        output_mode="append",
+    )
+    batch = attribution_left_join_batch(load_table(spark, sf_dir, "events"))
+    is_null = F.col("purchase_event_id").isNull()
+    # 1-row bounded collect: the watermark-released null-emission boundary
+    boundary = streamed.where(is_null).agg(F.max("view_ts")).collect()[0][0]
+    released = (
+        ~is_null
+        if boundary is None
+        else (~is_null) | (F.col("view_ts") <= F.lit(boundary))
+    )
+    streamed, batch = streamed.where(released), batch.where(released)
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_ATTR_OUTER_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS view_event_id,
+       CAST(NULL AS TIMESTAMP) AS view_ts, CAST(NULL AS BIGINT) AS purchase_event_id,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

@@ -74,3 +74,24 @@ def test_attribution_join_window_semantics(spark):
     )
     out = SE.attribution_join_batch(df, "30 minutes").collect()
     assert [(r.view_event_id, r.purchase_event_id) for r in out] == [(1, 2)]
+
+
+def test_stream_left_outer_interval_join_equals_batch_on_released_region(
+    spark, sf_smoke
+):
+    """LEFT OUTER stream-stream interval join: all matched rows plus the
+    watermark-released null prefix must equal the batch twin exactly —
+    and the input must actually produce BOTH matched and null-attributed
+    views (an empty-vs-empty pass would prove nothing about the outer
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.streaming.events import (
+        attribution_left_join_batch,
+        stream_attribution_outer_diff,
+    )
+
+    assert stream_attribution_outer_diff(spark, sf_smoke).count() == 0
+    batch = attribution_left_join_batch(load_table(spark, sf_smoke, "events"))
+    assert batch.where(F.col("purchase_event_id").isNotNull()).count() > 0
+    assert batch.where(F.col("purchase_event_id").isNull()).count() > 0
