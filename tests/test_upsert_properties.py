@@ -178,3 +178,45 @@ def test_table_diff_null_keys(spark):
     changed = spark.createDataFrame([(None, 2), (1, 10)], schema)
     got = {(r.k, r.change_type) for r in table_diff(old, changed, ["k"]).collect()}
     assert got == {(None, "changed")}
+
+
+@settings(max_examples=15, deadline=None)
+@given(new=ROWS, existing=ROWS)
+def test_merge_clauses_match_dict_models(spark, new, existing):
+    """merge_frames clause algebra vs dict semantics:
+    update-only = replace values of existing keys, admit nothing new;
+    insert-only = keep existing untouched, append only new keys;
+    both = the upsert model."""
+    from df_to_azure_spark.operators.upsert import merge_frames
+
+    new = _dedup_keys(new)
+    existing = _dedup_keys(existing)
+    new_df = spark.createDataFrame(new or [(999999, 0)], "k long, v long")
+    ex_df = spark.createDataFrame(existing or [(999998, 0)], "k long, v long")
+    if not new:
+        new_df = new_df.where("k < 0")
+    if not existing:
+        ex_df = ex_df.where("k < 0")
+
+    ex_model, new_model = dict(existing), dict(new)
+    update_model = {
+        k: new_model.get(k, v) for k, v in ex_model.items()
+    }
+    insert_model = dict(ex_model)
+    for k, v in new_model.items():
+        insert_model.setdefault(k, v)
+    upsert_model = dict(ex_model)
+    upsert_model.update(new_model)
+
+    for wm, wnm, model in [
+        ("update_all", None, update_model),
+        (None, "insert_all", insert_model),
+        ("update_all", "insert_all", upsert_model),
+        (None, None, ex_model),
+    ]:
+        out = merge_frames(
+            new_df, ex_df, ["k"], when_matched=wm, when_not_matched=wnm,
+            check_keys=False,
+        )
+        got = {r.k: r.v for r in out.collect()}
+        assert got == model, (wm, wnm)
