@@ -1121,11 +1121,16 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = TXT.tokens("text")
     n_words = F.size(t)
+    # NULLIF guard: ANSI mode (Spark 4 default) makes x/0 a runtime ERROR,
+    # so an empty document would kill the whole scan; NULL metrics (and a
+    # false keep, via the word-count rule) are the correct degradation,
+    # and DuckDB's NULLIF arithmetic matches exactly
+    n_words_nz = F.nullif(n_words.cast("double"), F.lit(0.0))
     total_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    mean_word_len = total_chars.cast("double") / n_words
+    mean_word_len = total_chars.cast("double") / n_words_nz
     n_hash = F.size(F.split("text", "#", -1)) - 1
     n_ellipsis = F.size(F.split("text", r"\.\.\.", -1)) - 1
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words_nz
     lines = F.filter(F.split("text", "\n", -1), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
     n_bullet = F.size(
@@ -1164,11 +1169,11 @@ WITH base AS (
 ), m AS (
   SELECT doc_id,
          len(toks) AS n_words,
-         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
-           AS mean_word_len,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS mean_word_len,
          CAST(len(regexp_split_to_array(text, '#')) - 1
               + len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS DOUBLE)
-           / len(toks) AS symbol_ratio,
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS symbol_ratio,
          len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*]'))) AS n_bullet,
          len(lines) AS n_lines,
          len(list_intersect(toks,
