@@ -69,6 +69,18 @@ def _stream_attr_outer_oracle() -> str:
     return STREAM_ATTR_OUTER_ORACLE
 
 
+def _stream_sessionize_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import stream_sessionize_diff
+
+    return stream_sessionize_diff(spark, sf_dir)
+
+
+def _stream_sessionize_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import SESSIONIZE_DIFF_ORACLE
+
+    return SESSIONIZE_DIFF_ORACLE
+
+
 def _stream_dedup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_dedup_diff
 
@@ -347,6 +359,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "stream_attribution_outer_diff": QuerySpec(
         _stream_attribution_outer_diff, _stream_attr_outer_oracle()
+    ),
+    "stream_sessionize_diff": QuerySpec(
+        _stream_sessionize_diff, _stream_sessionize_oracle()
     ),
 }
 

@@ -93,6 +93,175 @@ def run_running_totals(spark, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-sessionization with explicit state + EVENT-TIME TIMEOUT — the
+    canonical custom-stateful pattern ``running_user_totals`` leaves out:
+    sessions closed by in-batch gaps emit immediately; the user's OPEN
+    session lives in state with a timeout at ``session_end + gap``, so
+    the watermark passing that instant proves no event can extend it and
+    fires the timeout callback, which emits the final session and clears
+    the state.  State per user is three longs — bounded at any stream
+    length; idle users cost nothing after their timeout fires."""
+    (user_id,) = key
+
+    def _emit(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in rows],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in rows],
+                "n_events": [n for _, _, n in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        s, e, n = state.get
+        state.remove()
+        yield _emit([(s, e, n)])
+        return
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        # arrow hands tz-naive datetime64 in the session (UTC) zone
+        ts_us.extend(pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
+    ts_us.sort()
+    closed: list[tuple[int, int, int]] = []
+    if state.exists:
+        s, e, n = state.get
+    else:
+        s, e, n = ts_us[0], ts_us[0], 0
+        ts_us[:1] = []
+        n = 1
+    for t in ts_us:
+        if t - e <= _SESSION_GAP_US:
+            # max, not assignment: a late-but-within-watermark event can
+            # sort before the open session's end carried in state
+            e, n = max(e, t), n + 1
+        else:
+            closed.append((s, e, n))
+            s, e, n = t, t, 1
+    wm_ms = state.getCurrentWatermarkMs()
+    timeout_ms = (e + _SESSION_GAP_US) // 1000 + 1
+    if timeout_ms <= wm_ms:
+        # watermark already proves the open session closed — emit now
+        # (setTimeoutTimestamp would reject a timestamp behind the watermark)
+        closed.append((s, e, n))
+        if state.exists:
+            state.remove()
+    else:
+        state.update((s, e, n))
+        state.setTimeoutTimestamp(timeout_ms)
+    if closed:
+        yield _emit(closed)
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-sessionization via ``applyInPandasWithState`` with
+    ``EventTimeTimeout`` — the stream twin of ``events.sessionize``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionize_stream(spark, sf_dir: str) -> DataFrame:
+    """Drive the stateful sessionizer over the closed events input and
+    return the materialized emitted sessions."""
+    from df_to_azure_spark.streaming.events import read_events_stream
+
+    stream = sessionize_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sessions_out"
+    )
+
+
+def stream_sessionize_diff(spark, sf_dir: str) -> DataFrame:
+    """Hard equivalence check for stateful sessionization against the
+    batch gap-sessionizer.  Emission has two regimes: sessions closed by
+    an in-batch gap emit immediately (never gated), while each user's
+    LAST session sits open in state until the watermark fires its
+    event-time timeout — and near the end of a closed input that proof
+    never arrives.  So the diff compares, per user, every session
+    strictly BEFORE the user's final batch session (all immediately
+    emitted) on both sides; a stream bug that mis-merges or mis-splits
+    sessions shifts those earlier sessions and surfaces here.  Timeout
+    emissions themselves are asserted separately in the pytest (they are
+    environment-timing-shaped, not set-shaped).  Oracle = empty set."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.sources import load_table
+    from df_to_azure_spark.streaming.events import sessionize
+
+    streamed = run_sessionize_stream(spark, sf_dir)
+    batch = sessionize(load_table(spark, sf_dir, "events")).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    user_last = batch.groupBy("user_id").agg(
+        F.max("session_end").alias("last_end")
+    )
+
+    def released(df: DataFrame) -> DataFrame:
+        return (
+            df.join(user_last, "user_id")
+            .where(F.col("session_end") < F.col("last_end"))
+            .drop("last_end")
+        )
+
+    streamed, batch = released(streamed), released(batch)
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+SESSIONIZE_DIFF_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS session_start,
+       CAST(NULL AS TIMESTAMP) AS session_end, CAST(NULL AS BIGINT) AS n_events,
+       CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""
+
+
 def stream_vs_batch_totals_diff(spark, sf_dir: str) -> DataFrame:
     """Hard equivalence check for the custom stateful operator: join the
     final streamed state per user against the batch aggregate and keep
