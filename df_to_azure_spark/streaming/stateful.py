@@ -7,9 +7,11 @@ state here is trivial on purpose; swap the update function for
 session-carts, fraud counters, model features...).
 
 State is partitioned by the group key, so a 100 TB stream shards its
-state across executors; the state store bounds memory per key, and
-``GroupStateTimeout`` would evict idle keys (not used here — totals are
-meant to live forever).
+state across executors; the state store bounds memory per key.  Both
+timeout regimes are covered: ``running_user_totals`` uses ``NoTimeout``
+(totals live forever), while ``sessionize_stream`` below uses
+``EventTimeTimeout`` — the watermark-driven eviction that closes each
+user's open session and frees its state.
 """
 
 from __future__ import annotations
