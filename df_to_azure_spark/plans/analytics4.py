@@ -887,3 +887,57 @@ SELECT event_type, COUNT(*) AS n,
 FROM events JOIN bounds ON event_type = et
 GROUP BY event_type
 """
+
+
+def user_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE stand-in: each user's time-ordered events collapse to
+    a character sequence (one char per event type; the five types have
+    distinct initials), and patterns become regular expressions over that
+    string.  Counted here: completed view→click→purchase funnels with no
+    intervening purchase (``v[^p]*c[^p]*p``, leftmost non-overlapping —
+    identical semantics in Java regex and RE2), plus whether the user ever
+    hit an error.
+
+    Scale shape: ONE shuffle on user_id (the collect_list agg with
+    map-side partials), per-user state = the user's own event count; the
+    regex runs once per user, not per event.  Per-user sequences are
+    bounded by per-user activity — for power users at 100 TB, window the
+    sequence by day/session before collapsing (same operator, composed
+    with the sessionizer)."""
+    ev = load_table(spark, sf_dir, "events")
+    r = F.struct(
+        F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ch")
+    )
+    seqs = (
+        ev.select("user_id", r.alias("r"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("r")), lambda x: x["ch"]),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(seq, 'v[^p]*c[^p]*p', 0)"))
+        .cast("bigint")
+        .alias("n_funnels"),
+        (F.instr("seq", "e") > 0).alias("has_error"),
+    )
+
+
+EVENT_PATTERN_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT) AS n_funnels,
+       contains(seq, 'e') AS has_error
+FROM seqs
+"""

@@ -151,6 +151,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "exact_dedup_groups": QuerySpec(TD.exact_dedup_groups, TD.EXACT_DEDUP_ORACLE, headline=True),
     "exact_dedup_table": QuerySpec(TD.exact_dedup_table, TD.EXACT_DEDUP_TABLE_ORACLE),
     "knn_topk": QuerySpec(TD.knn_topk, TD.KNN_ORACLE, headline=True),
+    "doc_hash_embedding": QuerySpec(TD.doc_hash_embedding, TD.HASH_EMBEDDING_ORACLE),
+    "hashed_doc_knn": QuerySpec(TD.hashed_doc_knn, TD.HASHED_KNN_ORACLE),
     "embedding_neardup_pairs": QuerySpec(TD.embedding_neardup_pairs, TD.NEARDUP_ORACLE),
     "embedding_neardup_pairs_lsh": QuerySpec(
         TD.embedding_neardup_pairs_lsh, TD.NEARDUP_LSH_ORACLE
@@ -306,6 +308,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "user_event_transitions": QuerySpec(
         A4.user_event_transitions, A4.TRANSITIONS_ORACLE
+    ),
+    "user_event_pattern": QuerySpec(
+        A4.user_event_pattern, A4.EVENT_PATTERN_ORACLE
     ),
     "order_price_equidepth": QuerySpec(
         A4.order_price_equidepth, A4.EQUIDEPTH_ORACLE

@@ -898,3 +898,114 @@ PQ_INVARIANT_ORACLE = """
 SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS problem
 WHERE 1 = 0
 """
+
+
+# Feature hashing (the "hashing trick", Weinberger et al. ICML'09): text →
+# fixed-dim signed-count vector with NO vocabulary pass — the standard
+# bridge from raw documents to the vector operators (ANN, clustering,
+# near-dup) when training an embedding model is off the table.
+_FH_DIM = 64
+
+
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF vector per document: each token hashes to a dimension
+    (md5-prefix integer — portable) and a ±1 sign (an independent hash
+    bit, which keeps hash collisions unbiased — the property that makes
+    feature hashing work); the vector is the per-dimension signed count.
+
+    Exactly engine-reproducible: integer hashing + integer sums, cast to
+    double only at the end.  Plan: token explode → ONE shuffle on
+    (doc_id, dim) with map-side combine → per-doc map assembly; the
+    64-slot array is built by map lookup, so no per-doc dense pivot join.
+    At 100 TB this is scan + one bounded shuffle — no vocabulary state,
+    which is the entire point of the hashing trick."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    t = toks.select(
+        "doc_id",
+        (h % _FH_DIM).cast("int").alias("dim"),
+        F.when(h.bitwiseAND(F.lit(256)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    agg = t.groupBy("doc_id", "dim").agg(F.sum("sgn").alias("v"))
+    emb = agg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m")
+    )
+    return emb.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("bigint")
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+HASH_EMBEDDING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks
+), signed AS (
+  SELECT doc_id, CAST(x % {_FH_DIM} AS INT) AS dim,
+         CASE WHEN (x & 256) = 0 THEN 1 ELSE -1 END AS sgn
+  FROM hashed
+), agg AS (
+  SELECT doc_id, dim, SUM(sgn) AS v FROM signed GROUP BY doc_id, dim
+), dims AS (
+  SELECT unnest(range({_FH_DIM})) AS dim
+), grid AS (
+  SELECT d.doc_id, dims.dim FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN dims
+), filled AS (
+  SELECT g.doc_id, g.dim, COALESCE(a.v, 0) AS v
+  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.dim = g.dim
+)
+SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY dim) AS embedding
+FROM filled GROUP BY doc_id
+"""
+
+
+def hashed_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document ANN over the hashed vectors — text similarity through the
+    SAME vector operators as the embeddings table (``cosine_topk``), no
+    trained model required.  Zero-norm vectors (a document whose signed
+    counts fully cancel — possible, rare) are excluded on both sides
+    rather than risking a 0/0 cosine."""
+    emb = doc_hash_embedding(spark, sf_dir)
+    nonzero = emb.where(SIM.dot(F.col("embedding"), F.col("embedding")) > 0)
+    queries = nonzero.where(F.col("doc_id") < 3)
+    return SIM.cosine_topk(
+        queries, nonzero, k=5, id_col="doc_id", vec_col="embedding"
+    )
+
+
+def _hashed_knn_oracle() -> str:
+    return f"""
+WITH he AS ({HASH_EMBEDDING_ORACLE}
+), nz AS (
+  SELECT doc_id, embedding FROM he WHERE {_dot_sql('embedding', 'embedding')} > 0
+), q AS (
+  SELECT doc_id AS query_id, embedding AS qv FROM nz WHERE doc_id < 3
+), c AS (
+  SELECT doc_id AS neighbor_id, embedding AS cv FROM nz
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_dot_sql('qv', 'cv')} /
+               (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})), 8) AS cos_sim
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+HASHED_KNN_ORACLE = _hashed_knn_oracle()
