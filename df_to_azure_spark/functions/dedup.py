@@ -232,6 +232,30 @@ def ngram_jaccard_pairs(
     itself is tiny by construction → broadcast anti-join, no extra
     shuffle of the postings.
     """
+    sized = _shingle_pair_intersections(
+        df, text_col, id_col, shingle_n, hot_shingle_cap
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        6,
+    )
+    return sized.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    hot_shingle_cap: int | None,
+) -> DataFrame:
+    """Shared candidate machinery for the set-overlap family: distinct
+    shingles → optional hot-shingle drop → posting-list self-join →
+    ``(id_a, id_b, inter, sz_a, sz_b)``.  Jaccard and containment are
+    just different final ratios over the same frame."""
     sh = (
         _spread(df).select(
             F.col(id_col),
@@ -256,16 +280,43 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.round(
-        F.col("inter").cast("double")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-        6,
+    return inter.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hot_shingle_cap: int | None = None,
+) -> DataFrame:
+    """Directed set-CONTAINMENT over shared-shingle candidates:
+    ``containment_a = |A∩B| / |A|`` and symmetrically for B, keeping
+    pairs where either side is mostly inside the other.
+
+    The asymmetric companion to ``ngram_jaccard_pairs``: a short document
+    quoted verbatim inside a long one has tiny Jaccard (the union is
+    dominated by the long side) but containment ≈ 1 on the short side —
+    the quote/boilerplate-inclusion detector symmetric measures miss.
+    Same inverted-index shape and hot-shingle-cap contract; the ratio is
+    the only difference."""
+    sized = _shingle_pair_intersections(
+        df, text_col, id_col, shingle_n, hot_shingle_cap
     )
+    c_a = F.round(F.col("inter").cast("double") / F.col("sz_a").cast("double"), 6)
+    c_b = F.round(F.col("inter").cast("double") / F.col("sz_b").cast("double"), 6)
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        sized.select(
+            "id_a",
+            "id_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
     )
 
 def winnow_fingerprints(

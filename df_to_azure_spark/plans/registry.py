@@ -336,6 +336,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- training-data wave 2 ---
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
+    "ngram_containment_pairs": QuerySpec(
+        TD.ngram_containment, TD.NGRAM_CONTAINMENT_ORACLE
+    ),
     "doc_token_bpe": QuerySpec(TD.doc_token_bpe, TD.DOC_TOKEN_BPE_ORACLE),
     "doc_split_counts": QuerySpec(TD.doc_split_counts, TD.DOC_SPLIT_ORACLE),
     "incremental_orders_rollup": QuerySpec(

@@ -1009,3 +1009,37 @@ WHERE rank <= 5
 
 
 HASHED_KNN_ORACLE = _hashed_knn_oracle()
+
+
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs — the quote/inclusion detector next
+    to symmetric Jaccard (``ngram_containment_pairs``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, threshold=0.5)
+
+
+NGRAM_CONTAINMENT_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM toked WHERE len(toks) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS containment_a,
+       round(CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) >= 0.5
+   OR round(CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) >= 0.5
+"""

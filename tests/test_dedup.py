@@ -164,3 +164,28 @@ def test_winnow_pairs_match_and_cap_noop(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     capped = D.winnow_overlap_pairs(docs, threshold=0.2, hot_fp_cap=1000).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, pairs))
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment on the
+    short side ~1.0 while Jaccard stays low — the asymmetric detector's
+    whole reason to exist."""
+    from df_to_azure_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_a >= 0.9      # short side fully inside
+    assert r.containment_b < 0.1       # long side barely overlaps
+    jac = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert jac == []                   # symmetric measure misses it
