@@ -907,7 +907,7 @@ WHERE 1 = 0
 _FH_DIM = 64
 
 
-def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hash_embedding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed TF vector per document: each token hashes to a dimension
     (md5-prefix integer — portable) and a ±1 sign (an independent hash
     bit, which keeps hash collisions unbiased — the property that makes
@@ -944,8 +944,20 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HASH_EMBEDDING_ORACLE = f"""
-WITH toks AS (
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``hash_embedding_frame`` in LONG form
+    ``(doc_id, dim, value)`` — scalar cells only, so the driver's
+    value-hash needs no array stringification convention; the array
+    construction itself is transitively hash-checked through
+    ``hashed_doc_knn``, whose cosines consume the assembled vectors."""
+    emb = hash_embedding_frame(spark, sf_dir)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "value")
+    ).select("doc_id", F.col("dim").cast("bigint").alias("dim"), "value")
+
+
+_HASH_CTES = f"""
+toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
 ), hashed AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks
@@ -963,9 +975,12 @@ WITH toks AS (
 ), filled AS (
   SELECT g.doc_id, g.dim, COALESCE(a.v, 0) AS v
   FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.dim = g.dim
-)
-SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY dim) AS embedding
-FROM filled GROUP BY doc_id
+)"""
+
+HASH_EMBEDDING_ORACLE = f"""
+WITH {_HASH_CTES}
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(v AS DOUBLE) AS value
+FROM filled
 """
 
 
@@ -975,7 +990,7 @@ def hashed_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained model required.  Zero-norm vectors (a document whose signed
     counts fully cancel — possible, rare) are excluded on both sides
     rather than risking a 0/0 cosine."""
-    emb = doc_hash_embedding(spark, sf_dir)
+    emb = hash_embedding_frame(spark, sf_dir)
     nonzero = emb.where(SIM.dot(F.col("embedding"), F.col("embedding")) > 0)
     queries = nonzero.where(F.col("doc_id") < 3)
     return SIM.cosine_topk(
@@ -985,7 +1000,9 @@ def hashed_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hashed_knn_oracle() -> str:
     return f"""
-WITH he AS ({HASH_EMBEDDING_ORACLE}
+WITH {_HASH_CTES}, he AS (
+  SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY dim) AS embedding
+  FROM filled GROUP BY doc_id
 ), nz AS (
   SELECT doc_id, embedding FROM he WHERE {_dot_sql('embedding', 'embedding')} > 0
 ), q AS (
