@@ -3,24 +3,77 @@ dedup pipeline needs AFTER candidate pairs: MinHash/LSH emits near-dup
 PAIRS, but deleting duplicates requires grouping pairs into components
 and electing one canonical document per component.
 
-Algorithm: min-label propagation to a fixed point.  Every node starts
-labeled with its own id; each round, a node adopts the smallest label in
-its neighborhood; converged when no label changes.  Rounds needed equal
-the graph diameter — near-dup components are small and dense (mutual
-near-duplicates), so 3-5 rounds cover real corpora.
+Algorithm: alternating **large-star / small-star contraction** (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14).  Each
+round every node hooks its neighbors onto the minimum id in its
+neighborhood, which contracts chains aggressively: the number of rounds
+is O(log n) in the worst case and 2-4 in practice, **independent of the
+graph diameter** — unlike min-label propagation, whose round count
+equals the diameter and whose fixed per-round checkpoint cost made it
+the worst scaler in the 5x probe (4.7x time at 5x data, SCALE_r03.md).
 
-Scale shape per round: one shuffle (edge⋈label join + min-agg on dst) —
-the classic iterative-join formulation.  Lineage is truncated with
-``localCheckpoint`` each round so plans don't grow with iterations (on a
-cluster, checkpoint to reliable storage instead).  The driver-side loop
-is control flow only — per-round work is fully distributed; the single
-``count()`` per round is the convergence test.
+Per-round shape: two groupBy-min shuffles + two joins over the *current*
+edge list, which shrinks toward one edge per non-root node.  Lineage is
+truncated with ``localCheckpoint`` each round (on a real cluster,
+``checkpoint`` to reliable storage); the only driver actions are the
+bounded convergence counts.
+
+At the fixed point the edge set is a disjoint union of stars whose
+centers are the component minima — exactly the ``(node, component)``
+labeling a dedup pipeline needs, and identical to what label
+propagation produced (component = min reachable id), so results are
+bit-for-bit unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over canonically-oriented edges ``(u > v)``.
+
+    For every node n, hook each *strictly larger* neighbor onto the
+    minimum of n's closed neighborhood.  Output edges keep the big→small
+    orientation (first col > second col) and carry no self-loops.
+
+    One window shuffle (partition by the grouping node) + one distinct —
+    the min-over-neighborhood rides the window instead of a
+    groupBy+join, saving a shuffle per round.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # m(u) = min(N(u) ∪ {u}); some neighbor may exceed u, so least()
+    # against u itself.
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    return (
+        sym.select(F.col("v").alias("n"), m.alias("m"), F.col("u"))
+        .where(F.col("n") > F.col("u"))
+        # n > u >= m, so the output is oriented and self-loop-free
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over oriented edges ``(u > v)``.
+
+    Group by the larger endpoint u (all its listed neighbors are
+    smaller); hook every smaller neighbor AND u itself onto the minimum
+    neighbor.  Output stays oriented big→small.
+    """
+    ann = e.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    return (
+        ann.select(F.col("v").alias("n"), F.col("m"))
+        .union(ann.select(F.col("u").alias("n"), F.col("m")))
+        .where(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -37,58 +90,68 @@ def connected_components(
     never enter the edge list, so they are their own implicit singleton
     components — union them in downstream if needed.
 
-    Raises if ``max_iter`` rounds don't converge (pathologically long
-    path graphs); near-dup graphs converge in a handful of rounds.
+    Raises if ``max_iter`` alternating rounds don't reach the star fixed
+    point; star contraction needs O(log n) rounds, so 20 covers graphs
+    far beyond any real corpus.
     """
-    # undirected: propagate both ways.  Materialize the DIRECTED list
-    # first — a union of two branches over a lazy upstream runs that
-    # upstream (e.g. a 10s+ LSH candidate join) once PER BRANCH; after
-    # the checkpoint, mirroring reads materialized rows.  The mirrored
-    # union is checkpointed too so the per-round joins don't re-union.
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
-    e = e0.union(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-
-    labels = (
-        e.select(F.col("u").alias("node"))
+    # Materialize the RAW pair list first so a potentially expensive
+    # upstream (e.g. an LSH candidate join) runs exactly once; the
+    # canonical edge list and the node universe both read these
+    # materialized rows.
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    # Canonical orientation (bigger id first) + dedup; self-loops carry
+    # no information — drop them.
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
         .distinct()
-        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
         .localCheckpoint()
     )
 
-    for _ in range(max_iter):
-        neigh_min = (
-            e.join(labels, e.u == labels.node)
-            .groupBy(F.col("v").alias("node2"))
-            .agg(F.min("component").alias("neigh_component"))
+    n_edges = e.count()
+    if n_edges == 0:
+        # no edges → every mentioned node is its own singleton (covers
+        # the self-loop-only case); skip the contraction loop entirely
+        return nodes.select("node", F.col("node").alias("component"))
+    for rounds in range(1, max_iter + 1):
+        # checkpoint FIRST so the two-star round runs once; the
+        # convergence probes then read materialized rows
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        # Fixed point = edge set unchanged.  Both frames are deduped, so
+        # equal counts + empty one-way set difference ⇒ set equality.
+        # The count is nearly free (checkpointed rows); the subtract
+        # shuffle only runs once counts stop moving — usually the final
+        # round.
+        n_next = nxt.count()
+        if n_next == n_edges and nxt.subtract(e).limit(1).count() == 0:
+            e = nxt
+            log.info("connected_components converged in %d rounds", rounds)
+            break
+        e, n_edges = nxt, n_next
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(star contraction needs O(log n) rounds; this graph is "
+            "pathological or max_iter is far too small)"
         )
-        # checkpoint FIRST so the join+agg runs once per round; the
-        # convergence count then reads the materialized result
-        updated = (
-            labels.join(neigh_min, labels.node == neigh_min.node2, "left")
-            .select(
-                "node",
-                "component",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neigh_component"), F.col("component")),
-                ).alias("new_component"),
-            )
-            .localCheckpoint()
-        )
-        changed = updated.where(
-            F.col("new_component") != F.col("component")
-        ).count()
-        labels = updated.select(
-            "node", F.col("new_component").alias("component")
-        )
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter exceeds max_iter)"
-    )
+
+    # Fixed point is a union of min-centered stars: every edge is
+    # (member, center).  Centers (and the degenerate no-edge case) label
+    # themselves.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    centers = nodes.join(
+        e.select(F.col("u").alias("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return members.union(centers)
 
 
 def dedup_canonical(

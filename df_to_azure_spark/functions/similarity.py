@@ -169,14 +169,27 @@ def embedding_neardup_pairs_lsh(
     v = _spread(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )
-    v = v.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    # Bucket id AND the vector norm are computed ONCE PER VECTOR before
+    # the candidate join.  The within-bucket join is quadratic in bucket
+    # size, so per-candidate work must be minimal: with norms hoisted,
+    # each candidate pays one dot-product fold instead of three
+    # (dot + 2 norms) — bit-identical cosine, ~3x less pair work.
+    v = v.withColumn("bucket", hyperplane_bucket(F.col("v"), planes)).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+    )
     pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 8).alias("cos_sim"),
+        F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8
+        ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
 
 

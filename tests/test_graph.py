@@ -1,5 +1,5 @@
-"""Connected-components semantics: min-label propagation against known
-graphs, and the end-to-end canonical-dedup contract."""
+"""Connected-components semantics: large-star/small-star contraction
+against known graphs, and the end-to-end canonical-dedup contract."""
 
 from __future__ import annotations
 
@@ -22,12 +22,12 @@ def test_two_components_and_chain(spark):
 
 
 def test_long_path_converges(spark):
-    # path graph 0-1-2-...-9: worst case for label propagation (diameter 9);
-    # min label must still flood to the far end
-    edges = [(i, i + 1) for i in range(9)]
+    # path graph 0-1-2-...-49: diameter 49 — label propagation would need
+    # 49 rounds; star contraction must finish well inside max_iter=20
+    edges = [(i, i + 1) for i in range(49)]
     got = _cc(spark, edges)
     assert set(got.values()) == {0}
-    assert len(got) == 10
+    assert len(got) == 50
 
 
 def test_direction_does_not_matter(spark):
@@ -36,12 +36,18 @@ def test_direction_does_not_matter(spark):
     assert got == {1: 1, 5: 1, 9: 1}
 
 
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    got = _cc(spark, [(1, 1), (1, 2), (2, 1), (2, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_max_iter_raises_when_too_small(spark):
+    # a 50-node path cannot contract to a star in a single round
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=1)
 
 
 def test_dedup_canonical_keeps_min_and_singletons(spark):
