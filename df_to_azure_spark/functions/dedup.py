@@ -36,6 +36,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners, on=id_col, how="left_semi")
 
 
+# Universal-hash family for MinHash: h_p(s) = (a_p * base(s) + b_p) mod M
+# over the Mersenne prime M = 2^31 - 1, where base(s) is the md5-prefix
+# integer of the shingle.  Every piece is exact 64-bit integer math that
+# ANY engine reproduces bit-for-bit (a_p*base < 2^62, no overflow), so
+# the whole MinHash/LSH pipeline is oracle-checkable — unlike an
+# engine-specific hash like xxhash64.  Coefficients come from a fixed
+# seeded PRNG so Spark and the SQL oracle share the same literals.
+MINHASH_PRIME = 2147483647
+_MINHASH_SEED = 20260814
+
+
+def minhash_coeffs(num_hashes: int = 64) -> list[tuple[int, int]]:
+    """The (a_p, b_p) coefficient pairs — deterministic given the count,
+    exported so SQL oracles can embed the identical literals."""
+    import random
+
+    rnd = random.Random(_MINHASH_SEED)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -44,7 +67,8 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for permutation p, the min
-    ``xxhash64(p, shingle)`` over the document's word-n-gram shingles.
+    universal hash (a_p·base + b_p mod M) over the document's word-n-gram
+    shingles, base = md5-prefix integer of the shingle.
     Pure column expressions — signature build is scan-speed, no shuffle."""
     # Formulation matters enormously here: a nested higher-order
     # expression (transform over permutations × transform over shingles)
@@ -53,15 +77,23 @@ def minhash_signatures(
     # hashes as flat columns keeps everything codegen'd, and the min per
     # permutation becomes a map-side partial aggregation: ~100x faster,
     # and the shuffle carries one 64-long row per (doc, distinct shingle).
+    # One md5 per distinct shingle, then 64 integer mul/add/mod — cheaper
+    # than 64 string hashes per shingle.
     exploded = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
     )
+    base = (
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(MINHASH_PRIME)
+    ).alias("bh")
     hash_cols = [
-        F.xxhash64(F.lit(p), F.col("s")).alias(f"h{p}") for p in range(num_hashes)
+        ((F.lit(a) * F.col("bh") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{p}")
+        for p, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     mins = (
-        exploded.select(id_col, *hash_cols)
+        exploded.select(id_col, base)
+        .select(id_col, *hash_cols)
         .groupBy(id_col)
         .agg(*[F.min(f"h{p}").alias(f"h{p}") for p in range(num_hashes)])
     )
@@ -122,34 +154,44 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
     _SIG_CACHE.append(sigs)
 
+    # the bucket key is the band's signature slice VERBATIM, packed
+    # pairwise into longs (h_even·M + h_odd — exact and collision-free
+    # since every component < M, and the product < 2^62): exact banding
+    # with zero bucket-hash collisions, narrow long join keys, and
+    # portable — a SQL oracle rebuilds the identical keys with the same
+    # integer arithmetic, which an engine-specific hash would forbid
+    n_keys = (rows_per_band + 1) // 2
+    structs = []
+    for b in range(bands):
+        fields = [F.lit(b).alias("band")]
+        for j in range(n_keys):
+            lo_idx = b * rows_per_band + 2 * j
+            if 2 * j + 1 < rows_per_band:
+                key = F.col("sig")[lo_idx] * F.lit(MINHASH_PRIME) + F.col("sig")[
+                    lo_idx + 1
+                ]
+            else:  # odd tail component stands alone
+                key = F.col("sig")[lo_idx]
+            fields.append(key.alias(f"k{j}"))
+        structs.append(F.struct(*fields))
     banded = sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+        id_col, F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, "bb.*")
+    bucket_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
 
     if hot_bucket_cap is not None:
         hot = (
-            banded.groupBy("band", "bucket")
+            banded.groupBy(*bucket_cols)
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > hot_bucket_cap)
-            .select("band", "bucket")
+            .select(*bucket_cols)
         )
-        banded = banded.join(hot, ["band", "bucket"], "left_anti")
+        banded = banded.join(hot, bucket_cols, "left_anti")
 
-    # narrow (id, band, bucket) self-join: the shuffle carries 3 columns
+    # narrow (id, band, k*) self-join: the shuffle carries long columns
     candidates = (
         banded.alias("l")
-        .join(banded.alias("r"), on=["band", "bucket"])
+        .join(banded.alias("r"), on=bucket_cols)
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
@@ -173,37 +215,56 @@ def minhash_lsh_pairs(
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document: majority vote of token-hash bits.
-    Single pass, no shuffle: fold the token array into 64 bit-counters
-    with ``aggregate``/``zip_with``, then pack the sign bits."""
+
+    The 64-bit token hash is the md5 digest's first 16 hex chars split
+    into two 32-bit halves — exact integer math any engine reproduces,
+    so the fingerprint is oracle-checkable (an engine-specific hash
+    would forbid that).  Shape: explode tokens → one md5 + 64 codegen'd
+    bit-extract votes per token → map-side partial sum per bit →
+    pack sign bits.  One shuffle of 64 small ints per doc.  (The earlier
+    zero-shuffle array fold was interpreted HOF eval — slower than the
+    codegen'd explode+agg, same lesson as the winnowing docstring.)
+    Token-less documents keep fingerprint 0 (all votes tie at zero).
+    """
     df = _spread(df)
-    t = tokens(text_col)
-    zeros = F.array_repeat(F.lit(0), 64)
-    bit_votes = F.aggregate(
-        t,
-        zeros,
-        lambda acc, tok: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(F.bit_get(F.xxhash64(tok), i) == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
-            ),
-            lambda a, b: a + b,
-        ),
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t")).select(
+        id_col, F.md5("t").alias("m")
     )
-    # bit weights as literals ((1<<63) wraps to the sign bit in signed space)
-    powers = F.array(*[F.lit((1 << i) - (1 << 64 if i == 63 else 0)) for i in range(64)])
-    packed = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            powers,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    halves = tok.select(
+        id_col,
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint").alias("lo"),
     )
-    return df.select(F.col(id_col), packed.alias("simhash"))
+    vote_cols = []
+    for i in range(64):
+        word = F.col("lo") if i < 32 else F.col("hi")
+        bit = F.shiftright(word, i % 32).bitwiseAND(F.lit(1))
+        vote_cols.append((bit * 2 - 1).alias(f"v{i}"))
+    votes = (
+        halves.select(id_col, *vote_cols)
+        .groupBy(id_col)
+        .agg(*[F.sum(f"v{i}").alias(f"v{i}") for i in range(64)])
+    )
+    # bit weights as literals ((1<<63) wraps to the sign bit in signed
+    # space); the weights are distinct powers of two, so an arithmetic
+    # sum equals the bitwise OR — and a SQL oracle can mirror a SUM
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) - (1 << 64 if i == 63 else 0)
+        packed = packed + F.when(F.col(f"v{i}") > 0, F.lit(weight)).otherwise(
+            F.lit(0).cast("long")
+        )
+    sh = votes.select(F.col(id_col), packed.alias("simhash"))
+    # explode drops token-less docs — restore them with fingerprint 0,
+    # preserving the original "no document vanishes" contract
+    return (
+        df.select(id_col)
+        .join(sh, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

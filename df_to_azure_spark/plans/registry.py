@@ -21,18 +21,6 @@ from df_to_azure_spark.plans import pipeline as PL
 from df_to_azure_spark.plans import training_data as TD
 
 
-def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from df_to_azure_spark.streaming.events import stream_windowed_counts
-
-    return stream_windowed_counts(spark, sf_dir)
-
-
-def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from df_to_azure_spark.streaming.stateful import run_running_totals
-
-    return run_running_totals(spark, sf_dir)
-
-
 def _stream_windowed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_vs_batch_windowed_diff
 
@@ -344,17 +332,23 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_orders_rollup": QuerySpec(
         TD.incremental_orders_rollup, TD.INCREMENTAL_ORACLE
     ),
-    # --- non-SQL-expressible (rows-only check) ---
-    "minhash_lsh_pairs": QuerySpec(TD.minhash_pairs, None, headline=True),
+    "minhash_lsh_pairs": QuerySpec(
+        TD.minhash_pairs, TD.MINHASH_PAIRS_ORACLE, headline=True
+    ),
     "lsh_knn": QuerySpec(TD.lsh_knn, TD.LSH_KNN_ORACLE),
     "lsh_knn_multiprobe": QuerySpec(
         TD.lsh_knn_multiprobe, TD.LSH_MULTIPROBE_ORACLE
     ),
-    "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, None),
+    "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, TD.SIMHASH_ORACLE),
+    # the ONE rows-only survivor: t-digest/HLL sketch internals are
+    # legitimately engine-specific (no SQL can reproduce Spark's sketch
+    # merge order); its numeric contract is hash-gated by the paired
+    # approx_stats_error_check (bounds vs exact quantiles/counts).
     "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
     "media_features": QuerySpec(TD.media_features, TD.MEDIA_FEATURES_ORACLE),
-    "stream_windowed_counts": QuerySpec(_stream_windowed_counts, None),
-    "stream_running_user_totals": QuerySpec(_stream_running_totals, None),
+    # raw stream emission is engine-side by nature; each stream's PRIMARY
+    # correctness entry is its stream-vs-batch-twin diff below (empty-set
+    # oracle) — the raw rows-only registrations were dropped in round 4.
     "stream_vs_batch_windowed_diff": QuerySpec(
         _stream_windowed_diff, _stream_diff_oracle()
     ),

@@ -220,24 +220,111 @@ WHERE {_PAIR_COS} >= 0.8
 """
 
 
-# ---- oracle-less (non-SQL-expressible hashing internals; the driver
-# records the weaker rows-only check for these — but each has a
-# hash-checked companion query that pins its contract) ----
-
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64-based signatures — not SQL-expressible → rows-only; the
-    estimation contract is hash-checked by ``minhash_error_check``
-    (estimates within the 64-hash binomial bound of exact Jaccard)."""
+    """MinHash/LSH near-dup pairs, fully oracle-paired: the signature
+    hash is a universal-hash family over md5-prefix integers
+    (``dedup.minhash_coeffs`` — exact integer math, engine-portable) and
+    the band-bucket key is the signature slice verbatim, so DuckDB
+    rebuilds the identical candidate set and estimates.  The
+    probabilistic ESTIMATION QUALITY is separately bounded by
+    ``minhash_error_check`` (binomial bound vs exact Jaccard)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, threshold=0.3)
 
 
+def _minhash_oracle(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of ``dedup.minhash_lsh_pairs`` — same tokenization,
+    shingling, universal-hash literals, banding, and estimate."""
+    coeffs = D.minhash_coeffs(num_hashes)
+    vals = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(coeffs))
+    m = D.MINHASH_PRIME
+    rpb = num_hashes // bands
+    assert rpb % 2 == 0, "oracle generator assumes an even band width"
+    n_keys = rpb // 2
+    key_exprs = ",\n         ".join(
+        f"MIN(CASE WHEN p % {rpb} = {2 * j} THEN h END) * {m}"
+        f" + MIN(CASE WHEN p % {rpb} = {2 * j + 1} THEN h END) AS k{j}"
+        for j in range(n_keys)
+    )
+    key_join = " AND ".join(f"a.k{j} = b.k{j}" for j in range(n_keys))
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {shingle_n - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{shingle_n - 1}], ' ')))) AS s
+  FROM toked WHERE len(toks) > 0
+), base AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {m} AS bh FROM sh
+), perms(p, a, b) AS (VALUES {vals}),
+mh AS (
+  SELECT doc_id, p, MIN((a * bh + b) % {m}) AS h
+  FROM base CROSS JOIN perms GROUP BY doc_id, p
+), banded AS (
+  SELECT doc_id, p // {rpb} AS band,
+         {key_exprs}
+  FROM mh GROUP BY doc_id, p // {rpb}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND {key_join} AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS DOUBLE)
+           / {float(num_hashes)} AS est_jaccard
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.id_a
+  JOIN mh y ON y.doc_id = c.id_b AND y.p = x.p
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+MINHASH_PAIRS_ORACLE = _minhash_oracle()
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64-bit votes — not SQL-expressible → rows-only; the
-    invariant (identical text ⇒ identical fingerprint) is hash-checked by
+    """64-bit SimHash per document, fully oracle-paired: token hashes
+    are md5-derived 32-bit halves (exact integer math), so DuckDB
+    reproduces every fingerprint bit-for-bit.  The structural invariant
+    (identical text ⇒ identical fingerprint) stays hash-checked by
     ``simhash_invariant_check``."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash64(docs)
+
+
+SIMHASH_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM toked
+), th AS (
+  SELECT doc_id, md5(t) AS m FROM tok
+), hl AS (
+  SELECT doc_id,
+         ('0x' || substr(m, 1, 8))::BIGINT AS hi,
+         ('0x' || substr(m, 9, 8))::BIGINT AS lo
+  FROM th
+), votes AS (
+  SELECT doc_id, i,
+         SUM((CASE WHEN i < 32 THEN (lo >> i) & 1
+                   ELSE (hi >> (i - 32)) & 1 END) * 2 - 1) AS v
+  FROM hl CROSS JOIN range(64) r(i) GROUP BY doc_id, i
+), packed AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN
+                    CASE WHEN i = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << i) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+FROM documents d LEFT JOIN packed p USING (doc_id)
+"""
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
