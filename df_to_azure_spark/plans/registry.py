@@ -149,6 +149,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "pq_adc_knn": QuerySpec(TD.pq_adc_knn, TD.PQ_ADC_ORACLE),
     "pq_rerank_knn": QuerySpec(TD.pq_rerank_knn, TD.PQ_RERANK_ORACLE),
     "pq_code_invariant": QuerySpec(TD.pq_code_invariant, TD.PQ_INVARIANT_ORACLE),
+    "pq_trained_codebooks": QuerySpec(
+        TD.pq_trained_codebooks, TD.PQ_TRAINED_ORACLE
+    ),
+    "pq_trained_recall_check": QuerySpec(
+        TD.pq_trained_recall_check, TD.PQ_TRAINED_RECALL_ORACLE
+    ),
     "dedup_cluster_representatives": QuerySpec(
         TD.dedup_cluster_representatives, TD.CLUSTER_REPS_ORACLE
     ),

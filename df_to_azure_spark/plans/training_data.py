@@ -987,6 +987,106 @@ WHERE 1 = 0
 """
 
 
+# Trained (not just sampled) PQ codebooks: distributed Lloyd iterations,
+# engine-exact via decimal aggregation (the kmeans_step trick), so the
+# ENTIRE training run is strict-oracle-checkable, iteration by iteration.
+_PQ_TRAIN_ITERS = 2
+
+
+def pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ codebook TRAINING itself as a query: 2 Lloyd iterations
+    per subspace over the embedding corpus, initialized from the same
+    exemplars as ``sample_codebooks``.  Exact-decimal distance sums and
+    6-dp rounded means make every iteration engine-reproducible — the
+    oracle replays the full unrolled training relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.train_codebooks_frame(emb, _PQ_M, _PQ_K, iters=_PQ_TRAIN_ITERS)
+
+
+def _pq_train_oracle(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_TRAIN_ITERS,
+    dim: int = _NEARDUP_DIM,
+) -> str:
+    sub = dim // m
+    parts = [
+        f"""dims AS (
+  SELECT vec_id AS vid,
+         CAST((u.g - 1) // {sub} AS INT) AS mi,
+         CAST((u.g - 1) % {sub} + 1 AS BIGINT) AS i,
+         CAST(u.x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+               g -> {{'g': g, 'x': embedding[g]}})) AS u
+        FROM embeddings)
+), cent0 AS (
+  SELECT mi, CAST(vid % {k} AS INT) AS cid, i, x AS cx
+  FROM dims WHERE vid < {m * k} AND mi = CAST(vid // {k} AS INT)
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""", dist{t} AS (
+  SELECT d.vid, d.mi, c.cid,
+         SUM(CAST((d.x - c.cx) * (d.x - c.cx) AS DECIMAL(28,12))) AS dd
+  FROM dims d JOIN cent{t} c ON d.mi = c.mi AND d.i = c.i
+  GROUP BY d.vid, d.mi, c.cid
+), assign{t} AS (
+  SELECT vid, mi, cid FROM (
+    SELECT vid, mi, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dd ASC, cid ASC) AS rk
+    FROM dist{t}) WHERE rk = 1
+), newc{t} AS (
+  SELECT a.mi, a.cid, d.i,
+         ROUND(CAST(SUM(CAST(d.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS cx
+  FROM dims d JOIN assign{t} a ON d.vid = a.vid AND d.mi = a.mi
+  GROUP BY a.mi, a.cid, d.i
+), cent{t + 1} AS (
+  SELECT c.mi, c.cid, c.i, COALESCE(n.cx, c.cx) AS cx
+  FROM cent{t} c LEFT JOIN newc{t} n
+    ON c.mi = n.mi AND c.cid = n.cid AND c.i = n.i
+)"""
+        )
+    return "WITH " + "".join(parts) + f"\nSELECT mi, cid, i, cx FROM cent{iters}\n"
+
+
+PQ_TRAINED_ORACLE = _pq_train_oracle()
+
+
+def pq_trained_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripwire closing the documented exemplar-vs-trained recall gap:
+    ADC top-10 hit counts vs exact cosine top-10, trained codebooks vs
+    exemplar codebooks over the same queries.  Emits a row ONLY when
+    training made recall WORSE — expected empty; the empty-set oracle
+    makes the driver hash-check prove trained ≥ exemplar recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = SIM.train_codebooks(emb, _PQ_M, _PQ_K, iters=_PQ_TRAIN_ITERS)
+    exemplar = SIM.sample_codebooks(emb, _PQ_M, _PQ_K)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(queries, emb, k=10).select("query_id", "neighbor_id")
+    hits_t = (
+        SIM.pq_adc_topk(queries, emb, trained, k=10)
+        .select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("hits_trained"))
+    )
+    hits_e = (
+        SIM.pq_adc_topk(queries, emb, exemplar, k=10)
+        .select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("hits_exemplar"))
+    )
+    return hits_t.crossJoin(hits_e).where(
+        F.col("hits_trained") < F.col("hits_exemplar")
+    )
+
+
+PQ_TRAINED_RECALL_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS hits_trained, CAST(NULL AS BIGINT) AS hits_exemplar
+WHERE 1 = 0
+"""
+
+
 # Feature hashing (the "hashing trick", Weinberger et al. ICML'09): text →
 # fixed-dim signed-count vector with NO vocabulary pass — the standard
 # bridge from raw documents to the vector operators (ANN, clustering,

@@ -6,6 +6,8 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
+
 from df_to_azure_spark.functions import similarity as S
 
 
@@ -217,3 +219,27 @@ def test_pq_shortlist_rerank_recall(spark, sf_smoke):
                   q, emb, books, k=10, shortlist=_PQ_RERANK_C).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_pq_dim_divisibility_enforced(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.sample_codebooks(emb, m=5, k=2)  # 64 % 5 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        S.train_codebooks_frame(emb, m=5, k=2)
+    # codebooks whose m*sub doesn't cover the vector dim must be rejected
+    bad_books = [[[0.0] * 8] * 2] * 4  # 4 subspaces x 8 dims = 32 != 64
+    with pytest.raises(ValueError, match="must equal the dim"):
+        S.pq_codes(emb, bad_books).collect()
+
+
+def test_train_codebooks_shape_and_improvement_hook(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    books = S.train_codebooks(emb, m=4, k=8, iters=1)
+    assert len(books) == 4
+    assert all(len(cb) == 8 for cb in books)
+    assert all(len(c) == 16 for cb in books for c in cb)
+    # trained codebooks must be valid pq_codes input end-to-end
+    codes = S.pq_codes(emb, books)
+    row = codes.first()
+    assert all(0 <= row[f"code_{m}"] < 8 for m in range(4))
