@@ -1120,7 +1120,7 @@ def hash_embedding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = agg.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m")
     )
-    return emb.select(
+    dense = emb.select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
@@ -1128,6 +1128,20 @@ def hash_embedding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("bigint")
             ).cast("double"),
         ).alias("embedding"),
+    )
+    # the token explode drops token-less documents; the oracle's dense
+    # (doc x dim) grid keeps them as zero rows — restore them here with a
+    # zero vector so both engines agree on the empty-document class
+    zeros = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)), lambda i: F.lit(0.0)
+    )
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(dense, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("embedding"), zeros).alias("embedding")
+        )
     )
 
 

@@ -45,10 +45,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = normalize_ts_col(raw, "ts")
     batch_schema = load_table(spark, sf_dir, "events").schema
-    assert stream.schema == batch_schema, (
-        f"normalized stream schema {stream.schema.simpleString()} != "
-        f"batch schema {batch_schema.simpleString()}"
-    )
+    if stream.schema != batch_schema:
+        # a real exception, not assert: the "encoding drift fails loudly
+        # here" guarantee must survive python -O / PYTHONOPTIMIZE
+        raise TypeError(
+            f"normalized stream schema {stream.schema.simpleString()} != "
+            f"batch schema {batch_schema.simpleString()}"
+        )
     return stream
 
 

@@ -152,14 +152,36 @@ def _session_update(
     closed: list[tuple[int, int, int]] = []
     if state.exists:
         s, e, n = state.get
+        # Late-but-within-watermark events EARLIER than the carried
+        # session start need care the merge loop below can't give them:
+        # they may bridge into the open session (lowering its start),
+        # form their own earlier session(s), or chain into both — the
+        # batch sessionizer takes min(ts) per session, so the stream
+        # must too.  Sessionize them first with the standard gap walk,
+        # then merge the final run into the open session iff it reaches
+        # within the gap of s.
+        pre = [t for t in ts_us if t < s]
+        ts_us = [t for t in ts_us if t >= s]
+        cur: list[int] | None = None
+        for t in pre:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] <= _SESSION_GAP_US:
+                cur[1], cur[2] = t, cur[2] + 1
+            else:
+                closed.append((cur[0], cur[1], cur[2]))
+                cur = [t, t, 1]
+        if cur is not None:
+            if s - cur[1] <= _SESSION_GAP_US:
+                s, n = cur[0], n + cur[2]
+            else:
+                closed.append((cur[0], cur[1], cur[2]))
     else:
-        s, e, n = ts_us[0], ts_us[0], 0
-        ts_us[:1] = []
-        n = 1
+        s, e, n = ts_us[0], ts_us[0], 1
+        ts_us = ts_us[1:]
     for t in ts_us:
         if t - e <= _SESSION_GAP_US:
-            # max, not assignment: a late-but-within-watermark event can
-            # sort before the open session's end carried in state
+            # max, not assignment: an event can land inside [s, e]
             e, n = max(e, t), n + 1
         else:
             closed.append((s, e, n))

@@ -55,3 +55,85 @@ def test_stateful_sessionize_matches_batch_and_timeouts_fire(spark, sf_smoke):
     # every emitted final session is bit-identical to the batch final
     full_final = batch.join(last, ["user_id", "session_end"], "left_semi")
     assert finals_emitted.exceptAll(full_final).count() == 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to drive _session_update directly —
+    the only way to exercise multi-micro-batch state transitions in a
+    unit test (processAllAvailable over one file is a single batch)."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.timeout_set = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists, self._v = True, v
+
+    def remove(self):
+        self.exists, self._v = False, None
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+
+def _feed(state, ts_us):
+    import pandas as pd
+
+    from df_to_azure_spark.streaming.stateful import _session_update
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(ts_us, unit="us")})
+    return list(_session_update(("u1",), iter([pdf]), state))
+
+
+def test_late_event_lowers_carried_session_start():
+    from df_to_azure_spark.streaming.stateful import _SESSION_GAP_US as GAP
+
+    base = 10 * GAP
+    state = _FakeState()
+    assert _feed(state, [base]) == []
+    assert state._v == (base, base, 1)
+    # a late-but-within-watermark event BEFORE the carried start, within
+    # the gap: must merge AND lower session_start (batch takes min(ts))
+    late = base - GAP // 2
+    assert _feed(state, [late]) == []
+    assert state._v == (late, base, 2)
+
+
+def test_late_event_beyond_gap_splits_into_earlier_session():
+    from df_to_azure_spark.streaming.stateful import _SESSION_GAP_US as GAP
+
+    base = 10 * GAP
+    state = _FakeState()
+    _feed(state, [base])
+    early = base - 3 * GAP
+    out = _feed(state, [early])
+    # the early event can't reach the open session: it closes as its own
+    # earlier session; the open session's state is untouched
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert int(row["session_start"].value // 1000) == early
+    assert int(row["session_end"].value // 1000) == early
+    assert row["n_events"] == 1
+    assert state._v == (base, base, 1)
+
+
+def test_late_chain_bridges_into_carried_session():
+    from df_to_azure_spark.streaming.stateful import _SESSION_GAP_US as GAP
+
+    base = 10 * GAP
+    state = _FakeState()
+    _feed(state, [base])
+    # two late events chaining within gap of each other AND of the start:
+    # the whole chain folds into the open session, start drops to t1
+    t1, t2 = base - GAP - GAP // 2, base - GAP // 2
+    assert _feed(state, [t1, t2]) == []
+    assert state._v == (t1, base, 3)
