@@ -901,11 +901,22 @@ def user_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle on user_id (the collect_list agg with
     map-side partials), per-user state = the user's own event count; the
-    regex runs once per user, not per event.  Per-user sequences are
-    bounded by per-user activity — for power users at 100 TB, window the
-    sequence by day/session before collapsing (same operator, composed
-    with the sessionizer)."""
+    regex runs once per user, not per event.  A degenerate mega-user
+    (bot traffic) would fatten one row and one task at 100 TB, so users
+    above ``max_seq_events`` are excluded up front — the same
+    ``max_basket`` guard as ``part_cooccurrence``, mirrored in the
+    oracle.  For legitimate power users, window the sequence by
+    day/session before collapsing (same operator, composed with the
+    sessionizer)."""
+    max_seq_events = 10_000
     ev = load_table(spark, sf_dir, "events")
+    eligible = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .where(F.col("n_ev") <= max_seq_events)
+        .select("user_id")
+    )
+    ev = ev.join(eligible, "user_id", "left_semi")
     r = F.struct(
         F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ch")
     )
@@ -930,10 +941,14 @@ def user_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_PATTERN_ORACLE = """
-WITH seqs AS (
+WITH eligible AS (
+  SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) <= 10000
+), seqs AS (
   SELECT user_id,
          string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE user_id IN (SELECT user_id FROM eligible)
+  GROUP BY user_id
 )
 SELECT user_id,
        CAST(length(seq) AS BIGINT) AS n_events,

@@ -147,3 +147,33 @@ def test_full_outer_aggregates_before_join(spark, sf_smoke):
     # on the post-agg key, not raw table shuffles of full rows
     plan = _plan(spark, "nation_account_full_outer", sf_smoke)
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_user_event_pattern_mega_user_guard(spark, tmp_path):
+    """A degenerate mega-user (> max_seq_events events) is excluded from
+    the sequence collapse instead of fattening one task; normal users
+    are unaffected."""
+    import datetime
+
+    from df_to_azure_spark.plans.analytics4 import user_event_pattern
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # mega-user 1: 10_001 events (over the 10_000 cap)
+        (i, base + datetime.timedelta(seconds=i), 1, "view", 1.0, "{}")
+        for i in range(10_001)
+    ] + [
+        # normal user 2: a clean v->c->p funnel
+        (20_001, base, 2, "view", 1.0, "{}"),
+        (20_002, base + datetime.timedelta(seconds=1), 2, "click", 1.0, "{}"),
+        (20_003, base + datetime.timedelta(seconds=2), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: r for r in user_event_pattern(spark, str(tmp_path)).collect()}
+    assert 1 not in out  # mega-user guarded out
+    assert out[2].n_events == 3 and out[2].n_funnels == 1
