@@ -95,3 +95,108 @@ def test_delta_merge_when_available(spark, tmp_path):
     lake.merge(delta, "t", ["id"])
     got = sorted((r.id, r.val) for r in spark.read.format("delta").load(path).collect())
     assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+class _FakeBuilder:
+    def __init__(self, log):
+        self.log = log
+
+    def whenMatchedUpdateAll(self):
+        self.log.append("whenMatchedUpdateAll")
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append("whenNotMatchedInsertAll")
+        return self
+
+    def execute(self):
+        self.log.append("execute")
+
+
+class _FakeTarget:
+    def __init__(self, log):
+        self.log = log
+
+    def alias(self, a):
+        self.log.append(f"alias:{a}")
+        return self
+
+    def merge(self, src, cond):
+        self.log.append(f"merge:{cond}")
+        return _FakeBuilder(self.log)
+
+
+def _install_fake_delta(monkeypatch, log):
+    """Inject a delta.tables stand-in so the _delta_merge True path runs
+    in this delta-less container — contract coverage for the routing and
+    clause algebra, exactly the API surface DeltaTable exposes."""
+    import sys
+    import types
+
+    class _FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            log.append(f"isDeltaTable:{path}")
+            return True
+
+        @staticmethod
+        def forPath(spark, path):
+            log.append(f"forPath:{path}")
+            return _FakeTarget(log)
+
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = _FakeDeltaTable
+    delta_mod = types.ModuleType("delta")
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+
+def test_delta_merge_routing_and_clause_algebra(spark, lake, monkeypatch):
+    log: list[str] = []
+    _install_fake_delta(monkeypatch, log)
+    before = _rows(lake.read("t"))
+    delta = spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string")
+    lake.merge(delta, "t", ["id"])
+    # routed to the Delta path: builder driven with BOTH clauses, and the
+    # snapshot-swap fallback never ran (table untouched by the fake)
+    assert log[-1] == "execute"
+    assert "whenMatchedUpdateAll" in log and "whenNotMatchedInsertAll" in log
+    assert any(s.startswith("merge:t.`id` <=> s.`id`") for s in log)
+    assert _rows(lake.read("t")) == before
+
+
+def test_delta_merge_insert_only_skips_update_clause(spark, lake, monkeypatch):
+    log: list[str] = []
+    _install_fake_delta(monkeypatch, log)
+    delta = spark.createDataFrame([(4, "d")], "id long, val string")
+    lake.merge(delta, "t", ["id"], when_matched=None)
+    assert "whenNotMatchedInsertAll" in log
+    assert "whenMatchedUpdateAll" not in log
+    assert log[-1] == "execute"
+
+
+def test_delta_merge_falls_back_when_not_a_delta_table(spark, lake, monkeypatch):
+    import sys
+    import types
+
+    log: list[str] = []
+
+    class _NotDelta:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            log.append("probed")
+            return False
+
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = _NotDelta
+    delta_mod = types.ModuleType("delta")
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    delta = spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string")
+    lake.merge(delta, "t", ["id"])
+    # probed the log dir, declined, and the snapshot-swap path did the work
+    assert log == ["probed"]
+    assert _rows(lake.read("t")) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
