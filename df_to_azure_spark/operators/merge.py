@@ -52,12 +52,34 @@ def merge_statement(
     (``db.py:36-53``); generated, never string-formatted from user data
     beyond identifier quoting.  ``dialect='tsql'`` bracket-quotes and uses
     T-SQL's ``NOT MATCHED BY TARGET``; ``'ansi'`` emits unquoted
-    identifiers and plain ``NOT MATCHED`` (Derby, H2, ...)."""
-    q = _bq if dialect == "tsql" else _dq        # column identifiers
-    qt = _bq if dialect == "tsql" else _plain    # schema/table identifiers
+    identifiers and plain ``NOT MATCHED`` (Derby, H2, ...);
+    ``'postgres'`` emits the native upsert form ``INSERT ... ON CONFLICT
+    (keys) DO UPDATE SET col = EXCLUDED.col`` (``DO NOTHING`` when every
+    column is a key), double-quoted so Spark-JDBC-created mixed-case
+    identifiers resolve.  All dialects share the reference's MERGE
+    semantics: match on the keys, update the non-keys, insert absentees,
+    never DELETE."""
+    if dialect not in ("tsql", "ansi", "postgres"):
+        raise ValueError(f"unknown dialect {dialect!r} (tsql, ansi, postgres)")
     cols = [c.strip() for c in columns]
     key_set = {k.strip() for k in keys}
     non_keys = [c for c in cols if c not in key_set]
+    if dialect == "postgres":
+        q = _dq
+        col_list = ", ".join(q(c) for c in cols)
+        conflict_cols = ", ".join(q(k.strip()) for k in keys)
+        lines = [
+            f"INSERT INTO {q(target_schema)}.{q(table)} AS t ({col_list})",
+            f"SELECT {col_list} FROM {q(staging_schema)}.{q(table)}",
+        ]
+        if non_keys:
+            update = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
+            lines.append(f"ON CONFLICT ({conflict_cols}) DO UPDATE SET {update}")
+        else:
+            lines.append(f"ON CONFLICT ({conflict_cols}) DO NOTHING")
+        return "\n".join(lines) + ";"
+    q = _bq if dialect == "tsql" else _dq        # column identifiers
+    qt = _bq if dialect == "tsql" else _plain    # schema/table identifiers
     on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
     update = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
     insert_cols = ", ".join(q(c) for c in cols)
@@ -95,6 +117,8 @@ def drop_staging_statement(
     the does-not-exist error."""
     if dialect == "tsql":
         return f"DROP TABLE IF EXISTS {_bq(staging_schema)}.{_bq(table)};"
+    if dialect == "postgres":
+        return f"DROP TABLE IF EXISTS {_dq(staging_schema)}.{_dq(table)};"
     return f"DROP TABLE {_plain(staging_schema)}.{_plain(table)}"
 
 

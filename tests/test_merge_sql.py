@@ -44,3 +44,38 @@ def test_procedure_wrapper_and_cleanup():
     proc = upsert_procedure("sample", ["a", "b"], ["a"])
     assert proc.startswith("CREATE OR ALTER PROCEDURE [UPSERT_sample] AS")
     assert drop_staging_statement("sample") == "DROP TABLE IF EXISTS [staging].[sample];"
+
+
+def test_postgres_on_conflict_golden():
+    sql = merge_statement(
+        "sales", ["id", "region", "amount"], ["id"],
+        target_schema="public", dialect="postgres",
+    )
+    assert sql == (
+        'INSERT INTO "public"."sales" AS t ("id", "region", "amount")\n'
+        'SELECT "id", "region", "amount" FROM "staging"."sales"\n'
+        'ON CONFLICT ("id") DO UPDATE SET "region" = EXCLUDED."region", '
+        '"amount" = EXCLUDED."amount";'
+    )
+
+
+def test_postgres_composite_key_and_do_nothing():
+    sql = merge_statement(
+        "m", ["a", "b"], ["a", "b"], target_schema="public", dialect="postgres"
+    )
+    # every column is a key: nothing to update, insert-if-absent only —
+    # the no-DELETE reference semantics preserved
+    assert sql.endswith('ON CONFLICT ("a", "b") DO NOTHING;')
+    assert "EXCLUDED" not in sql
+
+
+def test_postgres_drop_staging_and_unknown_dialect():
+    import pytest
+
+    from df_to_azure_spark.operators.merge import drop_staging_statement
+
+    assert drop_staging_statement("t", dialect="postgres") == (
+        'DROP TABLE IF EXISTS "staging"."t";'
+    )
+    with pytest.raises(ValueError, match="unknown dialect"):
+        merge_statement("t", ["a"], ["a"], dialect="oracle")
