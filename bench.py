@@ -31,15 +31,17 @@ def main() -> None:
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():
         # first run warms codegen/AQE/classloading for this plan; the
-        # steady-state number is the best of two timed runs (min filters
-        # out one-off scheduler/GC noise without hiding real cost)
+        # steady-state number is the MEDIAN of three timed runs — robust
+        # to the one-off scheduler/GC spike a min would hide and the
+        # shared-box contention a single run would absorb (round-3
+        # lesson: sub-second deltas were pure run variance)
         materialize(fn(spark, sf_dir))
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.monotonic()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.monotonic() - t0)
+        times[name] = round(sorted(samples)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -4,7 +4,9 @@ Design point for 100 TB: never compare all pairs.  Exact dedup is a
 hash-groupBy (one shuffle on the fingerprint).  Near-dup goes through
 LSH banding so candidate generation is a shuffle on (band, band_hash)
 buckets — O(n) map work + bucket-local joins — instead of an O(n²) cross
-join.  All hashing is ``xxhash64`` (JVM, codegen'd); no Python UDFs.
+join.  All hashing is engine-portable integer math (md5-prefix bases +
+universal hashing, codegen'd column expressions — no Python UDFs), so
+every operator here is SQL-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -483,4 +485,78 @@ def winnow_overlap_pairs(
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_span_tokens: int = 12,
+    hot_shingle_cap: int | None = 1000,
+) -> DataFrame:
+    """Maximal EXACT shared token spans between document pairs — the
+    substring-level dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL'22): near-dup scores say two docs
+    overlap; this says exactly WHERE and for HOW LONG, which is what a
+    span-removal pass needs.
+
+    Algorithm (suffix-array semantics, join-shaped plan): positional
+    ``shingle_n``-gram shingles with a 48-bit portable hash → inverted-
+    index self-join on the hash (equal shingles across doc pairs) →
+    chain matches along each alignment diagonal ``pos_a - pos_b`` with
+    the gaps-and-islands trick (consecutive positions share
+    ``pos_a - row_number()``) → each island is one MAXIMAL shared span
+    of ``run + shingle_n - 1`` tokens; keep spans ≥ ``min_span_tokens``.
+
+    Returns ``(id_a, id_b, start_a, start_b, span_tokens)`` with
+    1-based token positions.
+
+    Scale shape: one posting-list shuffle on the shingle hash (the same
+    inverted-index join as ``ngram_jaccard_pairs``, with the same
+    ``hot_shingle_cap`` boilerplate guard — a shingle shared by
+    thousands of docs is template noise and would make cap² join rows),
+    then one shuffle on (pair, diagonal) for the island window.  Never
+    a cross join; per-pair work is proportional to true overlap."""
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "s"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        # 12 hex chars = 48 bits: comfortably inside BIGINT in any
+        # engine, collision-free in practice at corpus scale
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+    )
+    if hot_shingle_cap is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > hot_shingle_cap)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    m = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = m.select("id_a", "id_b", "pos_a", "pos_b", diag).withColumn(
+        "isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("id_a", "id_b", "diag", "isl").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count(F.lit(1)) + (shingle_n - 1)).cast("bigint").alias("span_tokens"),
+    )
+    return spans.where(F.col("span_tokens") >= min_span_tokens).select(
+        "id_a", "id_b", "start_a", "start_b", "span_tokens"
     )

@@ -329,6 +329,7 @@ REGISTRY: dict[str, QuerySpec] = {
         A5.priority_status_chi2, A5.CHI2_ORACLE
     ),
     # --- training-data wave 2 ---
+    "doc_shared_spans": QuerySpec(TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE),
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "ngram_containment_pairs": QuerySpec(
         TD.ngram_containment, TD.NGRAM_CONTAINMENT_ORACLE

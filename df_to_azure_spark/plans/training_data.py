@@ -327,6 +327,51 @@ FROM documents d LEFT JOIN packed p USING (doc_id)
 """
 
 
+def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring spans (Lee et al. ACL'22 dedup): for every
+    document pair, the maximal exactly-repeated token spans ≥ 12 tokens
+    — the span-removal input that pair-level Jaccard scores can't give.
+    Positional 8-gram inverted index + diagonal gaps-and-islands
+    chaining; see ``dedup.shared_span_pairs`` for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shared_span_pairs(
+        docs, shingle_n=8, min_span_tokens=12, hot_shingle_cap=1000
+    )
+
+
+_SPAN_K = 8
+SHARED_SPANS_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id, u.pos AS pos,
+         ('0x' || substr(md5(u.s), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - {_SPAN_K - 1}, 1) + 1),
+                 i -> {{'pos': i, 's': array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')}})) AS u
+        FROM toked WHERE len(toks) > 0)
+), hot AS (
+  SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) > 1000
+), sh AS (
+  SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot)
+), m AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS isl
+  FROM m
+), spans AS (
+  SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
+  FROM isl GROUP BY id_a, id_b, diag, isl
+)
+SELECT id_a, id_b, start_a, start_b, span_tokens
+FROM spans WHERE span_tokens >= 12
+"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.3)

@@ -189,3 +189,43 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     assert r.containment_b < 0.1       # long side barely overlaps
     jac = ngram_jaccard_pairs(df, threshold=0.3).collect()
     assert jac == []                   # symmetric measure misses it
+
+
+def test_shared_span_pairs_finds_planted_span(spark):
+    """A 15-token span planted at different offsets in two documents is
+    reported ONCE, maximal, with exact 1-based start positions."""
+    span = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " gamma"),
+            (2, span + " delta epsilon zeta"),
+            (3, "totally unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.shared_span_pairs(docs, shingle_n=8, min_span_tokens=12).collect()
+    assert len(out) == 1
+    r = out[0]
+    # doc 1: span starts after 2 lead tokens -> token position 3
+    assert (r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens) == (1, 2, 3, 1, 15)
+
+
+def test_shared_span_pairs_reports_both_spans_on_different_diagonals(spark):
+    s1 = " ".join(f"a{i}" for i in range(12))
+    s2 = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (1, s1 + " filler1 filler2 " + s2),
+            (2, s2 + " mid " + s1),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.start_a, r.start_b, r.span_tokens)
+        for r in D.shared_span_pairs(docs, shingle_n=8, min_span_tokens=12).collect()
+    }
+    # s1: doc1 pos 1, doc2 pos 13+2=15... wait: doc2 = s2(13 toks) + mid + s1 -> s1 at 15
+    assert (1, 15, 12) in got
+    # s2: doc1 pos 12+2+1=15, doc2 pos 1
+    assert (15, 1, 13) in got
+    assert len(got) == 2
