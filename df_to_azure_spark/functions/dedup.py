@@ -560,3 +560,69 @@ def shared_span_pairs(
     return spans.where(F.col("span_tokens") >= min_span_tokens).select(
         "id_a", "id_b", "start_a", "start_b", "span_tokens"
     )
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_span_tokens: int = 12,
+    hot_shingle_cap: int | None = 1000,
+) -> DataFrame:
+    """Span-level dedup REMOVAL — the second half of Lee et al.: given
+    the maximal shared spans from ``shared_span_pairs``, drop the
+    duplicated token ranges from the HIGHER-id document of each pair
+    (the lower id keeps its copy, mirroring min-id canonical dedup) and
+    rebuild the text.
+
+    Returns ``(id, n_tokens, n_removed, text_dedup)`` for every input
+    row — token-less documents pass through with empty text and zero
+    counts.
+
+    Scale shape: the span frame is tiny relative to the corpus (only
+    true overlaps), its range-explode is bounded by total duplicated
+    tokens, and the removal is a position anti-join + per-doc rebuild
+    (one shuffle on the id; per-doc state bounded by document length,
+    the same bound the tokenizer already implies)."""
+    spans = shared_span_pairs(
+        df, text_col, id_col, shingle_n, min_span_tokens, hot_shingle_cap
+    )
+    drops = (
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    kept = toks.join(drops, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    base = df.select(F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -340,8 +340,9 @@ def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPAN_K = 8
-SHARED_SPANS_ORACLE = f"""
-WITH toked AS (
+# CTE chain through `spans` (maximal shared spans) — shared by the
+# span-detection oracle and the span-removal oracle.
+_SPAN_CTES = f"""toked AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ), sh0 AS (
   SELECT doc_id, u.pos AS pos,
@@ -366,9 +367,53 @@ WITH toked AS (
   SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
          CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
   FROM isl GROUP BY id_a, id_b, diag, isl
-)
+)"""
+
+SHARED_SPANS_ORACLE = f"""
+WITH {_SPAN_CTES}
 SELECT id_a, id_b, start_a, start_b, span_tokens
 FROM spans WHERE span_tokens >= 12
+"""
+
+
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal dedup: duplicated token ranges are dropped from the
+    higher-id document of each shared-span pair and the text rebuilt —
+    the transform a substring-dedup pass actually applies, verified all
+    the way to the reconstructed strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_shared_spans(
+        docs, shingle_n=_SPAN_K, min_span_tokens=12, hot_shingle_cap=1000
+    )
+
+
+SPAN_DEDUP_ORACLE = f"""
+WITH {_SPAN_CTES}, drops AS (
+  SELECT DISTINCT id_b AS doc_id, u AS pos
+  FROM (SELECT id_b, unnest(range(start_b, start_b + span_tokens)) AS u
+        FROM spans WHERE span_tokens >= 12)
+), tpos AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks) + 1),
+                 i -> {{'pos': i, 'tok': toks[i]}})) AS u
+        FROM toked)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tpos t
+  WHERE NOT EXISTS (SELECT 1 FROM drops d
+                    WHERE d.doc_id = t.doc_id AND d.pos = t.pos)
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM documents d
+JOIN toked t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
 """
 
 

@@ -229,3 +229,25 @@ def test_shared_span_pairs_reports_both_spans_on_different_diagonals(spark):
     # s2: doc1 pos 12+2+1=15, doc2 pos 1
     assert (15, 1, 13) in got
     assert len(got) == 2
+
+
+def test_remove_shared_spans_drops_from_higher_id_only(spark):
+    span = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span),
+            (2, span + " tail1 tail2"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.remove_shared_spans(
+        docs, shingle_n=8, min_span_tokens=12).collect()}
+    # lower id keeps its copy untouched
+    assert out[1].n_removed == 0
+    assert out[1].text_dedup == "alpha beta " + span
+    # higher id loses exactly the 15 duplicated tokens, keeps its tail
+    assert out[2].n_removed == 15
+    assert out[2].text_dedup == "tail1 tail2"
+    # token-less doc passes through
+    assert (out[3].n_tokens, out[3].n_removed, out[3].text_dedup) == (0, 0, "")
