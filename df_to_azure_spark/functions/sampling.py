@@ -136,3 +136,52 @@ def sample_k_per_group(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: Column | str | None = None,
+) -> DataFrame:
+    """Per-group downsampling to a TOKEN budget — the data-mix operation
+    that turns "use 30B tokens of web, 5B of code" into a deterministic
+    document selection: within each group, documents are ordered by the
+    md5 hash of their id (an unbiased, engine-portable shuffle order)
+    and kept while the running token total has not yet reached
+    ``budget_tokens`` — the document that crosses the budget is the last
+    one kept, so every group reaches its budget (slightly over, never
+    under, matching how sampling-to-budget is done in practice).
+
+    Returns the kept rows with ``n_tokens`` and the running
+    ``cum_tokens`` appended.
+
+    Scale shape: ONE shuffle on the group for the running-sum window;
+    everything else is a scan.  The hash order decouples selection from
+    storage order, so re-partitioned or re-ingested data selects the
+    SAME documents — the property random sampling can't give."""
+    from pyspark.sql import Window as W
+
+    from df_to_azure_spark.functions.text import token_count
+
+    if tokens_col is None:
+        n_tok = token_count("text").cast("bigint")
+    else:
+        n_tok = (
+            F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+        ).cast("bigint")
+    ordered = df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = ordered.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.where(
+        F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
+    ).drop("__h")

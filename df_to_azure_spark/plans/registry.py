@@ -331,6 +331,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- training-data wave 2 ---
     "doc_shared_spans": QuerySpec(TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE),
     "doc_span_dedup": QuerySpec(TD.doc_span_dedup, TD.SPAN_DEDUP_ORACLE),
+    "token_budget_mix": QuerySpec(TD.token_budget_mix, TD.TOKEN_BUDGET_ORACLE),
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "ngram_containment_pairs": QuerySpec(
         TD.ngram_containment, TD.NGRAM_CONTAINMENT_ORACLE

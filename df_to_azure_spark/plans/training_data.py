@@ -417,6 +417,35 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each source to an 800-token budget in deterministic
+    hash order — the "N tokens of each source" data-mix selection; see
+    ``sampling.token_budget_sample``."""
+    from df_to_azure_spark.functions.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(docs, budget_tokens=800, group_col="source").select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 800
+"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.3)

@@ -89,3 +89,29 @@ def test_pack_id_greedy_semantics(spark):
     again = {r.doc_id: r.pack_id for r in
              with_pack_id(df, "doc_id", "n_chars", 1000, buckets=1).collect()}
     assert again == rows
+
+
+def test_token_budget_sample_reaches_budget_deterministically(spark):
+    from df_to_azure_spark.functions.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10, "s1") for i in range(10)]
+        + [(100 + i, "tok " * 10, "s2") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    out = token_budget_sample(docs, budget_tokens=35, group_col="source")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, []).append(r)
+    # s1: 10-token docs, budget 35 -> 4 docs kept (the 4th crosses it)
+    assert len(by_src["s1"]) == 4
+    assert max(r.cum_tokens for r in by_src["s1"]) == 40
+    # s2 has only 30 tokens total: everything kept, budget not reachable
+    assert len(by_src["s2"]) == 3
+    # deterministic: same selection on a re-run over reshuffled input
+    again = token_budget_sample(
+        docs.repartition(7), budget_tokens=35, group_col="source"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
