@@ -519,7 +519,7 @@ def shared_span_pairs(
     thousands of docs is template noise and would make cap² join rows),
     then one shuffle on (pair, diagonal) for the island window.  Never
     a cross join; per-pair work is proportional to true overlap."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col),
         F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "s"),
     ).select(
@@ -600,7 +600,7 @@ def remove_shared_spans(
         )
         .distinct()
     )
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos0", "tok")
     ).select(id_col, (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
     kept = toks.join(drops, [id_col, "pos"], "left_anti")

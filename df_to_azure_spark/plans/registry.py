@@ -329,7 +329,9 @@ REGISTRY: dict[str, QuerySpec] = {
         A5.priority_status_chi2, A5.CHI2_ORACLE
     ),
     # --- training-data wave 2 ---
-    "doc_shared_spans": QuerySpec(TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE),
+    "doc_shared_spans": QuerySpec(
+        TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
+    ),
     "doc_span_dedup": QuerySpec(TD.doc_span_dedup, TD.SPAN_DEDUP_ORACLE),
     "token_budget_mix": QuerySpec(TD.token_budget_mix, TD.TOKEN_BUDGET_ORACLE),
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
