@@ -155,6 +155,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pq_trained_recall_check": QuerySpec(
         TD.pq_trained_recall_check, TD.PQ_TRAINED_RECALL_ORACLE
     ),
+    "ivf_trained_knn": QuerySpec(TD.ivf_trained_knn, TD.IVF_TRAINED_ORACLE),
     "dedup_cluster_representatives": QuerySpec(
         TD.dedup_cluster_representatives, TD.CLUSTER_REPS_ORACLE
     ),

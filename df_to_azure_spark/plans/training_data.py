@@ -1122,12 +1122,15 @@ def pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.train_codebooks_frame(emb, _PQ_M, _PQ_K, iters=_PQ_TRAIN_ITERS)
 
 
-def _pq_train_oracle(
+def _pq_train_ctes(
     m: int = _PQ_M,
     k: int = _PQ_K,
     iters: int = _PQ_TRAIN_ITERS,
     dim: int = _NEARDUP_DIM,
 ) -> str:
+    """CTE chain (no WITH, no final SELECT) replaying
+    ``train_codebooks_frame`` through ``cent{iters}`` — shared by the
+    PQ-training oracle and the trained-IVF oracle."""
     sub = dim // m
     parts = [
         f"""dims AS (
@@ -1166,10 +1169,14 @@ def _pq_train_oracle(
     ON c.mi = n.mi AND c.cid = n.cid AND c.i = n.i
 )"""
         )
-    return "WITH " + "".join(parts) + f"\nSELECT mi, cid, i, cx FROM cent{iters}\n"
+    return "".join(parts)
 
 
-PQ_TRAINED_ORACLE = _pq_train_oracle()
+PQ_TRAINED_ORACLE = (
+    "WITH "
+    + _pq_train_ctes()
+    + f"\nSELECT mi, cid, i, cx FROM cent{_PQ_TRAIN_ITERS}\n"
+)
 
 
 def pq_trained_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,6 +1211,70 @@ PQ_TRAINED_RECALL_ORACLE = """
 SELECT CAST(NULL AS BIGINT) AS hits_trained, CAST(NULL AS BIGINT) AS hits_exemplar
 WHERE 1 = 0
 """
+
+
+def ivf_trained_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED coarse centroids: ``train_codebooks`` with
+    a single subspace (m=1) IS distributed k-means over the full vectors
+    (init = exemplar vectors 0..k-1, the same seeds as ``kmeans_step``),
+    so the inverted lists adapt to the data instead of standing on raw
+    exemplars.  The oracle re-runs the identical decimal-exact training
+    relationally, then replays the same assignment/probe/search — the
+    whole index BUILD + QUERY pipeline is hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.train_codebooks(emb, 1, 8, iters=_PQ_TRAIN_ITERS)[0]
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(queries, emb, centroids, k=10, nprobe=2)
+
+
+def _ivf_trained_oracle() -> str:
+    train = _pq_train_ctes(m=1, k=8, iters=_PQ_TRAIN_ITERS)
+    return f"""
+WITH {train}, centv AS (
+  SELECT cid, list(cx ORDER BY i) AS cv FROM cent{_PQ_TRAIN_ITERS} GROUP BY cid
+), corp AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+), cdist AS (
+  SELECT c.neighbor_id, c.ev, ct.cid,
+         {_dot_sql('c.ev', 'c.ev')} - 2.0 * {_dot_sql('c.ev', 'ct.cv')}
+           + {_dot_sql('ct.cv', 'ct.cv')} AS d
+  FROM corp c CROSS JOIN centv ct
+), ca AS (
+  SELECT neighbor_id, ev AS cv, cid FROM (
+    SELECT neighbor_id, ev, cid,
+           row_number() OVER (PARTITION BY neighbor_id ORDER BY d, cid) AS rk
+    FROM cdist) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qd AS (
+  SELECT query_id, qv, ct.cid,
+         {_dot_sql('qv', 'qv')} - 2.0 * {_dot_sql('qv', 'ct.cv')}
+           + {_dot_sql('ct.cv', 'ct.cv')} AS cd
+  FROM q CROSS JOIN centv ct
+), probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= 2
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM ca JOIN probes USING (cid)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+IVF_TRAINED_ORACLE = _ivf_trained_oracle()
 
 
 # Feature hashing (the "hashing trick", Weinberger et al. ICML'09): text →
