@@ -499,3 +499,68 @@ FROM (
   FROM events GROUP BY user_id
 )
 """
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type — the
+    PORTABLE approximate-counting companion to ``approx_event_stats``:
+    where HLL internals are engine-specific (rows-only forever), KMV is
+    order statistics over a deterministic hash, so the ESTIMATE ITSELF
+    is bit-reproducible in any engine and hash-checked here.
+
+    Sketch: normalize a 48-bit md5-prefix hash of each distinct user to
+    (0, 1]; with h_k the k-th smallest hash, distinct ≈ (k-1)/h_k
+    (Bar-Yossef et al.; the standard KMV estimator).  Groups with fewer
+    than k distinct users report the exact count (the sketch is exact
+    below k by construction).
+
+    Scale shape: one distinct shuffle on (group, user) with map-side
+    combine, one rank window per group; state per group is k hashes —
+    the same mergeability story a production sketch needs (union of
+    bottom-k sets = bottom-k of union)."""
+    k = 64
+    events = load_table(spark, sf_dir, "events")
+    d = events.select("event_type", "user_id").distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 48))
+    ).alias("h")
+    ranked = d.select("event_type", h).withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    )
+    per_group = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_exact") >= k, F.round(F.lit(float(k - 1)) / F.col("h_k"), 6)
+    ).otherwise(F.col("n_exact").cast("double"))
+    return per_group.select(
+        "event_type", F.col("n_exact").cast("bigint").alias("n_exact"),
+        est.alias("kmv_estimate"),
+    )
+
+
+KMV_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           / CAST({float(1 << 48)} AS DOUBLE) AS h
+  FROM d
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), per_group AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         MAX(CASE WHEN rn = 64 THEN h END) AS h_k
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       CASE WHEN n_exact >= 64 THEN round(63.0 / h_k, 6)
+            ELSE CAST(n_exact AS DOUBLE) END AS kmv_estimate
+FROM per_group
+"""

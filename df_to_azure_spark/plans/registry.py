@@ -357,6 +357,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # merge order); its numeric contract is hash-gated by the paired
     # approx_stats_error_check (bounds vs exact quantiles/counts).
     "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
+    # KMV bottom-k sketch: the PORTABLE approximate-distinct companion —
+    # deterministic hash order statistics, estimate itself hash-checked
+    "kmv_distinct_users": QuerySpec(A2.kmv_distinct_users, A2.KMV_ORACLE),
     "media_features": QuerySpec(TD.media_features, TD.MEDIA_FEATURES_ORACLE),
     # raw stream emission is engine-side by nature; each stream's PRIMARY
     # correctness entry is its stream-vs-batch-twin diff below (empty-set
