@@ -60,6 +60,9 @@ class SqlSink:
     def _qualified(self, table: str, schema: str) -> str:
         return f"{schema}.{table}"
 
+    def _quote_col(self, name: str) -> str:
+        return merge_mod._bq(name) if self.dialect == "tsql" else merge_mod._dq(name)
+
     def _writer(self, df: DataFrame, mode: str):
         if self.num_partitions and df.rdd.getNumPartitions() > self.num_partitions:
             df = df.coalesce(self.num_partitions)
@@ -75,6 +78,70 @@ class SqlSink:
 
     def execute(self, sql: str) -> None:
         merge_mod.execute_statement(self.spark, self.url, self.properties, sql)
+
+    def read(
+        self,
+        table: str,
+        schema: str = "dbo",
+        partition_column: str | None = None,
+        num_partitions: int | None = None,
+        lower_bound=None,
+        upper_bound=None,
+    ) -> DataFrame:
+        """Read a SQL table back — PARALLEL when ``partition_column`` is
+        given: the scan splits into ``num_partitions`` range slices on
+        that (numeric/date) column, one JDBC connection per slice,
+        instead of the single-connection single-task scan a plain
+        ``dbtable`` read does.  At warehouse scale the unpartitioned
+        read is the classic ingestion bottleneck — one task pulling the
+        whole table through one socket.
+
+        Bounds default to a one-row MIN/MAX probe pushed down to the
+        database (a bounded driver action, same class as the widening
+        scan).  Note Spark's range partitioning puts rows OUTSIDE the
+        bounds into the first/last slice, so a stale probe still reads
+        every row — bounds affect balance, never completeness."""
+        qualified = self._qualified(table, schema)
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", qualified)
+        )
+        for k, v in {**self.properties, **self.extra_options}.items():
+            reader = reader.option(k, v)
+        if partition_column is None:
+            return reader.load()
+        n = num_partitions or self.num_partitions or 8
+        if lower_bound is None or upper_bound is None:
+            probe = (
+                self.spark.read.format("jdbc")
+                .option("url", self.url)
+                .option(
+                    # Spark's JDBC writer quotes column names on CREATE,
+                    # so case-folding engines (Derby/Postgres) need the
+                    # probe to quote them identically
+                    "query",
+                    f"SELECT MIN({self._quote_col(partition_column)}) AS lo, "
+                    f"MAX({self._quote_col(partition_column)}) AS hi "
+                    f"FROM {qualified}",
+                )
+            )
+            for k, v in {**self.properties, **self.extra_options}.items():
+                probe = probe.option(k, v)
+            # positional access: case-folding engines may surface the
+            # aliases as LO/HI
+            row = probe.load().first()
+            if row is None or row[0] is None:
+                return reader.load()  # empty table: nothing to balance
+            lower_bound = row[0] if lower_bound is None else lower_bound
+            upper_bound = row[1] if upper_bound is None else upper_bound
+        return (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(n))
+            .load()
+        )
 
     def create_schema(self, schema: str) -> None:
         """Idempotent namespace bootstrap (reference ``export.py:195-200``)."""

@@ -209,3 +209,25 @@ def test_stream_to_sql_keyed_upsert_is_idempotent(spark, sink, sf_smoke):
     handle(batch, 0)   # creates
     handle(batch, 0)   # replay: MERGE of identical rows — no growth
     assert _read(sink, "events_upserted").count() == 20
+
+
+def test_parallel_partitioned_read(spark, sink):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "pk bigint, val string"
+    )
+    sink.create(df, "partread")
+    out = sink.read("partread", partition_column="pk", num_partitions=4)
+    # the scan is split into range slices: 4 concurrent JDBC partitions
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 100
+    assert sorted(r.pk for r in out.collect()) == list(range(100))
+    # unpartitioned read still works and returns the same rows
+    plain = sink.read("partread")
+    assert plain.count() == 100
+
+
+def test_partitioned_read_empty_table(spark, sink):
+    empty = spark.createDataFrame([], "pk bigint, val string")
+    sink.create(empty, "partread_empty")
+    out = sink.read("partread_empty", partition_column="pk", num_partitions=4)
+    assert out.count() == 0
