@@ -199,3 +199,96 @@ SELECT ROUND(SUM((CAST(c AS DOUBLE) - (CAST(rp AS DOUBLE) * CAST(cs AS DOUBLE) /
        CAST(MAX(n) AS BIGINT) AS n_orders
 FROM m
 """
+
+
+# Poisson(1) CDF thresholds for the hash-bootstrap weights; generated
+# once so the Spark plan and the SQL oracle share identical double
+# literals (the comparison boundaries must match bit-for-bit).
+import math as _math
+
+_POISSON_CDF = []
+_acc, _pmf = 0.0, _math.exp(-1.0)
+for _i in range(5):
+    _acc += _pmf
+    _POISSON_CDF.append(_acc)
+    _pmf /= (_i + 1)
+
+
+def bootstrap_order_price_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap over orders: 32 resampling replicas of
+    mean(o_totalprice), each row's replica weight drawn as
+    Poisson(1)-quantile of a hash of (order id, replica) — the standard
+    "Poissonized" bootstrap that needs NO shuffling of the data and no
+    randomness: every weight is a pure function of (id, replica), so the
+    replica means are bit-reproducible in any engine and across any
+    partitioning.  Downstream, the spread of these means IS the
+    confidence interval of the mean.
+
+    Exactness: weighted sums are DECIMAL (order-free); the mean divides
+    once at the end in DOUBLE and rounds to 6 dp.  Scale shape: explode
+    x32 (map-side), ONE partial-agg shuffle keyed by replica — at 100 TB
+    this is the only sane bootstrap (collecting a sample to the driver
+    is not one)."""
+    b = 32
+    orders = load_table(spark, sf_dir, "orders")
+    r = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("replica")
+    rows = orders.select(F.col("o_orderkey"), F.col("o_totalprice"), r)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("replica"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = F.lit(5)
+    for i in range(4, -1, -1):
+        w = F.when(u < F.lit(_POISSON_CDF[i]), F.lit(i)).otherwise(w)
+    weighted = rows.select(
+        "replica",
+        w.alias("w"),
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").alias("x"),
+    ).select(
+        "replica", "w", (F.col("w").cast("decimal(10,0)") * F.col("x")).alias("wx")
+    )
+    return (
+        weighted.groupBy("replica")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.expr("ROUND(CAST(SUM(wx) AS DOUBLE) / SUM(w), 6)").alias("mean_price"),
+        )
+        .select(F.col("replica").cast("bigint").alias("replica"), "n_eff", "mean_price")
+    )
+
+
+def _bootstrap_oracle() -> str:
+    cases = " ".join(
+        f"WHEN u < {_POISSON_CDF[i]!r} THEN {i}" for i in range(5)
+    )
+    return f"""
+WITH reps AS (
+  SELECT o_orderkey, o_totalprice, r.i AS replica
+  FROM orders CROSS JOIN range(32) r(i)
+), uw AS (
+  SELECT replica, o_totalprice,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                             CAST(replica AS VARCHAR)), 1, 8))::BIGINT
+           / CAST({float(1 << 32)!r} AS DOUBLE) AS u
+  FROM reps
+), w AS (
+  SELECT replica, o_totalprice,
+         CASE {cases} ELSE 5 END AS w
+  FROM uw
+)
+SELECT CAST(replica AS BIGINT) AS replica,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(10,0)) *
+                       CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / SUM(w), 6) AS mean_price
+FROM w GROUP BY replica
+"""
+
+
+BOOTSTRAP_ORACLE = _bootstrap_oracle()

@@ -329,6 +329,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "priority_status_chi2": QuerySpec(
         A5.priority_status_chi2, A5.CHI2_ORACLE
     ),
+    "bootstrap_order_price_means": QuerySpec(
+        A5.bootstrap_order_price_means, A5.BOOTSTRAP_ORACLE
+    ),
     # --- training-data wave 2 ---
     "doc_shared_spans": QuerySpec(
         TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
