@@ -182,21 +182,48 @@ class ParquetLake:
         return cols
 
     def vacuum(self, table: str) -> list[str]:
-        """Garbage-collect crash leftovers: ``.snapshot-*`` dirs that were
-        written but never swapped in, and ``.old-*`` dirs whose swap
-        completed but whose delete step didn't run (see ``_swap_in`` —
-        every crash mode leaves the LIVE data intact plus at most one
-        orphan, which this removes).  Returns the removed paths."""
+        """Recover-then-garbage-collect crash leftovers from ``_swap_in``.
+
+        Crash states and what this does with them:
+        - ``data`` live + ``.snapshot-*`` orphan (died before
+          rename-aside) or ``.old-*`` orphan (died before the final
+          delete): live data wins, orphans are removed.
+        - ``data`` MISSING (died between rename-aside and rename-in):
+          both ``.old-<ts>`` and ``.snapshot-<ts>`` are complete copies —
+          ROLL FORWARD by promoting the newest ``.snapshot`` to ``data``
+          (it is the write that was being committed), falling back to
+          restoring the newest ``.old`` if no snapshot survived.
+          Deleting the orphans without this recovery would delete the
+          only copies of the table.
+
+        Returns the removed orphan names (a promoted dir is recovery,
+        not garbage, and is not listed)."""
         fs, tdir, jvm = self._fs(self.table_dir(table))
         if not fs.exists(tdir):
             return []
+        data_path = jvm.org.apache.hadoop.fs.Path(self.data_dir(table))
+
+        def _orphans(prefix: str):
+            out = []
+            for status in fs.listStatus(tdir):
+                name = status.getPath().getName()
+                if name.startswith(prefix):
+                    out.append((name, status.getPath()))
+            return sorted(out)  # ts suffix sorts oldest → newest
+
+        if not fs.exists(data_path):
+            snaps = _orphans(".snapshot-")
+            olds = _orphans(".old-")
+            if snaps:
+                fs.rename(snaps[-1][1], data_path)
+            elif olds:
+                fs.rename(olds[-1][1], data_path)
+
         removed = []
-        for status in fs.listStatus(tdir):
-            name = status.getPath().getName()
-            if name.startswith(".snapshot-") or name.startswith(".old-"):
-                fs.delete(status.getPath(), True)
-                removed.append(name)
-        return removed
+        for name, path in _orphans(".snapshot-") + _orphans(".old-"):
+            fs.delete(path, True)
+            removed.append(name)
+        return sorted(removed)
 
     def compact(self, table: str, target_files: int = 8) -> int:
         """Rewrite the table into ``target_files`` part-files and

@@ -212,3 +212,43 @@ def test_vacuum_removes_orphans_keeps_live_data(spark, tmp_path):
     assert removed == [".old-456", ".snapshot-123"]
     assert lake.read("t").count() == 10
     assert lake.vacuum("t") == []  # idempotent
+
+
+def test_vacuum_rolls_forward_mid_swap_crash(spark, tmp_path):
+    """Crash BETWEEN rename-aside and rename-in: `data` is gone, the old
+    copy sits under .old-<ts> and the new write under .snapshot-<ts>.
+    vacuum must promote the snapshot (roll the interrupted swap forward),
+    never delete the only copies."""
+    import shutil
+    from pathlib import Path
+
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path))
+    lake.write(spark.range(10).selectExpr("id", "id AS v"), "t")        # v1
+    tdir = Path(lake.table_dir("t"))
+    # stage v2 as a completed snapshot write
+    lake.write(spark.range(20).selectExpr("id", "id * 2 AS v"), "t2")
+    shutil.move(str(Path(lake.table_dir("t2")) / "data"), str(tdir / ".snapshot-200"))
+    # simulate the rename-aside having happened, then the crash
+    shutil.move(str(tdir / "data"), str(tdir / ".old-100"))
+
+    removed = lake.vacuum("t")
+    assert removed == [".old-100"]           # snapshot was PROMOTED, old swept
+    assert lake.read("t").count() == 20      # rolled forward to v2
+    assert lake.read("t").where("v != id * 2").count() == 0
+
+
+def test_vacuum_restores_old_when_no_snapshot(spark, tmp_path):
+    """Degenerate crash state with only .old left: restore it."""
+    import shutil
+    from pathlib import Path
+
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path))
+    lake.write(spark.range(7).selectExpr("id", "id AS v"), "t")
+    tdir = Path(lake.table_dir("t"))
+    shutil.move(str(tdir / "data"), str(tdir / ".old-100"))
+    assert lake.vacuum("t") == []            # nothing swept — .old became data
+    assert lake.read("t").count() == 7
