@@ -251,3 +251,17 @@ def test_remove_shared_spans_drops_from_higher_id_only(spark):
     assert out[2].text_dedup == "tail1 tail2"
     # token-less doc passes through
     assert (out[3].n_tokens, out[3].n_removed, out[3].text_dedup) == (0, 0, "")
+
+
+def test_minhash_odd_band_width(spark):
+    """num_hashes=10, bands=2 -> rows_per_band=5 (odd): the packed band
+    keys include a stand-alone tail component; identical docs must still
+    collide in every band and estimate 1.0."""
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six"),
+         (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=10, bands=2, threshold=0.0).collect()
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(1, 2)] == 1.0
