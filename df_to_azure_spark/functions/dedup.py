@@ -117,6 +117,35 @@ def clear_signature_cache() -> None:
         _SIG_CACHE.pop().unpersist()
 
 
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int):
+    """Explode a signature frame into ``(id, band, k0..)`` band-bucket
+    rows.  The bucket key is the band's signature slice VERBATIM, packed
+    pairwise into longs (h_even·M + h_odd — exact and collision-free
+    since every component < M, and the product < 2^62): exact banding
+    with zero bucket-hash collisions, narrow long join keys, and
+    portable — a SQL oracle rebuilds the identical keys with the same
+    integer arithmetic, which an engine-specific hash would forbid."""
+    rows_per_band = num_hashes // bands
+    n_keys = (rows_per_band + 1) // 2
+    structs = []
+    for b in range(bands):
+        fields = [F.lit(b).alias("band")]
+        for j in range(n_keys):
+            lo_idx = b * rows_per_band + 2 * j
+            if 2 * j + 1 < rows_per_band:
+                key = F.col("sig")[lo_idx] * F.lit(MINHASH_PRIME) + F.col("sig")[
+                    lo_idx + 1
+                ]
+            else:  # odd tail component stands alone
+                key = F.col("sig")[lo_idx]
+            fields.append(key.alias(f"k{j}"))
+        structs.append(F.struct(*fields))
+    banded = sigs.select(
+        id_col, F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, "bb.*")
+    return banded, ["band"] + [f"k{j}" for j in range(n_keys)]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -145,7 +174,6 @@ def minhash_lsh_pairs(
     cluster, which exact dedup upstream should have collapsed).  The hot
     set is tiny → broadcast anti-join.
     """
-    rows_per_band = num_hashes // bands
     # signatures are expensive (num_hashes passes over the shingle array):
     # compute ONCE and persist, so neither the band explode nor the two
     # join sides re-evaluate the hash expressions.  At cluster scale this
@@ -156,30 +184,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
     _SIG_CACHE.append(sigs)
 
-    # the bucket key is the band's signature slice VERBATIM, packed
-    # pairwise into longs (h_even·M + h_odd — exact and collision-free
-    # since every component < M, and the product < 2^62): exact banding
-    # with zero bucket-hash collisions, narrow long join keys, and
-    # portable — a SQL oracle rebuilds the identical keys with the same
-    # integer arithmetic, which an engine-specific hash would forbid
-    n_keys = (rows_per_band + 1) // 2
-    structs = []
-    for b in range(bands):
-        fields = [F.lit(b).alias("band")]
-        for j in range(n_keys):
-            lo_idx = b * rows_per_band + 2 * j
-            if 2 * j + 1 < rows_per_band:
-                key = F.col("sig")[lo_idx] * F.lit(MINHASH_PRIME) + F.col("sig")[
-                    lo_idx + 1
-                ]
-            else:  # odd tail component stands alone
-                key = F.col("sig")[lo_idx]
-            fields.append(key.alias(f"k{j}"))
-        structs.append(F.struct(*fields))
-    banded = sigs.select(
-        id_col, F.explode(F.array(*structs)).alias("bb")
-    ).select(id_col, "bb.*")
-    bucket_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
+    banded, bucket_cols = _banded(sigs, id_col, num_hashes, bands)
 
     if hot_bucket_cap is not None:
         hot = (
@@ -211,6 +216,71 @@ def minhash_lsh_pairs(
         candidates.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest near-dup probe: candidate pairs BETWEEN a new
+    batch and an existing corpus only — the production shape for
+    continuous ingestion, where re-comparing corpus × corpus on every
+    batch would redo almost all the work for almost no new pairs.
+
+    Same banding/estimation as ``minhash_lsh_pairs``, but the bucket
+    join is new-side × corpus-side (never self-join either side), so
+    per-batch cost is proportional to the BATCH, not the corpus.  At
+    100 TB the corpus banded frame is a saved table built once and
+    appended per batch; here it is recomputed from ``corpus_df``, which
+    keeps the operator pure.  The hot-bucket cap is measured on the
+    corpus side (that is where boilerplate mass lives).
+
+    Returns ``(id_new, id_corpus, est_jaccard)``.
+    """
+    new_sigs = minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_n)
+    corpus_sigs = minhash_signatures(
+        corpus_df, text_col, id_col, num_hashes, shingle_n
+    )
+    banded_new, bucket_cols = _banded(new_sigs, id_col, num_hashes, bands)
+    banded_corpus, _ = _banded(corpus_sigs, id_col, num_hashes, bands)
+    if hot_bucket_cap is not None:
+        hot = (
+            banded_corpus.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > hot_bucket_cap)
+            .select(*bucket_cols)
+        )
+        banded_corpus = banded_corpus.join(hot, bucket_cols, "left_anti")
+        banded_new = banded_new.join(hot, bucket_cols, "left_anti")
+    candidates = (
+        banded_new.select(F.col(id_col).alias("id_new"), *bucket_cols)
+        .join(
+            banded_corpus.select(F.col(id_col).alias("id_corpus"), *bucket_cols),
+            on=bucket_cols,
+        )
+        .select("id_new", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    sn = new_sigs.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_n"))
+    sc = corpus_sigs.select(
+        F.col(id_col).alias("id_corpus"), F.col("sig").alias("sig_c")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_n", "sig_c", lambda a, b: a == b), lambda x: x)
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        candidates.join(sn, "id_new")
+        .join(sc, "id_corpus")
+        .select("id_new", "id_corpus", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 

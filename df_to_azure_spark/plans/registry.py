@@ -350,6 +350,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_lsh_pairs": QuerySpec(
         TD.minhash_pairs, TD.MINHASH_PAIRS_ORACLE, headline=True
     ),
+    "incremental_neardup_pairs": QuerySpec(
+        TD.incremental_neardup_pairs, TD.MINHASH_BETWEEN_ORACLE
+    ),
     "lsh_knn": QuerySpec(TD.lsh_knn, TD.LSH_KNN_ORACLE),
     "lsh_knn_multiprobe": QuerySpec(
         TD.lsh_knn_multiprobe, TD.LSH_MULTIPROBE_ORACLE

@@ -232,11 +232,11 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.3)
 
 
-def _minhash_oracle(
-    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.3
-) -> str:
-    """DuckDB twin of ``dedup.minhash_lsh_pairs`` — same tokenization,
-    shingling, universal-hash literals, banding, and estimate."""
+def _minhash_cte_parts(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3
+) -> tuple[str, str]:
+    """(CTE prefix through ``banded``, band-key join condition) — shared
+    by the self-join oracle and the incremental between-sides oracle."""
     coeffs = D.minhash_coeffs(num_hashes)
     vals = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(coeffs))
     m = D.MINHASH_PRIME
@@ -249,8 +249,7 @@ def _minhash_oracle(
         for j in range(n_keys)
     )
     key_join = " AND ".join(f"a.k{j} = b.k{j}" for j in range(n_keys))
-    return f"""
-WITH toked AS (
+    prefix = f"""toked AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -267,7 +266,18 @@ mh AS (
   SELECT doc_id, p // {rpb} AS band,
          {key_exprs}
   FROM mh GROUP BY doc_id, p // {rpb}
-), cand AS (
+)"""
+    return prefix, key_join
+
+
+def _minhash_oracle(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of ``dedup.minhash_lsh_pairs`` — same tokenization,
+    shingling, universal-hash literals, banding, and estimate."""
+    prefix, key_join = _minhash_cte_parts(num_hashes, bands, shingle_n)
+    return f"""
+WITH {prefix}, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND {key_join} AND a.doc_id < b.doc_id
@@ -285,6 +295,55 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 
 
 MINHASH_PAIRS_ORACLE = _minhash_oracle()
+
+
+# incremental ingest split: "new batch" = top fifth of doc ids at any SF
+_INCR_SPLIT_FRACTION = 0.8
+
+
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup probe: the top-fifth of doc ids play the
+    incoming batch, probed against the remaining corpus with
+    ``minhash_lsh_pairs_between`` — candidates only ACROSS the
+    batch/corpus boundary, never corpus×corpus (the per-batch cost a
+    continuous-ingest pipeline actually pays)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    cut = int(n * _INCR_SPLIT_FRACTION)
+    new = docs.where(F.col("doc_id") >= cut)
+    corpus = docs.where(F.col("doc_id") < cut)
+    return D.minhash_lsh_pairs_between(new, corpus, threshold=0.3)
+
+
+def _minhash_between_oracle(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.3
+) -> str:
+    prefix, key_join = _minhash_cte_parts(num_hashes, bands, shingle_n)
+    # FLOOR to mirror Python's int() truncation for non-round counts
+    cut = (
+        f"(SELECT CAST(FLOOR(COUNT(*) * {_INCR_SPLIT_FRACTION}) AS BIGINT) "
+        "FROM documents)"
+    )
+    return f"""
+WITH {prefix}, cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND {key_join}
+  WHERE a.doc_id >= {cut} AND b.doc_id < {cut}
+), est AS (
+  SELECT c.id_new, c.id_corpus,
+         CAST(SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS DOUBLE)
+           / {float(num_hashes)} AS est_jaccard
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.id_new
+  JOIN mh y ON y.doc_id = c.id_corpus AND y.p = x.p
+  GROUP BY c.id_new, c.id_corpus
+)
+SELECT id_new, id_corpus, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+MINHASH_BETWEEN_ORACLE = _minhash_between_oracle()
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
