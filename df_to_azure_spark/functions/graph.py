@@ -170,3 +170,73 @@ def dedup_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the standard
+    importance measure for link/co-occurrence graphs (seed selection,
+    crawl prioritization, source weighting in a training-data mix).
+
+    Deterministic cross-engine contract (the ``kmeans_step`` policy):
+    every transcendental-free per-edge contribution ``rank/out_degree``
+    is rounded to 12 dp and summed as DECIMAL(28,12) — decimal addition
+    is exact and order-independent, so the per-node sum does not depend
+    on shuffle/merge order; the per-iteration rank is rounded to 12 dp
+    again.  An ANSI-SQL oracle that unrolls the same ``iters`` steps
+    reproduces the result bit-for-bit.
+
+    ``n_nodes`` is passed by the caller (a bounded scalar from one
+    count) so this function builds a pure plan.  Dangling nodes (no
+    out-edges) are supported: their mass is NOT redistributed (the
+    "remove dangling mass" simplification), matching the unrolled SQL
+    exactly.  Nodes with no in-edges settle at ``(1-d)/n``.
+
+    Scale: the loop shuffles only ``(node, contribution)`` pairs — 16
+    bytes/row — and the rank frame, partitioned by node, is reused as
+    the join probe each round; ``iters`` is fixed (3-5 captures the bulk
+    of the ordering signal), so this is a bounded chain of joins, not a
+    convergence loop with driver actions inside.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # decimal-point literals parse as DECIMAL in both Spark and DuckDB,
+    # but their decimal-division rules differ — every constant is cast
+    # to DOUBLE explicitly so both engines run the identical IEEE ops
+    dmp = f"CAST({damping!r} AS DOUBLE)"
+    base = f"(CAST(1 AS DOUBLE) - {dmp}) / {n_nodes}"
+    ranks = nodes.withColumn(
+        "r", F.expr(f"ROUND(CAST(1 AS DOUBLE) / {n_nodes}, 12)")
+    )
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, "node")
+            .join(deg, "node")
+            .select(
+                F.col("dst_node").alias("node"),
+                F.expr("CAST(ROUND(r / deg, 12) AS DECIMAL(28,12))").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"ROUND({base} + {dmp} * COALESCE(CAST(s AS DOUBLE), "
+                "CAST(0 AS DOUBLE)), 12)"
+            ).alias("r"),
+        )
+    return ranks.select("node", F.round(F.col("r"), 8).alias("rank"))

@@ -208,6 +208,8 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> list[Column]:
 
 def _argmin_centroid(dists: list[Column]) -> Column:
     """Index of the minimum distance column; ties go to the lowest id."""
+    if len(dists) == 1:  # F.least requires >= 2 columns
+        return F.lit(0).cast("int")
     dmin = F.least(*dists)
     cid = F.when(dists[0] == dmin, F.lit(0))
     for i in range(1, len(dists)):
@@ -667,4 +669,76 @@ def lsh_topk_multiprobe(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hot_cluster_cap: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster-then-prune
+    semantic deduplication — the embedding-space analogue of MinHash
+    near-dup removal, and the standard way to shrink a web-scale
+    training corpus without an all-pairs cosine pass.
+
+    1. every vector is assigned to its nearest coarse centroid
+       (``ivf_assign`` — a flat codegen'd argmin, map-side only);
+    2. cosine similarity is computed ONLY within a cluster (equi-join on
+       the cluster id — the quadratic work shards across reducers and
+       shrinks by ~1/C versus all-pairs);
+    3. of any pair with ``cos >= threshold``, the HIGHER id is pruned —
+       the deterministic keep-lowest-id rule, so exactly one survivor
+       remains per chain of pairwise-similar vectors found this way.
+
+    Returns ``(id, cid, kept)`` for every input row: the caller filters
+    ``kept`` to materialize the pruned corpus, or inspects the dropped
+    complement for an audit trail.
+
+    Scale: centroid assignment never shuffles; the one shuffle is the
+    within-cluster self-join.  Cluster sizes are bounded by
+    ``hot_cluster_cap`` — rows ranked beyond the cap (by id, after one
+    window over the cluster) are kept UN-compared rather than letting a
+    degenerate cluster emit cap² candidate pairs from a single reducer
+    (the same hot-key contract as ``dedup.minhash_pairs``'s
+    ``hot_bucket_cap``).  In production C scales with corpus size
+    (SemDeDup uses ~100k clusters for billions of vectors) precisely so
+    clusters stay far below any cap.
+    """
+    v = _spread(df).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    v = v.withColumn("cid", ivf_assign(F.col("v"), centroids))
+    wc = W.partitionBy("cid").orderBy(F.asc("id"))
+    ranked = v.withColumn("rk", F.row_number().over(wc))
+    capped = ranked.where(F.col("rk") <= hot_cluster_cap).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    a = capped.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cid",
+    )
+    b = capped.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cid",
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        ranked.select("id", "cid")
+        .join(dropped.withColumn("__drop", F.lit(1)), "id", "left")
+        .select("id", "cid", F.col("__drop").isNull().alias("kept"))
     )

@@ -1,0 +1,425 @@
+"""Training-data pipeline queries, wave 3: semantic dedup (SemDeDup),
+data-selection importance weights (DSIR), hashed linear quality-model
+scoring, fixed-iteration PageRank, and Z-order clustering keys.  Every
+query is paired with a DuckDB oracle that reproduces the result
+bit-for-bit (the cross-engine policy: integer/decimal math wherever
+possible, one ROUND after each transcendental, DECIMAL(28,12) sums so
+aggregation order never matters).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions import graph as G
+from df_to_azure_spark.functions import similarity as SIM
+from df_to_azure_spark.functions import text as TXT
+from df_to_azure_spark.operators.zorder import column_minmax, zorder_key
+from df_to_azure_spark.sources import load_table
+
+# DuckDB token fragment mirroring functions.text.tokens
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication over embeddings
+# --------------------------------------------------------------------------
+
+_SEM_N_CENTROIDS = 8
+_SEM_DIM = 64
+_SEM_THRESHOLD = 0.4  # synthetic Gaussian vectors top out at cos~0.5;
+# 0.4 exercises the prune path on the graded corpus (production corpora
+# with real duplicates use the paper's 0.9+)
+_SEM_CAP = 100_000
+
+
+def _sem_centroids() -> list[list[float]]:
+    rng = random.Random(23)
+    return [
+        [rng.gauss(0, 1) for _ in range(_SEM_DIM)]
+        for _ in range(_SEM_N_CENTROIDS)
+    ]
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: every vector labeled with its
+    coarse cluster and a keep/prune verdict (``similarity.semdedup``).
+    Cluster assignment is map-side, the only shuffle is the
+    within-cluster candidate join — the semantic-dedup path that scales
+    where the exact ``embedding_neardup_pairs`` cross join cannot."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.semdedup(
+        emb,
+        _sem_centroids(),
+        threshold=_SEM_THRESHOLD,
+        hot_cluster_cap=_SEM_CAP,
+    )
+    return out.select(F.col("id").alias("vec_id"), "cid", "kept")
+
+
+def _semdedup_oracle() -> str:
+    cents = _sem_centroids()
+    lits = [
+        "CAST([" + ", ".join(repr(x) for x in c) + "] AS DOUBLE[])" for c in cents
+    ]
+    c2s = [repr(float(sum(x * x for x in c))) for c in cents]
+    from df_to_azure_spark.plans.training_data import _dot_sql
+
+    d_cols = ", ".join(
+        f"({_dot_sql('v', 'v')} - 2.0 * {_dot_sql('v', lits[i])} + {c2s[i]}) AS d{i}"
+        for i in range(len(cents))
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vd AS (
+  SELECT id, v, {d_cols} FROM v
+), assigned AS (
+  SELECT id, v, CAST({case} AS INT) AS cid FROM vd
+), ranked AS (
+  SELECT id, v, cid, row_number() OVER (PARTITION BY cid ORDER BY id) AS rk
+  FROM assigned
+), capped AS (
+  SELECT id, v, cid, sqrt({_dot_sql('v', 'v')}) AS nrm FROM ranked
+  WHERE rk <= {_SEM_CAP}
+), dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.id < b.id
+  WHERE round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 8) >= {_SEM_THRESHOLD!r}
+)
+SELECT r.id AS vec_id, r.cid, d.id IS NULL AS kept
+FROM ranked r LEFT JOIN dropped d ON r.id = d.id
+"""
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed iterations) over the part co-occurrence graph
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+_PR_MAX_BASKET = 1000
+_PR_MIN_SUPPORT = 2
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edges: part pairs sharing >= MIN_SUPPORT
+    orders (same basket projection + mega-basket cap as
+    ``pipeline.part_cooccurrence``)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    sized = li.join(
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket_n"))
+        .where(F.col("basket_n") <= _PR_MAX_BASKET)
+        .select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    a = sized.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pa")
+    )
+    b = sized.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _PR_MIN_SUPPORT)
+    )
+    return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over co-purchased parts — which parts anchor the
+    co-occurrence graph.  The one driver action is the bounded node
+    count (one long); the 3 unrolled iterations are a fixed chain of
+    edge-list joins, reproduced step-for-step by the SQL oracle."""
+    edges = _part_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    return G.pagerank(
+        edges, n_nodes=n, iters=_PR_ITERS, damping=_PR_DAMPING
+    ).select(F.col("node").alias("part_id"), "rank")
+
+
+def _pagerank_oracle() -> str:
+    d = _PR_DAMPING
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM(CAST(ROUND(r.r / dg.deg, 12) AS DECIMAL(28,12))) AS s
+  FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg dg ON e.src = dg.node
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+         ROUND((CAST(1 AS DOUBLE) - CAST({d!r} AS DOUBLE)) / (SELECT n FROM nn)
+               + CAST({d!r} AS DOUBLE)
+                 * COALESCE(CAST(c{i}.s AS DOUBLE), CAST(0 AS DOUBLE)), 12) AS r
+  FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_PR_MAX_BASKET}
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, ROUND(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 12) AS r
+  FROM nodes
+),{",".join(iters)}
+SELECT node AS part_id, ROUND(r, 8) AS rank FROM {prev}
+"""
+
+
+PART_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+# --------------------------------------------------------------------------
+# DSIR: hashed-unigram importance weights for data selection
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS'23)
+    reduced to its unigram-LM core: per-document importance weight
+    ``sum_tok [ln p_target(tok) - ln p_raw(tok)]`` with add-1 smoothing,
+    where the target domain is ``source = 'src0'`` and raw is the whole
+    corpus.  Documents with weight >= 0 look more target-like than
+    average — the resampling score DSIR feeds to its Gumbel top-k draw.
+
+    Plan: one token explode feeds BOTH count aggregations (target via a
+    filtered count — no second scan); per-token log-ratios are rounded
+    to 6 dp (the single transcendental, same policy as ``doc_tfidf``)
+    then joined back onto the exploded tokens by token — a
+    vocabulary-sized shuffle join, never a driver-side vocabulary — and
+    summed per doc as DECIMAL(28,12), so the result is independent of
+    aggregation order.  At 100 TB: two shuffles (token counts, per-doc
+    sum) plus the token join; no state grows with corpus size except the
+    token-count table itself, which is exactly the model DSIR trains.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(TXT.tokens("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET_SOURCE, 1)).alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").alias("r_tot"),
+        F.sum("t_cnt").alias("t_tot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.expr(
+            "ROUND(LN((t_cnt + 1.0) / (t_tot + v)) "
+            "- LN((r_cnt + 1.0) / (r_tot + v)), 6)"
+        ).alias("w"),
+    )
+    return (
+        toks.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6)"
+            ).alias("dsir_logratio"),
+        )
+        .withColumn("target_like", F.col("dsir_logratio") >= 0.0)
+    )
+
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS r_cnt,
+         COUNT(*) FILTER (source = '{_DSIR_TARGET_SOURCE}') AS t_cnt
+  FROM toks GROUP BY tok
+), totals AS (
+  SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot, COUNT(*) AS v FROM counts
+), scored AS (
+  SELECT tok,
+         ROUND(LN((t_cnt + 1.0) / (t_tot + v))
+             - LN((r_cnt + 1.0) / (r_tot + v)), 6) AS w
+  FROM counts CROSS JOIN totals
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6) AS dsir_logratio,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6) >= 0.0
+         AS target_like
+FROM toks JOIN scored USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality-classifier scoring (fastText-style inference)
+# --------------------------------------------------------------------------
+
+_CLS_MOD = 1_000_003
+
+
+def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier INFERENCE at corpus scale: every token
+    hashes to a weight (hashing-trick lookup — no vocabulary broadcast),
+    the document logit is the mean token weight, and the quality
+    probability is its sigmoid.  This is the serving path of a
+    fastText / logistic quality filter (the CCNet/GPT-3 "learned filter"
+    stage): swap the hash-derived pseudo-weights for trained ones (a
+    ``MOD``-sized broadcast array) and nothing else changes.
+
+    The pseudo-weights here are ``(md5_32(tok) mod M) / M - 0.5`` —
+    uniform in [-0.5, 0.5), deterministic integer math.  The per-doc
+    mean stays EXACT until the last step: the integer residues are
+    summed as BIGINT (order-independent) and the ``/M - 0.5`` shift is
+    applied once to the aggregate, so the only inexact ops are two
+    divisions on identical operands plus the final sigmoid — the whole
+    scoring pipeline (hash -> weight -> mean -> sigmoid -> threshold)
+    is oracle-checked end to end.  Plan: explode + per-doc aggregate,
+    one shuffle; weights are computed inline per token, so the hot path
+    is pure codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    per_doc = (
+        toks.withColumn("hm", h % _CLS_MOD)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.expr(
+                "ROUND(CAST(SUM(hm) AS DOUBLE) / COUNT(*)"
+                f" / {float(_CLS_MOD)!r} - 0.5, 8)"
+            ).alias("logit"),
+        )
+    )
+    score = F.expr("ROUND(1.0 / (1.0 + EXP(-logit)), 6)")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "logit",
+        score.alias("quality_prob"),
+        (score >= 0.5).alias("quality_pass"),
+    )
+
+
+CLASSIFIER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_CLS_MOD} AS hm
+  FROM toks
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(hm) AS DOUBLE) / COUNT(*)
+               / {float(_CLS_MOD)!r} - 0.5, 8) AS logit
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logit,
+       ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS quality_prob,
+       ROUND(1.0 / (1.0 + EXP(-logit)), 6) >= 0.5 AS quality_pass
+FROM per_doc
+"""
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering keys (multi-column data skipping)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_COLS = ["o_custkey", "o_totalprice"]
+
+
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys for orders on (custkey, totalprice) — the value
+    ``operators.zorder.zorder_layout`` sorts by when re-clustering a
+    table for two-column data skipping.  Registering the key itself
+    makes the bit-interleave math (quantize -> shift/mask chain, pure
+    codegen) oracle-checked; the physical layout effect (narrow per-file
+    min/max on BOTH columns) is plan-asserted in ``tests/test_zorder``.
+    The min/max normalization stats come from one bounded aggregate
+    (2 scalars per column)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = column_minmax(orders, _Z_COLS)
+    return orders.select(
+        "o_orderkey", zorder_key(_Z_COLS, stats, bits=_Z_BITS).alias("zkey")
+    )
+
+
+def _zorder_oracle() -> str:
+    max_q = (1 << _Z_BITS) - 1
+    qs = []
+    for j, c in enumerate(_Z_COLS):
+        span = f"(CASE WHEN mx{j} - mn{j} = 0 THEN 1.0 ELSE mx{j} - mn{j} END)"
+        qs.append(
+            f"least(CAST({max_q} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+            f"CAST(trunc((CAST({c} AS DOUBLE) - mn{j}) * {float(max_q)!r} "
+            f"/ {span}) AS BIGINT))) AS q{j}"
+        )
+    terms = []
+    n = len(_Z_COLS)
+    for i in range(_Z_BITS):
+        for j in range(n):
+            terms.append(f"(((q{j} >> {i}) & 1) << {i * n + j})")
+    stats = ", ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS mn{j}, MAX(CAST({c} AS DOUBLE)) AS mx{j}"
+        for j, c in enumerate(_Z_COLS)
+    )
+    return f"""
+WITH s AS (SELECT {stats} FROM orders),
+q AS (
+  SELECT o_orderkey, {", ".join(qs)}
+  FROM orders CROSS JOIN s
+)
+SELECT o_orderkey, CAST({" + ".join(terms)} AS BIGINT) AS zkey FROM q
+"""
+
+
+ZORDER_KEYS_ORACLE = _zorder_oracle()

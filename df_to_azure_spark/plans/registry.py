@@ -18,6 +18,7 @@ from df_to_azure_spark.plans import analytics4 as A4
 from df_to_azure_spark.plans import analytics5 as A5
 from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import pipeline as PL
+from df_to_azure_spark.plans import pipeline2 as PL2
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -358,6 +359,16 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.lsh_knn_multiprobe, TD.LSH_MULTIPROBE_ORACLE
     ),
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, TD.SIMHASH_ORACLE),
+    # --- training-data wave 3 (semantic dedup, data selection, graph) ---
+    "semdedup_prune": QuerySpec(PL2.semdedup_prune, PL2.SEMDEDUP_ORACLE),
+    "part_pagerank": QuerySpec(PL2.part_pagerank, PL2.PART_PAGERANK_ORACLE),
+    "dsir_importance_weights": QuerySpec(
+        PL2.dsir_importance_weights, PL2.DSIR_ORACLE
+    ),
+    "doc_classifier_scores": QuerySpec(
+        PL2.doc_classifier_scores, PL2.CLASSIFIER_ORACLE
+    ),
+    "zorder_keys": QuerySpec(PL2.zorder_keys, PL2.ZORDER_KEYS_ORACLE),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired

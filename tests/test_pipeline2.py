@@ -1,0 +1,136 @@
+"""Unit tests for plans/pipeline2 operators: SemDeDup, PageRank, DSIR,
+classifier scoring, Z-order keys.  Hermetic (synthetic frames) except
+the smoke checks, which run on the sf0.001 parquet tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions.graph import pagerank
+from df_to_azure_spark.functions.similarity import semdedup
+from df_to_azure_spark.plans import pipeline2 as PL2
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    # triangle, symmetric: no dangling mass, so ranks sum to ~1
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    out = pagerank(_edges(spark, pairs), n_nodes=3, iters=3).collect()
+    total = sum(r.rank for r in out)
+    assert abs(total - 1.0) < 1e-6
+    # fully symmetric triangle -> uniform ranks
+    assert len({r.rank for r in out}) == 1
+
+
+def test_pagerank_star_center_dominates(spark):
+    # 4 leaves all pointing at node 0, node 0 points back at each
+    pairs = [(i, 0) for i in range(1, 5)] + [(0, i) for i in range(1, 5)]
+    out = {r.node: r.rank for r in pagerank(_edges(spark, pairs), n_nodes=5, iters=3).collect()}
+    assert out[0] > max(out[i] for i in range(1, 5))
+    leaf_ranks = {out[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1  # leaves are symmetric
+
+
+def test_pagerank_dangling_node_keeps_base_rank(spark):
+    # 1 -> 2 only: node 2 is dangling (its mass evaporates, by contract);
+    # node 1 has no in-edges so it settles at (1-d)/n
+    out = {r.node: r.rank for r in pagerank(_edges(spark, [(1, 2)]), n_nodes=2, iters=3).collect()}
+    assert out[1] == round((1 - 0.85) / 2, 8)
+    assert out[2] > out[1]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    pairs = [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, pagerank(e, n_nodes=23, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e.repartition(7), n_nodes=23, iters=3).collect()))
+    assert a == b
+
+
+# --------------------------------------------------------------- semdedup
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_prunes_higher_id_duplicate(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [0.9, 0.1]),
+        (2, [0.9, 0.1]),     # exact dup of 1 -> pruned
+        (3, [0.05, 1.0]),    # other cluster, unique -> kept
+    ]
+    out = {r.id: (r.cid, r.kept) for r in semdedup(_vecs(spark, rows), cents, threshold=0.95).collect()}
+    assert out[1] == (0, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+
+
+def test_semdedup_cross_cluster_dups_survive(spark):
+    # identical vectors equidistant-ish from both centroids still land in
+    # ONE cluster (deterministic argmin tie to lowest cid) — but a pair
+    # split across clusters is never compared: that is the recall trade
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    out = {r.id: r.kept for r in semdedup(_vecs(spark, rows), cents, threshold=0.0).collect()}
+    assert out == {1: True, 2: True}  # different clusters, no comparison
+
+
+def test_semdedup_hot_cluster_cap_skips_comparison(spark):
+    cents = [[1.0, 0.0]]
+    rows = [(i, [1.0, 0.0]) for i in range(1, 5)]
+    # cap=1: only the lowest id enters the candidate join -> nothing has
+    # a partner, everything is kept (capped rows are kept UN-compared)
+    out = semdedup(_vecs(spark, rows), cents, threshold=0.9, hot_cluster_cap=1).collect()
+    assert all(r.kept for r in out)
+    # sanity: without the cap the three higher ids are pruned
+    out2 = {r.id: r.kept for r in semdedup(_vecs(spark, rows), cents, threshold=0.9).collect()}
+    assert out2 == {1: True, 2: False, 3: False, 4: False}
+
+
+# ------------------------------------------------------- smoke on sf0.001
+
+
+def test_dsir_weights_smoke(spark, sf_smoke):
+    out = PL2.dsir_importance_weights(spark, sf_smoke)
+    rows = out.collect()
+    assert rows and set(out.columns) == {
+        "doc_id", "n_tokens", "dsir_logratio", "target_like"
+    }
+    # weights must be finite and the flag consistent with the sign
+    for r in rows:
+        assert math.isfinite(r.dsir_logratio)
+        assert r.target_like == (r.dsir_logratio >= 0.0)
+
+
+def test_classifier_scores_smoke(spark, sf_smoke):
+    rows = PL2.doc_classifier_scores(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -0.5 <= r.logit <= 0.5
+        assert 0.0 < r.quality_prob < 1.0
+        assert r.quality_pass == (r.quality_prob >= 0.5)
+
+
+def test_zorder_keys_smoke(spark, sf_smoke):
+    out = PL2.zorder_keys(spark, sf_smoke)
+    rows = out.collect()
+    n_orders = out.sparkSession.read.parquet(f"{sf_smoke}/orders.parquet").count()
+    assert len(rows) == n_orders
+    assert all(0 <= r.zkey < (1 << 16) for r in rows)
+
+
+def test_part_pagerank_smoke(spark, sf_smoke):
+    rows = PL2.part_pagerank(spark, sf_smoke).collect()
+    # sf0.001 may have few qualifying edges; ranks are positive if any
+    assert all(r.rank > 0 for r in rows)
