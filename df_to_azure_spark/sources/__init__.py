@@ -6,6 +6,9 @@ from df_to_azure_spark.sources.tables import (
     normalize_ts_col,
     read_csv,
     read_json,
+    read_orc,
+    read_text,
+    write_orc,
     register_star_schema,
 )
 
@@ -15,5 +18,8 @@ __all__ = [
     "normalize_ts_col",
     "read_csv",
     "read_json",
+    "read_orc",
+    "read_text",
+    "write_orc",
     "register_star_schema",
 ]

@@ -104,3 +104,28 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar lake format Spark reads natively
+    (vectorized scan, predicate pushdown, column pruning — same scan
+    machinery as parquet; ``spark.sql.orc.filterPushdown`` is on by
+    default in Spark 4).  Useful when ingesting from Hive-era warehouses
+    whose tables are ORC-backed."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Executor-parallel ORC write (round-trip partner of ``read_orc``)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text source → one ``value`` row per line (the ingest format of
+    most web-scrape corpora before any parsing).  ``whole_file=True``
+    reads each file as ONE row instead — needed when a document spans
+    lines; at scale prefer line-split inputs, since an unsplittable
+    multi-GB file serializes into a single task."""
+    return spark.read.text(path, wholetext=whole_file)
