@@ -459,3 +459,122 @@ SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS view_event_id,
        CAST(NULL AS TIMESTAMP) AS purchase_ts, CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def attribution_full_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: conversions, abandoned
+    views AND orphan purchases (a purchase with no preceding view — the
+    missing-tracking signal) in one feed.
+
+    Both unmatched sides are watermark-gated: a null-purchase view emits
+    once no purchase can arrive in ``[view_ts, view_ts + horizon]``, a
+    null-view purchase once no view can arrive in
+    ``[purchase_ts - horizon, purchase_ts]``; matches emit ungated.
+    ``user_id`` is coalesced across sides so the output key is total."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        "view_event_id",
+        "view_ts",
+        "purchase_event_id",
+        "purchase_ts",
+    )
+
+
+def attribution_full_join_batch(
+    events: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin: the plain full-outer interval self-join."""
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "full",
+    ).select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        "view_event_id",
+        "view_ts",
+        "purchase_event_id",
+        "purchase_ts",
+    )
+
+
+def stream_attribution_full_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence check for the FULL OUTER stream-stream join: matched
+    rows must agree everywhere; each side's null-extended rows must be a
+    clean prefix of the batch twin's, up to the emission boundary that
+    side's watermark actually released (max released timestamp per side
+    — same robust emissions-derived boundary as the left-outer check).
+    Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_attr_full_{_STREAM_QUERY_SEQ[0]}"
+    src = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_memory(
+        attribution_full_join_stream(
+            src.where(F.col("event_type") == "view"),
+            src.where(F.col("event_type") == "purchase"),
+        ),
+        name,
+        output_mode="append",
+    )
+    batch = attribution_full_join_batch(load_table(spark, sf_dir, "events"))
+    null_p = F.col("purchase_event_id").isNull()
+    null_v = F.col("view_event_id").isNull()
+    bounds = streamed.agg(
+        F.max(F.when(null_p, F.col("view_ts"))).alias("vb"),
+        F.max(F.when(null_v, F.col("purchase_ts"))).alias("pb"),
+    ).collect()[0]
+    released = ~null_p & ~null_v  # matches: never gated
+    if bounds.vb is not None:
+        released = released | (null_p & (F.col("view_ts") <= F.lit(bounds.vb)))
+    if bounds.pb is not None:
+        released = released | (null_v & (F.col("purchase_ts") <= F.lit(bounds.pb)))
+    streamed, batch = streamed.where(released), batch.where(released)
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_ATTR_FULL_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS view_event_id,
+       CAST(NULL AS TIMESTAMP) AS view_ts, CAST(NULL AS BIGINT) AS purchase_event_id,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

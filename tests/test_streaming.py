@@ -95,3 +95,25 @@ def test_stream_left_outer_interval_join_equals_batch_on_released_region(
     batch = attribution_left_join_batch(load_table(spark, sf_smoke, "events"))
     assert batch.where(F.col("purchase_event_id").isNotNull()).count() > 0
     assert batch.where(F.col("purchase_event_id").isNull()).count() > 0
+
+
+def test_stream_full_outer_interval_join_equals_batch_on_released_region(
+    spark, sf_smoke
+):
+    """FULL OUTER stream-stream interval join: matches plus BOTH
+    watermark-released null prefixes must equal the batch twin — and the
+    input must actually exercise all three row classes (matched,
+    view-only, purchase-only), or the pass proves nothing."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.streaming.events import (
+        attribution_full_join_batch,
+        stream_attribution_full_diff,
+    )
+
+    assert stream_attribution_full_diff(spark, sf_smoke).count() == 0
+    batch = attribution_full_join_batch(load_table(spark, sf_smoke, "events"))
+    assert batch.where(F.col("purchase_event_id").isNotNull()
+                       & F.col("view_event_id").isNotNull()).count() > 0
+    assert batch.where(F.col("purchase_event_id").isNull()).count() > 0
+    assert batch.where(F.col("view_event_id").isNull()).count() > 0
