@@ -672,6 +672,42 @@ def lsh_topk_multiprobe(
     )
 
 
+# at most one persisted assignment frame per session (semdedup reuses the
+# clustered/ranked frame on three plan branches — candidate sides + final
+# output — so without a persist the scan+assign+window would run 3x)
+_SEMDEDUP_CACHE: list[DataFrame] = []
+
+
+def clear_semdedup_cache() -> None:
+    """Unpersist the assignment frame cached by the last ``semdedup``
+    call (otherwise the next call releases it)."""
+    while _SEMDEDUP_CACHE:
+        _SEMDEDUP_CACHE.pop().unpersist()
+
+
+def exemplar_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic data exemplars as coarse centroids: the vectors with
+    ``id < k`` (the ``sample_codebooks`` rule).  Exemplars sit at the
+    data's own norm scale, which random Gaussian centroids do not — with
+    unit-norm embeddings and norm-8 random centroids the argmin is
+    dominated by the centroid norms and EVERY vector lands in one
+    cluster, turning a clustered join quadratic.  The collect is bounded
+    by k rows — model size, never data size."""
+    rows = (
+        df.where(F.col(id_col) < k)
+        .select(id_col, _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    if len(rows) != k:
+        raise ValueError(
+            f"exemplar_centroids: need ids 0..{k - 1} present, found {len(rows)}"
+        )
+    return [[float(x) for x in r.v] for r in rows]
+
+
 def semdedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -708,12 +744,14 @@ def semdedup(
     (SemDeDup uses ~100k clusters for billions of vectors) precisely so
     clusters stay far below any cap.
     """
+    clear_semdedup_cache()
     v = _spread(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )
     v = v.withColumn("cid", ivf_assign(F.col("v"), centroids))
     wc = W.partitionBy("cid").orderBy(F.asc("id"))
-    ranked = v.withColumn("rk", F.row_number().over(wc))
+    ranked = v.withColumn("rk", F.row_number().over(wc)).persist()
+    _SEMDEDUP_CACHE.append(ranked)
     capped = ranked.where(F.col("rk") <= hot_cluster_cap).withColumn(
         "nrm", norm(F.col("v"))
     )

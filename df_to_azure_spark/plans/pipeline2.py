@@ -9,8 +9,6 @@ aggregation order never matters).
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,32 +26,28 @@ _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 # SemDeDup: cluster-then-prune semantic deduplication over embeddings
 # --------------------------------------------------------------------------
 
-_SEM_N_CENTROIDS = 8
-_SEM_DIM = 64
+_SEM_N_CENTROIDS = 16
 _SEM_THRESHOLD = 0.4  # synthetic Gaussian vectors top out at cos~0.5;
 # 0.4 exercises the prune path on the graded corpus (production corpora
 # with real duplicates use the paper's 0.9+)
 _SEM_CAP = 100_000
 
 
-def _sem_centroids() -> list[list[float]]:
-    rng = random.Random(23)
-    return [
-        [rng.gauss(0, 1) for _ in range(_SEM_DIM)]
-        for _ in range(_SEM_N_CENTROIDS)
-    ]
-
-
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: every vector labeled with its
     coarse cluster and a keep/prune verdict (``similarity.semdedup``).
-    Cluster assignment is map-side, the only shuffle is the
-    within-cluster candidate join — the semantic-dedup path that scales
-    where the exact ``embedding_neardup_pairs`` cross join cannot."""
+    Centroids are the k lowest-id DATA EXEMPLARS (norm-matched to the
+    corpus, so clusters stay balanced — random Gaussian centroids
+    degenerate to one giant cluster on unit-norm data and make the
+    within-cluster join quadratic); assignment is map-side, the only
+    data shuffles are the rank window and the within-cluster candidate
+    join — the semantic-dedup path that scales where the exact
+    ``embedding_neardup_pairs`` cross join cannot."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.exemplar_centroids(emb, _SEM_N_CENTROIDS)
     out = SIM.semdedup(
         emb,
-        _sem_centroids(),
+        cents,
         threshold=_SEM_THRESHOLD,
         hot_cluster_cap=_SEM_CAP,
     )
@@ -61,34 +55,28 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_oracle() -> str:
-    cents = _sem_centroids()
-    lits = [
-        "CAST([" + ", ".join(repr(x) for x in c) + "] AS DOUBLE[])" for c in cents
-    ]
-    c2s = [repr(float(sum(x * x for x in c))) for c in cents]
     from df_to_azure_spark.plans.training_data import _dot_sql
 
-    d_cols = ", ".join(
-        f"({_dot_sql('v', 'v')} - 2.0 * {_dot_sql('v', lits[i])} + {c2s[i]}) AS d{i}"
-        for i in range(len(cents))
-    )
-    least = "least(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
-    case = (
-        "CASE "
-        + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(len(cents)))
-        + " END"
-    )
     return f"""
 WITH v AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-), vd AS (
-  SELECT id, v, {d_cols} FROM v
+), c AS (
+  SELECT id AS ccid, v AS cv, {_dot_sql('v', 'v')} AS c2
+  FROM v WHERE id < {_SEM_N_CENTROIDS}
+), d AS (
+  SELECT v.id, c.ccid,
+         {_dot_sql('v.v', 'v.v')} - 2.0 * {_dot_sql('v.v', 'c.cv')} + c.c2 AS dd
+  FROM v CROSS JOIN c
 ), assigned AS (
-  SELECT id, v, CAST({case} AS INT) AS cid FROM vd
+  SELECT id, CAST(ccid AS INT) AS cid FROM (
+    SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dd, ccid) AS rn
+    FROM d
+  ) WHERE rn = 1
 ), ranked AS (
-  SELECT id, v, cid, row_number() OVER (PARTITION BY cid ORDER BY id) AS rk
-  FROM assigned
+  SELECT a.id, v.v, a.cid,
+         row_number() OVER (PARTITION BY a.cid ORDER BY a.id) AS rk
+  FROM assigned a JOIN v ON a.id = v.id
 ), capped AS (
   SELECT id, v, cid, sqrt({_dot_sql('v', 'v')}) AS nrm FROM ranked
   WHERE rk <= {_SEM_CAP}
@@ -155,7 +143,11 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence graph.  The one driver action is the bounded node
     count (one long); the 3 unrolled iterations are a fixed chain of
     edge-list joins, reproduced step-for-step by the SQL oracle."""
-    edges = _part_edges(spark, sf_dir)
+    # the edge list feeds nodes, degrees, the node count AND every
+    # iteration's contribution join — checkpoint it so the distinct +
+    # basket-capped self-join runs once, not once per consumer (on a
+    # cluster this is the checkpoint-to-storage between stages)
+    edges = _part_edges(spark, sf_dir).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
