@@ -415,3 +415,69 @@ SELECT o_orderkey, CAST({" + ".join(terms)} AS BIGINT) AS zkey FROM q
 
 
 ZORDER_KEYS_ORACLE = _zorder_oracle()
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: per-document OOV rate against a top-V vocab
+# --------------------------------------------------------------------------
+
+_OOV_VOCAB_SIZE = 25
+
+
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's top-V
+    terms — the tokenizer-fit diagnostic run before committing a vocab:
+    a doc whose tokens mostly fall outside the vocabulary will shatter
+    into char-level pieces at training time.  Deterministic vocab rule:
+    top V by count, ties to the lexicographically smaller term.
+
+    Scale contrast with ``dsir_importance_weights``: the vocab is a
+    BOUNDED model artifact (V rows), so the per-token membership probe
+    is a broadcast semi-join — no vocabulary-sized shuffle; the only
+    full shuffles are the initial term count and the per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("n"), F.asc("tok"))
+            ),
+        )
+        .where(F.col("rk") <= _OOV_VOCAB_SIZE)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab).withColumn("__in", F.lit(1)), "tok", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("__in").isNull(), 1)).cast("bigint").alias("n_oov"),
+        F.expr(
+            "ROUND(CAST(COUNT(CASE WHEN __in IS NULL THEN 1 END) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("oov_rate"),
+    )
+
+
+OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= {_OOV_VOCAB_SIZE}
+), flagged AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(oov) AS BIGINT) AS n_oov,
+       ROUND(CAST(COUNT(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM flagged GROUP BY doc_id
+"""

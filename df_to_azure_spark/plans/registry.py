@@ -381,6 +381,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL2.doc_classifier_scores, PL2.CLASSIFIER_ORACLE
     ),
     "zorder_keys": QuerySpec(PL2.zorder_keys, PL2.ZORDER_KEYS_ORACLE),
+    "doc_oov_rate": QuerySpec(PL2.doc_oov_rate, PL2.OOV_ORACLE),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
