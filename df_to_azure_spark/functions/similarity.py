@@ -780,3 +780,61 @@ def semdedup(
         .join(dropped.withColumn("__drop", F.lit(1)), "id", "left")
         .select("id", "cid", F.col("__drop").isNull().alias("kept"))
     )
+
+
+def semdedup_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hot_cluster_cap: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest SemDeDup: prune NEW vectors that semantically
+    duplicate the existing corpus — the continuous-ingestion shape,
+    where re-running corpus × corpus on every batch would redo almost
+    all the work (the ``minhash_lsh_pairs_between`` contract, in
+    embedding space).
+
+    Both sides are assigned to the SAME fixed centroids map-side; the
+    candidate join is new-side × corpus-side within a cluster only —
+    never a self-join of either side — so per-batch cost is
+    ``O(|new| · avg_cluster_fraction · |corpus|)``, independent of how
+    many batches were ingested before.  ``hot_cluster_cap`` (the family
+    hot-key contract) bounds the CORPUS rows per cluster entering the
+    join — rank by id, rows beyond the cap don't generate candidates —
+    so one degenerate cluster can't multiply every new row by a giant
+    corpus slice.  Returns ``(id, cid, kept)`` for every NEW row
+    (corpus rows are settled and never re-judged)."""
+    n = _spread(new_df).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("cid", ivf_assign(F.col("v"), centroids))
+    c = corpus_df.select(
+        F.col(id_col).alias("cid_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cid", ivf_assign(F.col("cv"), centroids))
+    if hot_cluster_cap is not None:
+        wc = W.partitionBy("cid").orderBy(F.asc("cid_id"))
+        c = (
+            c.withColumn("rk", F.row_number().over(wc))
+            .where(F.col("rk") <= hot_cluster_cap)
+            .drop("rk")
+        )
+    a = n.withColumn("nn", norm(F.col("v")))
+    b = c.withColumn("cn", norm(F.col("cv")))
+    dropped = (
+        a.join(b, "cid")
+        .where(
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nn") * F.col("cn")), 8
+            )
+            >= threshold
+        )
+        .select("id")
+        .distinct()
+    )
+    return (
+        n.select("id", "cid")
+        .join(dropped.withColumn("__drop", F.lit(1)), "id", "left")
+        .select("id", "cid", F.col("__drop").isNull().alias("kept"))
+    )

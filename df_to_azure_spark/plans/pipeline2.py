@@ -481,3 +481,58 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(CAST(COUNT(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
 FROM flagged GROUP BY doc_id
 """
+
+
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest SemDeDup: a 10% batch (``vec_id % 10 = 7`` —
+    scale-independent split rule) judged against the settled 90% corpus
+    only (``similarity.semdedup_between``).  Per-batch cost stays flat as
+    the ingest history grows — the production companion to the full
+    ``semdedup_prune`` rebuild, same contract as
+    ``incremental_neardup_pairs`` for MinHash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.exemplar_centroids(emb, _SEM_N_CENTROIDS)
+    new = emb.where(F.col("vec_id") % 10 == 7)
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    out = SIM.semdedup_between(new, corpus, cents, threshold=_SEM_THRESHOLD)
+    return out.select(F.col("id").alias("vec_id"), "cid", "kept")
+
+
+def _semdedup_incremental_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import _dot_sql
+
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT id AS ccid, v AS cv, {_dot_sql('v', 'v')} AS c2
+  FROM v WHERE id < {_SEM_N_CENTROIDS}
+), d AS (
+  SELECT v.id, c.ccid,
+         {_dot_sql('v.v', 'v.v')} - 2.0 * {_dot_sql('v.v', 'c.cv')} + c.c2 AS dd
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT d.id, CAST(ccid AS INT) AS cid, v.v,
+         sqrt({_dot_sql('v.v', 'v.v')}) AS nrm
+  FROM (
+    SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dd, ccid) AS rn
+    FROM d
+  ) d JOIN v ON d.id = v.id
+  WHERE rn = 1
+), news AS (
+  SELECT * FROM assigned WHERE id % 10 = 7
+), corp AS (
+  SELECT * FROM assigned WHERE id % 10 <> 7
+), dropped AS (
+  SELECT DISTINCT n.id
+  FROM news n JOIN corp b ON n.cid = b.cid
+  WHERE round({_dot_sql('n.v', 'b.v')} / (n.nrm * b.nrm), 8)
+        >= {_SEM_THRESHOLD!r}
+)
+SELECT n.id AS vec_id, n.cid, d.id IS NULL AS kept
+FROM news n LEFT JOIN dropped d ON n.id = d.id
+"""
+
+
+SEMDEDUP_INCREMENTAL_ORACLE = _semdedup_incremental_oracle()

@@ -373,15 +373,20 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, TD.SIMHASH_ORACLE),
     # --- training-data wave 3 (semantic dedup, data selection, graph) ---
     "semdedup_prune": QuerySpec(PL2.semdedup_prune, PL2.SEMDEDUP_ORACLE),
-    "part_pagerank": QuerySpec(PL2.part_pagerank, PL2.PART_PAGERANK_ORACLE),
+    "part_pagerank": QuerySpec(
+        PL2.part_pagerank, PL2.PART_PAGERANK_ORACLE, headline=True
+    ),
     "dsir_importance_weights": QuerySpec(
-        PL2.dsir_importance_weights, PL2.DSIR_ORACLE
+        PL2.dsir_importance_weights, PL2.DSIR_ORACLE, headline=True
     ),
     "doc_classifier_scores": QuerySpec(
         PL2.doc_classifier_scores, PL2.CLASSIFIER_ORACLE
     ),
     "zorder_keys": QuerySpec(PL2.zorder_keys, PL2.ZORDER_KEYS_ORACLE),
     "doc_oov_rate": QuerySpec(PL2.doc_oov_rate, PL2.OOV_ORACLE),
+    "semdedup_incremental": QuerySpec(
+        PL2.semdedup_incremental, PL2.SEMDEDUP_INCREMENTAL_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired

@@ -134,3 +134,32 @@ def test_part_pagerank_smoke(spark, sf_smoke):
     rows = PL2.part_pagerank(spark, sf_smoke).collect()
     # sf0.001 may have few qualifying edges; ranks are positive if any
     assert all(r.rank > 0 for r in rows)
+
+
+def test_semdedup_between_judges_only_new_side(spark):
+    from df_to_azure_spark.functions.similarity import semdedup_between
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = _vecs(spark, [(1, [0.9, 0.1]), (2, [0.1, 0.9])])
+    new = _vecs(spark, [
+        (10, [0.9, 0.1]),   # dup of corpus 1 -> pruned
+        (11, [-1.0, 0.05]), # same cluster? no — far from both corpus vecs
+    ])
+    out = {r.id: r.kept for r in semdedup_between(new, corpus, cents, threshold=0.95).collect()}
+    assert out[10] is False
+    assert out[11] is True
+    # corpus rows are never judged/emitted
+    assert set(out) == {10, 11}
+
+
+def test_semdedup_between_new_new_dups_survive(spark):
+    # two identical NEW vectors with no corpus match: both kept — the
+    # between-variant only judges new-vs-corpus (within-batch dups are the
+    # full semdedup's job on the merged corpus later)
+    from df_to_azure_spark.functions.similarity import semdedup_between
+
+    cents = [[1.0, 0.0]]
+    corpus = _vecs(spark, [(1, [0.0, 1.0])])
+    new = _vecs(spark, [(10, [1.0, 0.0]), (11, [1.0, 0.0])])
+    out = {r.id: r.kept for r in semdedup_between(new, corpus, cents, threshold=0.9).collect()}
+    assert out == {10: True, 11: True}
