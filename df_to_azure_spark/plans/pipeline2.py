@@ -536,3 +536,87 @@ FROM news n LEFT JOIN dropped d ON n.id = d.id
 
 
 SEMDEDUP_INCREMENTAL_ORACLE = _semdedup_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# CDC apply-changes: fold an out-of-order change feed into table state
+# --------------------------------------------------------------------------
+
+_CDC_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def cdc_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators.cdc.apply_changes`` end to end: a deterministic
+    synthetic change feed derived from orders — an update wave (seq 1,
+    keys %7), a later overriding wave (seq 2, keys %21 ⊂ %7), tombstones
+    (seq 3, keys %13) and inserts under fresh keys (%29, key+10^9) —
+    folded into the new table state.  Latest-sequence-wins (tombstone on
+    ties), so the %21 keys show +20 not +10 and any %13 key is gone even
+    if also updated."""
+    from df_to_azure_spark.operators.cdc import apply_changes
+
+    base = load_table(spark, sf_dir, "orders").select(*_CDC_COLS)
+    key = F.col("o_orderkey")
+    tp = F.col("o_totalprice")
+    ten = F.expr("CAST(10 AS DOUBLE)")
+    twenty = F.expr("CAST(20 AS DOUBLE)")
+    u1 = (
+        base.where(key % 7 == 0)
+        .withColumn("o_totalprice", tp + ten)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    u2 = (
+        base.where(key % 21 == 0)
+        .withColumn("o_totalprice", tp + twenty)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    d = (
+        base.where(key % 13 == 0)
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        base.where(key % 29 == 0)
+        .withColumn("o_orderkey", key + 1_000_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    changes = u1.unionByName(u2).unionByName(d).unionByName(ins)
+    return apply_changes(base, changes, ["o_orderkey"])
+
+
+CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + CAST(10 AS DOUBLE) AS o_totalprice, 1 AS seq, 'U' AS op
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + CAST(20 AS DOUBLE), 2, 'U'
+  FROM base WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 3, 'D'
+  FROM base WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, 1, 'U'
+  FROM base WHERE o_orderkey % 29 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY seq DESC, op ASC
+    ) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM base b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+WHERE l.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM latest WHERE op <> 'D'
+"""
