@@ -446,12 +446,35 @@ def pq_adc_topk(
     the registry pairs this with a DuckDB oracle that replays it
     bit-for-bit.
     """
-    spark = corpus.sparkSession
     M = len(codebooks)
-    sub = len(codebooks[0][0])
     codes = pq_codes(_spread(corpus), codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), *[f"code_{m}" for m in range(M)]
     )
+    return pq_adc_topk_from_codes(queries, codes, codebooks, k, id_col, vec_col)
+
+
+def pq_adc_topk_from_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over an ALREADY-ENCODED corpus — the production shape:
+    the PQ codes table is built once (``pq_codes``), persisted as a lake
+    table (M small ints per vector, ~60x lighter than raw vectors), and
+    every query batch runs against the stored index without touching the
+    original embeddings.  ``codes`` must carry ``neighbor_id`` plus
+    ``code_0..code_{M-1}`` (the ``pq_codes`` layout, id renamed).  Same
+    exactness contract and plan shape as ``pq_adc_topk``."""
+    spark = codes.sparkSession
+    M = len(codebooks)
+    sub = len(codebooks[0][0])
+    missing = [c for c in ["neighbor_id", *(f"code_{m}" for m in range(M))]
+               if c not in codes.columns]
+    if missing:
+        raise ValueError(f"pq_adc_topk_from_codes: codes frame lacks {missing}")
     cent_rows = [
         (m, j, [float(x) for x in c])
         for m, cents in enumerate(codebooks)
