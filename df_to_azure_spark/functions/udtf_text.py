@@ -1,0 +1,54 @@
+"""Python UDTF surface (Spark 4 ``@udtf``): the table-function extension
+point, demonstrated on sentence-piece chunking.
+
+This completes the user-extension matrix next to ``pandas_udf``
+(outliers), ``applyInPandas`` (grouped stats), ``mapInPandas`` (media
+decode) and ``applyInPandasWithState`` (streaming sessions): a UDTF is
+the escape hatch when ONE input row must become a VARIABLE number of
+output rows with per-row Python logic that no builtin generator
+(``explode``/``posexplode``/``inline``/``stack``) expresses.
+
+It is deliberately NOT used by any registered query: chunking with a
+fixed stride IS expressible with builtin array ops, and that plan
+(``plans/pipeline.doc_chunks``) stays in whole-stage codegen, shuffles
+nothing extra, and hash-matches a SQL oracle.  A row-at-a-time Python
+UDTF runs ~100x slower on the same task — keep UDTFs for genuinely
+irregular row-expansion (recursive parsers, stateful tokenizers) and
+budget for the Python-worker serialization they cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import lit, udtf
+
+
+@udtf(returnType="chunk_id: int, chunk_text: string, n_tokens: int")
+class ChunkTokens:
+    """Emit one row per token-window chunk of the input text: greedy
+    fixed-size windows with overlap — the context-window packer shape.
+    ``eval`` receives scalar column values; ``yield`` emits output rows.
+    """
+
+    def eval(self, text: str, chunk_tokens: int, overlap: int):  # noqa: D102
+        if text is None or chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+            return
+        toks = [t for t in text.split() if t]
+        step = chunk_tokens - overlap
+        i = 0
+        cid = 0
+        while i < len(toks):
+            window = toks[i : i + chunk_tokens]
+            yield cid, " ".join(window), len(window)
+            if i + chunk_tokens >= len(toks):
+                break
+            i += step
+            cid += 1
+
+
+def chunk_docs(docs, chunk_tokens: int = 32, overlap: int = 8):
+    """Lateral-join ``ChunkTokens`` over a ``(doc_id, text)`` frame →
+    ``(doc_id, chunk_id, chunk_text, n_tokens)``.  Uses the DataFrame
+    ``lateralJoin`` API so the UDTF composes like any other relation."""
+    return docs.lateralJoin(
+        ChunkTokens(docs.text.outer(), lit(chunk_tokens), lit(overlap))
+    ).select("doc_id", "chunk_id", "chunk_text", "n_tokens")

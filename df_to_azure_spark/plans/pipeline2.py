@@ -620,3 +620,52 @@ UNION ALL
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM latest WHERE op <> 'D'
 """
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations: declarative rules, one fused validation scan
+# --------------------------------------------------------------------------
+
+
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators.expectations`` over orders: five rules (not-null key,
+    price range, status set, priority regex, cross-column date sanity)
+    compiled into ONE fused aggregate — the report costs one scan no
+    matter how many rules are declared."""
+    from df_to_azure_spark.operators import expectations as E
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        E.not_null("o_custkey"),
+        E.in_range("o_totalprice", 0, 1_000_000),
+        E.in_set("o_orderstatus", ["F", "O", "P"]),
+        E.matches("o_orderpriority", "^[1-5]-"),
+        E.Expectation(
+            "orderdate_not_future",
+            F.col("o_orderdate") <= F.lit("2026-01-01").cast("timestamp"),
+        ),
+    ]
+    return E.evaluate_expectations(orders, rules)
+
+
+EXPECTATIONS_ORACLE = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 END) AS v1,
+    COUNT(CASE WHEN NOT COALESCE(o_totalprice >= 0 AND o_totalprice <= 1000000, FALSE) THEN 1 END) AS v2,
+    COUNT(CASE WHEN NOT COALESCE(o_orderstatus IN ('F', 'O', 'P'), FALSE) THEN 1 END) AS v3,
+    COUNT(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 END) AS v4,
+    COUNT(CASE WHEN NOT COALESCE(o_orderdate <= TIMESTAMP '2026-01-01', FALSE) THEN 1 END) AS v5
+  FROM orders
+)
+SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS pass
+FROM (
+  SELECT 'o_custkey_not_null' AS rule, n_rows, v1 AS n_violations FROM agg
+  UNION ALL SELECT 'o_totalprice_in_range', n_rows, v2 FROM agg
+  UNION ALL SELECT 'o_orderstatus_in_set', n_rows, v3 FROM agg
+  UNION ALL SELECT 'o_orderpriority_matches', n_rows, v4 FROM agg
+  UNION ALL SELECT 'orderdate_not_future', n_rows, v5 FROM agg
+)
+"""

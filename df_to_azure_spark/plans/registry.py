@@ -388,6 +388,9 @@ REGISTRY: dict[str, QuerySpec] = {
         PL2.semdedup_incremental, PL2.SEMDEDUP_INCREMENTAL_ORACLE
     ),
     "cdc_orders_state": QuerySpec(PL2.cdc_orders_state, PL2.CDC_ORACLE),
+    "orders_expectations": QuerySpec(
+        PL2.orders_expectations, PL2.EXPECTATIONS_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
