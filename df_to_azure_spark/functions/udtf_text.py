@@ -46,9 +46,17 @@ class ChunkTokens:
 
 
 def chunk_docs(docs, chunk_tokens: int = 32, overlap: int = 8):
-    """Lateral-join ``ChunkTokens`` over a ``(doc_id, text)`` frame →
-    ``(doc_id, chunk_id, chunk_text, n_tokens)``.  Uses the DataFrame
-    ``lateralJoin`` API so the UDTF composes like any other relation."""
-    return docs.lateralJoin(
-        ChunkTokens(docs.text.outer(), lit(chunk_tokens), lit(overlap))
-    ).select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+    """LATERAL-join ``ChunkTokens`` over a ``(doc_id, text)`` frame →
+    ``(doc_id, chunk_id, chunk_text, n_tokens)``.  Goes through the SQL
+    ``LATERAL`` form (the UDTF registered as a table function), which is
+    how a UDTF composes with per-row arguments from another relation."""
+    spark = docs.sparkSession
+    spark.udtf.register("__chunk_tokens_udtf", ChunkTokens)
+    view = "__chunk_docs_in"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+            FROM {view} d,
+            LATERAL __chunk_tokens_udtf(
+              d.text, {int(chunk_tokens)}, {int(overlap)}) c"""
+    )
