@@ -240,3 +240,68 @@ def pagerank(
             ).alias("r"),
         )
     return ranks.select("node", F.round(F.col("r"), 8).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle and wedge counts over an undirected edge list —
+    the clustering-coefficient numerator, and the classic MapReduce
+    graph benchmark (Suri & Vassilvitskii, WWW'11).
+
+    Scale shape: edges are first ORIENTED from the lower-(degree, id)
+    endpoint to the higher one.  Orientation is what makes the wedge
+    join safe at scale — every wedge is generated at its lowest-degree
+    vertex, so a degree-d hub produces O(d) oriented out-edges only when
+    d is globally small, and the per-vertex wedge blowup is bounded by
+    O(sqrt(|E|)) out-degree instead of a hub's full degree.  Then:
+    wedges = oriented ⋈ oriented on the middle vertex; triangles = wedges
+    semi-joined against the oriented closing edge.  Three key-only
+    shuffles, integer counts — exactly reproducible by a SQL oracle that
+    replays the same orientation rule.
+
+    Input may list an undirected edge in either or both directions;
+    it is canonicalized internally."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    # orient low (deg, id) -> high (deg, id): total order, deterministic
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "pivot").where(F.col("x") < F.col("y"))
+    # the closing edge of a wedge may be oriented either way relative to
+    # (x, y) id-order — probe on the undirected canonical (min, max) form
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    return wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
+        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    ).select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+    )

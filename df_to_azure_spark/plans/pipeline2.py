@@ -669,3 +669,57 @@ FROM (
   UNION ALL SELECT 'orderdate_not_future', n_rows, v5 FROM agg
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation) over the same part graph
+# --------------------------------------------------------------------------
+
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph.triangle_count`` over the co-purchase graph — global
+    triangle/wedge counts (the clustering-coefficient numerator).  The
+    degree-ordered orientation is replayed exactly by the SQL twin, so
+    the join-shaped counting plan is hash-gated end to end."""
+    from df_to_azure_spark.functions.graph import triangle_count
+
+    return triangle_count(_part_edges(spark, sf_dir).localCheckpoint())
+
+
+PART_TRIANGLES_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_PR_MAX_BASKET}
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+), und AS (
+  SELECT pa AS a, pb AS b FROM pairs
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+), ori AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node
+), wed AS (
+  SELECT w1.v AS x, w2.v AS y
+  FROM ori w1 JOIN ori w2 ON w1.u = w2.u AND w1.v < w2.v
+), clos AS (
+  SELECT least(u, v) AS x, greatest(u, v) AS y FROM ori
+)
+SELECT CAST((SELECT COUNT(*) FROM wed w
+             WHERE EXISTS (SELECT 1 FROM clos c WHERE c.x = w.x AND c.y = w.y))
+       AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM wed) AS BIGINT) AS n_wedges
+"""

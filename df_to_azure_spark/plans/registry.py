@@ -391,6 +391,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_expectations": QuerySpec(
         PL2.orders_expectations, PL2.EXPECTATIONS_ORACLE
     ),
+    "part_triangles": QuerySpec(PL2.part_triangles, PL2.PART_TRIANGLES_ORACLE),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired

@@ -58,3 +58,23 @@ def test_dedup_canonical_keeps_min_and_singletons(spark):
     kept = sorted(r.doc_id for r in dedup_canonical(docs, pairs).collect())
     # 1 survives its cluster, 10 survives its pair, 99 untouched singleton
     assert kept == [1, 10, 99]
+
+
+def test_triangle_count_known_graphs(spark):
+    from df_to_azure_spark.functions.graph import triangle_count
+
+    def run(pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        r = triangle_count(e).collect()[0]
+        return r.n_triangles, r.n_wedges
+
+    # triangle: 1 triangle, 1 oriented wedge
+    assert run([(1, 2), (2, 3), (1, 3)]) == (1, 1)
+    # 4-cycle: no triangles
+    tris, _ = run([(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert tris == 0
+    # K4: 4 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert run(k4)[0] == 4
+    # direction/duplicate robustness: both directions listed, same answer
+    assert run([(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]) == (1, 1)
