@@ -723,3 +723,56 @@ SELECT CAST((SELECT COUNT(*) FROM wed w
        AS BIGINT) AS n_triangles,
        CAST((SELECT COUNT(*) FROM wed) AS BIGINT) AS n_wedges
 """
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE surface: hierarchy walk + subtree rollup
+# --------------------------------------------------------------------------
+
+
+def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface (Spark 4 ``WITH RECURSIVE``): walk a
+    derived supplier hierarchy (parent = ``suppkey div 7``, a
+    deterministic org-chart stand-in — TPC-H has no native hierarchy)
+    and roll account balances up every subtree: for each ancestor, the
+    descendant count and exact subtree balance.  The recursion emits one
+    ``(node, ancestor)`` row per chain step — the transitive-closure
+    frame a BOM explosion or org rollup needs; balances sum as
+    DECIMAL(28,6) so the rollup is aggregation-order-exact.
+
+    Scale note: recursion depth is O(log key-space) (~6 here); each
+    step is one self-join the engine executes iteratively — rows grow
+    as nodes × depth, the honest cost of closure materialization."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "__suppliers_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey AS node, s_suppkey AS anc FROM __suppliers_v
+          UNION ALL
+          SELECT node, anc DIV 7 AS anc FROM chain WHERE anc > 0
+        )
+        SELECT c.anc AS anc_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_desc,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 AS subtree_acctbal
+        FROM chain c JOIN __suppliers_v s ON c.node = s.s_suppkey
+        GROUP BY c.anc
+        """
+    )
+
+
+HIERARCHY_ORACLE = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS node, s_suppkey AS anc FROM supplier
+  UNION ALL
+  SELECT node, anc // 7 AS anc FROM chain WHERE anc > 0
+)
+SELECT c.anc AS anc_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+         AS subtree_acctbal
+FROM chain c JOIN supplier s ON c.node = s.s_suppkey
+GROUP BY c.anc
+"""

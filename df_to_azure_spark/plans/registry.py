@@ -392,6 +392,9 @@ REGISTRY: dict[str, QuerySpec] = {
         PL2.orders_expectations, PL2.EXPECTATIONS_ORACLE
     ),
     "part_triangles": QuerySpec(PL2.part_triangles, PL2.PART_TRIANGLES_ORACLE),
+    "supplier_hierarchy_rollup": QuerySpec(
+        PL2.supplier_hierarchy_rollup, PL2.HIERARCHY_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
