@@ -70,6 +70,18 @@ def _stream_attr_full_oracle() -> str:
     return STREAM_ATTR_FULL_ORACLE
 
 
+def _stream_static_join_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_static_join_diff
+
+    return stream_static_join_diff(spark, sf_dir)
+
+
+def _stream_static_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_STATIC_ORACLE
+
+    return STREAM_STATIC_ORACLE
+
+
 def _stream_sessionize_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.stateful import stream_sessionize_diff
 
@@ -422,6 +434,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "stream_attribution_full_diff": QuerySpec(
         _stream_attribution_full_diff, _stream_attr_full_oracle()
+    ),
+    "stream_static_join_diff": QuerySpec(
+        _stream_static_join_diff, _stream_static_oracle()
     ),
     "stream_sessionize_diff": QuerySpec(
         _stream_sessionize_diff, _stream_sessionize_oracle()

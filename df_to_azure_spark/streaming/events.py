@@ -578,3 +578,92 @@ SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS view_event_id,
        CAST(NULL AS TIMESTAMP) AS purchase_ts, CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def segment_revenue_stream(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STATIC join + windowed agg: purchase events enriched with
+    the static customer dimension, revenue per (window, market segment).
+
+    The third join class next to batch-batch and stream-stream: the
+    static side needs NO watermark and NO state — Spark re-plans it per
+    micro-batch as an ordinary broadcast-hash join (dim tables at 100 TB
+    stream scale stay broadcast-sized), so the only streaming state is
+    the windowed aggregation's."""
+    purchases = events.where(F.col("event_type") == "purchase")
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        purchases.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 4))).alias("revenue"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_purchases",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
+def segment_revenue_batch(
+    events: DataFrame, customers: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Batch twin of ``segment_revenue_stream``."""
+    purchases = events.where(F.col("event_type") == "purchase")
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        purchases.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 4))).alias("revenue"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_purchases",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
+def stream_static_join_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence gate for the stream-static join: exact DECIMAL sums,
+    symmetric multiset diff vs the batch twin.  Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_static_{_STREAM_QUERY_SEQ[0]}"
+    customers = load_table(spark, sf_dir, "customer")
+    streamed = run_stream_to_memory(
+        segment_revenue_stream(read_events_stream(spark, sf_dir), customers),
+        name,
+    )
+    batch = segment_revenue_batch(
+        load_table(spark, sf_dir, "events"), customers
+    )
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_STATIC_ORACLE = """
+SELECT CAST(NULL AS TIMESTAMP) AS window_start, CAST(NULL AS VARCHAR) AS segment,
+       CAST(NULL AS BIGINT) AS n_purchases, CAST(NULL AS DOUBLE) AS revenue,
+       CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

@@ -117,3 +117,19 @@ def test_stream_full_outer_interval_join_equals_batch_on_released_region(
                        & F.col("view_event_id").isNotNull()).count() > 0
     assert batch.where(F.col("purchase_event_id").isNull()).count() > 0
     assert batch.where(F.col("view_event_id").isNull()).count() > 0
+
+
+def test_stream_static_join_equals_batch(spark, sf_smoke):
+    """Stream-static broadcast join + windowed agg must equal the batch
+    twin exactly; the input must actually produce multiple segments."""
+    from df_to_azure_spark.streaming.events import (
+        segment_revenue_batch,
+        stream_static_join_diff,
+    )
+
+    assert stream_static_join_diff(spark, sf_smoke).count() == 0
+    batch = segment_revenue_batch(
+        load_table(spark, sf_smoke, "events"),
+        load_table(spark, sf_smoke, "customer"),
+    )
+    assert batch.select("segment").distinct().count() > 1
