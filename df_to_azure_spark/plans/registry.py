@@ -82,6 +82,30 @@ def _stream_static_oracle() -> str:
     return STREAM_STATIC_ORACLE
 
 
+def _stream_sliding_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_sliding_counts_diff
+
+    return stream_sliding_counts_diff(spark, sf_dir)
+
+
+def _stream_sliding_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_SLIDING_ORACLE
+
+    return STREAM_SLIDING_ORACLE
+
+
+def _stream_builtin_session_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_builtin_session_diff
+
+    return stream_builtin_session_diff(spark, sf_dir)
+
+
+def _stream_builtin_session_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_BUILTIN_SESSION_ORACLE
+
+    return STREAM_BUILTIN_SESSION_ORACLE
+
+
 def _stream_sessionize_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.stateful import stream_sessionize_diff
 
@@ -437,6 +461,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "stream_static_join_diff": QuerySpec(
         _stream_static_join_diff, _stream_static_oracle()
+    ),
+    "stream_sliding_counts_diff": QuerySpec(
+        _stream_sliding_diff, _stream_sliding_oracle()
+    ),
+    "stream_builtin_session_diff": QuerySpec(
+        _stream_builtin_session_diff, _stream_builtin_session_oracle()
     ),
     "stream_sessionize_diff": QuerySpec(
         _stream_sessionize_diff, _stream_sessionize_oracle()

@@ -667,3 +667,127 @@ SELECT CAST(NULL AS TIMESTAMP) AS window_start, CAST(NULL AS VARCHAR) AS segment
        CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING (hopping) windowed agg — each event lands in
+    window/slide overlapping windows (2 here), the shape for
+    "rolling last-hour metric refreshed every half hour".  State scales
+    with windows-per-event × key cardinality; the watermark still
+    bounds it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_counts_batch(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin of ``sliding_counts_stream``."""
+    return (
+        events.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stream_sliding_counts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence gate for the sliding-window agg.  Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_sliding_{_STREAM_QUERY_SEQ[0]}"
+    streamed = run_stream_to_memory(
+        sliding_counts_stream(read_events_stream(spark, sf_dir)), name
+    )
+    batch = sliding_counts_batch(load_table(spark, sf_dir, "events"))
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_SLIDING_ORACLE = """
+SELECT CAST(NULL AS TIMESTAMP) AS window_start, CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""
+
+
+def builtin_session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in SESSION window (``F.session_window``) — the declarative
+    gap-sessionizer, third sessionization surface next to the batch
+    window-chain (``sessionize_events``) and the custom stateful
+    processor (``sessionize_stream``).  Session state merges adjacent
+    windows engine-side and is closed by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def builtin_session_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch twin: the same ``session_window`` grouping on the closed
+    input."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_builtin_session_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence gate for the built-in streaming session window.
+    Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_builtin_session_{_STREAM_QUERY_SEQ[0]}"
+    streamed = run_stream_to_memory(
+        builtin_session_stream(read_events_stream(spark, sf_dir)), name
+    )
+    batch = builtin_session_batch(load_table(spark, sf_dir, "events"))
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_BUILTIN_SESSION_ORACLE = """
+SELECT CAST(NULL AS TIMESTAMP) AS session_start, CAST(NULL AS TIMESTAMP) AS session_end,
+       CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS n_events,
+       CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

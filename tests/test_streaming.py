@@ -133,3 +133,24 @@ def test_stream_static_join_equals_batch(spark, sf_smoke):
         load_table(spark, sf_smoke, "customer"),
     )
     assert batch.select("segment").distinct().count() > 1
+
+
+def test_stream_sliding_and_builtin_session_equal_batch(spark, sf_smoke):
+    """Sliding (hopping) windows and the built-in session window must
+    match their batch twins; the inputs must actually produce overlap
+    (more sliding rows than tumbling) and multi-event sessions."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.streaming.events import (
+        builtin_session_batch,
+        sliding_counts_batch,
+        stream_builtin_session_diff,
+        stream_sliding_counts_diff,
+        windowed_counts_batch,
+    )
+
+    assert stream_sliding_counts_diff(spark, sf_smoke).count() == 0
+    assert stream_builtin_session_diff(spark, sf_smoke).count() == 0
+    ev = load_table(spark, sf_smoke, "events")
+    assert sliding_counts_batch(ev).count() > windowed_counts_batch(ev).count()
+    assert builtin_session_batch(ev).where(F.col("n_events") > 1).count() > 0
