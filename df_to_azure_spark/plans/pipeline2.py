@@ -776,3 +776,119 @@ SELECT c.anc AS anc_suppkey,
 FROM chain c JOIN supplier s ON c.node = s.s_suppkey
 GROUP BY c.anc
 """
+
+
+# --------------------------------------------------------------------------
+# Time-series linear interpolation on the dense hourly grid
+# --------------------------------------------------------------------------
+
+
+def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation — the third imputation mode next to
+    zero-fill (``events_hourly_gapfill``) and carry-forward
+    (``events_value_ffill``): hours with no events get the straight line
+    between the neighboring observed hourly means, the standard
+    resample-and-interpolate for sensor/metric series.
+
+    Plan: aggregate FIRST (sparse hourly means, decimal-exact), then
+    join onto the generated dense grid, then ONE window per direction
+    (last/first IGNORE NULLS carrying both the value and its hour) —
+    no self-joins, no per-gap loops; edge gaps clamp to the nearest
+    observed value.  The interpolation weight is integer epoch-hour
+    arithmetic, so the one double multiply is engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.expr(
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("v")
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
+    )
+    event_types = events.select("event_type").distinct()
+    full = grid.join(F.broadcast(event_types)).join(
+        hourly, ["hour", "event_type"], "left"
+    )
+    wb = W.partitionBy("event_type").orderBy("hour").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("event_type").orderBy("hour").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    eh = F.unix_timestamp("hour")
+    known_h = F.when(F.col("v").isNotNull(), eh)
+    ann = full.select(
+        "hour",
+        "event_type",
+        "v",
+        eh.alias("eh"),
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.expr(
+                "ROUND(pv + (nv - pv) * (CAST(eh - ph AS DOUBLE) / (nh - ph)), 6)"
+            )
+        )
+    )
+    return ann.select(
+        "hour", "event_type", F.col("v").alias("v_known"),
+        interp.alias("v_interp"),
+    )
+
+
+INTERPOLATE_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+           AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), filled AS (
+  SELECT g.hour, t.event_type, h.v
+  FROM grid g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = t.event_type
+), ann AS (
+  SELECT hour, event_type, v, epoch(hour) AS eh,
+    LAST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(hour) END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    FIRST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(hour) END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM filled
+)
+SELECT hour, event_type, v AS v_known,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE ROUND(pv + (nv - pv) * (CAST(eh - ph AS DOUBLE) / (nh - ph)), 6)
+  END AS v_interp
+FROM ann
+"""

@@ -431,6 +431,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "supplier_hierarchy_rollup": QuerySpec(
         PL2.supplier_hierarchy_rollup, PL2.HIERARCHY_ORACLE
     ),
+    "events_hourly_interpolate": QuerySpec(
+        PL2.events_hourly_interpolate, PL2.INTERPOLATE_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
