@@ -892,3 +892,84 @@ SELECT hour, event_type, v AS v_known,
   END AS v_interp
 FROM ann
 """
+
+
+# --------------------------------------------------------------------------
+# Governance: masking export + k-anonymity risk report
+# --------------------------------------------------------------------------
+
+
+def customer_masked_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-masked export of the customer table — the governance shape for
+    sharing data outside its trust boundary: direct identifiers are
+    masked (letters→X/x, digits→n — the ``F.mask`` convention, emitted
+    as explicit regex rewrites so the rule is engine-portable), the key
+    is replaced by a keyed-hash pseudonym (joinable across masked
+    exports, not reversible), and quasi-identifiers are generalized
+    (balance → coarse band) rather than dropped.  All map-side
+    expressions — masking a 100 TB table is scan-speed."""
+    cust = load_table(spark, sf_dir, "customer")
+    masked_name = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("c_name"), "[A-Z]", "X"), "[a-z]", "x"
+        ),
+        "[0-9]",
+        "n",
+    )
+    pseudonym = F.md5(F.concat(F.lit("pepper-2026:"), F.col("c_custkey")))
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("bigint")
+    return cust.select(
+        pseudonym.alias("customer_pseudonym"),
+        masked_name.alias("c_name_masked"),
+        F.col("c_nationkey"),
+        band.alias("acctbal_band"),
+        F.col("c_mktsegment"),
+    )
+
+
+MASKED_EXPORT_ORACLE = """
+SELECT md5('pepper-2026:' || CAST(c_custkey AS VARCHAR)) AS customer_pseudonym,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS c_name_masked,
+       c_nationkey,
+       CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+_KANON_K = 5
+
+
+def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the masked export's quasi-identifier
+    tuple (nation, balance band, segment): every equivalence class with
+    its size and whether it violates k=5 — the classes a release
+    process must suppress or generalize further, since a member of a
+    size-1 class is re-identifiable from the quasi-identifiers alone.
+    One hash aggregate on the QI tuple; at 100 TB this is the same
+    shape as any groupBy-count."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("bigint")
+    return (
+        cust.select(
+            "c_nationkey",
+            band.alias("acctbal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "acctbal_band", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+        .withColumn("violates_k", F.col("class_size") < _KANON_K)
+    )
+
+
+KANONYMITY_ORACLE = f"""
+SELECT c_nationkey,
+       CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+       c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < {_KANON_K} AS violates_k
+FROM customer
+GROUP BY 1, 2, 3
+"""

@@ -434,6 +434,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_hourly_interpolate": QuerySpec(
         PL2.events_hourly_interpolate, PL2.INTERPOLATE_ORACLE
     ),
+    "customer_masked_export": QuerySpec(
+        PL2.customer_masked_export, PL2.MASKED_EXPORT_ORACLE
+    ),
+    "customer_kanonymity": QuerySpec(
+        PL2.customer_kanonymity, PL2.KANONYMITY_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
