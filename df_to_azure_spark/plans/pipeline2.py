@@ -973,3 +973,129 @@ SELECT c_nationkey,
 FROM customer
 GROUP BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# Temperature-weighted source mixture (multilingual sampling standard)
+# --------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7
+
+
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted sampling proportions per source:
+    ``q_s ∝ p_s^α`` with α=0.7 — the standard that upsamples the tail
+    (small sources/languages) without flattening the head (mBERT/XLM-R
+    convention).  ``p_s`` is each source's share of corpus tokens.
+
+    Exactness: token counts are exact integers; the one ``POW`` per
+    source is rounded at 6 dp, and the normalizing sum over the BOUNDED
+    source domain is DECIMAL-exact.  One token-count aggregate + one
+    broadcast of the per-source table — nothing else scales with the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(TXT.token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    totals = per_source.agg(F.sum("n_tokens").alias("t_tokens"))
+    powed = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"ROUND(POW(CAST(n_tokens AS DOUBLE) / t_tokens, {_MIX_ALPHA!r}), 6)"
+        ).alias("p_alpha"),
+    )
+    z = powed.agg(
+        F.expr("SUM(CAST(p_alpha AS DECIMAL(28,12)))").alias("z")
+    )
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.expr("ROUND(p_alpha / CAST(z AS DOUBLE), 6)").alias("mix_weight"),
+    )
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), totals AS (SELECT SUM(n_tokens) AS t_tokens FROM per_source),
+powed AS (
+  SELECT source, n_tokens,
+         ROUND(POW(CAST(n_tokens AS DOUBLE) / t_tokens, {_MIX_ALPHA!r}), 6)
+           AS p_alpha
+  FROM per_source CROSS JOIN totals
+), z AS (SELECT SUM(CAST(p_alpha AS DECIMAL(28,12))) AS z FROM powed)
+SELECT source, n_tokens, ROUND(p_alpha / CAST(z AS DOUBLE), 6) AS mix_weight
+FROM powed CROSS JOIN z
+"""
+
+
+# --------------------------------------------------------------------------
+# Laplace-mechanism count release (deterministic noise derivation)
+# --------------------------------------------------------------------------
+
+_DP_EPSILON = 1.0
+
+
+def dp_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release per market segment: noisy_count =
+    count + Lap(1/ε) via inverse-CDF, ε=1 (sensitivity 1 per customer).
+
+    The noise draw here is derived from a keyed hash of the group
+    (``u = (md5_32(key) mod M)/M - 0.5``, ``noise = -b·sign(u)·ln(1-2|u|)``)
+    instead of an RNG — the same determinism trade as the Poissonized
+    bootstrap: it makes the MECHANISM (sensitivity math, inverse-CDF
+    transform, post-processing) engine-reproducible and oracle-checked,
+    while a production release would swap in a sealed RNG draw per
+    query (hash-derived noise is predictable to anyone who knows the
+    key, so this exact form is NOT a privacy guarantee).  Map-side after
+    one count aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    b = 1.0 / _DP_EPSILON
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp-seed:"), F.col("c_mktsegment"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    mod = 1_000_003
+    u = F.expr(f"(h % {mod}) / {float(mod)!r} - 0.5")
+    noise = F.expr(
+        f"ROUND(-{b!r} * SIGN(u) * LN(1.0 - 2.0 * ABS(u)), 6)"
+    )
+    return (
+        counts.withColumn("h", h)
+        .withColumn("u", u)
+        .withColumn("noise", noise)
+        .select(
+            "c_mktsegment",
+            "true_count",
+            F.expr("ROUND(true_count + noise, 6)").alias("released_count"),
+        )
+    )
+
+
+DP_COUNTS_ORACLE = f"""
+WITH counts AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM customer GROUP BY c_mktsegment
+), seeded AS (
+  SELECT c_mktsegment, true_count,
+         ('0x' || substr(md5('dp-seed:' || c_mktsegment), 1, 8))::BIGINT
+           AS h
+  FROM counts
+), noised AS (
+  SELECT c_mktsegment, true_count,
+         (h % {1_000_003}) / {float(1_000_003)!r} - 0.5 AS u
+  FROM seeded
+)
+SELECT c_mktsegment, true_count,
+       ROUND(true_count +
+             ROUND(-{1.0!r} * SIGN(u) * LN(1.0 - 2.0 * ABS(u)), 6), 6)
+         AS released_count
+FROM noised
+"""

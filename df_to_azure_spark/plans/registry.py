@@ -440,6 +440,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "customer_kanonymity": QuerySpec(
         PL2.customer_kanonymity, PL2.KANONYMITY_ORACLE
     ),
+    "source_temperature_mix": QuerySpec(
+        PL2.source_temperature_mix, PL2.TEMPERATURE_MIX_ORACLE
+    ),
+    "dp_segment_counts": QuerySpec(
+        PL2.dp_segment_counts, PL2.DP_COUNTS_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
