@@ -197,3 +197,54 @@ def normalize_for_sink(
         else:
             cols.append(c)
     return df.select(*cols)
+
+
+def schema_diff(before: DataFrame, after: DataFrame) -> list[dict[str, str]]:
+    """Structural diff between two frame schemas — the drift report an
+    ingest pipeline checks before an append/upsert so an upstream
+    producer change (dropped column, silent type widening, new field)
+    is a decision, not a surprise.
+
+    Returns one dict per change: ``{"column", "change", "before",
+    "after"}`` with ``change`` ∈ {added, removed, type_changed,
+    nullability_changed, reordered}.  Pure metadata — no jobs run.
+    Column ORDER changes are reported (position matters to positional
+    writers like JDBC batch insert) but only for columns present on
+    both sides."""
+    b = {f.name: f for f in before.schema.fields}
+    a = {f.name: f for f in after.schema.fields}
+    out: list[dict[str, str]] = []
+    for name in b:
+        if name not in a:
+            out.append(
+                {"column": name, "change": "removed",
+                 "before": b[name].dataType.simpleString(), "after": ""}
+            )
+    for name in a:
+        if name not in b:
+            out.append(
+                {"column": name, "change": "added",
+                 "before": "", "after": a[name].dataType.simpleString()}
+            )
+    for name in b:
+        if name not in a:
+            continue
+        bt, at = b[name].dataType, a[name].dataType
+        if bt != at:
+            out.append(
+                {"column": name, "change": "type_changed",
+                 "before": bt.simpleString(), "after": at.simpleString()}
+            )
+        if b[name].nullable != a[name].nullable:
+            out.append(
+                {"column": name, "change": "nullability_changed",
+                 "before": str(b[name].nullable), "after": str(a[name].nullable)}
+            )
+    shared_b = [f.name for f in before.schema.fields if f.name in a]
+    shared_a = [f.name for f in after.schema.fields if f.name in b]
+    if shared_b != shared_a:
+        out.append(
+            {"column": "*", "change": "reordered",
+             "before": ",".join(shared_b), "after": ",".join(shared_a)}
+        )
+    return out

@@ -143,3 +143,25 @@ def test_create_table_column_types_rendering(spark):
         {"a": "VARCHAR(300)", "b": "VARCHAR(MAX)", "c": "BIT", "d": "DATETIME"}
     )
     assert ddl == "`a` VARCHAR(300), `b` STRING, `c` BOOLEAN, `d` TIMESTAMP"
+
+
+def test_schema_diff_reports_all_drift_kinds(spark):
+    from df_to_azure_spark.schema import schema_diff
+
+    before = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    after = spark.sql("SELECT CAST(1 AS INT) AS id, 'x' AS extra, 'a' AS name")
+    changes = {(c["column"], c["change"]) for c in schema_diff(before, after)}
+    assert ("v", "removed") in changes
+    assert ("extra", "added") in changes
+    assert ("id", "type_changed") in changes
+    assert ("*", "reordered") not in changes  # shared cols id,name keep order
+
+
+def test_schema_diff_detects_reorder_and_no_false_positives(spark):
+    from df_to_azure_spark.schema import schema_diff
+
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([("x", 1)], "name string, id long")
+    changes = schema_diff(a, b)
+    assert [c["change"] for c in changes] == ["reordered"]
+    assert schema_diff(a, a) == []
