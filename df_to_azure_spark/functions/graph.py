@@ -245,9 +245,12 @@ def pagerank(
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Global triangle and wedge counts over an undirected edge list —
-    the clustering-coefficient numerator, and the classic MapReduce
-    graph benchmark (Suri & Vassilvitskii, WWW'11).
+    """Global triangle count over an undirected edge list — the
+    clustering-coefficient numerator, and the classic MapReduce graph
+    benchmark (Suri & Vassilvitskii, WWW'11).  ``n_wedges`` is the
+    ORIENTED candidate count (each triangle closes exactly one oriented
+    wedge here, NOT the undirected open-wedge count, which is
+    sum-over-nodes deg·(deg-1)/2).
 
     Scale shape: edges are first ORIENTED from the lower-(degree, id)
     endpoint to the higher one.  Orientation is what makes the wedge

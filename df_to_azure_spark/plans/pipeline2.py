@@ -1063,7 +1063,9 @@ def dp_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     mod = 1_000_003
-    u = F.expr(f"(h % {mod}) / {float(mod)!r} - 0.5")
+    # +1 / +2 keeps u strictly inside (-0.5, 0.5): u = -0.5 exactly
+    # (h % mod == 0) would put LN(1 - 2|u|) at LN(0) = -inf
+    u = F.expr(f"(h % {mod} + 1) / {float(mod + 2)!r} - 0.5")
     noise = F.expr(
         f"ROUND(-{b!r} * SIGN(u) * LN(1.0 - 2.0 * ABS(u)), 6)"
     )
@@ -1090,7 +1092,7 @@ WITH counts AS (
   FROM counts
 ), noised AS (
   SELECT c_mktsegment, true_count,
-         (h % {1_000_003}) / {float(1_000_003)!r} - 0.5 AS u
+         (h % {1_000_003} + 1) / {float(1_000_005)!r} - 0.5 AS u
   FROM seeded
 )
 SELECT c_mktsegment, true_count,
