@@ -64,6 +64,12 @@ def evaluate_expectations(
     names = [e.name for e in expectations]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names in {names}")
+    bad = [n for n in names if not n.replace("_", "").isalnum()]
+    if bad:
+        # names are spliced into stack(...) literals and v_<name> aliases
+        raise ValueError(
+            f"expectation names must be alphanumeric/underscore, got {bad}"
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for e in expectations:
         # violation = NOT coalesce(condition, false): NULL-result rows fail

@@ -55,3 +55,12 @@ def test_empty_and_duplicate_rules_raise(spark):
         E.evaluate_expectations(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         E.evaluate_expectations(df, [E.not_null("id"), E.not_null("id")])
+
+
+def test_unsafe_rule_names_rejected(spark):
+    from pyspark.sql import functions as F
+
+    df = _df(spark)
+    bad = E.Expectation("evil'name", F.col("id").isNotNull())
+    with pytest.raises(ValueError, match="alphanumeric"):
+        E.evaluate_expectations(df, [bad])
