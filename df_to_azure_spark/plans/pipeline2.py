@@ -1101,3 +1101,133 @@ SELECT c_mktsegment, true_count,
          AS released_count
 FROM noised
 """
+
+
+# --------------------------------------------------------------------------
+# Strict-order funnel (view -> click -> purchase) and LOO target encoding
+# --------------------------------------------------------------------------
+
+
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel: per user, the first view, the first click
+    AFTER that view, the first purchase AFTER that click — stage
+    timestamps must be strictly ordered, so a click preceding any view
+    does not count (the sequencing discipline ``funnel_view_to_purchase``
+    does not impose).  Output is the stage-count matrix with conversion
+    rates.
+
+    Plan: three conditional min-aggregations chained by user-key joins —
+    each stage is one shuffle on user_id over an already-filtered event
+    slice; no window over full event history, no per-user explode."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+    return counts.select(
+        F.col("n_view").cast("bigint").alias("n_view"),
+        F.col("n_view_click").cast("bigint").alias("n_view_click"),
+        F.col("n_full_funnel").cast("bigint").alias("n_full_funnel"),
+        F.expr(
+            "ROUND(CAST(n_view_click AS DOUBLE) / n_view, 6)"
+        ).alias("view_to_click_rate"),
+        F.expr(
+            "ROUND(CAST(n_full_funnel AS DOUBLE) / n_view_click, 6)"
+        ).alias("click_to_purchase_rate"),
+    )
+
+
+FUNNEL3_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel,
+       ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 6) AS view_to_click_rate,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase_rate
+"""
+
+
+def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target (mean) encoding of the order-priority
+    category against total price — the ML featurization that replaces a
+    categorical with its target mean WITHOUT leaking each row's own
+    label into its feature: ``(group_sum − x) / (group_n − 1)``.
+
+    Exactness: the group sum is DECIMAL (order-independent); the
+    per-row subtraction/division are identical doubles.  Singleton
+    groups yield NULL (no peers to average — the honest answer, not 0).
+    One window shuffle on the category, no self-join."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    wp = W.partitionBy("o_orderpriority")
+    gs = F.expr("SUM(CAST(o_totalprice AS DECIMAL(28,6)))").over(wp)
+    gn = F.count(F.lit(1)).over(wp)
+    loo = F.when(
+        gn > 1,
+        F.expr(
+            "ROUND((CAST(gs AS DOUBLE) - o_totalprice) / (gn - 1), 6)"
+        ),
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            gs.alias("gs"), gn.alias("gn"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            loo.alias("priority_target_enc"),
+        )
+    )
+
+
+TARGET_ENCODING_ORACLE = """
+WITH g AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+           OVER (PARTITION BY o_orderpriority) AS gs,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS gn
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN gn > 1
+            THEN ROUND((CAST(gs AS DOUBLE) - o_totalprice) / (gn - 1), 6)
+       END AS priority_target_enc
+FROM g
+"""

@@ -446,6 +446,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dp_segment_counts": QuerySpec(
         PL2.dp_segment_counts, PL2.DP_COUNTS_ORACLE
     ),
+    "funnel_three_step": QuerySpec(PL2.funnel_three_step, PL2.FUNNEL3_ORACLE),
+    "orders_target_encoding": QuerySpec(
+        PL2.orders_target_encoding, PL2.TARGET_ENCODING_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
