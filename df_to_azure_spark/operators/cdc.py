@@ -26,8 +26,12 @@ def latest_changes(
     """One surviving change row per key: highest ``seq`` wins, ties
     break toward the DELETE (``op`` asc — ``'D'`` sorts before ``'U'``,
     so a tombstone racing an update at the same sequence does not
-    resurrect the row) — a total, deterministic order, so re-running
-    over a re-partitioned feed picks the same survivors.
+    resurrect the row).  The order is total — and re-running over a
+    re-partitioned feed deterministic — provided ``(key, seq, op)`` is
+    unique in the feed, which any real CDC source's per-key monotonic
+    sequence guarantees; two UPSERTS for one key at one sequence with
+    DIFFERENT payloads are a contradiction in the feed itself, and
+    which one survives is unspecified.
 
     One shuffle on the key (rank window).  At 100 TB the feed is the
     small side; state never accumulates here — this is a pure

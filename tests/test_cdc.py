@@ -58,3 +58,57 @@ def test_partitioning_invariant(spark):
     a = sorted(map(tuple, apply_changes(base, ch, ["id"]).collect()))
     b = sorted(map(tuple, apply_changes(base, ch.repartition(7), ["id"]).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings, strategies as st
+
+_KEYS = st.integers(min_value=0, max_value=6)
+_CHANGE = st.tuples(
+    _KEYS,                                   # id
+    st.text("ab", min_size=1, max_size=3),   # val
+    st.integers(min_value=0, max_value=9),   # seq
+    st.sampled_from(["U", "D"]),             # op
+)
+_FEED = st.lists(_CHANGE, min_size=0, max_size=25)
+_BASE = st.dictionaries(_KEYS, st.text("xy", min_size=1, max_size=3), max_size=7)
+
+
+def _model(base: dict, feed: list) -> dict:
+    """Reference semantics in plain python: per key, survivor = max seq,
+    ties to 'D'; D removes, U upserts, untouched keys pass through."""
+    best: dict = {}
+    for kid, val, seq, op in feed:
+        cur = best.get(kid)
+        if cur is None or (seq, op == "D") > (cur[1], cur[2] == "D"):
+            best[kid] = (val, seq, op)
+    out = dict(base)
+    for kid, (val, _seq, op) in best.items():
+        if op == "D":
+            out.pop(kid, None)
+        else:
+            out[kid] = val
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(base=_BASE, feed=_FEED)
+def test_apply_changes_matches_dict_model(spark, base, feed):
+    # the contract requires (key, seq, op) unique — keep one payload per
+    # triple (duplicate-payload survivors are unspecified by design)
+    seen = {}
+    for kid, val, seq, op in feed:
+        seen.setdefault((kid, seq, op), (kid, val, seq, op))
+    feed = list(seen.values())
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(99, "sentinel")],
+        "id long, val string",
+    )
+    if not base:
+        base_df = base_df.where("id < 0")  # truly empty, schema kept
+    ch = spark.createDataFrame(feed or [(0, "z", 0, "U")], "id long, val string, seq long, op string")
+    if not feed:
+        ch = ch.where("id < 0")
+    got = {r.id: r.val for r in apply_changes(base_df, ch, ["id"]).collect()}
+    assert got == _model(base, feed)
