@@ -163,3 +163,20 @@ def test_semdedup_between_new_new_dups_survive(spark):
     new = _vecs(spark, [(10, [1.0, 0.0]), (11, [1.0, 0.0])])
     out = {r.id: r.kept for r in semdedup_between(new, corpus, cents, threshold=0.9).collect()}
     assert out == {10: True, 11: True}
+
+
+def test_semdedup_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ] + [(100 + i, [float(i % 3), 1.0] + [0.0] * 6) for i in range(12)]
+    cents = [rows[i][1] for i in range(4)]
+    df = _vecs(spark, rows)
+    a = sorted(map(tuple, semdedup(df, cents, threshold=0.95).collect()))
+    b = sorted(map(tuple, semdedup(df.repartition(13), cents, threshold=0.95).collect()))
+    assert a == b
+    # the planted duplicate families (same vector values) actually prune
+    kept = {r[0]: r[2] for r in a}
+    assert sum(1 for i, k in kept.items() if i >= 100 and not k) > 0
