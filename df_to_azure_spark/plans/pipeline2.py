@@ -1,10 +1,18 @@
-"""Training-data pipeline queries, wave 3: semantic dedup (SemDeDup),
-data-selection importance weights (DSIR), hashed linear quality-model
-scoring, fixed-iteration PageRank, and Z-order clustering keys.  Every
-query is paired with a DuckDB oracle that reproduces the result
+"""Round-4 second-session query wave: semantic dedup (SemDeDup, full +
+incremental), data-selection importance weights (DSIR), hashed linear
+quality-model scoring, graph analytics (fixed-iteration PageRank,
+degree-ordered triangle counting), Z-order clustering keys, OOV rate vs
+a top-V vocab, CDC apply-changes state fold, declarative expectations,
+recursive-CTE hierarchy rollup, hourly linear interpolation, governance
+(masked export, k-anonymity), temperature-weighted source mixture,
+Laplace-mechanism count release, strict 3-step funnel, and leave-one-out
+target encoding.
+
+Every query is paired with a DuckDB oracle that reproduces the result
 bit-for-bit (the cross-engine policy: integer/decimal math wherever
 possible, one ROUND after each transcendental, DECIMAL(28,12) sums so
-aggregation order never matters).
+aggregation order never matters, every numeric constant explicitly
+DOUBLE — decimal-literal division rules differ between engines).
 """
 
 from __future__ import annotations
