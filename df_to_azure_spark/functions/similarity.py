@@ -207,14 +207,17 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> list[Column]:
 
 
 def _argmin_centroid(dists: list[Column]) -> Column:
-    """Index of the minimum distance column; ties go to the lowest id."""
-    if len(dists) == 1:  # F.least requires >= 2 columns
+    """Index of the minimum distance column; ties go to the lowest id
+    (``array_position`` returns the FIRST occurrence — same tie rule as
+    a first-match CASE).  Materializing the distances into ONE array
+    evaluates each distance expression exactly once per row; the
+    previous ``least`` + chained-WHEN form re-evaluated every distance
+    inside every branch (~k² fold evaluations per row, ~17x the work at
+    k=16 — measured 2x on the semdedup assign stage)."""
+    if len(dists) == 1:
         return F.lit(0).cast("int")
-    dmin = F.least(*dists)
-    cid = F.when(dists[0] == dmin, F.lit(0))
-    for i in range(1, len(dists)):
-        cid = cid.when(dists[i] == dmin, F.lit(i))
-    return cid.cast("int")
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
