@@ -1239,3 +1239,133 @@ SELECT o_orderkey, o_orderpriority,
        END AS priority_target_enc
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation and ABC (Pareto) classification — canonical BI shapes
+# --------------------------------------------------------------------------
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation:每customer recency (days since last order,
+    against the global max order date), frequency (order count) and
+    monetary (exact decimal revenue), each quartiled with ``ntile(4)``
+    into the classic 3-digit RFM code.  Tie-breaks ride the customer key
+    so the ntile assignment is a total order — identical across engines
+    and partitionings.  Two shuffles: the per-customer aggregate and the
+    three global ntile windows (single-partition windows are the honest
+    cost of GLOBAL quantile codes; at 100 TB swap ntile for
+    approx-quantile boundaries, trading exactness for parallelism)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("mx"), F.col("o_orderdate"))
+            ).cast("bigint").alias("r_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("monetary"),
+        )
+    )
+    r_q = F.ntile(4).over(W.orderBy(F.asc("r_days"), F.asc("o_custkey")))
+    f_q = F.ntile(4).over(W.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
+    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    return per_cust.select(
+        "o_custkey", "r_days", "n_orders", "monetary",
+        r_q.cast("bigint").alias("r_q"),
+        f_q.cast("bigint").alias("f_q"),
+        m_q.cast("bigint").alias("m_q"),
+    ).withColumn(
+        "rfm_code",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+    )
+
+
+RFM_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(mx AS DATE))) AS BIGINT) AS r_days,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+  FROM orders CROSS JOIN mx GROUP BY o_custkey
+)
+SELECT o_custkey, r_days, n_orders, monetary,
+       ntile(4) OVER (ORDER BY r_days ASC, o_custkey ASC) AS r_q,
+       ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS f_q,
+       ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q,
+       CAST(ntile(4) OVER (ORDER BY r_days ASC, o_custkey ASC) * 100
+            + ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) * 10
+            + ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT)
+         AS rfm_code
+FROM per_cust
+"""
+
+
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, cumulative
+    share of total revenue (exact decimal running sum — the share is the
+    ONLY double), class A up to 80%, B to 95%, C beyond — the inventory
+    prioritization standard.  One aggregate shuffle + one global
+    ordered window (same exactness-vs-parallelism note as RFM)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "SUM(CAST(l_extendedprice * (1.0 - l_discount)"
+            " AS DECIMAL(28,6)))"
+        ).alias("rev_dec")
+    )
+    w = W.orderBy(F.desc("rev_dec"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    total = rev.agg(F.sum("rev_dec").alias("tot"))
+    share = F.expr("ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 8)")
+    out = (
+        rev.withColumn("cum", F.sum("rev_dec").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.expr("CAST(rev_dec AS DOUBLE)").alias("revenue"),
+            share.alias("cum_share"),
+        )
+    )
+    return out.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
+
+
+ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))
+           AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT SUM(rev_dec) AS tot FROM rev),
+c AS (
+  SELECT l_partkey, rev_dec,
+         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM rev
+)
+SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+       ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS cum_share,
+       CASE WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 8) <= 0.8
+            THEN 'A'
+            WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 8) <= 0.95
+            THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c CROSS JOIN tot
+"""

@@ -450,6 +450,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_target_encoding": QuerySpec(
         PL2.orders_target_encoding, PL2.TARGET_ENCODING_ORACLE
     ),
+    "customer_rfm_segments": QuerySpec(
+        PL2.customer_rfm_segments, PL2.RFM_ORACLE
+    ),
+    "part_abc_classification": QuerySpec(
+        PL2.part_abc_classification, PL2.ABC_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
