@@ -1369,3 +1369,139 @@ SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
             ELSE 'C' END AS abc_class
 FROM c CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# Cross-table FK integrity matrix and the corpus dataset card
+# --------------------------------------------------------------------------
+
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey", "orders.o_orderkey"),
+    ("lineitem.l_partkey", "part.p_partkey"),
+    ("lineitem.l_suppkey", "supplier.s_suppkey"),
+    ("orders.o_custkey", "customer.c_custkey"),
+    ("customer.c_nationkey", "nation.n_nationkey"),
+    ("supplier.s_nationkey", "nation.n_nationkey"),
+    ("nation.n_regionkey", "region.r_regionkey"),
+]
+
+
+def fk_integrity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep across EVERY foreign key of the star
+    schema in one result: per relation, the child row count and how many
+    child rows point at a missing parent — the single gate a load
+    pipeline checks after ingest (``fk_orphan_check`` is the one-edge
+    version).  Each relation is a key-projected LEFT ANTI count — child
+    side carries only the FK column into the join, parents are
+    dedup-projected (dimension keys broadcast at any realistic scale) —
+    and the seven little aggregates union into one frame."""
+    out = None
+    for child, parent in _FK_RELATIONS:
+        c_tbl, c_col = child.split(".")
+        p_tbl, p_col = parent.split(".")
+        ch = load_table(spark, sf_dir, c_tbl).select(c_col)
+        pa = load_table(spark, sf_dir, p_tbl).select(p_col).distinct()
+        orphans = ch.join(
+            pa, ch[c_col] == pa[p_col], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        rel = (
+            ch.agg(F.count(F.lit(1)).alias("n_child_rows"))
+            .crossJoin(orphans)
+            .select(
+                F.lit(f"{child}->{parent}").alias("relation"),
+                F.col("n_child_rows").cast("bigint").alias("n_child_rows"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out
+
+
+def _fk_matrix_oracle() -> str:
+    parts = []
+    for child, parent in _FK_RELATIONS:
+        c_tbl, c_col = child.split(".")
+        p_tbl, p_col = parent.split(".")
+        parts.append(f"""
+SELECT '{child}->{parent}' AS relation,
+       CAST((SELECT COUNT(*) FROM {c_tbl}) AS BIGINT) AS n_child_rows,
+       CAST((SELECT COUNT(*) FROM {c_tbl} c
+             LEFT JOIN (SELECT DISTINCT {p_col} FROM {p_tbl}) p
+               ON c.{c_col} = p.{p_col}
+             WHERE p.{p_col} IS NULL) AS BIGINT) AS n_orphans,
+       (SELECT COUNT(*) FROM {c_tbl} c
+        LEFT JOIN (SELECT DISTINCT {p_col} FROM {p_tbl}) p
+          ON c.{c_col} = p.{p_col}
+        WHERE p.{p_col} IS NULL) = 0 AS intact""")
+    return "\nUNION ALL\n".join(parts)
+
+
+FK_MATRIX_ORACLE = _fk_matrix_oracle()
+
+
+def documents_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a training corpus ships with (the
+    HF-datasheet stats block): document and exact token counts, the
+    exact-duplicate rate, language-distribution entropy (nats), and
+    mean document length.  Everything reduces to exact integer
+    sufficient statistics; the entropy's per-language ``p·ln p`` terms
+    are the only transcendentals (ROUND 6, decimal-summed over the
+    bounded language domain).  Two scans (corpus stats + language
+    histogram), no joins against data-sized state."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TXT.token_count("text")).cast("bigint").alias("n_tokens"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
+    )
+    lang_terms = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("nt"))))
+        .select(
+            F.expr(
+                "CAST(ROUND(-(n / CAST(nt AS DOUBLE))"
+                " * LN(n / CAST(nt AS DOUBLE)), 6) AS DECIMAL(28,12))"
+            ).alias("term")
+        )
+        .agg(F.expr("ROUND(CAST(SUM(term) AS DOUBLE), 6)").alias("lang_entropy"))
+    )
+    return base.crossJoin(F.broadcast(lang_terms)).select(
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") - F.col("n_distinct_texts")).cast("bigint").alias(
+            "n_exact_dups"
+        ),
+        F.expr(
+            "ROUND((n_docs - n_distinct_texts) / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("dup_rate"),
+        "lang_entropy",
+        F.expr("ROUND(n_tokens / CAST(n_docs AS DOUBLE), 4)").alias(
+            "mean_doc_tokens"
+        ),
+    )
+
+
+DATASET_CARD_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+  FROM documents
+), lt AS (
+  SELECT CAST(ROUND(-(n / CAST(nt AS DOUBLE)) * LN(n / CAST(nt AS DOUBLE)), 6)
+              AS DECIMAL(28,12)) AS term
+  FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+  CROSS JOIN (SELECT COUNT(*) AS nt FROM documents)
+), ent AS (
+  SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS lang_entropy FROM lt
+)
+SELECT n_docs, n_tokens,
+       CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups,
+       ROUND((n_docs - n_distinct_texts) / CAST(n_docs AS DOUBLE), 6)
+         AS dup_rate,
+       lang_entropy,
+       ROUND(n_tokens / CAST(n_docs AS DOUBLE), 4) AS mean_doc_tokens
+FROM base CROSS JOIN ent
+"""

@@ -456,6 +456,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_abc_classification": QuerySpec(
         PL2.part_abc_classification, PL2.ABC_ORACLE
     ),
+    "fk_integrity_matrix": QuerySpec(
+        PL2.fk_integrity_matrix, PL2.FK_MATRIX_ORACLE
+    ),
+    "documents_dataset_card": QuerySpec(
+        PL2.documents_dataset_card, PL2.DATASET_CARD_ORACLE
+    ),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
