@@ -1455,10 +1455,11 @@ def documents_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(TXT.token_count("text")).cast("bigint").alias("n_tokens"),
         F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
     )
+    totals = docs.agg(F.count(F.lit(1)).alias("nt"))
     lang_terms = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("nt"))))
+        .crossJoin(F.broadcast(totals))
         .select(
             F.expr(
                 "CAST(ROUND(-(n / CAST(nt AS DOUBLE))"

@@ -58,6 +58,7 @@ BOUNDED_BROADCAST_VARS = {
     "mx",  # 1-row global max aggregate (doc_length_weighted_sample)
     "vocab",  # top-V term list, V fixed at 25 — a model artifact (doc_oov_rate)
     "z",  # 1-row normalizer aggregate (source_temperature_mix)
+    "lang_terms",  # 1-row entropy aggregate (documents_dataset_card)
 }
 
 
