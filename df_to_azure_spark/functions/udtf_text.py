@@ -19,7 +19,12 @@ budget for the Python-worker serialization they cost at 100 TB.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql.functions import lit, udtf
+
+# monotone counter for per-call temp-view/UDTF names (concurrency safety)
+_CHUNK_SEQ = itertools.count()
 
 
 @udtf(returnType="chunk_id: int, chunk_text: string, n_tokens: int")
@@ -51,12 +56,17 @@ def chunk_docs(docs, chunk_tokens: int = 32, overlap: int = 8):
     ``LATERAL`` form (the UDTF registered as a table function), which is
     how a UDTF composes with per-row arguments from another relation."""
     spark = docs.sparkSession
-    spark.udtf.register("__chunk_tokens_udtf", ChunkTokens)
-    view = "__chunk_docs_in"
+    # per-call names: concurrent chunk_docs calls in one session must not
+    # clobber each other's view between createOrReplaceTempView and the
+    # eager spark.sql resolution
+    seq = next(_CHUNK_SEQ)
+    udtf_name = f"__chunk_tokens_udtf_{seq}"
+    view = f"__chunk_docs_in_{seq}"
+    spark.udtf.register(udtf_name, ChunkTokens)
     docs.createOrReplaceTempView(view)
     return spark.sql(
         f"""SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
             FROM {view} d,
-            LATERAL __chunk_tokens_udtf(
+            LATERAL {udtf_name}(
               d.text, {int(chunk_tokens)}, {int(overlap)}) c"""
     )

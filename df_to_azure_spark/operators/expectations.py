@@ -17,6 +17,7 @@ module is the scan-shaped family.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -64,11 +65,14 @@ def evaluate_expectations(
     names = [e.name for e in expectations]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names in {names}")
-    bad = [n for n in names if not n.replace("_", "").isalnum()]
+    # ASCII-only: str.isalnum() admits non-ASCII alphanumerics (e.g.
+    # 'prix_élevé') that Spark's unquoted-identifier grammar then rejects
+    # with a confusing parse error when spliced as v_<name> aliases.
+    bad = [n for n in names if not re.fullmatch(r"[A-Za-z0-9_]+", n)]
     if bad:
         # names are spliced into stack(...) literals and v_<name> aliases
         raise ValueError(
-            f"expectation names must be alphanumeric/underscore, got {bad}"
+            f"expectation names must be ASCII alphanumeric/underscore, got {bad}"
         )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for e in expectations:

@@ -17,6 +17,8 @@ DOUBLE — decimal-literal division rules differ between engines).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,6 +27,9 @@ from df_to_azure_spark.functions import similarity as SIM
 from df_to_azure_spark.functions import text as TXT
 from df_to_azure_spark.operators.zorder import column_minmax, zorder_key
 from df_to_azure_spark.sources import load_table
+
+# monotone counter for per-call temp-view/UDTF names (concurrency safety)
+_VIEW_SEQ = itertools.count()
 
 # DuckDB token fragment mirroring functions.text.tokens
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
@@ -258,8 +263,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = counts.crossJoin(F.broadcast(totals)).select(
         "tok",
         F.expr(
-            "ROUND(LN((t_cnt + 1.0) / (t_tot + v)) "
-            "- LN((r_cnt + 1.0) / (r_tot + v)), 6)"
+            "ROUND(LN((CAST(t_cnt AS DOUBLE) + CAST(1 AS DOUBLE))"
+            " / CAST(t_tot + v AS DOUBLE)) "
+            "- LN((CAST(r_cnt AS DOUBLE) + CAST(1 AS DOUBLE))"
+            " / CAST(r_tot + v AS DOUBLE)), 6)"
         ).alias("w"),
     )
     return (
@@ -286,8 +293,10 @@ WITH toks AS (
   SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot, COUNT(*) AS v FROM counts
 ), scored AS (
   SELECT tok,
-         ROUND(LN((t_cnt + 1.0) / (t_tot + v))
-             - LN((r_cnt + 1.0) / (r_tot + v)), 6) AS w
+         ROUND(LN((CAST(t_cnt AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / CAST(t_tot + v AS DOUBLE))
+             - LN((CAST(r_cnt AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / CAST(r_tot + v AS DOUBLE)), 6) AS w
   FROM counts CROSS JOIN totals
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -751,13 +760,14 @@ def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: recursion depth is O(log key-space) (~6 here); each
     step is one self-join the engine executes iteratively — rows grow
     as nodes × depth, the honest cost of closure materialization."""
-    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
-        "__suppliers_v"
-    )
+    # per-call view name: two concurrent calls in one session must not
+    # clobber each other between createOrReplaceTempView and spark.sql
+    view = f"__suppliers_v_{next(_VIEW_SEQ)}"
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE chain AS (
-          SELECT s_suppkey AS node, s_suppkey AS anc FROM __suppliers_v
+          SELECT s_suppkey AS node, s_suppkey AS anc FROM {view}
           UNION ALL
           SELECT node, anc DIV 7 AS anc FROM chain WHERE anc > 0
         )
@@ -765,7 +775,7 @@ def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_desc,
                CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,6))) AS DOUBLE)
                  AS subtree_acctbal
-        FROM chain c JOIN __suppliers_v s ON c.node = s.s_suppkey
+        FROM chain c JOIN {view} s ON c.node = s.s_suppkey
         GROUP BY c.anc
         """
     )
@@ -1247,7 +1257,7 @@ FROM g
 
 
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation:每customer recency (days since last order,
+    """RFM segmentation: per-customer recency (days since last order,
     against the global max order date), frequency (order count) and
     monetary (exact decimal revenue), each quartiled with ``ntile(4)``
     into the classic 3-digit RFM code.  Tie-breaks ride the customer key
