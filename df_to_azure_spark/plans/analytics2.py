@@ -308,14 +308,30 @@ GROUP BY event_type
 
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window distribution functions: ntile quartile + percent_rank per
-    status, deterministic ordering on (price, key)."""
+    status, deterministic ordering on (price, key).  ``o_orderstatus``
+    has 3 values, so a plain partitioned window funnels a third of all
+    orders through one task; instead the exact two-phase distributed
+    rank (``functions.distrank``) range-partitions on (status, price,
+    key) and derives both ntile and percent_rank arithmetically from
+    ``(global_rank, group_total)`` — bit-identical, fully parallel.
+    percent_rank over a unique ordering is ``(rn-1)/(n-1)`` (0.0 for a
+    1-row group, Spark's own convention)."""
+    from df_to_azure_spark.functions import distrank as DR
+
     orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    ranked = DR.two_phase_rank(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        [("o_totalprice", "asc"), ("o_orderkey", "asc")],
+        group_cols=["o_orderstatus"],
+    )
+    pct = F.when(F.col("__grp_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("__rn") - 1).cast("double") / (F.col("__grp_n") - 1).cast("double")
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        DR.ntile_from_rank("__rn", "__grp_n", 4).cast("long").alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
     )
 
 

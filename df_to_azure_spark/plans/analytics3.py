@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from df_to_azure_spark.plans.analytics import DISC_PRICE
 from df_to_azure_spark.sources import load_table
@@ -138,18 +137,22 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: aggregate, then filter to the max of the aggregate via
-    an empty-frame window (no second scan, no self-join)."""
+    a 1-row max aggregate broadcast back onto the grouped frame — the
+    partial/final agg is parallel, the broadcast is one row; no
+    single-partition window stage anywhere (the former empty-frame
+    window funneled every supplier group through one task)."""
     lineitem = load_table(spark, sf_dir, "lineitem").where(
         F.expr(
             "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
             "l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"
         )
     )
-    rev = lineitem.groupBy("l_suppkey").agg(F.expr(f"SUM({DISC_PRICE})").alias("rev_dec"))
-    w = W.partitionBy()
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.expr(f"SUM({DISC_PRICE})").alias("rev_dec")
+    )
+    max_rev = rev.agg(F.max("rev_dec").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("rev_dec").over(w))
-        .where(F.col("rev_dec") == F.col("max_rev"))
+        rev.join(F.broadcast(max_rev), rev.rev_dec == max_rev.max_rev)
         .select("l_suppkey", F.col("rev_dec").cast("double").alias("total_revenue"))
     )
 

@@ -22,6 +22,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from df_to_azure_spark.functions import distrank as DR
 from df_to_azure_spark.functions import graph as G
 from df_to_azure_spark.functions import similarity as SIM
 from df_to_azure_spark.functions import text as TXT
@@ -1262,12 +1263,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary (exact decimal revenue), each quartiled with ``ntile(4)``
     into the classic 3-digit RFM code.  Tie-breaks ride the customer key
     so the ntile assignment is a total order — identical across engines
-    and partitionings.  Two shuffles: the per-customer aggregate and the
-    three global ntile windows (single-partition windows are the honest
-    cost of GLOBAL quantile codes; at 100 TB swap ntile for
-    approx-quantile boundaries, trading exactness for parallelism)."""
-    from pyspark.sql import Window as W
-
+    and partitionings.  The three global quartile codes are computed by
+    the exact two-phase distributed rank (``functions.distrank``):
+    range-repartition on each dimension, per-partition offsets, ntile
+    from ``(global_rank, total)`` arithmetic — bit-identical to a global
+    ``ntile(4)`` window with NO single-partition WindowExec, so the plan
+    stays parallel at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("mx"))
     per_cust = (
@@ -1283,14 +1284,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary"),
         )
     )
-    r_q = F.ntile(4).over(W.orderBy(F.asc("r_days"), F.asc("o_custkey")))
-    f_q = F.ntile(4).over(W.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
-    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    return per_cust.select(
-        "o_custkey", "r_days", "n_orders", "monetary",
-        r_q.cast("bigint").alias("r_q"),
-        f_q.cast("bigint").alias("f_q"),
-        m_q.cast("bigint").alias("m_q"),
+    d = per_cust
+    for dim, direction, q_col in (
+        ("r_days", "asc", "r_q"),
+        ("n_orders", "desc", "f_q"),
+        ("monetary", "desc", "m_q"),
+    ):
+        d = DR.two_phase_rank(d, [(dim, direction), ("o_custkey", "asc")])
+        d = d.withColumn(
+            q_col, DR.ntile_from_rank("__rn", "__grp_n", 4).cast("bigint")
+        ).drop("__rn", "__grp_n")
+    return d.select(
+        "o_custkey", "r_days", "n_orders", "monetary", "r_q", "f_q", "m_q"
     ).withColumn(
         "rfm_code",
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
@@ -1323,10 +1328,12 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification: parts ranked by revenue, cumulative
     share of total revenue (exact decimal running sum — the share is the
     ONLY double), class A up to 80%, B to 95%, C beyond — the inventory
-    prioritization standard.  One aggregate shuffle + one global
-    ordered window (same exactness-vs-parallelism note as RFM)."""
-    from pyspark.sql import Window as W
-
+    prioritization standard.  One aggregate shuffle, then the exact
+    two-phase distributed running sum (``functions.distrank``): range
+    repartition on (revenue desc, partkey), per-partition decimal prefix
+    offsets, cum = offset + local cumsum — bit-identical to the global
+    ordered window with no single-partition stage, and the grand total
+    falls out of the same offset pass (no second scan)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.expr(
@@ -1334,19 +1341,18 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(28,6)))"
         ).alias("rev_dec")
     )
-    w = W.orderBy(F.desc("rev_dec"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, 0
+    ranked = DR.two_phase_rank(
+        rev,
+        [("rev_dec", "desc"), ("l_partkey", "asc")],
+        sum_col="rev_dec",
+        cum_col="cum",
+        sum_total_col="tot",
     )
-    total = rev.agg(F.sum("rev_dec").alias("tot"))
     share = F.expr("ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 8)")
-    out = (
-        rev.withColumn("cum", F.sum("rev_dec").over(w))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "l_partkey",
-            F.expr("CAST(rev_dec AS DOUBLE)").alias("revenue"),
-            share.alias("cum_share"),
-        )
+    out = ranked.select(
+        "l_partkey",
+        F.expr("CAST(rev_dec AS DOUBLE)").alias("revenue"),
+        share.alias("cum_share"),
     )
     return out.withColumn(
         "abc_class",

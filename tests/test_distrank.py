@@ -1,0 +1,106 @@
+"""Two-phase distributed rank (functions.distrank) vs real global windows.
+
+The helper's contract is bit-identical results to ``Window.orderBy`` with
+no partition spec — but computed via range repartition + per-partition
+offsets, so WindowExec stays partitioned.  These tests compare against
+Spark's own global windows on a frame large enough to span many range
+partitions, including ties in the weak key, skewed groups, desc order,
+decimal running sums, and the n < buckets ntile edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions.distrank import ntile_from_rank, two_phase_rank
+
+
+def _base(spark, n=1500):
+    return spark.range(n).select(
+        "id",
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 37) % 97).alias("v"),  # heavy ties in the weak key
+        F.expr("CAST((id * 13 % 997) / 100.0 AS DECIMAL(18,2))").alias("amt"),
+    )
+
+
+def test_rank_ntile_cumsum_match_global_window(spark):
+    df = _base(spark)
+    got = two_phase_rank(df, [("v", "asc"), ("id", "asc")], sum_col="amt")
+    w = W.orderBy(F.asc("v"), F.asc("id"))
+    exp = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("nt"),
+        F.sum("amt").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    cmp = got.select(
+        "id",
+        F.col("__rn").alias("rn"),
+        ntile_from_rank("__rn", "__grp_n", 4).cast("int").alias("nt"),
+        F.col("__cum").alias("cum"),
+    )
+    bad = (
+        cmp.alias("a")
+        .join(exp.alias("e"), "id")
+        .where("a.rn != e.rn OR a.nt != e.nt OR a.cum != e.cum")
+        .count()
+    )
+    assert bad == 0
+    # the grand total exposed by the offset pass equals the full sum
+    tot = got.select("__grp_sum").distinct().collect()
+    assert len(tot) == 1
+    assert tot[0][0] == df.agg(F.sum("amt")).collect()[0][0]
+
+
+def test_grouped_desc_rank_matches_partitioned_window(spark):
+    df = _base(spark)
+    got = two_phase_rank(df, [("v", "desc"), ("id", "asc")], group_cols=["g"])
+    w = W.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    exp = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(7).over(w).alias("nt"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+    pct = F.when(F.col("__grp_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("__rn") - 1).cast("double") / (F.col("__grp_n") - 1).cast("double")
+    )
+    cmp = got.select(
+        "id",
+        F.col("__rn").alias("rn"),
+        ntile_from_rank("__rn", "__grp_n", 7).cast("int").alias("nt"),
+        F.round(pct, 6).alias("pr"),
+    )
+    bad = (
+        cmp.alias("a")
+        .join(exp.alias("e"), "id")
+        .where("a.rn != e.rn OR a.nt != e.nt OR a.pr != e.pr")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ntile_small_n_edge(spark):
+    # n < buckets: ntile degenerates to rank itself
+    df = _base(spark, n=3)
+    got = two_phase_rank(df, [("v", "asc"), ("id", "asc")])
+    cmp = got.select(
+        "id", ntile_from_rank("__rn", "__grp_n", 4).cast("int").alias("nt")
+    )
+    exp = df.select(
+        "id", F.ntile(4).over(W.orderBy(F.asc("v"), F.asc("id"))).alias("nt")
+    )
+    bad = cmp.alias("a").join(exp.alias("e"), "id").where("a.nt != e.nt").count()
+    assert bad == 0
+
+
+def test_plan_has_no_unpartitioned_window(spark):
+    df = _base(spark)
+    got = two_phase_rank(df, [("v", "asc"), ("id", "asc")], sum_col="amt")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, line

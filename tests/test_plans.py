@@ -59,6 +59,7 @@ BOUNDED_BROADCAST_VARS = {
     "vocab",  # top-V term list, V fixed at 25 — a model artifact (doc_oov_rate)
     "z",  # 1-row normalizer aggregate (source_temperature_mix)
     "lang_terms",  # 1-row entropy aggregate (documents_dataset_card)
+    "max_rev",  # 1-row global max aggregate (q15_top_supplier)
 }
 
 
@@ -180,3 +181,34 @@ def test_user_event_pattern_mega_user_guard(spark, tmp_path):
     out = {r.user_id: r for r in user_event_pattern(spark, str(tmp_path)).collect()}
     assert 1 not in out  # mega-user guarded out
     assert out[2].n_events == 3 and out[2].n_funnels == 1
+
+
+def test_no_unpartitioned_window_in_global_rank_family(spark, sf_smoke):
+    """The former global-window plans (RFM ntiles, ABC cumsum, per-status
+    quartiles, Q15 max-over) must never funnel a data-sized frame into a
+    single-partition WindowExec again.  An unpartitioned Window prints as
+    ``Window [fns], [order]`` (one ``], [`` separator) vs a partitioned
+    one ``Window [fns], [part], [order]`` (two); an unpartitioned
+    window/sort also forces an ``Exchange SinglePartition`` whose parent
+    is a Sort/Window.  A SinglePartition exchange is legitimate ONLY as
+    the final step of a global scalar aggregate (its parent line is a
+    keyless HashAggregate and it carries one partial row per upstream
+    partition — bounded by config, not data)."""
+    for name in (
+        "customer_rfm_segments",
+        "part_abc_classification",
+        "order_price_quartiles",
+        "q15_top_supplier",
+    ):
+        df = REGISTRY[name].spark(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window [" in line:
+                assert line.count("], [") >= 2, f"{name}: unpartitioned {line}"
+            if "Exchange SinglePartition" in line:
+                parent = lines[i - 1] if i else ""
+                assert "HashAggregate(keys=[]" in parent, (
+                    f"{name}: SinglePartition exchange not under a global "
+                    f"scalar aggregate — parent: {parent}"
+                )
