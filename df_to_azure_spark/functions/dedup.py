@@ -71,16 +71,100 @@ def minhash_signatures(
     """MinHash signature per document: for permutation p, the min
     universal hash (a_p·base + b_p mod M) over the document's word-n-gram
     shingles, base = md5-prefix integer of the shingle.
-    Pure column expressions — signature build is scan-speed, no shuffle."""
-    # Formulation matters enormously here: a nested higher-order
-    # expression (transform over permutations × transform over shingles)
-    # drops out of whole-stage codegen into interpreted eval — measured
-    # ~200s for 5k docs.  Exploding shingles to rows and computing the 64
-    # hashes as flat columns keeps everything codegen'd, and the min per
-    # permutation becomes a map-side partial aggregation: ~100x faster,
-    # and the shuffle carries one 64-long row per (doc, distinct shingle).
-    # One md5 per distinct shingle, then 64 integer mul/add/mod — cheaper
-    # than 64 string hashes per shingle.
+
+    Computed by a vectorized Arrow kernel (``mapInPandas``): per batch,
+    tokenize, shingle, one md5 per distinct shingle, then the whole
+    (num_hashes × shingles) universal-hash family as one numpy
+    broadcast + axis-min.  The kernel is a pure MAP — signature build
+    needs no shuffle at all (the former column-expression formulation
+    carried one 64-long row per (doc, shingle) into a 64-column min
+    aggregation), and int64 numpy arithmetic is exact, so the output is
+    bit-identical to the expression twin ``_minhash_signatures_expr``
+    (asserted in ``tests/test_dedup.py``) and to the SQL oracle.
+    Measured ~2x faster at sf0.1 even before the saved shuffle."""
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(
+            _minhash_kernel(num_hashes, shingle_n),
+            f"doc_id {dict(df.dtypes)[id_col]}, sig array<bigint>",
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
+def _minhash_kernel(num_hashes: int, shingle_n: int):
+    """Batch iterator for ``minhash_signatures`` — mirrors the engine
+    semantics exactly: Java ``\\s`` is ASCII-only (``re.ASCII``), empty
+    tokens dropped, docs shorter than ``shingle_n`` tokens yield their
+    full token join as one shingle, empty/null docs yield no row."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    coeffs = minhash_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64).reshape(-1, 1)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64).reshape(-1, 1)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def sig_of(text):
+        if text is None:
+            return None
+        toks = [t for t in ws.split(text) if t]
+        if not toks:
+            return None
+        if len(toks) <= shingle_n - 1:
+            sh = {" ".join(toks)}
+        else:
+            sh = {
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            }
+        import hashlib
+
+        bh = np.fromiter(
+            (
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                % MINHASH_PRIME
+                for s in sh
+            ),
+            dtype=np.int64,
+            count=len(sh),
+        )
+        # a < M < 2^31 and bh < M < 2^31 → a*bh < 2^62: exact in int64
+        return ((a_vec * bh + b_vec) % MINHASH_PRIME).min(axis=1)
+
+    def mapper(batches):
+        for pdf in batches:
+            sigs = [sig_of(t) for t in pdf["text"]]
+            keep = [i for i, s in enumerate(sigs) if s is not None]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].iloc[keep].values,
+                    # explicit object dtype: an all-filtered batch must not
+                    # degrade to a float64 column pyarrow can't cast to list
+                    "sig": pd.Series(
+                        [sigs[i].tolist() for i in keep], dtype="object"
+                    ),
+                }
+            )
+
+    return mapper
+
+
+def _minhash_signatures_expr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Column-expression twin of ``minhash_signatures`` — explode
+    distinct shingles to rows, 64 codegen'd hash columns, 64-column
+    map-side min aggregation.  Kept as the cross-implementation check
+    (a nested HOF formulation is ~100x slower than either — transform
+    over permutations × shingles drops out of whole-stage codegen)."""
     exploded = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),

@@ -265,3 +265,28 @@ def test_minhash_odd_band_width(spark):
     pairs = D.minhash_lsh_pairs(docs, num_hashes=10, bands=2, threshold=0.0).collect()
     est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
     assert est[(1, 2)] == 1.0
+
+
+def test_minhash_arrow_kernel_matches_expression_twin(spark):
+    """The Arrow signature kernel must be bit-identical to the
+    column-expression formulation on every edge: empty text, whitespace
+    only, null, shorter-than-n docs, unicode tokens + NBSP (Java \\s is
+    ASCII-only — \\xa0 must NOT split), duplicate shingles."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "one two"),  # shorter than shingle_n
+        (4, "solo"),
+        (5, ""),  # no signature row
+        (6, "   \t\n  "),  # whitespace only: no signature row
+        (7, None),  # null text: no signature row
+        (8, "café naïve résumé café naïve"),
+        (9, "a b c d e"),  # NBSP inside a token
+        (10, "rep rep rep rep rep rep"),  # one distinct shingle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.sig for r in D.minhash_signatures(docs).collect()}
+    exp = {r.doc_id: r.sig for r in D._minhash_signatures_expr(docs).collect()}
+    assert got == exp
+    assert set(got) == {1, 2, 3, 4, 8, 9, 10}
+    assert got[1] == got[2]
