@@ -1407,22 +1407,24 @@ def fk_integrity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema in one result: per relation, the child row count and how many
     child rows point at a missing parent — the single gate a load
     pipeline checks after ingest (``fk_orphan_check`` is the one-edge
-    version).  Each relation is a key-projected LEFT ANTI count — child
-    side carries only the FK column into the join, parents are
-    dedup-projected (dimension keys broadcast at any realistic scale) —
-    and the seven little aggregates union into one frame."""
+    version).  Each relation is ONE key-projected LEFT OUTER join +
+    fused aggregate — ``count(*)`` gives the child rows, counting null
+    parent keys gives the orphans, so every child table is scanned once
+    per relation (not twice as a separate COUNT + anti-join would) —
+    and the seven little aggregates union into one frame.  Parents are
+    dedup-projected dimension keys (broadcast at any realistic scale)."""
     out = None
     for child, parent in _FK_RELATIONS:
         c_tbl, c_col = child.split(".")
         p_tbl, p_col = parent.split(".")
         ch = load_table(spark, sf_dir, c_tbl).select(c_col)
         pa = load_table(spark, sf_dir, p_tbl).select(p_col).distinct()
-        orphans = ch.join(
-            pa, ch[c_col] == pa[p_col], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
         rel = (
-            ch.agg(F.count(F.lit(1)).alias("n_child_rows"))
-            .crossJoin(orphans)
+            ch.join(pa, ch[c_col] == pa[p_col], "left_outer")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(pa[p_col].isNull(), 1)).alias("n_orphans"),
+            )
             .select(
                 F.lit(f"{child}->{parent}").alias("relation"),
                 F.col("n_child_rows").cast("bigint").alias("n_child_rows"),
@@ -1463,19 +1465,23 @@ def documents_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean document length.  Everything reduces to exact integer
     sufficient statistics; the entropy's per-language ``p·ln p`` terms
     are the only transcendentals (ROUND 6, decimal-summed over the
-    bounded language domain).  Two scans (corpus stats + language
-    histogram), no joins against data-sized state."""
+    bounded language domain).  Two scans total (corpus stats + language
+    histogram): the corpus total rides the histogram as a window over
+    the grouped frame — bounded by the language domain, so the
+    unpartitioned window is over ~tens of rows, never data-sized — and
+    no joins against data-sized state."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(TXT.token_count("text")).cast("bigint").alias("n_tokens"),
         F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
     )
-    totals = docs.agg(F.count(F.lit(1)).alias("nt"))
     lang_terms = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(totals))
+        .withColumn("nt", F.sum("n").over(W.partitionBy()))
         .select(
             F.expr(
                 "CAST(ROUND(-(n / CAST(nt AS DOUBLE))"

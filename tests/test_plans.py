@@ -212,3 +212,18 @@ def test_no_unpartitioned_window_in_global_rank_family(spark, sf_smoke):
                     f"{name}: SinglePartition exchange not under a global "
                     f"scalar aggregate — parent: {parent}"
                 )
+
+
+def test_fused_single_scan_shapes(spark, sf_smoke):
+    """fk_integrity_matrix: one fused left-join aggregate per relation —
+    7 child scans + 7 parent scans, never a separate COUNT + anti-join
+    double-scan of the child (21 scans).  documents_dataset_card: the
+    corpus total rides the language histogram, so documents is scanned
+    exactly twice (corpus stats + histogram), not three times."""
+    plan = REGISTRY["fk_integrity_matrix"].spark(spark, sf_smoke)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Scan parquet") == 14, s.count("Scan parquet")
+
+    plan = REGISTRY["documents_dataset_card"].spark(spark, sf_smoke)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Scan parquet") == 2, s.count("Scan parquet")
