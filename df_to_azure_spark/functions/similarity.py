@@ -864,3 +864,101 @@ def semdedup_between(
         .join(dropped.withColumn("__drop", F.lit(1)), "id", "left")
         .select("id", "cid", F.col("__drop").isNull().alias("kept"))
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_select: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking over an exact
+    cosine shortlist — the third stage of the standard retrieval chain
+    (dedup → ANN shortlist → diversity rerank; Carbonell & Goldstein,
+    SIGIR'98).  Step 1 picks the most relevant candidate; each further
+    step picks ``argmax lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)`` over
+    the not-yet-selected shortlist, tie-broken on neighbor id.
+
+    Scale shape: the shortlist is ``|queries| × shortlist`` rows and the
+    pairwise-sim frame ``|queries| × shortlist²`` — both bounded by the
+    query batch, partitioned by query_id, and localCheckpointed once
+    (they feed every greedy step).  The greedy itself is ``k_select``
+    fixed deterministic iterations of join + partitioned-window argmax —
+    the same unrolled-iteration pattern as ``graph.pagerank``, so a SQL
+    oracle replays it exactly.  ``lam`` is cast to DOUBLE explicitly in
+    both engines (decimal-literal arithmetic rules differ).
+
+    Returns (query_id, step, neighbor_id, mmr_score): step 1..k_select
+    in greedy selection order; mmr_score is the relevance for step 1 and
+    the MMR objective after (ROUND 6 at output only — selection compares
+    raw doubles, which are bit-identical across engines because every
+    input is the 8-dp-rounded cosine and the ops are identical).
+    """
+    lam_c = F.expr(f"CAST({lam!r} AS DOUBLE)")
+    one_minus = F.expr(f"CAST(1 AS DOUBLE) - CAST({lam!r} AS DOUBLE)")
+    top = cosine_topk(queries, corpus, k=shortlist, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    cand = (
+        top.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"), "cv")
+        .localCheckpoint()
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("na"), F.col("cv").alias("va"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("nb"), F.col("cv").alias("vb"))
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("na") != F.col("nb"))
+        .select(
+            "query_id",
+            "na",
+            "nb",
+            F.round(cosine(F.col("va"), F.col("vb")), 8).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    selected = (
+        cand.select("query_id", "neighbor_id", "rel", F.col("rel").alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("query_id", "neighbor_id", "rel", "score", F.lit(1).alias("step"))
+        .localCheckpoint()
+    )
+    for step in range(2, int(k_select) + 1):
+        pen = (
+            selected.select("query_id", F.col("neighbor_id").alias("nb"))
+            .join(pairs, ["query_id", "nb"])
+            .groupBy("query_id", F.col("na").alias("neighbor_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = (
+            cand.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            .join(pen, ["query_id", "neighbor_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                (lam_c * F.col("rel") - one_minus * F.col("max_sim")).alias("score"),
+            )
+        )
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("query_id", "neighbor_id", "rel", "score", F.lit(step).alias("step"))
+        )
+        selected = selected.unionByName(nxt).localCheckpoint()
+    return selected.select(
+        "query_id",
+        F.col("step").cast("int").alias("step"),
+        "neighbor_id",
+        F.round("score", 6).alias("mmr_score"),
+    )

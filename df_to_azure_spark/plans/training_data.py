@@ -1510,3 +1510,90 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) >= 0.5
    OR round(CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) >= 0.5
 """
+
+
+def mmr_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank over the exact cosine shortlist — the
+    retrieval chain's third stage (dedup → ANN → rerank).  5 greedy
+    steps at lambda=0.7 over a 20-deep shortlist for the same 5 query
+    vectors as ``knn_topk``; see ``similarity.mmr_rerank`` for the
+    unrolled deterministic-iteration plan the oracle replays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.mmr_rerank(queries, emb, k_select=5, shortlist=20, lam=0.7)
+
+
+def _mmr_oracle(k_select: int = 5, shortlist: int = 20, lam: float = 0.7) -> str:
+    """Unrolled-CTE DuckDB twin of ``similarity.mmr_rerank``: one
+    (pen, sc, s, sel) CTE quartet per greedy step, identical double
+    arithmetic (lam cast to DOUBLE in both engines)."""
+    lam_sql = f"CAST({lam!r} AS DOUBLE)"
+    om_sql = f"(CAST(1 AS DOUBLE) - {lam_sql})"
+    pair_cos = (
+        f"round({_dot_sql('a.cv', 'b.cv')} / "
+        f"(sqrt({_dot_sql('a.cv', 'a.cv')}) * sqrt({_dot_sql('b.cv', 'b.cv')})), 8)"
+    )
+    sql = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), scored0 AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+), cand AS (
+  SELECT query_id, neighbor_id, cos_sim AS rel
+  FROM (SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored0)
+  WHERE rn <= {shortlist}
+), cvx AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.rel, c.cv
+  FROM cand JOIN c USING (neighbor_id)
+), pairs AS (
+  SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb, {pair_cos} AS sim
+  FROM cvx a JOIN cvx b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+), s1 AS (
+  SELECT query_id, neighbor_id, rel, rel AS score, 1 AS step
+  FROM (SELECT query_id, neighbor_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand)
+  WHERE rn = 1
+), sel1 AS (SELECT * FROM s1)"""
+    for t in range(2, k_select + 1):
+        sql += f""",
+pen{t} AS (
+  SELECT p.query_id, p.na AS neighbor_id, MAX(p.sim) AS max_sim
+  FROM sel{t - 1} s JOIN pairs p
+    ON p.query_id = s.query_id AND p.nb = s.neighbor_id
+  GROUP BY p.query_id, p.na
+), sc{t} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel,
+         {lam_sql} * c.rel - {om_sql} * p.max_sim AS score
+  FROM cand c JOIN pen{t} p
+    ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s
+                    WHERE s.query_id = c.query_id
+                      AND s.neighbor_id = c.neighbor_id)
+), s{t} AS (
+  SELECT query_id, neighbor_id, rel, score, {t} AS step
+  FROM (SELECT query_id, neighbor_id, rel, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rn
+        FROM sc{t})
+  WHERE rn = 1
+), sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+    sql += f"""
+SELECT query_id, CAST(step AS INT) AS step, neighbor_id,
+       round(score, 6) AS mmr_score
+FROM sel{k_select}
+"""
+    return sql
+
+
+MMR_RERANK_ORACLE = _mmr_oracle()

@@ -243,3 +243,41 @@ def test_train_codebooks_shape_and_improvement_hook(spark, sf_smoke):
     codes = S.pq_codes(emb, books)
     row = codes.first()
     assert all(0 <= row[f"code_{m}"] < 8 for m in range(4))
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Planted geometry: the three most relevant candidates are
+    near-clones of each other; a slightly less relevant but orthogonal
+    candidate exists.  Pure relevance ranks the clones 1-2-3; MMR must
+    pick one clone first, then jump to the diverse candidate at step 2
+    because the clone-clone similarity penalty dominates."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.14, 0.0, 0.0]),    # clone A (most relevant)
+        (2, [0.99, 0.141, 0.0, 0.0]),   # clone B
+        (3, [0.99, 0.139, 0.0, 0.0]),   # clone C
+        (4, [0.7, 0.0, 0.71, 0.0]),     # diverse, lower relevance
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.mmr_rerank(
+        emb.where("vec_id = 0"), emb, k_select=3, shortlist=4, lam=0.5
+    ).collect()
+    by_step = {r.step: r.neighbor_id for r in out if r.query_id == 0}
+    assert by_step[1] in (1, 2, 3)
+    assert by_step[2] == 4, by_step
+
+
+def test_mmr_rerank_short_candidate_list(spark):
+    """Fewer candidates than k_select: the greedy exhausts the shortlist
+    and stops emitting rows — no padding, no failure."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.mmr_rerank(
+        emb.where("vec_id = 0"), emb, k_select=5, shortlist=10, lam=0.7
+    ).collect()
+    assert sorted(r.step for r in out) == [1, 2]
+    assert {r.neighbor_id for r in out} == {1, 2}
