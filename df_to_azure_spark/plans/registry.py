@@ -58,6 +58,18 @@ def _stream_attr_outer_oracle() -> str:
     return STREAM_ATTR_OUTER_ORACLE
 
 
+def _stream_attribution_right_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_attribution_right_diff
+
+    return stream_attribution_right_diff(spark, sf_dir)
+
+
+def _stream_attr_right_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_ATTR_RIGHT_ORACLE
+
+    return STREAM_ATTR_RIGHT_ORACLE
+
+
 def _stream_attribution_full_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_attribution_full_diff
 
@@ -487,6 +499,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "stream_attribution_outer_diff": QuerySpec(
         _stream_attribution_outer_diff, _stream_attr_outer_oracle()
+    ),
+    "stream_attribution_right_diff": QuerySpec(
+        _stream_attribution_right_diff, _stream_attr_right_oracle()
     ),
     "stream_attribution_full_diff": QuerySpec(
         _stream_attribution_full_diff, _stream_attr_full_oracle()

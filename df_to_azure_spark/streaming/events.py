@@ -791,3 +791,123 @@ SELECT CAST(NULL AS TIMESTAMP) AS session_start, CAST(NULL AS TIMESTAMP) AS sess
        CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def attribution_right_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the mirror of
+    ``attribution_left_join_stream``: every purchase row, with the
+    view(s) it attributes to where one preceded it within ``horizon``
+    and NULLs where none did (the organic-purchase feed next to the
+    attributed feed).  A null-matched purchase can only emit once the
+    watermark PROVES no qualifying view can still arrive — views for a
+    purchase at ``purchase_ts`` live in
+    ``[purchase_ts - horizon, purchase_ts]``, so the proof lands when
+    the watermark passes ``purchase_ts`` plus the engine's eviction
+    margin.  Matched rows are not gated.  Completes the streaming
+    join-type matrix (inner/left/right/full) next to the other three.
+    State bounded by the shared watermark on both sides."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "rightOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "purchase_ts",
+        "view_event_id",
+        "view_ts",
+    )
+
+
+def attribution_right_join_batch(
+    events: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin: the plain right interval self-join."""
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "right",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "purchase_ts",
+        "view_event_id",
+        "view_ts",
+    )
+
+
+def stream_attribution_right_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence check for the stream-stream RIGHT OUTER interval
+    join, mirroring ``stream_attribution_outer_diff``: symmetric
+    multiset diff vs the batch twin over every matched row (never
+    watermark-gated) plus the null-attributed purchases up to the
+    emission boundary the final watermark actually released (the
+    stream's own max null ``purchase_ts`` — the emitted null set must be
+    a clean PREFIX of the batch nulls).  Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_attr_right_{_STREAM_QUERY_SEQ[0]}"
+    src = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_memory(
+        attribution_right_join_stream(
+            src.where(F.col("event_type") == "view"),
+            src.where(F.col("event_type") == "purchase"),
+        ),
+        name,
+        output_mode="append",
+    )
+    batch = attribution_right_join_batch(load_table(spark, sf_dir, "events"))
+    is_null = F.col("view_event_id").isNull()
+    # 1-row bounded collect: the watermark-released null-emission boundary
+    boundary = streamed.where(is_null).agg(F.max("purchase_ts")).collect()[0][0]
+    released = (
+        ~is_null
+        if boundary is None
+        else (~is_null) | (F.col("purchase_ts") <= F.lit(boundary))
+    )
+    streamed, batch = streamed.where(released), batch.where(released)
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_ATTR_RIGHT_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS purchase_event_id,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts, CAST(NULL AS BIGINT) AS view_event_id,
+       CAST(NULL AS TIMESTAMP) AS view_ts, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

@@ -154,3 +154,24 @@ def test_stream_sliding_and_builtin_session_equal_batch(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events")
     assert sliding_counts_batch(ev).count() > windowed_counts_batch(ev).count()
     assert builtin_session_batch(ev).where(F.col("n_events") > 1).count() > 0
+
+
+def test_stream_right_outer_interval_join_equals_batch_on_released_region(
+    spark, sf_smoke
+):
+    """RIGHT OUTER stream-stream interval join: all matched rows plus
+    the watermark-released null-view prefix must equal the batch twin —
+    and the input must actually produce BOTH attributed and organic
+    (view-less) purchases, or the pass proves nothing about the outer
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.streaming.events import (
+        attribution_right_join_batch,
+        stream_attribution_right_diff,
+    )
+
+    assert stream_attribution_right_diff(spark, sf_smoke).count() == 0
+    batch = attribution_right_join_batch(load_table(spark, sf_smoke, "events"))
+    assert batch.where(F.col("view_event_id").isNotNull()).count() > 0
+    assert batch.where(F.col("view_event_id").isNull()).count() > 0
