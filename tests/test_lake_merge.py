@@ -4,6 +4,14 @@ contract.
 The Delta log-backed path is exercised only when delta-spark is
 installed (skipped-not-failed otherwise); the fallback algebra and the
 reader-visible swap guarantees are tested unconditionally.
+
+delta-spark is not installed in this build environment and the
+environment contract forbids adding packages, so
+``test_delta_merge_when_available`` stays a gated skip here; it runs
+the real DeltaTable.merge end-to-end (log-backed create, MERGE, read
+back) on any cluster where delta-spark is present.  The routing into
+``_delta_merge`` is contract-tested unconditionally below via the API
+stand-in.
 """
 
 from __future__ import annotations
