@@ -605,6 +605,12 @@ def winnow_overlap_pairs(
     signal, and would make cap² work in one reducer — they are dropped
     from the fingerprint universe (intersections AND sizes, keeping the
     Jaccard internally consistent)."""
+    # NOT persisted, deliberately: the fingerprint frame feeds five
+    # consumers, but caching it behind an InMemoryRelation blocks AQE's
+    # runtime re-planning of the hot-cap anti-join and posting self-join
+    # — measured 1.8s (no persist, AQE broadcast + reused exchanges) vs
+    # 2.6-3.0s (persisted) at sf0.1.  Recomputation is the cheaper side
+    # of that trade here because winnowing already sparsifies the frame.
     fps = winnow_fingerprints(_spread(df), text_col, id_col, shingle_n, window)
     if hot_fp_cap is not None:
         hot = (
@@ -673,6 +679,10 @@ def shared_span_pairs(
     thousands of docs is template noise and would make cap² join rows),
     then one shuffle on (pair, diagonal) for the island window.  Never
     a cross join; per-pair work is proportional to true overlap."""
+    # NOT persisted (same measured trade as winnow_overlap_pairs: an
+    # InMemoryRelation here blocks AQE's runtime re-plan of the hot-cap
+    # anti-join and posting self-join, which is worth more than saving
+    # the recomputed explode)
     sh = _spread(df).select(
         F.col(id_col),
         F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "s"),
@@ -693,11 +703,14 @@ def shared_span_pairs(
         sh = sh.join(hot, "h", "left_anti")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "h")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    # no distinct needed: each (id, pos) row carries exactly one hash, so
+    # the posting join cannot emit a duplicate (id_a, id_b, pos_a, pos_b)
+    # — the former .distinct() here was a full extra shuffle of the match
+    # frame for nothing
     m = (
         a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pos_a", "pos_b")
-        .distinct()
     )
     from pyspark.sql import Window as W
 

@@ -209,7 +209,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivf_knn": QuerySpec(TD.ivf_knn, TD.IVF_KNN_ORACLE),
     "pq_adc_knn": QuerySpec(TD.pq_adc_knn, TD.PQ_ADC_ORACLE),
     "pq_rerank_knn": QuerySpec(TD.pq_rerank_knn, TD.PQ_RERANK_ORACLE),
-    "mmr_rerank_knn": QuerySpec(TD.mmr_rerank_knn, TD.MMR_RERANK_ORACLE),
+    "mmr_rerank_knn": QuerySpec(
+        TD.mmr_rerank_knn, TD.MMR_RERANK_ORACLE, headline=True
+    ),
     "pq_code_invariant": QuerySpec(TD.pq_code_invariant, TD.PQ_INVARIANT_ORACLE),
     "pq_trained_codebooks": QuerySpec(
         TD.pq_trained_codebooks, TD.PQ_TRAINED_ORACLE
