@@ -40,6 +40,11 @@ def _plain(name: str) -> str:
     return name.strip()
 
 
+def _tick(name: str) -> str:
+    """Backtick-quote an identifier, MySQL style."""
+    return "`" + name.strip().replace("`", "``") + "`"
+
+
 def merge_statement(
     table: str,
     columns: list[str],
@@ -56,14 +61,39 @@ def merge_statement(
     ``'postgres'`` emits the native upsert form ``INSERT ... ON CONFLICT
     (keys) DO UPDATE SET col = EXCLUDED.col`` (``DO NOTHING`` when every
     column is a key), double-quoted so Spark-JDBC-created mixed-case
-    identifiers resolve.  All dialects share the reference's MERGE
-    semantics: match on the keys, update the non-keys, insert absentees,
-    never DELETE."""
-    if dialect not in ("tsql", "ansi", "postgres"):
-        raise ValueError(f"unknown dialect {dialect!r} (tsql, ansi, postgres)")
+    identifiers resolve; ``'mysql'`` emits backtick-quoted ``INSERT ...
+    AS s ON DUPLICATE KEY UPDATE col = s.col`` (8.0.19+ row-alias form;
+    ``INSERT IGNORE`` when every column is a key).  Like postgres'
+    ON CONFLICT, the mysql form requires the match keys to be the
+    target's PRIMARY/UNIQUE key — that is what the reference's upsert
+    contract guarantees (``df_to_azure/db.py:36-53`` merges on the id
+    field it just made the clustered key).  All dialects share the
+    reference's MERGE semantics: match on the keys, update the
+    non-keys, insert absentees, never DELETE."""
+    if dialect not in ("tsql", "ansi", "postgres", "mysql"):
+        raise ValueError(
+            f"unknown dialect {dialect!r} (tsql, ansi, postgres, mysql)"
+        )
     cols = [c.strip() for c in columns]
     key_set = {k.strip() for k in keys}
     non_keys = [c for c in cols if c not in key_set]
+    if dialect == "mysql":
+        q = _tick
+        col_list = ", ".join(q(c) for c in cols)
+        src = f"{q(staging_schema)}.{q(table)}"
+        if non_keys:
+            update = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+            lines = [
+                f"INSERT INTO {q(target_schema)}.{q(table)} ({col_list})",
+                f"SELECT {col_list} FROM {src} AS s",
+                f"ON DUPLICATE KEY UPDATE {update}",
+            ]
+        else:
+            lines = [
+                f"INSERT IGNORE INTO {q(target_schema)}.{q(table)} ({col_list})",
+                f"SELECT {col_list} FROM {src}",
+            ]
+        return "\n".join(lines) + ";"
     if dialect == "postgres":
         q = _dq
         col_list = ", ".join(q(c) for c in cols)
@@ -119,6 +149,8 @@ def drop_staging_statement(
         return f"DROP TABLE IF EXISTS {_bq(staging_schema)}.{_bq(table)};"
     if dialect == "postgres":
         return f"DROP TABLE IF EXISTS {_dq(staging_schema)}.{_dq(table)};"
+    if dialect == "mysql":
+        return f"DROP TABLE IF EXISTS {_tick(staging_schema)}.{_tick(table)};"
     return f"DROP TABLE {_plain(staging_schema)}.{_plain(table)}"
 
 

@@ -79,3 +79,37 @@ def test_postgres_drop_staging_and_unknown_dialect():
     )
     with pytest.raises(ValueError, match="unknown dialect"):
         merge_statement("t", ["a"], ["a"], dialect="oracle")
+
+
+def test_mysql_on_duplicate_key_golden():
+    sql = merge_statement(
+        "sales", ["id", "region", "amount"], ["id"],
+        target_schema="shop", dialect="mysql",
+    )
+    assert sql == (
+        "INSERT INTO `shop`.`sales` (`id`, `region`, `amount`)\n"
+        "SELECT `id`, `region`, `amount` FROM `staging`.`sales` AS s\n"
+        "ON DUPLICATE KEY UPDATE `region` = s.`region`, "
+        "`amount` = s.`amount`;"
+    )
+
+
+def test_mysql_all_key_columns_insert_ignore():
+    sql = merge_statement(
+        "m", ["a", "b"], ["a", "b"], target_schema="shop", dialect="mysql"
+    )
+    # every column is a key: insert-if-absent only, never DELETE
+    assert sql == (
+        "INSERT IGNORE INTO `shop`.`m` (`a`, `b`)\n"
+        "SELECT `a`, `b` FROM `staging`.`m`;"
+    )
+
+
+def test_mysql_drop_staging_and_backtick_escape():
+    from df_to_azure_spark.operators.merge import drop_staging_statement
+
+    assert drop_staging_statement("t", dialect="mysql") == (
+        "DROP TABLE IF EXISTS `staging`.`t`;"
+    )
+    sql = merge_statement("we`ird", ["i`d", "v"], ["i`d"], dialect="mysql")
+    assert "`we``ird`" in sql and "`i``d`" in sql
