@@ -1528,3 +1528,95 @@ SELECT n_docs, n_tokens,
        ROUND(n_tokens / CAST(n_docs AS DOUBLE), 4) AS mean_doc_tokens
 FROM base CROSS JOIN ent
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring — the lexical ranking baseline next to the
+# embedding ANN stack
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "vector")
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+
+
+def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Robertson et al., TREC-3) over whitespace tokens for a
+    fixed query — the exact lexical-retrieval baseline a RAG/eval
+    pipeline ranks against its embedding ANN results.  Lucene's
+    non-negative idf variant ``LN(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Exactness policy: every constant CAST to DOUBLE in both engines, one
+    ROUND(6) after the LN, per-(doc, term) weights ROUND(12) into
+    DECIMAL(28,12) before the per-doc sum so aggregation order never
+    matters.  Plan: one explode filtered to the query terms (tf), one
+    narrow token-count projection (dl: doc length + the 1-row corpus
+    stats), term df from the tf frame itself — no data-sized state
+    beyond the (matched-doc × query-term) frame, everything keyed and
+    parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select("doc_id", TXT.token_count("text").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.expr(
+            "ROUND(LN(CAST(1 AS DOUBLE)"
+            " + (CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " / (CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6)"
+        ).alias("idf"),
+        F.expr("CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)").alias("avgdl"),
+    )
+    w = F.expr(
+        f"CAST(ROUND(idf * (CAST(tf AS DOUBLE) * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
+        f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B}"
+        f" + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl)), 12) AS DECIMAL(28,12))"
+    )
+    terms = tf.join(idf, "tok").join(dl, "doc_id").select("doc_id", w.alias("w"))
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.expr("ROUND(CAST(SUM(w) AS DOUBLE), 6)").alias("bm25"),
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok
+), idf AS (
+  SELECT tok,
+         ROUND(LN(CAST(1 AS DOUBLE)
+               + (CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6) AS idf,
+         CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+  FROM dfreq CROSS JOIN stats
+), terms AS (
+  SELECT t.doc_id,
+         CAST(ROUND(i.idf * (CAST(t.tf AS DOUBLE) * ({_BM25_K1} + CAST(1 AS DOUBLE)))
+              / (CAST(t.tf AS DOUBLE) + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B}
+                 + {_BM25_B} * CAST(d.dl AS DOUBLE) / i.avgdl)), 12)
+              AS DECIMAL(28,12)) AS w
+  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(CAST(SUM(w) AS DOUBLE), 6) AS bm25
+FROM terms GROUP BY doc_id
+"""

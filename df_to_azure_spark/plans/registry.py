@@ -477,6 +477,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "documents_dataset_card": QuerySpec(
         PL2.documents_dataset_card, PL2.DATASET_CARD_ORACLE
     ),
+    "doc_bm25_scores": QuerySpec(PL2.doc_bm25_scores, PL2.BM25_ORACLE),
     # the ONE rows-only survivor: t-digest/HLL sketch internals are
     # legitimately engine-specific (no SQL can reproduce Spark's sketch
     # merge order); its numeric contract is hash-gated by the paired
