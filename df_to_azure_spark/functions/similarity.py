@@ -962,3 +962,46 @@ def mmr_rerank(
         "neighbor_id",
         F.round("score", 6).alias("mmr_score"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the standard
+    hybrid-retrieval merge: each input ranking frame
+    ``(query_id, rank, neighbor_id, ...)`` contributes ``1/(k + rank)``
+    per item, contributions sum per (query, item), top-``topk`` per
+    query by the fused score.  Items absent from a ranking simply
+    contribute nothing (the union shape IS the outer join).
+
+    Exactness: contributions ROUND(12) into DECIMAL(28,12) before the
+    sum (order-independent across any number of rankings), score
+    ROUND(8) at output.  Plan: union → one (query, item) aggregate →
+    partitioned top-k window; nothing global, nothing data-sized on the
+    driver."""
+    k_sql = f"CAST({int(k_const)} AS DOUBLE)"
+    contrib = None
+    for r in rankings:
+        c = r.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"CAST(ROUND(CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)),"
+                " 12) AS DECIMAL(28,12))"
+            ).alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    agg = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.expr("ROUND(CAST(SUM(c) AS DOUBLE), 8)").alias("rrf_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "n_lists", "rrf_score")
+    )

@@ -1597,3 +1597,51 @@ FROM sel{k_select}
 
 
 MMR_RERANK_ORACLE = _mmr_oracle()
+
+
+def hybrid_rrf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the exact cosine
+    ranking (``knn_topk``) and the hyperplane-LSH ranking (``lsh_knn``)
+    for the same 5 query vectors — the standard two-retriever merge
+    (k=60).  See ``similarity.rrf_fuse``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact_r = SIM.cosine_topk(queries, emb, k=10)
+    lsh_r = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=10)
+    return SIM.rrf_fuse([exact_r, lsh_r], k_const=60, topk=10)
+
+
+def _rrf_oracle() -> str:
+    """DuckDB twin: both ranking CTEs verbatim (nested WITH), identical
+    decimal-summed reciprocal contributions."""
+    k_sql = "CAST(60 AS DOUBLE)"
+    contrib = (
+        f"CAST(ROUND(CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)), 12)"
+        " AS DECIMAL(28,12))"
+    )
+    return f"""
+WITH exact_r AS ({KNN_ORACLE}),
+lsh_r AS ({_lsh_knn_oracle()}),
+contrib AS (
+  SELECT query_id, neighbor_id, {contrib} AS c FROM exact_r
+  UNION ALL
+  SELECT query_id, neighbor_id, {contrib} AS c FROM lsh_r
+), agg AS (
+  SELECT query_id, neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lists,
+         ROUND(CAST(SUM(c) AS DOUBLE), 8) AS rrf_score
+  FROM contrib GROUP BY query_id, neighbor_id
+)
+SELECT query_id, rank, neighbor_id, n_lists, rrf_score
+FROM (
+  SELECT query_id, neighbor_id, n_lists, rrf_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM agg
+)
+WHERE rank <= 10
+"""
+
+
+HYBRID_RRF_ORACLE = _rrf_oracle()

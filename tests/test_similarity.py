@@ -281,3 +281,20 @@ def test_mmr_rerank_short_candidate_list(spark):
     ).collect()
     assert sorted(r.step for r in out) == [1, 2]
     assert {r.neighbor_id for r in out} == {1, 2}
+
+
+def test_rrf_fuse_rewards_cross_list_agreement(spark):
+    """An item ranked mid-list in BOTH rankings must outscore an item
+    ranked first in only one: 1/(60+2)+1/(60+2) > 1/(60+1)."""
+    r1 = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 20)], "query_id long, rank long, neighbor_id long"
+    )
+    r2 = spark.createDataFrame(
+        [(0, 2, 20), (0, 1, 30)], "query_id long, rank long, neighbor_id long"
+    )
+    out = {r.neighbor_id: r for r in S.rrf_fuse([r1, r2]).collect()}
+    # item 20: rank 2 in both lists (2/62); items 10 and 30: rank 1 in
+    # one list each (1/61) — agreement wins
+    assert out[20].n_lists == 2 and out[10].n_lists == 1
+    assert out[20].rrf_score > out[30].rrf_score
+    assert out[20].rank == 1
