@@ -60,6 +60,7 @@ BOUNDED_BROADCAST_VARS = {
     "z",  # 1-row normalizer aggregate (source_temperature_mix)
     "lang_terms",  # 1-row entropy aggregate (documents_dataset_card)
     "max_rev",  # 1-row global max aggregate (q15_top_supplier)
+    "stats",  # 1-row corpus N/avgdl aggregate (doc_bm25_scores)
 }
 
 
