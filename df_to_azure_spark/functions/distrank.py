@@ -76,6 +76,14 @@ def two_phase_rank(
     ``group_cols``, must form a total order (add a unique tie-break key);
     keys must be non-null (range vs window NULL placement is not
     reconciled here).
+
+    Integral ``sum_col`` inputs are widened to ``DECIMAL(38,0)`` *before*
+    the per-partition partial sums — Spark's non-ANSI ``SUM`` over
+    ``LongType`` wraps silently on overflow, which would corrupt the
+    partials before the driver's exact-``Decimal`` pass ever sees them.
+    The running sum therefore comes back as ``DECIMAL(38,0)`` (not the
+    input's integral type): exactness is preserved instead of int64 wrap
+    semantics, at the cost of a wider output column.
     """
     spark = df.sparkSession
     n_part = num_partitions or int(
@@ -90,9 +98,22 @@ def two_phase_rank(
     withpid = ranged.withColumn("__pid", F.spark_partition_id())
 
     # Phase 1: bounded counting job — one row per (partition, group).
-    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    # Integral sum inputs are widened to DECIMAL(38,0) FIRST: non-ANSI
+    # SUM(bigint) wraps on overflow before the exact driver pass runs.
+    sum_expr = None
     if sum_col is not None:
-        aggs.append(F.sum(sum_col).alias("__psum"))
+        in_t = {f.name: f.dataType for f in df.schema.fields}.get(sum_col)
+        if isinstance(in_t, T.DecimalType):
+            sum_expr = F.col(sum_col)
+        elif isinstance(in_t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            sum_expr = F.col(sum_col).cast(T.DecimalType(38, 0))
+        else:
+            raise ValueError(
+                f"sum_col must be exact-typed (decimal/integral), got {in_t}"
+            )
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if sum_expr is not None:
+        aggs.append(F.sum(sum_expr).alias("__psum"))
     per = withpid.groupBy("__pid", *group_cols).agg(*aggs)
     stats = per.collect()  # ≤ num_partitions × |groups| rows — config-bounded
 
@@ -100,10 +121,6 @@ def two_phase_rank(
     per_fields = {f.name: f for f in per.schema.fields}
     if sum_col is not None:
         sum_t = per_fields["__psum"].dataType
-        if not isinstance(sum_t, (T.DecimalType, T.LongType, T.IntegerType)):
-            raise ValueError(
-                f"sum_col must be exact-typed (decimal/integral), got {sum_t}"
-            )
     stats.sort(key=lambda r: ([r[g] for g in group_cols], r["__pid"]))
     offsets: list[dict] = []
     cnt_totals: dict[tuple, int] = {}
@@ -152,7 +169,7 @@ def two_phase_rank(
         rank_col, (F.col("__off") + F.row_number().over(w)).cast("bigint")
     )
     if sum_col is not None:
-        cum_local = F.sum(sum_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        cum_local = F.sum(sum_expr).over(w.rowsBetween(Window.unboundedPreceding, 0))
         out = out.withColumn(
             cum_col,
             (F.col("__sumoff") + cum_local).cast(per_fields["__psum"].dataType),

@@ -981,6 +981,8 @@ def rrf_fuse(
     ROUND(8) at output.  Plan: union → one (query, item) aggregate →
     partitioned top-k window; nothing global, nothing data-sized on the
     driver."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     k_sql = f"CAST({int(k_const)} AS DOUBLE)"
     contrib = None
     for r in rankings:

@@ -64,9 +64,15 @@ def chunk_docs(docs, chunk_tokens: int = 32, overlap: int = 8):
     view = f"__chunk_docs_in_{seq}"
     spark.udtf.register(udtf_name, ChunkTokens)
     docs.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
-            FROM {view} d,
-            LATERAL {udtf_name}(
-              d.text, {int(chunk_tokens)}, {int(overlap)}) c"""
-    )
+    try:
+        # spark.sql resolves the view EAGERLY into the returned plan, so the
+        # view can be dropped immediately — without this every call grows
+        # the session catalog for the life of a long-lived session.
+        return spark.sql(
+            f"""SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+                FROM {view} d,
+                LATERAL {udtf_name}(
+                  d.text, {int(chunk_tokens)}, {int(overlap)}) c"""
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -89,9 +89,19 @@ def merge_statement(
                 f"ON DUPLICATE KEY UPDATE {update}",
             ]
         else:
+            # All-keys case: a duplicate must be a NO-OP, matching postgres'
+            # DO NOTHING.  NOT `INSERT IGNORE` — IGNORE downgrades ALL row
+            # errors (truncation, NOT NULL, FK violations) to silent skips,
+            # far broader than a key-conflict skip.  The self-assignment
+            # update form only suppresses the duplicate-key error.  Caveat
+            # shared with the row-alias form above: ON DUPLICATE KEY fires
+            # on ANY unique index of the target, not only the declared
+            # match keys.
+            k0 = q(sorted(key_set)[0])
             lines = [
-                f"INSERT IGNORE INTO {q(target_schema)}.{q(table)} ({col_list})",
+                f"INSERT INTO {q(target_schema)}.{q(table)} ({col_list})",
                 f"SELECT {col_list} FROM {src}",
+                f"ON DUPLICATE KEY UPDATE {k0} = {q(target_schema)}.{q(table)}.{k0}",
             ]
         return "\n".join(lines) + ";"
     if dialect == "postgres":

@@ -765,21 +765,26 @@ def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clobber each other between createOrReplaceTempView and spark.sql
     view = f"__suppliers_v_{next(_VIEW_SEQ)}"
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        WITH RECURSIVE chain AS (
-          SELECT s_suppkey AS node, s_suppkey AS anc FROM {view}
-          UNION ALL
-          SELECT node, anc DIV 7 AS anc FROM chain WHERE anc > 0
+    try:
+        # spark.sql resolves the view eagerly; drop it so per-call names
+        # don't accumulate in a long-lived session's catalog
+        return spark.sql(
+            f"""
+            WITH RECURSIVE chain AS (
+              SELECT s_suppkey AS node, s_suppkey AS anc FROM {view}
+              UNION ALL
+              SELECT node, anc DIV 7 AS anc FROM chain WHERE anc > 0
+            )
+            SELECT c.anc AS anc_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_desc,
+                   CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                     AS subtree_acctbal
+            FROM chain c JOIN {view} s ON c.node = s.s_suppkey
+            GROUP BY c.anc
+            """
         )
-        SELECT c.anc AS anc_suppkey,
-               CAST(COUNT(*) AS BIGINT) AS n_desc,
-               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,6))) AS DOUBLE)
-                 AS subtree_acctbal
-        FROM chain c JOIN {view} s ON c.node = s.s_suppkey
-        GROUP BY c.anc
-        """
-    )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 HIERARCHY_ORACLE = """

@@ -104,3 +104,32 @@ def test_plan_has_no_unpartitioned_window(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert line.count("], [") >= 2, line
+
+
+def test_integral_sum_col_widens_to_decimal_no_wrap(spark):
+    # int64-near-max values: a naive SUM(bigint) over even two such rows
+    # wraps silently (non-ANSI).  The widened DECIMAL(38,0) path must
+    # return the true running sums.
+    big = 4_000_000_000_000_000_000  # ~0.43 * int64 max; 3+ rows overflow
+    df = spark.createDataFrame(
+        [(i, big) for i in range(6)], "id: long, v: long"
+    )
+    got = two_phase_rank(
+        df, [("id", "asc")], sum_col="v", num_partitions=4
+    ).orderBy("id")
+    rows = got.select("id", "__cum", "__grp_sum").collect()
+    from decimal import Decimal
+    for i, r in enumerate(rows):
+        assert r["__cum"] == Decimal(big) * (i + 1), r
+        assert r["__grp_sum"] == Decimal(big) * 6
+    # output type is the widened decimal, not wrapped int64
+    t = dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)
+    assert t["__cum"] == "decimal(38,0)"
+
+
+def test_non_exact_sum_col_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.5)], "id: long, v: double")
+    with pytest.raises(ValueError, match="exact-typed"):
+        two_phase_rank(df, [("id", "asc")], sum_col="v")

@@ -94,14 +94,18 @@ def test_mysql_on_duplicate_key_golden():
     )
 
 
-def test_mysql_all_key_columns_insert_ignore():
+def test_mysql_all_key_columns_noop_update():
     sql = merge_statement(
         "m", ["a", "b"], ["a", "b"], target_schema="shop", dialect="mysql"
     )
-    # every column is a key: insert-if-absent only, never DELETE
+    # every column is a key: insert-if-absent only, never DELETE.  The
+    # no-op self-assignment (NOT `INSERT IGNORE`) suppresses ONLY the
+    # duplicate-key error — IGNORE would silently swallow truncation /
+    # NOT NULL / FK errors too.
     assert sql == (
-        "INSERT IGNORE INTO `shop`.`m` (`a`, `b`)\n"
-        "SELECT `a`, `b` FROM `staging`.`m`;"
+        "INSERT INTO `shop`.`m` (`a`, `b`)\n"
+        "SELECT `a`, `b` FROM `staging`.`m`\n"
+        "ON DUPLICATE KEY UPDATE `a` = `shop`.`m`.`a`;"
     )
 
 
@@ -113,3 +117,51 @@ def test_mysql_drop_staging_and_backtick_escape():
     )
     sql = merge_statement("we`ird", ["i`d", "v"], ["i`d"], dialect="mysql")
     assert "`we``ird`" in sql and "`i``d`" in sql
+
+
+# ---- hostile identifiers: quoting paths under reserved words and
+# ---- embedded quote characters, all four dialects (round-6 negatives)
+
+def test_tsql_bracket_escape_and_reserved_words():
+    # ']' inside a name must double to ']]'; reserved words just quote
+    sql = merge_statement("or[der", ["select", "ke]y", "from"], ["select"])
+    assert "MERGE INTO [dbo].[or[der] AS t" in sql
+    assert "ON t.[select] = s.[select]" in sql
+    assert "t.[ke]]y] = s.[ke]]y]" in sql
+    assert "t.[from] = s.[from]" in sql
+
+
+def test_postgres_doublequote_escape_and_reserved_words():
+    sql = merge_statement(
+        'ta"ble', ["user", 'co"l', "order"], ["user"], dialect="postgres"
+    )
+    assert 'INSERT INTO "dbo"."ta""ble" AS t' in sql
+    assert '"co""l" = EXCLUDED."co""l"' in sql
+    assert '"order" = EXCLUDED."order"' in sql
+    assert 'ON CONFLICT ("user")' in sql
+
+
+def test_mysql_reserved_words_and_mixed_hostile():
+    sql = merge_statement(
+        "select", ["order", "group`by", "desc"], ["order"],
+        dialect="mysql",
+    )
+    assert "INSERT INTO `dbo`.`select`" in sql
+    assert "ON DUPLICATE KEY UPDATE `group``by` = s.`group``by`, " in sql
+    assert "`desc` = s.`desc`" in sql
+    assert "ORDER" not in sql.replace("`order`", "")  # never unquoted
+
+
+def test_ansi_merge_quotes_columns_plain_tables():
+    # ansi: columns double-quoted (Spark JDBC CREATE preserves case),
+    # schema/table plain (passed through dbtable unquoted)
+    sql = merge_statement("T1", ["Id", "Val ue"], ["Id"], dialect="ansi")
+    assert "MERGE INTO dbo.T1 AS t" in sql
+    assert 'ON t."Id" = s."Id"' in sql
+    assert 't."Val ue" = s."Val ue"' in sql
+
+
+def test_all_dialects_strip_whitespace_everywhere():
+    for d in ("tsql", "ansi", "postgres", "mysql"):
+        sql = merge_statement("t", ["  a  ", " b"], ["  a  "], dialect=d)
+        assert "  a  " not in sql and " b " not in sql

@@ -298,3 +298,10 @@ def test_rrf_fuse_rewards_cross_list_agreement(spark):
     assert out[20].n_lists == 2 and out[10].n_lists == 1
     assert out[20].rrf_score > out[30].rrf_score
     assert out[20].rank == 1
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        S.rrf_fuse([])

@@ -40,3 +40,21 @@ def test_udtf_registered_for_sql(spark):
         "SELECT * FROM chunk_tokens('x y z', 2, 0)"
     ).collect()
     assert [(r.chunk_id, r.chunk_text) for r in rows] == [(0, "x y"), (1, "z")]
+
+
+def test_chunk_docs_drops_percall_view(spark):
+    from df_to_azure_spark.functions.udtf_text import chunk_docs
+
+    def temp_views():
+        return {t.name for t in spark.catalog.listTables() if t.isTemporary}
+
+    before = temp_views()
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id: long, text: string"
+    )
+    out = chunk_docs(docs, chunk_tokens=4, overlap=1)
+    after = temp_views()
+    # the per-call view must not leak into the session catalog...
+    assert not {v for v in after - before if v.startswith("__chunk_docs_in_")}
+    # ...and the returned plan still executes (view resolved eagerly)
+    assert out.count() >= 1
