@@ -884,12 +884,19 @@ def mmr_rerank(
 
     Scale shape: the shortlist is ``|queries| × shortlist`` rows and the
     pairwise-sim frame ``|queries| × shortlist²`` — both bounded by the
-    query batch, partitioned by query_id, and localCheckpointed once
-    (they feed every greedy step).  The greedy itself is ``k_select``
-    fixed deterministic iterations of join + partitioned-window argmax —
-    the same unrolled-iteration pattern as ``graph.pagerank``, so a SQL
-    oracle replays it exactly.  ``lam`` is cast to DOUBLE explicitly in
-    both engines (decimal-literal arithmetic rules differ).
+    query batch and computed Spark-side (relevance and pair cosines are
+    ROUND(8) there, so cross-engine float identity is pinned before any
+    Python runs).  The greedy itself is per-query over ≤ ``shortlist``
+    candidates, so it runs as ONE cogrouped ``applyInPandas`` pass —
+    one shuffle on query_id, all queries in parallel, zero per-step
+    driver jobs (an earlier formulation unrolled ``k_select`` join +
+    window rounds; per-step ``localCheckpoint`` cost a job per step and
+    dropping it regrew a 3^k plan).  Inside the kernel the only float
+    ops are ``lam·rel − (1−lam)·max_sim`` — one multiply and subtract
+    on already-rounded doubles, bit-identical in any IEEE-754 engine —
+    so the unrolled SQL-CTE oracle still replays selection exactly.
+    ``lam`` is cast to DOUBLE explicitly in both engines
+    (decimal-literal arithmetic rules differ).
 
     Returns (query_id, step, neighbor_id, mmr_score): step 1..k_select
     in greedy selection order; mmr_score is the relevance for step 1 and
@@ -897,8 +904,9 @@ def mmr_rerank(
     raw doubles, which are bit-identical across engines because every
     input is the 8-dp-rounded cosine and the ops are identical).
     """
-    lam_c = F.expr(f"CAST({lam!r} AS DOUBLE)")
-    one_minus = F.expr(f"CAST(1 AS DOUBLE) - CAST({lam!r} AS DOUBLE)")
+    lam_f = float(lam)
+    om_f = 1.0 - float(lam)
+    k = int(k_select)
     top = cosine_topk(queries, corpus, k=shortlist, id_col=id_col, vec_col=vec_col)
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
@@ -919,43 +927,62 @@ def mmr_rerank(
             "nb",
             F.round(cosine(F.col("va"), F.col("vb")), 8).alias("sim"),
         )
+        # pin: detaches the self-join lineage from cand (cogroup below
+        # would see an ambiguous query_id otherwise) and avoids
+        # recomputing |q|·s² cosines if a consumer re-scans
         .localCheckpoint()
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+
+    id_t = dict((f.name, f.dataType.simpleString()) for f in cand.schema.fields)
+    out_schema = (
+        f"query_id {id_t['query_id']}, step int, "
+        f"neighbor_id {id_t['neighbor_id']}, score double"
+    )
+
+    def greedy(key, cand_pdf, pairs_pdf):
+        import pandas as pd
+
+        qid = key[0]
+        # deterministic candidate order: ties in score break on asc id
+        cand_pdf = cand_pdf.sort_values("neighbor_id")
+        ids = cand_pdf["neighbor_id"].tolist()
+        rel = dict(zip(ids, cand_pdf["rel"].tolist()))
+        sim = {
+            (na, nb): s
+            for na, nb, s in zip(
+                pairs_pdf["na"], pairs_pdf["nb"], pairs_pdf["sim"]
+            )
+        }
+        rows, selected, remaining = [], [], list(ids)
+        for step in range(1, k + 1):
+            best, best_score = None, None
+            for d in remaining:
+                if step == 1:
+                    score = rel[d]
+                else:
+                    # inner-join shape: d must share a pair with the
+                    # selected set (always true within one shortlist)
+                    sims = [sim[(d, s)] for s in selected if (d, s) in sim]
+                    if not sims:
+                        continue
+                    score = lam_f * rel[d] - om_f * max(sims)
+                if best is None or score > best_score:
+                    best, best_score = d, score
+            if best is None:
+                break
+            rows.append((qid, step, best, best_score))
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            rows, columns=["query_id", "step", "neighbor_id", "score"]
+        )
+
     selected = (
-        cand.select("query_id", "neighbor_id", "rel", F.col("rel").alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("query_id", "neighbor_id", "rel", "score", F.lit(1).alias("step"))
-        .localCheckpoint()
+        cand.drop("cv")
+        .groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(greedy, schema=out_schema)
     )
-    for step in range(2, int(k_select) + 1):
-        pen = (
-            selected.select("query_id", F.col("neighbor_id").alias("nb"))
-            .join(pairs, ["query_id", "nb"])
-            .groupBy("query_id", F.col("na").alias("neighbor_id"))
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        scored = (
-            cand.join(
-                selected.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_anti",
-            )
-            .join(pen, ["query_id", "neighbor_id"])
-            .select(
-                "query_id",
-                "neighbor_id",
-                "rel",
-                (lam_c * F.col("rel") - one_minus * F.col("max_sim")).alias("score"),
-            )
-        )
-        nxt = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("query_id", "neighbor_id", "rel", "score", F.lit(step).alias("step"))
-        )
-        selected = selected.unionByName(nxt).localCheckpoint()
     return selected.select(
         "query_id",
         F.col("step").cast("int").alias("step"),
