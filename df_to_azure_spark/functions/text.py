@@ -102,6 +102,79 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 (Robertson et al., TREC-3) as a parameterized operator:
+    score every document of ``docs`` against every query of
+    ``query_terms`` — a ``(query_id, term)`` frame, one row per query
+    term — returning ``(query_id, doc_id, n_terms, bm25)`` with one row
+    per (query, matched doc).  Lucene's non-negative idf variant
+    ``LN(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Exactness policy (cross-engine oracle-stable): every constant CAST
+    to DOUBLE, one ROUND(6) after the LN, per-(doc, term) weights
+    ROUND(12) into DECIMAL(28,12) before the per-(query, doc) sum so
+    aggregation order never matters, final score ROUND(6).
+
+    Scale shape: the query-term vocabulary is broadcast (a query batch
+    is small by construction); tf is one explode semi-joined to that
+    vocabulary — documents matching no term never leave the scan.
+    Term df and corpus stats (N, avgdl) derive from the tf/doc frames
+    with one tiny crossJoin(broadcast).  Everything downstream is keyed
+    on (term) then (query, doc) — no data-sized driver state, no
+    global shuffle beyond the grouped sums.
+    """
+    k1_sql = f"CAST({float(k1)!r} AS DOUBLE)"
+    b_sql = f"CAST({float(b)!r} AS DOUBLE)"
+    qt = query_terms.select(
+        "query_id", F.col("term").alias("tok")
+    ).distinct()
+    vocab = qt.select("tok").distinct()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col), token_count(text_col).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.expr(
+            "ROUND(LN(CAST(1 AS DOUBLE)"
+            " + (CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " / (CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6)"
+        ).alias("idf"),
+        F.expr("CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)").alias("avgdl"),
+    )
+    w = F.expr(
+        f"CAST(ROUND(idf * (CAST(tf AS DOUBLE) * ({k1_sql} + CAST(1 AS DOUBLE)))"
+        f" / (CAST(tf AS DOUBLE) + {k1_sql} * (CAST(1 AS DOUBLE) - {b_sql}"
+        f" + {b_sql} * CAST(dl AS DOUBLE) / avgdl)), 12) AS DECIMAL(28,12))"
+    )
+    terms = (
+        tf.join(idf, "tok")
+        .join(dl, id_col)
+        .join(F.broadcast(qt), "tok")
+        .select("query_id", id_col, w.alias("w"))
+    )
+    return terms.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.expr("ROUND(CAST(SUM(w) AS DOUBLE), 6)").alias("bm25"),
+    )
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Convenience projection: doc stats columns appended in one pass."""
     return df.select(

@@ -1560,35 +1560,11 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the (matched-doc × query-term) frame, everything keyed and
     parallel."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
-    tf = (
-        toks.where(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    qt = spark.createDataFrame(
+        [(0, t) for t in _BM25_TERMS], "query_id: int, term: string"
     )
-    dl = docs.select("doc_id", TXT.token_count("text").cast("bigint").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "tok",
-        F.expr(
-            "ROUND(LN(CAST(1 AS DOUBLE)"
-            " + (CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-            " / (CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6)"
-        ).alias("idf"),
-        F.expr("CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)").alias("avgdl"),
-    )
-    w = F.expr(
-        f"CAST(ROUND(idf * (CAST(tf AS DOUBLE) * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
-        f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B}"
-        f" + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl)), 12) AS DECIMAL(28,12))"
-    )
-    terms = tf.join(idf, "tok").join(dl, "doc_id").select("doc_id", w.alias("w"))
-    return terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.expr("ROUND(CAST(SUM(w) AS DOUBLE), 6)").alias("bm25"),
+    return TXT.bm25_scores(docs, qt, k1=1.2, b=0.75).select(
+        "doc_id", "n_terms", "bm25"
     )
 
 

@@ -213,6 +213,9 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.mmr_rerank_knn, TD.MMR_RERANK_ORACLE, headline=True
     ),
     "hybrid_rrf_knn": QuerySpec(TD.hybrid_rrf_knn, TD.HYBRID_RRF_ORACLE),
+    "hybrid_lexical_dense": QuerySpec(
+        TD.hybrid_lexical_dense, TD.HYBRID_LEXICAL_DENSE_ORACLE
+    ),
     "pq_code_invariant": QuerySpec(TD.pq_code_invariant, TD.PQ_INVARIANT_ORACLE),
     "pq_trained_codebooks": QuerySpec(
         TD.pq_trained_codebooks, TD.PQ_TRAINED_ORACLE

@@ -1645,3 +1645,142 @@ WHERE rank <= 10
 
 
 HYBRID_RRF_ORACLE = _rrf_oracle()
+
+
+# --------------------------------------------------------------------------
+# three-way lexical + dense hybrid retrieval
+# --------------------------------------------------------------------------
+
+_HYBRID_TERM_POOL = ("join", "hash", "vector", "stream", "sort")
+
+
+def _hybrid_query_terms() -> list[tuple[int, str]]:
+    """Deterministic per-query keyword sets: query i takes 3 consecutive
+    pool terms (rotating), so the five lexical queries differ but need no
+    external fixture."""
+    return [
+        (q, _HYBRID_TERM_POOL[(q + j) % len(_HYBRID_TERM_POOL)])
+        for q in range(5)
+        for j in range(3)
+    ]
+
+
+def hybrid_lexical_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full hybrid retrieval: RRF fusion of THREE rankings per query —
+    exact cosine (dense), hyperplane-LSH (dense, approximate) and Okapi
+    BM25 over per-query keyword sets (lexical; ``text.bm25_scores``).
+    doc_id and vec_id share a key domain, so the lexical and dense lists
+    rank the same items; fusion is rank-based (Cormack et al., SIGIR'09)
+    and needs no score calibration between the BM25 and cosine scales —
+    which is exactly why RRF is the standard lexical+dense merge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact_r = SIM.cosine_topk(queries, emb, k=10)
+    lsh_r = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=10)
+    qt = spark.createDataFrame(
+        _hybrid_query_terms(), "query_id: bigint, term: string"
+    )
+    scores = TXT.bm25_scores(docs, qt, k1=1.2, b=0.75)
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm25_r = (
+        scores.withColumn("rank", F.row_number().over(wq).cast("bigint"))
+        .where("rank <= 10")
+        .select("query_id", "rank", F.col("doc_id").alias("neighbor_id"))
+    )
+    return SIM.rrf_fuse([exact_r, lsh_r, bm25_r], k_const=60, topk=10)
+
+
+def _bm25_rank_oracle() -> str:
+    """DuckDB twin of the BM25 ranking leg: identical tokenization,
+    idf/weight arithmetic (all constants CAST to DOUBLE, ROUND(12) per
+    term into DECIMAL(28,12), ROUND(6) per score) and (score desc, id)
+    ranking."""
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _hybrid_query_terms())
+    k1, b = "CAST(1.2 AS DOUBLE)", "CAST(0.75 AS DOUBLE)"
+    return f"""
+WITH qt AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, tok
+  FROM (VALUES {vals}) v(query_id, tok)
+), vocab AS (
+  SELECT DISTINCT tok FROM qt
+), toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks JOIN vocab USING (tok)
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok
+), idf AS (
+  SELECT tok,
+         ROUND(LN(CAST(1 AS DOUBLE)
+               + (CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(dft AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6) AS idf,
+         CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+  FROM dfreq CROSS JOIN stats
+), terms AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(ROUND(i.idf * (CAST(t.tf AS DOUBLE) * ({k1} + CAST(1 AS DOUBLE)))
+              / (CAST(t.tf AS DOUBLE) + {k1} * (CAST(1 AS DOUBLE) - {b}
+                 + {b} * CAST(d.dl AS DOUBLE) / i.avgdl)), 12)
+              AS DECIMAL(28,12)) AS w
+  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id) JOIN qt q USING (tok)
+), bscores AS (
+  SELECT query_id, doc_id, ROUND(CAST(SUM(w) AS DOUBLE), 6) AS bm25
+  FROM terms GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id AS neighbor_id
+FROM (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25 DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM bscores
+)
+WHERE rank <= 10
+"""
+
+
+def _hybrid3_oracle() -> str:
+    """Three-leg RRF twin: the two dense ranking CTEs verbatim plus the
+    BM25 leg, identical decimal-summed reciprocal contributions."""
+    k_sql = "CAST(60 AS DOUBLE)"
+    contrib = (
+        f"CAST(ROUND(CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)), 12)"
+        " AS DECIMAL(28,12))"
+    )
+    return f"""
+WITH exact_r AS ({KNN_ORACLE}),
+lsh_r AS ({_lsh_knn_oracle()}),
+bm25_r AS ({_bm25_rank_oracle()}),
+contrib AS (
+  SELECT query_id, neighbor_id, {contrib} AS c FROM exact_r
+  UNION ALL
+  SELECT query_id, neighbor_id, {contrib} AS c FROM lsh_r
+  UNION ALL
+  SELECT query_id, neighbor_id, {contrib} AS c FROM bm25_r
+), agg AS (
+  SELECT query_id, neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lists,
+         ROUND(CAST(SUM(c) AS DOUBLE), 8) AS rrf_score
+  FROM contrib GROUP BY query_id, neighbor_id
+)
+SELECT query_id, rank, neighbor_id, n_lists, rrf_score
+FROM (
+  SELECT query_id, neighbor_id, n_lists, rrf_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM agg
+)
+WHERE rank <= 10
+"""
+
+
+HYBRID_LEXICAL_DENSE_ORACLE = _hybrid3_oracle()

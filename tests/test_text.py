@@ -57,3 +57,49 @@ def test_with_text_stats_runs_on_real_docs(spark, sf_smoke):
     assert row.n_tokens > 0
     assert row.n_chars_computed == row.n_chars  # driver precomputed length
     assert 0.0 <= row.quality <= 1.0
+
+
+def test_bm25_scores_parameterized_multiquery(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "join hash join join scan"),
+            (2, "hash scan scan scan scan scan scan scan"),
+            (3, "sort sort sort"),
+        ],
+        "doc_id: long, text: string",
+    )
+    qt = spark.createDataFrame(
+        [(0, "join"), (0, "hash"), (1, "scan"), (1, "scan")],  # dup term deduped
+        "query_id: long, term: string",
+    )
+    out = TXT.bm25_scores(docs, qt).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r
+    # query 0: doc 3 matches nothing -> absent; doc 1 matches both terms
+    assert set(by_q[0]) == {1, 2}
+    assert by_q[0][1].n_terms == 2 and by_q[0][2].n_terms == 1
+    assert by_q[0][1].bm25 > by_q[0][2].bm25
+    # query 1 ('scan' twice): dedup -> n_terms 1, and tf saturation means
+    # doc 2 (7x scan, longer) still outranks doc 1 (1x scan)
+    assert by_q[1][1].n_terms == 1 and by_q[1][2].n_terms == 1
+    assert by_q[1][2].bm25 > by_q[1][1].bm25
+
+
+def test_bm25_k1_b_parameters_move_scores(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x x y y y y y y y y"), (2, "x")],
+        "doc_id: long, text: string",
+    )
+    qt = spark.createDataFrame([(0, "x")], "query_id: long, term: string")
+    base = {r.doc_id: r.bm25 for r in TXT.bm25_scores(docs, qt).collect()}
+    # b=0: no length normalization -> the long doc's score strictly rises
+    no_norm = {
+        r.doc_id: r.bm25 for r in TXT.bm25_scores(docs, qt, b=0.0).collect()
+    }
+    assert no_norm[1] > base[1]
+    # higher k1 -> tf saturates later -> tf=4 doc scores strictly higher
+    high_k1 = {
+        r.doc_id: r.bm25 for r in TXT.bm25_scores(docs, qt, k1=2.0, b=0.0).collect()
+    }
+    assert high_k1[1] > no_norm[1]
