@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["two_phase_rank", "ntile_from_rank"]
+__all__ = ["two_phase_rank", "ntile_from_rank", "with_rank_family"]
 
 
 def _sort_cols(order_by: Sequence[tuple[str, str]]) -> list[Column]:
@@ -179,6 +179,48 @@ def two_phase_rank(
         )
         out = out.drop("__sumoff")
     return out.drop("__pid", "__off")
+
+
+def with_rank_family(
+    ranked: DataFrame,
+    weak_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    rank_col: str = "__rn",
+    total_col: str = "__grp_n",
+) -> DataFrame:
+    """Extend a ``two_phase_rank`` output with the exact SQL rank family
+    over the WEAK order key (``weak_cols`` — the ``order_by`` columns
+    minus the unique tie-break): ``__rank`` (= ``rank()``), ``__pct_rank``
+    (= ``percent_rank()``) and ``__cume_dist`` (= ``cume_dist()``).
+
+    ``row_number`` alone cannot express these: a peer group (rows tied on
+    the weak key) may span range-partition boundaries, so the peer's min
+    and max global row numbers come from ONE aggregation keyed on
+    ``(group, weak)`` joined back — a keyed shuffle, never a global
+    window.  Identities (both Spark's and DuckDB's definitions):
+    ``rank = min(rn) over peers``, ``percent_rank = (rank-1)/(n-1)``
+    (0.0 when n = 1), ``cume_dist = max(rn)/n`` — integer arithmetic
+    plus one double division each, so results are cross-engine exact.
+    """
+    keys = [*group_cols, *weak_cols]
+    peers = ranked.groupBy(*keys).agg(
+        F.min(rank_col).alias("__peer_min"),
+        F.max(rank_col).alias("__peer_max"),
+    )
+    out = ranked.join(peers, keys)
+    n = F.col(total_col)
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (F.col("__peer_min") - 1).cast("double") / (n - 1).cast("double")
+    )
+    return (
+        out.withColumn("__rank", F.col("__peer_min").cast("bigint"))
+        .withColumn("__pct_rank", pct)
+        .withColumn(
+            "__cume_dist",
+            F.col("__peer_max").cast("double") / n.cast("double"),
+        )
+        .drop("__peer_min", "__peer_max")
+    )
 
 
 def ntile_from_rank(rank_col: str, total_col: str, buckets: int) -> Column:

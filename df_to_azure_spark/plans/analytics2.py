@@ -344,6 +344,48 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def quantity_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL rank family — ``rank()``, ``percent_rank()``,
+    ``cume_dist()`` — over a GLOBAL ordering of ``l_quantity``, a
+    heavy-ties key (~50 distinct values across all of lineitem), without
+    any unpartitioned window: ``distrank.two_phase_rank`` gives the
+    exact global row number, and ``with_rank_family`` recovers the
+    tie-aware functions from one peer aggregation keyed on the weak key
+    (peer groups span range partitions, so this is the piece
+    ``row_number`` arithmetic alone cannot express).  Output is the
+    distinct per-value profile; the per-row columns are exercised and
+    then collapsed, keeping the result row-count bounded."""
+    from df_to_azure_spark.functions import distrank as DR
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    ranked = DR.two_phase_rank(
+        li,
+        [("l_quantity", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+    )
+    fam = DR.with_rank_family(ranked, ["l_quantity"])
+    return (
+        fam.select(
+            F.col("l_quantity").alias("quantity"),
+            F.col("__rank").alias("rnk"),
+            F.round("__pct_rank", 8).alias("pct_rank"),
+            F.round("__cume_dist", 8).alias("cume"),
+        )
+        .distinct()
+    )
+
+
+QUANTITY_RANK_ORACLE = """
+SELECT DISTINCT l_quantity AS quantity,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       round(CAST(percent_rank() OVER w AS DOUBLE), 8) AS pct_rank,
+       round(CAST(cume_dist() OVER w AS DOUBLE), 8) AS cume
+FROM lineitem
+WINDOW w AS (ORDER BY l_quantity)
+"""
+
+
 def supplier_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar functions: case, trim/pad, substring, replace,
     concat — identical semantics in both engines."""

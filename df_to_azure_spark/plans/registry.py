@@ -314,6 +314,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "unpivot_order_measures": QuerySpec(A2.unpivot_order_measures, A2.UNPIVOT_ORACLE),
     "building_never_urgent": QuerySpec(A2.building_never_urgent, A2.EXCEPT_ORACLE),
     "order_price_quartiles": QuerySpec(A2.order_price_quartiles, A2.QUARTILES_ORACLE),
+    "quantity_rank_profile": QuerySpec(
+        A2.quantity_rank_profile, A2.QUANTITY_RANK_ORACLE
+    ),
     "supplier_name_normalize": QuerySpec(
         A2.supplier_name_normalize, A2.NAME_NORMALIZE_ORACLE
     ),

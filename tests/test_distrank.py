@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from df_to_azure_spark.functions.distrank import ntile_from_rank, two_phase_rank
+from df_to_azure_spark.functions.distrank import (
+    ntile_from_rank,
+    two_phase_rank,
+    with_rank_family,
+)
 
 
 def _base(spark, n=1500):
@@ -133,3 +137,59 @@ def test_non_exact_sum_col_rejected(spark):
     df = spark.createDataFrame([(1, 1.5)], "id: long, v: double")
     with pytest.raises(ValueError, match="exact-typed"):
         two_phase_rank(df, [("id", "asc")], sum_col="v")
+
+
+def test_rank_family_matches_spark_window_functions(spark):
+    # heavy ties in the weak key v (97 distinct over 1500 rows) — peer
+    # groups genuinely span range partitions
+    df = _base(spark)
+    ranked = two_phase_rank(df, [("v", "asc"), ("id", "asc")])
+    fam = with_rank_family(ranked, ["v"])
+    w = W.orderBy(F.asc("v"))
+    exp = df.select(
+        "id",
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.round(F.percent_rank().over(w), 10).alias("pr"),
+        F.round(F.cume_dist().over(w), 10).alias("cd"),
+    )
+    cmp = fam.select(
+        "id",
+        F.col("__rank").alias("rk"),
+        F.round("__pct_rank", 10).alias("pr"),
+        F.round("__cume_dist", 10).alias("cd"),
+    )
+    bad = (
+        cmp.alias("a")
+        .join(exp.alias("e"), "id")
+        .where("a.rk != e.rk OR a.pr != e.pr OR a.cd != e.cd")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_rank_family_grouped_and_single_row_group(spark):
+    df = _base(spark).unionByName(
+        _base(spark, n=1).select(
+            "id", F.lit(99).alias("g"), "v", "amt"
+        )
+    )
+    ranked = two_phase_rank(df, [("v", "asc"), ("id", "asc")], group_cols=["g"])
+    fam = with_rank_family(ranked, ["v"], group_cols=["g"])
+    w = W.partitionBy("g").orderBy(F.asc("v"))
+    exp = df.select(
+        "id", "g",
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.round(F.percent_rank().over(w), 10).alias("pr"),
+        F.round(F.cume_dist().over(w), 10).alias("cd"),
+    )
+    cmp = fam.select(
+        "id", "g",
+        F.col("__rank").alias("rk"),
+        F.round("__pct_rank", 10).alias("pr"),
+        F.round("__cume_dist", 10).alias("cd"),
+    )
+    joined = cmp.alias("a").join(exp.alias("e"), ["id", "g"])
+    assert joined.where("a.rk != e.rk OR a.pr != e.pr OR a.cd != e.cd").count() == 0
+    # the 1-row group: percent_rank pinned to 0.0, cume_dist to 1.0
+    solo = fam.where("g = 99").collect()[0]
+    assert solo["__pct_rank"] == 0.0 and solo["__cume_dist"] == 1.0

@@ -5,8 +5,9 @@ The Delta log-backed path is exercised only when delta-spark is
 installed (skipped-not-failed otherwise); the fallback algebra and the
 reader-visible swap guarantees are tested unconditionally.
 
-delta-spark is not installed in this build environment and the
-environment contract forbids adding packages, so
+delta-spark is not installed in this build environment (pip install
+re-attempted 2026-08-14: the index host is unreachable — DNS-blocked
+sandbox) and the environment contract forbids adding packages, so
 ``test_delta_merge_when_available`` stays a gated skip here; it runs
 the real DeltaTable.merge end-to-end (log-backed create, MERGE, read
 back) on any cluster where delta-spark is present.  The routing into

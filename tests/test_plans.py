@@ -199,6 +199,7 @@ def test_no_unpartitioned_window_in_global_rank_family(spark, sf_smoke):
         "customer_rfm_segments",
         "part_abc_classification",
         "order_price_quartiles",
+        "quantity_rank_profile",
         "q15_top_supplier",
     ):
         df = REGISTRY[name].spark(spark, sf_smoke)
