@@ -187,11 +187,14 @@ def with_rank_family(
     group_cols: Sequence[str] = (),
     rank_col: str = "__rn",
     total_col: str = "__grp_n",
+    dense: bool = False,
+    asc: Sequence[bool] | None = None,
 ) -> DataFrame:
     """Extend a ``two_phase_rank`` output with the exact SQL rank family
     over the WEAK order key (``weak_cols`` — the ``order_by`` columns
     minus the unique tie-break): ``__rank`` (= ``rank()``), ``__pct_rank``
-    (= ``percent_rank()``) and ``__cume_dist`` (= ``cume_dist()``).
+    (= ``percent_rank()``) and ``__cume_dist`` (= ``cume_dist()``), plus
+    ``__dense_rank`` when ``dense=True``.
 
     ``row_number`` alone cannot express these: a peer group (rows tied on
     the weak key) may span range-partition boundaries, so the peer's min
@@ -201,12 +204,29 @@ def with_rank_family(
     ``rank = min(rn) over peers``, ``percent_rank = (rank-1)/(n-1)``
     (0.0 when n = 1), ``cume_dist = max(rn)/n`` — integer arithmetic
     plus one double division each, so results are cross-engine exact.
+
+    ``dense_rank`` is the index of the peer group itself, so it comes
+    from ``two_phase_rank`` applied recursively to the DISTINCT peer
+    frame (bounded by weak-key cardinality, not data) — an extra range
+    shuffle over that frame only, hence opt-in.  ``asc`` gives the
+    per-``weak_cols`` sort direction for that pass (default all
+    ascending) and must match the direction used in the original
+    ``order_by``.
     """
     keys = [*group_cols, *weak_cols]
     peers = ranked.groupBy(*keys).agg(
         F.min(rank_col).alias("__peer_min"),
         F.max(rank_col).alias("__peer_max"),
     )
+    if dense:
+        dirs = list(asc) if asc is not None else [True] * len(weak_cols)
+        order = [
+            (c, "asc" if a else "desc") for c, a in zip(weak_cols, dirs)
+        ]
+        peers = two_phase_rank(
+            peers, order, group_cols=group_cols,
+            rank_col="__dense_rank", total_col="__n_peers",
+        ).withColumn("__dense_rank", F.col("__dense_rank").cast("bigint"))
     out = ranked.join(peers, keys)
     n = F.col(total_col)
     pct = F.when(n == 1, F.lit(0.0)).otherwise(
@@ -221,6 +241,8 @@ def with_rank_family(
         )
         .drop("__peer_min", "__peer_max")
     )
+    # __n_peers (distinct weak keys per group) rides along when dense=True
+    # — the dense_rank analogue of __grp_n, free from the peer pass.
 
 
 def ntile_from_rank(rank_col: str, total_col: str, buckets: int) -> Column:

@@ -193,3 +193,18 @@ def test_rank_family_grouped_and_single_row_group(spark):
     # the 1-row group: percent_rank pinned to 0.0, cume_dist to 1.0
     solo = fam.where("g = 99").collect()[0]
     assert solo["__pct_rank"] == 0.0 and solo["__cume_dist"] == 1.0
+
+
+def test_dense_rank_matches_spark_window(spark):
+    df = _base(spark)
+    ranked = two_phase_rank(df, [("v", "desc"), ("id", "asc")])
+    fam = with_rank_family(ranked, ["v"], dense=True, asc=[False])
+    w = W.orderBy(F.desc("v"))
+    exp = df.select("id", F.dense_rank().over(w).cast("bigint").alias("dr"))
+    cmp = fam.select("id", F.col("__dense_rank").alias("dr"))
+    bad = cmp.alias("a").join(exp.alias("e"), "id").where("a.dr != e.dr").count()
+    assert bad == 0
+    # __n_peers = number of distinct weak keys
+    n_peers = fam.select("__n_peers").distinct().collect()
+    assert len(n_peers) == 1
+    assert n_peers[0][0] == df.select("v").distinct().count()
