@@ -220,11 +220,15 @@ def pagerank(
     ranks = nodes.withColumn(
         "r", F.expr(f"ROUND(CAST(1 AS DOUBLE) / {n_nodes}, 12)")
     )
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
+    # deg is a per-source constant across iterations — join it into the
+    # edge list ONCE instead of once per iteration (saves an exchange +
+    # sort per round; r/deg values, and thus the oracle hash, unchanged)
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node")).join(
+        deg, "node"
+    )
     for _ in range(iters):
         contrib = (
             e.join(ranks, "node")
-            .join(deg, "node")
             .select(
                 F.col("dst_node").alias("node"),
                 F.expr("CAST(ROUND(r / deg, 12) AS DECIMAL(28,12))").alias("c"),

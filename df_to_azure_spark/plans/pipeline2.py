@@ -120,29 +120,33 @@ _PR_MIN_SUPPORT = 2
 def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric co-purchase edges: part pairs sharing >= MIN_SUPPORT
     orders (same basket projection + mega-basket cap as
-    ``pipeline.part_cooccurrence``)."""
-    li = (
+    ``pipeline.part_cooccurrence``).
+
+    Formulated as ONE basket aggregation (``collect_set`` dedups the
+    (order, part) projection inside the same shuffle) plus in-row array
+    pair expansion — 2 shuffles total vs 4 for the previous
+    dedup → size-semijoin → self-join chain, identical pair semantics
+    (sorted array ⇒ pa < pb; singleton baskets contribute nothing either
+    way).  Per-row expansion is bounded by the mega-basket cap (≤ cap²/2
+    pairs from one row) — exactly the blowup the cap bounds at 100 TB."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where((F.size("parts") >= 2) & (F.size("parts") <= _PR_MAX_BASKET))
     )
-    sized = li.join(
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket_n"))
-        .where(F.col("basket_n") <= _PR_MAX_BASKET)
-        .select("l_orderkey"),
-        "l_orderkey",
-        "left_semi",
-    )
-    a = sized.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pa")
-    )
-    b = sized.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pb")
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= _PR_MIN_SUPPORT)
