@@ -108,9 +108,12 @@ def merge_statement(
         q = _dq
         col_list = ", ".join(q(c) for c in cols)
         conflict_cols = ", ".join(q(k.strip()) for k in keys)
+        # `WHERE true` disambiguates the upsert clause from a join when the
+        # INSERT source is a SELECT — required by SQLite's parser, harmless
+        # (and documented as the portable form) in postgres
         lines = [
             f"INSERT INTO {q(target_schema)}.{q(table)} AS t ({col_list})",
-            f"SELECT {col_list} FROM {q(staging_schema)}.{q(table)}",
+            f"SELECT {col_list} FROM {q(staging_schema)}.{q(table)} WHERE true",
         ]
         if non_keys:
             update = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)

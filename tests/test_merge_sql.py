@@ -53,7 +53,7 @@ def test_postgres_on_conflict_golden():
     )
     assert sql == (
         'INSERT INTO "public"."sales" AS t ("id", "region", "amount")\n'
-        'SELECT "id", "region", "amount" FROM "staging"."sales"\n'
+        'SELECT "id", "region", "amount" FROM "staging"."sales" WHERE true\n'
         'ON CONFLICT ("id") DO UPDATE SET "region" = EXCLUDED."region", '
         '"amount" = EXCLUDED."amount";'
     )
