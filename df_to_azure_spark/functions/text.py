@@ -175,6 +175,36 @@ def bm25_scores(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked form of :func:`bm25_scores`, shaped like
+    ``similarity.cosine_topk``: ``(query_id, rank, neighbor_id, bm25)``
+    with the top-``k`` docs per query by (bm25 desc, id asc) — the
+    lexical leg ready for ``similarity.rrf_fuse`` next to the dense
+    rankings.  The per-query window is partitioned on query_id: no
+    global ordering anywhere."""
+    from pyspark.sql import Window as W
+
+    scores = bm25_scores(
+        docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id", "rank", F.col(id_col).alias("neighbor_id"), "bm25"
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Convenience projection: doc stats columns appended in one pass."""
     return df.select(

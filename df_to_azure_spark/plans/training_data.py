@@ -1681,15 +1681,7 @@ def hybrid_lexical_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = spark.createDataFrame(
         _hybrid_query_terms(), "query_id: bigint, term: string"
     )
-    scores = TXT.bm25_scores(docs, qt, k1=1.2, b=0.75)
-    from pyspark.sql import Window as W
-
-    wq = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
-    bm25_r = (
-        scores.withColumn("rank", F.row_number().over(wq).cast("bigint"))
-        .where("rank <= 10")
-        .select("query_id", "rank", F.col("doc_id").alias("neighbor_id"))
-    )
+    bm25_r = TXT.bm25_topk(docs, qt, k=10, k1=1.2, b=0.75)
     return SIM.rrf_fuse([exact_r, lsh_r, bm25_r], k_const=60, topk=10)
 
 

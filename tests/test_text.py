@@ -103,3 +103,18 @@ def test_bm25_k1_b_parameters_move_scores(spark):
         r.doc_id: r.bm25 for r in TXT.bm25_scores(docs, qt, k1=2.0, b=0.0).collect()
     }
     assert high_k1[1] > no_norm[1]
+
+
+def test_bm25_topk_ranked_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x"), (2, "x y"), (3, "y y")],
+        "doc_id: long, text: string",
+    )
+    qt = spark.createDataFrame(
+        [(0, "x"), (1, "y")], "query_id: long, term: string"
+    )
+    out = TXT.bm25_topk(docs, qt, k=1).collect()
+    top = {r.query_id: r for r in out}
+    assert len(out) == 2  # one row per query at k=1
+    assert top[0].neighbor_id == 1 and top[0].rank == 1  # tf winner for x
+    assert top[1].neighbor_id == 3                       # tf winner for y
