@@ -1252,6 +1252,127 @@ FROM scored GROUP BY doc_id
 """
 
 
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with STUPID BACKOFF (Brants et al.,
+    EMNLP'07) — the next step up from ``doc_unigram_surprisal``: the
+    bigram/context/unigram tables are counted on the deterministic
+    md5-hash TRAIN split and the TEST split is scored against them, so
+    the backoff branch genuinely fires (unseen test bigrams), unlike
+    scoring a corpus against its own counts.
+
+    Engine-exact quantization, same policy as the unigram op: seen
+    bigrams cost ``bit_length(c(w1·) div c(w1,w2))`` integer bits
+    (≈ -log2 p(w2|w1)); unseen ones back off to the unigram cost plus a
+    fixed 2-bit penalty (the ×0.25 stupid-backoff weight as a shift —
+    pure integer arithmetic instead of the paper's 0.4 float).  Unseen
+    unigrams floor at count 1.  No transcendentals, no floats before
+    the final ROUND(6) mean.
+
+    Plan: one bigram explode per split; train-side counts are two
+    keyed aggregations (map-side combined) + a 1-row total; test
+    scoring is keyed left joins (AQE broadcasts the small sides) — no
+    driver-sized state anywhere."""
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_arr = docs.select("doc_id", "split", TXT.tokens("text").alias("t"))
+    bg = (
+        toks_arr.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "split", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    train_bg = bg.where(F.col("split") == "train")
+    bgc = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bg"))
+    ctx = bgc.groupBy("w1").agg(F.sum("n_bg").alias("n_ctx"))
+    uni = (
+        toks_arr.where(F.col("split") == "train")
+        .select(F.explode("t").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    total = uni.agg(F.sum("n_uni").alias("n_total"))
+    scored = (
+        bg.where(F.col("split") == "test")
+        .join(bgc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN n_bg IS NOT NULL"
+                "     THEN length(bin(n_ctx div n_bg))"
+                "     ELSE 2 + length(bin(n_total div coalesce(n_uni, 1)))"
+                " END"
+            ).alias("bits"),
+            F.expr("IF(n_bg IS NULL, 1, 0)").alias("backoff"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6)").alias(
+            "mean_surprisal_bits"
+        ),
+        F.max("bits").cast("bigint").alias("max_surprisal_bits"),
+        F.expr("ROUND(CAST(SUM(backoff) AS DOUBLE) / COUNT(*), 6)").alias(
+            "backoff_rate"
+        ),
+    )
+
+
+BIGRAM_SURPRISAL_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_TOKS} AS t,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), bg AS (
+  SELECT doc_id, split, b[1] AS w1, b[2] AS w2
+  FROM (SELECT doc_id, split,
+               unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS b
+        FROM s WHERE len(t) >= 2)
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS n_bg FROM bg WHERE split = 'train' GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(n_bg) AS n_ctx FROM bgc GROUP BY w1
+), uni AS (
+  SELECT w2, COUNT(*) AS n_uni
+  FROM (SELECT unnest(t) AS w2 FROM s WHERE split = 'train') GROUP BY w2
+), total AS (
+  SELECT SUM(n_uni) AS n_total FROM uni
+), scored AS (
+  SELECT b.doc_id,
+         CASE WHEN bgc.n_bg IS NOT NULL
+              THEN length(bin(CAST(ctx.n_ctx // bgc.n_bg AS BIGINT)))
+              ELSE 2 + length(bin(CAST(total.n_total // coalesce(uni.n_uni, 1) AS BIGINT)))
+         END AS bits,
+         CASE WHEN bgc.n_bg IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM bg b
+  LEFT JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  LEFT JOIN uni ON b.w2 = uni.w2
+  CROSS JOIN total
+  WHERE b.split = 'test'
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal_bits,
+       CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
+       ROUND(CAST(SUM(backoff) AS DOUBLE) / COUNT(*), 6) AS backoff_rate
+FROM scored GROUP BY doc_id
+"""
+
+
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix — which corpus sources copy from
     each other: for every source pair, the number of distinct document

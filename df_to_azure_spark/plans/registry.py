@@ -288,6 +288,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "gopher_quality_filter": QuerySpec(
         PL.gopher_quality_filter, PL.GOPHER_ORACLE
     ),
+    "doc_bigram_surprisal": QuerySpec(
+        PL.doc_bigram_surprisal, PL.BIGRAM_SURPRISAL_ORACLE
+    ),
     "doc_unigram_surprisal": QuerySpec(
         PL.doc_unigram_surprisal, PL.UNIGRAM_SURPRISAL_ORACLE
     ),
