@@ -995,6 +995,7 @@ def rrf_fuse(
     rankings: list[DataFrame],
     k_const: int = 60,
     topk: int = 10,
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the standard
     hybrid-retrieval merge: each input ranking frame
@@ -1007,17 +1008,32 @@ def rrf_fuse(
     sum (order-independent across any number of rankings), score
     ROUND(8) at output.  Plan: union → one (query, item) aggregate →
     partitioned top-k window; nothing global, nothing data-sized on the
-    driver."""
+    driver.
+
+    ``weights`` (optional, one per ranking, default all 1.0) scales each
+    list's contribution to ``w_i/(k + rank)`` — the weighted-RRF form
+    used when one retriever is trusted more (e.g. dense 2:1 over
+    lexical); weights are CAST to DOUBLE before the multiply in both
+    engines."""
     if not rankings:
         raise ValueError("rrf_fuse requires at least one ranking")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError(
+            f"weights ({len(weights)}) must match rankings ({len(rankings)})"
+        )
     k_sql = f"CAST({int(k_const)} AS DOUBLE)"
     contrib = None
-    for r in rankings:
+    for i, r in enumerate(rankings):
+        w_sql = (
+            f"CAST({float(weights[i])!r} AS DOUBLE) * "
+            if weights is not None
+            else ""
+        )
         c = r.select(
             "query_id",
             "neighbor_id",
             F.expr(
-                f"CAST(ROUND(CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)),"
+                f"CAST(ROUND({w_sql}CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)),"
                 " 12) AS DECIMAL(28,12))"
             ).alias("c"),
         )

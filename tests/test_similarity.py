@@ -305,3 +305,25 @@ def test_rrf_fuse_empty_rankings_raises(spark):
 
     with pytest.raises(ValueError, match="at least one ranking"):
         S.rrf_fuse([])
+
+
+def test_rrf_fuse_weights_scale_contributions(spark):
+    import pytest
+
+    r1 = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 20)], "query_id: long, rank: long, neighbor_id: long"
+    )
+    r2 = spark.createDataFrame(
+        [(0, 1, 20), (0, 2, 10)], "query_id: long, rank: long, neighbor_id: long"
+    )
+    # unweighted: symmetric ranks -> tie broken by id
+    even = {r.neighbor_id: r.rrf_score for r in S.rrf_fuse([r1, r2], k_const=10).collect()}
+    assert even[10] == even[20]
+    # 3:1 weight on r1 -> r1's top item (10) must win
+    skew = {r.neighbor_id: r.rrf_score for r in
+            S.rrf_fuse([r1, r2], k_const=10, weights=[3.0, 1.0]).collect()}
+    assert skew[10] > skew[20]
+    # exact: 3/(10+1) + 1/(10+2) rounded per contribution
+    assert skew[10] == round(round(3/11, 12) + round(1/12, 12), 8)
+    with pytest.raises(ValueError, match="must match"):
+        S.rrf_fuse([r1, r2], weights=[1.0])
