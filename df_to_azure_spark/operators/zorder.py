@@ -115,3 +115,53 @@ def zorder_layout(
     else:
         keyed = keyed.repartitionByRange("__zkey")
     return keyed.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+def file_skipping_profile(
+    spark, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max/count profile of a parquet table — the
+    clustering-quality introspection for min/max data skipping: these
+    are exactly the ranges parquet footers carry, so a predicate prunes
+    a file iff its interval misses the file's [min, max] here.  Run it
+    after ``zorder_layout`` (or any re-clustering) to SEE whether the
+    layout actually tightened per-file ranges instead of trusting that
+    it did.
+
+    One scan grouped by ``input_file_name()`` — output is one row per
+    data file (bounded by file count, not rows)."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def skipping_effectiveness(
+    profile: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Given a :func:`file_skipping_profile`, the one-row pruning summary
+    for predicate ``col BETWEEN lo AND hi``: how many files a min/max
+    reader skips outright, and what fraction of rows they held.  The
+    skip test mirrors the reader's: a file survives only if
+    ``[min, max]`` overlaps ``[lo, hi]``."""
+    skippable = (F.col(f"{col}_max") < F.lit(lo)) | (
+        F.col(f"{col}_min") > F.lit(hi)
+    )
+    return profile.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(skippable.cast("long")).cast("bigint").alias("n_skipped"),
+        F.round(
+            F.sum(skippable.cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("file_skip_ratio"),
+        F.round(
+            F.sum(F.when(skippable, F.col("n_rows")).otherwise(0)).cast("double")
+            / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("row_skip_ratio"),
+    )

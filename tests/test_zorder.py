@@ -80,3 +80,35 @@ def test_zorder_guards(spark):
     clash = spark.range(10).selectExpr("id AS x", "id AS __zkey")
     with pytest.raises(ValueError, match="__zkey"):
         zorder_layout(clash, ["x"], bits=8)
+
+
+def test_file_skipping_profile_and_effectiveness(spark, tmp_path):
+    from df_to_azure_spark.operators.zorder import (
+        file_skipping_profile,
+        skipping_effectiveness,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    scattered = str(tmp_path / "scattered")
+    clustered = str(tmp_path / "clustered")
+    # scattered: round-robin layout — every file sees the full custkey range
+    orders.repartition(8).write.parquet(scattered)
+    zorder_layout(orders, ["o_custkey"], num_files=8).write.parquet(clustered)
+
+    lo, hi = 10, 40  # narrow custkey band
+    prof_s = file_skipping_profile(spark, scattered, ["o_custkey"])
+    prof_c = file_skipping_profile(spark, clustered, ["o_custkey"])
+    # the profile is one bounded row per data file with both range ends
+    row = prof_c.limit(1).collect()[0]
+    assert row.n_rows > 0 and row.o_custkey_min <= row.o_custkey_max
+
+    eff_s = skipping_effectiveness(prof_s, "o_custkey", lo, hi).collect()[0]
+    eff_c = skipping_effectiveness(prof_c, "o_custkey", lo, hi).collect()[0]
+    assert eff_s.n_files == 8 and eff_c.n_files == 8
+    # round-robin layout: every file overlaps the band -> nothing skips;
+    # range-clustered layout: the band lives in few files -> most skip
+    assert eff_s.n_skipped == 0
+    assert eff_c.n_skipped >= 4
+    assert eff_c.row_skip_ratio > 0.5
