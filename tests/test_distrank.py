@@ -208,3 +208,20 @@ def test_dense_rank_matches_spark_window(spark):
     n_peers = fam.select("__n_peers").distinct().collect()
     assert len(n_peers) == 1
     assert n_peers[0][0] == df.select("v").distinct().count()
+
+
+def test_two_phase_rank_partition_count_invariance(spark):
+    # the machinery's core contract: results are a pure function of the
+    # data + order spec, NOT of how many range partitions executed it
+    df = _base(spark)
+    outs = []
+    for n_part in (1, 4, 64):
+        got = two_phase_rank(
+            df, [("v", "asc"), ("id", "asc")], sum_col="amt",
+            num_partitions=n_part,
+        )
+        outs.append({
+            r["id"]: (r["__rn"], r["__grp_n"], r["__cum"], r["__grp_sum"])
+            for r in got.collect()
+        })
+    assert outs[0] == outs[1] == outs[2]
