@@ -225,3 +225,11 @@ def test_two_phase_rank_partition_count_invariance(spark):
             for r in got.collect()
         })
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_two_phase_rank_empty_input(spark):
+    df = spark.createDataFrame([], "id: long, v: long, amt: decimal(18,2)")
+    got = two_phase_rank(df, [("v", "asc"), ("id", "asc")], sum_col="amt")
+    assert got.count() == 0
+    fam = with_rank_family(got, ["v"])
+    assert fam.count() == 0

@@ -118,3 +118,13 @@ def test_bm25_topk_ranked_shape(spark):
     assert len(out) == 2  # one row per query at k=1
     assert top[0].neighbor_id == 1 and top[0].rank == 1  # tf winner for x
     assert top[1].neighbor_id == 3                       # tf winner for y
+
+
+def test_bm25_scores_empty_corpus_and_no_matches(spark):
+    empty = spark.createDataFrame([], "doc_id: long, text: string")
+    qt = spark.createDataFrame([(0, "x")], "query_id: long, term: string")
+    assert TXT.bm25_scores(empty, qt).count() == 0
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    # no query term appears anywhere -> empty result, no division errors
+    assert TXT.bm25_scores(docs, qt).count() == 0
+    assert TXT.bm25_topk(docs, qt).count() == 0
