@@ -216,6 +216,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "hybrid_lexical_dense": QuerySpec(
         TD.hybrid_lexical_dense, TD.HYBRID_LEXICAL_DENSE_ORACLE
     ),
+    "hybrid_weighted_rrf": QuerySpec(
+        TD.hybrid_weighted_rrf, TD.HYBRID_WEIGHTED_RRF_ORACLE
+    ),
     "pq_code_invariant": QuerySpec(TD.pq_code_invariant, TD.PQ_INVARIANT_ORACLE),
     "pq_trained_codebooks": QuerySpec(
         TD.pq_trained_codebooks, TD.PQ_TRAINED_ORACLE

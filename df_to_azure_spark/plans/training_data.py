@@ -1739,24 +1739,34 @@ WHERE rank <= 10
 """
 
 
-def _hybrid3_oracle() -> str:
+def _hybrid3_oracle(weights: tuple[float, float, float] | None = None) -> str:
     """Three-leg RRF twin: the two dense ranking CTEs verbatim plus the
-    BM25 leg, identical decimal-summed reciprocal contributions."""
+    BM25 leg, identical decimal-summed reciprocal contributions;
+    ``weights`` mirrors the weighted ``rrf_fuse`` form (w_i DOUBLE-cast
+    before the multiply, exactly as Spark-side)."""
     k_sql = "CAST(60 AS DOUBLE)"
-    contrib = (
-        f"CAST(ROUND(CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)), 12)"
-        " AS DECIMAL(28,12))"
-    )
+
+    def contrib(i: int) -> str:
+        w = (
+            f"CAST({float(weights[i])!r} AS DOUBLE) * "
+            if weights is not None
+            else ""
+        )
+        return (
+            f"CAST(ROUND({w}CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)), 12)"
+            " AS DECIMAL(28,12))"
+        )
+
     return f"""
 WITH exact_r AS ({KNN_ORACLE}),
 lsh_r AS ({_lsh_knn_oracle()}),
 bm25_r AS ({_bm25_rank_oracle()}),
 contrib AS (
-  SELECT query_id, neighbor_id, {contrib} AS c FROM exact_r
+  SELECT query_id, neighbor_id, {contrib(0)} AS c FROM exact_r
   UNION ALL
-  SELECT query_id, neighbor_id, {contrib} AS c FROM lsh_r
+  SELECT query_id, neighbor_id, {contrib(1)} AS c FROM lsh_r
   UNION ALL
-  SELECT query_id, neighbor_id, {contrib} AS c FROM bm25_r
+  SELECT query_id, neighbor_id, {contrib(2)} AS c FROM bm25_r
 ), agg AS (
   SELECT query_id, neighbor_id,
          CAST(COUNT(*) AS BIGINT) AS n_lists,
@@ -1776,3 +1786,26 @@ WHERE rank <= 10
 
 
 HYBRID_LEXICAL_DENSE_ORACLE = _hybrid3_oracle()
+
+
+def hybrid_weighted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted three-leg hybrid: the same rankings as
+    ``hybrid_lexical_dense`` fused with the exact retriever trusted 2:1
+    over the approximate and lexical legs — the weighted-RRF form
+    (``similarity.rrf_fuse(weights=...)``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact_r = SIM.cosine_topk(queries, emb, k=10)
+    lsh_r = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=10)
+    qt = spark.createDataFrame(
+        _hybrid_query_terms(), "query_id: bigint, term: string"
+    )
+    bm25_r = TXT.bm25_topk(docs, qt, k=10, k1=1.2, b=0.75)
+    return SIM.rrf_fuse(
+        [exact_r, lsh_r, bm25_r], k_const=60, topk=10,
+        weights=[2.0, 1.0, 1.0],
+    )
+
+
+HYBRID_WEIGHTED_RRF_ORACLE = _hybrid3_oracle(weights=(2.0, 1.0, 1.0))
