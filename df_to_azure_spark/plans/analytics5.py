@@ -292,3 +292,76 @@ FROM w GROUP BY replica
 
 
 BOOTSTRAP_ORACLE = _bootstrap_oracle()
+
+
+def event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile via Median Absolute Deviation —
+    the standard-deviation-free anomaly screen (a single wild value
+    cannot move the median or the MAD, unlike mean/stddev z-scores):
+    per event_type, ``med = median(value)``, ``mad = median(|v - med|)``,
+    and the count/rate of values beyond ``3 * MAD``.
+
+    Exactness: the medians are ``percentile(…, 0.5)`` — Spark and DuckDB
+    both linear-interpolate, and the interpolation arithmetic on
+    identical doubles is bit-identical — and the only other fp ops are
+    one subtraction, one |·|, and one multiply-by-CAST(3 AS DOUBLE)
+    comparison per row, applied to identical inputs in both engines;
+    outputs ROUND(6).
+
+    Scale shape: two grouped percentile aggregations (group cardinality
+    rows each) + two broadcast-joins of those tiny per-group stats back
+    onto the event scan — no window, no global ordering, the scan is
+    read twice (once per median level, the honest cost of an exact
+    two-level median)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.expr("abs(value - med)").alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (F.col("adev") > F.expr("CAST(3 AS DOUBLE)") * F.col("mad"))
+        .cast("long")
+        .alias("is_outlier"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("ROUND(MIN(med), 6)").alias("median_value"),
+        F.expr("ROUND(MIN(mad), 6)").alias("mad_value"),
+        F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+        F.expr(
+            "ROUND(CAST(SUM(is_outlier) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("outlier_rate"),
+    )
+
+
+MAD_OUTLIERS_ORACLE = """
+WITH ev AS (
+  SELECT event_type, value FROM events
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM ev e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+), flagged AS (
+  SELECT d.event_type, d.med, m.mad,
+         CASE WHEN d.adev > CAST(3 AS DOUBLE) * m.mad THEN 1 ELSE 0 END AS is_outlier
+  FROM dev d JOIN mad m USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(med), 6) AS median_value,
+       ROUND(MIN(mad), 6) AS mad_value,
+       CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(is_outlier) AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+FROM flagged GROUP BY event_type
+"""

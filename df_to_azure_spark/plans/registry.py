@@ -409,6 +409,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bootstrap_order_price_means": QuerySpec(
         A5.bootstrap_order_price_means, A5.BOOTSTRAP_ORACLE
     ),
+    "event_mad_outliers": QuerySpec(
+        A5.event_mad_outliers, A5.MAD_OUTLIERS_ORACLE
+    ),
     # --- training-data wave 2 ---
     "doc_shared_spans": QuerySpec(
         TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
