@@ -365,3 +365,79 @@ SELECT event_type,
        ROUND(CAST(SUM(is_outlier) AS DOUBLE) / COUNT(*), 6) AS outlier_rate
 FROM flagged GROUP BY event_type
 """
+
+
+def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus Pearson correlation of quantity vs extended price
+    from closed-form EXACT sums — the portable twin of Spark's
+    ``corr()`` aggregate, which (like any streaming-float moment
+    estimator) is partition-order-dependent in its low bits and so can
+    never hash-match another engine.
+
+    Same policy as ``nation_revenue_trend``: the five sufficient sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL products of the
+    2-dp-cast inputs — exact and order-independent — and the correlation
+    is ONE double expression per output row over those sums (every term
+    CAST to DOUBLE first; sqrt is IEEE-correctly-rounded in both
+    engines), ROUND(6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.expr("CAST(l_quantity AS DECIMAL(18,2))").alias("x"),
+        F.expr("CAST(l_extendedprice AS DECIMAL(18,2))").alias("y"),
+    )
+    s = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(CAST(x * y AS DECIMAL(38,4)))").alias("sxy"),
+        F.expr("SUM(CAST(x * x AS DECIMAL(38,4)))").alias("sxx"),
+        F.expr("SUM(CAST(y * y AS DECIMAL(38,4)))").alias("syy"),
+    )
+    corr = (
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+    )
+    cov = (
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)"
+    )
+    return s.select(
+        "l_linestatus",
+        "n",
+        F.expr(corr).alias("corr_qty_price"),
+        F.expr(cov).alias("cov_qty_price"),
+    )
+
+
+QTY_PRICE_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+  FROM (SELECT l_linestatus,
+               CAST(l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem)
+  GROUP BY l_linestatus
+)
+SELECT l_linestatus, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov_qty_price
+FROM s
+"""

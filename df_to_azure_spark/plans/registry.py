@@ -412,6 +412,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_mad_outliers": QuerySpec(
         A5.event_mad_outliers, A5.MAD_OUTLIERS_ORACLE
     ),
+    "quantity_price_correlation": QuerySpec(
+        A5.quantity_price_correlation, A5.QTY_PRICE_CORR_ORACLE
+    ),
     # --- training-data wave 2 ---
     "doc_shared_spans": QuerySpec(
         TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
