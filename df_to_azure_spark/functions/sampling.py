@@ -185,3 +185,55 @@ def token_budget_sample(
     return cum.where(
         F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
     ).drop("__h")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via
+    exponential keys (Efraimidis & Spirakis, IPL 2006): each row draws
+    ``u ∈ (0,1)`` from the md5 hash of its id (engine-portable, no RNG
+    state) and scores ``key = ln(u) / w``; the ``k`` LARGEST keys win —
+    equivalent to ``u^(1/w)`` ranking but numerically tame.  Rows with
+    weight proportional to ``w`` are picked exactly as often as true
+    weighted reservoir sampling, and the whole draw is reproducible on
+    any cluster AND in a SQL oracle.
+
+    Exactness: ``u`` is an exact 32-bit integer from the hash over an
+    exact power-of-two divisor; one ROUND(12) after the LN (the one
+    transcendental), ROUND(10) after the division by the double weight.
+    Plan: a scan projection + one top-k (TakeOrderedAndProject) — no
+    shuffle beyond the limit's partial ordering; weights ≤ 0 are
+    excluded (zero-weight rows must never be sampled).
+
+    Returns the winning rows with ``samp_key`` appended, ranked 1..k.
+    """
+    from pyspark.sql import Window as W
+
+    c = F.col(id_col)
+    w_c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("double") + F.lit(1.0)
+    ) / F.lit(float(2 ** 32))
+    key = F.expr(
+        "ROUND(ROUND(LN(__u), 12) / CAST(__w AS DOUBLE), 10)"
+    )
+    scored = (
+        df.withColumn("__u", u)
+        .withColumn("__w", w_c.cast("double"))
+        .where(F.col("__w") > 0)
+        .withColumn("samp_key", key)
+        .drop("__u", "__w")
+    )
+    # top-k via sort+limit -> TakeOrderedAndProject (per-partition heaps,
+    # driver merges k rows) — NOT a global window; the rank window below
+    # runs over the already-limited k-row frame, bounded by the parameter
+    topk = scored.orderBy(F.desc("samp_key"), c).limit(int(k))
+    win = W.orderBy(F.desc("samp_key"), c)
+    return topk.withColumn(
+        "samp_rank", F.row_number().over(win).cast("bigint")
+    )

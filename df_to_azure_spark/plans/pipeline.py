@@ -1406,3 +1406,37 @@ SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
 GROUP BY a.source, b.source
 """
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted document sample (50 docs, weight = n_chars)
+    via deterministic Efraimidis-Spirakis exponential keys — the sampler
+    a data-mix pipeline points at DSIR/quality weights; see
+    ``sampling.weighted_sample_topk`` for the exactness and
+    TakeOrderedAndProject plan notes."""
+    from df_to_azure_spark.functions.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(docs, "n_chars", k=50).select(
+        "doc_id", "n_chars", "samp_key", "samp_rank"
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         ROUND(ROUND(LN(u), 12) / w, 10) AS samp_key
+  FROM (SELECT doc_id, n_chars,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  ::DOUBLE + CAST(1 AS DOUBLE)) / CAST(4294967296 AS DOUBLE) AS u,
+               CAST(n_chars AS DOUBLE) AS w
+        FROM documents)
+  WHERE w > 0
+)
+SELECT doc_id, n_chars, samp_key,
+       CAST(row_number() OVER (ORDER BY samp_key DESC, doc_id) AS BIGINT)
+         AS samp_rank
+FROM scored
+ORDER BY samp_key DESC, doc_id
+LIMIT 50
+"""

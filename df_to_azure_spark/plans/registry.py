@@ -294,6 +294,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_bigram_surprisal": QuerySpec(
         PL.doc_bigram_surprisal, PL.BIGRAM_SURPRISAL_ORACLE
     ),
+    "weighted_doc_sample": QuerySpec(
+        PL.weighted_doc_sample, PL.WEIGHTED_SAMPLE_ORACLE
+    ),
     "doc_unigram_surprisal": QuerySpec(
         PL.doc_unigram_surprisal, PL.UNIGRAM_SURPRISAL_ORACLE
     ),

@@ -115,3 +115,27 @@ def test_token_budget_sample_reaches_budget_deterministically(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_weighted_sample_topk_bias_and_determinism(spark):
+    from df_to_azure_spark.functions.sampling import weighted_sample_topk
+
+    # 200 light rows (w=1) + 20 heavy rows (w=100): heavy rows are 100x
+    # likelier per E-S, so they must dominate a k=20 draw
+    rows = [(i, 1.0) for i in range(200)] + [(1000 + i, 100.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    out = weighted_sample_topk(df, "w", k=20, id_col="doc_id").collect()
+    assert len(out) == 20
+    heavy = sum(1 for r in out if r.doc_id >= 1000)
+    assert heavy >= 14  # deterministic draw; heavily biased to weight
+    # deterministic: second run identical
+    out2 = weighted_sample_topk(df, "w", k=20, id_col="doc_id").collect()
+    assert [(r.doc_id, r.samp_rank) for r in out] == [
+        (r.doc_id, r.samp_rank) for r in out2
+    ]
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 1.0)], "doc_id: long, w: double"
+    )
+    picked = weighted_sample_topk(df2, "w", k=3, id_col="doc_id").collect()
+    assert [r.doc_id for r in picked] == [3]
