@@ -1440,3 +1440,99 @@ FROM scored
 ORDER BY samp_key DESC, doc_id
 LIMIT 50
 """
+
+
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats) of each source's unigram
+    distribution against the whole-corpus distribution — the standard
+    distribution-drift screen over a mixed training corpus ("which
+    source is most off-distribution?").  JSD is symmetric and bounded
+    (≤ ln 2), so the per-source scores are directly comparable.
+
+    The KL(corpus||mixture) mass on tokens a source never emits needs no
+    per-source vocabulary expansion: for absent tokens m = q/2, so the
+    contribution is exactly q·ln 2 — computed analytically as
+    ``(1 − Σ_present q) · ln 2``.  Everything else runs over the
+    (source, token) PRESENT pairs only.
+
+    Exactness policy: probabilities are identical double divisions of
+    exact counts in both engines; ROUND(12) after each LN (the only
+    transcendental — including the ln 2 constant itself) and per-term
+    products ROUND(12) into DECIMAL(28,12) before the per-source sums,
+    so aggregation order never matters; output ROUND(6).
+
+    Scale: one token explode → (source, token) counts (map-side
+    combined); global token counts AGGREGATE FROM that frame (no second
+    scan); per-source totals broadcast back.  Shuffles are keyed on
+    token and source — nothing global, nothing driver-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TXT.tokens("text")).alias("tok"))
+    cs = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    ns = cs.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    cg = cs.groupBy("tok").agg(F.sum("c_s").alias("c_g"))
+    n_tot = ns.agg(F.sum("n_s").alias("n_g"))
+    j = (
+        cs.join(cg, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .selectExpr(
+            "source",
+            "n_s",
+            "CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE) AS p",
+            "CAST(c_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS q",
+        )
+        .selectExpr(
+            "source",
+            "n_s",
+            "CAST(ROUND(p * ROUND(LN(p / ((p + q) / CAST(2 AS DOUBLE))), 12), 12)"
+            " AS DECIMAL(28,12)) AS a",
+            "CAST(ROUND(q * ROUND(LN(q / ((p + q) / CAST(2 AS DOUBLE))), 12), 12)"
+            " AS DECIMAL(28,12)) AS b",
+            "CAST(ROUND(q, 12) AS DECIMAL(28,12)) AS qm",
+        )
+    )
+    ln2 = "ROUND(LN(CAST(2 AS DOUBLE)), 12)"
+    return j.groupBy("source").agg(
+        F.expr("CAST(MIN(n_s) AS BIGINT)").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.expr(
+            "ROUND(CAST(0.5 AS DOUBLE) * (CAST(SUM(a) AS DOUBLE)"
+            " + CAST(SUM(b) AS DOUBLE)"
+            f" + (CAST(1 AS DOUBLE) - CAST(SUM(qm) AS DOUBLE)) * {ln2}), 6)"
+        ).alias("jsd_nats"),
+    )
+
+
+SOURCE_JSD_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+), cs AS (
+  SELECT source, tok, COUNT(*) AS c_s FROM toks GROUP BY source, tok
+), ns AS (
+  SELECT source, SUM(c_s) AS n_s FROM cs GROUP BY source
+), cg AS (
+  SELECT tok, SUM(c_s) AS c_g FROM cs GROUP BY tok
+), n_tot AS (
+  SELECT SUM(n_s) AS n_g FROM ns
+), pq AS (
+  SELECT cs.source, ns.n_s,
+         CAST(cs.c_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS p,
+         CAST(cg.c_g AS DOUBLE) / CAST(n_tot.n_g AS DOUBLE) AS q
+  FROM cs JOIN cg USING (tok) JOIN ns USING (source) CROSS JOIN n_tot
+), terms AS (
+  SELECT source, n_s,
+         CAST(ROUND(p * ROUND(LN(p / ((p + q) / CAST(2 AS DOUBLE))), 12), 12)
+              AS DECIMAL(28,12)) AS a,
+         CAST(ROUND(q * ROUND(LN(q / ((p + q) / CAST(2 AS DOUBLE))), 12), 12)
+              AS DECIMAL(28,12)) AS b,
+         CAST(ROUND(q, 12) AS DECIMAL(28,12)) AS qm
+  FROM pq
+)
+SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(CAST(0.5 AS DOUBLE) * (CAST(SUM(a) AS DOUBLE)
+             + CAST(SUM(b) AS DOUBLE)
+             + (CAST(1 AS DOUBLE) - CAST(SUM(qm) AS DOUBLE))
+               * ROUND(LN(CAST(2 AS DOUBLE)), 12)), 6) AS jsd_nats
+FROM terms GROUP BY source
+"""

@@ -297,6 +297,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_doc_sample": QuerySpec(
         PL.weighted_doc_sample, PL.WEIGHTED_SAMPLE_ORACLE
     ),
+    "source_js_divergence": QuerySpec(
+        PL.source_js_divergence, PL.SOURCE_JSD_ORACLE
+    ),
     "doc_unigram_surprisal": QuerySpec(
         PL.doc_unigram_surprisal, PL.UNIGRAM_SURPRISAL_ORACLE
     ),
