@@ -10,12 +10,25 @@ no-length-normalization edge.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import given, settings, strategies as st
 
 from df_to_azure_spark.functions.text import bm25_scores
 
 WORDS = ["x", "y", "z"]
+
+
+def _round_hu(x: float, nd: int) -> Decimal:
+    """Mirror Spark's ROUND(double, nd): BigDecimal.valueOf uses the
+    shortest decimal repr of the double (== Python repr), then
+    setScale(nd, HALF_UP).  Python's built-in round() is banker's
+    (ties-to-even) and diverges at exact …5 boundaries — hypothesis
+    found one: docs [[y],[y],[y,y]], q=[y], (k1=2, b=0) sums to exactly
+    0.2002965, Spark → .200297, round() → .200296."""
+    return Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+    )
 
 DOCS = st.lists(
     st.lists(st.sampled_from(WORDS), min_size=1, max_size=12),
@@ -32,7 +45,8 @@ PARAMS = st.sampled_from([(1.2, 0.75), (2.0, 0.0), (0.5, 1.0)])
 
 def _ref_bm25(docs, queries, k1, b):
     """Quadratic reference: same idf variant, same rounding ladder
-    (ROUND 6 after LN, ROUND 12 per term, ROUND 6 per score)."""
+    (ROUND 6 after LN, ROUND 12 per term → exact decimal sum, ROUND 6
+    per score) — bit-exact vs the operator, so equality is strict."""
     n = len(docs)
     avgdl = sum(len(d) for d in docs) / n
     out = {}
@@ -44,15 +58,26 @@ def _ref_bm25(docs, queries, k1, b):
                 if tf == 0:
                     continue
                 dft = sum(1 for d in docs if t in d)
-                idf = round(math.log(1 + (n - dft + 0.5) / (dft + 0.5)), 6)
-                w = round(
+                idf = float(
+                    _round_hu(math.log(1 + (n - dft + 0.5) / (dft + 0.5)), 6)
+                )
+                w = _round_hu(
                     idf * (tf * (k1 + 1.0))
                     / (tf + k1 * (1.0 - b + b * len(toks) / avgdl)),
                     12,
                 )
                 ws.append(w)
             if ws:
-                out[(qid, did)] = (len(ws), round(float(sum(ws)), 6))
+                total = sum(ws, Decimal(0))  # exact decimal sum, as the
+                # operator's DECIMAL(28,12) SUM — then one HALF_UP round
+                out[(qid, did)] = (
+                    len(ws),
+                    float(
+                        total.quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                )
     return out
 
 
@@ -76,6 +101,5 @@ def test_bm25_scores_match_quadratic_reference(spark, docs, queries, params):
     assert set(got) == set(exp)
     for key in exp:
         assert got[key][0] == exp[key][0], (key, got[key], exp[key])
-        # per-term weights are ROUND(12)-decimal-summed in the operator vs
-        # float-summed here: agreement to 1e-9 then the final ROUND(6)
-        assert abs(got[key][1] - exp[key][1]) < 1e-6, (key, got[key], exp[key])
+        # both sides ROUND(12)-decimal-sum then HALF_UP ROUND(6): exact
+        assert got[key][1] == exp[key][1], (key, got[key], exp[key])
