@@ -441,3 +441,166 @@ SELECT l_linestatus, n,
          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov_qty_price
 FROM s
 """
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream: users are
+    assigned to the week of their FIRST event (cohort), and each
+    (cohort, weeks-since-cohort) cell counts how many of that cohort's
+    users were active that week, plus the retention ratio — the standard
+    product-analytics triangle view.
+
+    Week index is an exact integer (`floor(days_since_epoch_anchor/7)`)
+    rather than `date_trunc('week')`, so both engines bucket timestamps
+    identically with no week-start convention in play.
+
+    Scale: distinct (user, week) pairs first (map-side combined — the
+    frame shrinks to |users|×|weeks| before anything else), one groupBy
+    user for cohorts, one groupBy (cohort, offset) for the matrix;
+    cohort sizes are a tiny broadcast (≤ |weeks| rows).  No windows, no
+    driver-sized collects — every shuffle is keyed on user or cohort."""
+    wk = (
+        "CAST(FLOOR(CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS DOUBLE)"
+        " / 7.0) AS INT)"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(wk).alias("wk")
+    )
+    uw = ev.distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.expr(
+            "ROUND(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)"
+        ).alias("retention"),
+    )
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                         AS DOUBLE) / 7.0) AS INT) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+), sizes AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_wk
+), act AS (
+  SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM uw JOIN cohort c USING (user_id)
+  GROUP BY c.cohort_wk, uw.wk - c.cohort_wk
+)
+SELECT a.cohort_wk, a.week_offset, a.n_active, s.cohort_size,
+       ROUND(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+         AS retention
+FROM act a JOIN sizes s USING (cohort_wk)
+"""
+
+
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-step funnel (signup → first click AFTER
+    signup → first purchase AFTER that click) with per-step conversion
+    rates — the order-sensitive funnel a sessionized event log is
+    usually asked for first.  A user who purchased before clicking, or
+    clicked before signing up, does NOT advance: each stage joins on the
+    previous stage's timestamp and keeps only later events.
+
+    Scale: three filtered groupBys on user_id (each a keyed shuffle of
+    the filtered slice only) chained by broadcast-friendly joins on
+    user_id; the final rate row is a crossJoin of four 1-row aggregates
+    (broadcast, bounded).  Rates are one double division of exact
+    counts, ROUND(6)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    tot = ev.agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"))
+    ns = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_after"))
+    return (
+        tot.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_users",
+            "n_signup",
+            "n_click_after",
+            "n_purchase_after",
+            F.expr(
+                "ROUND(CAST(n_signup AS DOUBLE) / CAST(n_users AS DOUBLE), 6)"
+            ).alias("signup_rate"),
+            F.expr(
+                "ROUND(CAST(n_click_after AS DOUBLE)"
+                " / CAST(n_signup AS DOUBLE), 6)"
+            ).alias("click_rate"),
+            F.expr(
+                "ROUND(CAST(n_purchase_after AS DOUBLE)"
+                " / CAST(n_click_after AS DOUBLE), 6)"
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.s_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after,
+  ROUND(CAST((SELECT COUNT(*) FROM s) AS DOUBLE)
+    / CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS DOUBLE), 6)
+    AS signup_rate,
+  ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+    / CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6) AS click_rate,
+  ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS purchase_rate
+"""

@@ -421,6 +421,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "quantity_price_correlation": QuerySpec(
         A5.quantity_price_correlation, A5.QTY_PRICE_CORR_ORACLE
     ),
+    "user_retention_cohorts": QuerySpec(
+        A5.user_retention_cohorts, A5.RETENTION_COHORTS_ORACLE
+    ),
+    "event_funnel_conversion": QuerySpec(
+        A5.event_funnel_conversion, A5.FUNNEL_ORACLE
+    ),
     # --- training-data wave 2 ---
     "doc_shared_spans": QuerySpec(
         TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
