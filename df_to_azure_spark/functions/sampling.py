@@ -237,3 +237,49 @@ def weighted_sample_topk(
     return topk.withColumn(
         "samp_rank", F.row_number().over(win).cast("bigint")
     )
+
+
+def weighted_sample_topk_grouped(
+    df: DataFrame,
+    group_col: str,
+    weight_col: Column | str,
+    k_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling WITHOUT replacement:
+    the Efraimidis-Spirakis exponential key of ``weighted_sample_topk``
+    (``ln(u)/w`` on an md5-derived exact uniform), ranked WITHIN each
+    group — the stratified form a data-mix pipeline uses to draw a
+    weighted quota from every source/language/shard at once.
+
+    Same exactness ladder as the global sampler (exact 32-bit uniform,
+    ROUND(12) after the one LN, ROUND(10) after the weight division).
+
+    Plan: ONE hash shuffle on ``group_col`` and a group-partitioned
+    rank window — no global ordering anywhere, so this scales with the
+    number of groups × k, not with data size (contrast the global
+    sampler's TakeOrderedAndProject, which funnels k rows to the
+    driver).  Weights ≤ 0 are excluded as in the global form."""
+    from pyspark.sql import Window as W
+
+    c = F.col(id_col)
+    w_c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("double") + F.lit(1.0)
+    ) / F.lit(float(2 ** 32))
+    key = F.expr("ROUND(ROUND(LN(__u), 12) / CAST(__w AS DOUBLE), 10)")
+    scored = (
+        df.withColumn("__u", u)
+        .withColumn("__w", w_c.cast("double"))
+        .where(F.col("__w") > 0)
+        .withColumn("samp_key", key)
+        .drop("__u", "__w")
+    )
+    win = W.partitionBy(group_col).orderBy(F.desc("samp_key"), c)
+    return (
+        scored.withColumn(
+            "samp_rank", F.row_number().over(win).cast("bigint")
+        )
+        .where(F.col("samp_rank") <= int(k_per_group))
+    )

@@ -1536,3 +1536,43 @@ SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
                * ROUND(LN(CAST(2 AS DOUBLE)), 12)), 6) AS jsd_nats
 FROM terms GROUP BY source
 """
+
+
+def source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified importance-weighted sample: 5 documents PER SOURCE,
+    weight = n_chars, drawn with the per-group Efraimidis-Spirakis
+    sampler — the quota-per-shard draw next to the global
+    ``weighted_doc_sample``; see ``sampling.weighted_sample_topk_grouped``
+    for the plan notes (one keyed shuffle, group-partitioned window,
+    never a global order)."""
+    from df_to_azure_spark.functions.sampling import weighted_sample_topk_grouped
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_topk_grouped(
+        docs, "source", "n_chars", k_per_group=5
+    ).select("source", "samp_rank", "doc_id", "n_chars", "samp_key")
+
+
+SOURCE_WEIGHTED_SAMPLE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(ROUND(LN(u), 12) / w, 10) AS samp_key
+  FROM (SELECT doc_id, source, n_chars,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  ::DOUBLE + CAST(1 AS DOUBLE)) / CAST(4294967296 AS DOUBLE) AS u,
+               CAST(n_chars AS DOUBLE) AS w
+        FROM documents)
+  WHERE w > 0
+)
+SELECT source, samp_rank, doc_id, n_chars, samp_key
+FROM (
+  SELECT source, doc_id, n_chars, samp_key,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY samp_key DESC, doc_id
+         ) AS BIGINT) AS samp_rank
+  FROM scored
+)
+WHERE samp_rank <= 5
+"""

@@ -297,6 +297,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_doc_sample": QuerySpec(
         PL.weighted_doc_sample, PL.WEIGHTED_SAMPLE_ORACLE
     ),
+    "source_weighted_sample": QuerySpec(
+        PL.source_weighted_sample, PL.SOURCE_WEIGHTED_SAMPLE_ORACLE
+    ),
     "source_js_divergence": QuerySpec(
         PL.source_js_divergence, PL.SOURCE_JSD_ORACLE
     ),
