@@ -1576,3 +1576,106 @@ FROM (
 )
 WHERE samp_rank <= 5
 """
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) for the top-200 terms, via the closed-form normal
+    equations — the one-number power-law health check (slope ≈ −1 for
+    natural text; a flat slope flags templated/boilerplate corpora).
+
+    Exactness: rank is deterministic (count DESC, term ASC; the top-200
+    cut inherits that order), ln(rank)/ln(count) are ROUND(12) after
+    the transcendental, per-row products ROUND(12) → DECIMAL(28,12)
+    before the sums (order-free), and slope/intercept/r² are single
+    double expressions over the exact sums, ROUND(6).
+
+    Scale: token explode → one (term) count agg (map-side combined) →
+    top-200 via sort+limit = TakeOrderedAndProject (per-partition
+    heaps, 200 rows to the driver — parameter-bounded, never
+    data-bounded); the rank window and the final scalar agg run over
+    those 200 rows only."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("tok")).limit(200)
+    w = W.orderBy(F.desc("freq"), F.asc("tok"))  # 200-row frame: bounded
+    xy = top.withColumn("rank", F.row_number().over(w)).selectExpr(
+        "ROUND(LN(CAST(rank AS DOUBLE)), 12) AS x",
+        "ROUND(LN(CAST(freq AS DOUBLE)), 12) AS y",
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.expr("SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12)))").alias("sx"),
+        F.expr("SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12)))").alias("sy"),
+        F.expr("SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12)))").alias("sxy"),
+        F.expr("SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12)))").alias("sxx"),
+        F.expr("SUM(CAST(ROUND(y * y, 12) AS DECIMAL(28,12)))").alias("syy"),
+    )
+    det = (
+        "(CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    num = (
+        "(CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return s.select(
+        "n_terms",
+        F.expr(f"ROUND({num} / {det}, 6)").alias("zipf_slope"),
+        F.expr(
+            f"ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            f" - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) / {det}, 6)"
+        ).alias("zipf_intercept"),
+        F.expr(
+            f"ROUND({num} * {num} / ({det}"
+            " * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+        ).alias("r2"),
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+), top AS (
+  SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT 200
+), xy AS (
+  SELECT ROUND(LN(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)), 12) AS x,
+         ROUND(LN(CAST(freq AS DOUBLE)), 12) AS y
+  FROM top
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(ROUND(y * y, 12) AS DECIMAL(28,12))) AS syy
+  FROM xy
+)
+SELECT n_terms,
+  ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+  ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_intercept,
+  ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM s
+"""

@@ -300,6 +300,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_weighted_sample": QuerySpec(
         PL.source_weighted_sample, PL.SOURCE_WEIGHTED_SAMPLE_ORACLE
     ),
+    "zipf_fit": QuerySpec(PL.zipf_fit, PL.ZIPF_FIT_ORACLE),
     "source_js_divergence": QuerySpec(
         PL.source_js_divergence, PL.SOURCE_JSD_ORACLE
     ),
