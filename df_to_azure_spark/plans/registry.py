@@ -209,6 +209,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivf_knn": QuerySpec(TD.ivf_knn, TD.IVF_KNN_ORACLE),
     "pq_adc_knn": QuerySpec(TD.pq_adc_knn, TD.PQ_ADC_ORACLE),
     "pq_rerank_knn": QuerySpec(TD.pq_rerank_knn, TD.PQ_RERANK_ORACLE),
+    "sq8_rerank_knn": QuerySpec(TD.sq8_rerank_knn, TD.SQ8_RERANK_ORACLE),
     "mmr_rerank_knn": QuerySpec(
         TD.mmr_rerank_knn, TD.MMR_RERANK_ORACLE, headline=True
     ),

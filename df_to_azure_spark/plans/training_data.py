@@ -1809,3 +1809,84 @@ def hybrid_weighted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYBRID_WEIGHTED_RRF_ORACLE = _hybrid3_oracle(weights=(2.0, 1.0, 1.0))
+
+
+def sq8_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN with exact rerank (queries = vec_id<5,
+    shortlist 30 → top 10) — the 4-8x memory-compression tier; see
+    ``similarity.sq8_rerank_topk`` for plan + determinism notes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.sq8_rerank_topk(
+        queries, emb, dim=_NEARDUP_DIM, k=10, shortlist=30
+    )
+
+
+def _sq8_oracle() -> str:
+    d = _NEARDUP_DIM
+    mins = "[" + ", ".join(f"min(cv[{i + 1}])" for i in range(d)) + "]"
+    maxs = "[" + ", ".join(f"max(cv[{i + 1}])" for i in range(d)) + "]"
+    sq8_cos = (
+        f"round({_dot_sql('qv', 'xhat')} / "
+        f"(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('xhat', 'xhat')})), 8)"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), b AS (
+  SELECT {mins} AS mins, {maxs} AS maxs FROM c
+), bs AS (
+  SELECT mins, list_transform(list_zip(maxs, mins), r -> r[1] - r[2]) AS spans
+  FROM b
+), enc AS (
+  SELECT neighbor_id, cv,
+    list_transform(
+      list_zip(list_transform(list_zip(cv, mins), r -> r[1] - r[2]), spans),
+      r -> CAST(CASE WHEN r[2] > CAST(0 AS DOUBLE)
+                THEN LEAST(CAST(255 AS DOUBLE),
+                           GREATEST(CAST(0 AS DOUBLE),
+                                    FLOOR(r[1] * CAST(255 AS DOUBLE) / r[2])))
+                ELSE CAST(0 AS DOUBLE) END AS INT)) AS codes,
+    mins, spans
+  FROM c CROSS JOIN bs
+), dec AS (
+  SELECT neighbor_id, cv,
+    list_transform(
+      list_zip(
+        list_transform(list_zip(codes, spans),
+          r -> (CAST(r[1] AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               * r[2] / CAST(255 AS DOUBLE)),
+        mins),
+      r -> r[1] + r[2]) AS xhat
+  FROM enc
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, neighbor_id, qv, cv, {sq8_cos} AS sq8_sim
+  FROM dec CROSS JOIN q WHERE query_id <> neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id, sq8_sim, {_COS} AS cos_sim
+  FROM (
+    SELECT query_id, neighbor_id, qv, cv, sq8_sim,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY sq8_sim DESC, neighbor_id
+           ) AS srank
+    FROM scored
+  ) WHERE srank <= 30
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim, sq8_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim, sq8_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS rank
+  FROM short
+) WHERE rank <= 10
+"""
+
+
+SQ8_RERANK_ORACLE = _sq8_oracle()
