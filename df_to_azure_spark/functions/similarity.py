@@ -1167,3 +1167,87 @@ def sq8_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim", "sq8_sim")
     )
+
+
+def rp_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 8,
+) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) approximate top-k with
+    exact re-ranking: both sides are projected onto a small set of
+    seeded ±1 hyperplanes (d → len(planes) dims), candidates are
+    shortlisted by cosine IN THE PROJECTED SPACE, and the shortlist is
+    re-scored with exact full-dimension cosine.  Complements the
+    sign-bit LSH tier: LSH quantizes each projection to 1 bit and
+    buckets (sublinear candidate generation), RP keeps the real-valued
+    projections (linear scan over 4x-16x narrower vectors) — the
+    compute-compression story where SQ8 is the memory-compression one.
+
+    The planes are caller-supplied literals (seeded), so projections
+    are pure map-side fused multiply-adds — deterministic sequential
+    folds, bit-identical across engines and partitionings.
+
+    Plan: map-side project on scan (no shuffle), broadcast queries ×
+    corpus, query-partitioned shortlist window, exact cosine on the
+    shortlisted rows (full vectors ride along — no second corpus
+    join), query-partitioned top-k window."""
+    lit_planes = [
+        F.array(*[F.lit(float(v)) for v in p]) for p in planes
+    ]
+
+    def _proj(col: Column) -> Column:
+        return F.array(*[dot(col, lp) for lp in lit_planes])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qp", _proj(F.col("qv")))
+    c = (
+        _spread(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+        )
+        .withColumn("cp", _proj(F.col("cv")))
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "cv",
+            F.round(cosine(F.col("qp"), F.col("cp")), round_digits).alias(
+                "rp_sim"
+            ),
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.desc("rp_sim"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= shortlist)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rp_sim",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim", "rp_sim")
+    )

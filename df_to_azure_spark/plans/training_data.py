@@ -1890,3 +1890,81 @@ FROM (
 
 
 SQ8_RERANK_ORACLE = _sq8_oracle()
+
+
+# Seeded ±1 projection planes (Achlioptas-style sign JL): 16 planes over
+# the 64-dim embeddings, shared as literals by Spark and the oracle so
+# the projections — and therefore the full result — are exactly
+# reproducible across engines.
+_RP_N_PLANES = 16
+
+
+def _rp_planes() -> list[list[float]]:
+    import random
+
+    rng = random.Random(29)
+    return [
+        [float(rng.choice((-1.0, 1.0))) for _ in range(_NEARDUP_DIM)]
+        for _ in range(_RP_N_PLANES)
+    ]
+
+
+def rp_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random-projection ANN (64→16 dims) with
+    exact rerank (queries = vec_id<5, shortlist 30 → top 10) — the
+    compute-compression tier next to SQ8's memory compression; see
+    ``similarity.rp_rerank_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.rp_rerank_topk(
+        queries, emb, _rp_planes(), k=10, shortlist=30
+    )
+
+
+def _rp_oracle() -> str:
+    planes = _rp_planes()
+    lits = [
+        "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        for p in planes
+    ]
+    proj = lambda v: "[" + ", ".join(_dot_sql(v, lit) for lit in lits) + "]"
+    rp_cos = (
+        f"round({_dot_sql('qp', 'cp')} / "
+        f"(sqrt({_dot_sql('qp', 'qp')}) * sqrt({_dot_sql('cp', 'cp')})), 8)"
+    )
+    return f"""
+WITH q AS (
+  SELECT query_id, qv, {proj('qv')} AS qp
+  FROM (SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5)
+), c AS (
+  SELECT neighbor_id, cv, {proj('cv')} AS cp
+  FROM (SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings)
+), scored AS (
+  SELECT query_id, neighbor_id, qv, cv, {rp_cos} AS rp_sim
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id, rp_sim, {_COS} AS cos_sim
+  FROM (
+    SELECT query_id, neighbor_id, qv, cv, rp_sim,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rp_sim DESC, neighbor_id
+           ) AS srank
+    FROM scored
+  ) WHERE srank <= 30
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim, rp_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim, rp_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS rank
+  FROM short
+) WHERE rank <= 10
+"""
+
+
+RP_RERANK_ORACLE = _rp_oracle()

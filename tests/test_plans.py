@@ -61,6 +61,13 @@ BOUNDED_BROADCAST_VARS = {
     "lang_terms",  # 1-row entropy aggregate (documents_dataset_card)
     "max_rev",  # 1-row global max aggregate (q15_top_supplier)
     "stats",  # 1-row corpus N/avgdl aggregate (doc_bm25_scores)
+    "med",  # per-event-type medians — bounded by the type domain (~5)
+    "mad",  # per-event-type MADs — bounded by the type domain (~5)
+    "sizes",  # per-cohort-week user counts — bounded by the week domain
+    "ns",  # 1-row signup count (funnel) / per-source totals (JSD, ~20 rows)
+    "nc",  # 1-row click-after-signup count (event_funnel_conversion)
+    "np_",  # 1-row purchase-after-click count (event_funnel_conversion)
+    "n_tot",  # 1-row corpus token total (source_js_divergence)
 }
 
 
