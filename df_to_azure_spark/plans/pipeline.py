@@ -1679,3 +1679,186 @@ SELECT n_terms,
           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
 FROM s
 """
+
+
+def doc_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model scoring with JELINEK-MERCER interpolation
+    (Jelinek & Mercer 1980; the smoothing Chen-Goodman found strongest
+    for small training sets) — the step past ``doc_bigram_surprisal``'s
+    stupid backoff: instead of falling off a cliff to the next-lower
+    order, every test trigram mixes all three orders,
+    ``p = 0.5·p(w3|w1,w2) + 0.3·p(w3|w2) + 0.2·p(w3)``, so seen AND
+    unseen trigrams land on one smooth scale.  Counts come from the
+    deterministic md5 TRAIN split; the TEST split is scored.
+
+    Exactness: each order's probability is one double division of
+    exact integer counts; the mixture is a fixed left-to-right
+    double expression with CAST literals (no decimal-literal division);
+    ROUND(12) after the one LN; per-trigram nats ROUND(12) →
+    DECIMAL(28,12) before the per-doc sum, so aggregation order never
+    matters; final mean ROUND(6).  Unseen unigrams floor at count 1 so
+    p is never zero.
+
+    Plan: one trigram explode per split; the three train tables are
+    keyed aggregations (ctx2 derived from the trigram table — no extra
+    scan); test scoring is four keyed left joins (AQE broadcasts small
+    sides) + a 1-row total.  Nothing driver-sized."""
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_arr = docs.select("doc_id", "split", TXT.tokens("text").alias("t"))
+    tg = (
+        toks_arr.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "split", "g.w1", "g.w2", "g.w3")
+    )
+    bg = (
+        toks_arr.where(F.size("t") >= 2)
+        .select(
+            "split",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("split", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    tgc = (
+        tg.where(F.col("split") == "train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_tg"))
+    )
+    ctx2 = tgc.groupBy("w1", "w2").agg(F.sum("n_tg").alias("n_ctx2"))
+    bgc = (
+        bg.where(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    ctx1 = bgc.groupBy("w1").agg(F.sum("n_bg").alias("n_ctx1"))
+    uni = (
+        toks_arr.where(F.col("split") == "train")
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    total = uni.agg(F.sum("n_uni").alias("n_total"))
+    test = tg.where(F.col("split") == "test")
+    scored = (
+        test.join(tgc, ["w1", "w2", "w3"], "left")
+        .join(ctx2, ["w1", "w2"], "left")
+        .join(
+            bgc.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), "n_bg"
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(ctx1.select(F.col("w1").alias("w2"), "n_ctx1"), "w2", "left")
+        .join(uni.select(F.col("w").alias("w3"), "n_uni"), "w3", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                "ROUND(-LN("
+                "  CAST(0.5 AS DOUBLE) * (CASE WHEN n_tg IS NOT NULL"
+                "    THEN CAST(n_tg AS DOUBLE) / CAST(n_ctx2 AS DOUBLE)"
+                "    ELSE CAST(0 AS DOUBLE) END)"
+                "  + CAST(0.3 AS DOUBLE) * (CASE WHEN n_bg IS NOT NULL"
+                "    THEN CAST(n_bg AS DOUBLE) / CAST(n_ctx1 AS DOUBLE)"
+                "    ELSE CAST(0 AS DOUBLE) END)"
+                "  + CAST(0.2 AS DOUBLE) * (CAST(coalesce(n_uni, 1) AS DOUBLE)"
+                "    / CAST(n_total AS DOUBLE))"
+                "), 12)"
+            ).alias("nats"),
+            F.expr("IF(n_tg IS NOT NULL, 1, 0)").alias("tri_hit"),
+            F.expr("IF(n_bg IS NOT NULL, 1, 0)").alias("bi_hit"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(nats, 12) AS DECIMAL(28,12)))"
+            " AS DOUBLE) / COUNT(*), 6)"
+        ).alias("mean_surprisal_nats"),
+        F.expr("ROUND(CAST(SUM(tri_hit) AS DOUBLE) / COUNT(*), 6)").alias(
+            "tri_hit_rate"
+        ),
+        F.expr("ROUND(CAST(SUM(bi_hit) AS DOUBLE) / COUNT(*), 6)").alias(
+            "bi_hit_rate"
+        ),
+    )
+
+
+TRIGRAM_SURPRISAL_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_TOKS} AS t,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), tg AS (
+  SELECT doc_id, split, g[1] AS w1, g[2] AS w2, g[3] AS w3
+  FROM (SELECT doc_id, split,
+               unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS g
+        FROM s WHERE len(t) >= 3)
+), bg AS (
+  SELECT split, b[1] AS w1, b[2] AS w2
+  FROM (SELECT split,
+               unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS b
+        FROM s WHERE len(t) >= 2)
+), tgc AS (
+  SELECT w1, w2, w3, COUNT(*) AS n_tg FROM tg WHERE split = 'train'
+  GROUP BY w1, w2, w3
+), ctx2 AS (
+  SELECT w1, w2, SUM(n_tg) AS n_ctx2 FROM tgc GROUP BY w1, w2
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS n_bg FROM bg WHERE split = 'train' GROUP BY w1, w2
+), ctx1 AS (
+  SELECT w1, SUM(n_bg) AS n_ctx1 FROM bgc GROUP BY w1
+), uni AS (
+  SELECT w, COUNT(*) AS n_uni
+  FROM (SELECT unnest(t) AS w FROM s WHERE split = 'train') GROUP BY w
+), total AS (
+  SELECT SUM(n_uni) AS n_total FROM uni
+), scored AS (
+  SELECT g.doc_id,
+    ROUND(-LN(
+      CAST(0.5 AS DOUBLE) * (CASE WHEN tgc.n_tg IS NOT NULL
+        THEN CAST(tgc.n_tg AS DOUBLE) / CAST(ctx2.n_ctx2 AS DOUBLE)
+        ELSE CAST(0 AS DOUBLE) END)
+      + CAST(0.3 AS DOUBLE) * (CASE WHEN b2.n_bg IS NOT NULL
+        THEN CAST(b2.n_bg AS DOUBLE) / CAST(c1.n_ctx1 AS DOUBLE)
+        ELSE CAST(0 AS DOUBLE) END)
+      + CAST(0.2 AS DOUBLE) * (CAST(coalesce(u.n_uni, 1) AS DOUBLE)
+        / CAST(total.n_total AS DOUBLE))
+    ), 12) AS nats,
+    CASE WHEN tgc.n_tg IS NOT NULL THEN 1 ELSE 0 END AS tri_hit,
+    CASE WHEN b2.n_bg IS NOT NULL THEN 1 ELSE 0 END AS bi_hit
+  FROM tg g
+  LEFT JOIN tgc ON g.w1 = tgc.w1 AND g.w2 = tgc.w2 AND g.w3 = tgc.w3
+  LEFT JOIN ctx2 ON g.w1 = ctx2.w1 AND g.w2 = ctx2.w2
+  LEFT JOIN bgc b2 ON g.w2 = b2.w1 AND g.w3 = b2.w2
+  LEFT JOIN ctx1 c1 ON g.w2 = c1.w1
+  LEFT JOIN uni u ON g.w3 = u.w
+  CROSS JOIN total
+  WHERE g.split = 'test'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+  ROUND(CAST(SUM(CAST(ROUND(nats, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_surprisal_nats,
+  ROUND(CAST(SUM(tri_hit) AS DOUBLE) / COUNT(*), 6) AS tri_hit_rate,
+  ROUND(CAST(SUM(bi_hit) AS DOUBLE) / COUNT(*), 6) AS bi_hit_rate
+FROM scored GROUP BY doc_id
+"""

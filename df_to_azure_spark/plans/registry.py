@@ -296,6 +296,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_bigram_surprisal": QuerySpec(
         PL.doc_bigram_surprisal, PL.BIGRAM_SURPRISAL_ORACLE
     ),
+    "doc_trigram_surprisal": QuerySpec(
+        PL.doc_trigram_surprisal, PL.TRIGRAM_SURPRISAL_ORACLE
+    ),
     "weighted_doc_sample": QuerySpec(
         PL.weighted_doc_sample, PL.WEIGHTED_SAMPLE_ORACLE
     ),
