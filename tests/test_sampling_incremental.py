@@ -139,3 +139,41 @@ def test_weighted_sample_topk_bias_and_determinism(spark):
     )
     picked = weighted_sample_topk(df2, "w", k=3, id_col="doc_id").collect()
     assert [r.doc_id for r in picked] == [3]
+
+
+def test_weighted_sample_topk_grouped_quota_and_keys(spark):
+    from df_to_azure_spark.functions.sampling import (
+        weighted_sample_topk,
+        weighted_sample_topk_grouped,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(60)]
+    rows.append((99, "g0", 0.0))  # zero weight: must never be sampled
+    df = spark.createDataFrame(rows, "doc_id: long, grp: string, w: double")
+    out = weighted_sample_topk_grouped(
+        df, "grp", "w", k_per_group=4, id_col="doc_id"
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+        assert r.doc_id != 99
+    assert set(by_grp) == {"g0", "g1", "g2"}
+    for g, rs in by_grp.items():
+        assert sorted(r.samp_rank for r in rs) == [1, 2, 3, 4]
+        # ranks follow the key ordering within the group
+        rs = sorted(rs, key=lambda r: r.samp_rank)
+        keys = [r.samp_key for r in rs]
+        assert keys == sorted(keys, reverse=True)
+    # the per-row exponential key is the SAME as the global sampler's
+    # (one shared sampling design, just ranked within groups)
+    gkeys = {
+        r.doc_id: r.samp_key
+        for r in weighted_sample_topk(df, "w", k=60, id_col="doc_id").collect()
+    }
+    for r in out:
+        assert gkeys[r.doc_id] == r.samp_key
+    # partitioning invariance
+    out2 = weighted_sample_topk_grouped(
+        df.repartition(11), "grp", "w", k_per_group=4, id_col="doc_id"
+    ).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}

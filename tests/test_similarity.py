@@ -327,3 +327,63 @@ def test_rrf_fuse_weights_scale_contributions(spark):
     assert skew[10] == round(round(3/11, 12) + round(1/12, 12), 8)
     with pytest.raises(ValueError, match="must match"):
         S.rrf_fuse([r1, r2], weights=[1.0])
+
+
+def test_sq8_rerank_contract_recall_and_invariance(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    q = emb.where("vec_id < 3")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(q, emb, k=5).collect()
+    }
+    out = S.sq8_rerank_topk(q, emb, dim=64, k=5, shortlist=20).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        assert -1.0001 <= r.sq8_sim <= 1.0001
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    # mid-point-decoded int8 shortlist of 20 must recover most exact top-5
+    assert len(got & exact) >= 0.6 * len(exact)
+    # partitioning invariance: same rows under a different layout
+    out2 = S.sq8_rerank_topk(
+        q, emb.repartition(7), dim=64, k=5, shortlist=20
+    ).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+
+
+def test_rp_rerank_contract_recall_and_invariance(spark, sf_smoke):
+    rng = random.Random(29)
+    planes = [
+        [float(rng.choice((-1.0, 1.0))) for _ in range(64)] for _ in range(16)
+    ]
+    emb = _emb(spark, sf_smoke)
+    q = emb.where("vec_id < 3")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(q, emb, k=5).collect()
+    }
+    out = S.rp_rerank_topk(q, emb, planes, k=5, shortlist=20).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert -1.0001 <= r.cos_sim <= 1.0001
+    # On isotropic synthetic embeddings all pairwise cosines are near 0
+    # with tiny gaps, so a 16-dim JL sketch cannot reliably rank them —
+    # the honest contract is mechanism, not geometry: recall must grow
+    # with the shortlist, and a corpus-covering shortlist IS exact.
+    n = emb.count()
+
+    def recall(shortlist):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.rp_rerank_topk(q, emb, planes, k=5, shortlist=shortlist).collect()
+        }
+        return len(got & exact)
+
+    assert recall(40) >= recall(10)
+    assert recall(n) == len(exact)  # shortlist >= corpus: rerank == exact
+    out2 = S.rp_rerank_topk(
+        q, emb.repartition(5), planes, k=5, shortlist=20
+    ).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
