@@ -604,3 +604,63 @@ SELECT
   ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
     / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS purchase_rate
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: count (previous type → current type) pairs across every
+    user's time-ordered events, and normalize per source type — "after
+    an error, what do users do next?".
+
+    Determinism: the ordering within a user is (ts, event_id), so
+    simultaneous events cannot reorder between engines; probabilities
+    are one double division of exact counts, ROUND(6).
+
+    Scale: ONE shuffle on user_id for the lag window (user streams are
+    the natural partition; no global ordering), then a groupBy on the
+    (from, to) pair — bounded by the type-domain squared (~25 rows out).
+    The per-from totals ride a bounded broadcast join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr(
+            "ROUND(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE), 6)"
+        ).alias("p_trans"),
+    )
+
+
+TRANSITION_MATRIX_ORACLE = """
+WITH pairs AS (
+  SELECT from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM (
+    SELECT user_id, event_type, lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type
+    FROM events
+  )
+  WHERE from_type IS NOT NULL
+  GROUP BY from_type, event_type
+), totals AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+  FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n_trans,
+       ROUND(CAST(p.n_trans AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6)
+         AS p_trans
+FROM pairs p JOIN totals t USING (from_type)
+"""

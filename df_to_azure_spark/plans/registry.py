@@ -436,6 +436,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_funnel_conversion": QuerySpec(
         A5.event_funnel_conversion, A5.FUNNEL_ORACLE
     ),
+    "event_transition_matrix": QuerySpec(
+        A5.event_transition_matrix, A5.TRANSITION_MATRIX_ORACLE
+    ),
     # --- training-data wave 2 ---
     "doc_shared_spans": QuerySpec(
         TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
