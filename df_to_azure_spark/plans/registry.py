@@ -211,6 +211,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pq_rerank_knn": QuerySpec(TD.pq_rerank_knn, TD.PQ_RERANK_ORACLE),
     "sq8_rerank_knn": QuerySpec(TD.sq8_rerank_knn, TD.SQ8_RERANK_ORACLE),
     "rp_rerank_knn": QuerySpec(TD.rp_rerank_knn, TD.RP_RERANK_ORACLE),
+    "sq8_recall_check": QuerySpec(TD.sq8_recall_check, TD.SQ8_RECALL_ORACLE),
     "mmr_rerank_knn": QuerySpec(
         TD.mmr_rerank_knn, TD.MMR_RERANK_ORACLE, headline=True
     ),

@@ -1968,3 +1968,51 @@ FROM (
 
 
 RP_RERANK_ORACLE = _rp_oracle()
+
+
+def sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the SQ8 quantized search against exact
+    cosine — the accuracy dial a production deployment watches when it
+    trades 4-8x memory for approximate shortlists.  Unlike the PQ
+    tripwire (empty-set contract), this is a STRICT metric query: both
+    rankings are deterministic, so the hit counts themselves hash-match
+    the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(queries, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    sq8 = SIM.sq8_rerank_topk(
+        queries, emb, dim=_NEARDUP_DIM, k=10, shortlist=30
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(sq8, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(
+                "ROUND(CAST(n_hits AS DOUBLE) / CAST(10 AS DOUBLE), 6)"
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+SQ8_RECALL_ORACLE = f"""
+WITH exact_r AS ({KNN_ORACLE}),
+sq8_r AS ({SQ8_RERANK_ORACLE})
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(10 AS DOUBLE), 6) AS recall_at_10
+FROM exact_r e
+LEFT JOIN sq8_r s
+  ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+GROUP BY e.query_id
+"""
