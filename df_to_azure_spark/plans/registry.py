@@ -212,6 +212,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sq8_rerank_knn": QuerySpec(TD.sq8_rerank_knn, TD.SQ8_RERANK_ORACLE),
     "rp_rerank_knn": QuerySpec(TD.rp_rerank_knn, TD.RP_RERANK_ORACLE),
     "sq8_recall_check": QuerySpec(TD.sq8_recall_check, TD.SQ8_RECALL_ORACLE),
+    "ivf_sq8_knn": QuerySpec(TD.ivf_sq8_knn, TD.IVF_SQ8_ORACLE),
     "mmr_rerank_knn": QuerySpec(
         TD.mmr_rerank_knn, TD.MMR_RERANK_ORACLE, headline=True
     ),

@@ -2016,3 +2016,118 @@ LEFT JOIN sq8_r s
   ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
 GROUP BY e.query_id
 """
+
+
+def ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 + exact rerank (C=8 lists, nprobe=2, shortlist 30 →
+    top 10) — the production "IVF,SQ8" index shape where the inverted
+    lists bound WHAT is scanned and the int8 codes bound the BYTES
+    scanned; see ``similarity.ivf_sq8_rerank_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_sq8_rerank_topk(
+        queries, emb, _ivf_centroids(), dim=_NEARDUP_DIM,
+        k=10, nprobe=2, shortlist=30,
+    )
+
+
+def _ivf_sq8_oracle() -> str:
+    d = _NEARDUP_DIM
+    cents = _ivf_centroids()
+    lits = [
+        "CAST([" + ", ".join(repr(x) for x in c) + "] AS DOUBLE[])" for c in cents
+    ]
+    d_cols = ", ".join(
+        f"({_dot_sql('cv', 'cv')} - 2.0 * {_dot_sql('cv', lits[i])}"
+        f" + {repr(float(sum(x * x for x in cents[i])))}) AS d{i}"
+        for i in range(len(cents))
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    values = ", ".join(f"({i}, {lits[i]})" for i in range(len(cents)))
+    mins = "[" + ", ".join(f"min(cv[{i + 1}])" for i in range(d)) + "]"
+    maxs = "[" + ", ".join(f"max(cv[{i + 1}])" for i in range(d)) + "]"
+    sq8_cos = (
+        f"round({_dot_sql('qv', 'xhat')} / "
+        f"(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('xhat', 'xhat')})), 8)"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), b AS (
+  SELECT {mins} AS mins, {maxs} AS maxs FROM c
+), bs AS (
+  SELECT mins, list_transform(list_zip(maxs, mins), r -> r[1] - r[2]) AS spans
+  FROM b
+), enc AS (
+  SELECT neighbor_id, cv,
+    list_transform(
+      list_zip(list_transform(list_zip(cv, mins), r -> r[1] - r[2]), spans),
+      r -> CAST(CASE WHEN r[2] > CAST(0 AS DOUBLE)
+                THEN LEAST(CAST(255 AS DOUBLE),
+                           GREATEST(CAST(0 AS DOUBLE),
+                                    FLOOR(r[1] * CAST(255 AS DOUBLE) / r[2])))
+                ELSE CAST(0 AS DOUBLE) END AS INT)) AS codes,
+    mins, spans
+  FROM c CROSS JOIN bs
+), dec AS (
+  SELECT neighbor_id, cv,
+    list_transform(
+      list_zip(
+        list_transform(list_zip(codes, spans),
+          r -> (CAST(r[1] AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               * r[2] / CAST(255 AS DOUBLE)),
+        mins),
+      r -> r[1] + r[2]) AS xhat
+  FROM enc
+), cd AS (
+  SELECT neighbor_id, cv, xhat, {d_cols} FROM dec
+), ca AS (
+  SELECT neighbor_id, cv, xhat, CAST({case} AS INT) AS cid FROM cd
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qd AS (
+  SELECT query_id, qv, cent.cid,
+         {_dot_sql('qv', 'qv')} - 2.0 * {_dot_sql('qv', 'cent.cv')}
+           + {_dot_sql('cent.cv', 'cent.cv')} AS cdist
+  FROM q CROSS JOIN (VALUES {values}) AS cent(cid, cv)
+), probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY cdist, cid) AS pr
+    FROM qd
+  ) WHERE pr <= 2
+), scored AS (
+  SELECT query_id, neighbor_id, qv, cv, {sq8_cos} AS sq8_sim
+  FROM ca JOIN probes USING (cid)
+  WHERE query_id <> neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id, sq8_sim, {_COS} AS cos_sim
+  FROM (
+    SELECT query_id, neighbor_id, qv, cv, sq8_sim,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY sq8_sim DESC, neighbor_id
+           ) AS srank
+    FROM scored
+  ) WHERE srank <= 30
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim, sq8_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim, sq8_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS rank
+  FROM short
+) WHERE rank <= 10
+"""
+
+
+IVF_SQ8_ORACLE = _ivf_sq8_oracle()
