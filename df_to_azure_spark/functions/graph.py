@@ -312,3 +312,101 @@ def triangle_count(
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
         F.col("n_wedges").cast("bigint").alias("n_wedges"),
     )
+
+
+def triangle_list(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate every triangle once as ``(p, x, y)`` — the same
+    degree-ordered orientation and wedge-closing join as
+    ``triangle_count`` (see there for the scale argument), but keeping
+    the rows instead of aggregating, for per-node statistics."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    w1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "p").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    return wedges.join(closing, ["x", "y"], "left_semi").select("p", "x", "y")
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient
+    ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` (Watts & Strogatz 1998):
+    how close each node's neighborhood is to a clique — the standard
+    community-tightness signal next to the global triangle count.
+
+    Plan: one triangle enumeration (degree-ordered, wedge-bounded — see
+    ``triangle_count``), explode each triangle's three corners, ONE
+    count per node, left join back to the degree table (nodes in no
+    triangle get 0).  All shuffles are keyed on node id; the division
+    is one double expression over exact counts, ROUND(6); deg<2 nodes
+    define lcc = 0."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tris = triangle_list(edges, src, dst)
+    tri_nodes = (
+        tris.select(
+            F.explode(F.array(F.col("p"), F.col("x"), F.col("y"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+        )
+        .withColumn(
+            "lcc",
+            F.expr(
+                "CASE WHEN deg >= 2 THEN"
+                " ROUND(CAST(2 AS DOUBLE) * CAST(n_tri AS DOUBLE)"
+                " / (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)), 6)"
+                " ELSE CAST(0 AS DOUBLE) END"
+            ),
+        )
+    )

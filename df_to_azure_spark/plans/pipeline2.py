@@ -1605,3 +1605,67 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
        ROUND(CAST(SUM(w) AS DOUBLE), 6) AS bm25
 FROM terms GROUP BY doc_id
 """
+
+
+def part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the co-purchase graph
+    (``graph.local_clustering_coefficient``): parts whose co-purchase
+    neighborhoods are near-cliques anchor coherent product communities;
+    low-lcc high-degree parts are cross-category hubs.  Same capped,
+    min-support edge build as ``part_pagerank``; the SQL twin replays
+    the degree-ordered triangle enumeration exactly."""
+    from df_to_azure_spark.functions.graph import local_clustering_coefficient
+
+    return local_clustering_coefficient(
+        _part_edges(spark, sf_dir).localCheckpoint()
+    )
+
+
+PART_CLUSTERING_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_PR_MAX_BASKET}
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+), und AS (
+  SELECT pa AS a, pb AS b FROM pairs
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+), ori AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node
+), wed AS (
+  SELECT w1.u AS p, w1.v AS x, w2.v AS y
+  FROM ori w1 JOIN ori w2 ON w1.u = w2.u AND w1.v < w2.v
+), tri AS (
+  SELECT p, x, y FROM wed w
+  WHERE EXISTS (SELECT 1 FROM ori c
+                WHERE least(c.u, c.v) = w.x AND greatest(c.u, c.v) = w.y)
+), tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT p AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d.deg >= 2 THEN
+         ROUND(CAST(2 AS DOUBLE) * CAST(COALESCE(tn.n_tri, 0) AS DOUBLE)
+               / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)), 6)
+       ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM deg d LEFT JOIN tn ON d.node = tn.node
+"""

@@ -488,6 +488,9 @@ REGISTRY: dict[str, QuerySpec] = {
         PL2.orders_expectations, PL2.EXPECTATIONS_ORACLE
     ),
     "part_triangles": QuerySpec(PL2.part_triangles, PL2.PART_TRIANGLES_ORACLE),
+    "part_clustering_coeff": QuerySpec(
+        PL2.part_clustering_coeff, PL2.PART_CLUSTERING_ORACLE
+    ),
     "supplier_hierarchy_rollup": QuerySpec(
         PL2.supplier_hierarchy_rollup, PL2.HIERARCHY_ORACLE
     ),
