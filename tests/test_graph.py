@@ -78,3 +78,32 @@ def test_triangle_count_known_graphs(spark):
     assert run(k4)[0] == 4
     # direction/duplicate robustness: both directions listed, same answer
     assert run([(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]) == (1, 1)
+
+
+def test_local_clustering_coefficient_known_graphs(spark):
+    from df_to_azure_spark.functions.graph import (
+        local_clustering_coefficient,
+        triangle_list,
+    )
+
+    # triangle with a pendant node 4 hanging off node 1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    tris = {tuple(sorted((r.p, r.x, r.y))) for r in triangle_list(e).collect()}
+    assert tris == {(1, 2, 3)}
+    lcc = {r.node: (r.deg, r.n_tri, r.lcc) for r in
+           local_clustering_coefficient(e).collect()}
+    assert lcc[2] == (2, 1, 1.0) and lcc[3] == (2, 1, 1.0)
+    # node 1: deg 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert lcc[1] == (3, 1, 0.333333)
+    # pendant: deg 1 -> lcc defined as 0, no triangles
+    assert lcc[4] == (1, 0, 0.0)
+
+    # K4: every node deg 3, 3 incident triangles -> lcc 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    for r in local_clustering_coefficient(k4).collect():
+        assert (r.deg, r.n_tri, r.lcc) == (3, 3, 1.0)
