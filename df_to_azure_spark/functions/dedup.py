@@ -793,3 +793,71 @@ def remove_shared_spans(
             F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_band_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the Manku,
+    Jain & Das Sarma (WWW'07) web-dedup design: split each 64-bit
+    fingerprint into ``n_bands`` equal bands; by pigeonhole, any pair
+    within Hamming distance ``n_bands − 1`` agrees EXACTLY on at least
+    one band, so banded equi-joins generate ALL such candidates (recall
+    1.0 for ``max_hamming ≤ n_bands − 1``, the default 3-of-4 setup);
+    candidates are then verified with one ``bit_count(xor)``.
+
+    Band extraction is arithmetic-shift + mask (sign-extension bits are
+    masked off, so signed longs band identically in every engine); the
+    verify step is pure integer ops — the whole operator is
+    oracle-exact.
+
+    Scale: fingerprints are one 8-byte column; the only shuffle keys on
+    (band, band_value) and the only quadratic work is within a band
+    bucket.  ``hot_band_cap`` drops band buckets larger than the cap
+    (boilerplate clusters that would go quadratic) — the same honesty
+    trade as ``minhash_lsh_pairs``; capped pairs are still findable via
+    their other bands."""
+    assert 64 % n_bands == 0, "band width must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sh = simhash64(df, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.expr(f"shiftright(simhash, {j * width}) & {mask}").alias("bv"),
+        )
+        for j in range(n_bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), "simhash", F.explode(F.array(*band_structs)).alias("s")
+    ).select(id_col, "simhash", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    if hot_band_cap is not None:
+        hot = (
+            banded.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > hot_band_cap)
+            .select("band", "bv")
+        )
+        banded = banded.join(hot, ["band", "bv"], "left_anti")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()  # a pair may agree on several bands
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -212,7 +212,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sq8_rerank_knn": QuerySpec(TD.sq8_rerank_knn, TD.SQ8_RERANK_ORACLE),
     "rp_rerank_knn": QuerySpec(TD.rp_rerank_knn, TD.RP_RERANK_ORACLE),
     "sq8_recall_check": QuerySpec(TD.sq8_recall_check, TD.SQ8_RECALL_ORACLE),
-    "ivf_sq8_knn": QuerySpec(TD.ivf_sq8_knn, TD.IVF_SQ8_ORACLE),
+    "ivf_sq8_knn": QuerySpec(TD.ivf_sq8_knn, TD.IVF_SQ8_ORACLE, headline=True),
     "mmr_rerank_knn": QuerySpec(
         TD.mmr_rerank_knn, TD.MMR_RERANK_ORACLE, headline=True
     ),
@@ -467,6 +467,9 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.lsh_knn_multiprobe, TD.LSH_MULTIPROBE_ORACLE
     ),
     "simhash_fingerprints": QuerySpec(TD.simhash_fingerprints, TD.SIMHASH_ORACLE),
+    "simhash_neardup_pairs": QuerySpec(
+        TD.simhash_neardup_pairs, TD.SIMHASH_PAIRS_ORACLE
+    ),
     # --- training-data wave 3 (semantic dedup, data selection, graph) ---
     "semdedup_prune": QuerySpec(PL2.semdedup_prune, PL2.SEMDEDUP_ORACLE),
     "part_pagerank": QuerySpec(

@@ -2131,3 +2131,38 @@ FROM (
 
 
 IVF_SQ8_ORACLE = _ivf_sq8_oracle()
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs (Manku et al. WWW'07
+    3-of-4-band pigeonhole; recall 1.0 at Hamming ≤ 3) with the
+    hot-band cap engaged — the fingerprint-level dedup tier between
+    exact md5 groups and MinHash/Jaccard; see
+    ``dedup.simhash_hamming_pairs``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        docs, max_hamming=3, n_bands=4, hot_band_cap=200
+    )
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH sh AS ({SIMHASH_ORACLE}),
+banded AS (
+  SELECT doc_id, simhash, r.band,
+         (simhash >> (r.band * 16)) & 65535 AS bv
+  FROM sh CROSS JOIN range(4) r(band)
+), hot AS (
+  SELECT band, bv FROM banded GROUP BY band, bv HAVING COUNT(*) > 200
+), kept AS (
+  SELECT b.* FROM banded b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.bv = b.bv)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""

@@ -290,3 +290,41 @@ def test_minhash_arrow_kernel_matches_expression_twin(spark):
     assert got == exp
     assert set(got) == {1, 2, 3, 4, 8, 9, 10}
     assert got[1] == got[2]
+
+
+def test_simhash_hamming_pairs_pigeonhole_recall(spark):
+    """Any pair within Hamming ≤ n_bands−1 MUST be found (Manku WWW'07
+    pigeonhole): exercised by brute-forcing all pairs over a small
+    corpus and comparing to the banded operator's output."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "completely different content about spark engines and parquet"),
+        (5, "completely different content about spark engines and parquet io"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    max_h = 3
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_hamming_pairs(docs, max_hamming=max_h).collect()
+    }
+    sh = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    expect = {p: h for p, h in brute.items() if h <= max_h}
+    assert got == expect  # recall 1.0 AND verified distances exact
+    assert got[(1, 2)] == 0  # identical docs
+
+
+def test_simhash_hamming_pairs_hot_band_cap_drops_boilerplate(spark):
+    """A generous cap is a no-op; cap=1 on identical docs kills every
+    band bucket, so no candidates survive."""
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.simhash_hamming_pairs(docs, hot_band_cap=100).count() == 6
+    assert D.simhash_hamming_pairs(docs, hot_band_cap=1).count() == 0
