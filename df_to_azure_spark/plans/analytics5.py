@@ -664,3 +664,64 @@ SELECT p.from_type, p.to_type, p.n_trans,
          AS p_trans
 FROM pairs p JOIN totals t USING (from_type)
 """
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler over ``events.user_id`` — the pre-flight
+    diagnostic a 100 TB join needs BEFORE it runs: the top-10 heaviest
+    keys with their share of all rows and their skew ratio vs a uniform
+    key (``n_rows · n_keys / total``).  A ratio ≫ 1 on the head key is
+    the signal to salt that key (see ``salted_join_revenue``) or let
+    AQE's skew-join splitting handle it; share tells you how much of
+    the shuffle one task would absorb.
+
+    Determinism: counts are exact bigints; the two ROUND(…, 6) doubles
+    are single divisions of those exact integers per output row; the
+    top-10 ties break on user_id.
+
+    Scale: ONE map-side-combinable groupBy on the key; the global
+    summary is a second keyless agg over the (already tiny) per-key
+    counts, broadcast back as one row; top-10 is TakeOrderedAndProject
+    (per-partition heaps, no global sort, no global window)."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    summary = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), "user_id").limit(10)
+    return top.crossJoin(F.broadcast(summary)).select(
+        "user_id",
+        "n_rows",
+        "total_rows",
+        "n_keys",
+        F.expr(
+            "ROUND(CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 6)"
+        ).alias("share"),
+        F.expr(
+            "ROUND(CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)"
+            " / CAST(total_rows AS DOUBLE), 6)"
+        ).alias("skew_ratio"),
+    )
+
+
+SKEW_PROFILE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id
+), summary AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+)
+SELECT c.user_id, c.n_rows, s.total_rows, s.n_keys,
+       ROUND(CAST(c.n_rows AS DOUBLE) / CAST(s.total_rows AS DOUBLE), 6)
+         AS share,
+       ROUND(CAST(c.n_rows AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+         / CAST(s.total_rows AS DOUBLE), 6) AS skew_ratio
+FROM counts c CROSS JOIN summary s
+ORDER BY c.n_rows DESC, c.user_id LIMIT 10
+"""

@@ -441,6 +441,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_transition_matrix": QuerySpec(
         A5.event_transition_matrix, A5.TRANSITION_MATRIX_ORACLE
     ),
+    "join_key_skew_profile": QuerySpec(
+        A5.join_key_skew_profile, A5.SKEW_PROFILE_ORACLE
+    ),
     # --- training-data wave 2 ---
     "doc_shared_spans": QuerySpec(
         TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
