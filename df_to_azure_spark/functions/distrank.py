@@ -212,6 +212,10 @@ def with_rank_family(
     per-``weak_cols`` sort direction for that pass (default all
     ascending) and must match the direction used in the original
     ``order_by``.
+
+    When ``dense=True`` the output also carries ``__n_peers`` (distinct
+    weak keys per group) — the ``dense_rank`` analogue of ``total_col``,
+    free from the recursive peer pass.
     """
     keys = [*group_cols, *weak_cols]
     peers = ranked.groupBy(*keys).agg(
@@ -241,8 +245,6 @@ def with_rank_family(
         )
         .drop("__peer_min", "__peer_max")
     )
-    # __n_peers (distinct weak keys per group) rides along when dense=True
-    # — the dense_rank analogue of __grp_n, free from the peer pass.
 
 
 def ntile_from_rank(rank_col: str, total_col: str, buckets: int) -> Column:

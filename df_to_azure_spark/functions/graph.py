@@ -246,6 +246,64 @@ def pagerank(
     return ranks.select("node", F.round(F.col("r"), 8).alias("rank"))
 
 
+def _undirected_with_degrees(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Canonical deduped undirected edge frame ``(a < b)`` plus the node
+    degree table — the shared first stage of the triangle family
+    (``triangle_count`` / ``triangle_list`` /
+    ``local_clustering_coefficient``), built ONCE so a consumer that
+    needs both (lcc) carries a single distinct + degree-agg subtree."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return und, deg
+
+
+def _orient_by_degree(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each undirected edge low-(deg, id) → high-(deg, id): the
+    total order that bounds per-vertex wedge blowup to O(sqrt(|E|))
+    out-degree (Suri & Vassilvitskii, WWW'11)."""
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle enumeration ``(p, x, y)`` from a prebuilt undirected
+    frame + degree table (see ``triangle_count`` for the scale
+    argument)."""
+    oriented = _orient_by_degree(und, deg)
+    w1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "p").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    return wedges.join(closing, ["x", "y"], "left_semi").select("p", "x", "y")
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -269,34 +327,8 @@ def triangle_count(
 
     Input may list an undirected edge in either or both directions;
     it is canonicalized internally."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
-    # orient low (deg, id) -> high (deg, id): total order, deterministic
-    lo_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        )
-    )
+    und, deg = _undirected_with_degrees(edges, src, dst)
+    oriented = _orient_by_degree(und, deg)
     w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
     wedges = w1.join(w2, "pivot").where(F.col("x") < F.col("y"))
@@ -321,40 +353,8 @@ def triangle_list(
     degree-ordered orientation and wedge-closing join as
     ``triangle_count`` (see there for the scale argument), but keeping
     the rows instead of aggregating, for per-node statistics."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
-    lo_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        )
-    )
-    w1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
-    w2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
-    wedges = w1.join(w2, "p").where(F.col("x") < F.col("y"))
-    closing = oriented.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
-    )
-    return wedges.join(closing, ["x", "y"], "left_semi").select("p", "x", "y")
+    und, deg = _undirected_with_degrees(edges, src, dst)
+    return _triangles_from(und, deg)
 
 
 def local_clustering_coefficient(
@@ -370,22 +370,11 @@ def local_clustering_coefficient(
     count per node, left join back to the degree table (nodes in no
     triangle get 0).  All shuffles are keyed on node id; the division
     is one double expression over exact counts, ROUND(6); deg<2 nodes
-    define lcc = 0."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tris = triangle_list(edges, src, dst)
+    define lcc = 0.  The undirected frame and degree table are built
+    once and shared with the triangle enumeration (one distinct + one
+    degree agg in the plan, not two of each)."""
+    und, deg = _undirected_with_degrees(edges, src, dst)
+    tris = _triangles_from(und, deg)
     tri_nodes = (
         tris.select(
             F.explode(F.array(F.col("p"), F.col("x"), F.col("y"))).alias("node")

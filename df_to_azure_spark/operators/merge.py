@@ -63,7 +63,10 @@ def merge_statement(
     column is a key), double-quoted so Spark-JDBC-created mixed-case
     identifiers resolve; ``'mysql'`` emits backtick-quoted ``INSERT ...
     AS s ON DUPLICATE KEY UPDATE col = s.col`` (8.0.19+ row-alias form;
-    ``INSERT IGNORE`` when every column is a key).  Like postgres'
+    when every column is a key, a self-assignment no-op
+    ``ON DUPLICATE KEY UPDATE k = tbl.k`` — not ``INSERT IGNORE``, which
+    downgrades *all* row errors to silent skips, far broader than the
+    postgres ``DO NOTHING`` it mirrors).  Like postgres'
     ON CONFLICT, the mysql form requires the match keys to be the
     target's PRIMARY/UNIQUE key — that is what the reference's upsert
     contract guarantees (``df_to_azure/db.py:36-53`` merges on the id
@@ -97,11 +100,14 @@ def merge_statement(
             # shared with the row-alias form above: ON DUPLICATE KEY fires
             # on ANY unique index of the target, not only the declared
             # match keys.
+            # `tbl`.`col` (no schema qualifier) is MySQL's documented form
+            # for referencing the target row inside ODKU; the fully
+            # schema-qualified reference is not accepted by all versions.
             k0 = q(sorted(key_set)[0])
             lines = [
                 f"INSERT INTO {q(target_schema)}.{q(table)} ({col_list})",
                 f"SELECT {col_list} FROM {src}",
-                f"ON DUPLICATE KEY UPDATE {k0} = {q(target_schema)}.{q(table)}.{k0}",
+                f"ON DUPLICATE KEY UPDATE {k0} = {q(table)}.{k0}",
             ]
         return "\n".join(lines) + ";"
     if dialect == "postgres":

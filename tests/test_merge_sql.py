@@ -101,11 +101,13 @@ def test_mysql_all_key_columns_noop_update():
     # every column is a key: insert-if-absent only, never DELETE.  The
     # no-op self-assignment (NOT `INSERT IGNORE`) suppresses ONLY the
     # duplicate-key error — IGNORE would silently swallow truncation /
-    # NOT NULL / FK errors too.
+    # NOT NULL / FK errors too.  The target reference is `tbl`.`col`
+    # (no schema qualifier) — MySQL's documented ODKU disambiguation
+    # form; a schema-qualified reference is not universally parsed.
     assert sql == (
         "INSERT INTO `shop`.`m` (`a`, `b`)\n"
         "SELECT `a`, `b` FROM `staging`.`m`\n"
-        "ON DUPLICATE KEY UPDATE `a` = `shop`.`m`.`a`;"
+        "ON DUPLICATE KEY UPDATE `a` = `m`.`a`;"
     )
 
 

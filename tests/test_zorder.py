@@ -82,13 +82,13 @@ def test_zorder_guards(spark):
         zorder_layout(clash, ["x"], bits=8)
 
 
-def test_file_skipping_profile_and_effectiveness(spark, tmp_path):
+def test_file_skipping_profile_and_effectiveness(spark, sf_smoke, tmp_path):
     from df_to_azure_spark.operators.zorder import (
         file_skipping_profile,
         skipping_effectiveness,
     )
 
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
     scattered = str(tmp_path / "scattered")
