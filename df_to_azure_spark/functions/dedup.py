@@ -861,3 +861,113 @@ def simhash_hamming_pairs(
         "id_b",
         F.expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_m: int = 15,
+    threshold: float = 0.3,
+    hot_df_cap: int | None = None,
+    term_shingle_n: int | None = None,
+) -> DataFrame:
+    """Sparse lexical cosine similarity — the TF-IDF-weighted companion
+    to ``ngram_jaccard_pairs``: documents as L2-normalized sparse
+    TF-IDF vectors over their ``top_m`` highest-weighted terms, paired
+    through a posting-list self-join (Bayardo et al., WWW'07 all-pairs
+    shape).  Near-dup sets ignore TF-IDF weighting; topical-similarity
+    sweeps need it — this fills that slot between exact Jaccard and the
+    dense-embedding ANN family.
+
+    Exactness ladder (cross-engine oracle-stable): tf and df are exact
+    integers; ``idf = ROUND(LN(N/df), 12)`` (the one transcendental);
+    ``w = ROUND(tf·idf, 8)``; squared weights and cross-products
+    ROUND(10) into DECIMAL(28,10) before their sums, so aggregation
+    order never matters; ``sqrt`` is IEEE-correctly-rounded in both
+    engines, then ROUND(12); the cosine ROUNDs to 6 before the
+    threshold so a sub-ulp divergence cannot flip inclusion.
+
+    Scale shape: top-``m`` selection is a doc-partitioned window (keyed
+    shuffle, bounded ``m`` rows kept per doc), so each posting list row
+    count is ≤ m per doc.  The pair join is keyed on the term;
+    ``hot_df_cap`` drops terms whose document frequency exceeds the cap
+    BEFORE scoring (they carry ~zero idf and quadratic posting lists —
+    the same reducer-melting argument as ``hot_shingle_cap``).  Norms
+    are computed over the kept terms, so the cosine is internally
+    consistent with the pruning.  No cross join, no global order, no
+    driver-sized state anywhere.
+
+    ``term_shingle_n``: terms are unigram tokens by default; set an n
+    to use word n-gram shingles instead (WITH repeats — tf counts
+    them), which is what you want on a corpus whose unigram vocabulary
+    is small relative to the document count (every posting list would
+    otherwise span the corpus and the pair join degenerates toward
+    all-pairs)."""
+    from pyspark.sql import Window as W
+
+    term = (
+        tokens(text_col)
+        if term_shingle_n is None
+        else shingles(text_col, term_shingle_n)
+    )
+    per_tok = (
+        _spread(df).select(F.col(id_col), F.explode(term).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = per_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
+    if hot_df_cap is not None:
+        dfreq = dfreq.where(F.col("df_tok") <= int(hot_df_cap))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_corpus"))
+    weighted = (
+        per_tok.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.expr(
+                "ROUND(tf * ROUND(LN(CAST(n_corpus AS DOUBLE)"
+                " / CAST(df_tok AS DOUBLE)), 12), 8)"
+            ),
+        )
+        .select(id_col, "tok", "w")
+    )
+    win = W.partitionBy(id_col).orderBy(F.desc("w"), F.asc("tok"))
+    kept = (
+        weighted.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= int(top_m))
+        .drop("rk")
+    )
+    norms = kept.groupBy(id_col).agg(
+        F.expr(
+            "ROUND(SQRT(CAST(SUM(CAST(ROUND(w * w, 10) AS DECIMAL(28,10)))"
+            " AS DOUBLE)), 12)"
+        ).alias("nrm")
+    )
+    a = kept.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("w").alias("w_a")
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("w").alias("w_b")
+    )
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(w_a * w_b, 10) AS DECIMAL(28,10)))"
+                " AS DOUBLE)"
+            ).alias("dot"),
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.expr("ROUND(dot / (nrm_a * nrm_b), 6)"))
+        .where(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b", "n_shared_terms", "cosine")
+    )

@@ -357,6 +357,62 @@ def triangle_list(
     return _triangles_from(und, deg)
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    iters: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983; the Matula-Beck peeling
+    order, truncated): repeatedly delete nodes of degree < ``k`` from
+    the undirected graph, ``iters`` rounds, then return every surviving
+    node with its degree inside the surviving subgraph.
+
+    The operator runs a FIXED number of peels, not peel-to-fixpoint:
+    that keeps the plan a deterministic bounded chain an SQL oracle can
+    replay step for step (the same contract as the unrolled-iteration
+    ``pagerank``).  When the graph converges within ``iters`` rounds —
+    assert with one extra cheap round if needed — the result IS the
+    exact k-core; otherwise it is the ``iters``-step peel, still
+    deterministic.
+
+    Scale shape: each round is one degree aggregation plus two keyed
+    left-semi joins (endpoint ∈ survivors), all shuffles keyed on node
+    id — nothing global, no driver-sized state.  The edge frame is
+    ``localCheckpoint``-ed every round: peeling is genuinely iterative,
+    so lineage would otherwise grow O(iters) joins deep and re-run every
+    prior round per consumer (on a cluster this is the
+    checkpoint-to-storage between supersteps).  Real deployments size
+    ``iters`` ~ O(log n) — degeneracy peeling converges fast on
+    power-law graphs — and verify the fixpoint with one extra round."""
+    if k < 1 or iters < 1:
+        raise ValueError("kcore needs k >= 1 and iters >= 1")
+    und, _ = _undirected_with_degrees(edges, src, dst)
+    und = und.localCheckpoint()
+    for _ in range(int(iters)):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .union(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= int(k)).select("node")
+        und = (
+            und.join(
+                keep.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )
+
+
 def local_clustering_coefficient(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

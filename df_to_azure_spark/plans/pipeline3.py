@@ -1,0 +1,263 @@
+"""Round-7 query wave: distributed heavy hitters (Misra-Gries candidates
++ exact verify), sparse TF-IDF cosine similarity pairs (shingle terms),
+bounded k-core peeling over the co-purchase graph, and per-source length
+quantiles through the grouped two-phase rank.
+
+Every query is paired with a DuckDB oracle that reproduces the result
+bit-for-bit (same cross-engine policy as ``pipeline2``: integer/decimal
+math wherever possible, one ROUND after each transcendental,
+DECIMAL(28,N) sums so aggregation order never matters, every numeric
+constant explicitly DOUBLE).
+
+No counterpart exists in the reference (zypp-io/df_to_azure is pandas +
+Azure REST orchestration, ``df_to_azure/export.py``); these are
+engine-extension surface for the large-scale training-data brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions import distrank as DR
+from df_to_azure_spark.functions import text as TXT
+from df_to_azure_spark.sources import load_table
+from df_to_azure_spark.plans.training_data import _TOKS
+
+# --------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate pass + exact verification
+# --------------------------------------------------------------------------
+
+_HH_PHI_NUM = 1
+_HH_PHI_DEN = 100
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding 1% of the corpus token stream, with exact counts
+    — via the two-pass distributed Misra-Gries shape
+    (``sketch.heavy_hitters_exact``): per-partition mergeable summaries
+    bound the candidate set, an exact counting pass restricted to the
+    candidates produces the answer.  The final output is exact (and
+    partitioning-invariant), so the sketch is pure plan-shape insurance
+    — the thing that keeps a 100 TB token stream from hash-aggregating
+    billions of distinct keys."""
+    from df_to_azure_spark.functions.sketch import heavy_hitters_exact
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(TXT.tokens("text")).alias("tok")
+    )
+    return heavy_hitters_exact(
+        toks, "tok", phi_num=_HH_PHI_NUM, phi_den=_HH_PHI_DEN
+    )
+
+
+HEAVY_HITTER_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM toks
+), c AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+FROM c CROSS JOIN tot
+WHERE cnt * {_HH_PHI_DEN} > n * {_HH_PHI_NUM}
+"""
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs (shingle terms)
+# --------------------------------------------------------------------------
+
+_TFIDF_TOP_M = 15
+_TFIDF_THRESHOLD = 0.35
+_TFIDF_SHINGLE_N = 3
+
+
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topical near-dup pairs by sparse TF-IDF cosine over 3-gram
+    shingle terms (``dedup.tfidf_cosine_pairs``) — the weighted lexical
+    similarity between exact Jaccard and the dense ANN family.  Shingle
+    terms (not unigrams) because this corpus' unigram vocabulary is
+    tiny: unigram posting lists would span the corpus and the pair join
+    would degenerate toward all-pairs."""
+    from df_to_azure_spark.functions.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs,
+        top_m=_TFIDF_TOP_M,
+        threshold=_TFIDF_THRESHOLD,
+        term_shingle_n=_TFIDF_SHINGLE_N,
+    )
+
+
+# mirrors text.shingles(): n-grams WITH repeats, short docs fall back to
+# one whole-doc shingle (greatest(len-2, 1) positions)
+_SHINGLE_TERMS = """
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS tok
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  WHERE len(toks) > 0
+""".format(toks=_TOKS)
+
+TFIDF_COSINE_ORACLE = f"""
+WITH g AS (
+{_SHINGLE_TERMS}
+), per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM g GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df_tok FROM per_tok GROUP BY tok
+), w AS (
+  SELECT doc_id, tok,
+         ROUND(tf * ROUND(LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                             / CAST(df_tok AS DOUBLE)), 12), 8) AS w
+  FROM per_tok JOIN dfreq USING (tok)
+), kept AS (
+  SELECT doc_id, tok, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY w DESC, tok) AS rk
+    FROM w
+  ) WHERE rk <= {_TFIDF_TOP_M}
+), nrm AS (
+  SELECT doc_id,
+         ROUND(SQRT(CAST(SUM(CAST(ROUND(w * w, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE)), 12) AS nrm
+  FROM kept GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(CAST(ROUND(a.w * b.w, 10) AS DECIMAL(28,10))) AS DOUBLE)
+           AS dot
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared_terms,
+       ROUND(dot / (x.nrm * y.nrm), 6) AS cosine
+FROM dots JOIN nrm x ON dots.id_a = x.doc_id
+          JOIN nrm y ON dots.id_b = y.doc_id
+WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= {_TFIDF_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# k-core peeling over the co-purchase graph
+# --------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ITERS = 6
+
+
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-purchase graph after 6 peeling rounds
+    (``graph.kcore``): every part still co-purchased with ≥2 distinct
+    partners once the degree-1 fringe is iteratively stripped — the
+    standard densest-region screen next to PageRank and the triangle
+    family.  6 rounds reaches the fixpoint at both test scale factors
+    (asserted in tests); the oracle unrolls exactly the same 6 rounds,
+    so parity holds even where convergence is slower."""
+    from df_to_azure_spark.functions.graph import kcore
+    from df_to_azure_spark.plans.pipeline2 import _part_edges
+
+    return kcore(
+        _part_edges(spark, sf_dir).localCheckpoint(),
+        k=_KCORE_K,
+        iters=_KCORE_ITERS,
+    )
+
+
+def _kcore_oracle(k: int, iters: int) -> str:
+    from df_to_azure_spark.plans.pipeline2 import _PR_MAX_BASKET, _PR_MIN_SUPPORT
+
+    # every unrolled level references its predecessor 3x (degree CTE +
+    # two IN subqueries); without MATERIALIZED, DuckDB inlines CTEs and
+    # the base scan re-evaluates 3^iters times — the same lazy-plan
+    # regrowth trap as Spark's unrolled greedy loops
+    ctes = [
+        f"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS MATERIALIZED (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_PR_MAX_BASKET}
+), e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""n{i + 1} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+  ) GROUP BY node HAVING COUNT(*) >= {k}
+), e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT node FROM n{i + 1})
+    AND b IN (SELECT node FROM n{i + 1})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT a AS node FROM e{iters} UNION ALL SELECT b FROM e{iters})
+GROUP BY node
+"""
+    )
+
+
+PART_KCORE_ORACLE = _kcore_oracle(_KCORE_K, _KCORE_ITERS)
+
+
+# --------------------------------------------------------------------------
+# Per-source length quantiles via the GROUPED two-phase rank
+# --------------------------------------------------------------------------
+
+
+def source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile — exact ``rank`` /
+    ``percent_rank`` / ``cume_dist`` plus the decile, partitioned by
+    source — through ``distrank.two_phase_rank(group_cols=['source'])``
+    + ``with_rank_family`` + ``ntile_from_rank``.  This is the grouped
+    form of the two-phase rank: per-key quantile normalization over
+    groups that are individually too large for a fat single partition
+    (a handful of sources × millions of docs each is exactly the skew
+    shape that melts ``Window.partitionBy(source).orderBy(...)`` on one
+    straggler task)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked = DR.two_phase_rank(
+        docs,
+        [("n_chars", "asc"), ("doc_id", "asc")],
+        group_cols=["source"],
+    )
+    fam = DR.with_rank_family(ranked, ["n_chars"], group_cols=["source"])
+    return fam.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.col("__rank").alias("rnk"),
+        F.round("__pct_rank", 8).alias("pct_rank"),
+        F.round("__cume_dist", 8).alias("cume"),
+        DR.ntile_from_rank("__rn", "__grp_n", 10).cast("int").alias("decile"),
+    )
+
+
+SOURCE_LENGTH_QUANTILES_ORACLE = """
+SELECT source, doc_id, n_chars,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       ROUND(CAST(percent_rank() OVER w AS DOUBLE), 8) AS pct_rank,
+       ROUND(CAST(cume_dist() OVER w AS DOUBLE), 8) AS cume,
+       CAST(ntile(10) OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS INT) AS decile
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars)
+"""

@@ -19,6 +19,7 @@ from df_to_azure_spark.plans import analytics5 as A5
 from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import pipeline as PL
 from df_to_azure_spark.plans import pipeline2 as PL2
+from df_to_azure_spark.plans import pipeline3 as PL3
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -574,6 +575,18 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "stream_sessionize_diff": QuerySpec(
         _stream_sessionize_diff, _stream_sessionize_oracle()
+    ),
+    # round-7 wave: sketch-bounded heavy hitters, sparse lexical cosine,
+    # bounded k-core peeling, grouped two-phase rank quantiles
+    "heavy_hitter_tokens": QuerySpec(
+        PL3.heavy_hitter_tokens, PL3.HEAVY_HITTER_ORACLE
+    ),
+    "doc_tfidf_cosine_pairs": QuerySpec(
+        PL3.doc_tfidf_cosine_pairs, PL3.TFIDF_COSINE_ORACLE
+    ),
+    "part_kcore": QuerySpec(PL3.part_kcore, PL3.PART_KCORE_ORACLE),
+    "source_length_quantiles": QuerySpec(
+        PL3.source_length_quantiles, PL3.SOURCE_LENGTH_QUANTILES_ORACLE
     ),
 }
 

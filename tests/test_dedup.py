@@ -328,3 +328,81 @@ def test_simhash_hamming_pairs_hot_band_cap_drops_boilerplate(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert D.simhash_hamming_pairs(docs, hot_band_cap=100).count() == 6
     assert D.simhash_hamming_pairs(docs, hot_band_cap=1).count() == 0
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from df_to_azure_spark.functions.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    got = {(r.id_a, r.id_b): r.cosine for r in rows}
+    # identical vectors -> cosine exactly 1.0; doc 3 shares no term
+    assert got == {(1, 2): 1.0}
+
+
+def test_tfidf_cosine_threshold_and_shared_term_count(spark):
+    from df_to_azure_spark.functions.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red green blue white"),
+            (2, "red green black pink"),
+            (3, "red navy teal cyan"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    # 'red' is in every doc -> idf = ln(1) = 0, weight 0: it contributes
+    # nothing to any dot product, so (1,3)/(2,3) overlap only on red
+    assert by_pair[(1, 2)].n_shared_terms == 2  # red + green
+    assert by_pair[(1, 2)].cosine > 0.0
+    for p in ((1, 3), (2, 3)):
+        if p in by_pair:
+            assert by_pair[p].cosine == 0.0
+
+
+def test_tfidf_cosine_hot_df_cap_drops_ubiquitous_terms(spark):
+    from df_to_azure_spark.functions.dedup import tfidf_cosine_pairs
+
+    # 'spam' appears in all 4 docs; cap=3 excludes it from the term
+    # universe entirely (weights AND norms), leaving disjoint docs
+    docs = spark.createDataFrame(
+        [
+            (1, "spam apple"),
+            (2, "spam banana"),
+            (3, "spam cherry"),
+            (4, "spam date"),
+        ],
+        "doc_id long, text string",
+    )
+    assert tfidf_cosine_pairs(docs, threshold=0.0, hot_df_cap=3).count() == 0
+    # without the cap, every pair shares the (low-idf) spam term
+    uncapped = tfidf_cosine_pairs(docs, threshold=0.0).count()
+    assert uncapped == 6
+
+
+def test_tfidf_cosine_shingle_terms(spark):
+    from df_to_azure_spark.functions.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "the quick brown fox sleeps now"),
+            (3, "completely different words here entirely yes"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(
+        docs, threshold=0.0, term_shingle_n=3
+    ).collect()
+    got = {(r.id_a, r.id_b): r.n_shared_terms for r in rows}
+    # docs 1-2 share exactly the 2 shingles of the common 4-token prefix
+    assert got == {(1, 2): 2}

@@ -107,3 +107,61 @@ def test_local_clustering_coefficient_known_graphs(spark):
     )
     for r in local_clustering_coefficient(k4).collect():
         assert (r.deg, r.n_tri, r.lcc) == (3, 3, 1.0)
+
+
+def test_kcore_known_graphs(spark):
+    from df_to_azure_spark.functions.graph import kcore
+
+    # triangle (1,2,3) with a chain 3-4-5 hanging off: the 2-core is the
+    # triangle alone; peeling needs TWO rounds (5 falls first, then 4)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.core_deg for r in kcore(e, k=2, iters=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # one round is not enough: only 5 fell, node 4 still hangs off 3
+    partial = {r.node: r.core_deg for r in kcore(e, k=2, iters=1).collect()}
+    assert partial == {1: 2, 2: 2, 3: 3, 4: 1}
+    # 3-core of that graph is empty
+    assert kcore(e, k=3, iters=3).count() == 0
+    # K4 is its own 3-core
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    assert {r.core_deg for r in kcore(k4, k=3, iters=2).collect()} == {3}
+
+
+def test_kcore_guards_and_direction(spark):
+    import pytest
+
+    from df_to_azure_spark.functions.graph import kcore
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        kcore(spark.createDataFrame([(1, 2)], "src long, dst long"), k=0, iters=1)
+    # duplicate + reversed edges canonicalize to one undirected edge
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.core_deg for r in kcore(e, k=2, iters=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_part_kcore_converged_at_registry_depth(spark, sf_smoke):
+    """The registry's 6-round peel must BE the fixpoint on testdata —
+    one extra round changes nothing (the oracle replays the same 6
+    rounds either way; this pins the stronger claim)."""
+    from df_to_azure_spark.functions.graph import kcore
+    from df_to_azure_spark.plans.pipeline2 import _part_edges
+    from df_to_azure_spark.plans.pipeline3 import _KCORE_ITERS, _KCORE_K
+
+    edges = _part_edges(spark, sf_smoke).localCheckpoint()
+    at_depth = {
+        (r.node, r.core_deg)
+        for r in kcore(edges, k=_KCORE_K, iters=_KCORE_ITERS).collect()
+    }
+    one_more = {
+        (r.node, r.core_deg)
+        for r in kcore(edges, k=_KCORE_K, iters=_KCORE_ITERS + 1).collect()
+    }
+    assert at_depth == one_more and len(at_depth) > 0

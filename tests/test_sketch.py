@@ -1,0 +1,70 @@
+import pytest
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions.sketch import heavy_hitters_exact
+
+
+def _stream(spark, counts: dict[str, int], partitions: int = 1):
+    rows = [(item,) for item, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "item string").repartition(partitions)
+
+
+def test_exact_counts_and_threshold(spark):
+    # 100 rows: 'a' 40, 'b' 25, 'c' 20, tail 15 singletons.  phi=1/5 →
+    # strictly-above-20 wins: a and b, NOT c (cnt*5 > n is strict).
+    counts = {"a": 40, "b": 25, "c": 20, **{f"t{i}": 1 for i in range(15)}}
+    got = {
+        r.item: (r.cnt, r.share)
+        for r in heavy_hitters_exact(
+            _stream(spark, counts, 4), "item", 1, 5
+        ).collect()
+    }
+    assert got == {"a": (40, 0.4), "b": (25, 0.25)}
+
+
+def test_partitioning_invariance(spark):
+    # the candidate SET depends on partitioning, the exact-verified
+    # output must not — superset guarantee + exact second pass
+    counts = {f"k{i}": (50 if i < 3 else 2) for i in range(200)}
+    outs = []
+    for parts in (1, 7, 32):
+        df = _stream(spark, counts, parts)
+        rows = heavy_hitters_exact(df, "item", 1, 20, counters=64).collect()
+        outs.append(sorted((r.item, r.cnt, r.share) for r in rows))
+    assert outs[0] == outs[1] == outs[2]
+    assert {i for i, _, _ in outs[0]} == {"k0", "k1", "k2"}
+
+
+def test_superset_guarantee_with_tight_counters(spark):
+    # counters at the guarantee floor (2/phi) over a wide tail: heavy
+    # items must still survive the per-partition summaries
+    counts = {"hot1": 300, "hot2": 250, **{f"z{i}": 1 for i in range(1000)}}
+    got = {
+        r.item
+        for r in heavy_hitters_exact(
+            _stream(spark, counts, 8), "item", 1, 10
+        ).collect()
+    }
+    assert got == {"hot1", "hot2"}
+
+
+def test_non_string_items(spark):
+    df = spark.createDataFrame(
+        [(i % 3,) for i in range(90)] + [(99,)], "item bigint"
+    ).repartition(5)
+    got = {r.item: r.cnt for r in
+           heavy_hitters_exact(df, "item", 1, 4).collect()}
+    assert got == {0: 30, 1: 30, 2: 30}
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([("x",)], "item string")
+    with pytest.raises(ValueError, match="positive fraction"):
+        heavy_hitters_exact(df, "item", 0, 10)
+    with pytest.raises(ValueError, match="counters"):
+        heavy_hitters_exact(df, "item", 1, 100, counters=50)
+
+
+def test_no_items_above_threshold(spark):
+    df = _stream(spark, {f"u{i}": 1 for i in range(50)}, 4)
+    assert heavy_hitters_exact(df, "item", 1, 10).count() == 0
