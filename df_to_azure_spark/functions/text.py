@@ -217,3 +217,105 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         language_id(col).alias("lang_guess"),
         fingerprint(col).alias("fp"),
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al., ACL 2016):
+    learn the first ``n_merges`` merge rules over the corpus — the
+    iterative heart of tokenizer training, run entirely as Spark plans
+    with NO driver-side decisions.
+
+    Spark-first formulation: BPE iterates over the WORD-FREQUENCY VOCAB
+    (word, count, symbol sequence), not the corpus — one explode +
+    groupBy builds it, and at 100 TB it is millions of rows where the
+    corpus is trillions, which is exactly why Sennrich's algorithm
+    scales.  Each word's symbol sequence is kept as a space-separated
+    string ``' j o i n </w> '``; a merge step is then
+
+    1. pair counts: split the sequence, count adjacent symbol pairs
+       weighted by the word count (keyed shuffle on the pair);
+    2. winner: top-1 by (freq DESC, left, right) via orderBy+limit —
+       ``TakeOrderedAndProject``, one row, never a global sort;
+    3. apply: crossJoin(broadcast(winner)) and a single left-to-right
+       non-overlapping ``replace(seq, ' l r ', ' lr ')`` — string
+       ``replace`` IS greedy leftmost BPE application (verified
+       byte-identical between Spark and DuckDB, including the
+       boundary-space sharing of overlapping runs like ``a a a``).
+
+    The vocab frame is ``localCheckpoint``-ed every step: the loop is
+    genuinely iterative, and without it each step's two consumers
+    (count + apply) regrow the lineage exponentially — the 3^k
+    lazy-plan trap.  All decisions (the winning pair) stay inside the
+    plan as 1-row broadcast frames; nothing is collected.
+
+    Returns ``(step, left, right, merged, freq)`` — one row per learned
+    merge, exactly reproducible by an SQL oracle that unrolls the same
+    steps.  No counterpart exists in the reference (zypp-io/df_to_azure
+    has no text surface); engine-extension per the training-data brief.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .withColumn(
+            "seq",
+            F.expr("' ' || regexp_replace(word, '(.)', '$1 ') || '</w> '"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, int(n_merges) + 1):
+        # a fully-merged word is one symbol: drop it BEFORE the pair
+        # transform (Spark's sequence(1, 0) DESCENDS to [1, 0], unlike
+        # DuckDB's empty generate_series, and element_at would throw)
+        pairs = vocab.select(
+            "n_w", F.split(F.trim(F.col("seq")), " ").alias("t")
+        ).where(F.size("t") >= 2).select(
+            "n_w",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("t"), j).alias("left"),
+                        F.element_at(F.col("t"), j + 1).alias("right"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        top1 = (
+            pairs.groupBy("pr.left", "pr.right")
+            .agg(F.sum("n_w").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .select(
+                F.lit(step).cast("int").alias("step"),
+                "left",
+                "right",
+                F.concat(F.col("left"), F.col("right")).alias("merged"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+        merges.append(top1)
+        vocab = (
+            vocab.crossJoin(F.broadcast(top1))
+            .withColumn(
+                "seq",
+                F.expr(
+                    "replace(seq, ' ' || left || ' ' || right || ' ',"
+                    " ' ' || merged || ' ')"
+                ),
+            )
+            .select("word", "n_w", "seq")
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

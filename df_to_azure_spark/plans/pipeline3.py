@@ -261,3 +261,69 @@ SELECT source, doc_id, n_chars,
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY n_chars)
 """
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (unrolled-iteration oracle)
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned from the corpus
+    (``text.bpe_train_merges``) — tokenizer training as a fixed chain
+    of vocab-table plans, every winner chosen inside the plan (top-1
+    broadcast), nothing collected.  The oracle unrolls the same 8
+    steps; string ``replace`` gives both engines identical greedy
+    leftmost merge application."""
+    from df_to_azure_spark.functions.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, _BPE_MERGES)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT word, COUNT(*) AS n_w,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS seq
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
+         CAST(SUM(n_w) AS BIGINT) AS freq
+  FROM (
+    SELECT n_w,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 j -> t[j] || ' ' || t[j + 1])) AS pr
+    FROM (SELECT n_w, string_split(trim(seq, ' '), ' ') AS t FROM v{i - 1})
+  ) GROUP BY 1, 2
+), m{i} AS MATERIALIZED (
+  SELECT {i} AS step, l, r, l || r AS merged, freq
+  FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+), v{i} AS MATERIALIZED (
+  SELECT word, n_w,
+         replace(seq, ' ' || m.l || ' ' || m.r || ' ',
+                 ' ' || m.merged || ' ') AS seq
+  FROM v{i - 1} CROSS JOIN m{i} m
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(step AS INT) AS step, l AS "left", r AS "right", merged, freq
+FROM ({union})
+"""
+    )
+
+
+BPE_MERGES_ORACLE = _bpe_oracle(_BPE_MERGES)

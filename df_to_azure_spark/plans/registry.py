@@ -588,6 +588,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_length_quantiles": QuerySpec(
         PL3.source_length_quantiles, PL3.SOURCE_LENGTH_QUANTILES_ORACLE
     ),
+    "bpe_merges": QuerySpec(PL3.bpe_merges, PL3.BPE_MERGES_ORACLE),
 }
 
 

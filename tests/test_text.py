@@ -128,3 +128,45 @@ def test_bm25_scores_empty_corpus_and_no_matches(spark):
     # no query term appears anywhere -> empty result, no division errors
     assert TXT.bm25_scores(docs, qt).count() == 0
     assert TXT.bm25_topk(docs, qt).count() == 0
+
+
+def test_bpe_train_merges_greedy_leftmost_and_tiebreak(spark):
+    from df_to_azure_spark.functions.text import bpe_train_merges
+
+    # vocab: 'ab' x3, 'abc' x1 -> the Sennrich trajectory is
+    # (a,b) freq 4, (ab,</w>) freq 3, then a freq-1 tie broken
+    # lexicographically: ('ab','c') < ('c','</w>')
+    docs = spark.createDataFrame([("ab ab ab abc",)], "text string")
+    rows = bpe_train_merges(docs, 3).orderBy("step").collect()
+    got = [(r.step, r.left, r.right, r.merged, r.freq) for r in rows]
+    assert got == [
+        (1, "a", "b", "ab", 4),
+        (2, "ab", "</w>", "ab</w>", 3),
+        (3, "ab", "c", "abc", 1),
+    ]
+
+
+def test_bpe_train_merges_overlapping_run_is_leftmost(spark):
+    from df_to_azure_spark.functions.text import bpe_train_merges
+
+    # 'aaa' -> pairs (a,a) x2 beat (a,</w>) x1; the merge applies
+    # greedily leftmost: ' a a a ' -> ' aa a ', NOT ' a aa '
+    docs = spark.createDataFrame([("aaa",)], "text string")
+    rows = bpe_train_merges(docs, 2).orderBy("step").collect()
+    got = [(r.step, r.left, r.right, r.merged, r.freq) for r in rows]
+    # step 2: frame is ' aa a </w> ' -> pairs (aa,a), (a,</w>) tie at 1;
+    # lex tie-break picks ('a','</w>') ('a' < 'aa')
+    assert got == [
+        (1, "a", "a", "aa", 2),
+        (2, "a", "</w>", "a</w>", 1),
+    ]
+
+
+def test_bpe_train_merges_guard(spark):
+    import pytest
+
+    from df_to_azure_spark.functions.text import bpe_train_merges
+
+    docs = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(docs, 0)
