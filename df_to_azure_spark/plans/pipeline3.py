@@ -327,3 +327,103 @@ FROM ({union})
 
 
 BPE_MERGES_ORACLE = _bpe_oracle(_BPE_MERGES)
+
+
+# --------------------------------------------------------------------------
+# merge_asof parity: forward + tolerance, nearest
+# --------------------------------------------------------------------------
+
+
+def _purchase_view_frames(spark: SparkSession, sf_dir: str):
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    return purchases, views
+
+
+def purchases_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase matched to the user's
+    EARLIEST view at-or-after it, nulled when that view is more than two
+    hours out — pandas ``merge_asof(direction='forward', tolerance=...)``
+    parity over the same union+window carry as the backward form (the
+    tolerance is a post-mask expression, not a different plan)."""
+    from df_to_azure_spark.operators.asof import asof_join
+
+    purchases, views = _purchase_view_frames(spark, sf_dir)
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["view_event_id"],
+        direction="forward", tolerance="INTERVAL 2 HOURS",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.col("ts_asof").alias("view_ts"),
+    )
+
+
+ASOF_FORWARD_TOL_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         v.event_id AS vid, v.ts AS vts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN vts IS NOT NULL AND vts - ts <= INTERVAL 2 HOURS
+            THEN vid END AS view_event_id,
+       CASE WHEN vts IS NOT NULL AND vts - ts <= INTERVAL 2 HOURS
+            THEN vts END AS view_ts
+FROM j
+"""
+
+
+def purchases_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each purchase matched to the temporally CLOSEST
+    view either side, backward winning ties (pandas' rule).  Both
+    carries run over ONE keyed union — two in-partition sorts, no second
+    shuffle."""
+    from df_to_azure_spark.operators.asof import asof_join
+
+    purchases, views = _purchase_view_frames(spark, sf_dir)
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["view_event_id"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.col("ts_asof").alias("view_ts"),
+    )
+
+
+ASOF_NEAREST_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT p.event_id, v.event_id AS bid, v.ts AS bts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+), f AS (
+  SELECT p.event_id, v.event_id AS fid, v.ts AS fts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN bts IS NOT NULL AND (fts IS NULL OR p.ts - bts <= fts - p.ts)
+            THEN bid
+            WHEN fts IS NOT NULL THEN fid END AS view_event_id,
+       CASE WHEN bts IS NOT NULL AND (fts IS NULL OR p.ts - bts <= fts - p.ts)
+            THEN bts
+            WHEN fts IS NOT NULL THEN fts END AS view_ts
+FROM p
+LEFT JOIN b ON p.event_id = b.event_id
+LEFT JOIN f ON p.event_id = f.event_id
+"""

@@ -589,6 +589,12 @@ REGISTRY: dict[str, QuerySpec] = {
         PL3.source_length_quantiles, PL3.SOURCE_LENGTH_QUANTILES_ORACLE
     ),
     "bpe_merges": QuerySpec(PL3.bpe_merges, PL3.BPE_MERGES_ORACLE),
+    "purchases_asof_forward_tol": QuerySpec(
+        PL3.purchases_asof_forward_tol, PL3.ASOF_FORWARD_TOL_ORACLE
+    ),
+    "purchases_asof_nearest": QuerySpec(
+        PL3.purchases_asof_nearest, PL3.ASOF_NEAREST_ORACLE
+    ),
 }
 
 
