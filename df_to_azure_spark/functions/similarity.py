@@ -1353,3 +1353,125 @@ def ivf_sq8_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim", "sq8_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA / whitening over the embedding column
+# --------------------------------------------------------------------------
+
+
+def pca_fit(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    vec_col: str = "embedding",
+    whiten: bool = False,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit a PCA basis over an ``array<float>`` column — the embedding
+    preprocessing step (center → rotate → optionally whiten) SemDeDup /
+    clustering / ANN pipelines run before everything else.
+
+    Distributed shape (the MLlib RowMatrix covariance design): ONE
+    Arrow-batched ``mapInPandas`` pass emits per-partition moment
+    partials — count, Σx (d doubles), ΣxxT (d² doubles, one numpy
+    ``M.T @ M`` per batch) — so the driver collects ≤ partitions rows of
+    d²+d+1 doubles (config-bounded, never data-bounded), assembles the
+    covariance, and runs a d×d ``eigh``.  Nothing data-sized ever
+    reaches the driver; the corpus is scanned exactly once.
+
+    Returns ``(mean, components, eigenvalues)`` where ``components`` is
+    a k×d row-major list (descending eigenvalue order; each row is a
+    principal axis, sign-normalized so the largest-|coefficient| entry
+    is positive — eigenvectors are sign-ambiguous otherwise) and
+    eigenvalues are the top-k sample variances.  With ``whiten`` each
+    component row is scaled by ``1/sqrt(eigenvalue)`` so projected
+    coordinates have unit variance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not (1 <= k <= dim):
+        raise ValueError(f"need 1 <= k <= dim, got k={k} dim={dim}")
+
+    def _partials(batches):
+        S = np.zeros(dim, dtype=np.float64)
+        O = np.zeros((dim, dim), dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            S += M.sum(axis=0)
+            O += M.T @ M
+            n += M.shape[0]
+        yield pd.DataFrame(
+            {
+                "n": pd.Series([n], dtype="int64"),
+                "s": pd.Series([S.tolist()], dtype="object"),
+                "o": pd.Series([O.reshape(-1).tolist()], dtype="object"),
+            }
+        )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(_partials, schema="n long, s array<double>, o array<double>")
+        .collect()
+    )
+    n = sum(r.n for r in parts)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    S = np.sum([np.array(r.s) for r in parts], axis=0)
+    O = np.sum([np.array(r.o).reshape(dim, dim) for r in parts], axis=0)
+    mean = S / n
+    cov = (O - np.outer(S, S) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T  # k x d
+    # sign normalization: eigenvectors are unique only up to sign
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(evals_k, 1e-12))
+        comps = comps * scale[:, None]
+    return mean.tolist(), comps.tolist(), evals_k.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project every vector onto a fitted PCA basis: one Arrow-batched
+    ``mapInPandas`` matmul per batch ((batch × d) @ (d × k)) — map-only,
+    no shuffle; the model broadcasts inside the closure (k·d doubles).
+    Output: ``(id_col, out_col array<double>)``."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.array(mean, dtype=np.float64)
+    W_t = np.array(components, dtype=np.float64).T  # d x k
+
+    def _proj(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            P = (M - mu) @ W_t
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].reset_index(drop=True),
+                    "proj": pd.Series(
+                        [row.tolist() for row in P], dtype="object"
+                    ),
+                }
+            )
+
+    out_schema = f"{id_col} long, proj array<double>"
+    out = df.select(id_col, vec_col).mapInPandas(_proj, schema=out_schema)
+    return out.withColumnRenamed("proj", out_col) if out_col != "proj" else out

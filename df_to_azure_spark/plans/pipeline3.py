@@ -427,3 +427,164 @@ FROM p
 LEFT JOIN b ON p.event_id = b.event_id
 LEFT JOIN f ON p.event_id = f.event_id
 """
+
+
+# --------------------------------------------------------------------------
+# PCA surface: exact-decimal covariance + all-Spark quality tripwire
+# --------------------------------------------------------------------------
+
+_COV_DIMS = 8
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample covariance of the first 8 embedding dimensions in
+    ONE fused aggregation scan — the declarative, oracle-exact twin of
+    what ``similarity.pca_fit``'s numpy kernel computes at full width.
+    Exactness: per-row products ROUND(12) into DECIMAL(38,12) sums
+    (aggregation-order-free), the final ``(Sxy − Sx·Sy/n)/(n−1)`` in
+    DOUBLE with every operand explicitly cast, output ROUND(8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _COV_DIMS
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(d):
+        aggs.append(
+            F.expr(
+                f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 12)"
+                f" AS DECIMAL(38,12)))"
+            ).alias(f"s{i}")
+        )
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.expr(
+                    f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE)"
+                    f" * CAST(embedding[{j}] AS DOUBLE), 12)"
+                    f" AS DECIMAL(38,12)))"
+                ).alias(f"p{i}_{j}")
+            )
+    wide = emb.agg(*aggs)
+    cells = ", ".join(
+        f"named_struct('i', {i}, 'j', {j}, 'cov',"
+        f" ROUND((CAST(p{i}_{j} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" / CAST(n - 1 AS DOUBLE), 8))"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return wide.select(
+        F.explode(F.expr(f"array({cells})")).alias("c")
+    ).select(
+        F.col("c.i").cast("int").alias("i"),
+        F.col("c.j").cast("int").alias("j"),
+        F.col("c.cov").alias("cov"),
+    )
+
+
+def _cov_oracle(d: int) -> str:
+    sums = ", ".join(
+        f"SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE), 12)"
+        f" AS DECIMAL(38,12))) AS s{i}"
+        for i in range(d)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{j + 1}] AS DOUBLE), 12)"
+        f" AS DECIMAL(38,12))) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j,"
+        f" ROUND((CAST(p{i}_{j} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" / CAST(n - 1 AS DOUBLE), 8) AS cov FROM w"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT COUNT(*) AS n, {sums}, {prods} FROM embeddings
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov FROM ({cells})
+"""
+
+
+EMBEDDING_COVARIANCE_ORACLE = _cov_oracle(_COV_DIMS)
+
+
+def pca_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripwire over the full numpy-kernel PCA path
+    (``similarity.pca_fit``/``pca_project``): emits a row ONLY when a
+    mathematical invariant fails — expected empty, so the empty-set
+    oracle makes the driver hash-check prove them all.  Checks:
+    components orthonormal (k=8 and k=16 fits), eigenvalues descending,
+    per-coordinate projected sample variance equals its eigenvalue
+    (Spark-side var_samp over the projections vs the driver-fit model),
+    and nested-basis energy monotonicity Σ||proj16||² ≥ Σ||proj8||²
+    (Pythagoras over orthonormal bases — the reconstruction-error
+    ordering without materializing reconstructions)."""
+    import numpy as np
+
+    from df_to_azure_spark.functions.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    driver_viol: list[tuple[str, float]] = []
+    models = {}
+    for k in (8, 16):
+        mean, comps, evals = pca_fit(emb, dim=dim, k=k)
+        models[k] = (mean, comps, evals)
+        W = np.array(comps)
+        ortho_err = float(np.max(np.abs(W @ W.T - np.eye(k))))
+        if ortho_err > 1e-6:
+            driver_viol.append((f"ortho_k{k}", ortho_err))
+        if any(evals[i] < evals[i + 1] - 1e-12 for i in range(k - 1)):
+            driver_viol.append((f"eval_order_k{k}", float(min(evals))))
+    schema = "chk string, detail double"
+    out = spark.createDataFrame(driver_viol, schema)
+
+    mean8, comps8, evals8 = models[8]
+    proj8 = pca_project(emb, mean8, comps8)
+    var_rows = proj8.agg(
+        *[F.var_samp(F.col("proj")[i]).alias(f"v{i}") for i in range(8)],
+        F.expr(
+            "SUM(aggregate(proj, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
+        ).alias("energy"),
+    )
+    ev_lit = ", ".join(repr(float(v)) for v in evals8)
+    var_viol = var_rows.select(
+        F.explode(
+            F.expr(
+                "filter(zip_with("
+                f"array({', '.join(f'v{i}' for i in range(8))}),"
+                f" array({ev_lit}),"
+                " (v, e) -> named_struct('chk', 'proj_var', 'detail',"
+                " abs(v - e), 'e', e)),"
+                " s -> s.detail > CAST(1e-6 AS DOUBLE)"
+                " * greatest(s.e, CAST(1 AS DOUBLE)))"
+            )
+        ).alias("s")
+    ).select(F.col("s.chk").alias("chk"), F.col("s.detail").alias("detail"))
+
+    mean16, comps16, _ = models[16]
+    e8 = var_rows.select(F.col("energy").alias("e8"))
+    e16 = pca_project(emb, mean16, comps16).agg(
+        F.expr(
+            "SUM(aggregate(proj, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
+        ).alias("e16")
+    )
+    energy_viol = (
+        e8.crossJoin(e16)
+        .where(F.col("e16") < F.col("e8") - F.lit(1e-6))
+        .select(
+            F.lit("energy_monotone").alias("chk"),
+            (F.col("e8") - F.col("e16")).alias("detail"),
+        )
+    )
+    return out.unionByName(var_viol).unionByName(energy_viol)
+
+
+PCA_QUALITY_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS DOUBLE) AS detail
+WHERE 1 = 0
+"""

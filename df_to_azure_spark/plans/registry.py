@@ -595,6 +595,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "purchases_asof_nearest": QuerySpec(
         PL3.purchases_asof_nearest, PL3.ASOF_NEAREST_ORACLE
     ),
+    "embedding_covariance": QuerySpec(
+        PL3.embedding_covariance, PL3.EMBEDDING_COVARIANCE_ORACLE
+    ),
+    "pca_quality_check": QuerySpec(
+        PL3.pca_quality_check, PL3.PCA_QUALITY_ORACLE
+    ),
 }
 
 

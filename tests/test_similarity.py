@@ -387,3 +387,100 @@ def test_rp_rerank_contract_recall_and_invariance(spark, sf_smoke):
         q, emb.repartition(5), planes, k=5, shortlist=20
     ).collect()
     assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+
+
+def test_pca_fit_matches_numpy_reference(spark):
+    import numpy as np
+
+    from df_to_azure_spark.functions.similarity import pca_fit
+
+    rng = np.random.RandomState(7)
+    X = (rng.randn(200, 6) @ np.diag([5, 3, 2, 1, 0.5, 0.1])).astype("float32")
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+    mean, comps, evals = pca_fit(df, dim=6, k=4)
+    Xd = X.astype("float64")
+    ref_cov = np.cov(Xd, rowvar=False)
+    ref_evals, ref_evecs = np.linalg.eigh(ref_cov)
+    ref_top = np.sort(ref_evals)[::-1][:4]
+    assert np.allclose(mean, Xd.mean(axis=0), atol=1e-9)
+    assert np.allclose(evals, ref_top, rtol=1e-9)
+    # components orthonormal, rows are eigenvectors of the same cov
+    W = np.array(comps)
+    assert np.allclose(W @ W.T, np.eye(4), atol=1e-9)
+    for i in range(4):
+        assert np.allclose(ref_cov @ W[i], evals[i] * W[i], atol=1e-7)
+
+
+def test_pca_project_variance_and_reconstruction(spark):
+    import numpy as np
+
+    from df_to_azure_spark.functions.similarity import pca_fit, pca_project
+
+    rng = np.random.RandomState(11)
+    X = (rng.randn(300, 8) * np.arange(8, 0, -1)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+    mean, comps, evals = pca_fit(df, dim=8, k=8)
+    rows = pca_project(df, mean, comps).collect()
+    P = np.array([r.proj for r in sorted(rows, key=lambda r: r.vec_id)])
+    # projected coordinate variances = eigenvalues, descending
+    v = P.var(axis=0, ddof=1)
+    assert np.allclose(v, evals, rtol=1e-7)
+    assert all(evals[i] >= evals[i + 1] for i in range(7))
+    # full-rank projection reconstructs exactly (orthonormal basis)
+    W = np.array(comps)
+    recon = P @ W + np.array(mean)
+    assert np.allclose(recon, X.astype("float64"), atol=1e-6)
+
+
+def test_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from df_to_azure_spark.functions.similarity import pca_fit, pca_project
+
+    rng = np.random.RandomState(3)
+    X = (rng.randn(250, 5) * [10, 4, 2, 1, 0.5]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    mean, comps, _ = pca_fit(df, dim=5, k=3, whiten=True)
+    P = np.array([r.proj for r in pca_project(df, mean, comps).collect()])
+    assert np.allclose(P.var(axis=0, ddof=1), np.ones(3), rtol=1e-6)
+
+
+def test_pca_partitioning_stability(spark):
+    import numpy as np
+
+    from df_to_azure_spark.functions.similarity import pca_fit
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(150, 4).astype("float32")
+    rows = [(i, r.tolist()) for i, r in enumerate(X)]
+    fits = []
+    for parts in (1, 6, 17):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(parts)
+        fits.append(pca_fit(df, dim=4, k=2))
+    for other in fits[1:]:
+        assert np.allclose(fits[0][0], other[0], atol=1e-9)
+        assert np.allclose(fits[0][1], other[1], atol=1e-6)
+        assert np.allclose(fits[0][2], other[2], atol=1e-9)
+
+
+def test_pca_guards(spark):
+    import pytest
+
+    from df_to_azure_spark.functions.similarity import pca_fit
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="1 <= k <= dim"):
+        pca_fit(df, dim=2, k=3)
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        pca_fit(df, dim=2, k=1)
