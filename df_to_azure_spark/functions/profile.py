@@ -39,3 +39,57 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "CAST(__n - n_non_null AS BIGINT) AS n_nulls",
         "CAST(n_distinct AS BIGINT) AS n_distinct",
     )
+
+
+def corr_matrix(
+    df: DataFrame, columns: list[str], scale: int = 2
+) -> DataFrame:
+    """All pairwise Pearson correlations over ``columns`` from ONE fused
+    aggregation scan — the multi-column generalization of the exact-sums
+    correlation recipe (see ``plans.analytics5.quantity_price_correlation``):
+    inputs cast to DECIMAL(18, scale), the sufficient sums (Σx per column,
+    Σxy / Σx² per pair) accumulate as DECIMAL(38, 2·scale) — exact and
+    aggregation-order-free, unlike any streaming-float ``corr()`` — and
+    each correlation is one double expression over those sums, ROUND(6).
+
+    One table scan for d columns and d·(d+1)/2 pairs (the per-pair loop a
+    pandas ``df.corr()`` port would run is d² scans at 100 TB); output is
+    one row per unordered pair (col_a ≤ col_b by position, diagonal
+    included as a self-check — exactly 1.0 unless the column is
+    constant)."""
+    d = len(columns)
+    if d < 1:
+        raise ValueError("corr_matrix needs at least one column")
+    s2 = 2 * scale
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, c in enumerate(columns):
+        aggs.append(
+            F.expr(f"SUM(CAST({c} AS DECIMAL(18,{scale})))").alias(f"s{i}")
+        )
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.expr(
+                    f"SUM(CAST(CAST({columns[i]} AS DECIMAL(18,{scale}))"
+                    f" * CAST({columns[j]} AS DECIMAL(18,{scale}))"
+                    f" AS DECIMAL(38,{s2})))"
+                ).alias(f"p{i}_{j}")
+            )
+    wide = df.agg(*aggs)
+    cells = ", ".join(
+        f"named_struct('col_a', '{columns[i]}', 'col_b', '{columns[j]}',"
+        " 'corr',"
+        f" ROUND((CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+        f"        - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+        f" / SQRT((CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+        f"         - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+        f"        * (CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
+        f"           - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))), 6))"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return wide.select(F.explode(F.expr(f"array({cells})")).alias("c")).select(
+        F.col("c.col_a").alias("col_a"),
+        F.col("c.col_b").alias("col_b"),
+        F.col("c.corr").alias("corr"),
+    )

@@ -588,3 +588,211 @@ PCA_QUALITY_ORACLE = """
 SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS DOUBLE) AS detail
 WHERE 1 = 0
 """
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration bins (distrank deciles, learned vs rule filter)
+# --------------------------------------------------------------------------
+
+
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the learned quality classifier against the
+    rule-based Gopher filter: documents bucketed into global score
+    deciles (via the two-phase exact rank — no single-partition ntile
+    window), each bin reporting mean predicted probability and the
+    empirical Gopher keep-rate.  The standard reliability-diagram input
+    for 'can the cheap learned filter replace the expensive rule
+    cascade'.  Exactness: probabilities are 6-dp doubles summed as
+    DECIMAL(18,6) (order-free), one double division per bin."""
+    from df_to_azure_spark.plans.pipeline import gopher_quality_filter
+    from df_to_azure_spark.plans.pipeline2 import doc_classifier_scores
+
+    scores = doc_classifier_scores(spark, sf_dir).select(
+        "doc_id", "quality_prob"
+    )
+    labels = gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    j = scores.join(labels, "doc_id")
+    ranked = DR.two_phase_rank(
+        j, [("quality_prob", "asc"), ("doc_id", "asc")]
+    )
+    binned = ranked.withColumn(
+        "decile", DR.ntile_from_rank("__rn", "__grp_n", 10).cast("int")
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(quality_prob AS DECIMAL(18,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("mean_prob"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("keep_rate"),
+    )
+
+
+def _calibration_oracle() -> str:
+    from df_to_azure_spark.plans.pipeline import GOPHER_ORACLE
+    from df_to_azure_spark.plans.pipeline2 import CLASSIFIER_ORACLE
+
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, quality_prob FROM ({CLASSIFIER_ORACLE}) t
+), g AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({GOPHER_ORACLE}) t
+), j AS (
+  SELECT s.doc_id, s.quality_prob, g.keep FROM s JOIN g USING (doc_id)
+), b AS (
+  SELECT quality_prob, keep,
+         ntile(10) OVER (ORDER BY quality_prob, doc_id) AS decile
+  FROM j
+)
+SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(quality_prob AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_prob,
+       ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate
+FROM b GROUP BY decile
+"""
+
+
+CALIBRATION_ORACLE = _calibration_oracle()
+
+
+# --------------------------------------------------------------------------
+# One-scan correlation matrix + categorical mutual information
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over lineitem's four measures in ONE
+    fused aggregation scan (``profile.corr_matrix``) — 10 cells
+    (diagonal included as the 1.0 self-check), exact DECIMAL sufficient
+    sums, one double expression per cell."""
+    from df_to_azure_spark.functions.profile import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS, scale=2)
+
+
+def _corr_matrix_oracle(cols: list[str], scale: int) -> str:
+    d = len(cols)
+    s2 = 2 * scale
+    sums = ", ".join(
+        f"SUM(CAST({c} AS DECIMAL(18,{scale}))) AS s{i}"
+        for i, c in enumerate(cols)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(CAST({cols[i]} AS DECIMAL(18,{scale}))"
+        f" * CAST({cols[j]} AS DECIMAL(18,{scale}))"
+        f" AS DECIMAL(38,{s2}))) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,"
+        f" ROUND((CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+        f"        - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+        f" / SQRT((CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+        f"         - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+        f"        * (CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
+        f"           - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))), 6)"
+        " AS corr FROM w"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {prods} FROM lineitem
+)
+SELECT col_a, col_b, corr FROM ({cells})
+"""
+
+
+LINEITEM_CORR_ORACLE = _corr_matrix_oracle(_CORR_COLS, 2)
+
+
+def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and status —
+    the information-theoretic companion to ``priority_status_chi2``
+    (dependence strength on a comparable scale, bounded by the smaller
+    marginal entropy, which is emitted alongside for normalization).
+    One joint-count scan; margins and the total DERIVE from the joint
+    frame (no second scan).  Exactness: probabilities are double
+    divisions of exact counts, ROUND(12) after the one LN, per-cell
+    terms ROUND(12) into DECIMAL(28,12) before the sum, output
+    ROUND(6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    joint = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    ma = joint.groupBy("o_orderpriority").agg(F.sum("c_ab").alias("c_a"))
+    mb = joint.groupBy("o_orderstatus").agg(F.sum("c_ab").alias("c_b"))
+    tot = joint.agg(F.sum("c_ab").alias("n"))
+    term = (
+        "CAST(ROUND((CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)"
+        "            / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 12),"
+        " 12) AS DECIMAL(28,12))"
+    )
+    h_term = (
+        "CAST(ROUND(-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ROUND(LN(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)), 12), 12)"
+        " AS DECIMAL(28,12))"
+    )
+    mi = (
+        joint.join(F.broadcast(ma), "o_orderpriority")
+        .join(F.broadcast(mb), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.expr(f"ROUND(CAST(SUM({term}) AS DOUBLE), 6)").alias("mi_nats"))
+    )
+    h_a = ma.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            f"ROUND(CAST(SUM({h_term.format(c='c_a')}) AS DOUBLE), 6)"
+        ).alias("h_priority")
+    )
+    h_b = mb.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            f"ROUND(CAST(SUM({h_term.format(c='c_b')}) AS DOUBLE), 6)"
+        ).alias("h_status")
+    )
+    return mi.crossJoin(h_a).crossJoin(h_b)
+
+
+MUTUAL_INFO_ORACLE = """
+WITH joint AS MATERIALIZED (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c_ab
+  FROM orders GROUP BY 1, 2
+), ma AS (
+  SELECT o_orderpriority, SUM(c_ab) AS c_a FROM joint GROUP BY 1
+), mb AS (
+  SELECT o_orderstatus, SUM(c_ab) AS c_b FROM joint GROUP BY 1
+), tot AS (
+  SELECT SUM(c_ab) AS n FROM joint
+), mi AS (
+  SELECT ROUND(CAST(SUM(
+    CAST(ROUND((CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE))
+      * ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 12), 12)
+      AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_nats
+  FROM joint
+  JOIN ma USING (o_orderpriority)
+  JOIN mb USING (o_orderstatus)
+  CROSS JOIN tot
+), ha AS (
+  SELECT ROUND(CAST(SUM(
+    CAST(ROUND(-(CAST(c_a AS DOUBLE) / CAST(n AS DOUBLE))
+      * ROUND(LN(CAST(c_a AS DOUBLE) / CAST(n AS DOUBLE)), 12), 12)
+      AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_priority
+  FROM ma CROSS JOIN tot
+), hb AS (
+  SELECT ROUND(CAST(SUM(
+    CAST(ROUND(-(CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))
+      * ROUND(LN(CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE)), 12), 12)
+      AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_status
+  FROM mb CROSS JOIN tot
+)
+SELECT mi_nats, h_priority, h_status FROM mi CROSS JOIN ha CROSS JOIN hb
+"""

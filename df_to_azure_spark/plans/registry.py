@@ -601,6 +601,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "pca_quality_check": QuerySpec(
         PL3.pca_quality_check, PL3.PCA_QUALITY_ORACLE
     ),
+    "classifier_calibration_bins": QuerySpec(
+        PL3.classifier_calibration_bins, PL3.CALIBRATION_ORACLE
+    ),
+    "lineitem_corr_matrix": QuerySpec(
+        PL3.lineitem_corr_matrix, PL3.LINEITEM_CORR_ORACLE
+    ),
+    "priority_status_mutual_info": QuerySpec(
+        PL3.priority_status_mutual_info, PL3.MUTUAL_INFO_ORACLE
+    ),
 }
 
 

@@ -180,3 +180,33 @@ def test_semdedup_partitioning_invariant(spark):
     # the planted duplicate families (same vector values) actually prune
     kept = {r[0]: r[2] for r in a}
     assert sum(1 for i, k in kept.items() if i >= 100 and not k) > 0
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from df_to_azure_spark.functions.profile import corr_matrix
+
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 1000, 400)
+    b = 2 * a + rng.randint(0, 200, 400)     # strongly correlated with a
+    c = rng.randint(0, 1000, 400)            # independent
+    df = spark.createDataFrame(
+        [(int(x), int(y), int(z)) for x, y, z in zip(a, b, c)],
+        "a long, b long, c long",
+    ).repartition(6)
+    got = {(r.col_a, r.col_b): r.corr for r in corr_matrix(df, ["a", "b", "c"], scale=0).collect()}
+    ref = np.corrcoef(np.vstack([a, b, c]))
+    assert got[("a", "a")] == 1.0 and got[("b", "b")] == 1.0
+    for (i, x), (j, y) in [((0, "a"), (1, "b")), ((0, "a"), (2, "c")), ((1, "b"), (2, "c"))]:
+        assert abs(got[(x, y)] - ref[i, j]) < 1e-6
+
+
+def test_corr_matrix_guard(spark):
+    import pytest
+
+    from df_to_azure_spark.functions.profile import corr_matrix
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one column"):
+        corr_matrix(df, [])
