@@ -61,6 +61,10 @@ BOUNDED_BROADCAST_VARS = {
     "lang_terms",  # 1-row entropy aggregate (documents_dataset_card)
     "max_rev",  # 1-row global max aggregate (q15_top_supplier)
     "stats",  # 1-row corpus N/avgdl aggregate (doc_bm25_scores)
+    "summary",  # 1-row total/n_keys aggregate (join_key_skew_profile)
+    "ma",  # priority marginal counts — bounded by the priority domain (5)
+    "mb",  # status marginal counts — bounded by the status domain (3)
+    "tot",  # 1-row joint-count total (priority_status_mutual_info)
     "med",  # per-event-type medians — bounded by the type domain (~5)
     "mad",  # per-event-type MADs — bounded by the type domain (~5)
     "sizes",  # per-cohort-week user counts — bounded by the week domain
