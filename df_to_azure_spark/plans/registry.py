@@ -579,10 +579,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # round-7 wave: sketch-bounded heavy hitters, sparse lexical cosine,
     # bounded k-core peeling, grouped two-phase rank quantiles
     "heavy_hitter_tokens": QuerySpec(
-        PL3.heavy_hitter_tokens, PL3.HEAVY_HITTER_ORACLE
+        PL3.heavy_hitter_tokens, PL3.HEAVY_HITTER_ORACLE, headline=True
     ),
     "doc_tfidf_cosine_pairs": QuerySpec(
-        PL3.doc_tfidf_cosine_pairs, PL3.TFIDF_COSINE_ORACLE
+        PL3.doc_tfidf_cosine_pairs, PL3.TFIDF_COSINE_ORACLE, headline=True
     ),
     "part_kcore": QuerySpec(PL3.part_kcore, PL3.PART_KCORE_ORACLE),
     "source_length_quantiles": QuerySpec(
