@@ -796,3 +796,79 @@ WITH joint AS MATERIALIZED (
 )
 SELECT mi_nats, h_priority, h_status FROM mi CROSS JOIN ha CROSS JOIN hb
 """
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k set-overlap audit across sources
+# --------------------------------------------------------------------------
+
+_KMV_J_K = 64
+
+
+def kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-vocabulary overlap, exact AND by KMV
+    bottom-k sketch (``sketch.kmv_set_jaccard``) — the mergeable-sketch
+    audit for 'how much template boilerplate do these sources share'
+    when the per-source sets are too big to intersect exactly.  The
+    deterministic md5 hash makes the estimate itself oracle-checkable
+    next to the exact value it approximates."""
+    from df_to_azure_spark.functions.sketch import kmv_set_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(TXT.shingles("text", 3)).alias("shingle")
+    )
+    return kmv_set_jaccard(sh, "source", "shingle", k=_KMV_J_K)
+
+
+KMV_SOURCE_JACCARD_ORACLE = f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT source AS s, tok AS it FROM (
+    SELECT source,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS tok
+    FROM (SELECT source, {_TOKS} AS toks FROM documents)
+    WHERE len(toks) > 0
+  )
+), hx AS (
+  SELECT s, it,
+         ('0x' || substr(md5(it), 1, 12))::BIGINT
+           / CAST({float(1 << 48)} AS DOUBLE) AS h
+  FROM sh
+), names AS (
+  SELECT DISTINCT s FROM sh
+), pairs AS (
+  SELECT a.s AS set_a, b.s AS set_b
+  FROM names a JOIN names b ON a.s < b.s
+), memb AS MATERIALIZED (
+  SELECT set_a, set_b, it, h,
+         MAX(fa) AS in_a, MAX(fb) AS in_b
+  FROM (
+    SELECT p.set_a, p.set_b, hx.it, hx.h, 1 AS fa, 0 AS fb
+    FROM hx JOIN pairs p ON hx.s = p.set_a
+    UNION ALL
+    SELECT p.set_a, p.set_b, hx.it, hx.h, 0 AS fa, 1 AS fb
+    FROM hx JOIN pairs p ON hx.s = p.set_b
+  ) GROUP BY set_a, set_b, it, h
+), bottom AS (
+  SELECT set_a, set_b, in_a, in_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY set_a, set_b
+                                 ORDER BY h, it) AS rn
+    FROM memb
+  ) WHERE rn <= {_KMV_J_K}
+), exact AS (
+  SELECT set_a, set_b, CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+  FROM memb GROUP BY set_a, set_b
+), sk AS (
+  SELECT set_a, set_b, COUNT(*) AS n_bottom, SUM(in_a * in_b) AS k_inter
+  FROM bottom GROUP BY set_a, set_b
+)
+SELECT exact.set_a, exact.set_b, n_union, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+         AS jaccard_exact,
+       ROUND(CAST(k_inter AS DOUBLE) / CAST(n_bottom AS DOUBLE), 6)
+         AS jaccard_kmv
+FROM exact JOIN sk USING (set_a, set_b)
+"""

@@ -607,6 +607,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "lineitem_corr_matrix": QuerySpec(
         PL3.lineitem_corr_matrix, PL3.LINEITEM_CORR_ORACLE
     ),
+    "kmv_source_jaccard": QuerySpec(
+        PL3.kmv_source_jaccard, PL3.KMV_SOURCE_JACCARD_ORACLE
+    ),
     "priority_status_mutual_info": QuerySpec(
         PL3.priority_status_mutual_info, PL3.MUTUAL_INFO_ORACLE
     ),

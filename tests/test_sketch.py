@@ -68,3 +68,42 @@ def test_guards(spark):
 def test_no_items_above_threshold(spark):
     df = _stream(spark, {f"u{i}": 1 for i in range(50)}, 4)
     assert heavy_hitters_exact(df, "item", 1, 10).count() == 0
+
+
+def test_kmv_set_jaccard_small_sets_exact(spark):
+    from df_to_azure_spark.functions.sketch import kmv_set_jaccard
+
+    rows = [("A", f"x{i}") for i in range(10)] + [("B", f"x{i}") for i in range(5, 20)]
+    df = spark.createDataFrame(rows, "s string, it string")
+    out = kmv_set_jaccard(df, "s", "it", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    # union < k -> sketch degrades to exact: 5 shared of 20 union
+    assert (r.n_union, r.n_inter) == (20, 5)
+    assert r.jaccard_exact == 0.25 and r.jaccard_kmv == 0.25
+
+
+def test_kmv_set_jaccard_partitioning_invariance(spark):
+    from df_to_azure_spark.functions.sketch import kmv_set_jaccard
+
+    rows = (
+        [("A", f"i{i}") for i in range(300)]
+        + [("B", f"i{i}") for i in range(150, 450)]
+        + [("C", f"j{i}") for i in range(100)]
+    )
+    outs = []
+    for parts in (1, 5, 32):
+        df = spark.createDataFrame(rows, "s string, it string").repartition(parts)
+        outs.append(sorted(
+            (r.set_a, r.set_b, r.n_union, r.n_inter, r.jaccard_exact, r.jaccard_kmv)
+            for r in kmv_set_jaccard(df, "s", "it", k=32).collect()
+        ))
+    assert outs[0] == outs[1] == outs[2]
+    by_pair = {(a, b): (je, jk) for a, b, _, _, je, jk in outs[0]}
+    # A/B overlap is real (150 of 450); the 32-hash estimate should land
+    # in the right neighborhood, and disjoint pairs estimate exactly 0
+    je, jk = by_pair[("A", "B")]
+    assert abs(je - 150 / 450) < 1e-6
+    assert 0.05 < jk < 0.75
+    assert by_pair[("A", "C")] == (0.0, 0.0)
+    assert by_pair[("B", "C")] == (0.0, 0.0)
