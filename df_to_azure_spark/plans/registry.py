@@ -23,6 +23,20 @@ from df_to_azure_spark.plans import pipeline3 as PL3
 from df_to_azure_spark.plans import training_data as TD
 
 
+def _stream_hh_superset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import (
+        stream_heavy_hitter_superset_diff,
+    )
+
+    return stream_heavy_hitter_superset_diff(spark, sf_dir)
+
+
+def _stream_hh_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import STREAM_HH_SUPERSET_ORACLE
+
+    return STREAM_HH_SUPERSET_ORACLE
+
+
 def _stream_windowed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_vs_batch_windowed_diff
 
@@ -609,6 +623,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "kmv_source_jaccard": QuerySpec(
         PL3.kmv_source_jaccard, PL3.KMV_SOURCE_JACCARD_ORACLE
+    ),
+    "stream_heavy_hitter_superset_diff": QuerySpec(
+        _stream_hh_superset_diff, _stream_hh_oracle()
     ),
     "priority_status_mutual_info": QuerySpec(
         PL3.priority_status_mutual_info, PL3.MUTUAL_INFO_ORACLE

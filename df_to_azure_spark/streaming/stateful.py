@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -323,5 +324,159 @@ TOTALS_DIFF_ORACLE = """
 SELECT CAST(NULL AS BIGINT) AS user_id,
        CAST(NULL AS BIGINT) AS n_stream, CAST(NULL AS DOUBLE) AS total_stream,
        CAST(NULL AS BIGINT) AS n_batch, CAST(NULL AS DOUBLE) AS total_batch
+WHERE 1 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters (bucket-sharded sketch state)
+# --------------------------------------------------------------------------
+
+HH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("seen", T.LongType()),
+    ]
+)
+
+
+def _hh_update_factory(counters: int):
+    def _hh_update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.exists:
+            items, counts, seen = state.get
+            d = dict(zip(items, counts))
+        else:
+            d, seen = {}, 0
+        for pdf in pdfs:
+            for tok, n in pdf["tok"].value_counts().items():
+                d[tok] = d.get(tok, 0) + int(n)
+                seen += int(n)
+            if len(d) > counters:
+                # mergeable-summaries reduction (same as the batch
+                # sketch.heavy_hitters_exact kernel): subtract the
+                # (c+1)-th largest count, drop non-positive
+                m = sorted(d.values(), reverse=True)[counters]
+                d = {k: v - m for k, v in d.items() if v > m}
+        state.update((list(d.keys()), [int(v) for v in d.values()], seen))
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "version": [seen],
+                "items": [list(d.keys())],
+                "counts": [[int(v) for v in d.values()]],
+            }
+        )
+
+    return _hh_update
+
+
+def streaming_heavy_hitter_candidates(
+    tokens: DataFrame, buckets: int = 8, counters: int = 200
+) -> DataFrame:
+    """Streaming Misra-Gries candidate maintenance: the token stream is
+    sharded into ``buckets`` by a deterministic md5 bucket of the token
+    (every occurrence of a token lands in ONE bucket, so its in-bucket
+    frequency share can only be ≥ its global share), and each bucket
+    keeps an MG summary with ``counters`` counters in group state,
+    folded batch-by-batch with the same mergeable reduction as the
+    batch kernel (``sketch.heavy_hitters_exact``).  Union of the final
+    bucket summaries ⊇ every token with global share > 1/(counters+1)
+    — the streaming half of the two-pass heavy-hitter design, with the
+    exact verification pass running batch-side whenever a snapshot is
+    taken.
+
+    State per bucket is ≤ counters (item, count) pairs — bounded by
+    config, never by stream length; ``NoTimeout`` because the summary
+    must live as long as the count stream does.  Output mode 'update':
+    one (bucket, version, summary) row per bucket per micro-batch;
+    ``version`` is the bucket's total tokens seen, so the latest
+    snapshot per bucket is the max-version row."""
+    keyed = tokens.withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+            F.lit(int(buckets)),
+        ).cast("int"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _hh_update_factory(int(counters)),
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_heavy_hitter_superset_diff(spark, sf_dir: str) -> DataFrame:
+    """Tripwire for the streaming sketch: every EXACT batch heavy hitter
+    (share > 1/100 of the token stream — same contract as the batch
+    ``heavy_hitter_tokens`` query) must appear in the streaming
+    Misra-Gries candidate union.  Emits the missing tokens — expected
+    EMPTY, so the driver's empty-set oracle hash-proves the superset
+    guarantee end to end (stream sharding + state folding + snapshot
+    extraction)."""
+    from pyspark.sql import Window as W
+
+    from df_to_azure_spark.functions.text import tokens as tok_expr
+    from df_to_azure_spark.sources import load_table
+
+    docs_schema = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    toks_stream = raw.select(F.explode(tok_expr("text")).alias("tok"))
+    q = (
+        streaming_heavy_hitter_candidates(toks_stream, buckets=8, counters=200)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_candidates_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.sql("SELECT * FROM hh_candidates_out")
+    w = W.partitionBy("bucket").orderBy(F.desc("version"))
+    cands = (
+        snap.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.explode("items").alias("tok"))
+        .distinct()
+    )
+    batch_toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tok_expr("text")).alias("tok")
+    )
+    total = batch_toks.agg(F.count(F.lit(1)).alias("n_total"))
+    exact_hh = (
+        batch_toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 100 > F.col("n_total"))
+        .select("tok", F.col("cnt").cast("bigint").alias("cnt"))
+    )
+    return exact_hh.join(cands, "tok", "left_anti")
+
+
+STREAM_HH_SUPERSET_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS cnt
 WHERE 1 = 0
 """

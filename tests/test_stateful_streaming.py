@@ -137,3 +137,65 @@ def test_late_chain_bridges_into_carried_session():
     t1, t2 = base - GAP - GAP // 2, base - GAP // 2
     assert _feed(state, [t1, t2]) == []
     assert state._v == (t1, base, 3)
+
+
+def test_streaming_heavy_hitters_multibatch_state_carry(spark, sf_smoke, tmp_path):
+    """Stream the corpus in FOUR micro-batches (maxFilesPerTrigger=1) and
+    assert (a) state really carried across batches (several snapshots
+    per bucket, monotone versions) and (b) the final candidate union is
+    a superset of the exact >1% heavy hitters of the whole corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from df_to_azure_spark.functions.text import tokens as tok_expr
+    from df_to_azure_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    toks = raw.select(F.explode(tok_expr("text")).alias("tok"))
+    q = (
+        streaming_heavy_hitter_candidates(toks, buckets=4, counters=64)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_mb_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.sql("SELECT * FROM hh_mb_out")
+    per_bucket = {
+        r.bucket: r.n for r in
+        snap.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # 4 files -> up to 4 batches; every bucket must have folded >1 batch
+    assert all(n > 1 for n in per_bucket.values()), per_bucket
+    w = W.partitionBy("bucket").orderBy(F.desc("version"))
+    cands = {
+        r.tok
+        for r in snap.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.explode("items").alias("tok"))
+        .collect()
+    }
+    batch_toks = docs.select(F.explode(tok_expr("text")).alias("tok"))
+    total = batch_toks.count()
+    exact_hh = {
+        r.tok
+        for r in batch_toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 100 > total)
+        .collect()
+    }
+    assert exact_hh and exact_hh <= cands
