@@ -872,3 +872,54 @@ SELECT exact.set_a, exact.set_b, n_union, n_inter,
          AS jaccard_kmv
 FROM exact JOIN sk USING (set_a, set_b)
 """
+
+
+# --------------------------------------------------------------------------
+# Per-document n-gram novelty (inverse boilerplate share)
+# --------------------------------------------------------------------------
+
+
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT
+    3-gram shingles that appear in no other document — the cheap
+    'how much of this is boilerplate' signal a corpus-curation pass
+    ranks on before the expensive near-dup machinery runs.  One explode
+    → shingle document-frequency → per-doc ratio of df=1 shingles; all
+    keyed shuffles, exact integer counts, one ROUND(6) division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TXT.shingles("text", 3))).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df_s") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN df_s = 1 THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / COUNT(*), 6)"
+            ).alias("novelty"),
+        )
+    )
+
+
+DOC_NOVELTY_ORACLE = f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok AS s FROM (
+{_SHINGLE_TERMS}
+  )
+), dfreq AS (
+  SELECT s, COUNT(*) AS df_s FROM sh GROUP BY s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df_s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN df_s = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh JOIN dfreq USING (s)
+GROUP BY doc_id
+"""

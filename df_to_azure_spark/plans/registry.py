@@ -627,6 +627,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_heavy_hitter_superset_diff": QuerySpec(
         _stream_hh_superset_diff, _stream_hh_oracle()
     ),
+    "doc_novelty_scores": QuerySpec(
+        PL3.doc_novelty_scores, PL3.DOC_NOVELTY_ORACLE
+    ),
     "priority_status_mutual_info": QuerySpec(
         PL3.priority_status_mutual_info, PL3.MUTUAL_INFO_ORACLE
     ),
