@@ -139,7 +139,10 @@ def kmv_set_jaccard(
     integer counts."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    d = items.select(set_col, item_col).distinct()
+    # pinned: the distinct membership frame feeds BOTH pair-expansion
+    # sides, and its upstream (often an explode over interpreted HOF
+    # expressions) is the expensive stage — evaluate it once
+    d = items.select(set_col, item_col).distinct().localCheckpoint()
     h = (
         F.conv(
             F.substring(F.md5(F.col(item_col).cast("string")), 1, 12), 16, 10
@@ -160,10 +163,15 @@ def kmv_set_jaccard(
     jb = d.join(
         F.broadcast(pairs), d["s"] == pairs["set_b"]
     ).select("set_a", "set_b", "it", "h", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    # two consumers (the bottom-k window chain AND the exact aggregate)
+    # read the pair-expanded membership frame, and building it is the
+    # expensive stage (union + keyed agg over Σ|A|+|B| rows per pair) —
+    # pin it so the expansion runs once, not twice
     memb = (
         ja.unionByName(jb)
         .groupBy("set_a", "set_b", "it", "h")
         .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b"))
+        .localCheckpoint()
     )
     from pyspark.sql import Window as W
 

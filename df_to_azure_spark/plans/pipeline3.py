@@ -883,27 +883,46 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the fraction of a document's DISTINCT
     3-gram shingles that appear in no other document — the cheap
     'how much of this is boilerplate' signal a corpus-curation pass
-    ranks on before the expensive near-dup machinery runs.  One explode
-    → shingle document-frequency → per-doc ratio of df=1 shingles; all
-    keyed shuffles, exact integer counts, one ROUND(6) division."""
+    ranks on before the expensive near-dup machinery runs.
+
+    Plan: the shingle expression (interpreted HOF transform — measured
+    ~3 s per evaluation at sf0.1, dwarfing every downstream agg) is
+    evaluated ONCE and the exploded (doc, shingle) frame pinned; a
+    df=1 shingle has exactly one owner, recoverable from the df
+    aggregation itself (``min(doc_id)`` of a 1-row group), so nothing
+    joins back against the exploded frame.  Per-doc totals are a second
+    small agg of the same pinned frame; exact integer counts, one
+    ROUND(6) division."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(TXT.shingles("text", 3))).alias("s"),
+    ).localCheckpoint()
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    uniq = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"), F.min("doc_id").alias("owner"))
+        .where(F.col("df_s") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )
     return (
-        sh.join(dfreq, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(F.when(F.col("df_s") == 1, 1).otherwise(0))
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_unique"), F.lit(0))
             .cast("bigint")
             .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty",
             F.expr(
-                "ROUND(CAST(SUM(CASE WHEN df_s = 1 THEN 1 ELSE 0 END)"
-                " AS DOUBLE) / COUNT(*), 6)"
-            ).alias("novelty"),
+                "ROUND(CAST(n_unique AS DOUBLE)"
+                " / CAST(n_shingles AS DOUBLE), 6)"
+            ),
         )
     )
 
