@@ -1,7 +1,12 @@
 """Round-7 query wave: distributed heavy hitters (Misra-Gries candidates
 + exact verify), sparse TF-IDF cosine similarity pairs (shingle terms),
-bounded k-core peeling over the co-purchase graph, and per-source length
-quantiles through the grouped two-phase rank.
+bounded k-core peeling over the co-purchase graph, per-source length
+quantiles through the grouped two-phase rank, BPE merge training with an
+unrolled-iteration oracle, merge_asof-parity as-of joins (forward +
+tolerance, nearest), exact-decimal embedding covariance + the PCA
+quality tripwire, classifier calibration bins, a one-scan correlation
+matrix, categorical mutual information, KMV bottom-k set Jaccard across
+sources, and per-document n-gram novelty.
 
 Every query is paired with a DuckDB oracle that reproduces the result
 bit-for-bit (same cross-engine policy as ``pipeline2``: integer/decimal
