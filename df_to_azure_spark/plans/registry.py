@@ -20,6 +20,7 @@ from df_to_azure_spark.plans import parity as P
 from df_to_azure_spark.plans import pipeline as PL
 from df_to_azure_spark.plans import pipeline2 as PL2
 from df_to_azure_spark.plans import pipeline3 as PL3
+from df_to_azure_spark.plans import pipeline4 as PL4
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -632,6 +633,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "priority_status_mutual_info": QuerySpec(
         PL3.priority_status_mutual_info, PL3.MUTUAL_INFO_ORACLE
+    ),
+    "session_concurrency_hourly": QuerySpec(
+        PL4.session_concurrency_hourly, PL4.SESSION_CONCURRENCY_ORACLE
+    ),
+    "nation_revenue_ols": QuerySpec(
+        PL4.nation_revenue_ols, PL4.NATION_OLS_ORACLE
+    ),
+    "doc_shard_manifest": QuerySpec(
+        PL4.doc_shard_manifest, PL4.DOC_SHARD_MANIFEST_ORACLE
     ),
 }
 

@@ -1,0 +1,74 @@
+"""Semantic checks for the pipeline4 wave, independent of the DuckDB
+oracles (which intentionally share the same plan shape): a brute-force
+definition of interval concurrency, and numpy's least squares."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from df_to_azure_spark.plans.pipeline4 import (
+    nation_revenue_ols,
+    session_concurrency_hourly,
+)
+from df_to_azure_spark.sources import load_table
+
+
+def test_concurrency_matches_bruteforce_definition(spark, sf_smoke):
+    """Peak concurrency per hour == max over candidate instants of the
+    number of sessions whose closed interval covers the instant.  The
+    max is attained at some session start (arrivals only raise the
+    count), so session starts clipped into the hour are a sufficient
+    candidate set."""
+    from df_to_azure_spark.streaming.events import sessionize
+
+    events = load_table(spark, sf_smoke, "events")
+    sessions = [
+        (r.session_start, r.session_end)
+        for r in sessionize(events, gap_minutes=30).collect()
+    ]
+    got = {
+        r.hour: r.peak_concurrency
+        for r in session_concurrency_hourly(spark, sf_smoke).collect()
+    }
+    assert got, "no hours produced"
+
+    from datetime import timedelta
+
+    for hour, peak in sorted(got.items())[:50]:
+        hi = hour + timedelta(hours=1)
+        # candidate instants: hour start, plus starts falling inside
+        candidates = {hour} | {s for s, e in sessions if hour <= s < hi}
+        brute = max(
+            sum(1 for s, e in sessions if s <= t <= e) for t in candidates
+        )
+        assert brute == peak, f"{hour}: brute {brute} != sweep {peak}"
+
+
+def test_nation_ols_matches_numpy(spark, sf_smoke):
+    rows = nation_revenue_ols(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    # rebuild the monthly series per nation straight from the tables
+    import duckdb
+
+    con = duckdb.connect()
+    monthly = con.sql(
+        f"""
+        SELECT n_name,
+               (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+               SUM(o_totalprice) AS y
+        FROM read_parquet('{sf_smoke}/orders.parquet') o
+        JOIN read_parquet('{sf_smoke}/customer.parquet') c ON o_custkey = c_custkey
+        JOIN read_parquet('{sf_smoke}/nation.parquet') n ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[tuple[int, float]]] = {}
+    for name, x, y in monthly:
+        series.setdefault(name, []).append((int(x), float(y)))
+    for r in rows:
+        pts = series[r.n_name]
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(slope - r.slope) < 1e-3 * max(1.0, abs(slope))
+        assert abs(intercept - r.intercept) < 1e-3 * max(1.0, abs(intercept))
