@@ -405,7 +405,11 @@ REGISTRY: dict[str, QuerySpec] = {
         A4.events_hourly_gapfill, A4.GAPFILL_ORACLE
     ),
     "events_value_ffill": QuerySpec(A4.events_value_ffill, A4.FFILL_ORACLE),
-    "user_retention_cohorts": QuerySpec(
+    # date_trunc('week') variant — the engine-convention path (both
+    # engines start weeks on Monday); A5's integer-week twin below keeps
+    # the convention-free formulation.  Was silently shadowed by the A5
+    # entry (duplicate dict key) until round 7.
+    "user_retention_cohorts_trunc": QuerySpec(
         A4.user_retention_cohorts, A4.RETENTION_ORACLE
     ),
     "events_time_weighted_avg": QuerySpec(

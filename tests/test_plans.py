@@ -240,3 +240,25 @@ def test_fused_single_scan_shapes(spark, sf_smoke):
     plan = REGISTRY["documents_dataset_card"].spark(spark, sf_smoke)
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert s.count("Scan parquet") == 2, s.count("Scan parquet")
+
+
+def test_registry_has_no_duplicate_literal_keys():
+    """A duplicate key in the REGISTRY dict literal silently shadows the
+    earlier entry (Python keeps the last) — exactly how
+    user_retention_cohorts masked analytics4's variant until round 7.
+    Parse the source and refuse any recurrence."""
+    import ast
+    from collections import Counter
+    from pathlib import Path
+
+    import df_to_azure_spark.plans.registry as reg
+
+    tree = ast.parse(Path(reg.__file__).read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", None) == "REGISTRY":
+            keys = [k.value for k in node.value.keys if isinstance(k, ast.Constant)]
+            dups = [k for k, c in Counter(keys).items() if c > 1]
+            assert not dups, f"duplicate REGISTRY keys: {dups}"
+            assert len(keys) == len(reg.REGISTRY)
+            return
+    raise AssertionError("REGISTRY literal not found")
