@@ -278,3 +278,263 @@ SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % {_N_SHARD
 FROM documents
 GROUP BY shard_id
 """
+
+
+# --------------------------------------------------------------------------
+# Exact trailing-window distinct actives (bounded-explode trick)
+# --------------------------------------------------------------------------
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per day (WAU), plus
+    same-day actives and the DAU/WAU stickiness ratio.
+
+    Sliding-window COUNT DISTINCT is not window-expressible (distinct
+    state can't be merged across frame slides); the scalable exact
+    formulation explodes each (user, day) observation into the ≤7
+    window-end days it contributes to, then distinct-counts per day —
+    a bounded ×7 row multiplier instead of a global ordered state, so
+    it shuffles on (user, day) keys only and survives any scale.  Days
+    past the data's edge are trimmed by joining back to observed days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+    ).distinct()
+    wau = contrib.join(days, contrib.day == days.d).groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_7d")
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_1d")
+    )
+    # date → NTZ timestamp at output: DuckDB DATE materializes as a
+    # pandas datetime64 while Spark DATE stays datetime.date — the one
+    # dtype the strict gate can't reconcile (same policy as the
+    # retention queries' week columns)
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "active_1d",
+            "active_7d",
+            F.expr(
+                "ROUND(CAST(active_1d AS DOUBLE) / CAST(active_7d AS DOUBLE), 6)"
+            ).alias("stickiness"),
+        )
+    )
+
+
+ROLLING_7D_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+), contrib AS (
+  SELECT DISTINCT user_id, CAST(day AS DATE) AS day FROM (
+    SELECT user_id,
+           UNNEST(generate_series(CAST(d AS TIMESTAMP),
+                                  CAST(d + 6 AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS day
+    FROM ud
+  )
+), wau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS active_7d
+  FROM contrib JOIN days ON contrib.day = days.d
+  GROUP BY day
+), dau AS (
+  SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS active_1d
+  FROM ud GROUP BY d
+)
+SELECT CAST(day AS TIMESTAMP) AS day, active_1d, active_7d,
+       ROUND(CAST(active_1d AS DOUBLE) / CAST(active_7d AS DOUBLE), 6)
+         AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-over-day active-set overlap / churn
+# --------------------------------------------------------------------------
+
+
+def dau_overlap_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience movement: for each day with an observed
+    previous day, how many users were retained from yesterday, how many
+    are new, how many churned, and the Jaccard overlap of the two
+    active sets.  One full outer join of the distinct (user, day) frame
+    against its day-shifted self — both sides shuffle on the natural
+    (user, day) key; counts are exact integers, one ROUND(6)ed division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    prev = ud.select("user_id", F.date_add(F.col("d"), 1).alias("d"))
+    f = ud.withColumn("in_cur", F.lit(1)).join(
+        prev.withColumn("in_prev", F.lit(1)), ["user_id", "d"], "full_outer"
+    )
+    both_days = days.alias("a").join(
+        days.select(F.date_add(F.col("d"), 1).alias("d")).alias("b"), "d"
+    )
+    # date → NTZ timestamp at output (same strict-gate dtype policy as
+    # rolling_7d_active_users)
+    return (
+        f.join(both_days, "d")
+        .groupBy(F.col("d").cast("timestamp_ntz").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("in_cur").isNotNull() & F.col("in_prev").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("retained"),
+            F.sum(
+                F.when(F.col("in_cur").isNotNull() & F.col("in_prev").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("new_users"),
+            F.sum(
+                F.when(F.col("in_cur").isNull() & F.col("in_prev").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("churned"),
+        )
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "ROUND(CAST(retained AS DOUBLE)"
+                " / CAST(retained + new_users + churned AS DOUBLE), 6)"
+            ),
+        )
+    )
+
+
+DAU_OVERLAP_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+), prev AS (
+  SELECT user_id, d + 1 AS d FROM ud
+), f AS (
+  SELECT COALESCE(ud.user_id, prev.user_id) AS user_id,
+         COALESCE(ud.d, prev.d) AS d,
+         ud.user_id IS NOT NULL AS in_cur,
+         prev.user_id IS NOT NULL AS in_prev
+  FROM ud FULL OUTER JOIN prev USING (user_id, d)
+), both_days AS (
+  SELECT a.d FROM days a JOIN (SELECT d + 1 AS d FROM days) b USING (d)
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(SUM(CASE WHEN in_cur AND in_prev THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+       CAST(SUM(CASE WHEN in_cur AND NOT in_prev THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN NOT in_cur AND in_prev THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+       ROUND(CAST(SUM(CASE WHEN in_cur AND in_prev THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS jaccard
+FROM f JOIN both_days USING (d)
+GROUP BY d
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov matrix (integer arithmetic)
+# --------------------------------------------------------------------------
+
+
+def source_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic for every pair of
+    document sources over the length (``n_chars``) distribution — the
+    exact nonparametric drift test complementing the binned
+    ``source_js_divergence`` screen.
+
+    D = max over the value grid of |ECDF_a − ECDF_b|.  The naive form
+    needs a globally ordered merge of both samples; the scalable exact
+    form evaluates both ECDFs on the shared grid of DISTINCT observed
+    values — bounded by the value domain, not the row count — via a
+    per-source cumulative window (partitioned by source, never global).
+    All comparisons stay in integer space (|cum_a·n_b − cum_b·n_a| as
+    DECIMAL(38,0) — overflow-safe at 1e10-row samples); the single
+    double division happens at output, ROUND(6)ed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    grid = docs.select(F.col("n_chars").alias("v")).distinct()
+    full = (
+        totals.select("source")
+        .crossJoin(F.broadcast(grid))
+        .join(counts, ["source", "v"], "left")
+        .fillna(0, ["c"])
+    )
+    cum = full.withColumn(
+        "cum",
+        F.sum("c").over(
+            W.partitionBy("source").orderBy("v").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    ).select("source", "v", "cum")
+    a = cum.alias("a").join(F.broadcast(totals).alias("na"), "source").select(
+        F.col("source").alias("source_a"), "v",
+        F.col("cum").alias("cum_a"), F.col("n").alias("n_a"),
+    )
+    b = cum.alias("b").join(F.broadcast(totals).alias("nb"), "source").select(
+        F.col("source").alias("source_b"), F.col("v").alias("vb"),
+        F.col("cum").alias("cum_b"), F.col("n").alias("n_b"),
+    )
+    pairs = a.join(
+        b, (F.col("v") == F.col("vb")) & (F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.max(
+                F.expr(
+                    "ABS(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))"
+                    " - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))"
+                )
+            ).alias("d_num"),
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+        )
+        .select(
+            "source_a", "source_b", "n_a", "n_b",
+            F.expr(
+                "ROUND(CAST(d_num AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"
+            ).alias("ks_d"),
+        )
+    )
+
+
+SOURCE_KS_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c
+  FROM documents GROUP BY source, n_chars
+), totals AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), grid AS (
+  SELECT DISTINCT n_chars AS v FROM documents
+), full_grid AS (
+  SELECT t.source, g.v, COALESCE(c.c, 0) AS c
+  FROM (SELECT source FROM totals) t
+  CROSS JOIN grid g
+  LEFT JOIN counts c ON c.source = t.source AND c.v = g.v
+), cum AS (
+  SELECT source, v,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM full_grid
+), joined AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.v,
+         a.cum AS cum_a, b.cum AS cum_b, ta.n AS n_a, tb.n AS n_b
+  FROM cum a
+  JOIN cum b ON a.v = b.v AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+)
+SELECT source_a, source_b,
+       CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+       ROUND(CAST(MAX(ABS(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                          - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))) AS DOUBLE)
+             / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)), 6) AS ks_d
+FROM joined
+GROUP BY source_a, source_b
+"""

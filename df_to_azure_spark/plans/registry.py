@@ -647,6 +647,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_shard_manifest": QuerySpec(
         PL4.doc_shard_manifest, PL4.DOC_SHARD_MANIFEST_ORACLE
     ),
+    "rolling_7d_active_users": QuerySpec(
+        PL4.rolling_7d_active_users, PL4.ROLLING_7D_ORACLE
+    ),
+    "dau_overlap_churn": QuerySpec(
+        PL4.dau_overlap_churn, PL4.DAU_OVERLAP_ORACLE
+    ),
+    "source_ks_matrix": QuerySpec(
+        PL4.source_ks_matrix, PL4.SOURCE_KS_ORACLE
+    ),
 }
 
 

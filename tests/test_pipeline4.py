@@ -72,3 +72,45 @@ def test_nation_ols_matches_numpy(spark, sf_smoke):
         slope, intercept = np.polyfit(xs, ys, 1)
         assert abs(slope - r.slope) < 1e-3 * max(1.0, abs(slope))
         assert abs(intercept - r.intercept) < 1e-3 * max(1.0, abs(intercept))
+
+
+def test_rolling_7d_matches_set_bruteforce(spark, sf_smoke):
+    from datetime import timedelta
+
+    from df_to_azure_spark.plans.pipeline4 import rolling_7d_active_users
+
+    ev = load_table(spark, sf_smoke, "events")
+    pairs = {
+        (r.user_id, r.d)
+        for r in ev.selectExpr("user_id", "CAST(ts AS DATE) AS d").collect()
+    }
+    days = sorted({d for _, d in pairs})
+    got = {
+        r.day.date(): (r.active_1d, r.active_7d)
+        for r in rolling_7d_active_users(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(days)
+    for day in days:
+        lo = day - timedelta(days=6)
+        wau = len({u for u, d in pairs if lo <= d <= day})
+        dau = len({u for u, d in pairs if d == day})
+        assert got[day] == (dau, wau), day
+
+
+def test_source_ks_matches_numpy_ecdf(spark, sf_smoke):
+    from df_to_azure_spark.plans.pipeline4 import source_ks_matrix
+
+    docs = load_table(spark, sf_smoke, "documents")
+    by_src: dict[str, list[int]] = {}
+    for r in docs.select("source", "n_chars").collect():
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    rows = source_ks_matrix(spark, sf_smoke).collect()
+    assert rows
+    for r in rows[:40]:
+        a = np.sort(np.array(by_src[r.source_a], dtype=float))
+        b = np.sort(np.array(by_src[r.source_b], dtype=float))
+        grid = np.unique(np.concatenate([a, b]))
+        ecdf_a = np.searchsorted(a, grid, side="right") / len(a)
+        ecdf_b = np.searchsorted(b, grid, side="right") / len(b)
+        d = float(np.max(np.abs(ecdf_a - ecdf_b)))
+        assert abs(d - r.ks_d) < 1e-6, (r.source_a, r.source_b, d, r.ks_d)

@@ -49,7 +49,10 @@ BOUNDED_BROADCAST_VARS = {
     "total_value",  # 1-row global aggregate (q11 fraction-of-total threshold)
     "event_types",  # distinct event_type — bounded by the type domain (~5)
     "n_docs",  # 1-row global aggregate (doc_tfidf_terms corpus count)
-    "totals",  # 1-row global aggregate (bigram_collocations token total)
+    "totals",  # 1-row global aggregate (bigram_collocations); per-source
+    # counts bounded by the source domain (source_ks_matrix)
+    "grid",  # distinct observed n_chars values — bounded by the length
+    # domain, not the row count (source_ks_matrix ECDF grid)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
