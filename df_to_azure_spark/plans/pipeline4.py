@@ -538,3 +538,239 @@ SELECT source_a, source_b,
 FROM joined
 GROUP BY source_a, source_b
 """
+
+
+# --------------------------------------------------------------------------
+# Gini concentration per nation (grouped two-phase rank)
+# --------------------------------------------------------------------------
+
+
+def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration within each
+    nation — the inequality measure over ordered customers:
+    ``G = 2·Σ(i·yᵢ) / (n·Σy) − (n+1)/n`` with customers ranked by total
+    revenue ascending (custkey tie-break; tied blocks are
+    permutation-invariant in the Σ i·yᵢ term).
+
+    The global ordering problem is solved by the grouped two-phase rank
+    (``functions.distrank`` — range repartition + bounded offset
+    collect), so no single-partition window exists anywhere; the moment
+    Σ i·yᵢ is an exact DECIMAL product sum and the two divisions happen
+    at output, ROUND(6)ed.  Covers customers with ≥1 order (inner join
+    semantics, both engines)."""
+    from df_to_azure_spark.functions.distrank import two_phase_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev"))
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_custkey", F.expr("CAST(rev AS DECIMAL(24,2))").alias("rev"))
+    )
+    ranked = two_phase_rank(
+        rev,
+        order_by=[("rev", "asc"), ("o_custkey", "asc")],
+        group_cols=["n_name"],
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.max("__grp_n").cast("bigint").alias("n_customers"),
+            F.expr(
+                "CAST(SUM(CAST(__rn AS DECIMAL(19,0)) * rev) AS DECIMAL(38,2))"
+            ).alias("iy"),
+            F.expr("CAST(SUM(rev) AS DECIMAL(38,2))").alias("total_rev"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            F.expr("CAST(total_rev AS DOUBLE)").alias("total_rev"),
+            F.expr(
+                "ROUND(2.0 * CAST(iy AS DOUBLE)"
+                " / (CAST(n_customers AS DOUBLE) * CAST(total_rev AS DOUBLE))"
+                " - (CAST(n_customers AS DOUBLE) + 1.0)"
+                " / CAST(n_customers AS DOUBLE), 6)"
+            ).alias("gini"),
+        )
+    )
+
+
+CUSTOMER_GINI_ORACLE = """
+WITH rev AS (
+  SELECT n_name, o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+), ranked AS (
+  SELECT n_name, rev,
+         row_number() OVER (PARTITION BY n_name ORDER BY rev, o_custkey) AS rn
+  FROM rev
+), agg AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(rn AS DECIMAL(19,0)) * rev) AS DECIMAL(38,2)) AS iy,
+         CAST(SUM(rev) AS DECIMAL(38,2)) AS total_rev
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name, n_customers,
+       CAST(total_rev AS DOUBLE) AS total_rev,
+       ROUND(2.0 * CAST(iy AS DOUBLE)
+         / (CAST(n_customers AS DOUBLE) * CAST(total_rev AS DOUBLE))
+         - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE), 6)
+         AS gini
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint over the daily revenue series
+# --------------------------------------------------------------------------
+
+
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most likely level-shift point in the daily order-revenue series
+    by the CUSUM statistic: the day t maximizing |Σ_{i≤t}(dᵢ − mean)|.
+
+    Exactness + scale: the mean never materializes — the statistic is
+    rescaled to ``S_t = n·cum_t − t·total`` (all exact integers/decimals;
+    S_t = n·Σ_{i≤t}(dᵢ − mean)).  The daily pre-agg collapses the data
+    to the bounded day domain, and the running sum cum_t comes from the
+    two-phase rank's offset pass (``sum_col``) — no global window.  The
+    argmax tie-breaks to the earliest day via a 1-row max broadcast +
+    min-day filter.  Output: changepoint day, series length, and the
+    CUSUM peak in revenue units (|S|/n), the only double op."""
+    from df_to_azure_spark.functions.distrank import two_phase_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP_NTZ)").alias("day")
+    ).agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("d_rev"))
+    ranked = two_phase_rank(
+        daily,
+        order_by=[("day", "asc")],
+        sum_col="d_rev",
+    )
+    s = ranked.select(
+        "day",
+        "__grp_n",
+        F.expr(
+            "ABS(CAST(__grp_n AS DECIMAL(19,0)) * CAST(__cum AS DECIMAL(30,2))"
+            " - CAST(__rn AS DECIMAL(19,0)) * CAST(__grp_sum AS DECIMAL(30,2)))"
+        ).alias("abs_s"),
+    )
+    mx = s.agg(F.max("abs_s").alias("mx"))
+    return (
+        s.join(F.broadcast(mx), s.abs_s == mx.mx)
+        .groupBy()
+        .agg(
+            F.min("day").alias("changepoint_day"),
+            F.max("__grp_n").cast("bigint").alias("n_days"),
+            F.expr(
+                "ROUND(CAST(MAX(abs_s) AS DOUBLE) / CAST(MAX(__grp_n) AS DOUBLE), 6)"
+            ).alias("cusum_peak"),
+        )
+    )
+
+
+REVENUE_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS d_rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS rn,
+         SUM(d_rev) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER () AS n,
+         SUM(d_rev) OVER () AS total
+  FROM daily
+), s AS (
+  SELECT day, n,
+         ABS(CAST(n AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(30,2))
+             - CAST(rn AS DECIMAL(19,0)) * CAST(total AS DECIMAL(30,2))) AS abs_s
+  FROM ranked
+)
+SELECT MIN(day) AS changepoint_day,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       ROUND(CAST(MAX(abs_s) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS cusum_peak
+FROM s
+WHERE abs_s = (SELECT MAX(abs_s) FROM s)
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) as shared double literals: computing log10 in each
+# engine would tie exactness to two libm implementations; literals make
+# the per-row double math identical by construction.
+_BENFORD = {
+    1: "0.3010299956639812", 2: "0.17609125905568124", 3: "0.12493873660829992",
+    4: "0.09691001300805642", 5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129", 9: "0.04575749056067514",
+}
+
+
+def totalprice_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic bulk data-forgery screen.  The digit is the first
+    character of the DECIMAL(18,2) string form (identical formatting in
+    both engines for values ≥ 1; TPC-H prices are ≥ 800), counts are
+    exact, and each digit row carries its own ROUND(6)ed observed share
+    and deviation — per-digit output, so no cross-row double summation
+    order exists anywhere.  One scan, one 9-group agg, one 1-row total
+    broadcast."""
+    case = " ".join(
+        f"WHEN digit = {d} THEN CAST({lit} AS DOUBLE)"
+        for d, lit in _BENFORD.items()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    total = digits.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr(
+                "ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)"
+            ).alias("obs_share"),
+            F.expr(f"CASE {case} END").alias("benford_share"),
+            F.expr(
+                "ROUND(ABS(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)"
+                f" - CASE {case} END), 6)"
+            ).alias("abs_dev"),
+        )
+    )
+
+
+_BENFORD_CASE_SQL = " ".join(
+    f"WHEN digit = {d} THEN CAST({lit} AS DOUBLE)" for d, lit in _BENFORD.items()
+)
+
+TOTALPRICE_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM digits
+)
+SELECT digit, n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_share,
+       CASE {_BENFORD_CASE_SQL} END AS benford_share,
+       ROUND(ABS(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 - CASE {_BENFORD_CASE_SQL} END), 6) AS abs_dev
+FROM digits CROSS JOIN total
+"""

@@ -656,6 +656,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_ks_matrix": QuerySpec(
         PL4.source_ks_matrix, PL4.SOURCE_KS_ORACLE
     ),
+    "customer_gini_by_nation": QuerySpec(
+        PL4.customer_gini_by_nation, PL4.CUSTOMER_GINI_ORACLE
+    ),
+    "revenue_cusum_changepoint": QuerySpec(
+        PL4.revenue_cusum_changepoint, PL4.REVENUE_CUSUM_ORACLE
+    ),
+    "totalprice_benford": QuerySpec(
+        PL4.totalprice_benford, PL4.TOTALPRICE_BENFORD_ORACLE
+    ),
 }
 
 

@@ -114,3 +114,66 @@ def test_source_ks_matches_numpy_ecdf(spark, sf_smoke):
         ecdf_b = np.searchsorted(b, grid, side="right") / len(b)
         d = float(np.max(np.abs(ecdf_a - ecdf_b)))
         assert abs(d - r.ks_d) < 1e-6, (r.source_a, r.source_b, d, r.ks_d)
+
+
+def test_gini_matches_numpy(spark, sf_smoke):
+    import duckdb
+
+    from df_to_azure_spark.plans.pipeline4 import customer_gini_by_nation
+
+    con = duckdb.connect()
+    rev = con.sql(
+        f"""
+        SELECT n_name, SUM(o_totalprice) AS rev
+        FROM read_parquet('{sf_smoke}/orders.parquet') o
+        JOIN read_parquet('{sf_smoke}/customer.parquet') c ON o_custkey = c_custkey
+        JOIN read_parquet('{sf_smoke}/nation.parquet') n ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_custkey
+        """
+    ).fetchall()
+    by_nation: dict[str, list[float]] = {}
+    for name, r in rev:
+        by_nation.setdefault(name, []).append(float(r))
+    for row in customer_gini_by_nation(spark, sf_smoke).collect():
+        y = np.sort(np.array(by_nation[row.n_name]))
+        n = len(y)
+        gini = 2.0 * np.sum(np.arange(1, n + 1) * y) / (n * y.sum()) - (n + 1) / n
+        assert abs(gini - row.gini) < 1e-4, (row.n_name, gini, row.gini)
+        assert row.n_customers == n
+
+
+def test_cusum_matches_numpy(spark, sf_smoke):
+    import duckdb
+
+    from df_to_azure_spark.plans.pipeline4 import revenue_cusum_changepoint
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
+        FROM read_parquet('{sf_smoke}/orders.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    days = [d for d, _ in daily]
+    vals = np.array([float(v) for _, v in daily])
+    cusum = np.cumsum(vals - vals.mean())
+    i = int(np.argmax(np.abs(cusum)))
+    row = revenue_cusum_changepoint(spark, sf_smoke).collect()[0]
+    assert row.changepoint_day.date() == days[i]
+    assert row.n_days == len(days)
+    assert abs(row.cusum_peak - abs(cusum[i])) < 1e-2 * max(1.0, abs(cusum[i]))
+
+
+def test_benford_shares_sum_to_one(spark, sf_smoke):
+    from df_to_azure_spark.plans.pipeline4 import totalprice_benford
+
+    rows = totalprice_benford(spark, sf_smoke).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.benford_share for r in rows if r.digit) - sum(
+        float(v) for d, v in __import__(
+            "df_to_azure_spark.plans.pipeline4", fromlist=["_BENFORD"]
+        )._BENFORD.items() if any(x.digit == d for x in rows)
+    )) < 1e-12
+    n_total = sum(r.n_obs for r in rows)
+    for r in rows:
+        assert abs(r.obs_share - r.n_obs / n_total) < 1e-6
