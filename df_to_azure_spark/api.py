@@ -94,6 +94,21 @@ def df_to_spark(
         log_run_metrics(report)
         return report
 
+    # rows_written rides the write job via df.observe() instead of a
+    # post-hoc df.count() — the count used to be a second full pass over
+    # the input, which at pipeline scale doubles the read.  The
+    # CollectMetrics node is a plan barrier, so whichever action first
+    # consumes the frame (the upsert path's duplicate-key validation
+    # scan, or the write itself) satisfies the observation; wrapped
+    # AFTER the empty-input check so the limit-1 probe can't.
+    obs = None
+    if count_rows:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).cast("long").alias("rows"))
+
     if parquet:
         if not lake_root:
             raise ValueError("parquet=True requires lake_root")
@@ -114,8 +129,8 @@ def df_to_spark(
             clean_staging=clean_staging,
         )
 
-    if count_rows:
-        report.rows_written = df.count()
+    if obs is not None:
+        report.rows_written = int(obs.get["rows"])
     report.duration_sec = time.monotonic() - t0
     from df_to_azure_spark.utils import log_run_metrics
 

@@ -252,3 +252,31 @@ def test_vacuum_restores_old_when_no_snapshot(spark, tmp_path):
     shutil.move(str(tdir / "data"), str(tdir / ".old-100"))
     assert lake.vacuum("t") == []            # nothing swept — .old became data
     assert lake.read("t").count() == 7
+
+
+def test_rows_written_rides_the_write_job(spark, tmp_path):
+    """rows_written comes from df.observe() on the write job — enabling
+    the count must add ZERO extra Spark jobs vs count_rows=False (it
+    used to be a second full scan)."""
+    from df_to_azure_spark.api import df_to_spark
+
+    df = spark.range(500).selectExpr("id AS k", "id * 2 AS v")
+    tracker = spark.sparkContext.statusTracker()
+
+    def run(tag: str, count_rows: bool) -> tuple[int, int]:
+        spark.sparkContext.setJobGroup(tag, tag)
+        try:
+            rep = df_to_spark(
+                df, f"t_{tag}", parquet=True,
+                lake_root=str(tmp_path / tag), method="create",
+                count_rows=count_rows,
+            )
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        return rep.rows_written, len(tracker.getJobIdsForGroup(tag))
+
+    rows_off, jobs_off = run("nocount", False)
+    rows_on, jobs_on = run("withcount", True)
+    assert rows_off == 0
+    assert rows_on == 500
+    assert jobs_on == jobs_off, (jobs_on, jobs_off)
