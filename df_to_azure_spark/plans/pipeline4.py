@@ -774,3 +774,173 @@ SELECT digit, n_obs,
                  - CASE {_BENFORD_CASE_SQL} END), 6) AS abs_dev
 FROM digits CROSS JOIN total
 """
+
+
+# --------------------------------------------------------------------------
+# Directional association rules over the brand basket domain
+# --------------------------------------------------------------------------
+
+
+def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules brand_a → brand_b with the full
+    support / confidence / lift triple — the directional step past
+    ``part_cooccurrence``'s support-only pairs, computed over the
+    bounded brand domain so the rule set is |brands|² regardless of
+    data size.
+
+    Plan: distinct (order, brand) baskets → self equi-join on the order
+    key (pair expansion bounded by the ≤|brands| basket width) → one
+    pair agg; marginals and the basket total are domain-bounded/1-row
+    broadcasts.  All counts exact integers; the three ratios are
+    ROUND(6) double divisions at output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .dropDuplicates()
+    )
+    n_baskets = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    marg = ob.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brand")
+    )
+    a = ob.select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg).withColumnRenamed("brand", "brand_a")
+            .withColumnRenamed("n_brand", "n_a"),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg).withColumnRenamed("brand", "brand_b")
+            .withColumnRenamed("n_brand", "n_b"),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.expr(
+                "ROUND(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)"
+            ).alias("support"),
+            F.expr(
+                "ROUND(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6)"
+            ).alias("confidence"),
+            F.expr(
+                "ROUND(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"
+            ).alias("lift"),
+        )
+    )
+
+
+BRAND_RULES_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n_baskets AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM ob
+), marg AS (
+  SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_brand
+  FROM ob GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab,
+       ROUND(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+       ROUND(CAST(n_ab AS DOUBLE) / CAST(ma.n_brand AS DOUBLE), 6) AS confidence,
+       ROUND(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+             / (CAST(ma.n_brand AS DOUBLE) * CAST(mb.n_brand AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.brand = brand_a
+JOIN marg mb ON mb.brand = brand_b
+CROSS JOIN n_baskets
+"""
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series (lags 1..7)
+# --------------------------------------------------------------------------
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..7) of daily order revenue — the
+    seasonality screen run before fitting any time-series model.  Pearson
+    r between the series and its k-shifted self, from the same exact-sums
+    policy as ``quantity_price_correlation``: the daily pre-agg collapses
+    to the bounded day domain, a 7-row lag frame explodes each day into
+    its lag pairings, the five sufficient sums accumulate as exact
+    DECIMALs per lag, and the one double expression per output row ends
+    in IEEE-correctly-rounded SQRT, ROUND(6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)").alias("d")
+    ).agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))").alias("rev"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        (F.col("d") + F.col("lag")).alias("d"), "lag", F.col("rev").alias("x")
+    )
+    pairs = shifted.join(
+        daily.select("d", F.col("rev").alias("y")), "d"
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(CAST(x * y AS DECIMAL(38,4)))").alias("sxy"),
+        F.expr("SUM(CAST(x * x AS DECIMAL(38,4)))").alias("sxx"),
+        F.expr("SUM(CAST(y * y AS DECIMAL(38,4)))").alias("syy"),
+    )
+    corr = (
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+    )
+    return s.select("lag", "n", F.expr(corr).alias("acf"))
+
+
+DAILY_ACF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT CAST(UNNEST(generate_series(1, 7)) AS INTEGER) AS lag
+), pairs AS (
+  SELECT sh.lag, sh.x, dy.rev AS y
+  FROM (SELECT d + lag AS d, lag, rev AS x FROM daily CROSS JOIN lags) sh
+  JOIN daily dy ON sh.d = dy.d
+), s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+FROM s
+"""

@@ -665,6 +665,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "totalprice_benford": QuerySpec(
         PL4.totalprice_benford, PL4.TOTALPRICE_BENFORD_ORACLE
     ),
+    "brand_association_rules": QuerySpec(
+        PL4.brand_association_rules, PL4.BRAND_RULES_ORACLE
+    ),
+    "daily_revenue_acf": QuerySpec(
+        PL4.daily_revenue_acf, PL4.DAILY_ACF_ORACLE
+    ),
 }
 
 

@@ -177,3 +177,69 @@ def test_benford_shares_sum_to_one(spark, sf_smoke):
     n_total = sum(r.n_obs for r in rows)
     for r in rows:
         assert abs(r.obs_share - r.n_obs / n_total) < 1e-6
+
+
+def test_association_rules_bruteforce(spark, sf_smoke):
+    import duckdb
+    from collections import Counter
+
+    from df_to_azure_spark.plans.pipeline4 import brand_association_rules
+
+    con = duckdb.connect()
+    ob = con.sql(
+        f"""
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM read_parquet('{sf_smoke}/lineitem.parquet') li
+        JOIN read_parquet('{sf_smoke}/part.parquet') pt ON l_partkey = p_partkey
+        """
+    ).fetchall()
+    baskets: dict[int, set[str]] = {}
+    for okey, brand in ob:
+        baskets.setdefault(okey, set()).add(brand)
+    n_baskets = len(baskets)
+    marg = Counter(b for s in baskets.values() for b in s)
+    pair = Counter(
+        (x, y) for s in baskets.values() for x in s for y in s if x != y
+    )
+    rows = brand_association_rules(spark, sf_smoke).collect()
+    assert len(rows) == len(pair)
+    for r in rows[:100]:
+        n_ab = pair[(r.brand_a, r.brand_b)]
+        assert r.n_ab == n_ab
+        assert abs(r.support - n_ab / n_baskets) < 1e-6
+        assert abs(r.confidence - n_ab / marg[r.brand_a]) < 1e-6
+        assert abs(
+            r.lift - n_ab * n_baskets / (marg[r.brand_a] * marg[r.brand_b])
+        ) < 1e-6
+    # symmetry: n_ab == n_ba
+    got = {(r.brand_a, r.brand_b): r.n_ab for r in rows}
+    for (x, y), n in list(got.items())[:50]:
+        assert got[(y, x)] == n
+
+
+def test_daily_acf_matches_numpy(spark, sf_smoke):
+    import duckdb
+
+    from df_to_azure_spark.plans.pipeline4 import daily_revenue_acf
+
+    con = duckdb.connect()
+    daily = dict(
+        con.sql(
+            f"""
+            SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)),
+                   SUM(o_totalprice)
+            FROM read_parquet('{sf_smoke}/orders.parquet') GROUP BY 1
+            """
+        ).fetchall()
+    )
+    rows = {r.lag: r for r in daily_revenue_acf(spark, sf_smoke).collect()}
+    assert set(rows) == set(range(1, 8))
+    for lag, r in rows.items():
+        xs, ys = [], []
+        for d, v in daily.items():
+            if d + lag in daily:
+                xs.append(float(v))
+                ys.append(float(daily[d + lag]))
+        assert r.n == len(xs)
+        expect = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(r.acf - expect) < 1e-6, (lag, r.acf, expect)

@@ -53,6 +53,9 @@ BOUNDED_BROADCAST_VARS = {
     # counts bounded by the source domain (source_ks_matrix)
     "grid",  # distinct observed n_chars values — bounded by the length
     # domain, not the row count (source_ks_matrix ECDF grid)
+    "marg",  # per-brand marginals — bounded by the brand domain (25)
+    "n_baskets",  # 1-row basket total (brand_association_rules)
+    "lags",  # 7-row literal lag frame (daily_revenue_acf)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
