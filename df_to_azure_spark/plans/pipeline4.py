@@ -944,3 +944,52 @@ SELECT lag, n,
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# Grouped-agg pandas UDAF: trimmed mean per event type
+# --------------------------------------------------------------------------
+
+_TRIM_PCT = 10
+
+
+def event_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% symmetric trimmed mean of event value per event type through
+    the Arrow GROUPED_AGG ``pandas_udf`` surface (see
+    ``functions.outliers.trimmed_mean_udaf`` for the exactness and
+    no-partial-aggregation contract — groups here are the bounded event
+    type domain, the case where the vectorized UDAF is the right
+    tool)."""
+    from df_to_azure_spark.functions.outliers import trimmed_mean_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    udaf = trimmed_mean_udaf(_TRIM_PCT)
+    # a GROUPED_AGG pandas UDF cannot share an agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count comes from
+    # its own agg, joined back on the bounded type domain
+    tm = ev.groupBy("event_type").agg(udaf(F.col("value")).alias("__tm"))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return n.join(tm, "event_type").select(
+        "event_type", "n",
+        F.expr("ROUND(__tm, 6)").alias("trimmed_mean"),
+    )
+
+
+EVENT_TRIMMED_MEAN_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), kept AS (
+  SELECT event_type, cents, n
+  FROM ranked
+  WHERE rk > (n * {_TRIM_PCT}) // 100
+    AND rk <= n - (n * {_TRIM_PCT}) // 100
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)), 6)
+         AS trimmed_mean
+FROM kept GROUP BY event_type
+"""

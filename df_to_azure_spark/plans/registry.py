@@ -671,6 +671,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "daily_revenue_acf": QuerySpec(
         PL4.daily_revenue_acf, PL4.DAILY_ACF_ORACLE
     ),
+    "event_value_trimmed_mean": QuerySpec(
+        PL4.event_value_trimmed_mean, PL4.EVENT_TRIMMED_MEAN_ORACLE
+    ),
 }
 
 

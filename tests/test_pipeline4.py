@@ -243,3 +243,21 @@ def test_daily_acf_matches_numpy(spark, sf_smoke):
         assert r.n == len(xs)
         expect = float(np.corrcoef(xs, ys)[0, 1])
         assert abs(r.acf - expect) < 1e-6, (lag, r.acf, expect)
+
+
+def test_trimmed_mean_udaf_bruteforce(spark, sf_smoke):
+    from df_to_azure_spark.plans.pipeline4 import event_value_trimmed_mean
+
+    ev = load_table(spark, sf_smoke, "events")
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    rows = {r.event_type: r for r in event_value_trimmed_mean(spark, sf_smoke).collect()}
+    assert set(rows) == set(by_type)
+    for t, vals in by_type.items():
+        cents = sorted(int(round(v * 100)) for v in vals)
+        k = (len(cents) * 10) // 100
+        mid = cents[k: len(cents) - k] if len(cents) > 2 * k else cents
+        expect = sum(mid) / (100.0 * len(mid))
+        assert rows[t].n == len(vals)
+        assert abs(rows[t].trimmed_mean - expect) < 1e-6, (t, expect)
