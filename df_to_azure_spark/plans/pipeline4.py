@@ -993,3 +993,57 @@ SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
          AS trimmed_mean
 FROM kept GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4 parse_json / variant_get)
+# --------------------------------------------------------------------------
+
+
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern semi-structured path over the ``props`` JSON column:
+    ``parse_json`` → VARIANT, typed ``variant_get`` extraction, absent
+    paths yielding NULL, and a schema-conformance count via
+    ``schema_of_variant`` against the canonical shape — the Spark-4
+    binary-encoded twin of ``events_json_props``'s string-functions
+    formulation (single scan either way; VARIANT decodes once instead of
+    re-parsing the JSON text per extraction).
+
+    The conformance predicate compares each engine's OWN canonical
+    schema rendering (Spark ``OBJECT<k: BIGINT>``, DuckDB
+    ``{"k":"UBIGINT"}``) — the semantic, "every row matches the corpus
+    shape", is engine-independent even though the literals differ."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.expr("parse_json(props)")
+    return (
+        events.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+            F.expr("variant_get(parse_json(props), '$.absent', 'long')").alias("miss"),
+            (
+                F.expr("schema_of_variant(parse_json(props))")
+                == F.lit("OBJECT<k: BIGINT>")
+            ).cast("int").alias("conforms"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_absent"),
+            F.sum("conforms").cast("bigint").alias("n_conforming"),
+        )
+    )
+
+
+EVENTS_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_absent,
+       CAST(SUM(CASE WHEN json_structure(props) = '{"k":"UBIGINT"}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming
+FROM events
+GROUP BY event_type
+"""

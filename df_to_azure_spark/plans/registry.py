@@ -674,6 +674,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_value_trimmed_mean": QuerySpec(
         PL4.event_value_trimmed_mean, PL4.EVENT_TRIMMED_MEAN_ORACLE
     ),
+    "events_variant_props": QuerySpec(
+        PL4.events_variant_props, PL4.EVENTS_VARIANT_ORACLE
+    ),
 }
 
 
