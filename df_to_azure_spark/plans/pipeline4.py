@@ -1047,3 +1047,116 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Exact Mann–Whitney U matrix (tie-aware, integer arithmetic)
+# --------------------------------------------------------------------------
+
+
+def source_mwu_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware two-sample Mann–Whitney U for every source pair over
+    the document length distribution — the location-shift companion to
+    ``source_ks_matrix``'s shape test, on the same scalable
+    domain-bounded grid.
+
+    The textbook U needs joint ranks over the merged samples (a global
+    sort); the grid identity avoids it entirely:
+    ``2·U_a = Σ_v c_a(v)·(2·cum_b(v) − c_b(v))`` (each a-observation
+    contributes 2 per smaller b, 1 per tied b — verified against the
+    quadratic definition in tests), where the per-source cumulative
+    counts come from a source-partitioned window over the DISTINCT value
+    grid.  Everything stays integer in DECIMAL(38,0) until the
+    rank-biserial effect size ``r_a = 1 − 2U_a/(n_a·n_b)``, the one
+    ROUND(6) double division.  ``2U_a + 2U_b = 2·n_a·n_b`` (checked in
+    tests), so only the a-side is emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    grid = docs.select(F.col("n_chars").alias("v")).distinct()
+    full = (
+        totals.select("source")
+        .crossJoin(F.broadcast(grid))
+        .join(counts, ["source", "v"], "left")
+        .fillna(0, ["c"])
+    )
+    cum = full.withColumn(
+        "cum",
+        F.sum("c").over(
+            W.partitionBy("source").orderBy("v").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    ).select("source", "v", "c", "cum")
+    a = cum.join(F.broadcast(totals), "source").select(
+        F.col("source").alias("source_a"), "v",
+        F.col("c").alias("c_a"), F.col("n").alias("n_a"),
+    )
+    b = cum.join(F.broadcast(totals), "source").select(
+        F.col("source").alias("source_b"), F.col("v").alias("vb"),
+        F.col("c").alias("c_b"), F.col("cum").alias("cum_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(
+        b, (F.col("v") == F.col("vb")) & (F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST(SUM(CAST(c_a AS DECIMAL(19,0))"
+                " * (2 * CAST(cum_b AS DECIMAL(19,0)) - CAST(c_b AS DECIMAL(19,0))))"
+                " AS DECIMAL(38,0))"
+            ).alias("two_u_a"),
+        )
+        .select(
+            "source_a", "source_b", "n_a", "n_b",
+            F.expr("CAST(two_u_a AS DOUBLE) / 2.0").alias("u_a"),
+            F.expr(
+                "ROUND(1.0 - CAST(two_u_a AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"
+            ).alias("rank_biserial_a"),
+        )
+    )
+
+
+SOURCE_MWU_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c
+  FROM documents GROUP BY source, n_chars
+), totals AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), grid AS (
+  SELECT DISTINCT n_chars AS v FROM documents
+), full_grid AS (
+  SELECT t.source, g.v, COALESCE(c.c, 0) AS c
+  FROM (SELECT source FROM totals) t
+  CROSS JOIN grid g
+  LEFT JOIN counts c ON c.source = t.source AND c.v = g.v
+), cum AS (
+  SELECT source, v, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM full_grid
+), agg AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(MAX(ta.n) AS BIGINT) AS n_a, CAST(MAX(tb.n) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(a.c AS DECIMAL(19,0))
+              * (2 * CAST(b.cum AS DECIMAL(19,0)) - CAST(b.c AS DECIMAL(19,0))))
+           AS DECIMAL(38,0)) AS two_u_a
+  FROM cum a
+  JOIN cum b ON a.v = b.v AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_a, n_b,
+       CAST(two_u_a AS DOUBLE) / 2.0 AS u_a,
+       ROUND(1.0 - CAST(two_u_a AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS rank_biserial_a
+FROM agg
+"""

@@ -677,6 +677,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_variant_props": QuerySpec(
         PL4.events_variant_props, PL4.EVENTS_VARIANT_ORACLE
     ),
+    "source_mwu_matrix": QuerySpec(
+        PL4.source_mwu_matrix, PL4.SOURCE_MWU_ORACLE
+    ),
 }
 
 

@@ -261,3 +261,24 @@ def test_trimmed_mean_udaf_bruteforce(spark, sf_smoke):
         expect = sum(mid) / (100.0 * len(mid))
         assert rows[t].n == len(vals)
         assert abs(rows[t].trimmed_mean - expect) < 1e-6, (t, expect)
+
+
+def test_mwu_matches_quadratic_definition(spark, sf_smoke):
+    from df_to_azure_spark.plans.pipeline4 import source_mwu_matrix
+
+    docs = load_table(spark, sf_smoke, "documents")
+    by_src: dict[str, np.ndarray] = {}
+    for r in docs.select("source", "n_chars").collect():
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    by_src = {k: np.array(v) for k, v in by_src.items()}
+    rows = source_mwu_matrix(spark, sf_smoke).collect()
+    assert rows
+    for r in rows[:40]:
+        a, b = by_src[r.source_a], by_src[r.source_b]
+        two_u = sum(2 * int(np.sum(x > b)) + int(np.sum(x == b)) for x in a)
+        assert r.u_a == two_u / 2.0, (r.source_a, r.source_b)
+        assert abs(r.rank_biserial_a - (1 - two_u / (len(a) * len(b)))) < 1e-6
+        # complement identity: 2U_a + 2U_b = 2 n_a n_b
+        two_u_b = sum(2 * int(np.sum(x > a)) + int(np.sum(x == a)) for x in b)
+        assert two_u + two_u_b == 2 * len(a) * len(b)
+        assert (r.n_a, r.n_b) == (len(a), len(b))
