@@ -34,7 +34,11 @@ def with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
 
 
 def write_training_shards(
-    df: DataFrame, path: str, id_col: str, n_shards: int = 16
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 16,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Write ``df`` as ``path/shard_id=K/`` parquet dirs, one file per
     shard, rows md5-ordered within each shard.
@@ -43,13 +47,20 @@ def write_training_shards(
     task (two shards may share a task — each still writes its own
     directory, so one file per shard holds); ``sortWithinPartitions``
     fixes the in-file order without a global sort.
+
+    ``max_records_per_file`` bounds individual file size for oversized
+    shards (the 100 TB case): the task rolls to a new sequentially-named
+    part file every N rows, so the shard's md5 order is preserved by
+    reading its files in lexical name order — the contract trainers
+    already assume for sharded datasets.
     """
     sharded = with_shard(df, id_col, n_shards)
-    (
+    writer = (
         sharded.repartition(n_shards, F.col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL, ORDER_COL)
         .drop(ORDER_COL)
         .write.mode("overwrite")
-        .partitionBy(SHARD_COL)
-        .parquet(path)
     )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(SHARD_COL).parquet(path)

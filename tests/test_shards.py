@@ -81,3 +81,29 @@ def test_shard_manifest_matches_written_layout(spark, sf_smoke, tmp_path):
             m.first_hash,
             m.last_hash,
         )
+
+
+def test_max_records_per_file_splits_preserve_order(spark, sf_smoke, tmp_path):
+    """An oversized shard rolls into multiple sequentially-named files;
+    concatenating them in lexical name order must reproduce the full
+    md5 ordering (the contract trainers assume)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "split_shards")
+    write_training_shards(
+        docs, out, id_col="doc_id", n_shards=2, max_records_per_file=10
+    )
+    dirs = sorted(glob.glob(os.path.join(out, "shard_id=*")))
+    assert len(dirs) == 2
+    for d in dirs:
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        assert len(files) > 1, "expected the shard to split"
+        hashes = []
+        for fname in files:
+            part = spark.read.parquet(os.path.join(d, fname))
+            hashes.extend(
+                r.h
+                for r in part.select(
+                    F.md5(F.col("doc_id").cast("string")).alias("h")
+                ).collect()
+            )
+        assert hashes == sorted(hashes), d
