@@ -48,11 +48,17 @@ def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import sessionize
 
     events = load_table(spark, sf_dir, "events")
+    return hourly_concurrency(sessionize(events, gap_minutes=30))
+
+
+def hourly_concurrency(sessions: DataFrame) -> DataFrame:
+    """The slice-clipped sweep over any (session_start, session_end)
+    interval frame — shared by the batch query above and the streaming
+    equivalence diff (``streaming.stateful.stream_concurrency_diff``),
+    which feeds it sessions emitted by the stateful sessionizer."""
     seg = (
-        sessionize(events, gap_minutes=30)
+        sessions
         .select(
-            "user_id",
-            "session_seq",
             F.explode(
                 F.sequence(
                     F.date_trunc("hour", F.col("session_start")),
@@ -65,8 +71,6 @@ def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "hour",
-            "user_id",
-            "session_seq",
             F.greatest("session_start", F.col("hour")).alias("seg_start"),
             F.least(
                 "session_end", F.col("hour") + F.expr("INTERVAL 1 HOUR")

@@ -134,6 +134,18 @@ def _stream_builtin_session_oracle() -> str:
     return STREAM_BUILTIN_SESSION_ORACLE
 
 
+def _stream_concurrency_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import stream_concurrency_diff
+
+    return stream_concurrency_diff(spark, sf_dir)
+
+
+def _stream_concurrency_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import CONCURRENCY_DIFF_ORACLE
+
+    return CONCURRENCY_DIFF_ORACLE
+
+
 def _stream_sessionize_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.stateful import stream_sessionize_diff
 
@@ -679,6 +691,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "source_mwu_matrix": QuerySpec(
         PL4.source_mwu_matrix, PL4.SOURCE_MWU_ORACLE
+    ),
+    "stream_concurrency_diff": QuerySpec(
+        _stream_concurrency_diff, _stream_concurrency_oracle()
     ),
 }
 

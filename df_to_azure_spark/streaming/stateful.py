@@ -480,3 +480,55 @@ STREAM_HH_SUPERSET_ORACLE = """
 SELECT CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS cnt
 WHERE 1 = 0
 """
+
+
+def stream_concurrency_diff(spark, sf_dir: str) -> DataFrame:
+    """Equivalence check composing the stateful sessionizer with the
+    slice-clipped sweep-line concurrency operator
+    (``plans.pipeline4.hourly_concurrency``): derive the full hourly
+    profile — including the peak, which is a deterministic function of
+    the session SET — from the streamed sessions and from the batch
+    sessions, and keep only mismatching hour rows.  Both sides restrict
+    to sessions strictly before each user's final batch session (the
+    same released-emission regime as ``stream_sessionize_diff`` — the
+    watermark never fires for the tail of a closed input).  A stream bug
+    that mis-merges or mis-splits sessions perturbs segment counts, busy
+    time, or the peak and surfaces here.  Oracle = empty set."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.plans.pipeline4 import hourly_concurrency
+    from df_to_azure_spark.sources import load_table
+    from df_to_azure_spark.streaming.events import sessionize
+
+    streamed = run_sessionize_stream(spark, sf_dir)
+    batch = sessionize(load_table(spark, sf_dir, "events")).select(
+        "user_id", "session_start", "session_end"
+    )
+    user_last = batch.groupBy("user_id").agg(
+        F.max("session_end").alias("last_end")
+    )
+
+    def released(df: DataFrame) -> DataFrame:
+        return (
+            df.join(user_last, "user_id")
+            .where(F.col("session_end") < F.col("last_end"))
+            .select("user_id", "session_start", "session_end")
+        )
+
+    s_prof = hourly_concurrency(released(streamed))
+    b_prof = hourly_concurrency(released(batch))
+    return (
+        s_prof.exceptAll(b_prof)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(
+            b_prof.exceptAll(s_prof).withColumn("side", F.lit("batch_only"))
+        )
+    )
+
+
+CONCURRENCY_DIFF_ORACLE = """
+SELECT CAST(NULL AS TIMESTAMP) AS hour, CAST(NULL AS BIGINT) AS n_segments,
+       CAST(NULL AS BIGINT) AS peak_concurrency, CAST(NULL AS BIGINT) AS busy_us,
+       CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""
