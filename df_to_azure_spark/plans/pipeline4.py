@@ -1164,3 +1164,126 @@ SELECT source_a, source_b, n_a, n_b,
              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS rank_biserial_a
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Kaplan–Meier survival over customer reorder gaps
+# --------------------------------------------------------------------------
+
+
+def reorder_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of the customer reorder-time survival
+    curve ``S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)`` with right censoring — the
+    duration from each order to the customer's next order is an
+    observed event; the gap from the last order to the corpus end date
+    is censored (the reorder hadn't happened yet).  THE survival
+    operator a retention team runs.
+
+    Scale + exactness: per-customer ``lead`` builds durations (keyed
+    window); the analysis then collapses to the DISTINCT day-duration
+    grid — bounded by the day domain, so the two ordered windows over it
+    (cumulative at-risk and the cumulative product) are bounded-domain
+    windows, the ``documents_dataset_card`` precedent, never data-sized.
+    The product is evaluated as the established transcendental ladder:
+    dᵢ, nᵢ exact integers → ``ROUND(LN((n−d)/n), 12)`` per step →
+    DECIMAL(28,12) running sum (order-independent) → one
+    ``ROUND(EXP(·), 6)``.  A step with d = n (everyone at risk exits —
+    only possible at the last event time) pins survival to exactly 0 via
+    a cumulative flag rather than feeding LN(0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("d1"),
+    )
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    durs = nxt.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CAST(CASE WHEN d1 IS NOT NULL THEN datediff(d1, d0)"
+            " ELSE datediff(dmax, d0) END AS BIGINT)"
+        ).alias("t"),
+        F.expr("CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END").alias("e"),
+    )
+    grid = durs.groupBy("t").agg(
+        F.sum("e").cast("bigint").alias("d_events"),
+        F.sum(F.expr("1 - e")).cast("bigint").alias("c_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    ow = W.partitionBy(F.lit(1)).orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    aw = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    stepped = grid.select(
+        "t", "d_events", "c_censored",
+        (
+            F.sum("total").over(aw) - (F.sum("total").over(ow) - F.col("total"))
+        ).cast("bigint").alias("n_at_risk"),
+    ).select(
+        "t", "d_events", "c_censored", "n_at_risk",
+        F.expr(
+            "CASE WHEN d_events < n_at_risk THEN"
+            " CAST(ROUND(LN(CAST(n_at_risk - d_events AS DOUBLE)"
+            "            / CAST(n_at_risk AS DOUBLE)), 12) AS DECIMAL(28,12))"
+            " ELSE CAST(0 AS DECIMAL(28,12)) END"
+        ).alias("lnterm"),
+        F.expr("CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END").alias("dead"),
+    )
+    return stepped.select(
+        "t", "n_at_risk", "d_events", "c_censored",
+        F.expr(
+            "CASE WHEN SUM(dead) OVER (PARTITION BY 1 ORDER BY t"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0"
+            " THEN CAST(0.0 AS DOUBLE)"
+            " ELSE ROUND(EXP(CAST(SUM(lnterm) OVER (PARTITION BY 1 ORDER BY t"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)"
+            " END"
+        ).alias("survival"),
+    )
+
+
+REORDER_KM_ORACLE = """
+WITH nxt AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d0,
+         lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS d1
+  FROM orders
+), mx AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+), durs AS (
+  SELECT CAST(CASE WHEN d1 IS NOT NULL THEN date_diff('day', d0, d1)
+              ELSE date_diff('day', d0, dmax) END AS BIGINT) AS t,
+         CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM nxt CROSS JOIN mx
+), grid AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d_events,
+         CAST(SUM(1 - e) AS BIGINT) AS c_censored,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM durs GROUP BY t
+), stepped AS (
+  SELECT t, d_events, c_censored,
+         CAST(SUM(total) OVER ()
+              - (SUM(total) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total)
+           AS BIGINT) AS n_at_risk
+  FROM grid
+), terms AS (
+  SELECT t, d_events, c_censored, n_at_risk,
+         CASE WHEN d_events < n_at_risk THEN
+           CAST(ROUND(LN(CAST(n_at_risk - d_events AS DOUBLE)
+                      / CAST(n_at_risk AS DOUBLE)), 12) AS DECIMAL(28,12))
+         ELSE CAST(0 AS DECIMAL(28,12)) END AS lnterm,
+         CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM stepped
+)
+SELECT t, n_at_risk, d_events, c_censored,
+       CASE WHEN SUM(dead) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE ROUND(EXP(CAST(SUM(lnterm) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+       END AS survival
+FROM terms
+"""

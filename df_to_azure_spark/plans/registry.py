@@ -695,6 +695,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_concurrency_diff": QuerySpec(
         _stream_concurrency_diff, _stream_concurrency_oracle()
     ),
+    "reorder_survival_km": QuerySpec(
+        PL4.reorder_survival_km, PL4.REORDER_KM_ORACLE
+    ),
 }
 
 

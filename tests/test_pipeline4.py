@@ -282,3 +282,56 @@ def test_mwu_matches_quadratic_definition(spark, sf_smoke):
         two_u_b = sum(2 * int(np.sum(x > a)) + int(np.sum(x == a)) for x in b)
         assert two_u + two_u_b == 2 * len(a) * len(b)
         assert (r.n_a, r.n_b) == (len(a), len(b))
+
+
+def test_km_matches_python_reference(spark, sf_smoke):
+    import duckdb
+    import math
+
+    from df_to_azure_spark.plans.pipeline4 import reorder_survival_km
+
+    con = duckdb.connect()
+    rows_raw = con.sql(
+        f"""
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+        FROM read_parquet('{sf_smoke}/orders.parquet')
+        ORDER BY o_custkey, d, o_orderkey
+        """
+    ).fetchall()
+    by_cust: dict[int, list] = {}
+    for c, d, _ in rows_raw:
+        by_cust.setdefault(c, []).append(d)
+    dmax = max(d for _, d, _ in rows_raw)
+    durs = []  # (t, event)
+    for ds in by_cust.values():
+        for a, b in zip(ds, ds[1:]):
+            durs.append(((b - a).days, 1))
+        durs.append(((dmax - ds[-1]).days, 0))
+    # classic KM over the distinct duration grid
+    from collections import Counter
+
+    d_at = Counter(t for t, e in durs if e)
+    tot_at = Counter(t for t, _ in durs)
+    n = len(durs)
+    surv, got_surv = 1.0, {}
+    seen = 0
+    expect = {}
+    for t in sorted(tot_at):
+        n_risk = n - seen
+        d = d_at.get(t, 0)
+        if d >= n_risk:
+            surv = 0.0
+        else:
+            surv *= (n_risk - d) / n_risk
+        expect[t] = (n_risk, d, surv)
+        seen += tot_at[t]
+    out = {r.t: r for r in reorder_survival_km(spark, sf_smoke).collect()}
+    assert set(out) == set(expect)
+    prev = 1.0
+    for t in sorted(out):
+        r = out[t]
+        n_risk, d, surv = expect[t]
+        assert r.n_at_risk == n_risk and r.d_events == d, t
+        assert abs(r.survival - surv) < 5e-5, (t, r.survival, surv)
+        assert r.survival <= prev + 1e-9  # monotone non-increasing
+        prev = r.survival
