@@ -1287,3 +1287,148 @@ SELECT t, n_at_risk, d_events, c_censored,
        END AS survival
 FROM terms
 """
+
+
+# --------------------------------------------------------------------------
+# Log-rank test between customer segments
+# --------------------------------------------------------------------------
+
+
+def segment_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the reorder-time survival of BUILDING-
+    segment customers against everyone else — the hypothesis test that
+    goes with ``reorder_survival_km``'s curve: under H₀ (same hazard)
+    the statistic ``(Σ(d₁ₜ − e₁ₜ))² / Σvarₜ`` is χ²(1), with
+    ``e₁ₜ = dₜ·n₁ₜ/nₜ`` and the standard hypergeometric variance.
+
+    Same machinery as the KM estimator: keyed lead-window durations, a
+    bounded day-duration grid, cumulative at-risk counts per group over
+    the grid (bounded-domain windows).  Exactness: every count is an
+    integer; each time point's (d₁−e₁) and variance terms are doubles
+    ROUND(12)ed into DECIMAL(28,12) sums — order-independent — and the
+    final χ² is one ROUND(6) double expression."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = (
+        orders.join(
+            customer.select(
+                "c_custkey",
+                F.expr(
+                    "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+                ).alias("g"),
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "o_custkey", "g",
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.lead(F.col("o_orderdate").cast("date")).over(w).alias("d1"),
+        )
+    )
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    durs = nxt.crossJoin(F.broadcast(mx)).select(
+        "g",
+        F.expr(
+            "CAST(CASE WHEN d1 IS NOT NULL THEN datediff(d1, d0)"
+            " ELSE datediff(dmax, d0) END AS BIGINT)"
+        ).alias("t"),
+        F.expr("CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END").alias("e"),
+    )
+    grid = durs.groupBy("t").agg(
+        F.sum("e").cast("bigint").alias("d_all"),
+        F.sum(F.expr("e * g")).cast("bigint").alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("tot_all"),
+        F.sum("g").cast("bigint").alias("tot1"),
+    )
+    ow = W.partitionBy(F.lit(1)).orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    aw = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    risk = grid.select(
+        "t", "d_all", "d1",
+        (F.sum("tot_all").over(aw) - (F.sum("tot_all").over(ow) - F.col("tot_all")))
+        .cast("bigint").alias("n_all"),
+        (F.sum("tot1").over(aw) - (F.sum("tot1").over(ow) - F.col("tot1")))
+        .cast("bigint").alias("n1"),
+    )
+    terms = risk.select(
+        F.expr(
+            "CAST(ROUND(CAST(d1 AS DOUBLE) - CAST(d_all AS DOUBLE)"
+            " * CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE), 12)"
+            " AS DECIMAL(28,12))"
+        ).alias("omE"),
+        F.expr(
+            "CASE WHEN n_all > 1 THEN"
+            " CAST(ROUND(CAST(d_all AS DOUBLE)"
+            "  * (CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE))"
+            "  * (1.0 - CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE))"
+            "  * (CAST(n_all AS DOUBLE) - CAST(d_all AS DOUBLE))"
+            "  / (CAST(n_all AS DOUBLE) - 1.0), 12) AS DECIMAL(28,12))"
+            " ELSE CAST(0 AS DECIMAL(28,12)) END"
+        ).alias("var_t"),
+    )
+    return terms.agg(
+        F.expr("CAST(SUM(omE) AS DOUBLE)").alias("obs_minus_exp"),
+        F.expr("CAST(SUM(var_t) AS DOUBLE)").alias("variance"),
+        F.expr(
+            "ROUND(CAST(SUM(omE) AS DOUBLE) * CAST(SUM(omE) AS DOUBLE)"
+            " / CAST(SUM(var_t) AS DOUBLE), 6)"
+        ).alias("chi2"),
+    )
+
+
+SEGMENT_LOGRANK_ORACLE = """
+WITH nxt AS (
+  SELECT o_custkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+         CAST(o_orderdate AS DATE) AS d0,
+         lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS d1
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), mx AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+), durs AS (
+  SELECT g,
+         CAST(CASE WHEN d1 IS NOT NULL THEN date_diff('day', d0, d1)
+              ELSE date_diff('day', d0, dmax) END AS BIGINT) AS t,
+         CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM nxt CROSS JOIN mx
+), grid AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d_all,
+         CAST(SUM(e * g) AS BIGINT) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS tot_all,
+         CAST(SUM(g) AS BIGINT) AS tot1
+  FROM durs GROUP BY t
+), risk AS (
+  SELECT t, d_all, d1,
+         CAST(SUM(tot_all) OVER ()
+              - (SUM(tot_all) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot_all)
+           AS BIGINT) AS n_all,
+         CAST(SUM(tot1) OVER ()
+              - (SUM(tot1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot1)
+           AS BIGINT) AS n1
+  FROM grid
+), terms AS (
+  SELECT CAST(ROUND(CAST(d1 AS DOUBLE) - CAST(d_all AS DOUBLE)
+              * CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE), 12)
+          AS DECIMAL(28,12)) AS omE,
+         CASE WHEN n_all > 1 THEN
+           CAST(ROUND(CAST(d_all AS DOUBLE)
+             * (CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE))
+             * (1.0 - CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE))
+             * (CAST(n_all AS DOUBLE) - CAST(d_all AS DOUBLE))
+             / (CAST(n_all AS DOUBLE) - 1.0), 12) AS DECIMAL(28,12))
+         ELSE CAST(0 AS DECIMAL(28,12)) END AS var_t
+  FROM risk
+)
+SELECT CAST(SUM(omE) AS DOUBLE) AS obs_minus_exp,
+       CAST(SUM(var_t) AS DOUBLE) AS variance,
+       ROUND(CAST(SUM(omE) AS DOUBLE) * CAST(SUM(omE) AS DOUBLE)
+             / CAST(SUM(var_t) AS DOUBLE), 6) AS chi2
+FROM terms
+"""

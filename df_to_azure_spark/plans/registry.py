@@ -698,6 +698,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "reorder_survival_km": QuerySpec(
         PL4.reorder_survival_km, PL4.REORDER_KM_ORACLE
     ),
+    "segment_logrank_test": QuerySpec(
+        PL4.segment_logrank_test, PL4.SEGMENT_LOGRANK_ORACLE
+    ),
 }
 
 

@@ -335,3 +335,51 @@ def test_km_matches_python_reference(spark, sf_smoke):
         assert abs(r.survival - surv) < 5e-5, (t, r.survival, surv)
         assert r.survival <= prev + 1e-9  # monotone non-increasing
         prev = r.survival
+
+
+def test_logrank_matches_python_reference(spark, sf_smoke):
+    import duckdb
+    from collections import Counter
+
+    from df_to_azure_spark.plans.pipeline4 import segment_logrank_test
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""
+        SELECT o_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+               CAST(o_orderdate AS DATE) AS d, o_orderkey
+        FROM read_parquet('{sf_smoke}/orders.parquet') o
+        JOIN read_parquet('{sf_smoke}/customer.parquet') c ON o_custkey = c_custkey
+        ORDER BY o_custkey, d, o_orderkey
+        """
+    ).fetchall()
+    by_cust: dict[int, tuple[int, list]] = {}
+    for cust, g, d, _ in raw:
+        by_cust.setdefault(cust, (g, []))[1].append(d)
+    dmax = max(d for _, _, d, _ in raw)
+    durs = []  # (t, event, group)
+    for g, ds in by_cust.values():
+        for a, b in zip(ds, ds[1:]):
+            durs.append(((b - a).days, 1, g))
+        durs.append(((dmax - ds[-1]).days, 0, g))
+    d_all = Counter(t for t, e, _ in durs if e)
+    d1 = Counter(t for t, e, g in durs if e and g)
+    tot_all = Counter(t for t, _, _ in durs)
+    tot1 = Counter(t for t, _, g in durs if g)
+    n_all, n1 = len(durs), sum(1 for *_, g in durs if g)
+    seen_all = seen1 = 0
+    num = var = 0.0
+    for t in sorted(tot_all):
+        na, n1t = n_all - seen_all, n1 - seen1
+        d, dd1 = d_all.get(t, 0), d1.get(t, 0)
+        num += dd1 - d * n1t / na
+        if na > 1:
+            var += d * (n1t / na) * (1 - n1t / na) * (na - d) / (na - 1)
+        seen_all += tot_all[t]
+        seen1 += tot1.get(t, 0)
+    chi2 = num * num / var
+    row = segment_logrank_test(spark, sf_smoke).collect()[0]
+    assert abs(row.obs_minus_exp - num) < 1e-6 * max(1.0, abs(num))
+    assert abs(row.variance - var) < 1e-6 * max(1.0, var)
+    assert abs(row.chi2 - chi2) < 1e-4 * max(1.0, chi2)
