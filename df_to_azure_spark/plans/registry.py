@@ -651,7 +651,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL3.priority_status_mutual_info, PL3.MUTUAL_INFO_ORACLE
     ),
     "session_concurrency_hourly": QuerySpec(
-        PL4.session_concurrency_hourly, PL4.SESSION_CONCURRENCY_ORACLE
+        PL4.session_concurrency_hourly, PL4.SESSION_CONCURRENCY_ORACLE, headline=True
     ),
     "nation_revenue_ols": QuerySpec(
         PL4.nation_revenue_ols, PL4.NATION_OLS_ORACLE
@@ -669,7 +669,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL4.source_ks_matrix, PL4.SOURCE_KS_ORACLE
     ),
     "customer_gini_by_nation": QuerySpec(
-        PL4.customer_gini_by_nation, PL4.CUSTOMER_GINI_ORACLE
+        PL4.customer_gini_by_nation, PL4.CUSTOMER_GINI_ORACLE, headline=True
     ),
     "revenue_cusum_changepoint": QuerySpec(
         PL4.revenue_cusum_changepoint, PL4.REVENUE_CUSUM_ORACLE
