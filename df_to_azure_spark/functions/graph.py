@@ -455,3 +455,56 @@ def local_clustering_coefficient(
             ),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), the
+    deterministic min-tie variant: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    in-neighbors, ties broken toward the SMALLEST label (plain LPA
+    breaks ties randomly — irreproducible, so no oracle could replay
+    it).  Fixed ``iters`` rounds — the bounded-chain contract shared
+    with ``pagerank``/``kcore``; pass a symmetric edge frame for the
+    undirected semantics.
+
+    Scale shape: per round one keyed join (edges × labels), one
+    (node, label) count with map-side combine, and one single-pass
+    per-node argmax (``max_by(label, (cnt, −label))`` — no per-node
+    window); state is one label per node.  The label frame is
+    ``localCheckpoint``-ed every round: the algorithm is genuinely
+    iterative, so lineage would otherwise deepen O(iters) (on a cluster
+    this is the checkpoint between supersteps).  Nodes with no
+    in-neighbors keep their current label.
+
+    Returns ``(node, label)``."""
+    if iters < 1:
+        raise ValueError("label_propagation needs iters >= 1")
+    labels = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(int(iters)):
+        msgs = edges.join(
+            labels.select(F.col("node").alias(src), "label"), src
+        ).select(F.col(dst).alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        new = counts.groupBy("node").agg(
+            F.expr(
+                "max_by(label, named_struct('c', cnt, 'nl', -label))"
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(new, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

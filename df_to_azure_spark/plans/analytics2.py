@@ -562,9 +562,11 @@ FROM (
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch per event type — the
     PORTABLE approximate-counting companion to ``approx_event_stats``:
-    where HLL internals are engine-specific (rows-only forever), KMV is
-    order statistics over a deterministic hash, so the ESTIMATE ITSELF
-    is bit-reproducible in any engine and hash-checked here.
+    where ``approx_count_distinct``'s HLL internals are engine-private
+    (rows-only forever), KMV is order statistics over a deterministic
+    hash, so the ESTIMATE ITSELF is bit-reproducible in any engine and
+    hash-checked here (``pipeline5.hll_distinct_users`` does the same
+    for register-level HLL).
 
     Sketch: normalize a 48-bit md5-prefix hash of each distinct user to
     (0, 1]; with h_k the k-th smallest hash, distinct ≈ (k-1)/h_k

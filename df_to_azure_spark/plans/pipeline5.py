@@ -1,0 +1,700 @@
+"""Round-7 final wave: nonparametric trend tests on the bounded day
+grid (Mann-Kendall, Theil-Sen via distributed exact rank), a PORTABLE
+HyperLogLog whose estimate is bit-reproducible cross-engine, quantile
+normalization (the ML-preprocessing shape: two distributed ranks + an
+index join), synchronous label-propagation communities over the
+co-purchase graph, and a truncated EWMA smoother.
+
+Same cross-engine exactness policy as ``pipeline2``..``pipeline4``:
+integer/decimal arithmetic end-to-end, double literals shared via
+``repr`` + ``CAST(.. AS DOUBLE)`` on both engines, one ROUND(6..12)
+after each transcendental, per-row ROUND → DECIMAL before any SUM whose
+order Spark doesn't fix.
+
+Reference anchor: the reference (``/root/reference/df_to_azure``) is a
+pandas→Azure mover with no analytics surface; these extend the engine's
+query capabilities per the brief (trend/drift screens, sketches, and
+feature-preprocessing a training-data pipeline runs after landing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions.distrank import two_phase_rank
+from df_to_azure_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Shared daily-revenue series (same shape as pipeline4.daily_revenue_acf)
+# --------------------------------------------------------------------------
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d BIGINT days-since-1992-01-01, rev DECIMAL(24,2)) — the exact
+    daily series every trend query in this module consumes.  The
+    pre-aggregation collapses the data to the calendar-bounded day
+    domain FIRST, so everything downstream is bounded by the date range,
+    never by the row count — the property that makes the pair-grid
+    queries below scale-safe."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+                " AS BIGINT)"
+            ).alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))"
+            ).alias("rev")
+        )
+    )
+
+
+_DAILY_SQL = """
+  SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (Mann 1945; Kendall 1975) on daily revenue
+# --------------------------------------------------------------------------
+
+
+def daily_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric monotone-trend test over daily revenue: the
+    statistic ``S = Σ_{i<j} sign(x_j − x_i)``, its tie-corrected
+    variance, the continuity-corrected z, and Kendall's tau-b — the
+    drift screen run before trusting any revenue forecast.
+
+    Scale shape: the textbook S is a quadratic pass over the SERIES, not
+    the data — and the series is pre-aggregated to the calendar-bounded
+    day grid, so the pair frame is |days|² regardless of row count
+    (2 405 days → ~2.9 M sign comparisons at any SF; at 100 TB the grid
+    is identical).  The non-equi self-join broadcasts the day frame —
+    kilobytes.  Everything is integer/decimal until z and tau
+    (DECIMAL(38,0) variance numerator; the /18, sqrt and divisions
+    happen once, in double, ROUND(6))."""
+    daily = _daily_revenue(spark, sf_dir)
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pair_s = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN rb > ra THEN 1"
+                " WHEN rb < ra THEN -1 ELSE 0 END) AS BIGINT)"
+            ).alias("s_stat")
+        )
+    )
+    ties = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.expr(
+            "CAST(SUM(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5))"
+            " AS DECIMAL(38,0))"
+        ).alias("tie_corr"),
+        F.expr("CAST(SUM(CAST(t AS DECIMAL(19,0)) * (t - 1)) AS DECIMAL(38,0))")
+        .alias("tie_pairs2"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = n.crossJoin(F.broadcast(pair_s)).crossJoin(F.broadcast(ties))
+    # var(S) = (n(n-1)(2n+5) - Σ t(t-1)(2t+5)) / 18, exact numerator
+    out = out.withColumn(
+        "var18",
+        F.expr(
+            "CAST(CAST(n_days AS DECIMAL(19,0)) * (n_days - 1) * (2 * n_days + 5)"
+            " AS DECIMAL(38,0)) - tie_corr"
+        ),
+    )
+    z = (
+        "CASE WHEN s_stat = 0 OR var18 = 0 THEN CAST(0 AS DOUBLE)"
+        " ELSE ROUND((CAST(s_stat AS DOUBLE)"
+        "             - CAST(CASE WHEN s_stat > 0 THEN 1 ELSE -1 END AS DOUBLE))"
+        "      / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)), 6) END"
+    )
+    # tau-b: S / sqrt((n0 - n1)(n0 - n2)); n1 = 0 (days are distinct)
+    tau = (
+        "ROUND(CAST(s_stat AS DOUBLE)"
+        " / SQRT(CAST(CAST(n_days AS DECIMAL(19,0)) * (n_days - 1) AS DOUBLE)"
+        "        / CAST(2 AS DOUBLE)"
+        "        * (CAST(CAST(n_days AS DECIMAL(19,0)) * (n_days - 1) AS DOUBLE)"
+        "           / CAST(2 AS DOUBLE)"
+        "           - CAST(tie_pairs2 AS DOUBLE) / CAST(2 AS DOUBLE))), 6)"
+    )
+    return out.select(
+        "n_days",
+        "s_stat",
+        F.expr(z).alias("z_stat"),
+        F.expr(tau).alias("tau_b"),
+        F.expr(
+            "CASE WHEN " + z + " > CAST(1.959964 AS DOUBLE) THEN 'increasing'"
+            " WHEN " + z + " < CAST(-1.959964 AS DOUBLE) THEN 'decreasing'"
+            " ELSE 'no_trend' END"
+        ).alias("trend"),
+    )
+
+
+MANN_KENDALL_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+pair_s AS (
+  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.d < b.d
+), ties AS (
+  SELECT CAST(SUM(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5))
+              AS DECIMAL(38,0)) AS tie_corr,
+         CAST(SUM(CAST(t AS DECIMAL(19,0)) * (t - 1)) AS DECIMAL(38,0))
+           AS tie_pairs2
+  FROM (SELECT rev, COUNT(*) AS t FROM daily GROUP BY rev)
+), base AS (
+  SELECT n.n_days, p.s_stat, t.tie_corr, t.tie_pairs2,
+         CAST(CAST(n.n_days AS DECIMAL(19,0)) * (n.n_days - 1) * (2 * n.n_days + 5)
+              AS DECIMAL(38,0)) - t.tie_corr AS var18
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily) n, pair_s p, ties t
+), scored AS (
+  SELECT n_days, s_stat,
+         CASE WHEN s_stat = 0 OR var18 = 0 THEN CAST(0 AS DOUBLE)
+              ELSE ROUND((CAST(s_stat AS DOUBLE)
+                          - CAST(CASE WHEN s_stat > 0 THEN 1 ELSE -1 END AS DOUBLE))
+                   / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)), 6) END AS z_stat,
+         ROUND(CAST(s_stat AS DOUBLE)
+           / SQRT(CAST(CAST(n_days AS DECIMAL(19,0)) * (n_days - 1) AS DOUBLE)
+                  / CAST(2 AS DOUBLE)
+                  * (CAST(CAST(n_days AS DECIMAL(19,0)) * (n_days - 1) AS DOUBLE)
+                     / CAST(2 AS DOUBLE)
+                     - CAST(tie_pairs2 AS DOUBLE) / CAST(2 AS DOUBLE))), 6) AS tau_b
+  FROM base
+)
+SELECT n_days, s_stat, z_stat, tau_b,
+       CASE WHEN z_stat > CAST(1.959964 AS DOUBLE) THEN 'increasing'
+            WHEN z_stat < CAST(-1.959964 AS DOUBLE) THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope (Theil 1950; Sen 1968) via distributed exact rank
+# --------------------------------------------------------------------------
+
+
+def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend line over daily revenue: the MEDIAN of all
+    pairwise slopes (and the median-residual intercept) — the estimator
+    that shrugs off the outlier days OLS chases.
+
+    The median over ~2.9 M pairwise slopes needs one exact global
+    order statistic — served by ``two_phase_rank`` (repartitionByRange →
+    bounded offset collect → partitioned window), NOT a single-partition
+    window; this is the operator's intended production shape.  Pair
+    count is |days|² (calendar-bounded, data-independent); slopes are
+    one IEEE division ROUND(9) each, compared bit-identically by both
+    engines; the median picks the two middle elements by exact integer
+    rank arithmetic and averages them (division by 2 is exact).  The
+    intercept is a second, |days|-sized median of residuals."""
+    daily = _daily_revenue(spark, sf_dir)
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    slopes = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        "da",
+        "db",
+        F.expr(
+            "ROUND(CAST(rb - ra AS DOUBLE) / CAST(db - da AS DOUBLE), 9)"
+        ).alias("slope"),
+    )
+    ranked = two_phase_rank(
+        slopes, [("slope", "asc"), ("da", "asc"), ("db", "asc")]
+    )
+    med_slope = (
+        ranked.where(
+            (F.col("__rn") == F.expr("(__grp_n + 1) DIV 2"))
+            | (F.col("__rn") == F.expr("__grp_n DIV 2 + 1"))
+        )
+        .agg(
+            F.max("__grp_n").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(slope) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+            ).alias("slope_per_day"),
+        )
+    )
+    resid = daily.crossJoin(F.broadcast(med_slope)).select(
+        "d",
+        "n_pairs",
+        "slope_per_day",
+        F.expr(
+            "ROUND(CAST(rev AS DOUBLE) - slope_per_day * CAST(d AS DOUBLE), 6)"
+        ).alias("res"),
+    )
+    rranked = two_phase_rank(resid, [("res", "asc"), ("d", "asc")])
+    return (
+        rranked.where(
+            (F.col("__rn") == F.expr("(__grp_n + 1) DIV 2"))
+            | (F.col("__rn") == F.expr("__grp_n DIV 2 + 1"))
+        )
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.expr("ROUND(MAX(slope_per_day), 9)").alias("slope_per_day"),
+            F.expr(
+                "ROUND(CAST(SUM(res) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("intercept"),
+        )
+    )
+
+
+THEIL_SEN_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+slopes AS (
+  SELECT a.d AS da, b.d AS db,
+         ROUND(CAST(b.rev - a.rev AS DOUBLE) / CAST(b.d - a.d AS DOUBLE), 9)
+           AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+), ranked AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, da, db) AS rn,
+         COUNT(*) OVER () AS n
+  FROM slopes
+), med AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+         CAST(SUM(slope) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS slope_per_day
+  FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+), resid AS (
+  SELECT daily.d, med.n_pairs, med.slope_per_day,
+         ROUND(CAST(daily.rev AS DOUBLE)
+               - med.slope_per_day * CAST(daily.d AS DOUBLE), 6) AS res
+  FROM daily, med
+), rranked AS (
+  SELECT n_pairs, slope_per_day, res,
+         row_number() OVER (ORDER BY res, d) AS rn,
+         COUNT(*) OVER () AS n
+  FROM resid
+)
+SELECT MAX(n_pairs) AS n_pairs,
+       ROUND(MAX(slope_per_day), 9) AS slope_per_day,
+       ROUND(CAST(SUM(res) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS intercept
+FROM rranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+"""
+
+# --------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — bit-reproducible estimate
+# --------------------------------------------------------------------------
+
+_HLL_P = 8                      # 2^8 = 256 registers, ~6.5% std error
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 48 - _HLL_P        # rank bits left after the bucket split
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)   # bias constant, m >= 128
+
+
+def _rho_case(w: str) -> str:
+    """SQL for rho(w) = 1 + leading zeros of the 40-bit register word —
+    an unrolled integer-threshold CASE, the same text in both engines,
+    so no engine's log2/bit_length rounding can diverge."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (_HLL_WBITS - 1 - i)} THEN {i + 1}"
+        for i in range(_HLL_WBITS)
+    )
+    return f"CASE {branches} ELSE {_HLL_WBITS + 1} END"
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a PORTABLE HyperLogLog — the
+    register-level sketch (md5 48-bit hash → 8-bit bucket, 40-bit word,
+    rho = leading zeros + 1, harmonic mean + linear-counting fallback)
+    built from engine-neutral integer arithmetic, so the ESTIMATE ITSELF
+    is bit-reproducible and strict-oracle-checked — unlike
+    ``approx_count_distinct``, whose internals are engine-private (the
+    gap ``kmv_distinct_users`` notes; this closes it for HLL too).
+
+    Exactness: the rho CASE is integer thresholds; the harmonic
+    denominator accumulates as Σ 2^(41−M_j) in BIGINT (≤ 256·2^41 ≪
+    2^63 — EXACT, no float sum ordering anywhere); alpha·m²/Z is one
+    shared-literal double expression; LN only in the small-range branch,
+    ROUND(6) after.  Scale shape: one distinct shuffle with map-side
+    combine, then 256 registers per group — mergeable (MAX commutes), a
+    kilobyte of state per group at any data size; the exact count kept
+    alongside is only the test's yardstick.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hb = d.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h48"),
+    ).select(
+        "event_type",
+        F.expr(f"h48 % {_HLL_M}").alias("bucket"),
+        F.expr(f"h48 DIV {_HLL_M}").alias("w"),
+    )
+    regs = hb.groupBy("event_type", "bucket").agg(
+        F.expr(f"MAX({_rho_case('w')})").alias("m_rho")
+    )
+    buckets = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    grid = d.select("event_type").distinct().crossJoin(F.broadcast(buckets))
+    full = grid.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("m_rho", F.lit(0)).alias("m0")
+    )
+    per = full.groupBy("event_type").agg(
+        F.expr(
+            f"CAST(SUM(CAST(POWER(CAST(2 AS DOUBLE), {_HLL_WBITS + 1} - m0)"
+            " AS BIGINT)) AS BIGINT)"
+        ).alias("zsum"),
+        F.expr("CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("v_zero"),
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE)"
+        f" / (CAST(zsum AS DOUBLE) / CAST({1 << (_HLL_WBITS + 1)} AS DOUBLE))"
+    )
+    est = (
+        f"CASE WHEN {raw} <= CAST({5 * _HLL_M // 2} AS DOUBLE) AND v_zero > 0"
+        f" THEN ROUND(CAST({_HLL_M} AS DOUBLE)"
+        f"      * LN(CAST({_HLL_M} AS DOUBLE) / CAST(v_zero AS DOUBLE)), 6)"
+        f" ELSE ROUND({raw}, 6) END"
+    )
+    return (
+        per.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.lit(_HLL_M).cast("bigint").alias("m"),
+            "v_zero",
+            "n_exact",
+            F.expr(est).alias("hll_estimate"),
+            F.expr(
+                f"ROUND(({est} - CAST(n_exact AS DOUBLE))"
+                " / CAST(n_exact AS DOUBLE), 6)"
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _hll_oracle() -> str:
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE)"
+        f" / (CAST(zsum AS DOUBLE) / CAST({1 << (_HLL_WBITS + 1)} AS DOUBLE))"
+    )
+    est = (
+        f"CASE WHEN {raw} <= CAST({5 * _HLL_M // 2} AS DOUBLE) AND v_zero > 0"
+        f" THEN ROUND(CAST({_HLL_M} AS DOUBLE)"
+        f"      * LN(CAST({_HLL_M} AS DOUBLE) / CAST(v_zero AS DOUBLE)), 6)"
+        f" ELSE ROUND({raw}, 6) END"
+    )
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hb AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h48
+  FROM d
+), split AS (
+  SELECT event_type, h48 % {_HLL_M} AS bucket, h48 // {_HLL_M} AS w FROM hb
+), regs AS (
+  SELECT event_type, bucket, MAX({_rho_case('w')}) AS m_rho
+  FROM split GROUP BY event_type, bucket
+), grid AS (
+  SELECT t.event_type, b.range AS bucket
+  FROM (SELECT DISTINCT event_type FROM d) t, range({_HLL_M}) b
+), filled AS (
+  SELECT grid.event_type, COALESCE(regs.m_rho, 0) AS m0
+  FROM grid LEFT JOIN regs
+    ON grid.event_type = regs.event_type AND grid.bucket = regs.bucket
+), per AS (
+  SELECT event_type,
+         CAST(SUM(CAST(POWER(CAST(2 AS DOUBLE), {_HLL_WBITS + 1} - m0)
+                       AS BIGINT)) AS BIGINT) AS zsum,
+         CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+  FROM filled GROUP BY event_type
+), exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM d GROUP BY event_type
+)
+SELECT per.event_type, CAST({_HLL_M} AS BIGINT) AS m, v_zero, n_exact,
+       {est} AS hll_estimate,
+       ROUND(({est} - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+         AS rel_err
+FROM per JOIN exact ON per.event_type = exact.event_type
+"""
+
+
+HLL_ORACLE = _hll_oracle()
+
+# --------------------------------------------------------------------------
+# Quantile normalization across event types (two distributed ranks)
+# --------------------------------------------------------------------------
+
+
+def event_value_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize ``events.value`` across event types: each
+    value is replaced by the GLOBAL value at its within-type quantile,
+    so every type ends up drawing from one shared reference distribution
+    — the feature-preprocessing step (Bolstad et al. 2003, microarray
+    normalization; standard for heterogeneous feature sources before
+    training) that batch-corrects per-source scale drift.
+
+    Both order statistics come from ``two_phase_rank`` — the per-type
+    rank (types are few and large: exactly the skewed-partition shape a
+    naive ``Window.partitionBy(type)`` serializes) and the global rank
+    (the banned single-partition window).  The quantile→index map is
+    pure integer arithmetic, ``i = ((2·r − 1)·N) DIV (2·n_t) + 1``
+    (i.e. floor((r−½)/n_t · N) + 1 without ever touching a float), and
+    the lookup is an equi-join against the global rank — keyed shuffles
+    only, no sort-merge over the full data on one executor.  Output is
+    the per-type summary of the normalized column (SUMs as ROUND(6) →
+    DECIMAL so aggregation order can't drift)."""
+    vals = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    per = two_phase_rank(
+        vals, [("value", "asc"), ("event_id", "asc")], group_cols=["event_type"]
+    ).select(
+        "event_type",
+        "value",
+        F.col("__rn").alias("rt"),
+        F.col("__grp_n").alias("nt"),
+    )
+    glob = two_phase_rank(vals, [("value", "asc"), ("event_id", "asc")]).select(
+        F.col("__rn").alias("g"), F.col("value").alias("gval")
+    )
+    n_tot = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    idx = per.crossJoin(F.broadcast(n_tot)).select(
+        "event_type",
+        "value",
+        F.expr("((2 * rt - 1) * n_total) DIV (2 * nt) + 1").alias("i"),
+    )
+    joined = idx.join(glob, F.col("i") == F.col("g")).select(
+        "event_type", "value", F.col("gval").alias("norm")
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE), 6)"
+        ).alias("mean_norm"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE), 6)"
+        ).alias("mean_raw"),
+    )
+
+
+QUANTILE_NORM_ORACLE = """
+WITH vals AS (
+  SELECT event_type, event_id, value FROM events
+), per AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rt,
+         COUNT(*) OVER (PARTITION BY event_type) AS nt
+  FROM vals
+), gl AS (
+  SELECT value AS gval,
+         row_number() OVER (ORDER BY value, event_id) AS g
+  FROM vals
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM vals),
+idx AS (
+  SELECT event_type, value,
+         ((2 * rt - 1) * n_total) // (2 * nt) + 1 AS i
+  FROM per, n
+), joined AS (
+  SELECT idx.event_type, idx.value, gl.gval AS norm
+  FROM idx JOIN gl ON idx.i = gl.g
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+       ROUND(CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm,
+       ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_raw
+FROM joined GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation (Raghavan et al. 2007) — communities
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def part_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the part co-purchase graph by
+    synchronous label propagation: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    neighbors, ties broken toward the SMALLEST label — the deterministic
+    variant (plain LPA breaks ties randomly, which no oracle could
+    replay).  Fixed ``_LPA_ITERS`` rounds, the same bounded-chain
+    contract as ``part_pagerank``/``kcore``: an SQL oracle unrolls the
+    exact same rounds step for step.
+
+    Scale shape: one keyed join + one (node,label) count + one per-node
+    argmax per round — every shuffle keyed on node id, per-round state
+    is one label per node, and the edge frame is ``localCheckpoint``-ed
+    once (it feeds every round).  The argmax is ``max_by(label,
+    (cnt, −label))`` — a single-pass aggregate, no per-node window.
+    Output: one row per surviving community with its size and part-id
+    span, integer-only end to end."""
+    from df_to_azure_spark.functions.graph import label_propagation
+    from df_to_azure_spark.plans.pipeline2 import _part_edges
+
+    edges = _part_edges(spark, sf_dir).localCheckpoint()
+    labels = label_propagation(edges, _LPA_ITERS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("min_part"),
+            F.max("node").cast("bigint").alias("max_part"),
+        )
+    )
+
+
+def _lpa_oracle() -> str:
+    from df_to_azure_spark.plans.pipeline2 import _PR_MAX_BASKET, _PR_MIN_SUPPORT
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(f"""
+m{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+  FROM edges e JOIN {prev} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+), p{i} AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY cnt DESC, label ASC) AS rn
+  FROM m{i}
+), l{i} AS (
+  SELECT l.node, COALESCE(p.label, l.label) AS label
+  FROM {prev} l LEFT JOIN (SELECT node, label FROM p{i} WHERE rn = 1) p
+    ON l.node = p.node
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_PR_MAX_BASKET}
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+),{",".join(rounds)}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_part,
+       CAST(MAX(node) AS BIGINT) AS max_part
+FROM {prev} GROUP BY label
+"""
+
+
+LPA_ORACLE = _lpa_oracle()
+
+
+# --------------------------------------------------------------------------
+# Truncated EWMA smoother over daily revenue
+# --------------------------------------------------------------------------
+
+_EWMA_K = 14
+# alpha = 0.3: weight(g) = 3*7^g / 10^(g+1).  Scaled by 10^14 every weight
+# is an EXACT integer (3*7^g*10^(13-g), <= 3e13), revenue scaled by 10^2 is
+# exact cents -- so numerator, denominator AND the final rounding to cents
+# are pure integer arithmetic; the one double cast at the end is of a small
+# integer (exact in both engines).  No float op exists to drift.
+_EWMA_WINTS = [3 * 7 ** g * 10 ** (13 - g) for g in range(_EWMA_K)]
+
+
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day truncated exponentially-weighted moving average of daily
+    revenue -- the smoother behind every ops dashboard, in the
+    gap-tolerant calendar form: weight ``alpha*(1-alpha)^g`` by CALENDAR
+    day gap ``g``, renormalized over the days actually present in the
+    window (so a missing day shifts no weight onto the wrong lag).
+
+    The recursive EWMA is a sequential scan -- unshardable; truncating
+    at K=14 days (residual weight 0.7^14 ~ 0.7 %) turns it into a
+    bounded xK explode + keyed join, the same trick as
+    ``rolling_7d_active_users``, fully parallel at any scale.
+    Exactness: weights x10^14 and revenue x10^2 are integers, the
+    weighted sum accumulates in DECIMAL(38,0), and the EWMA is rounded
+    to exact cents by integer division ``(2*num + den) DIV (2*den)`` --
+    the engines never touch a float until the final small-integer cast."""
+    daily = _daily_revenue(spark, sf_dir)
+    wf = spark.createDataFrame(
+        [(g, w) for g, w in enumerate(_EWMA_WINTS)], "gap INT, wti BIGINT"
+    )
+    contrib = daily.crossJoin(F.broadcast(wf)).select(
+        (F.col("d") + F.col("gap")).alias("d"),
+        "wti",
+        F.expr("CAST(rev * 100 AS DECIMAL(19,0))").alias("cents"),
+    )
+    hit = contrib.join(daily, "d")
+    return (
+        hit.groupBy("d")
+        .agg(
+            F.expr("CAST(MAX(rev) AS DOUBLE)").alias("revenue"),
+            F.expr(
+                "CAST(SUM(CAST(wti AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0))"
+            ).alias("num_i"),
+            F.expr("CAST(SUM(wti) AS DECIMAL(38,0))").alias("den_i"),
+            F.count(F.lit(1)).cast("bigint").alias("n_window"),
+        )
+        .select(
+            "d",
+            "revenue",
+            "n_window",
+            F.expr(
+                "CAST((2 * num_i + den_i) DIV (2 * den_i) AS DOUBLE)"
+                " / CAST(100 AS DOUBLE)"
+            ).alias("ewma14"),
+        )
+    )
+
+
+def _ewma_oracle() -> str:
+    values = ", ".join(f"({g}, {w})" for g, w in enumerate(_EWMA_WINTS))
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+wf(gap, wti) AS (VALUES {values}),
+contrib AS (
+  SELECT daily.d + wf.gap AS d, wf.wti,
+         CAST(daily.rev * 100 AS DECIMAL(19,0)) AS cents
+  FROM daily, wf
+), hit AS (
+  SELECT contrib.d, contrib.wti, contrib.cents, daily.rev
+  FROM contrib JOIN daily ON contrib.d = daily.d
+), agged AS (
+  SELECT d, CAST(MAX(rev) AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(wti AS HUGEINT) * CAST(cents AS HUGEINT)) AS HUGEINT)
+           AS num_i,
+         CAST(SUM(CAST(wti AS HUGEINT)) AS HUGEINT) AS den_i,
+         CAST(COUNT(*) AS BIGINT) AS n_window
+  FROM hit GROUP BY d
+)
+SELECT d, revenue, n_window,
+       CAST((2 * num_i + den_i) // (2 * den_i) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS ewma14
+FROM agged
+"""
+
+
+EWMA_ORACLE = _ewma_oracle()

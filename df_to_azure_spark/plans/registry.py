@@ -21,6 +21,7 @@ from df_to_azure_spark.plans import pipeline as PL
 from df_to_azure_spark.plans import pipeline2 as PL2
 from df_to_azure_spark.plans import pipeline3 as PL3
 from df_to_azure_spark.plans import pipeline4 as PL4
+from df_to_azure_spark.plans import pipeline5 as PL5
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -700,6 +701,24 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "segment_logrank_test": QuerySpec(
         PL4.segment_logrank_test, PL4.SEGMENT_LOGRANK_ORACLE
+    ),
+    "daily_revenue_mann_kendall": QuerySpec(
+        PL5.daily_revenue_mann_kendall, PL5.MANN_KENDALL_ORACLE
+    ),
+    "daily_revenue_theil_sen": QuerySpec(
+        PL5.daily_revenue_theil_sen, PL5.THEIL_SEN_ORACLE
+    ),
+    "hll_distinct_users": QuerySpec(
+        PL5.hll_distinct_users, PL5.HLL_ORACLE
+    ),
+    "event_value_quantile_norm": QuerySpec(
+        PL5.event_value_quantile_norm, PL5.QUANTILE_NORM_ORACLE
+    ),
+    "part_lpa_communities": QuerySpec(
+        PL5.part_lpa_communities, PL5.LPA_ORACLE
+    ),
+    "daily_revenue_ewma": QuerySpec(
+        PL5.daily_revenue_ewma, PL5.EWMA_ORACLE
     ),
 }
 

@@ -1,0 +1,184 @@
+"""Property tests for the pipeline5 wave: the trend tests against
+direct quadratic/numpy reference computations, the portable HLL against
+its accuracy bound, quantile normalization against a pandas replay, LPA
+on a hand-built graph, and the EWMA against a direct Python fold."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from df_to_azure_spark.plans import pipeline5 as PL5
+
+
+def _daily(spark, sf_smoke) -> pd.DataFrame:
+    return (
+        PL5._daily_revenue(spark, sf_smoke)
+        .toPandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+
+
+def test_mann_kendall_matches_quadratic_reference(spark, sf_smoke):
+    out = PL5.daily_revenue_mann_kendall(spark, sf_smoke).toPandas()
+    daily = _daily(spark, sf_smoke)
+    x = daily["rev"].astype(float).to_numpy()
+    n = len(x)
+    s = sum(
+        np.sign(x[j] - x[i]) for i in range(n) for j in range(i + 1, n)
+    )
+    assert out.loc[0, "n_days"] == n
+    assert out.loc[0, "s_stat"] == int(s)
+    # no ties in this data is not guaranteed; recompute var with ties
+    _, counts = np.unique(x, return_counts=True)
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in counts)
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    z_ref = (s - math.copysign(1, s)) / math.sqrt(var) if s != 0 else 0.0
+    assert out.loc[0, "z_stat"] == pytest.approx(z_ref, abs=1e-6)
+    n0 = n * (n - 1) / 2
+    n2 = sum(t * (t - 1) / 2 for t in counts)
+    assert out.loc[0, "tau_b"] == pytest.approx(
+        s / math.sqrt(n0 * (n0 - n2)), abs=1e-6
+    )
+
+
+def test_theil_sen_matches_numpy_median(spark, sf_smoke):
+    out = PL5.daily_revenue_theil_sen(spark, sf_smoke).toPandas()
+    daily = _daily(spark, sf_smoke)
+    d = daily["d"].to_numpy()
+    x = daily["rev"].astype(float).to_numpy()
+    n = len(d)
+    slopes = np.array(
+        [
+            round((x[j] - x[i]) / (d[j] - d[i]), 9)
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+    )
+    assert out.loc[0, "n_pairs"] == len(slopes)
+    med = np.median(slopes)  # numpy averages the two middles too
+    assert out.loc[0, "slope_per_day"] == pytest.approx(med, abs=1e-8)
+    resid = np.round(x - out.loc[0, "slope_per_day"] * d, 6)
+    assert out.loc[0, "intercept"] == pytest.approx(
+        np.median(resid), abs=1e-5
+    )
+
+
+def test_hll_rho_case_is_leading_zero_rank(spark):
+    # rho(w) over the 40-bit word: spot every boundary value
+    cases = {0: 41, 1: 40, 2: 39, 3: 39, (1 << 39): 1, (1 << 39) - 1: 2}
+    expr = PL5._rho_case("w")
+    rows = spark.createDataFrame(
+        [(w,) for w in cases], "w LONG"
+    ).selectExpr("w", f"{expr} AS rho").collect()
+    for r in rows:
+        assert r.rho == cases[r.w], f"w={r.w}"
+
+
+def test_hll_estimate_within_error_bound(spark, sf_oracle):
+    out = PL5.hll_distinct_users(spark, sf_oracle).toPandas()
+    assert (out["m"] == 256).all()
+    # 256 registers: ~1.04/sqrt(256) = 6.5% std error; allow 4 sigma
+    assert (out["rel_err"].abs() < 0.26).all(), out
+    # registers can never exceed m, zero-register count consistent
+    assert (out["v_zero"] >= 0).all() and (out["v_zero"] <= 256).all()
+
+
+def test_quantile_norm_matches_pandas_replay(spark, sf_smoke):
+    out = (
+        PL5.event_value_quantile_norm(spark, sf_smoke)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")[
+        ["event_type", "event_id", "value"]
+    ]
+    ev = ev.sort_values(["value", "event_id"]).reset_index(drop=True)
+    ev["g"] = np.arange(1, len(ev) + 1)
+    n_total = len(ev)
+    gval = ev["value"].to_numpy()
+    ev["rt"] = ev.groupby("event_type").cumcount() + 1
+    nt = ev.groupby("event_type")["value"].transform("size")
+    idx = ((2 * ev["rt"] - 1) * n_total) // (2 * nt) + 1
+    ev["norm"] = gval[idx.to_numpy() - 1]
+    ref = ev.groupby("event_type").agg(
+        n=("norm", "size"), min_norm=("norm", "min"),
+        max_norm=("norm", "max"),
+        mean_norm=("norm", lambda s: round(
+            float(sum(pd.Series(s).round(6))) / len(s), 6)),
+    ).sort_index()
+    assert (out["n"] == ref["n"]).all()
+    assert out["min_norm"].to_numpy() == pytest.approx(
+        ref["min_norm"].to_numpy()
+    )
+    assert out["max_norm"].to_numpy() == pytest.approx(
+        ref["max_norm"].to_numpy()
+    )
+    assert out["mean_norm"].to_numpy() == pytest.approx(
+        ref["mean_norm"].to_numpy(), abs=1e-5
+    )
+    # the point of the operator: every type now draws from the SAME
+    # reference distribution, so the per-type means collapse together
+    assert out["mean_norm"].std() <= out["mean_raw"].std() + 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    from df_to_azure_spark.functions.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by a bridge 3-10
+    und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src LONG, dst LONG"
+    )
+    labels = {
+        r.node: r.label
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    # each triangle collapses to its min label; min-tie keeps them apart
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[11] == labels[12] == labels[10]
+    assert labels[10] != labels[1] or labels[10] == 1  # bridge may pull 10
+    assert len(labels) == 6
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from df_to_azure_spark.functions.graph import label_propagation
+
+    # 5 -> 6 only: 6 adopts 5's label, 5 has no in-edges and keeps its own
+    edges = spark.createDataFrame([(5, 6)], "src LONG, dst LONG")
+    labels = {r.node: r.label for r in label_propagation(edges, 2).collect()}
+    assert labels == {5: 5, 6: 5}
+    with pytest.raises(ValueError):
+        label_propagation(edges, 0)
+
+
+def test_ewma_matches_direct_fold(spark, sf_smoke):
+    out = (
+        PL5.daily_revenue_ewma(spark, sf_smoke)
+        .toPandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    daily = _daily(spark, sf_smoke)
+    rev = dict(zip(daily["d"], daily["rev"].astype(float)))
+    alpha = 0.3
+    for _, row in out.head(50).iterrows():
+        d = row["d"]
+        num = den = 0.0
+        n_win = 0
+        for g in range(14):
+            if (d - g) in rev:
+                w = alpha * (1 - alpha) ** g
+                num += w * rev[d - g]
+                den += w
+                n_win += 1
+        assert row["n_window"] == n_win
+        assert row["ewma14"] == pytest.approx(num / den, rel=1e-6)
+    assert (out["n_window"] <= 14).all()
+    # a quiet day pulls the smoother below the raw series spike days
+    assert out["ewma14"].std() < out["revenue"].std()

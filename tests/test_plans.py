@@ -77,7 +77,14 @@ BOUNDED_BROADCAST_VARS = {
     "ns",  # 1-row signup count (funnel) / per-source totals (JSD, ~20 rows)
     "nc",  # 1-row click-after-signup count (event_funnel_conversion)
     "np_",  # 1-row purchase-after-click count (event_funnel_conversion)
-    "n_tot",  # 1-row corpus token total (source_js_divergence)
+    "n_tot",  # 1-row corpus token total (source_js_divergence) / 1-row
+    # global count (event_value_quantile_norm)
+    "b",  # calendar-bounded day-grid self-join side (Mann-Kendall/Theil-Sen)
+    "pair_s",  # 1-row Mann-Kendall S aggregate
+    "ties",  # 1-row tie-correction aggregate (Mann-Kendall)
+    "med_slope",  # 1-row median-slope aggregate (Theil-Sen)
+    "buckets",  # 256-row HLL register grid, fixed by _HLL_P
+    "wf",  # 14-row EWMA weight frame, fixed by _EWMA_K
 }
 
 
