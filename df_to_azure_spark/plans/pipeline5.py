@@ -698,3 +698,344 @@ FROM agged
 
 
 EWMA_ORACLE = _ewma_oracle()
+
+# --------------------------------------------------------------------------
+# HITS (Kleinberg 1999) over the bipartite customer→part purchase graph
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_TOPK = 20
+
+
+def part_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_HITS_TOPK`` authority parts by HITS over the bipartite
+    customer→part purchase graph: a part is authoritative when bought by
+    strong hub customers, a customer a strong hub when buying
+    authoritative parts — the mutual-reinforcement ranking that, unlike
+    raw purchase counts, discounts indiscriminate bulk buyers.
+
+    Fixed ``_HITS_ITERS`` iterations (the ``pagerank``/``kcore``
+    bounded-chain contract), L1-normalized each half-step so every score
+    stays a probability-like weight — and, cross-engine, so each
+    normalizer is an exact DECIMAL sum of ROUND(12) contributions with
+    ONE double division after (the pagerank recipe).  Scale shape: the
+    edge list is the distinct (customer, part) projection — built once,
+    ``localCheckpoint``-ed, reused by all iterations; each half-step is
+    one keyed join + one keyed sum, shuffles keyed on customer or part
+    id only; the final top-k is a ``TakeOrderedAndProject``, never a
+    global sort."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # h0 = 1 per customer; a1 ∝ in-degree
+    auth = edges.groupBy("p").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(28,12))").alias("s")
+    )
+    for i in range(_HITS_ITERS):
+        tot = auth.agg(F.expr("CAST(SUM(s) AS DECIMAL(38,12))").alias("t"))
+        auth = auth.crossJoin(F.broadcast(tot)).select(
+            "p",
+            F.expr(
+                "ROUND(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 12)"
+            ).alias("a"),
+        )
+        if i == _HITS_ITERS - 1:
+            break
+        hub = (
+            edges.join(auth, "p")
+            .groupBy("c")
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(ROUND(a, 12) AS DECIMAL(28,12)))"
+                    " AS DECIMAL(38,12))"
+                ).alias("s")
+            )
+        )
+        htot = hub.agg(F.expr("CAST(SUM(s) AS DECIMAL(38,12))").alias("t"))
+        hub = hub.crossJoin(F.broadcast(htot)).select(
+            "c",
+            F.expr(
+                "ROUND(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 12)"
+            ).alias("h"),
+        )
+        auth = (
+            edges.join(hub, "c")
+            .groupBy("p")
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(ROUND(h, 12) AS DECIMAL(28,12)))"
+                    " AS DECIMAL(38,12))"
+                ).alias("s")
+            )
+        )
+    deg = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_buyers"))
+    return (
+        auth.join(deg, "p")
+        .select(F.col("p").cast("bigint").alias("part_id"), "n_buyers",
+                F.col("a").alias("authority"))
+        .orderBy(F.col("authority").desc(), F.col("part_id").asc())
+        .limit(_HITS_TOPK)
+    )
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev = "a1"
+    for i in range(2, _HITS_ITERS + 1):
+        steps.append(f"""
+h{i} AS (
+  SELECT e.c, CAST(SUM(CAST(ROUND(a.a, 12) AS DECIMAL(28,12)))
+              AS DECIMAL(38,12)) AS s
+  FROM edges e JOIN {prev} a ON e.p = a.p GROUP BY e.c
+), hn{i} AS (
+  SELECT c, ROUND(CAST(s AS DOUBLE)
+        / CAST((SELECT CAST(SUM(s) AS DECIMAL(38,12)) FROM h{i}) AS DOUBLE), 12)
+    AS h
+  FROM h{i}
+), a{i}raw AS (
+  SELECT e.p, CAST(SUM(CAST(ROUND(h.h, 12) AS DECIMAL(28,12)))
+              AS DECIMAL(38,12)) AS s
+  FROM edges e JOIN hn{i} h ON e.c = h.c GROUP BY e.p
+), a{i} AS (
+  SELECT p, ROUND(CAST(s AS DOUBLE)
+        / CAST((SELECT CAST(SUM(s) AS DECIMAL(38,12)) FROM a{i}raw) AS DOUBLE), 12)
+    AS a
+  FROM a{i}raw
+)""")
+        prev = f"a{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), a1raw AS (
+  SELECT p, CAST(COUNT(*) AS DECIMAL(28,12)) AS s FROM edges GROUP BY p
+), a1 AS (
+  SELECT p, ROUND(CAST(s AS DOUBLE)
+        / CAST((SELECT CAST(SUM(s) AS DECIMAL(38,12)) FROM a1raw) AS DOUBLE), 12)
+    AS a
+  FROM a1raw
+),{",".join(steps)},
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_buyers FROM edges GROUP BY p)
+SELECT CAST(a.p AS BIGINT) AS part_id, deg.n_buyers, a.a AS authority
+FROM {prev} a JOIN deg ON a.p = deg.p
+ORDER BY a.a DESC, a.p ASC
+LIMIT {_HITS_TOPK}
+"""
+
+
+HITS_ORACLE = _hits_oracle()
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (Newman 2002) of the part co-occurrence graph
+# --------------------------------------------------------------------------
+
+
+def part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree-assortativity coefficient of the part
+    co-occurrence graph — Pearson correlation of (deg(src), deg(dst))
+    over the directed edge list: positive when hubs link to hubs
+    (assortative mixing), negative for hub-and-spoke.
+
+    Every sufficient statistic (Σx, Σy, Σxy, Σx², Σy², n over the edge
+    list) is an exact DECIMAL(38,0) integer sum; the correlation is one
+    double expression ending in IEEE SQRT, ROUND(6).  Scale shape: one
+    degree aggregation + two keyed joins decorating each edge with its
+    endpoint degrees + one global scalar agg — nothing wider than the
+    edge list ever shuffles."""
+    from df_to_azure_spark.plans.pipeline2 import _part_edges
+
+    edges = _part_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    decorated = (
+        edges.join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
+            "dst",
+        )
+    )
+    s = decorated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.expr("CAST(SUM(CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(SUM(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sy"),
+        F.expr(
+            "CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("syy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    r = (
+        "ROUND((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "  / SQRT((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "         * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+    )
+    return s.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes", "n_edges", F.expr(r).alias("assortativity")
+    )
+
+
+def _assort_oracle() -> str:
+    from df_to_azure_spark.plans.pipeline2 import _PR_MAX_BASKET, _PR_MIN_SUPPORT
+
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_PR_MAX_BASKET}
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+), decorated AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM edges e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM decorated
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes, n_edges,
+       ROUND((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / SQRT((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS assortativity
+FROM s
+"""
+
+
+ASSORTATIVITY_ORACLE = _assort_oracle()
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonal decomposition + anomaly days
+# --------------------------------------------------------------------------
+
+_WD_EPOCH_DOW = 2   # 1992-01-01 (day 0 of the series) was a Wednesday
+_WD_TOPK = 10
+_WD_NAMES = (
+    "CASE dow WHEN 0 THEN 'Mon' WHEN 1 THEN 'Tue' WHEN 2 THEN 'Wed'"
+    " WHEN 3 THEN 'Thu' WHEN 4 THEN 'Fri' WHEN 5 THEN 'Sat'"
+    " ELSE 'Sun' END"
+)
+
+
+def weekday_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly screen on daily revenue: subtract each
+    weekday's mean (the dominant retail seasonality) and surface the
+    ``_WD_TOPK`` days with the largest absolute residual — the days a
+    dashboard should flag AFTER accounting for ordinary
+    weekend/weekday swing.
+
+    Exactness: revenue in integer cents; each weekday mean is the
+    half-up integer division ``(2·Σcents + n) DIV (2·n)`` (no decimal
+    division, no float); residuals are integer cents, so the global
+    top-k ORDERS ON INTEGERS with day-id tie-break — deterministic in
+    any engine.  Scale shape: the series is day-domain-bounded; the
+    weekday means are a 7-row broadcast; the top-k is one
+    ``two_phase_rank`` pass (never a single-partition window) with the
+    rank filter pushed before the final projection."""
+    daily = _daily_revenue(spark, sf_dir).select(
+        "d",
+        F.expr(f"CAST((d + {_WD_EPOCH_DOW}) % 7 AS INT)").alias("dow"),
+        F.expr("CAST(rev * 100 AS DECIMAL(19,0))").alias("cents"),
+    )
+    wd = daily.groupBy("dow").agg(
+        F.expr(
+            "CAST((2 * CAST(SUM(cents) AS DECIMAL(38,0)) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS DECIMAL(19,0))"
+        ).alias("wd_cents")
+    )
+    resid = daily.join(F.broadcast(wd), "dow").select(
+        "d",
+        "dow",
+        "cents",
+        "wd_cents",
+        F.expr("CAST(cents - wd_cents AS DECIMAL(19,0))").alias("res_cents"),
+    )
+    ranked = two_phase_rank(
+        resid.withColumn("abs_res", F.expr("ABS(res_cents)")),
+        [("abs_res", "desc"), ("d", "asc")],
+    )
+    return (
+        ranked.where(F.col("__rn") <= _WD_TOPK)
+        .select(
+            F.col("__rn").cast("bigint").alias("anomaly_rank"),
+            "d",
+            F.expr(_WD_NAMES).alias("weekday"),
+            F.expr("CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)").alias("revenue"),
+            F.expr("CAST(wd_cents AS DOUBLE) / CAST(100 AS DOUBLE)").alias(
+                "weekday_mean"
+            ),
+            F.expr("CAST(res_cents AS DOUBLE) / CAST(100 AS DOUBLE)").alias(
+                "residual"
+            ),
+            F.expr(
+                "CASE WHEN res_cents >= 0 THEN 'above' ELSE 'below' END"
+            ).alias("direction"),
+        )
+    )
+
+
+WEEKDAY_ANOMALY_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+cents AS (
+  SELECT d, CAST((d + {_WD_EPOCH_DOW}) % 7 AS INT) AS dow,
+         CAST(rev * 100 AS DECIMAL(19,0)) AS cents
+  FROM daily
+), wd AS (
+  SELECT dow,
+         CAST(CAST(2 * CAST(SUM(cents) AS DECIMAL(38,0)) + COUNT(*) AS HUGEINT)
+              // CAST(2 * COUNT(*) AS HUGEINT) AS DECIMAL(19,0)) AS wd_cents
+  FROM cents GROUP BY dow
+), resid AS (
+  SELECT c.d, c.dow, c.cents, wd.wd_cents,
+         CAST(c.cents - wd.wd_cents AS DECIMAL(19,0)) AS res_cents
+  FROM cents c JOIN wd ON c.dow = wd.dow
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY ABS(res_cents) DESC, d ASC) AS rn
+  FROM resid
+)
+SELECT CAST(rn AS BIGINT) AS anomaly_rank, d,
+       {_WD_NAMES} AS weekday,
+       CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+       CAST(wd_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS weekday_mean,
+       CAST(res_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS residual,
+       CASE WHEN res_cents >= 0 THEN 'above' ELSE 'below' END AS direction
+FROM ranked WHERE rn <= {_WD_TOPK}
+"""

@@ -720,6 +720,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "daily_revenue_ewma": QuerySpec(
         PL5.daily_revenue_ewma, PL5.EWMA_ORACLE
     ),
+    "part_hits_authority": QuerySpec(
+        PL5.part_hits_authority, PL5.HITS_ORACLE
+    ),
+    "part_degree_assortativity": QuerySpec(
+        PL5.part_degree_assortativity, PL5.ASSORTATIVITY_ORACLE
+    ),
+    "weekday_revenue_anomalies": QuerySpec(
+        PL5.weekday_revenue_anomalies, PL5.WEEKDAY_ANOMALY_ORACLE
+    ),
 }
 
 

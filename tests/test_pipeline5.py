@@ -182,3 +182,69 @@ def test_ewma_matches_direct_fold(spark, sf_smoke):
     assert (out["n_window"] <= 14).all()
     # a quiet day pulls the smoother below the raw series spike days
     assert out["ewma14"].std() < out["revenue"].std()
+
+
+def test_hits_authority_mutual_reinforcement(spark, sf_smoke):
+    out = PL5.part_hits_authority(spark, sf_smoke).toPandas()
+    assert len(out) == PL5._HITS_TOPK
+    assert (out["authority"] > 0).all()
+    # sorted by authority desc with part tie-break
+    a = out["authority"].to_numpy()
+    assert (a[:-1] >= a[1:]).all()
+    # authority is a normalized weight, so each entry is a share < 1
+    assert (a < 1.0).all()
+
+
+def test_hits_uniform_on_regular_bipartite(spark, monkeypatch):
+    # 2 customers x 2 parts complete bipartite: authorities must tie
+    import df_to_azure_spark.plans.pipeline5 as mod
+
+    orders = spark.createDataFrame(
+        [(1, 100), (2, 200)], "o_orderkey LONG, o_custkey LONG"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 7), (1, 8), (2, 7), (2, 8)], "l_orderkey LONG, l_partkey LONG"
+    )
+    def fake_load(spark_, sf_dir, name):
+        return {"orders": orders, "lineitem": lineitem}[name]
+    monkeypatch.setattr(mod, "load_table", fake_load)
+    out = mod.part_hits_authority(spark, "ignored").toPandas()
+    assert sorted(out["part_id"]) == [7, 8]
+    assert out["authority"].nunique() == 1
+    assert out["authority"].iloc[0] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_assortativity_matches_numpy(spark, sf_smoke):
+    from df_to_azure_spark.plans.pipeline2 import _part_edges
+
+    out = PL5.part_degree_assortativity(spark, sf_smoke).toPandas()
+    e = _part_edges(spark, sf_smoke).toPandas()
+    deg = e.groupby("src").size()
+    dx = deg.loc[e["src"]].to_numpy(dtype=float)
+    dy = deg.loc[e["dst"]].to_numpy(dtype=float)
+    ref = np.corrcoef(dx, dy)[0, 1]
+    assert out.loc[0, "n_edges"] == len(e)
+    assert out.loc[0, "n_nodes"] == deg.size
+    assert out.loc[0, "assortativity"] == pytest.approx(ref, abs=1e-6)
+    assert -1.0 <= out.loc[0, "assortativity"] <= 1.0
+
+
+def test_weekday_anomalies_reference_replay(spark, sf_smoke):
+    out = PL5.weekday_revenue_anomalies(spark, sf_smoke).toPandas()
+    daily = _daily(spark, sf_smoke)
+    cents = (daily["rev"] * 100).astype("int64")
+    dow = ((daily["d"] + 2) % 7).astype(int)
+    wd_mean = {}
+    for w in range(7):
+        sel = cents[dow == w]
+        wd_mean[w] = (2 * int(sel.sum()) + len(sel)) // (2 * len(sel))
+    res = cents.to_numpy() - np.array([wd_mean[w] for w in dow])
+    order = sorted(
+        range(len(res)), key=lambda i: (-abs(res[i]), daily["d"][i])
+    )[: PL5._WD_TOPK]
+    assert list(out["d"]) == [daily["d"][i] for i in order]
+    assert out["residual"].to_numpy() == pytest.approx(
+        np.array([res[i] for i in order]) / 100.0
+    )
+    names = {0: "Mon", 1: "Tue", 2: "Wed", 3: "Thu", 4: "Fri", 5: "Sat", 6: "Sun"}
+    assert list(out["weekday"]) == [names[dow[i]] for i in order]
