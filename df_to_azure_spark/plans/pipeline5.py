@@ -1039,3 +1039,234 @@ SELECT CAST(rn AS BIGINT) AS anomaly_rank, d,
        CASE WHEN res_cents >= 0 THEN 'above' ELSE 'below' END AS direction
 FROM ranked WHERE rn <= {_WD_TOPK}
 """
+
+# --------------------------------------------------------------------------
+# Portable Count-Min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows
+_CMS_W = 64      # counters per row
+_CMS_TOPK = 10
+
+
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the ``_CMS_TOPK`` most active
+    users, next to their exact counts — the sketch a 100 TB pipeline
+    keeps when the item domain (users, tokens, URLs) is too wide to
+    count exactly, completing the portable-sketch family (Misra-Gries
+    ``heavy_hitters_exact``, KMV, HLL): like those, every counter
+    derives from engine-neutral md5 integer arithmetic, so the ESTIMATE
+    ITSELF is strict-oracle-checked, not just sanity-ranged.
+
+    Sketch: ``_CMS_D × _CMS_W`` counters; row ``i`` hashes each event's
+    user to ``md5(i:user) % w`` and counts; the estimate is the MIN over
+    the d row counters — always ≥ the true count (one-sided error, ≤
+    2n/w with probability 1−2^−d; the ``overestimate`` column exhibits
+    it).  Scale shape: the counter build is one groupBy over (d × rows)
+    keys into a d·w-cell frame — constant size, mergeable by cell sum,
+    broadcastable; the top-k exact pass is a keyed count +
+    ``TakeOrderedAndProject``.  Integer-only end to end."""
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("i"))
+    cells = (
+        events.crossJoin(F.broadcast(rows))
+        .select(
+            "i",
+            F.expr(
+                "CAST(conv(substring(md5(CONCAT(CAST(i AS STRING), ':',"
+                " CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+                f" % {_CMS_W}"
+            ).alias("pos"),
+        )
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+        .limit(_CMS_TOPK)
+    )
+    probes = top.crossJoin(F.broadcast(rows)).select(
+        "user_id",
+        "n_exact",
+        "i",
+        F.expr(
+            "CAST(conv(substring(md5(CONCAT(CAST(i AS STRING), ':',"
+            " CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            f" % {_CMS_W}"
+        ).alias("pos"),
+    )
+    return (
+        probes.join(cells, ["i", "pos"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.expr("CAST(MIN(cnt) AS BIGINT)").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "n_exact",
+            "cms_estimate",
+            F.expr("CAST(cms_estimate - n_exact AS BIGINT)").alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+CMS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events),
+rows_ AS (SELECT CAST(range AS INT) AS i FROM range({_CMS_D})),
+cells AS (
+  SELECT i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                             CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           % {_CMS_W} AS pos,
+         COUNT(*) AS cnt
+  FROM ev, rows_
+  GROUP BY 1, 2
+), top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM ev GROUP BY user_id
+  ORDER BY n_exact DESC, user_id ASC LIMIT {_CMS_TOPK}
+), probes AS (
+  SELECT top.user_id, top.n_exact, rows_.i,
+         ('0x' || substr(md5(CAST(rows_.i AS VARCHAR) || ':' ||
+                             CAST(top.user_id AS VARCHAR)), 1, 12))::BIGINT
+           % {_CMS_W} AS pos
+  FROM top, rows_
+)
+SELECT p.user_id, p.n_exact,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cnt) - p.n_exact AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON p.i = c.i AND p.pos = c.pos
+GROUP BY p.user_id, p.n_exact
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join prefilter (Bloom 1970) with measured FP rate
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 4096   # bits
+_BLOOM_K = 3      # hash functions
+
+
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filter semi-join prefilter — THE shuffle-elimination
+    device for 100 TB joins (ship a kilobyte bitset to the probe side
+    instead of shuffling the probe table): build an
+    ``m=_BLOOM_M``/``k=_BLOOM_K`` filter over the BUILDING-segment
+    customer keys, probe every ordering customer, and measure the
+    false-positive rate against the exact semi-join, next to the
+    ``(1−e^{{−kn/m}})^k`` theoretical rate.
+
+    Portable like the other sketches: bit positions are md5 integer
+    arithmetic, the bitset is the ≤ m-row distinct position frame
+    (broadcast — exactly how the prefilter deploys), membership is
+    ``COUNT(matched positions) = k`` per probe key.  Exact integers
+    until the two output rates (one division each; EXP only in the
+    theoretical rate, ROUND(6))."""
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    ks = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+    pos_expr = (
+        "CAST(conv(substring(md5(CONCAT(CAST(j AS STRING), '#',"
+        " CAST(key AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+    bits = (
+        build.crossJoin(F.broadcast(ks))
+        .select(F.expr(pos_expr).alias("pos"))
+        .distinct()
+    )
+    probed = (
+        probe.crossJoin(F.broadcast(ks))
+        .select("key", F.expr(pos_expr).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == _BLOOM_K)
+        .select("key")
+    )
+    truth = probe.join(build, "key", "left_semi")
+    n_build = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    stats = (
+        probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+        .crossJoin(F.broadcast(probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pass"))))
+        .crossJoin(F.broadcast(truth.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"))))
+        .crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+    )
+    return stats.select(
+        "n_build",
+        "n_bits_set",
+        "n_probe",
+        "n_true",
+        "n_pass",
+        F.expr("CAST(n_pass - n_true AS BIGINT)").alias("n_false_pos"),
+        F.expr(
+            "CASE WHEN n_probe = n_true THEN CAST(0 AS DOUBLE)"
+            " ELSE ROUND(CAST(n_pass - n_true AS DOUBLE)"
+            "      / CAST(n_probe - n_true AS DOUBLE), 6) END"
+        ).alias("fp_rate"),
+        F.expr(
+            f"ROUND(POWER(CAST(1 AS DOUBLE) - EXP(-CAST({_BLOOM_K} AS DOUBLE)"
+            f" * CAST(n_build AS DOUBLE) / CAST({_BLOOM_M} AS DOUBLE)),"
+            f" CAST({_BLOOM_K} AS DOUBLE)), 6)"
+        ).alias("fp_theoretical"),
+    )
+
+
+BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey AS key FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+), probe AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+), ks AS (SELECT CAST(range AS INT) AS j FROM range({_BLOOM_K})),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
+                             CAST(key AS VARCHAR)), 1, 12))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM build, ks
+), probed AS (
+  SELECT p.key
+  FROM (
+    SELECT probe.key,
+           ('0x' || substr(md5(CAST(ks.j AS VARCHAR) || '#' ||
+                               CAST(probe.key AS VARCHAR)), 1, 12))::BIGINT
+             % {_BLOOM_M} AS pos
+    FROM probe, ks
+  ) p JOIN bits ON p.pos = bits.pos
+  GROUP BY p.key HAVING COUNT(*) = {_BLOOM_K}
+), agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe p
+            WHERE EXISTS (SELECT 1 FROM build b WHERE b.key = p.key))
+           AS n_true,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probed) AS n_pass
+)
+SELECT n_build, n_bits_set, n_probe, n_true, n_pass,
+       CAST(n_pass - n_true AS BIGINT) AS n_false_pos,
+       CASE WHEN n_probe = n_true THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(n_pass - n_true AS DOUBLE)
+                 / CAST(n_probe - n_true AS DOUBLE), 6) END AS fp_rate,
+       ROUND(POWER(CAST(1 AS DOUBLE) - EXP(-CAST({_BLOOM_K} AS DOUBLE)
+             * CAST(n_build AS DOUBLE) / CAST({_BLOOM_M} AS DOUBLE)),
+             CAST({_BLOOM_K} AS DOUBLE)), 6) AS fp_theoretical
+FROM agg
+"""

@@ -729,6 +729,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "weekday_revenue_anomalies": QuerySpec(
         PL5.weekday_revenue_anomalies, PL5.WEEKDAY_ANOMALY_ORACLE
     ),
+    "cms_user_event_counts": QuerySpec(
+        PL5.cms_user_event_counts, PL5.CMS_ORACLE
+    ),
+    "bloom_join_prefilter": QuerySpec(
+        PL5.bloom_join_prefilter, PL5.BLOOM_ORACLE
+    ),
 }
 
 

@@ -248,3 +248,48 @@ def test_weekday_anomalies_reference_replay(spark, sf_smoke):
     )
     names = {0: "Mon", 1: "Tue", 2: "Wed", 3: "Thu", 4: "Fri", 5: "Sat", 6: "Sun"}
     assert list(out["weekday"]) == [names[dow[i]] for i in order]
+
+
+def test_cms_one_sided_error(spark, sf_smoke):
+    out = PL5.cms_user_event_counts(spark, sf_smoke).toPandas()
+    assert len(out) == PL5._CMS_TOPK
+    # count-min NEVER undercounts
+    assert (out["overestimate"] >= 0).all()
+    assert (out["cms_estimate"] >= out["n_exact"]).all()
+    # top-k really is the exact top-k: all counts >= any non-selected user
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    full = ev.groupby("user_id").size().sort_values(ascending=False)
+    assert set(out["n_exact"]) <= set(full.values)
+    assert out["n_exact"].min() >= full.iloc[PL5._CMS_TOPK] - 0  # kth bound
+
+
+def test_bloom_no_false_negatives_and_rates(spark, sf_smoke):
+    out = PL5.bloom_join_prefilter(spark, sf_smoke).toPandas()
+    r = out.iloc[0]
+    assert r["n_pass"] >= r["n_true"]          # Bloom never drops a member
+    assert r["n_false_pos"] == r["n_pass"] - r["n_true"]
+    assert 0.0 <= r["fp_rate"] <= 1.0
+    assert 0.0 <= r["fp_theoretical"] <= 1.0
+    assert r["n_bits_set"] <= PL5._BLOOM_M
+    # measured FP should be in the right ballpark of theoretical
+    assert r["fp_rate"] <= max(5 * r["fp_theoretical"], 0.05)
+
+
+def test_bloom_toy_membership(spark, monkeypatch):
+    import df_to_azure_spark.plans.pipeline5 as mod
+
+    customer = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING"), (3, "AUTOMOBILE")],
+        "c_custkey LONG, c_mktsegment STRING",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, 99)],
+        "o_orderkey LONG, o_custkey LONG",
+    )
+    def fake_load(spark_, sf_dir, name):
+        return {"customer": customer, "orders": orders}[name]
+    monkeypatch.setattr(mod, "load_table", fake_load)
+    r = mod.bloom_join_prefilter(spark, "ignored").toPandas().iloc[0]
+    assert r["n_build"] == 2 and r["n_probe"] == 4 and r["n_true"] == 2
+    # with m=4096 and 2 keys, keys 3 and 99 all but surely miss
+    assert r["n_pass"] >= 2 and r["n_false_pos"] in (0, 1, 2)

@@ -70,7 +70,8 @@ BOUNDED_BROADCAST_VARS = {
     "summary",  # 1-row total/n_keys aggregate (join_key_skew_profile)
     "ma",  # priority marginal counts — bounded by the priority domain (5)
     "mb",  # status marginal counts — bounded by the status domain (3)
-    "tot",  # 1-row joint-count total (priority_status_mutual_info)
+    "tot",  # 1-row joint-count total (priority_status_mutual_info) /
+    # 1-row HITS authority normalizer aggregate
     "med",  # per-event-type medians — bounded by the type domain (~5)
     "mad",  # per-event-type MADs — bounded by the type domain (~5)
     "sizes",  # per-cohort-week user counts — bounded by the week domain
@@ -85,6 +86,16 @@ BOUNDED_BROADCAST_VARS = {
     "med_slope",  # 1-row median-slope aggregate (Theil-Sen)
     "buckets",  # 256-row HLL register grid, fixed by _HLL_P
     "wf",  # 14-row EWMA weight frame, fixed by _EWMA_K
+    "htot",  # 1-row HITS hub normalizer aggregate
+    "nodes",  # 1-row node-count aggregate (part_degree_assortativity)
+    "wd",  # 7-row weekday-mean frame (weekday_revenue_anomalies)
+    "rows",  # d=4 CMS hash-row frame, fixed by _CMS_D
+    "ks",  # k=3 Bloom hash-index frame, fixed by _BLOOM_K
+    "bits",  # <= m=4096 set-bit positions — the deployed prefilter artifact
+    "probed",  # 1-row Bloom pass-count aggregate
+    "truth",  # 1-row exact semi-join count aggregate
+    "n_build",  # 1-row build-side count aggregate
+    "n_bits",  # 1-row set-bit count aggregate
 }
 
 
