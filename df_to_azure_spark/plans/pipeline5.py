@@ -1270,3 +1270,116 @@ SELECT n_build, n_bits_set, n_probe, n_true, n_pass,
              CAST({_BLOOM_K} AS DOUBLE)), 6) AS fp_theoretical
 FROM agg
 """
+
+# --------------------------------------------------------------------------
+# Population Stability Index — per-source drift vs the pooled corpus
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def source_psi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the pooled corpus — the industry-standard model
+    -monitoring drift score (banking scorecards; PSI > 0.1 moderate,
+    > 0.2 major shift), completing the drift-screen family next to the
+    KS (shape), MWU (location) and JSD (token-mix) matrices.
+
+    Bins are the pooled corpus's exact deciles — one ``two_phase_rank``
+    over (n_chars, doc_id) + the arithmetic ``ntile_from_rank`` (NO
+    single-partition ntile window); expected/actual shares use +1
+    Laplace smoothing so empty cells stay finite AND rational (exact
+    integer counts, one double division each).  Per-bin terms
+    ``(pa − pe)·ln(pa/pe)`` are ROUND(12) → DECIMAL before the 10-term
+    sum (transcendental policy), PSI itself ROUND(6).  Scale shape: the
+    rank is the distributed two-phase pass; everything after is
+    (sources × 10) rows."""
+    from df_to_azure_spark.functions.distrank import ntile_from_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    ranked = two_phase_rank(docs, [("n_chars", "asc"), ("doc_id", "asc")])
+    binned = ranked.select(
+        "source",
+        ntile_from_rank("__rn", "__grp_n", _PSI_BINS).cast("int").alias("bin"),
+    )
+    pooled = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ce"))
+    n_tot = binned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    per_src = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    src_tot = binned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    grid = src_tot.crossJoin(F.broadcast(pooled))
+    cells = (
+        grid.join(per_src, ["source", "bin"], "left")
+        .fillna(0, ["ca"])
+        .crossJoin(F.broadcast(n_tot))
+    )
+    term = (
+        f"(CAST(ca + 1 AS DOUBLE) / CAST(n_src + {_PSI_BINS} AS DOUBLE)"
+        f" - CAST(ce + 1 AS DOUBLE) / CAST(n_total + {_PSI_BINS} AS DOUBLE))"
+        f" * LN((CAST(ca + 1 AS DOUBLE) / CAST(n_src + {_PSI_BINS} AS DOUBLE))"
+        f" / (CAST(ce + 1 AS DOUBLE) / CAST(n_total + {_PSI_BINS} AS DOUBLE)))"
+    )
+    psi = (
+        "ROUND(CAST(SUM(CAST(ROUND(" + term + ", 12) AS DECIMAL(28,12)))"
+        " AS DOUBLE), 6)"
+    )
+    return (
+        cells.groupBy("source")
+        .agg(F.expr(psi).alias("psi"), F.max("n_src").alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            "psi",
+            F.expr(
+                "CASE WHEN psi > CAST(0.2 AS DOUBLE) THEN 'major'"
+                " WHEN psi > CAST(0.1 AS DOUBLE) THEN 'moderate'"
+                " ELSE 'stable' END"
+            ).alias("drift"),
+        )
+    )
+
+
+def _psi_oracle() -> str:
+    b = _PSI_BINS
+    term = (
+        f"(CAST(ca + 1 AS DOUBLE) / CAST(n_src + {b} AS DOUBLE)"
+        f" - CAST(ce + 1 AS DOUBLE) / CAST(n_total + {b} AS DOUBLE))"
+        f" * LN((CAST(ca + 1 AS DOUBLE) / CAST(n_src + {b} AS DOUBLE))"
+        f" / (CAST(ce + 1 AS DOUBLE) / CAST(n_total + {b} AS DOUBLE)))"
+    )
+    return f"""
+WITH binned AS (
+  SELECT source, ntile({b}) OVER (ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+), pooled AS (
+  SELECT bin, COUNT(*) AS ce FROM binned GROUP BY bin
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM binned),
+per_src AS (
+  SELECT source, bin, COUNT(*) AS ca FROM binned GROUP BY source, bin
+), src_tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM binned GROUP BY source
+), cells AS (
+  SELECT st.source, st.n_src, p.bin, p.ce, COALESCE(ps.ca, 0) AS ca, n.n_total
+  FROM src_tot st CROSS JOIN pooled p
+  LEFT JOIN per_src ps ON st.source = ps.source AND p.bin = ps.bin
+  CROSS JOIN n
+), scored AS (
+  SELECT source, MAX(n_src) AS n_docs,
+         ROUND(CAST(SUM(CAST(ROUND({term}, 12) AS DECIMAL(28,12)))
+               AS DOUBLE), 6) AS psi
+  FROM cells GROUP BY source
+)
+SELECT source, n_docs, psi,
+       CASE WHEN psi > CAST(0.2 AS DOUBLE) THEN 'major'
+            WHEN psi > CAST(0.1 AS DOUBLE) THEN 'moderate'
+            ELSE 'stable' END AS drift
+FROM scored
+"""
+
+
+PSI_ORACLE = _psi_oracle()

@@ -706,7 +706,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL5.daily_revenue_mann_kendall, PL5.MANN_KENDALL_ORACLE
     ),
     "daily_revenue_theil_sen": QuerySpec(
-        PL5.daily_revenue_theil_sen, PL5.THEIL_SEN_ORACLE
+        PL5.daily_revenue_theil_sen, PL5.THEIL_SEN_ORACLE, headline=True
     ),
     "hll_distinct_users": QuerySpec(
         PL5.hll_distinct_users, PL5.HLL_ORACLE
@@ -733,7 +733,10 @@ REGISTRY: dict[str, QuerySpec] = {
         PL5.cms_user_event_counts, PL5.CMS_ORACLE
     ),
     "bloom_join_prefilter": QuerySpec(
-        PL5.bloom_join_prefilter, PL5.BLOOM_ORACLE
+        PL5.bloom_join_prefilter, PL5.BLOOM_ORACLE, headline=True
+    ),
+    "source_psi_matrix": QuerySpec(
+        PL5.source_psi_matrix, PL5.PSI_ORACLE
     ),
 }
 

@@ -293,3 +293,42 @@ def test_bloom_toy_membership(spark, monkeypatch):
     assert r["n_build"] == 2 and r["n_probe"] == 4 and r["n_true"] == 2
     # with m=4096 and 2 keys, keys 3 and 99 all but surely miss
     assert r["n_pass"] >= 2 and r["n_false_pos"] in (0, 1, 2)
+
+
+def test_psi_identical_distribution_is_stable(spark, monkeypatch):
+    import df_to_azure_spark.plans.pipeline5 as mod
+
+    # two sources with IDENTICAL length distributions -> tiny PSI
+    rows = [(i, "a" if i % 2 == 0 else "b", 100 + (i % 50)) for i in range(400)]
+    docs = spark.createDataFrame(
+        [(i, s, n) for i, s, n in rows], "doc_id LONG, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(
+        mod, "load_table", lambda sp, sf, name: {"documents": docs}[name]
+    )
+    out = mod.source_psi_matrix(spark, "ignored").toPandas()
+    assert set(out["source"]) == {"a", "b"}
+    # not ~0: only 50 distinct lengths, so decile edges cut inside tie
+    # groups and the doc_id tie-break correlates with source parity --
+    # but far below the 0.1 monitoring threshold
+    assert (out["psi"].abs() < 0.05).all()
+    assert (out["drift"] == "stable").all()
+
+
+def test_psi_shifted_distribution_flags_drift(spark, monkeypatch):
+    import df_to_azure_spark.plans.pipeline5 as mod
+
+    rows = [(i, "ref", 100 + (i % 50)) for i in range(400)] + [
+        (1000 + i, "shifted", 500 + (i % 50)) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_chars LONG")
+    monkeypatch.setattr(
+        mod, "load_table", lambda sp, sf, name: {"documents": docs}[name]
+    )
+    out = (
+        mod.source_psi_matrix(spark, "ignored").toPandas().set_index("source")
+    )
+    # the shifted source's mass concentrates in the top bins -> major drift
+    assert out.loc["shifted", "psi"] > 0.2
+    assert out.loc["shifted", "drift"] == "major"
+    assert out.loc["shifted", "psi"] > out.loc["ref", "psi"]
