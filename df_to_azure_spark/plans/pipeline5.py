@@ -1383,3 +1383,207 @@ FROM scored
 
 
 PSI_ORACLE = _psi_oracle()
+
+# --------------------------------------------------------------------------
+# Target encoding with leave-one-fold-out leakage protection
+# --------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20   # pseudo-observations of the global mean
+
+
+def segment_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of customer market segment against order
+    value, with K-fold leave-one-fold-out leakage protection — the
+    categorical-feature encoder every tabular training pipeline ships
+    (Micci-Barreca 2001): rows in fold ``f`` are encoded from the OTHER
+    folds' statistics only, so the feature never sees its own label, and
+    ``_TE_SMOOTH`` pseudo-observations of the global mean shrink
+    small-cell estimates.
+
+    Exactness: folds are md5 buckets of the order key (deterministic,
+    partition-invariant); sums are integer cents; the global mean and
+    every encoding round half-up by the exact integer division
+    ``(2·num + den) DIV (2·den)`` — the engines never divide floats.
+    Scale shape: one join + one (segment, fold) aggregation — segments ×
+    folds cells of driver state, the data shuffles once."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 12),"
+            f" 16, 10) AS BIGINT) % {_TE_FOLDS}"
+        ).cast("int").alias("fold"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+        ).alias("cents"),
+    )
+    cells = rows.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("sum_f"),
+    )
+    seg = cells.groupBy("segment").agg(
+        F.expr("CAST(SUM(n_f) AS BIGINT)").alias("n_s"),
+        F.expr("CAST(SUM(sum_f) AS DECIMAL(38,0))").alias("sum_s"),
+    )
+    glob_mean = cells.agg(
+        F.expr(
+            "CAST((2 * CAST(SUM(sum_f) AS DECIMAL(38,0)) + SUM(n_f))"
+            " DIV (2 * SUM(n_f)) AS DECIMAL(19,0))"
+        ).alias("gm_cents")
+    )
+    k = _TE_SMOOTH
+    return (
+        cells.join(seg, "segment")
+        .crossJoin(F.broadcast(glob_mean))
+        .select(
+            "segment",
+            "fold",
+            F.col("n_f").alias("n_rows"),
+            F.expr(
+                "CAST(CAST((2 * (sum_s - sum_f + "
+                f"{k} * gm_cents) + (n_s - n_f + {k}))"
+                f" DIV (2 * (n_s - n_f + {k})) AS BIGINT) AS DOUBLE)"
+                " / CAST(100 AS DOUBLE)"
+            ).alias("encoding"),
+            F.expr(
+                "CAST(CAST((2 * sum_f + n_f) DIV (2 * n_f) AS BIGINT)"
+                " AS DOUBLE) / CAST(100 AS DOUBLE)"
+            ).alias("fold_mean"),
+            F.expr(
+                "CAST(CAST(gm_cents AS BIGINT) AS DOUBLE)"
+                " / CAST(100 AS DOUBLE)"
+            ).alias("global_mean"),
+        )
+    )
+
+
+TARGET_ENCODING_ORACLE = f"""
+WITH rows_ AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+              % {_TE_FOLDS} AS INT) AS fold,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cells AS (
+  SELECT segment, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS sum_f
+  FROM rows_ GROUP BY segment, fold
+), seg AS (
+  SELECT segment, CAST(SUM(n_f) AS BIGINT) AS n_s,
+         CAST(SUM(sum_f) AS DECIMAL(38,0)) AS sum_s
+  FROM cells GROUP BY segment
+), gm AS (
+  SELECT CAST(CAST(2 * CAST(SUM(sum_f) AS DECIMAL(38,0)) + SUM(n_f) AS HUGEINT)
+              // CAST(2 * SUM(n_f) AS HUGEINT) AS DECIMAL(19,0)) AS gm_cents
+  FROM cells
+)
+SELECT c.segment, c.fold, c.n_f AS n_rows,
+       CAST(CAST(CAST(2 * (s.sum_s - c.sum_f + {_TE_SMOOTH} * gm.gm_cents)
+                      + (s.n_s - c.n_f + {_TE_SMOOTH}) AS HUGEINT)
+                 // CAST(2 * (s.n_s - c.n_f + {_TE_SMOOTH}) AS HUGEINT)
+            AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS encoding,
+       CAST(CAST(CAST(2 * c.sum_f + c.n_f AS HUGEINT)
+                 // CAST(2 * c.n_f AS HUGEINT) AS BIGINT) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS fold_mean,
+       CAST(CAST(gm.gm_cents AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE)
+         AS global_mean
+FROM cells c JOIN seg s ON c.segment = s.segment CROSS JOIN gm
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (Weinberger et al. 2009) — the hashing trick
+# --------------------------------------------------------------------------
+
+_FH_DIM = 256
+
+
+def corpus_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick over the corpus vocabulary: every token maps to
+    one of ``_FH_DIM`` feature indices by md5, with a second hash bit
+    choosing ±1 sign (the signed construction that makes collisions
+    cancel in expectation) — how a training pipeline gets fixed-width
+    sparse features from an unbounded vocabulary with NO dictionary to
+    build, ship, or keep consistent across workers.
+
+    Output is the corpus-level hashed vector plus per-index collision
+    statistics (distinct tokens sharing each index — the quantity that
+    sizes the dimension), zero-filled over the full grid so the schema
+    IS the feature space.  Exact integers end to end; one explode +
+    one groupBy on a 256-key domain (map-side combine collapses each
+    task to ≤ dim cells before the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from df_to_azure_spark.functions import text as TXT
+
+    toks = docs.select(F.explode(TXT.tokens("text")).alias("tok"))
+    hashed = toks.select(
+        "tok",
+        F.expr(
+            "CAST(conv(substring(md5(CONCAT('f:', tok)), 1, 12), 16, 10)"
+            f" AS BIGINT) % {_FH_DIM}"
+        ).alias("idx"),
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(CONCAT('s:', tok)), 1, 12),"
+            " 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sign"),
+    )
+    agg = hashed.groupBy("idx").agg(
+        F.expr("CAST(SUM(sign) AS BIGINT)").alias("signed_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("tok").cast("bigint").alias("n_distinct_tokens"),
+    )
+    grid = spark.range(_FH_DIM).select(F.col("id").alias("idx"))
+    return (
+        grid.join(agg, "idx", "left")
+        .select(
+            "idx",
+            F.coalesce("signed_value", F.lit(0)).cast("bigint").alias(
+                "signed_value"
+            ),
+            F.coalesce("n_occurrences", F.lit(0)).cast("bigint").alias(
+                "n_occurrences"
+            ),
+            F.coalesce("n_distinct_tokens", F.lit(0)).cast("bigint").alias(
+                "n_distinct_tokens"
+            ),
+        )
+    )
+
+
+def _fh_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import _TOKS
+
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+), hashed AS (
+  SELECT tok,
+         ('0x' || substr(md5('f:' || tok), 1, 12))::BIGINT % {_FH_DIM} AS idx,
+         CASE WHEN ('0x' || substr(md5('s:' || tok), 1, 12))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM toks
+), agg AS (
+  SELECT idx, CAST(SUM(sign) AS BIGINT) AS signed_value,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM hashed GROUP BY idx
+)
+SELECT g.range AS idx,
+       COALESCE(a.signed_value, 0) AS signed_value,
+       COALESCE(a.n_occurrences, 0) AS n_occurrences,
+       COALESCE(a.n_distinct_tokens, 0) AS n_distinct_tokens
+FROM range({_FH_DIM}) g LEFT JOIN agg a ON g.range = a.idx
+ORDER BY idx
+"""
+
+
+FEATURE_HASHING_ORACLE = _fh_oracle()

@@ -738,6 +738,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_psi_matrix": QuerySpec(
         PL5.source_psi_matrix, PL5.PSI_ORACLE
     ),
+    "segment_target_encoding_loo": QuerySpec(
+        PL5.segment_target_encoding_loo, PL5.TARGET_ENCODING_ORACLE
+    ),
+    "corpus_feature_hashing": QuerySpec(
+        PL5.corpus_feature_hashing, PL5.FEATURE_HASHING_ORACLE
+    ),
 }
 
 

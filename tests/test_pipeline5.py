@@ -332,3 +332,44 @@ def test_psi_shifted_distribution_flags_drift(spark, monkeypatch):
     assert out.loc["shifted", "psi"] > 0.2
     assert out.loc["shifted", "drift"] == "major"
     assert out.loc["shifted", "psi"] > out.loc["ref", "psi"]
+
+
+def test_target_encoding_no_leakage_and_shrinkage(spark, sf_smoke):
+    out = PL5.segment_target_encoding_loo(spark, sf_smoke).toPandas()
+    assert len(out) == out[["segment", "fold"]].drop_duplicates().shape[0]
+    assert set(out["fold"]) <= set(range(PL5._TE_FOLDS))
+    gm = out["global_mean"].iloc[0]
+    assert (out["global_mean"] == gm).all()
+    # the LOO encoding excludes the fold's own rows: reconstruct one cell
+    ev = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    df = ev.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    import hashlib
+    def fold(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16) % 5
+    df["fold"] = df["o_orderkey"].map(fold)
+    df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+    seg0, f0 = out.iloc[0]["segment"], int(out.iloc[0]["fold"])
+    sdf = df[df["c_mktsegment"] == seg0]
+    other = sdf[sdf["fold"] != f0]
+    gm_cents = (2 * int(df["cents"].sum()) + len(df)) // (2 * len(df))
+    k = PL5._TE_SMOOTH
+    num = 2 * (int(other["cents"].sum()) + k * gm_cents) + (len(other) + k)
+    enc = (num // (2 * (len(other) + k))) / 100.0
+    assert out.iloc[0]["encoding"] == pytest.approx(enc, abs=1e-9)
+    # shrinkage: every encoding sits between the raw LOO mean's
+    # neighborhood and the global mean (within the segment spread)
+    assert out["encoding"].std() <= out["fold_mean"].std() * 1.5 + 1e-9
+
+
+def test_feature_hashing_grid_and_mass(spark, sf_smoke):
+    out = PL5.corpus_feature_hashing(spark, sf_smoke).toPandas()
+    assert len(out) == PL5._FH_DIM
+    assert sorted(out["idx"]) == list(range(PL5._FH_DIM))
+    # total occurrences equals the corpus token count
+    ev = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    n_tokens = int(ev["text"].str.split().map(len).sum())
+    assert int(out["n_occurrences"].sum()) == n_tokens
+    # signed mass is bounded by occurrence mass, collisions visible
+    assert (out["signed_value"].abs() <= out["n_occurrences"]).all()
+    assert out["n_distinct_tokens"].max() >= 1
