@@ -1049,6 +1049,29 @@ _CMS_W = 64      # counters per row
 _CMS_TOPK = 10
 
 
+def cms_cells(events: DataFrame) -> DataFrame:
+    """The ``_CMS_D × _CMS_W`` Count-Min counter frame for a
+    ``user_id`` frame — shared by the batch query below and the
+    streaming maintenance twin (``streaming.stateful.stream_cms_diff``),
+    which builds the SAME cells incrementally and diffs them.  The hash
+    rows come from an in-row explode (no join), so the expression works
+    identically on a streaming DataFrame."""
+    rows_arr = F.array([F.lit(i) for i in range(_CMS_D)])
+    return (
+        events.select("user_id", F.explode(rows_arr).alias("i"))
+        .select(
+            "i",
+            F.expr(
+                "CAST(conv(substring(md5(CONCAT(CAST(i AS STRING), ':',"
+                " CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+                f" % {_CMS_W}"
+            ).alias("pos"),
+        )
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates for the ``_CMS_TOPK`` most active
     users, next to their exact counts — the sketch a 100 TB pipeline
@@ -1068,19 +1091,7 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``TakeOrderedAndProject``.  Integer-only end to end."""
     events = load_table(spark, sf_dir, "events").select("user_id")
     rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("i"))
-    cells = (
-        events.crossJoin(F.broadcast(rows))
-        .select(
-            "i",
-            F.expr(
-                "CAST(conv(substring(md5(CONCAT(CAST(i AS STRING), ':',"
-                " CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
-                f" % {_CMS_W}"
-            ).alias("pos"),
-        )
-        .groupBy("i", "pos")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(events)
     top = (
         events.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))

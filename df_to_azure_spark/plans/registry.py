@@ -147,6 +147,18 @@ def _stream_concurrency_oracle() -> str:
     return CONCURRENCY_DIFF_ORACLE
 
 
+def _stream_cms_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import stream_cms_diff
+
+    return stream_cms_diff(spark, sf_dir)
+
+
+def _stream_cms_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import STREAM_CMS_DIFF_ORACLE
+
+    return STREAM_CMS_DIFF_ORACLE
+
+
 def _stream_sessionize_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.stateful import stream_sessionize_diff
 
@@ -743,6 +755,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "corpus_feature_hashing": QuerySpec(
         PL5.corpus_feature_hashing, PL5.FEATURE_HASHING_ORACLE
+    ),
+    "stream_cms_diff": QuerySpec(
+        _stream_cms_diff, _stream_cms_oracle()
     ),
 }
 

@@ -532,3 +532,77 @@ SELECT CAST(NULL AS TIMESTAMP) AS hour, CAST(NULL AS BIGINT) AS n_segments,
        CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def stream_cms_diff(spark, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the Count-Min sketch: build the exact
+    same ``_CMS_D × _CMS_W`` counter cells as the batch
+    ``plans.pipeline5.cms_cells`` through a Structured Streaming
+    aggregation (complete mode — the sketch IS the running aggregate;
+    counters only ever add, the mergeable-sketch property the streaming
+    path exploits), then full-outer-diff the final snapshot against the
+    batch cells.  Expected EMPTY — the driver's empty-set oracle
+    hash-proves that incremental sketch maintenance and the batch build
+    agree cell for cell.
+
+    Scale shape: the streaming state is the d·w counter grid — constant
+    size, independent of stream length; exactly why a CMS is what a
+    100 TB ingest keeps instead of exact counts."""
+    from df_to_azure_spark.plans.pipeline5 import cms_cells
+    from df_to_azure_spark.sources import load_table
+
+    events_schema = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet"
+    ).schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(events_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    q = (
+        cms_cells(raw.select("user_id"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_cells_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(
+        "SELECT i, pos, cnt FROM cms_cells_out"
+    )
+    batch = cms_cells(load_table(spark, sf_dir, "events").select("user_id"))
+    s = streamed.select(
+        F.col("i").alias("si"), F.col("pos").alias("sp"),
+        F.col("cnt").alias("scnt"),
+    )
+    b = batch.select(
+        F.col("i").alias("bi"), F.col("pos").alias("bp"),
+        F.col("cnt").alias("bcnt"),
+    )
+    joined = s.join(
+        b, (F.col("si") == F.col("bi")) & (F.col("sp") == F.col("bp")), "full"
+    )
+    return (
+        joined.where(
+            F.col("si").isNull()
+            | F.col("bi").isNull()
+            | (F.col("scnt") != F.col("bcnt"))
+        )
+        .select(
+            F.coalesce("si", "bi").cast("int").alias("i"),
+            F.coalesce("sp", "bp").cast("bigint").alias("pos"),
+            F.col("scnt").cast("bigint").alias("stream_cnt"),
+            F.col("bcnt").cast("bigint").alias("batch_cnt"),
+        )
+    )
+
+
+STREAM_CMS_DIFF_ORACLE = """
+SELECT CAST(NULL AS INT) AS i, CAST(NULL AS BIGINT) AS pos,
+       CAST(NULL AS BIGINT) AS stream_cnt, CAST(NULL AS BIGINT) AS batch_cnt
+WHERE 1 = 0
+"""

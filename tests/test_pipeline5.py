@@ -373,3 +373,9 @@ def test_feature_hashing_grid_and_mass(spark, sf_smoke):
     # signed mass is bounded by occurrence mass, collisions visible
     assert (out["signed_value"].abs() <= out["n_occurrences"]).all()
     assert out["n_distinct_tokens"].max() >= 1
+
+
+def test_stream_cms_matches_batch(spark, sf_smoke):
+    from df_to_azure_spark.streaming.stateful import stream_cms_diff
+
+    assert stream_cms_diff(spark, sf_smoke).count() == 0
