@@ -96,6 +96,8 @@ BOUNDED_BROADCAST_VARS = {
     "truth",  # 1-row exact semi-join count aggregate
     "n_build",  # 1-row build-side count aggregate
     "n_bits",  # 1-row set-bit count aggregate
+    "pooled",  # 10-row pooled decile counts, fixed by _PSI_BINS
+    "glob_mean",  # 1-row global-mean-cents aggregate (target encoding)
 }
 
 
