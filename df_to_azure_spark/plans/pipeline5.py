@@ -1598,3 +1598,255 @@ ORDER BY idx
 
 
 FEATURE_HASHING_ORACLE = _fh_oracle()
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue per customer by cohort age
+# --------------------------------------------------------------------------
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curve by acquisition cohort: customers grouped by
+    the month of their FIRST order; for each cohort and every month of
+    age since, the cumulative revenue per cohort customer — the curve a
+    growth team reads LTV/CAC off.
+
+    Exactness: months are pure integer arithmetic (y·12+m), revenue is
+    integer cents, the running total is an exact decimal window sum over
+    the (cohort, age) domain — bounded by the calendar² — and the
+    per-customer division rounds half-up in integer space.  Scale shape:
+    one min-aggregation for the cohort assignment, one keyed join back,
+    one (cohort, age) aggregation, then a window over the
+    calendar-bounded grid — the heavy shuffles are all keyed on customer
+    or (cohort, age), never global."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(CAST(o_orderdate AS DATE)) * 12"
+            " + month(CAST(o_orderdate AS DATE)) - 1"
+        ).alias("ym"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+        ).alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("ym0"))
+    cohort_sizes = first.groupBy("ym0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    aged = orders.join(first, "o_custkey").select(
+        F.col("ym0").alias("cohort_ym"),
+        (F.col("ym") - F.col("ym0")).cast("int").alias("age_months"),
+        "cents",
+    )
+    cells = aged.groupBy("cohort_ym", "age_months").agg(
+        F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("cents_m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    from pyspark.sql import Window as W
+
+    cum = cells.withColumn(
+        "cum_cents",
+        F.sum("cents_m")
+        .over(
+            W.partitionBy("cohort_ym")
+            .orderBy("age_months")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("decimal(38,0)"),
+    )
+    return (
+        cum.join(
+            cohort_sizes,
+            cum.cohort_ym == cohort_sizes.ym0,
+        )
+        .select(
+            F.expr(
+                "CAST((cohort_ym DIV 12) * 100 + (cohort_ym % 12) + 1"
+                " AS INT)"
+            ).alias("cohort_month"),
+            "age_months",
+            "n_customers",
+            "n_orders",
+            F.expr(
+                "CAST(CAST((2 * cum_cents + n_customers)"
+                " DIV (2 * n_customers) AS BIGINT) AS DOUBLE)"
+                " / CAST(100 AS DOUBLE)"
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH orders_m AS (
+  SELECT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) - 1 AS ym,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))
+           AS cents
+  FROM orders
+), first_m AS (
+  SELECT o_custkey, MIN(ym) AS ym0 FROM orders_m GROUP BY o_custkey
+), sizes AS (
+  SELECT ym0, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM first_m GROUP BY ym0
+), aged AS (
+  SELECT f.ym0 AS cohort_ym, CAST(o.ym - f.ym0 AS INT) AS age_months, o.cents
+  FROM orders_m o JOIN first_m f ON o.o_custkey = f.o_custkey
+), cells AS (
+  SELECT cohort_ym, age_months,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS cents_m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM aged GROUP BY cohort_ym, age_months
+), cum AS (
+  SELECT *, CAST(SUM(cents_m) OVER (PARTITION BY cohort_ym ORDER BY age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,0)) AS cum_cents
+  FROM cells
+)
+SELECT CAST((cohort_ym // 12) * 100 + (cohort_ym % 12) + 1 AS INT)
+         AS cohort_month,
+       age_months, s.n_customers, n_orders,
+       CAST(CAST(CAST(2 * cum_cents + s.n_customers AS HUGEINT)
+                 // CAST(2 * s.n_customers AS HUGEINT) AS BIGINT) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS ltv_per_customer
+FROM cum JOIN sizes s ON cum.cohort_ym = s.ym0
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-regressor grouped OLS via closed-form normal equations
+# --------------------------------------------------------------------------
+
+
+def _ols2_beta_sql() -> tuple[str, str, str, str]:
+    """Cramer's-rule SQL for y ~ 1 + x1 + x2 from exact sufficient sums
+    (n, sx1, sx2, sx11, sx22, sx12, sy, sx1y, sx2y — all integers cast
+    DOUBLE once).  The determinant expressions are FIXED trees of IEEE
+    ops over identical operands, so both engines produce bit-identical
+    doubles; only the final betas are rounded."""
+    n, x1, x2 = "CAST(n AS DOUBLE)", "CAST(sx1 AS DOUBLE)", "CAST(sx2 AS DOUBLE)"
+    x11, x22, x12 = (
+        "CAST(sx11 AS DOUBLE)", "CAST(sx22 AS DOUBLE)", "CAST(sx12 AS DOUBLE)"
+    )
+    y, x1y, x2y = (
+        "CAST(sy AS DOUBLE)", "CAST(sx1y AS DOUBLE)", "CAST(sx2y AS DOUBLE)"
+    )
+
+    def det(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    dd = det(n, x1, x2, x1, x11, x12, x2, x12, x22)
+    d0 = det(y, x1, x2, x1y, x11, x12, x2y, x12, x22)
+    d1 = det(n, y, x2, x1, x1y, x12, x2, x2y, x22)
+    d2 = det(n, x1, y, x1, x11, x1y, x2, x12, x2y)
+    return dd, d0, d1, d2
+
+
+def brand_price_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand multiple regression — extended price (cents) on
+    quantity and discount (percent points), solved in closed form from
+    the normal equations: the grouped 2-regressor OLS every pricing
+    analysis starts with, distributed as ONE aggregation of exact
+    integer sufficient statistics per brand (the map-side-combinable
+    shape: no per-group matrices ever leave the executors, just 10
+    sums).
+
+    Exactness: quantity is integral, discount is exact percent points
+    (×100), price is cents — every sufficient statistic is an exact
+    DECIMAL(38,0); Cramer's rule and R² are fixed double expression
+    trees over identical operands (bit-identical cross-engine),
+    ROUND(6) at output only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(l_quantity AS DECIMAL(19,0))").alias("x1"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS DECIMAL(19,0))"
+        ).alias("x2"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))"
+        ).alias("yv"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(part, li.l_partkey == part.p_partkey)
+    s = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(x1) AS DECIMAL(38,0))").alias("sx1"),
+        F.expr("CAST(SUM(x2) AS DECIMAL(38,0))").alias("sx2"),
+        F.expr("CAST(SUM(x1 * x1) AS DECIMAL(38,0))").alias("sx11"),
+        F.expr("CAST(SUM(x2 * x2) AS DECIMAL(38,0))").alias("sx22"),
+        F.expr("CAST(SUM(x1 * x2) AS DECIMAL(38,0))").alias("sx12"),
+        F.expr("CAST(SUM(yv) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(SUM(x1 * yv) AS DECIMAL(38,0))").alias("sx1y"),
+        F.expr("CAST(SUM(x2 * yv) AS DECIMAL(38,0))").alias("sx2y"),
+        F.expr("CAST(SUM(yv * yv) AS DECIMAL(38,0))").alias("syy"),
+    )
+    dd, d0, d1, d2 = _ols2_beta_sql()
+    b0, b1, b2 = f"({d0} / {dd})", f"({d1} / {dd})", f"({d2} / {dd})"
+    sse = (
+        f"(CAST(syy AS DOUBLE) - ({b0} * CAST(sy AS DOUBLE)"
+        f" + {b1} * CAST(sx1y AS DOUBLE) + {b2} * CAST(sx2y AS DOUBLE)))"
+    )
+    sst = (
+        "(CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        F.expr(f"ROUND({b0} / CAST(100 AS DOUBLE), 6)").alias("intercept"),
+        F.expr(f"ROUND({b1} / CAST(100 AS DOUBLE), 6)").alias(
+            "beta_qty"
+        ),
+        F.expr(f"ROUND({b2} / CAST(100 AS DOUBLE), 6)").alias(
+            "beta_disc_pct"
+        ),
+        F.expr(f"ROUND(CAST(1 AS DOUBLE) - {sse} / {sst}, 6)").alias("r2"),
+    )
+
+
+def _ols2_oracle() -> str:
+    dd, d0, d1, d2 = _ols2_beta_sql()
+    b0, b1, b2 = f"({d0} / {dd})", f"({d1} / {dd})", f"({d2} / {dd})"
+    sse = (
+        f"(CAST(syy AS DOUBLE) - ({b0} * CAST(sy AS DOUBLE)"
+        f" + {b1} * CAST(sx1y AS DOUBLE) + {b2} * CAST(sx2y AS DOUBLE)))"
+    )
+    sst = (
+        "(CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH rows_ AS (
+  SELECT p.p_brand,
+         CAST(l.l_quantity AS DECIMAL(19,0)) AS x1,
+         CAST(CAST(l.l_discount AS DECIMAL(8,2)) * 100 AS DECIMAL(19,0)) AS x2,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0)) AS yv
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), s AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS DECIMAL(38,0)) AS sx1,
+         CAST(SUM(x2) AS DECIMAL(38,0)) AS sx2,
+         CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS sx11,
+         CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS sx22,
+         CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS sx12,
+         CAST(SUM(yv) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x1 * yv) AS DECIMAL(38,0)) AS sx1y,
+         CAST(SUM(x2 * yv) AS DECIMAL(38,0)) AS sx2y,
+         CAST(SUM(yv * yv) AS DECIMAL(38,0)) AS syy
+  FROM rows_ GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND({b0} / CAST(100 AS DOUBLE), 6) AS intercept,
+       ROUND({b1} / CAST(100 AS DOUBLE), 6) AS beta_qty,
+       ROUND({b2} / CAST(100 AS DOUBLE), 6) AS beta_disc_pct,
+       ROUND(CAST(1 AS DOUBLE) - {sse} / {sst}, 6) AS r2
+FROM s
+"""
+
+
+BRAND_OLS2_ORACLE = _ols2_oracle()

@@ -759,6 +759,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_cms_diff": QuerySpec(
         _stream_cms_diff, _stream_cms_oracle()
     ),
+    "cohort_ltv_curve": QuerySpec(
+        PL5.cohort_ltv_curve, PL5.COHORT_LTV_ORACLE
+    ),
+    "brand_price_ols2": QuerySpec(
+        PL5.brand_price_ols2, PL5.BRAND_OLS2_ORACLE
+    ),
 }
 
 

@@ -379,3 +379,43 @@ def test_stream_cms_matches_batch(spark, sf_smoke):
     from df_to_azure_spark.streaming.stateful import stream_cms_diff
 
     assert stream_cms_diff(spark, sf_smoke).count() == 0
+
+
+def test_cohort_ltv_monotone_in_age(spark, sf_smoke):
+    out = PL5.cohort_ltv_curve(spark, sf_smoke).toPandas()
+    # cumulative per-customer revenue can never decrease with age
+    for _, g in out.groupby("cohort_month"):
+        g = g.sort_values("age_months")
+        assert (g["ltv_per_customer"].diff().dropna() >= -1e-9).all()
+    # first month of each cohort has every cohort customer ordering
+    assert (out["age_months"] >= 0).all()
+    assert (out["n_customers"] > 0).all()
+    # cohort sizes sum to the distinct customer count
+    ev = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    per_cohort = out.drop_duplicates("cohort_month")["n_customers"].sum()
+    assert per_cohort == ev["o_custkey"].nunique()
+
+
+def test_brand_ols2_matches_numpy_lstsq(spark, sf_smoke):
+    out = PL5.brand_price_ols2(spark, sf_smoke).toPandas()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf_smoke}/part.parquet")
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    b0 = out.iloc[0]["p_brand"]
+    g = df[df["p_brand"] == b0]
+    X = np.column_stack(
+        [np.ones(len(g)), g["l_quantity"], g["l_discount"] * 100]
+    )
+    yv = g["l_extendedprice"].to_numpy()
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    row = out.set_index("p_brand").loc[b0]
+    assert row["intercept"] == pytest.approx(beta[0], rel=1e-4, abs=1e-3)
+    assert row["beta_qty"] == pytest.approx(beta[1], rel=1e-4, abs=1e-3)
+    assert row["beta_disc_pct"] == pytest.approx(beta[2], rel=1e-3, abs=1e-2)
+    pred = X @ beta
+    ss_res = float(((yv - pred) ** 2).sum())
+    ss_tot = float(((yv - yv.mean()) ** 2).sum())
+    assert row["r2"] == pytest.approx(1 - ss_res / ss_tot, abs=1e-4)
+    # this synthetic data's extendedprice is NOT quantity-proportional
+    # (unlike real TPC-H), so only the algebraic bounds hold
+    assert ((out["r2"] <= 1.0) & (out["r2"] >= 0.0)).all()
