@@ -81,6 +81,11 @@ def daily_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     kilobytes.  Everything is integer/decimal until z and tau
     (DECIMAL(38,0) variance numerator; the /18, sqrt and divisions
     happen once, in double, ROUND(6))."""
+    # the day series feeds four plan branches; measured 2026-08-15:
+    # localCheckpoint-pinning it is ~0.6 s SLOWER at sf0.1 (the eager
+    # job + AQE losing the runtime re-plan below the pin outweigh the
+    # repeated kilobyte-sized pre-agg) -- declined, same verdict as the
+    # winnow no-persist trade
     daily = _daily_revenue(spark, sf_dir)
     a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
@@ -197,7 +202,7 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the median picks the two middle elements by exact integer
     rank arithmetic and averages them (division by 2 is exact).  The
     intercept is a second, |days|-sized median of residuals."""
-    daily = _daily_revenue(spark, sf_dir)
+    daily = _daily_revenue(spark, sf_dir)  # no pin: see mann_kendall note
     a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     slopes = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
