@@ -1855,3 +1855,91 @@ FROM s
 
 
 BRAND_OLS2_ORACLE = _ols2_oracle()
+
+# --------------------------------------------------------------------------
+# Clickstream path analysis — top session path signatures
+# --------------------------------------------------------------------------
+
+_PATH_GAP_MIN = 30
+_PATH_LEN = 5
+_PATH_TOPK = 10
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_PATH_TOPK`` session path signatures: each session's first
+    ``_PATH_LEN`` event types joined in time order — the clickstream
+    path analysis behind every "how do users actually move through the
+    product" question, built on the same gap sessionization as
+    ``sessionize_events``.
+
+    Deterministic end to end: sessions come from the lag/cum-sum gap
+    rule over the (ts, event_id) order; the path is an ORDERED list
+    aggregation (struct-sorted collect, sliced, joined — DuckDB replays
+    it as ``list(... ORDER BY ts, event_id)``); the top-k orders on
+    (count DESC, path ASC) — strings and integers only.  Scale shape:
+    the session windows partition by user (the sessionization shuffle),
+    the path agg is keyed on (user, session), and the final top-k is a
+    ``TakeOrderedAndProject`` over the bounded path-signature domain
+    (≤ |event_types|^len)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _PATH_GAP_MIN * 60 * 1_000_000
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user)))
+            > gap_us,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_user.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    paths = flagged.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "array_join(slice(transform(array_sort(collect_list("
+            "named_struct('ts', ts, 'event_id', event_id, 'et', event_type)"
+            ")), x -> x.et), 1, " + str(_PATH_LEN) + "), '>')"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(_PATH_TOPK)
+    )
+
+
+TOP_PATHS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_PATH_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), with_ids AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_seq,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, {_PATH_LEN}),
+           '>') AS path
+  FROM with_ids GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {_PATH_TOPK}
+"""

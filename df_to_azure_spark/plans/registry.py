@@ -765,6 +765,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "brand_price_ols2": QuerySpec(
         PL5.brand_price_ols2, PL5.BRAND_OLS2_ORACLE
     ),
+    "top_session_paths": QuerySpec(
+        PL5.top_session_paths, PL5.TOP_PATHS_ORACLE
+    ),
 }
 
 

@@ -419,3 +419,34 @@ def test_brand_ols2_matches_numpy_lstsq(spark, sf_smoke):
     # this synthetic data's extendedprice is NOT quantity-proportional
     # (unlike real TPC-H), so only the algebraic bounds hold
     assert ((out["r2"] <= 1.0) & (out["r2"] >= 0.0)).all()
+
+
+def test_top_session_paths_replay(spark, sf_smoke):
+    out = PL5.top_session_paths(spark, sf_smoke).toPandas()
+    assert len(out) <= PL5._PATH_TOPK
+    assert (out["n_sessions"] >= out["n_users"]).all()
+    # replay in pandas: same gap sessionization, same path construction
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")[
+        ["user_id", "event_id", "ts", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=PL5._PATH_GAP_MIN)
+    ev["new_s"] = (
+        ev.groupby("user_id")["ts"].diff() > gap
+    ).astype(int)
+    ev["sess"] = ev.groupby("user_id")["new_s"].cumsum()
+    paths = (
+        ev.groupby(["user_id", "sess"])["event_type"]
+        .apply(lambda s: ">".join(s.head(PL5._PATH_LEN)))
+        .reset_index(name="path")
+    )
+    ref = (
+        paths.groupby("path")
+        .agg(n_sessions=("path", "size"), n_users=("user_id", "nunique"))
+        .reset_index()
+        .sort_values(["n_sessions", "path"], ascending=[False, True])
+        .head(PL5._PATH_TOPK)
+        .reset_index(drop=True)
+    )
+    assert list(out["path"]) == list(ref["path"])
+    assert list(out["n_sessions"]) == list(ref["n_sessions"])
+    assert list(out["n_users"]) == list(ref["n_users"])
