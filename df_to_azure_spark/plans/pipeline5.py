@@ -1943,3 +1943,232 @@ FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT {_PATH_TOPK}
 """
+
+# --------------------------------------------------------------------------
+# SLA latency percentiles — nearest-rank over session durations
+# --------------------------------------------------------------------------
+
+_SLA_PCTS = ((50, 1, 2), (90, 9, 10), (99, 99, 100))  # (label, num, den)
+
+_SESSIONS_SQL = """
+  SELECT user_id, session_seq,
+         CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         CAST(MAX(ts) AS TIMESTAMP) AS session_end
+  FROM (
+    SELECT user_id, ts,
+      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id))
+             > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+  )
+  GROUP BY user_id, session_seq
+"""
+
+
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of user session durations — the SLA report every ops
+    review opens with, computed as EXACT nearest-rank order statistics
+    (``k = ceil(p·n)``, integer arithmetic) served by ``two_phase_rank``
+    rather than a single-partition sort or an engine-private
+    ``percentile_approx``.
+
+    Durations are exact microsecond integers (epoch difference of the
+    gap-sessionized bounds); the rank filter selects 3 rows total; the
+    one double appears converting µs → seconds.  Scale shape: the
+    sessionization windows shuffle on user_id; the global order
+    statistic is the two-phase distributed rank."""
+    from df_to_azure_spark.streaming.events import sessionize
+
+    sessions = sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    durs = sessions.select(
+        "user_id",
+        "session_seq",
+        F.expr(
+            "CAST(unix_micros(session_end) - unix_micros(session_start)"
+            " AS BIGINT)"
+        ).alias("dur_us"),
+    )
+    ranked = two_phase_rank(
+        durs, [("dur_us", "asc"), ("user_id", "asc"), ("session_seq", "asc")]
+    )
+    picks = None
+    for label, num, den in _SLA_PCTS:
+        sel = ranked.where(
+            F.col("__rn")
+            == F.expr(f"({num} * __grp_n + {den} - 1) DIV {den}")
+        ).select(
+            F.lit(f"p{label}").alias("percentile"),
+            F.col("__rn").cast("bigint").alias("rank"),
+            F.col("__grp_n").cast("bigint").alias("n_sessions"),
+            F.col("dur_us").alias("duration_us"),
+            F.expr(
+                "CAST(dur_us AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+            ).alias("duration_sec"),
+        )
+        picks = sel if picks is None else picks.unionAll(sel)
+    return picks
+
+
+SLA_PERCENTILES_ORACLE = f"""
+WITH sessions AS ({_SESSIONS_SQL}),
+durs AS (
+  SELECT user_id, session_seq,
+         CAST(epoch_us(session_end) - epoch_us(session_start) AS BIGINT)
+           AS dur_us
+  FROM sessions
+), ranked AS (
+  SELECT dur_us,
+         row_number() OVER (ORDER BY dur_us, user_id, session_seq) AS rn,
+         COUNT(*) OVER () AS n
+  FROM durs
+)
+{" UNION ALL ".join(
+    f'''SELECT 'p{label}' AS percentile, CAST(rn AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n_sessions, dur_us AS duration_us,
+       CAST(dur_us AS DOUBLE) / CAST(1000000 AS DOUBLE) AS duration_sec
+FROM ranked WHERE rn = ({num} * n + {den} - 1) // {den}'''
+    for label, num, den in _SLA_PCTS)}
+"""
+
+
+# --------------------------------------------------------------------------
+# Exponential fit + dispersion of user inter-arrival times
+# --------------------------------------------------------------------------
+
+
+def user_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are event arrivals Poisson?  Fit an exponential to per-user
+    inter-arrival gaps by maximum likelihood (λ̂ = n/Σgaps — an exact
+    integer ratio) and test it: the KS statistic of the empirical CDF
+    against ``1 − e^{{−λx}}`` evaluated on the domain-bounded grid of
+    DISTINCT observed gaps, plus the burstiness index
+    ``B = (σ−μ)/(σ+μ)`` (Goh & Barabási 2008) from exact moment sums —
+    the traffic-model sanity check run before any queueing or capacity
+    math.
+
+    Exactness: gaps are integer microseconds; n, Σx, Σx² are exact
+    DECIMAL(38,0); the ECDF side of the KS comparison is integer counts
+    over the distinct-gap grid; the model CDF is the one transcendental
+    (EXP, ROUND(12) per grid point per policy); λ, B and the final max
+    are fixed double expressions over identical operands.  Scale: the
+    lag window shuffles on user_id; everything after collapses to the
+    distinct-gap domain."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .select("gap_us")
+    )
+    s = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr(
+            "CAST(SUM(CAST(gap_us AS DECIMAL(19,0))"
+            " * CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0))"
+        ).alias("sxx"),
+    )
+    # the ECDF running count is a GLOBAL prefix sum over the distinct-gap
+    # grid -- at microsecond granularity nearly every gap is distinct, so
+    # a bare Window.orderBy would move the whole grid to one partition;
+    # two_phase_rank's exact running-sum path (range repartition + offset
+    # collect) is the scale-safe form
+    counts = gaps.groupBy("gap_us").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(19,0))").alias("c")
+    )
+    grid = two_phase_rank(
+        counts, [("gap_us", "asc")], sum_col="c"
+    ).select("gap_us", F.col("__cum").cast("bigint").alias("cum"))
+    # lambda in events/second: n / (sx / 1e6)  (identical double ops)
+    lam = (
+        "(CAST(n AS DOUBLE)"
+        " / (CAST(sx AS DOUBLE) / CAST(1000000 AS DOUBLE)))"
+    )
+    ks_term = (
+        "ABS(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - ROUND(CAST(1 AS DOUBLE) - EXP(-{lam}"
+        " * (CAST(gap_us AS DOUBLE) / CAST(1000000 AS DOUBLE))), 12))"
+    )
+    ks = grid.crossJoin(F.broadcast(s)).agg(
+        F.expr(f"ROUND(MAX({ks_term}), 6)").alias("ks_stat")
+    )
+    mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = (
+        f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean})"
+    )
+    burst = f"ROUND((SQRT({var}) - {mean}) / (SQRT({var}) + {mean}), 6)"
+    return s.crossJoin(F.broadcast(ks)).select(
+        "n",
+        F.expr(f"ROUND({lam}, 12)").alias("lambda_per_sec"),
+        F.expr(
+            f"ROUND({mean} / CAST(1000000 AS DOUBLE), 6)"
+        ).alias("mean_gap_sec"),
+        F.expr(burst).alias("burstiness"),
+        "ks_stat",
+        F.expr(
+            "CASE WHEN ks_stat * SQRT(CAST(n AS DOUBLE))"
+            " > CAST(1.358 AS DOUBLE) THEN 'reject_exponential'"
+            " ELSE 'consistent' END"
+        ).alias("verdict"),
+    )
+
+
+def _expfit_oracle() -> str:
+    lam = (
+        "(CAST(n AS DOUBLE)"
+        " / (CAST(sx AS DOUBLE) / CAST(1000000 AS DOUBLE)))"
+    )
+    mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean})"
+    burst = f"ROUND((SQRT({var}) - {mean}) / (SQRT({var}) + {mean}), 6)"
+    ks_term = (
+        "ABS(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - ROUND(CAST(1 AS DOUBLE) - EXP(-{lam}"
+        " * (CAST(gap_us AS DOUBLE) / CAST(1000000 AS DOUBLE))), 12))"
+    )
+    return f"""
+WITH gaps AS (
+  SELECT CAST(epoch_us(ts) - epoch_us(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+           AS gap_us
+  FROM events
+  QUALIFY gap_us IS NOT NULL AND gap_us > 0
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(gap_us AS DECIMAL(19,0))
+              * CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx
+  FROM gaps
+), grid AS (
+  SELECT gap_us, COUNT(*) AS c,
+         CAST(SUM(COUNT(*)) OVER (ORDER BY gap_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM gaps GROUP BY gap_us
+), ks AS (
+  SELECT ROUND(MAX({ks_term}), 6) AS ks_stat FROM grid, s
+)
+SELECT n, ROUND({lam}, 12) AS lambda_per_sec,
+       ROUND({mean} / CAST(1000000 AS DOUBLE), 6) AS mean_gap_sec,
+       {burst} AS burstiness, ks_stat,
+       CASE WHEN ks_stat * SQRT(CAST(n AS DOUBLE))
+            > CAST(1.358 AS DOUBLE) THEN 'reject_exponential'
+            ELSE 'consistent' END AS verdict
+FROM s, ks
+"""
+
+
+EXPFIT_ORACLE = _expfit_oracle()

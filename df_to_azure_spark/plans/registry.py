@@ -768,6 +768,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_session_paths": QuerySpec(
         PL5.top_session_paths, PL5.TOP_PATHS_ORACLE
     ),
+    "session_duration_percentiles": QuerySpec(
+        PL5.session_duration_percentiles, PL5.SLA_PERCENTILES_ORACLE
+    ),
+    "user_interarrival_expfit": QuerySpec(
+        PL5.user_interarrival_expfit, PL5.EXPFIT_ORACLE
+    ),
 }
 
 

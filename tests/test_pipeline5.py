@@ -450,3 +450,61 @@ def test_top_session_paths_replay(spark, sf_smoke):
     assert list(out["path"]) == list(ref["path"])
     assert list(out["n_sessions"]) == list(ref["n_sessions"])
     assert list(out["n_users"]) == list(ref["n_users"])
+
+
+def test_sla_percentiles_nearest_rank(spark, sf_smoke):
+    out = (
+        PL5.session_duration_percentiles(spark, sf_smoke)
+        .toPandas()
+        .set_index("percentile")
+    )
+    assert list(out.index) == ["p50", "p90", "p99"]
+    from df_to_azure_spark.sources import load_table
+    from df_to_azure_spark.streaming.events import sessionize
+
+    ev = load_table(spark, sf_smoke, "events")
+    durs = sorted(
+        (r.session_end - r.session_start).total_seconds() * 1e6
+        for r in sessionize(ev, 30).collect()
+    )
+    import math
+
+    n = len(durs)
+    for label, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        k = math.ceil(p * n)
+        assert out.loc[label, "rank"] == k
+        assert out.loc[label, "duration_us"] == int(durs[k - 1])
+    assert (
+        out.loc["p50", "duration_us"]
+        <= out.loc["p90", "duration_us"]
+        <= out.loc["p99", "duration_us"]
+    )
+
+
+def test_interarrival_expfit_against_scipy_free_reference(spark, sf_smoke):
+    out = PL5.user_interarrival_expfit(spark, sf_smoke).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    gaps = (
+        ev.groupby("user_id")["ts"].diff().dropna().dt.total_seconds() * 1e6
+    )
+    gaps = gaps[gaps > 0].astype("int64").to_numpy()
+    n = len(gaps)
+    lam = n / (gaps.sum() / 1e6)
+    assert out["n"] == n
+    assert out["lambda_per_sec"] == pytest.approx(lam, rel=1e-5)
+    # KS replay on the distinct-gap grid
+    import numpy as np
+
+    vals, counts = np.unique(gaps, return_counts=True)
+    cum = np.cumsum(counts)
+    model = np.round(1 - np.exp(-lam * (vals / 1e6)), 12)
+    ks = np.max(np.abs(cum / n - model))
+    assert out["ks_stat"] == pytest.approx(ks, abs=2e-6)
+    mean = gaps.mean()
+    sd = gaps.std()  # population (ddof=0), matching sxx/n - mean^2
+    assert out["burstiness"] == pytest.approx(
+        (sd - mean) / (sd + mean), abs=1e-5
+    )
+    assert -1.0 <= out["burstiness"] <= 1.0
