@@ -2172,3 +2172,115 @@ FROM s, ks
 
 
 EXPFIT_ORACLE = _expfit_oracle()
+
+# --------------------------------------------------------------------------
+# Retrieval-quality metrics: recall / MRR / NDCG of LSH vs exact top-k
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_IR_K = 10
+# 1/log2(r+1) gain weights and their prefix sums, as SHARED literals so
+# the one transcendental (log2) never executes in either engine
+_DCG_W = [1.0 / _math.log2(r + 1) for r in range(1, _IR_K + 1)]
+_IDCG_CUM = [sum(_DCG_W[: n + 1]) for n in range(_IR_K)]
+
+
+def _case_by_rank(col: str, values: list[float]) -> str:
+    branches = " ".join(
+        f"WHEN {r + 1} THEN CAST({v!r} AS DOUBLE)" for r, v in enumerate(values)
+    )
+    return f"CASE {col} {branches} ELSE CAST(0 AS DOUBLE) END"
+
+
+def lsh_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard IR evaluation of the approximate retrieval path:
+    recall@10, MRR and NDCG@10 of the hyperplane-LSH ranking
+    (``lsh_knn``) against the exact cosine top-10 (``knn_topk``) as
+    ground truth — the metrics sheet any retrieval system ships with,
+    here oracle-checked exactly because the log2 gain weights are
+    precomputed shared literals (rank is bounded by k, so the weight
+    table is data-independent).
+
+    Scale shape: both rankings are existing scale-safe operators
+    (broadcast queries; bucketed equi-join); the evaluation itself is a
+    (queries × k)-row join + one aggregation — bounded by the query
+    batch, never the corpus."""
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.plans.training_data import _lsh_knn_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    truth = SIM.cosine_topk(queries, emb, k=_IR_K).select(
+        "query_id", F.col("neighbor_id").alias("t_id")
+    )
+    cand = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=_IR_K)
+    marked = cand.join(
+        truth,
+        (cand.query_id == truth.query_id) & (cand.neighbor_id == truth.t_id),
+        "left",
+    ).select(
+        cand.query_id.alias("qid"),
+        "rank",
+        F.when(F.col("t_id").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    dcg_w = _case_by_rank("rank", _DCG_W)
+    per_q = marked.groupBy("qid").agg(
+        F.expr("CAST(SUM(rel) AS BIGINT)").alias("n_rel"),
+        F.expr("MIN(CASE WHEN rel = 1 THEN rank END)").alias("first_rel"),
+        F.expr(
+            f"CAST(SUM(CAST(ROUND(rel * {dcg_w}, 12) AS DECIMAL(28,12)))"
+            " AS DOUBLE)"
+        ).alias("dcg"),
+    )
+    idcg = _case_by_rank("n_rel", _IDCG_CUM)
+    return per_q.select(
+        F.col("qid").alias("query_id"),
+        "n_rel",
+        F.expr(
+            f"CAST(n_rel AS DOUBLE) / CAST({_IR_K} AS DOUBLE)"
+        ).alias("recall_at_10"),
+        F.expr(
+            "CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END"
+        ).alias("mrr"),
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE ROUND(dcg / ({idcg}), 6) END"
+        ).alias("ndcg_at_10"),
+    )
+
+
+def _ir_metrics_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import KNN_ORACLE, LSH_KNN_ORACLE
+
+    dcg_w = _case_by_rank("rank", _DCG_W)
+    idcg = _case_by_rank("n_rel", _IDCG_CUM)
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id AS t_id FROM ({KNN_ORACLE}) t
+), cand AS (
+  SELECT * FROM ({LSH_KNN_ORACLE}) c
+), marked AS (
+  SELECT cand.query_id AS qid, cand.rank,
+         CASE WHEN truth.t_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM cand LEFT JOIN truth
+    ON cand.query_id = truth.query_id AND cand.neighbor_id = truth.t_id
+), per_q AS (
+  SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         CAST(SUM(CAST(ROUND(rel * {dcg_w}, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS dcg
+  FROM marked GROUP BY qid
+)
+SELECT qid AS query_id, n_rel,
+       CAST(n_rel AS DOUBLE) / CAST({_IR_K} AS DOUBLE) AS recall_at_10,
+       CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END AS mrr,
+       CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(dcg / ({idcg}), 6) END AS ndcg_at_10
+FROM per_q
+"""
+
+
+IR_METRICS_ORACLE = _ir_metrics_oracle()

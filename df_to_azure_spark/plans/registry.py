@@ -774,6 +774,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "user_interarrival_expfit": QuerySpec(
         PL5.user_interarrival_expfit, PL5.EXPFIT_ORACLE
     ),
+    "lsh_retrieval_metrics": QuerySpec(
+        PL5.lsh_retrieval_metrics, PL5.IR_METRICS_ORACLE
+    ),
 }
 
 

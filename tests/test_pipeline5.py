@@ -508,3 +508,20 @@ def test_interarrival_expfit_against_scipy_free_reference(spark, sf_smoke):
         (sd - mean) / (sd + mean), abs=1e-5
     )
     assert -1.0 <= out["burstiness"] <= 1.0
+
+
+def test_ir_metrics_bounds_and_perfect_case(spark, sf_smoke):
+    out = PL5.lsh_retrieval_metrics(spark, sf_smoke).toPandas()
+    assert len(out) == 5  # vec_id < 5 query batch
+    for c in ("recall_at_10", "mrr", "ndcg_at_10"):
+        assert ((out[c] >= 0) & (out[c] <= 1)).all(), c
+    # a query whose LSH list fully matches truth must score 1.0 across
+    # the board; one with zero overlap must be all zeros
+    perfect = out[out["n_rel"] == PL5._IR_K]
+    assert (perfect["recall_at_10"] == 1.0).all()
+    assert (perfect["ndcg_at_10"] == 1.0).all()
+    empty = out[out["n_rel"] == 0]
+    assert (empty["mrr"] == 0).all() and (empty["ndcg_at_10"] == 0).all()
+    # NDCG can only reach 1 when every retrieved item is relevant at the
+    # top; it is monotone-bounded by recall
+    assert (out["ndcg_at_10"] <= out["recall_at_10"] * PL5._IR_K).all()
