@@ -2072,7 +2072,7 @@ def user_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
         .select("gap_us")
     )
-    s = gaps.agg(
+    suff = gaps.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.expr("CAST(SUM(CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0))")
         .alias("sx"),
@@ -2102,7 +2102,7 @@ def user_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - ROUND(CAST(1 AS DOUBLE) - EXP(-{lam}"
         " * (CAST(gap_us AS DOUBLE) / CAST(1000000 AS DOUBLE))), 12))"
     )
-    ks = grid.crossJoin(F.broadcast(s)).agg(
+    ks = grid.crossJoin(F.broadcast(suff)).agg(
         F.expr(f"ROUND(MAX({ks_term}), 6)").alias("ks_stat")
     )
     mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
@@ -2110,7 +2110,7 @@ def user_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean})"
     )
     burst = f"ROUND((SQRT({var}) - {mean}) / (SQRT({var}) + {mean}), 6)"
-    return s.crossJoin(F.broadcast(ks)).select(
+    return suff.crossJoin(F.broadcast(ks)).select(
         "n",
         F.expr(f"ROUND({lam}, 12)").alias("lambda_per_sec"),
         F.expr(

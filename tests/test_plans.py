@@ -90,7 +90,8 @@ BOUNDED_BROADCAST_VARS = {
     "nodes",  # 1-row node-count aggregate (part_degree_assortativity)
     "wd",  # 7-row weekday-mean frame (weekday_revenue_anomalies)
     "rows",  # d=4 CMS hash-row frame, fixed by _CMS_D
-    "ks",  # k=3 Bloom hash-index frame, fixed by _BLOOM_K
+    "ks",  # k=3 Bloom hash-index frame, fixed by _BLOOM_K / 1-row KS agg
+    "suff",  # 1-row sufficient-statistics aggregate (interarrival expfit)
     "bits",  # <= m=4096 set-bit positions — the deployed prefilter artifact
     "probed",  # 1-row Bloom pass-count aggregate
     "truth",  # 1-row exact semi-join count aggregate
