@@ -2284,3 +2284,116 @@ FROM per_q
 
 
 IR_METRICS_ORACLE = _ir_metrics_oracle()
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution — linear and time-decay credit per channel
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+_ATTR_HALFLIFE_DAYS = 3.5
+
+
+def purchase_attribution_mta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution over the event stream: every purchase
+    distributes one unit of conversion credit across the user's
+    preceding touches (non-purchase events) inside a
+    ``_ATTR_WINDOW_DAYS``-day lookback — LINEAR (equal split) and
+    TIME-DECAY (half-life ``_ATTR_HALFLIFE_DAYS`` days, the standard
+    marketing-analytics pair) — answering "which channels actually drive
+    purchases" without last-click bias.
+
+    Scale shape: one keyed self-join on user_id with the window
+    predicate (touch volume bounded by the lookback, the same
+    interval-join shape as the streaming attribution family); two
+    aggregations — per-purchase normalizers, then per-channel credit.
+    Exactness: the linear share is a ratio of integers; decay weights
+    are the one transcendental (POWER, ROUND(12) per touch per policy);
+    every credit sum is ROUND(12) → DECIMAL(28,12) before adding, so
+    aggregation order cannot drift."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = events.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+    )
+    win_us = _ATTR_WINDOW_DAYS * 86_400 * 1_000_000
+    pairs = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.expr(f"unix_micros(pts) - unix_micros(tts) <= {win_us}")),
+    ).select(
+        "purchase_id",
+        "channel",
+        F.expr(
+            f"ROUND(POWER(CAST(0.5 AS DOUBLE),"
+            f" CAST(unix_micros(pts) - unix_micros(tts) AS DOUBLE)"
+            f" / CAST({int(_ATTR_HALFLIFE_DAYS * 86_400 * 1_000_000)}"
+            " AS DOUBLE)), 12)"
+        ).alias("w"),
+    )
+    norms = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.expr(
+            "CAST(SUM(CAST(w AS DECIMAL(14,12))) AS DECIMAL(38,12))"
+        ).alias("w_sum"),
+    )
+    credited = pairs.join(norms, "purchase_id")
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("bigint").alias(
+                "n_purchases_touched"
+            ),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE)"
+                " / CAST(n_touches AS DOUBLE), 12) AS DECIMAL(28,12)))"
+                " AS DOUBLE), 6)"
+            ).alias("linear_credit"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(w / CAST(w_sum AS DOUBLE), 12)"
+                " AS DECIMAL(28,12))) AS DOUBLE), 6)"
+            ).alias("decay_credit"),
+        )
+    )
+
+
+PURCHASE_MTA_ORACLE = f"""
+WITH purchases AS (
+  SELECT user_id AS pu, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id AS tu, event_type AS channel, ts AS tts
+  FROM events WHERE event_type <> 'purchase'
+), pairs AS (
+  SELECT p.purchase_id, t.channel,
+         ROUND(POWER(CAST(0.5 AS DOUBLE),
+               CAST(epoch_us(p.pts) - epoch_us(t.tts) AS DOUBLE)
+               / CAST({int(_ATTR_HALFLIFE_DAYS * 86_400 * 1_000_000)}
+                 AS DOUBLE)), 12) AS w
+  FROM purchases p JOIN touches t
+    ON p.pu = t.tu AND t.tts < p.pts
+   AND epoch_us(p.pts) - epoch_us(t.tts) <= {_ATTR_WINDOW_DAYS * 86_400 * 1_000_000}
+), norms AS (
+  SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touches,
+         CAST(SUM(CAST(w AS DECIMAL(14,12))) AS DECIMAL(38,12)) AS w_sum
+  FROM pairs GROUP BY purchase_id
+)
+SELECT p.channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT p.purchase_id) AS BIGINT) AS n_purchases_touched,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE)
+             / CAST(n.n_touches AS DOUBLE), 12) AS DECIMAL(28,12)))
+             AS DOUBLE), 6) AS linear_credit,
+       ROUND(CAST(SUM(CAST(ROUND(p.w / CAST(n.w_sum AS DOUBLE), 12)
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS decay_credit
+FROM pairs p JOIN norms n ON p.purchase_id = n.purchase_id
+GROUP BY p.channel
+"""

@@ -777,6 +777,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "lsh_retrieval_metrics": QuerySpec(
         PL5.lsh_retrieval_metrics, PL5.IR_METRICS_ORACLE
     ),
+    "purchase_attribution_mta": QuerySpec(
+        PL5.purchase_attribution_mta, PL5.PURCHASE_MTA_ORACLE
+    ),
 }
 
 

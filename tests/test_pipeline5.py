@@ -525,3 +525,23 @@ def test_ir_metrics_bounds_and_perfect_case(spark, sf_smoke):
     # NDCG can only reach 1 when every retrieved item is relevant at the
     # top; it is monotone-bounded by recall
     assert (out["ndcg_at_10"] <= out["recall_at_10"] * PL5._IR_K).all()
+
+
+def test_mta_credit_conservation(spark, sf_smoke):
+    out = PL5.purchase_attribution_mta(spark, sf_smoke).toPandas()
+    assert set(out["channel"]) <= {"click", "signup", "error", "view"}
+    # each attributed purchase distributes EXACTLY one unit of credit,
+    # under both models: totals equal the attributed-purchase count
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    p = ev[ev["event_type"] == "purchase"][["user_id", "event_id", "ts"]]
+    t = ev[ev["event_type"] != "purchase"][["user_id", "ts"]]
+    m = p.merge(t, on="user_id", suffixes=("_p", "_t"))
+    w = pd.Timedelta(days=PL5._ATTR_WINDOW_DAYS)
+    m = m[(m["ts_t"] < m["ts_p"]) & (m["ts_p"] - m["ts_t"] <= w)]
+    n_attributed = m["event_id"].nunique()
+    assert out["linear_credit"].sum() == pytest.approx(n_attributed, abs=0.01)
+    assert out["decay_credit"].sum() == pytest.approx(n_attributed, abs=0.01)
+    # decay must shift credit toward recency relative to linear, but
+    # both stay positive wherever touches exist
+    assert (out["linear_credit"] > 0).all()
+    assert (out["decay_credit"] > 0).all()
