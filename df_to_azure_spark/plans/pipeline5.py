@@ -2397,3 +2397,222 @@ SELECT p.channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
 FROM pairs p JOIN norms n ON p.purchase_id = n.purchase_id
 GROUP BY p.channel
 """
+
+# --------------------------------------------------------------------------
+# Reconciliation audit — header total vs line-item roll-up
+# --------------------------------------------------------------------------
+
+_RECON_TOL_CENTS = 100  # flag mismatches beyond 1.00
+
+
+def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: roll every order's line items up as
+    ``Σ extendedprice·(1−discount)·(1+tax)`` and compare against the
+    header's ``o_totalprice`` — the header-vs-detail consistency audit
+    every finance pipeline runs nightly, reported as a per-status
+    summary (match rate, worst absolute gap, total absolute drift).
+
+    Exactness: all money stays integer — extendedprice in cents,
+    discount/tax in exact percent points, so each line contributes
+    ``cents·(100−d)·(100+t)`` scaled by 10⁴, summed in DECIMAL(38,0),
+    and the comparison rounds the roll-up to cents by half-up integer
+    division.  One join + two aggregations, shuffles keyed on order
+    key and status."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))"
+        ).alias("cents"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS DECIMAL(19,0))"
+        ).alias("d_pct"),
+        F.expr(
+            "CAST(CAST(l_tax AS DECIMAL(8,2)) * 100 AS DECIMAL(19,0))"
+        ).alias("t_pct"),
+    )
+    rolled = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "CAST(SUM(cents * (100 - d_pct) * (100 + t_pct))"
+            " AS DECIMAL(38,0))"
+        ).alias("scaled"),  # cents x 10^4
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    ).select(
+        "l_orderkey",
+        "n_lines",
+        F.expr(
+            "CAST((2 * scaled + 10000) DIV 20000 AS DECIMAL(19,0))"
+        ).alias("rollup_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+        ).alias("header_cents"),
+    )
+    joined = orders.join(
+        rolled, orders.o_orderkey == rolled.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        F.expr("n_lines IS NULL").alias("no_lines"),
+        F.expr(
+            "CAST(ABS(header_cents - COALESCE(rollup_cents, 0))"
+            " AS DECIMAL(19,0))"
+        ).alias("gap_cents"),
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_no_lines"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN NOT no_lines AND gap_cents <= "
+                f"{_RECON_TOL_CENTS} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_reconciled"),
+            F.expr("CAST(MAX(gap_cents) AS BIGINT)").alias("worst_gap_cents"),
+            F.expr(
+                "CAST(CAST(SUM(gap_cents) AS DECIMAL(38,0)) AS DOUBLE)"
+                " / CAST(100 AS DOUBLE)"
+            ).alias("total_abs_drift"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "n_no_lines",
+            "n_reconciled",
+            F.expr(
+                "ROUND(CAST(n_reconciled AS DOUBLE)"
+                " / CAST(n_orders AS DOUBLE), 6)"
+            ).alias("match_rate"),
+            "worst_gap_cents",
+            "total_abs_drift",
+        )
+    )
+
+
+RECONCILIATION_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0)) AS cents,
+         CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS DECIMAL(19,0)) AS d_pct,
+         CAST(CAST(l_tax AS DECIMAL(8,2)) * 100 AS DECIMAL(19,0)) AS t_pct
+  FROM lineitem
+), rolled AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(CAST(2 * CAST(SUM(CAST(cents AS HUGEINT)
+              * (100 - CAST(d_pct AS HUGEINT))
+              * (100 + CAST(t_pct AS HUGEINT))) AS HUGEINT) + 10000
+              AS HUGEINT) // 20000 AS DECIMAL(19,0)) AS rollup_cents
+  FROM li GROUP BY l_orderkey
+), joined AS (
+  SELECT o.o_orderstatus,
+         r.n_lines IS NULL AS no_lines,
+         CAST(ABS(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0)) - COALESCE(r.rollup_cents, 0))
+              AS DECIMAL(19,0)) AS gap_cents
+  FROM orders o LEFT JOIN rolled r ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+       CAST(SUM(CASE WHEN NOT no_lines AND gap_cents <= {_RECON_TOL_CENTS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       ROUND(CAST(SUM(CASE WHEN NOT no_lines AND gap_cents <= {_RECON_TOL_CENTS}
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS match_rate,
+       CAST(MAX(gap_cents) AS BIGINT) AS worst_gap_cents,
+       CAST(CAST(SUM(gap_cents) AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS total_abs_drift
+FROM joined GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Duplicate-payment screen — same customer, same amount, close in time
+# --------------------------------------------------------------------------
+
+_DUP_WINDOW_DAYS = 30
+
+
+def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic AP fraud/error screen: pairs of orders by the SAME
+    customer for the EXACT same amount within ``_DUP_WINDOW_DAYS`` days
+    — the double-billing candidates an auditor reviews first.
+
+    Scale shape: the self-join is an EQUI-join on (customer, amount) —
+    the high-selectivity composite key that makes this screen cheap at
+    any scale (only true duplicates collide) — with the time window as
+    a residual predicate; output is the per-customer pair summary,
+    capped deterministically to the top 20 customers by pair count.
+    All integers (cents, day diffs); no floats anywhere."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+        ).alias("cents"),
+        F.expr("CAST(o_orderdate AS DATE)").alias("od"),
+    )
+    a = orders.select(
+        F.col("o_custkey").alias("ck"), F.col("cents").alias("amt"),
+        F.col("o_orderkey").alias("ka"), F.col("od").alias("da"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("ck"), F.col("cents").alias("amt"),
+        F.col("o_orderkey").alias("kb"), F.col("od").alias("db"),
+    )
+    pairs = a.join(b, ["ck", "amt"]).where(
+        (F.col("ka") < F.col("kb"))
+        & (F.expr(f"ABS(datediff(db, da)) <= {_DUP_WINDOW_DAYS}"))
+    )
+    return (
+        pairs.groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("amt").cast("bigint").alias("n_amounts"),
+            F.expr("CAST(MIN(ABS(datediff(db, da))) AS BIGINT)").alias(
+                "closest_days"
+            ),
+            F.expr(
+                "CAST(CAST(MAX(amt) AS BIGINT) AS DOUBLE)"
+                " / CAST(100 AS DOUBLE)"
+            ).alias("largest_amount"),
+        )
+        .select(
+            F.col("ck").cast("bigint").alias("custkey"),
+            "n_pairs",
+            "n_amounts",
+            "closest_days",
+            "largest_amount",
+        )
+        .orderBy(F.col("n_pairs").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+DUPLICATE_PAYMENT_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey AS ck, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))
+           AS amt,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders
+), pairs AS (
+  SELECT a.ck, a.amt, ABS(datediff('day', a.od, b.od)) AS dd
+  FROM o a JOIN o b
+    ON a.ck = b.ck AND a.amt = b.amt AND a.o_orderkey < b.o_orderkey
+  WHERE ABS(datediff('day', a.od, b.od)) <= {_DUP_WINDOW_DAYS}
+)
+SELECT CAST(ck AS BIGINT) AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT amt) AS BIGINT) AS n_amounts,
+       CAST(MIN(dd) AS BIGINT) AS closest_days,
+       CAST(CAST(MAX(amt) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE)
+         AS largest_amount
+FROM pairs GROUP BY ck
+ORDER BY n_pairs DESC, custkey ASC
+LIMIT 20
+"""

@@ -780,6 +780,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "purchase_attribution_mta": QuerySpec(
         PL5.purchase_attribution_mta, PL5.PURCHASE_MTA_ORACLE
     ),
+    "order_reconciliation_audit": QuerySpec(
+        PL5.order_reconciliation_audit, PL5.RECONCILIATION_ORACLE
+    ),
+    "duplicate_payment_screen": QuerySpec(
+        PL5.duplicate_payment_screen, PL5.DUPLICATE_PAYMENT_ORACLE
+    ),
 }
 
 

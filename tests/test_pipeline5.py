@@ -545,3 +545,41 @@ def test_mta_credit_conservation(spark, sf_smoke):
     # both stay positive wherever touches exist
     assert (out["linear_credit"] > 0).all()
     assert (out["decay_credit"] > 0).all()
+
+
+def test_reconciliation_audit_counts_balance(spark, sf_smoke):
+    out = PL5.order_reconciliation_audit(spark, sf_smoke).toPandas()
+    ev = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    assert out["n_orders"].sum() == len(ev)
+    assert (out["n_reconciled"] + out["n_no_lines"] <= out["n_orders"]).all()
+    assert (out["match_rate"] >= 0).all() and (out["match_rate"] <= 1).all()
+    # one cell replayed exactly in pandas
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    li["scaled"] = (
+        (li["l_extendedprice"] * 100).round().astype("int64")
+        * (100 - (li["l_discount"] * 100).round().astype("int64"))
+        * (100 + (li["l_tax"] * 100).round().astype("int64"))
+    )
+    rolled = li.groupby("l_orderkey")["scaled"].sum()
+    roll_cents = (2 * rolled + 10000) // 20000
+    hdr = ev.set_index("o_orderkey")
+    gaps = (
+        (hdr["o_totalprice"] * 100).round().astype("int64")
+        - roll_cents.reindex(hdr.index).fillna(0).astype("int64")
+    ).abs()
+    ok = gaps[hdr["o_orderstatus"] == out.iloc[0]["o_orderstatus"]]
+    has_lines = roll_cents.reindex(hdr.index).notna()[
+        hdr["o_orderstatus"] == out.iloc[0]["o_orderstatus"]
+    ]
+    n_rec = int(((ok <= PL5._RECON_TOL_CENTS) & has_lines).sum())
+    assert out.iloc[0]["n_reconciled"] == n_rec
+
+
+def test_duplicate_payment_screen_shape(spark, sf_smoke):
+    out = PL5.duplicate_payment_screen(spark, sf_smoke).toPandas()
+    assert len(out) <= 20
+    if len(out):
+        assert (out["n_pairs"] >= 1).all()
+        assert (out["closest_days"] <= PL5._DUP_WINDOW_DAYS).all()
+        n = out["n_pairs"].to_numpy()
+        assert (n[:-1] >= n[1:]).all()  # ordered by pair count desc
