@@ -473,9 +473,13 @@ def label_propagation(
     undirected semantics.
 
     Scale shape: per round one keyed join (edges × labels), one
-    (node, label) count with map-side combine, and one single-pass
-    per-node argmax (``max_by(label, (cnt, −label))`` — no per-node
-    window); state is one label per node.  The label frame is
+    (node, label) count with map-side combine, and a per-node argmax;
+    state is one label per node.  For NUMERIC node ids the argmax is
+    a single pass (``max_by(label, (cnt, −label))``); non-numeric ids
+    (strings, etc.) cannot be negated, so the tie-break falls back to
+    a portable two-aggregation form — per-node max count, then
+    ``min(label)`` among the labels attaining it — one extra keyed
+    join per round, same deterministic result.  The label frame is
     ``localCheckpoint``-ed every round: the algorithm is genuinely
     iterative, so lineage would otherwise deepen O(iters) (on a cluster
     this is the checkpoint between supersteps).  Nodes with no
@@ -484,6 +488,9 @@ def label_propagation(
     Returns ``(node, label)``."""
     if iters < 1:
         raise ValueError("label_propagation needs iters >= 1")
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(edges.schema[src].dataType, NumericType)
     labels = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -497,11 +504,20 @@ def label_propagation(
         counts = msgs.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        new = counts.groupBy("node").agg(
-            F.expr(
-                "max_by(label, named_struct('c', cnt, 'nl', -label))"
-            ).alias("new_label")
-        )
+        if numeric_ids:
+            new = counts.groupBy("node").agg(
+                F.expr(
+                    "max_by(label, named_struct('c', cnt, 'nl', -label))"
+                ).alias("new_label")
+            )
+        else:
+            mx = counts.groupBy("node").agg(F.max("cnt").alias("__mx"))
+            new = (
+                counts.join(mx, "node")
+                .where(F.col("cnt") == F.col("__mx"))
+                .groupBy("node")
+                .agg(F.min("label").alias("new_label"))
+            )
         labels = (
             labels.join(new, "node", "left")
             .select("node", F.coalesce("new_label", "label").alias("label"))

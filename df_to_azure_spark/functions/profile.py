@@ -55,8 +55,11 @@ def corr_matrix(
     One table scan for d columns and d·(d+1)/2 pairs (the per-pair loop a
     pandas ``df.corr()`` port would run is d² scans at 100 TB); output is
     one row per unordered pair (col_a ≤ col_b by position, diagonal
-    included as a self-check — exactly 1.0 unless the column is
-    constant)."""
+    included as a self-check — exactly 1.0 for non-degenerate columns).
+    A CONSTANT column has zero variance, so its correlation is
+    undefined: every cell involving it (diagonal included) is NULL —
+    an explicit, queryable verdict rather than the 0/0 NaN sentinel
+    the bare formula would produce."""
     d = len(columns)
     if d < 1:
         raise ValueError("corr_matrix needs at least one column")
@@ -76,15 +79,19 @@ def corr_matrix(
                 ).alias(f"p{i}_{j}")
             )
     wide = df.agg(*aggs)
+    def _var(i: int) -> str:
+        return (
+            f"(CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+            f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+        )
+
     cells = ", ".join(
         f"named_struct('col_a', '{columns[i]}', 'col_b', '{columns[j]}',"
         " 'corr',"
-        f" ROUND((CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+        f" CASE WHEN {_var(i)} = 0.0D OR {_var(j)} = 0.0D THEN NULL"
+        f" ELSE ROUND((CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
         f"        - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
-        f" / SQRT((CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
-        f"         - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
-        f"        * (CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
-        f"           - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))), 6))"
+        f" / SQRT({_var(i)} * {_var(j)}), 6) END)"
         for i in range(d)
         for j in range(i, d)
     )

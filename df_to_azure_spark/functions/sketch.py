@@ -53,6 +53,14 @@ def heavy_hitters_exact(
     rows, then keep ``cnt · phi_den > n_total · phi_num`` — an integer
     comparison, no float threshold to drift cross-engine.
 
+    NULL contract: NULL items are dropped up front — they count
+    toward NEITHER the total nor any candidate, so shares are fractions
+    of the non-NULL stream and NULL can never appear in the output.
+    (Without the explicit filter the behavior was accidental: pandas
+    ``value_counts()`` silently excludes NaN in the candidate pass and
+    the exact-pass equi-join never matches NULL, so a NULL-valued item
+    exceeding phi would vanish while still inflating the denominator.)
+
     Scale: the full-domain aggregation this replaces is the shuffle
     that dies first on a 100 TB token stream (billions of distinct
     keys); here the only wide shuffle is over rows matching ≤
@@ -71,6 +79,7 @@ def heavy_hitters_exact(
         )
     field = items.schema[item_col]
     out_schema = T.StructType([field])
+    items = items.where(F.col(item_col).isNotNull())
 
     def _mg(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -252,11 +252,18 @@ def bpe_train_merges(
        weighted by the word count (keyed shuffle on the pair);
     2. winner: top-1 by (freq DESC, left, right) via orderBy+limit —
        ``TakeOrderedAndProject``, one row, never a global sort;
-    3. apply: crossJoin(broadcast(winner)) and a single left-to-right
-       non-overlapping ``replace(seq, ' l r ', ' lr ')`` — string
-       ``replace`` IS greedy leftmost BPE application (verified
-       byte-identical between Spark and DuckDB, including the
-       boundary-space sharing of overlapping runs like ``a a a``).
+    3. apply: crossJoin(broadcast(winner)) and a left-to-right
+       non-overlapping literal replace with a NON-CONSUMING boundary:
+       every space is first doubled, the pattern ``' l  r '`` then
+       takes one space from each doubled boundary (leaving the other
+       half for the neighbouring pair), and the doubles are collapsed
+       back.  A naive ``replace(seq, ' l r ', ' lr ')`` CONSUMES the
+       shared boundary space, so an even run ``a a a a`` would merge
+       only alternating pairs (``aa a a``); canonical Sennrich BPE
+       gives ``aa aa``, which the doubled-boundary form reproduces.
+       Literal ``replace`` has identical leftmost non-overlapping
+       semantics in Spark and DuckDB (RE2 in DuckDB has no lookbehind,
+       so a lookaround regex could not be oracle-mirrored).
 
     The vocab frame is ``localCheckpoint``-ed every step: the loop is
     genuinely iterative, and without it each step's two consumers
@@ -320,8 +327,9 @@ def bpe_train_merges(
             .withColumn(
                 "seq",
                 F.expr(
-                    "replace(seq, ' ' || left || ' ' || right || ' ',"
-                    " ' ' || merged || ' ')"
+                    "replace(replace(replace(seq, ' ', '  '),"
+                    " ' ' || left || '  ' || right || ' ',"
+                    " ' ' || merged || ' '), '  ', ' ')"
                 ),
             )
             .select("word", "n_w", "seq")

@@ -58,7 +58,8 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HEAVY_HITTER_ORACLE = f"""
 WITH toks AS (
-  SELECT unnest({_TOKS}) AS tok FROM documents
+  SELECT tok FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok IS NOT NULL
 ), tot AS (
   SELECT COUNT(*) AS n FROM toks
 ), c AS (
@@ -280,8 +281,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``text.bpe_train_merges``) — tokenizer training as a fixed chain
     of vocab-table plans, every winner chosen inside the plan (top-1
     broadcast), nothing collected.  The oracle unrolls the same 8
-    steps; string ``replace`` gives both engines identical greedy
-    leftmost merge application."""
+    steps; the doubled-boundary literal ``replace`` (see
+    ``bpe_train_merges``) gives both engines identical canonical
+    non-overlapping leftmost merge application, including shared
+    boundary spaces in symbol runs (``a a a a`` -> ``aa aa``)."""
     from df_to_azure_spark.functions.text import bpe_train_merges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -313,8 +316,9 @@ def _bpe_oracle(n_merges: int) -> str:
   FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
 ), v{i} AS MATERIALIZED (
   SELECT word, n_w,
-         replace(seq, ' ' || m.l || ' ' || m.r || ' ',
-                 ' ' || m.merged || ' ') AS seq
+         replace(replace(replace(seq, ' ', '  '),
+                         ' ' || m.l || '  ' || m.r || ' ',
+                         ' ' || m.merged || ' '), '  ', ' ') AS seq
   FROM v{i - 1} CROSS JOIN m{i} m
 )"""
         )
@@ -696,14 +700,18 @@ def _corr_matrix_oracle(cols: list[str], scale: int) -> str:
         for i in range(d)
         for j in range(i, d)
     )
+    def _var(i: int) -> str:
+        return (
+            f"(CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+            f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+        )
+
     cells = " UNION ALL ".join(
         f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,"
-        f" ROUND((CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+        f" CASE WHEN {_var(i)} = 0.0 OR {_var(j)} = 0.0 THEN NULL"
+        f" ELSE ROUND((CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
         f"        - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
-        f" / SQRT((CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
-        f"         - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
-        f"        * (CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
-        f"           - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))), 6)"
+        f" / SQRT({_var(i)} * {_var(j)}), 6) END"
         " AS corr FROM w"
         for i in range(d)
         for j in range(i, d)

@@ -202,6 +202,24 @@ def test_corr_matrix_matches_numpy(spark):
         assert abs(got[(x, y)] - ref[i, j]) < 1e-6
 
 
+def test_corr_matrix_constant_column_is_null(spark):
+    from df_to_azure_spark.functions.profile import corr_matrix
+
+    # column k is constant -> zero variance -> every cell involving it
+    # (diagonal included) must be NULL, not a 0/0 NaN sentinel
+    df = spark.createDataFrame(
+        [(i, 7, 2 * i) for i in range(10)], "a long, k long, b long"
+    )
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in corr_matrix(df, ["a", "k", "b"], scale=0).collect()
+    }
+    assert got[("a", "a")] == 1.0 and got[("b", "b")] == 1.0
+    assert got[("a", "b")] == 1.0
+    assert got[("k", "k")] is None
+    assert got[("a", "k")] is None and got[("k", "b")] is None
+
+
 def test_corr_matrix_guard(spark):
     import pytest
 

@@ -146,6 +146,26 @@ def test_label_propagation_two_cliques(spark):
     assert len(labels) == 6
 
 
+def test_label_propagation_string_ids_portable_tiebreak(spark):
+    from df_to_azure_spark.functions.graph import label_propagation
+
+    # same two-clique topology as above, but STRING node ids — the
+    # numeric -label tie-break can't apply; the portable min(label)
+    # fallback must give the identical deterministic result
+    m = {1: "n01", 2: "n02", 3: "n03", 10: "n10", 11: "n11", 12: "n12"}
+    und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        [(m[a], m[b]) for a, b in und] + [(m[b], m[a]) for a, b in und],
+        "src STRING, dst STRING",
+    )
+    labels = {
+        r.node: r.label for r in label_propagation(edges, iters=4).collect()
+    }
+    assert labels["n01"] == labels["n02"] == labels["n03"] == "n01"
+    assert labels["n11"] == labels["n12"] == labels["n10"]
+    assert len(labels) == 6
+
+
 def test_label_propagation_isolated_node_keeps_label(spark):
     from df_to_azure_spark.functions.graph import label_propagation
 

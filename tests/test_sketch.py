@@ -65,6 +65,21 @@ def test_guards(spark):
         heavy_hitters_exact(df, "item", 1, 100, counters=50)
 
 
+def test_null_items_excluded_by_contract(spark):
+    # 30 NULLs + 30 'a' + 5 'b': NULL is dropped up front, so the
+    # total is the 35 non-NULL rows — 'a' is 30/35 (reported), 'b' is
+    # 5/35 = 14% (reported at phi=1/10), and NULL itself never appears.
+    rows = [(None,)] * 30 + [("a",)] * 30 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {
+        r.item: (r.cnt, r.share)
+        for r in heavy_hitters_exact(df, "item", 1, 10, counters=16).collect()
+    }
+    assert None not in got
+    assert got["a"] == (30, round(30 / 35, 6))
+    assert got["b"] == (5, round(5 / 35, 6))
+
+
 def test_no_items_above_threshold(spark):
     df = _stream(spark, {f"u{i}": 1 for i in range(50)}, 4)
     assert heavy_hitters_exact(df, "item", 1, 10).count() == 0

@@ -162,6 +162,23 @@ def test_bpe_train_merges_overlapping_run_is_leftmost(spark):
     ]
 
 
+def test_bpe_train_merges_even_run_shares_boundary(spark):
+    from df_to_azure_spark.functions.text import bpe_train_merges
+
+    # 'aaaa' -> ' a a a a </w> '; canonical Sennrich application of
+    # (a,a) merges BOTH pairs (the boundary space is shared, not
+    # consumed): ' aa aa </w> '.  A consuming replace would leave
+    # ' aa a a </w> ', whose step-2 winner is (a,'</w>') instead of
+    # the canonical (aa,'</w>') ('<' sorts before 'a', left 'aa' ties).
+    docs = spark.createDataFrame([("aaaa",)], "text string")
+    rows = bpe_train_merges(docs, 2).orderBy("step").collect()
+    got = [(r.step, r.left, r.right, r.merged, r.freq) for r in rows]
+    assert got == [
+        (1, "a", "a", "aa", 3),
+        (2, "aa", "</w>", "aa</w>", 1),
+    ]
+
+
 def test_bpe_train_merges_guard(spark):
     import pytest
 
