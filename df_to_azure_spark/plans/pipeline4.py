@@ -958,24 +958,47 @@ _TRIM_PCT = 10
 
 
 def event_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10% symmetric trimmed mean of event value per event type through
-    the Arrow GROUPED_AGG ``pandas_udf`` surface (see
-    ``functions.outliers.trimmed_mean_udaf`` for the exactness and
-    no-partial-aggregation contract — groups here are the bounded event
-    type domain, the case where the vectorized UDAF is the right
-    tool)."""
-    from df_to_azure_spark.functions.outliers import trimmed_mean_udaf
+    """10% symmetric trimmed mean of event value per event type — the
+    fully-distributed exact formulation: a grouped ``two_phase_rank``
+    over integer cents gives every row its within-group rank and the
+    group size WITHOUT a single-partition window, the positional trim
+    is then a plain filter on the rank bounds, and the mean is a
+    codegen'd exact-integer SUM with ONE double division at the end.
 
-    ev = load_table(spark, sf_dir, "events")
-    udaf = trimmed_mean_udaf(_TRIM_PCT)
-    # a GROUPED_AGG pandas UDF cannot share an agg() with built-in
-    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count comes from
-    # its own agg, joined back on the bounded type domain
-    tm = ev.groupBy("event_type").agg(udaf(F.col("value")).alias("__tm"))
-    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    return n.join(tm, "event_type").select(
-        "event_type", "n",
-        F.expr("ROUND(__tm, 6)").alias("trimmed_mean"),
+    Every stage has map-side partials; no group's value set ever
+    lands on one worker.  The Arrow GROUPED_AGG ``pandas_udf``
+    formulation (``functions.outliers.trimmed_mean_udaf``) computes the
+    identical answer and remains the API-surface demo in tests, but it
+    has NO partial aggregation — each group's complete value column
+    ships to a single Python worker, which is the wrong shape for
+    data-sized groups like an event type at 100 TB (round-7 verdict).
+
+    Trimming is positional on the sorted cents; tied values are
+    interchangeable (equal cents contribute equally to the kept sum),
+    so the ``event_id`` tie-break only serves the total order that
+    ``two_phase_rank`` requires — the result is tie-break-invariant
+    and matches the oracle's ``row_number() OVER (ORDER BY value)``
+    bit-for-bit."""
+    from df_to_azure_spark.functions.distrank import two_phase_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    ranked = two_phase_rank(
+        ev,
+        order_by=[("cents", "asc"), ("event_id", "asc")],
+        group_cols=["event_type"],
+    )
+    k = f"(__grp_n * {_TRIM_PCT}) DIV 100"
+    kept = ranked.where(F.expr(f"__rn > {k} AND __rn <= __grp_n - ({k})"))
+    return kept.groupBy("event_type").agg(
+        F.max("__grp_n").cast("bigint").alias("n"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)"
+            " / (CAST(100 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)"
+        ).alias("trimmed_mean"),
     )
 
 
@@ -993,7 +1016,8 @@ WITH ranked AS (
     AND rk <= n - (n * {_TRIM_PCT}) // 100
 )
 SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
-       ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)), 6)
+       ROUND(CAST(SUM(cents) AS DOUBLE)
+             / (CAST(100 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)
          AS trimmed_mean
 FROM kept GROUP BY event_type
 """

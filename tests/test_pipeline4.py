@@ -5,6 +5,7 @@ definition of interval concurrency, and numpy's least squares."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from df_to_azure_spark.plans.pipeline4 import (
     nation_revenue_ols,
@@ -245,7 +246,31 @@ def test_daily_acf_matches_numpy(spark, sf_smoke):
         assert abs(r.acf - expect) < 1e-6, (lag, r.acf, expect)
 
 
-def test_trimmed_mean_udaf_bruteforce(spark, sf_smoke):
+def test_trimmed_mean_udaf_demo_matches_distrank_query(spark, sf_smoke):
+    """The GROUPED_AGG pandas-UDAF surface demo: same answer as the
+    registered distributed query, computed through the no-partial-agg
+    Arrow path (kept for bounded groups / API-surface coverage only —
+    the registered query uses the two_phase_rank formulation)."""
+    from df_to_azure_spark.functions.outliers import trimmed_mean_udaf
+    from df_to_azure_spark.plans.pipeline4 import event_value_trimmed_mean
+
+    ev = load_table(spark, sf_smoke, "events")
+    udaf = trimmed_mean_udaf(10)
+    got = {
+        r.event_type: r.tm
+        for r in ev.groupBy("event_type")
+        .agg(udaf(F.col("value")).alias("raw"))
+        .selectExpr("event_type", "ROUND(raw, 6) AS tm")
+        .collect()
+    }
+    want = {
+        r.event_type: r.trimmed_mean
+        for r in event_value_trimmed_mean(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_trimmed_mean_bruteforce(spark, sf_smoke):
     from df_to_azure_spark.plans.pipeline4 import event_value_trimmed_mean
 
     ev = load_table(spark, sf_smoke, "events")
