@@ -1279,8 +1279,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ntile(4)`` window with NO single-partition WindowExec, so the plan
     stays parallel at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
+    d = _rfm_quartiles(_rfm_per_cust(orders))
+    return d.select(
+        "o_custkey", "r_days", "n_orders", "monetary", "r_q", "f_q", "m_q"
+    ).withColumn(
+        "rfm_code",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+    )
+
+
+def _rfm_per_cust(orders: DataFrame) -> DataFrame:
+    """Per-customer R/F/M raw dimensions over an orders slice: recency
+    against the SLICE's own max order date (1-row broadcast), exact
+    decimal monetary total."""
     mx = orders.agg(F.max("o_orderdate").alias("mx"))
-    per_cust = (
+    return (
         orders.crossJoin(F.broadcast(mx))
         .groupBy("o_custkey")
         .agg(
@@ -1293,6 +1306,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary"),
         )
     )
+
+
+def _rfm_quartiles(per_cust: DataFrame) -> DataFrame:
+    """Quartile-code each RFM dimension with the exact two-phase
+    distributed ntile (customer-key tie-break = total order)."""
     d = per_cust
     for dim, direction, q_col in (
         ("r_days", "asc", "r_q"),
@@ -1303,12 +1321,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = d.withColumn(
             q_col, DR.ntile_from_rank("__rn", "__grp_n", 4).cast("bigint")
         ).drop("__rn", "__grp_n")
-    return d.select(
-        "o_custkey", "r_days", "n_orders", "monetary", "r_q", "f_q", "m_q"
-    ).withColumn(
-        "rfm_code",
-        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
-    )
+    return d
 
 
 RFM_ORACLE = """
@@ -1330,6 +1343,82 @@ SELECT o_custkey, r_days, n_orders, monetary,
             + ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT)
          AS rfm_code
 FROM per_cust
+"""
+
+
+_RFM_SPLIT_DATE = "1995-06-01"
+
+
+def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment-migration matrix: the churn artifact a marketing
+    analyst asks for right after ``customer_rfm_segments`` — how
+    customers MOVE between RFM segments across two periods.  The order
+    history splits at a fixed date; each period independently computes
+    the 3-digit RFM code (recency against that period's own max order
+    date, quartiles via the exact two-phase distributed ntile —
+    ``functions.distrank``, no single-partition window); customers
+    active in BOTH periods inner-join on the customer key and the
+    matrix is one (code_p1, code_p2) count — at most 64x64 cells
+    regardless of data size.
+
+    Scale shape: two independent aggregate+rank chains (each the
+    audited ``customer_rfm_segments`` plan), one customer-keyed
+    equi-join, one bounded-domain count.  Period membership is a
+    pushdown-able date predicate on the scan.  Single-period-only
+    customers (churned / newly acquired) are intentionally excluded —
+    they have no transition; their counts are readable from the
+    per-period segment frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_RFM_SPLIT_DATE).cast("date")
+
+    def codes(sliced: DataFrame, out: str) -> DataFrame:
+        d = _rfm_quartiles(_rfm_per_cust(sliced))
+        return d.select(
+            "o_custkey",
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("int")
+            .alias(out),
+        )
+
+    p1 = codes(orders.where(F.col("o_orderdate") < split), "rfm_p1")
+    p2 = codes(orders.where(F.col("o_orderdate") >= split), "rfm_p2")
+    return (
+        p1.join(p2, "o_custkey")
+        .groupBy("rfm_p1", "rfm_p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+def _rfm_period_code_sql(pred: str) -> str:
+    return f"""
+  SELECT o_custkey,
+         CAST(ntile(4) OVER (ORDER BY r_days ASC, o_custkey ASC) * 100
+              + ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) * 10
+              + ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+              AS INT) AS code
+  FROM (
+    SELECT o_custkey,
+           CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(mx AS DATE))) AS BIGINT) AS r_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS monetary
+    FROM (SELECT * FROM orders WHERE {pred}) o
+    CROSS JOIN (SELECT MAX(o_orderdate) AS mx FROM orders WHERE {pred})
+    GROUP BY o_custkey
+  )"""
+
+
+RFM_MIGRATION_ORACLE = f"""
+WITH p1 AS ({_rfm_period_code_sql(
+    f"CAST(o_orderdate AS DATE) < DATE '{_RFM_SPLIT_DATE}'")}
+), p2 AS ({_rfm_period_code_sql(
+    f"CAST(o_orderdate AS DATE) >= DATE '{_RFM_SPLIT_DATE}'")}
+)
+SELECT p1.code AS rfm_p1, p2.code AS rfm_p2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM p1 JOIN p2 USING (o_custkey)
+GROUP BY 1, 2
 """
 
 

@@ -567,6 +567,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "customer_rfm_segments": QuerySpec(
         PL2.customer_rfm_segments, PL2.RFM_ORACLE
     ),
+    "rfm_segment_migration": QuerySpec(
+        PL2.rfm_segment_migration, PL2.RFM_MIGRATION_ORACLE
+    ),
     "part_abc_classification": QuerySpec(
         PL2.part_abc_classification, PL2.ABC_ORACLE
     ),

@@ -228,3 +228,27 @@ def test_corr_matrix_guard(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="at least one column"):
         corr_matrix(df, [])
+
+
+def test_rfm_segment_migration_conserves_customers(spark, sf_smoke):
+    from df_to_azure_spark.sources import load_table
+
+    mig = PL2.rfm_segment_migration(spark, sf_smoke)
+    rows = mig.collect()
+    # codes are valid 3-digit quartile triples
+    for r in rows:
+        for c in (r.rfm_p1, r.rfm_p2):
+            assert all(1 <= int(d) <= 4 for d in str(c)), c
+    # matrix mass == customers with orders in BOTH periods
+    orders = load_table(spark, sf_smoke, "orders")
+    split = F.lit(PL2._RFM_SPLIT_DATE).cast("date")
+    both = (
+        orders.select(
+            "o_custkey", (F.col("o_orderdate") < split).alias("in_p1")
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("in_p1").alias("p1"), F.min("in_p1").alias("all_p1"))
+        .where(F.col("p1") & ~F.col("all_p1"))
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == both
