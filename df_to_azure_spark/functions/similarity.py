@@ -1475,3 +1475,138 @@ def pca_project(
     out_schema = f"{id_col} long, proj array<double>"
     out = df.select(id_col, vec_col).mapInPandas(_proj, schema=out_schema)
     return out.withColumnRenamed("proj", out_col) if out_col != "proj" else out
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality evaluation (recall / MRR / NDCG@k) — shared harness
+# --------------------------------------------------------------------------
+
+
+def _case_by_rank(col: str, values: list[float]) -> str:
+    """CASE mapping a 1-based bounded rank to a precomputed DOUBLE
+    literal — the device that keeps the one transcendental (log2 in the
+    DCG gain) OUT of both engines: rank is bounded by k, so the weight
+    table is a data-independent shared literal."""
+    branches = " ".join(
+        f"WHEN {r + 1} THEN CAST({v!r} AS DOUBLE)"
+        for r, v in enumerate(values)
+    )
+    return f"CASE {col} {branches} ELSE CAST(0 AS DOUBLE) END"
+
+
+def retrieval_metrics(
+    truth: DataFrame,
+    candidate: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Standard IR evaluation of ANY approximate retrieval ranking
+    against ANY exact ground truth: per-query recall@k, MRR and NDCG@k
+    — the shared metrics harness for every ANN variant in this module
+    (hyperplane LSH, IVF, PQ, SQ8, hybrid), generalized from the
+    round-7 ``lsh_retrieval_metrics`` single-variant query per the
+    round-7 verdict.
+
+    ``truth``: ``(query_col, id_col)`` — the exact top-k id set per
+    query (ranks not needed; binary relevance).  ``candidate``:
+    ``(query_col, rank_col 1-based, id_col)`` — the ranking under
+    evaluation, at most k rows per query.
+
+    Exactness contract: the 1/log2(r+1) gain weights and their prefix
+    sums are precomputed Python literals shared with any SQL oracle via
+    the same ``_case_by_rank`` device, each per-rank DCG term rounds to
+    DECIMAL(28,12) before summing (aggregation-order-free), and the
+    only divisions are at the end — bit-reproducible cross-engine.
+
+    Scale shape: one (queries × k)-row left join + one aggregation —
+    bounded by the query batch, never the corpus.  Returns
+    ``(query_id, n_rel, recall_at_{k}, mrr, ndcg_at_{k})``."""
+    import math
+
+    if k < 1:
+        raise ValueError("retrieval_metrics needs k >= 1")
+    dcg_w = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    idcg_cum = [sum(dcg_w[: n + 1]) for n in range(k)]
+
+    t = truth.select(
+        F.col(query_col).alias("__tq"), F.col(id_col).alias("t_id")
+    )
+    marked = candidate.join(
+        t,
+        (candidate[query_col] == t["__tq"])
+        & (candidate[id_col] == t["t_id"]),
+        "left",
+    ).select(
+        candidate[query_col].alias("qid"),
+        F.col(rank_col).alias("rank"),
+        F.when(F.col("t_id").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    dcg_expr = _case_by_rank("rank", dcg_w)
+    per_q = marked.groupBy("qid").agg(
+        F.expr("CAST(SUM(rel) AS BIGINT)").alias("n_rel"),
+        F.expr("MIN(CASE WHEN rel = 1 THEN rank END)").alias("first_rel"),
+        F.expr(
+            f"CAST(SUM(CAST(ROUND(rel * {dcg_expr}, 12) AS DECIMAL(28,12)))"
+            " AS DOUBLE)"
+        ).alias("dcg"),
+    )
+    idcg = _case_by_rank("n_rel", idcg_cum)
+    return per_q.select(
+        F.col("qid").alias("query_id"),
+        "n_rel",
+        F.expr(
+            f"CAST(n_rel AS DOUBLE) / CAST({k} AS DOUBLE)"
+        ).alias(f"recall_at_{k}"),
+        F.expr(
+            "CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END"
+        ).alias("mrr"),
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE ROUND(dcg / ({idcg}), 6) END"
+        ).alias(f"ndcg_at_{k}"),
+    )
+
+
+def retrieval_metrics_sql(
+    truth_sql: str,
+    candidate_sql: str,
+    k: int = 10,
+) -> str:
+    """The DuckDB-oracle twin of ``retrieval_metrics``: wraps a truth
+    subquery (query_id, neighbor_id) and a candidate subquery
+    (query_id, rank, neighbor_id) in the identical metric SQL, sharing
+    the same precomputed gain-weight literals."""
+    import math
+
+    dcg_w = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    idcg_cum = [sum(dcg_w[: n + 1]) for n in range(k)]
+    dcg_expr = _case_by_rank("rank", dcg_w)
+    idcg = _case_by_rank("n_rel", idcg_cum)
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id AS t_id FROM ({truth_sql}) t
+), cand AS (
+  SELECT * FROM ({candidate_sql}) c
+), marked AS (
+  SELECT cand.query_id AS qid, cand.rank,
+         CASE WHEN truth.t_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM cand LEFT JOIN truth
+    ON cand.query_id = truth.query_id AND cand.neighbor_id = truth.t_id
+), per_q AS (
+  SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         CAST(SUM(CAST(ROUND(rel * {dcg_expr}, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS dcg
+  FROM marked GROUP BY qid
+)
+SELECT qid AS query_id, n_rel,
+       CAST(n_rel AS DOUBLE) / CAST({k} AS DOUBLE) AS recall_at_{k},
+       CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END AS mrr,
+       CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(dcg / ({idcg}), 6) END AS ndcg_at_{k}
+FROM per_q
+"""

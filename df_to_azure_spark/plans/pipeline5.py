@@ -2177,113 +2177,96 @@ EXPFIT_ORACLE = _expfit_oracle()
 # Retrieval-quality metrics: recall / MRR / NDCG of LSH vs exact top-k
 # --------------------------------------------------------------------------
 
-import math as _math
-
 _IR_K = 10
-# 1/log2(r+1) gain weights and their prefix sums, as SHARED literals so
-# the one transcendental (log2) never executes in either engine
-_DCG_W = [1.0 / _math.log2(r + 1) for r in range(1, _IR_K + 1)]
-_IDCG_CUM = [sum(_DCG_W[: n + 1]) for n in range(_IR_K)]
-
-
-def _case_by_rank(col: str, values: list[float]) -> str:
-    branches = " ".join(
-        f"WHEN {r + 1} THEN CAST({v!r} AS DOUBLE)" for r, v in enumerate(values)
-    )
-    return f"CASE {col} {branches} ELSE CAST(0 AS DOUBLE) END"
 
 
 def lsh_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standard IR evaluation of the approximate retrieval path:
     recall@10, MRR and NDCG@10 of the hyperplane-LSH ranking
     (``lsh_knn``) against the exact cosine top-10 (``knn_topk``) as
-    ground truth — the metrics sheet any retrieval system ships with,
-    here oracle-checked exactly because the log2 gain weights are
-    precomputed shared literals (rank is bounded by k, so the weight
-    table is data-independent).
-
-    Scale shape: both rankings are existing scale-safe operators
-    (broadcast queries; bucketed equi-join); the evaluation itself is a
-    (queries × k)-row join + one aggregation — bounded by the query
-    batch, never the corpus."""
+    ground truth — through the shared evaluator
+    (``similarity.retrieval_metrics``; exactness contract and scale
+    shape documented there).  ``ann_retrieval_matrix`` runs the same
+    evaluator over multiple ANN variants at once."""
     from df_to_azure_spark.functions import similarity as SIM
     from df_to_azure_spark.plans.training_data import _lsh_knn_planes
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     truth = SIM.cosine_topk(queries, emb, k=_IR_K).select(
-        "query_id", F.col("neighbor_id").alias("t_id")
+        "query_id", "neighbor_id"
     )
     cand = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=_IR_K)
-    marked = cand.join(
-        truth,
-        (cand.query_id == truth.query_id) & (cand.neighbor_id == truth.t_id),
-        "left",
-    ).select(
-        cand.query_id.alias("qid"),
-        "rank",
-        F.when(F.col("t_id").isNotNull(), 1).otherwise(0).alias("rel"),
-    )
-    dcg_w = _case_by_rank("rank", _DCG_W)
-    per_q = marked.groupBy("qid").agg(
-        F.expr("CAST(SUM(rel) AS BIGINT)").alias("n_rel"),
-        F.expr("MIN(CASE WHEN rel = 1 THEN rank END)").alias("first_rel"),
-        F.expr(
-            f"CAST(SUM(CAST(ROUND(rel * {dcg_w}, 12) AS DECIMAL(28,12)))"
-            " AS DOUBLE)"
-        ).alias("dcg"),
-    )
-    idcg = _case_by_rank("n_rel", _IDCG_CUM)
-    return per_q.select(
-        F.col("qid").alias("query_id"),
-        "n_rel",
-        F.expr(
-            f"CAST(n_rel AS DOUBLE) / CAST({_IR_K} AS DOUBLE)"
-        ).alias("recall_at_10"),
-        F.expr(
-            "CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)"
-            " ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END"
-        ).alias("mrr"),
-        F.expr(
-            "CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)"
-            f" ELSE ROUND(dcg / ({idcg}), 6) END"
-        ).alias("ndcg_at_10"),
-    )
+    return SIM.retrieval_metrics(truth, cand, k=_IR_K)
 
 
 def _ir_metrics_oracle() -> str:
+    from df_to_azure_spark.functions.similarity import retrieval_metrics_sql
     from df_to_azure_spark.plans.training_data import KNN_ORACLE, LSH_KNN_ORACLE
 
-    dcg_w = _case_by_rank("rank", _DCG_W)
-    idcg = _case_by_rank("n_rel", _IDCG_CUM)
-    return f"""
-WITH truth AS (
-  SELECT query_id, neighbor_id AS t_id FROM ({KNN_ORACLE}) t
-), cand AS (
-  SELECT * FROM ({LSH_KNN_ORACLE}) c
-), marked AS (
-  SELECT cand.query_id AS qid, cand.rank,
-         CASE WHEN truth.t_id IS NOT NULL THEN 1 ELSE 0 END AS rel
-  FROM cand LEFT JOIN truth
-    ON cand.query_id = truth.query_id AND cand.neighbor_id = truth.t_id
-), per_q AS (
-  SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel,
-         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
-         CAST(SUM(CAST(ROUND(rel * {dcg_w}, 12) AS DECIMAL(28,12)))
-              AS DOUBLE) AS dcg
-  FROM marked GROUP BY qid
-)
-SELECT qid AS query_id, n_rel,
-       CAST(n_rel AS DOUBLE) / CAST({_IR_K} AS DOUBLE) AS recall_at_10,
-       CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
-            ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END AS mrr,
-       CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
-            ELSE ROUND(dcg / ({idcg}), 6) END AS ndcg_at_10
-FROM per_q
-"""
+    return retrieval_metrics_sql(KNN_ORACLE, LSH_KNN_ORACLE, k=_IR_K)
 
 
 IR_METRICS_ORACLE = _ir_metrics_oracle()
+
+
+def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One metrics sheet for the WHOLE ANN family: recall@10 / MRR /
+    NDCG@10 of the hyperplane-LSH ranking AND the IVF inverted-list
+    ranking (nprobe=2), each scored per-query against the exact cosine
+    top-10 through the shared evaluator
+    (``similarity.retrieval_metrics``) — the audit table that tells a
+    retrieval user which index to deploy, with the exact truth computed
+    ONCE and reused across variants.
+
+    Scale shape: the truth and each candidate ranking are existing
+    scale-safe operators; each evaluation is a (queries × k)-row join +
+    one aggregation, and the variant matrix is a union of
+    query-batch-bounded frames."""
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.plans.training_data import (
+        _ivf_centroids,
+        _lsh_knn_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    truth = SIM.cosine_topk(queries, emb, k=_IR_K).select(
+        "query_id", "neighbor_id"
+    )
+    variants = [
+        ("lsh", SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=_IR_K)),
+        (
+            "ivf",
+            SIM.ivf_topk(queries, emb, _ivf_centroids(), k=_IR_K, nprobe=2),
+        ),
+    ]
+    out = None
+    for name, cand in variants:
+        m = SIM.retrieval_metrics(truth, cand, k=_IR_K).select(
+            F.lit(name).alias("variant"), "*"
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+def _ann_matrix_oracle() -> str:
+    from df_to_azure_spark.functions.similarity import retrieval_metrics_sql
+    from df_to_azure_spark.plans.training_data import (
+        IVF_KNN_ORACLE,
+        KNN_ORACLE,
+        LSH_KNN_ORACLE,
+    )
+
+    parts = [
+        f"SELECT '{name}' AS variant, *"
+        f" FROM ({retrieval_metrics_sql(KNN_ORACLE, cand, k=_IR_K)}) v_{name}"
+        for name, cand in (("lsh", LSH_KNN_ORACLE), ("ivf", IVF_KNN_ORACLE))
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ANN_MATRIX_ORACLE = _ann_matrix_oracle()
 
 # --------------------------------------------------------------------------
 # Multi-touch attribution — linear and time-decay credit per channel

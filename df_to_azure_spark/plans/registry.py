@@ -777,6 +777,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "user_interarrival_expfit": QuerySpec(
         PL5.user_interarrival_expfit, PL5.EXPFIT_ORACLE
     ),
+    "ann_retrieval_matrix": QuerySpec(
+        PL5.ann_retrieval_matrix, PL5.ANN_MATRIX_ORACLE
+    ),
     "lsh_retrieval_metrics": QuerySpec(
         PL5.lsh_retrieval_metrics, PL5.IR_METRICS_ORACLE
     ),

@@ -603,3 +603,42 @@ def test_duplicate_payment_screen_shape(spark, sf_smoke):
         assert (out["closest_days"] <= PL5._DUP_WINDOW_DAYS).all()
         n = out["n_pairs"].to_numpy()
         assert (n[:-1] >= n[1:]).all()  # ordered by pair count desc
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from df_to_azure_spark.functions.similarity import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 7)],
+        "query_id long, neighbor_id long",
+    )
+    cand = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 5), (1, 3, 2), (2, 1, 8), (2, 2, 9), (2, 3, 10)],
+        "query_id long, rank int, neighbor_id long",
+    )
+    got = {
+        r.query_id: r for r in retrieval_metrics(truth, cand, k=3).collect()
+    }
+    r1 = got[1]
+    assert r1.n_rel == 2
+    assert abs(r1.recall_at_3 - 2 / 3) < 1e-12
+    assert r1.mrr == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert abs(r1.ndcg_at_3 - round(dcg / idcg, 6)) < 1e-12
+    r2 = got[2]
+    assert (r2.n_rel, r2.recall_at_3, r2.mrr, r2.ndcg_at_3) == (0, 0.0, 0.0, 0.0)
+
+
+def test_ann_retrieval_matrix_smoke(spark, sf_smoke):
+    from df_to_azure_spark.plans.pipeline5 import ann_retrieval_matrix
+
+    rows = ann_retrieval_matrix(spark, sf_smoke).collect()
+    variants = {r.variant for r in rows}
+    assert variants == {"lsh", "ivf"}
+    for r in rows:
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
