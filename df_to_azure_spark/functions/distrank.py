@@ -261,3 +261,58 @@ def ntile_from_rank(rank_col: str, total_col: str, buckets: int) -> Column:
         f"   ({n} % {b}) + ({rn} - 1 - ({n} % {b}) * ({n} DIV {b} + 1))"
         f"       DIV ({n} DIV {b}) + 1)"
     )
+
+
+def two_phase_cummin(
+    df: DataFrame,
+    order_by: Sequence[tuple[str, str]],
+    val_col: str,
+    out_col: str = "__cummin",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running MIN of ``val_col`` in ``order_by`` order —
+    the prefix-min sibling of ``two_phase_rank``, with the same
+    two-phase shape: range repartition pins a total order, one bounded
+    counting job takes each partition's min, the driver folds the
+    exclusive prefix-min per partition (≤ num_partitions values), and a
+    *partitioned* local window finishes the job — bit-identical to
+    ``MIN(val) OVER (ORDER BY ...)`` with no single-partition
+    WindowExec.
+
+    ``inclusive=False`` gives the EXCLUSIVE prefix
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``): the min of
+    all rows STRICTLY before the current one, NULL for the global first
+    row — the form dominance/skyline tests need.  ``order_by`` must be
+    a total order (add a unique tie-break) with non-null keys, same
+    contract as ``two_phase_rank``."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_part, *_sort_cols(order_by)).localCheckpoint()
+    withpid = ranged.withColumn("__pid", F.spark_partition_id())
+
+    per = withpid.groupBy("__pid").agg(F.min(val_col).alias("__pmin"))
+    stats = sorted(per.collect(), key=lambda r: r["__pid"])
+
+    val_t = {f.name: f.dataType for f in df.schema.fields}[val_col]
+    rows, run = [], None
+    for r in stats:
+        rows.append((r["__pid"], run))
+        if r["__pmin"] is not None and (run is None or r["__pmin"] < run):
+            run = r["__pmin"]
+    off_df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType()),
+                T.StructField("__minoff", val_t),
+            ]
+        ),
+    )
+
+    joined = withpid.join(F.broadcast(off_df), "__pid")
+    w = Window.partitionBy("__pid").orderBy(*_sort_cols(order_by))
+    lo, hi = Window.unboundedPreceding, (0 if inclusive else -1)
+    local = F.min(val_col).over(w.rowsBetween(lo, hi))
+    return joined.withColumn(
+        out_col, F.least(F.col("__minoff"), local)
+    ).drop("__pid", "__minoff")

@@ -22,6 +22,7 @@ from df_to_azure_spark.plans import pipeline2 as PL2
 from df_to_azure_spark.plans import pipeline3 as PL3
 from df_to_azure_spark.plans import pipeline4 as PL4
 from df_to_azure_spark.plans import pipeline5 as PL5
+from df_to_azure_spark.plans import pipeline6 as PL6
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -791,6 +792,18 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "duplicate_payment_screen": QuerySpec(
         PL5.duplicate_payment_screen, PL5.DUPLICATE_PAYMENT_ORACLE
+    ),
+    "daily_revenue_stl_lite": QuerySpec(
+        PL6.daily_revenue_stl_lite, PL6.STL_LITE_ORACLE
+    ),
+    "revenue_forecast_backtest": QuerySpec(
+        PL6.revenue_forecast_backtest, PL6.FORECAST_BACKTEST_ORACLE
+    ),
+    "brand_return_rate_wilson": QuerySpec(
+        PL6.brand_return_rate_wilson, PL6.WILSON_ORACLE
+    ),
+    "part_price_size_skyline": QuerySpec(
+        PL6.part_price_size_skyline, PL6.SKYLINE_ORACLE
     ),
 }
 
