@@ -565,7 +565,11 @@ def part_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle() -> str:
+def _lpa_label_body() -> tuple[str, str]:
+    """The WITH-body (edge build + unrolled LPA rounds) shared by the
+    community query and ``pipeline6.lpa_modularity``; returns
+    ``(body, final_label_cte_name)`` — ``edges`` is also in scope for
+    consumers."""
     from df_to_azure_spark.plans.pipeline2 import _PR_MAX_BASKET, _PR_MIN_SUPPORT
 
     rounds = []
@@ -587,8 +591,7 @@ m{i} AS (
     ON l.node = p.node
 )""")
         prev = f"l{i}"
-    return f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    body = f"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 sized AS (
   SELECT l_orderkey FROM li GROUP BY l_orderkey
   HAVING COUNT(*) <= {_PR_MAX_BASKET}
@@ -604,7 +607,14 @@ sized AS (
   UNION ALL SELECT pb AS src, pa AS dst FROM pairs
 ), l0 AS (
   SELECT DISTINCT src AS node, src AS label FROM edges
-),{",".join(rounds)}
+),{",".join(rounds)}"""
+    return body, prev
+
+
+def _lpa_oracle() -> str:
+    body, prev = _lpa_label_body()
+    return f"""
+WITH {body}
 SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(MIN(node) AS BIGINT) AS min_part,
        CAST(MAX(node) AS BIGINT) AS max_part

@@ -367,3 +367,414 @@ SELECT p_partkey, p_retailprice, p_size
 FROM part JOIN c ON p_retailprice = c.price
 WHERE p_size = msize AND (pre IS NULL OR pre > p_size)
 """
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA communities — partition quality in one number
+# --------------------------------------------------------------------------
+
+
+def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the ``part_lpa_communities`` partition
+    over the part co-purchase graph — the single quality number that
+    says whether a community structure is real (Q >> 0) or noise
+    (Q ~ 0), closing the loop the LPA query opens (Newman & Girvan
+    2004).
+
+    With the symmetric directed edge frame (2m directed edges),
+    ``Q = (sum_c intra2_c * M2 - sum_c deg_c^2) / M2^2`` — every term
+    an exact integer (DECIMAL(38,0) products so nothing wraps), ONE
+    double division at the end.  Scale shape: two label joins keyed on
+    node id, one community-keyed degree count, two 1-row aggregates;
+    the iteration inside is the audited ``label_propagation`` chain."""
+    from df_to_azure_spark.functions.graph import label_propagation
+    from df_to_azure_spark.plans.pipeline2 import _part_edges
+    from df_to_azure_spark.plans.pipeline5 import _LPA_ITERS
+
+    edges = _part_edges(spark, sf_dir).localCheckpoint()
+    labels = label_propagation(edges, _LPA_ITERS)
+    e = edges.join(
+        labels.select(F.col("node").alias("src"), F.col("label").alias("cl_s")),
+        "src",
+    ).join(
+        labels.select(F.col("node").alias("dst"), F.col("label").alias("cl_d")),
+        "dst",
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.expr(
+            "CAST(SUM(CASE WHEN cl_s = cl_d THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("intra2"),
+    )
+    sd = (
+        e.groupBy("cl_s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+        .agg(F.expr("SUM(CAST(dg AS DECIMAL(38,0)) * dg)").alias("sd2"))
+    )
+    nc = labels.agg(
+        F.expr("CAST(COUNT(DISTINCT label) AS BIGINT)").alias("n_communities")
+    )
+    return (
+        tot.crossJoin(F.broadcast(sd))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_communities",
+            F.expr("m2 DIV 2").alias("m_edges"),
+            F.expr(
+                "ROUND(CAST(CAST(intra2 AS DECIMAL(38,0)) * m2 - sd2"
+                "           AS DOUBLE)"
+                " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)"
+            ).alias("q_modularity"),
+        )
+    )
+
+
+def _lpa_modularity_oracle() -> str:
+    from df_to_azure_spark.plans.pipeline5 import _lpa_label_body
+
+    body, last = _lpa_label_body()
+    return f"""
+WITH {body},
+lab AS (SELECT node, label FROM {last}),
+e AS (
+  SELECT a.label AS cl_s, b.label AS cl_d
+  FROM edges JOIN lab a ON edges.src = a.node
+             JOIN lab b ON edges.dst = b.node
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(CASE WHEN cl_s = cl_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra2
+  FROM e
+), sd AS (
+  SELECT SUM(CAST(dg AS DECIMAL(38,0)) * dg) AS sd2
+  FROM (SELECT cl_s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY cl_s)
+), nc AS (
+  SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_communities FROM lab
+)
+SELECT n_communities, m2 // 2 AS m_edges,
+       ROUND(CAST(CAST(intra2 AS DECIMAL(38,0)) * m2 - sd2 AS DOUBLE)
+             / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) AS q_modularity
+FROM tot CROSS JOIN sd CROSS JOIN nc
+"""
+
+
+# --------------------------------------------------------------------------
+# HLL sketch algebra: period overlap via register max-merge
+# --------------------------------------------------------------------------
+
+_HLL_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def _hll_est(zsum: str, v_zero: str) -> str:
+    """The shared HLL estimate expression over a (zsum, v_zero) pair —
+    identical text in Spark and DuckDB (constants from
+    ``pipeline5.hll_distinct_users``)."""
+    from df_to_azure_spark.plans.pipeline5 import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE)"
+        f" / (CAST({zsum} AS DOUBLE) / CAST({1 << (_HLL_WBITS + 1)} AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN {raw} <= CAST({5 * _HLL_M // 2} AS DOUBLE)"
+        f" AND {v_zero} > 0"
+        f" THEN ROUND(CAST({_HLL_M} AS DOUBLE)"
+        f"      * LN(CAST({_HLL_M} AS DOUBLE) / CAST({v_zero} AS DOUBLE)), 6)"
+        f" ELSE ROUND({raw}, 6) END"
+    )
+
+
+def hll_period_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between two halves of the event stream
+    estimated ENTIRELY from HyperLogLog registers — the sketch-algebra
+    move that makes HLL the warehouse workhorse: per-period registers
+    max-MERGE into the union sketch without touching the data again,
+    and inclusion-exclusion gives the intersection
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)).  The exact overlap runs
+    alongside as the yardstick, same contract as
+    ``hll_distinct_users``.
+
+    Scale shape: one distinct shuffle keyed (period, user), constant
+    256-register state per period, register merge is a 256-row
+    aggregate; the portable estimate arithmetic is bit-reproducible
+    (integer rho thresholds, BIGINT harmonic sums, shared literals)."""
+    from df_to_azure_spark.plans.pipeline5 import _HLL_M, _HLL_WBITS, _rho_case
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            f"CASE WHEN ts < TIMESTAMP '{_HLL_SPLIT_TS}' THEN 1 ELSE 2 END"
+        ).alias("period"),
+        "user_id",
+    )
+    d = ev.distinct()
+    hb = d.select(
+        "period",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h48"),
+    ).select(
+        "period",
+        F.expr(f"h48 % {_HLL_M}").alias("bucket"),
+        F.expr(f"h48 DIV {_HLL_M}").alias("w"),
+    )
+    regs = hb.groupBy("period", "bucket").agg(
+        F.expr(f"MAX({_rho_case('w')})").alias("m_rho")
+    )
+    grid = (
+        spark.range(1, 3)
+        .select(F.col("id").cast("int").alias("period"))
+        .crossJoin(F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("bucket"))))
+    )
+    full = grid.join(regs, ["period", "bucket"], "left").select(
+        "period", "bucket", F.coalesce("m_rho", F.lit(0)).alias("m0")
+    )
+
+    def agg_est(frame: DataFrame, out: str) -> DataFrame:
+        per = frame.agg(
+            F.expr(
+                f"CAST(SUM(CAST(POWER(CAST(2 AS DOUBLE), {_HLL_WBITS + 1} - m0)"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("zsum"),
+            F.expr(
+                "CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_zero"),
+        )
+        return per.select(
+            F.expr(_hll_est("zsum", "v_zero")).alias(out)
+        )
+
+    e1 = agg_est(full.where("period = 1"), "est_p1")
+    e2 = agg_est(full.where("period = 2"), "est_p2")
+    eu = agg_est(
+        full.groupBy("bucket").agg(F.max("m0").alias("m0")), "est_union"
+    )
+    exact = (
+        d.groupBy("user_id")
+        .agg(
+            F.max(F.expr("CASE WHEN period = 1 THEN 1 ELSE 0 END")).alias("p1"),
+            F.max(F.expr("CASE WHEN period = 2 THEN 1 ELSE 0 END")).alias("p2"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_exact_overlap")
+        )
+    )
+    return (
+        e1.crossJoin(F.broadcast(e2))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_HLL_M).cast("bigint").alias("m"),
+            "est_p1",
+            "est_p2",
+            "est_union",
+            F.expr("ROUND(est_p1 + est_p2 - est_union, 6)").alias(
+                "est_overlap"
+            ),
+            "n_exact_overlap",
+            F.expr(
+                "ROUND((ROUND(est_p1 + est_p2 - est_union, 6)"
+                "       - CAST(n_exact_overlap AS DOUBLE))"
+                " / CAST(n_exact_overlap AS DOUBLE), 6)"
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _hll_overlap_oracle() -> str:
+    from df_to_azure_spark.plans.pipeline5 import _HLL_M, _HLL_WBITS, _rho_case
+
+    zexpr = (
+        f"CAST(SUM(CAST(POWER(CAST(2 AS DOUBLE), {_HLL_WBITS + 1} - m0)"
+        " AS BIGINT)) AS BIGINT)"
+    )
+    vexpr = "CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT DISTINCT
+         CASE WHEN ts < TIMESTAMP '{_HLL_SPLIT_TS}' THEN 1 ELSE 2 END
+           AS period,
+         user_id
+  FROM events
+), hb AS (
+  SELECT period,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h48
+  FROM d
+), split AS (
+  SELECT period, h48 % {_HLL_M} AS bucket, h48 // {_HLL_M} AS w FROM hb
+), regs AS (
+  SELECT period, bucket, MAX({_rho_case('w')}) AS m_rho
+  FROM split GROUP BY period, bucket
+), grid AS (
+  SELECT p.p AS period, b.range AS bucket
+  FROM (SELECT UNNEST([1, 2]) AS p) p, range({_HLL_M}) b
+), filled AS (
+  SELECT grid.period, grid.bucket, COALESCE(regs.m_rho, 0) AS m0
+  FROM grid LEFT JOIN regs
+    ON grid.period = regs.period AND grid.bucket = regs.bucket
+), s1 AS (
+  SELECT {zexpr} AS zsum, {vexpr} AS v_zero FROM filled WHERE period = 1
+), s2 AS (
+  SELECT {zexpr} AS zsum, {vexpr} AS v_zero FROM filled WHERE period = 2
+), su AS (
+  SELECT {zexpr} AS zsum, {vexpr} AS v_zero
+  FROM (SELECT bucket, MAX(m0) AS m0 FROM filled GROUP BY bucket)
+), e1 AS (SELECT {_hll_est('zsum', 'v_zero')} AS est_p1 FROM s1),
+e2 AS (SELECT {_hll_est('zsum', 'v_zero')} AS est_p2 FROM s2),
+eu AS (SELECT {_hll_est('zsum', 'v_zero')} AS est_union FROM su),
+exact AS (
+  SELECT CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_overlap
+  FROM (
+    SELECT user_id,
+           MAX(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS p1,
+           MAX(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS p2
+    FROM d GROUP BY user_id
+  )
+)
+SELECT CAST({_HLL_M} AS BIGINT) AS m, est_p1, est_p2, est_union,
+       ROUND(est_p1 + est_p2 - est_union, 6) AS est_overlap,
+       n_exact_overlap,
+       ROUND((ROUND(est_p1 + est_p2 - est_union, 6)
+              - CAST(n_exact_overlap AS DOUBLE))
+             / CAST(n_exact_overlap AS DOUBLE), 6) AS rel_err
+FROM e1 CROSS JOIN e2 CROSS JOIN eu CROSS JOIN exact
+"""
+
+
+# --------------------------------------------------------------------------
+# Market concentration: supplier HHI per part
+# --------------------------------------------------------------------------
+
+
+def part_supply_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each part's supply across
+    suppliers (quantity shares): ``HHI = Σ q_s² / (Σ q_s)²`` — 1.0 =
+    single-sourced, →0 = fragmented; the sourcing-risk screen
+    procurement runs next to ``part_abc_classification``.
+
+    Exactness: quantities are integral doubles in the data — cast to
+    BIGINT, so both sums are exact integers widened to DECIMAL(38,0)
+    products; ONE double division at the end.  Scale: two map-side-
+    combined aggregates keyed (part, supplier) then part — no joins,
+    no windows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr("CAST(SUM(qty) AS BIGINT)").alias("q_s")
+    )
+    return per_supp.groupBy("l_partkey").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_suppliers"),
+        F.expr("CAST(SUM(q_s) AS BIGINT)").alias("total_qty"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(q_s AS DECIMAL(38,0)) * q_s) AS DOUBLE)"
+            " / (CAST(SUM(q_s) AS DOUBLE) * CAST(SUM(q_s) AS DOUBLE)), 6)"
+        ).alias("hhi"),
+    )
+
+
+HHI_ORACLE = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_s
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(q_s) AS BIGINT) AS total_qty,
+       ROUND(CAST(SUM(CAST(q_s AS DECIMAL(38,0)) * q_s) AS DOUBLE)
+             / (CAST(SUM(q_s) AS DOUBLE) * CAST(SUM(q_s) AS DOUBLE)), 6)
+         AS hhi
+FROM per_supp GROUP BY l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day profile entropy per event type
+# --------------------------------------------------------------------------
+
+
+def event_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day profile — how
+    spread over the clock a type's activity is (ln(24) = uniform,
+    0 = single-hour spike) — plus the peak hour and its share: the
+    temporal fingerprint that separates organic usage from batch jobs
+    in an event stream.
+
+    Exactness: ``H = ln(N) − (Σ n_h·ln n_h)/N`` over the 24-bin
+    integer histogram; each per-bin ``n·ln n`` term rounds to 12
+    decimals into a DECIMAL(28,12) sum (order-free), LN appears once
+    per bin and once on N, ROUND(6) at the end; the peak hour is an
+    integer argmax with an explicit min-hour tie-break (no engine
+    arg_max semantics).  Scale: one (type, hour) aggregate with
+    map-side combine — the grid is 24 × |types|."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(hour(ts) AS INT)").alias("hr")
+    )
+    bins = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h")
+    )
+    per = bins.groupBy("event_type").agg(
+        F.expr("CAST(SUM(n_h) AS BIGINT)").alias("n"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hours"),
+        F.expr(
+            "SUM(CAST(ROUND(CAST(n_h AS DOUBLE) * LN(CAST(n_h AS DOUBLE)), 12)"
+            " AS DECIMAL(28,12)))"
+        ).alias("s_nlogn"),
+        F.max("n_h").alias("mx"),
+    )
+    peak = bins.join(
+        per.select("event_type", "mx"), "event_type"
+    ).where(F.col("n_h") == F.col("mx")).groupBy("event_type").agg(
+        F.min("hr").alias("peak_hour")
+    )
+    return per.join(peak, "event_type").select(
+        "event_type",
+        "n",
+        "n_hours",
+        "peak_hour",
+        F.expr(
+            "ROUND(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("peak_share"),
+        F.expr(
+            "ROUND(LN(CAST(n AS DOUBLE))"
+            " - CAST(s_nlogn AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("hour_entropy"),
+    )
+
+
+HOUR_ENTROPY_ORACLE = """
+WITH bins AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_h
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type,
+         CAST(SUM(n_h) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         SUM(CAST(ROUND(CAST(n_h AS DOUBLE) * LN(CAST(n_h AS DOUBLE)), 12)
+             AS DECIMAL(28,12))) AS s_nlogn,
+         MAX(n_h) AS mx
+  FROM bins GROUP BY event_type
+), peak AS (
+  SELECT bins.event_type, MIN(hr) AS peak_hour
+  FROM bins JOIN per ON bins.event_type = per.event_type AND n_h = mx
+  GROUP BY bins.event_type
+)
+SELECT per.event_type, n, n_hours, peak_hour,
+       ROUND(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS peak_share,
+       ROUND(LN(CAST(n AS DOUBLE))
+             - CAST(s_nlogn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS hour_entropy
+FROM per JOIN peak ON per.event_type = peak.event_type
+"""

@@ -805,6 +805,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_price_size_skyline": QuerySpec(
         PL6.part_price_size_skyline, PL6.SKYLINE_ORACLE
     ),
+    "lpa_modularity": QuerySpec(
+        PL6.lpa_modularity, PL6._lpa_modularity_oracle()
+    ),
+    "hll_period_overlap": QuerySpec(
+        PL6.hll_period_overlap, PL6._hll_overlap_oracle()
+    ),
+    "part_supply_hhi": QuerySpec(PL6.part_supply_hhi, PL6.HHI_ORACLE),
+    "event_hour_entropy": QuerySpec(
+        PL6.event_hour_entropy, PL6.HOUR_ENTROPY_ORACLE
+    ),
 }
 
 
