@@ -393,6 +393,13 @@ def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _part_edges(spark, sf_dir).localCheckpoint()
     labels = label_propagation(edges, _LPA_ITERS)
+    return _modularity(edges, labels)
+
+
+def _modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman Q of a (node, label) partition over a SYMMETRIC directed
+    edge frame — the exact-integer formula shared by ``lpa_modularity``
+    and the unit tests."""
     e = edges.join(
         labels.select(F.col("node").alias("src"), F.col("label").alias("cl_s")),
         "src",
@@ -777,4 +784,358 @@ SELECT per.event_type, n, n_hours, peak_hour,
              - CAST(s_nlogn AS DOUBLE) / CAST(n AS DOUBLE), 6)
          AS hour_entropy
 FROM per JOIN peak ON per.event_type = peak.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout with CUPED variance reduction
+# --------------------------------------------------------------------------
+
+_CUPED_SPLIT_DATE = "1996-01-01"
+
+
+def _cuped_output_exprs() -> list[str]:
+    """Output expressions over the 13-sum one-row frame (n_a..syy_b) —
+    IDENTICAL text in Spark and DuckDB, so the whole CUPED readout is
+    one shared formula over exact integer sums.  x = pre-period cents
+    (covariate), y = post-period cents (metric); population moments."""
+
+    def D(e: str) -> str:
+        return f"CAST({e} AS DOUBLE)"
+
+    n = f"({D('n_a')} + {D('n_b')})"
+    sx, sy = f"({D('sx_a + sx_b')})", f"({D('sy_a + sy_b')})"
+    sxy, sxx = f"({D('sxy_a + sxy_b')})", f"({D('sxx_a + sxx_b')})"
+    theta = (
+        f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+    )
+    out = []
+    parts = {}
+    for g in ("a", "b"):
+        ng = D(f"n_{g}")
+        xm = f"({D(f'sx_{g}')} / {ng})"
+        ym = f"({D(f'sy_{g}')} / {ng})"
+        madj = f"({ym} - {theta} * ({xm} - {sx} / {n}))"
+        vy = f"({D(f'syy_{g}')} / {ng} - {ym} * {ym})"
+        cv = f"({D(f'sxy_{g}')} / {ng} - {xm} * {ym})"
+        vx = f"({D(f'sxx_{g}')} / {ng} - {xm} * {xm})"
+        vadj = (
+            f"({vy} - CAST(2 AS DOUBLE) * {theta} * {cv}"
+            f" + {theta} * {theta} * {vx})"
+        )
+        parts[g] = {"ym": ym, "madj": madj, "vy": vy, "vadj": vadj, "n": ng}
+    a, b = parts["a"], parts["b"]
+    c100 = "CAST(100 AS DOUBLE)"
+    diff_raw = f"(({b['ym']} - {a['ym']}) / {c100})"
+    diff_cuped = f"(({b['madj']} - {a['madj']}) / {c100})"
+    se = (
+        f"SQRT({a['vadj']} / {a['n']} + {b['vadj']} / {b['n']})"
+    )
+    z = f"(({b['madj']} - {a['madj']}) / {se})"
+    vred = (
+        f"(CAST(1 AS DOUBLE) - ({a['vadj']} + {b['vadj']})"
+        f" / ({a['vy']} + {b['vy']}))"
+    )
+    out.append("CAST(n_a AS BIGINT) AS n_a")
+    out.append("CAST(n_b AS BIGINT) AS n_b")
+    out.append(f"ROUND({diff_raw}, 6) AS diff_raw")
+    out.append(f"ROUND({theta}, 6) AS theta")
+    out.append(f"ROUND({diff_cuped}, 6) AS diff_cuped")
+    out.append(f"ROUND({z}, 6) AS z_cuped")
+    out.append(f"ROUND({vred}, 6) AS var_reduction")
+    return out
+
+
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al., WSDM 2013): customers hash-split 50/50 into arms (md5 parity —
+    deterministic, engine-portable), the metric is post-period revenue,
+    the covariate is the SAME customer's pre-period revenue, and the
+    CUPED-adjusted difference ``ȳ_g − θ(x̄_g − x̄)`` cancels the
+    between-customer variance the covariate explains — the standard
+    trick that makes flat experiments readable.  Reported: raw and
+    adjusted lift, pooled θ, the z statistic on the adjusted means, and
+    the achieved variance reduction.
+
+    Exactness: per-customer pre/post revenues are integer cents from
+    ONE conditional scan; the 12 per-arm sufficient sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) widen to DECIMAL(38,0) BEFORE summing; every output
+    is one shared double formula over those sums (``_cuped_output_
+    exprs`` — byte-identical text in both engines), SQRT the only
+    transcendental.  Scale: one customer-keyed aggregate, one 13-sum
+    global aggregate — nothing data-sized past the first shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                f"CASE WHEN CAST(o_orderdate AS DATE)"
+                f" < DATE '{_CUPED_SPLIT_DATE}'"
+                " THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("pre_c"),
+            F.expr(
+                f"CASE WHEN CAST(o_orderdate AS DATE)"
+                f" >= DATE '{_CUPED_SPLIT_DATE}'"
+                " THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("post_c"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(SUM(pre_c) AS BIGINT)").alias("x"),
+            F.expr("CAST(SUM(post_c) AS BIGINT)").alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 4),"
+                " 16, 10) AS INT) % 2"
+            ),
+        )
+    )
+    sums = []
+    for g, arm in (("a", 0), ("b", 1)):
+        c = f"CASE WHEN arm = {arm} THEN"
+        sums += [
+            F.expr(f"SUM({c} 1 ELSE 0 END)").alias(f"n_{g}"),
+            F.expr(
+                f"SUM({c} CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias(f"sx_{g}"),
+            F.expr(
+                f"SUM({c} CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias(f"sy_{g}"),
+            F.expr(
+                f"SUM({c} CAST(x AS DECIMAL(38,0)) * y ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias(f"sxy_{g}"),
+            F.expr(
+                f"SUM({c} CAST(x AS DECIMAL(38,0)) * x ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias(f"sxx_{g}"),
+            F.expr(
+                f"SUM({c} CAST(y AS DECIMAL(38,0)) * y ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias(f"syy_{g}"),
+        ]
+    wide = per_cust.agg(*sums)
+    return wide.selectExpr(*_cuped_output_exprs())
+
+
+def _cuped_oracle() -> str:
+    sums = []
+    for g, arm in (("a", 0), ("b", 1)):
+        c = f"CASE WHEN arm = {arm} THEN"
+        z0 = "CAST(0 AS DECIMAL(38,0))"
+        sums += [
+            f"SUM({c} 1 ELSE 0 END) AS n_{g}",
+            f"SUM({c} CAST(x AS DECIMAL(38,0)) ELSE {z0} END) AS sx_{g}",
+            f"SUM({c} CAST(y AS DECIMAL(38,0)) ELSE {z0} END) AS sy_{g}",
+            f"SUM({c} CAST(x AS DECIMAL(38,0)) * y ELSE {z0} END) AS sxy_{g}",
+            f"SUM({c} CAST(x AS DECIMAL(38,0)) * x ELSE {z0} END) AS sxx_{g}",
+            f"SUM({c} CAST(y AS DECIMAL(38,0)) * y ELSE {z0} END) AS syy_{g}",
+        ]
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                            < DATE '{_CUPED_SPLIT_DATE}'
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                            >= DATE '{_CUPED_SPLIT_DATE}'
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+              AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+), armed AS (
+  SELECT x, y,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))::INTEGER % 2
+           AS arm
+  FROM per_cust
+), wide AS (
+  SELECT {", ".join(sums)} FROM armed
+)
+SELECT {", ".join(_cuped_output_exprs())} FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# Fuzzy-dedup validation: edit distance inside LSH candidate buckets
+# --------------------------------------------------------------------------
+
+_ED_PREFIX = 200      # chars of text scored (bounds the DP cost per pair)
+_ED_MAX_DIST = 60
+
+
+def lsh_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the MinHash-LSH candidate pairs:
+    every banded candidate (``dedup.minhash_lsh_pairs``, est. Jaccard ≥
+    0.3) is re-scored with the EXACT Levenshtein distance of the two
+    documents' first ``_ED_PREFIX`` characters — the
+    character-level confirmation pass a fuzzy-dedup pipeline runs when
+    shingle Jaccard alone is too coarse (transpositions, small edits).
+
+    Scale shape: the quadratic work is bounded twice over — candidate
+    generation is the audited banded LSH join (never all-pairs), and
+    the DP cost per pair is capped by the prefix length, a constant.
+    ``levenshtein`` is the classic unit-cost DP in both engines —
+    byte-identical on this corpus, so the pair list is strict-oracle-
+    checkable.  Output: (id_a, id_b, est_jaccard, edit_dist ≤
+    ``_ED_MAX_DIST``)."""
+    from df_to_azure_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_n=3, threshold=0.3
+    )
+    pref = docs.select(
+        "doc_id", F.expr(f"substring(text, 1, {_ED_PREFIX})").alias("pref")
+    )
+    return (
+        pairs.join(
+            pref.select(
+                F.col("doc_id").alias("id_a"), F.col("pref").alias("pref_a")
+            ),
+            "id_a",
+        )
+        .join(
+            pref.select(
+                F.col("doc_id").alias("id_b"), F.col("pref").alias("pref_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.expr("CAST(levenshtein(pref_a, pref_b) AS INT)").alias(
+                "edit_dist"
+            ),
+        )
+        .where(F.col("edit_dist") <= _ED_MAX_DIST)
+    )
+
+
+def _edit_distance_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import _minhash_oracle
+
+    return f"""
+WITH cand AS ({_minhash_oracle()}),
+pref AS (
+  SELECT doc_id, substring(text, 1, {_ED_PREFIX}) AS pref FROM documents
+)
+SELECT id_a, id_b, est_jaccard,
+       CAST(levenshtein(a.pref, b.pref) AS INT) AS edit_dist
+FROM cand JOIN pref a ON cand.id_a = a.doc_id
+          JOIN pref b ON cand.id_b = b.doc_id
+WHERE CAST(levenshtein(a.pref, b.pref) AS INT) <= {_ED_MAX_DIST}
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding drift: per-source centroid cosine matrix
+# --------------------------------------------------------------------------
+
+
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity of the per-source embedding CENTROIDS
+    — the drift matrix that tells a corpus owner which sources occupy
+    the same embedding region (redundant) and which are outliers
+    (distribution shift), the aggregate-level companion to the
+    per-vector ANN family.
+
+    Exactness: float components cast to DOUBLE and ROUND-12 into
+    DECIMAL(28,12) per-dimension sums (order-free — a plain float SUM
+    would depend on partitioning), centroid means are one double
+    division per dimension, and the pairwise dot/norm sums over the
+    bounded dimension count use the same ROUND-12 DECIMAL device; SQRT
+    twice per pair, ROUND(6) at the end.  Scale: one (source, dim)
+    aggregate with map-side combine (the only data-sized stage), then
+    a |sources|²-bounded self-join on the tiny centroid frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", "embedding"
+    )
+    comp = j.select(
+        "source", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = comp.groupBy("source", "pos").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 12) AS DECIMAL(28,12)))"
+            " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("m")
+    )
+    norms = cent.groupBy("source").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(m * m, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+        ).alias("n2")
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "pos", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "pos", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(ma * mb, 12) AS DECIMAL(28,12)))"
+                " AS DOUBLE)"
+            ).alias("dot")
+        )
+    )
+    return (
+        dots.join(
+            norms.select(F.col("source").alias("source_a"), F.col("n2").alias("na")),
+            "source_a",
+        )
+        .join(
+            norms.select(F.col("source").alias("source_b"), F.col("n2").alias("nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("ROUND(dot / (SQRT(na) * SQRT(nb)), 6)").alias("cos_sim"),
+        )
+    )
+
+
+CENTROID_SIM_ORACLE = """
+WITH j AS (
+  SELECT source, embedding
+  FROM embeddings JOIN documents ON vec_id = doc_id
+), comp AS (
+  SELECT source, p - 1 AS pos, CAST(embedding[p] AS DOUBLE) AS v
+  FROM (SELECT source, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS p
+        FROM j)
+), cent AS (
+  SELECT source, pos,
+         CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 12) AS DECIMAL(28,12)))
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM comp GROUP BY source, pos
+), norms AS (
+  SELECT source,
+         CAST(SUM(CAST(ROUND(m * m, 12) AS DECIMAL(28,12))) AS DOUBLE) AS n2
+  FROM cent GROUP BY source
+), dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CAST(ROUND(a.m * b.m, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cos_sim
+FROM dots JOIN norms na ON dots.source_a = na.source
+          JOIN norms nb ON dots.source_b = nb.source
 """

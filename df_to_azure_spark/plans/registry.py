@@ -815,6 +815,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_hour_entropy": QuerySpec(
         PL6.event_hour_entropy, PL6.HOUR_ENTROPY_ORACLE
     ),
+    "ab_test_cuped": QuerySpec(PL6.ab_test_cuped, PL6._cuped_oracle()),
+    "lsh_edit_distance_pairs": QuerySpec(
+        PL6.lsh_edit_distance_pairs, PL6._edit_distance_oracle()
+    ),
+    "source_centroid_similarity": QuerySpec(
+        PL6.source_centroid_similarity, PL6.CENTROID_SIM_ORACLE
+    ),
 }
 
 

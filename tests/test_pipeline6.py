@@ -1,0 +1,300 @@
+"""Unit tests for the pipeline6 wave: STL-lite reconstruction, forecast
+backtest vs pandas, Wilson CI vs the direct formula, skyline vs brute
+force, modularity on a hand-built graph, HHI / hour-entropy / CUPED /
+centroid-similarity vs numpy replays, HLL overlap error bound, and the
+edit-distance pairs vs a reference Levenshtein."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.plans import pipeline6 as PL6
+
+
+def test_stl_lite_reconstructs_series(spark, sf_smoke):
+    out = PL6.daily_revenue_stl_lite(spark, sf_smoke).toPandas()
+    interior = out[out["trend"].notna()]
+    assert len(interior) > 0
+    # trend + seasonal + resid == rev (to the rounding grain)
+    recon = interior["trend"] + interior["seasonal"] + interior["resid"]
+    assert np.allclose(recon, interior["rev"], atol=2e-6)
+    # edge days (first/last 3 of the grid) have no trend
+    d = out["d"]
+    edges = out[(d < d.min() + 3) | (d > d.max() - 3)]
+    assert edges["trend"].isna().all()
+
+
+def test_forecast_backtest_matches_pandas(spark, sf_smoke):
+    out = (
+        PL6.revenue_forecast_backtest(spark, sf_smoke)
+        .toPandas()
+        .set_index("model")
+    )
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    days = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1992-01-01")
+    ).dt.days
+    cents = (
+        orders.assign(d=days, c=(orders["o_totalprice"].round(2) * 100))
+        .groupby("d")["c"]
+        .sum()
+        .round()
+        .astype("int64")
+    )
+    for lag, name in ((1, "naive"), (7, "seasonal_naive")):
+        pred = cents.reindex(cents.index - lag)
+        mask = pred.notna().to_numpy()
+        e = cents.to_numpy()[mask] - pred.to_numpy()[mask]
+        act = cents.to_numpy()[mask]
+        assert out.loc[name, "n_days"] == mask.sum()
+        assert out.loc[name, "mae"] == pytest.approx(
+            np.abs(e).mean() / 100, abs=1e-5
+        )
+        assert out.loc[name, "rmse"] == pytest.approx(
+            math.sqrt((e.astype(float) ** 2).mean()) / 100, rel=1e-6
+        )
+        assert out.loc[name, "mape"] == pytest.approx(
+            (np.abs(e) / act).mean(), abs=1e-5
+        )
+
+
+def test_wilson_interval_matches_direct_formula(spark, sf_smoke):
+    rows = PL6.brand_return_rate_wilson(spark, sf_smoke).collect()
+    assert rows
+    z, z2 = 1.96, 3.8416
+    for r in rows:
+        p = r.returns / r.n
+        denom = 1 + z2 / r.n
+        center = (p + z2 / (2 * r.n)) / denom
+        half = z * math.sqrt(p * (1 - p) / r.n + z2 / (4 * r.n**2)) / denom
+        assert r.return_rate == pytest.approx(p, abs=1e-6)
+        assert r.wilson_lo == pytest.approx(center - half, abs=1e-6)
+        assert r.wilson_hi == pytest.approx(center + half, abs=1e-6)
+        assert r.wilson_lo <= r.return_rate <= r.wilson_hi
+
+
+def _brute_skyline(points):
+    out = []
+    for i, (pa, sa) in enumerate(points):
+        dominated = any(
+            (pb <= pa and sb <= sa and (pb < pa or sb < sa))
+            for j, (pb, sb) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append(i)
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    import random
+
+    from df_to_azure_spark.functions.distrank import two_phase_cummin
+
+    rng = random.Random(17)
+    pts = [(round(rng.uniform(1, 100), 2), rng.randint(1, 50)) for _ in range(300)]
+    pts += [pts[5], pts[10]]  # exact duplicates: all copies must survive
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(pts)],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    g = df.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("msize")
+    )
+    pre = two_phase_cummin(
+        g, [("price", "asc")], "msize", out_col="pre", inclusive=False
+    )
+    got = sorted(
+        r.p_partkey
+        for r in df.join(pre, df.p_retailprice == pre.price)
+        .where(
+            (F.col("p_size") == F.col("msize"))
+            & (F.col("pre").isNull() | (F.col("pre") > F.col("p_size")))
+        )
+        .collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_modularity_two_cliques(spark):
+    # two disjoint triangles, labels = the cliques: e_c = 3 each, m = 6,
+    # d_c = 6 each -> Q = 2 * (3/6 - (6/12)^2) = 0.5
+    und = [(1, 2), (1, 3), (2, 3), (11, 12), (11, 13), (12, 13)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src LONG, dst LONG"
+    )
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 11) for n in (11, 12, 13)],
+        "node LONG, label LONG",
+    )
+    row = PL6._modularity(edges, labels).collect()[0]
+    assert row.n_communities == 2
+    assert row.m_edges == 6
+    assert row.q_modularity == pytest.approx(0.5, abs=1e-9)
+    # everything in ONE community -> Q = 1 - 1 = 0
+    one = labels.select("node", F.lit(1).alias("label"))
+    assert PL6._modularity(edges, one).collect()[0].q_modularity == 0.0
+
+
+def test_hll_overlap_within_error_bound(spark, sf_oracle):
+    row = PL6.hll_period_overlap(spark, sf_oracle).collect()[0]
+    assert row.m == 256
+    # overlap is a difference of three ~6.5%-error estimates; allow a
+    # generous compound bound relative to the exact overlap
+    assert abs(row.est_overlap - row.n_exact_overlap) < max(
+        0.5 * row.n_exact_overlap, 50
+    )
+
+
+def test_hhi_matches_pandas(spark, sf_smoke):
+    out = (
+        PL6.part_supply_hhi(spark, sf_smoke)
+        .toPandas()
+        .set_index("l_partkey")
+        .sort_index()
+    )
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    q = (
+        li.assign(qty=li["l_quantity"].astype("int64"))
+        .groupby(["l_partkey", "l_suppkey"])["qty"]
+        .sum()
+    )
+    ref = q.groupby("l_partkey").agg(
+        n_suppliers="size",
+        total="sum",
+        sq=lambda s: (s.astype(float) ** 2).sum(),
+    )
+    ref["hhi"] = ref["sq"] / ref["total"].astype(float) ** 2
+    ref = ref.sort_index()
+    assert (out["n_suppliers"] == ref["n_suppliers"]).all()
+    assert (out["total_qty"] == ref["total"]).all()
+    assert out["hhi"].to_numpy() == pytest.approx(
+        ref["hhi"].to_numpy(), abs=1e-5
+    )
+    assert (out["hhi"] <= 1.0 + 1e-9).all()
+
+
+def test_hour_entropy_matches_python(spark, sf_smoke):
+    out = {
+        r.event_type: r
+        for r in PL6.event_hour_entropy(spark, sf_smoke).collect()
+    }
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    hrs = pd.to_datetime(ev["ts"]).dt.hour
+    for t, grp in hrs.groupby(ev["event_type"]):
+        counts = grp.value_counts()
+        n = len(grp)
+        h = math.log(n) - sum(c * math.log(c) for c in counts) / n
+        r = out[t]
+        assert r.n == n
+        assert r.n_hours == len(counts)
+        assert r.hour_entropy == pytest.approx(h, abs=1e-6)
+        mx = counts.max()
+        assert r.peak_hour == min(counts[counts == mx].index)
+        assert r.peak_share == pytest.approx(mx / n, abs=1e-6)
+        assert r.hour_entropy <= math.log(24) + 1e-9
+
+
+def test_cuped_matches_numpy(spark, sf_smoke):
+    row = PL6.ab_test_cuped(spark, sf_smoke).collect()[0]
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    import hashlib
+
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    pre_mask = pd.to_datetime(orders["o_orderdate"]) < pd.Timestamp(
+        PL6._CUPED_SPLIT_DATE
+    )
+    per = pd.DataFrame(
+        {
+            "cust": orders["o_custkey"],
+            "x": cents.where(pre_mask, 0),
+            "y": cents.where(~pre_mask, 0),
+        }
+    ).groupby("cust").sum()
+    arm = per.index.map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 2
+    )
+    x, y = per["x"].to_numpy(float), per["y"].to_numpy(float)
+    n = len(x)
+    theta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    xbar = x.mean()
+    stats = {}
+    for g, a in (("a", 0), ("b", 1)):
+        xs, ys = x[arm == a], y[arm == a]
+        madj = ys.mean() - theta * (xs.mean() - xbar)
+        adj = ys - theta * xs
+        stats[g] = (len(xs), ys.mean(), madj, adj.var())
+    assert row.n_a == stats["a"][0] and row.n_b == stats["b"][0]
+    assert row.theta == pytest.approx(theta, abs=1e-6)
+    assert row.diff_raw == pytest.approx(
+        (stats["b"][1] - stats["a"][1]) / 100, abs=1e-5
+    )
+    assert row.diff_cuped == pytest.approx(
+        (stats["b"][2] - stats["a"][2]) / 100, abs=1e-5
+    )
+    se = math.sqrt(
+        stats["a"][3] / stats["a"][0] + stats["b"][3] / stats["b"][0]
+    )
+    assert row.z_cuped == pytest.approx(
+        (stats["b"][2] - stats["a"][2]) / se, abs=1e-4
+    )
+    assert 0.0 <= row.var_reduction <= 1.0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_smoke(spark, sf_smoke):
+    rows = PL6.lsh_edit_distance_pairs(spark, sf_smoke).collect()
+    docs = {
+        r.doc_id: r.text[: PL6._ED_PREFIX]
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert rows, "sf0.001 contains planted near-duplicates"
+    for r in rows[:20]:
+        assert r.edit_dist == _lev(docs[r.id_a], docs[r.id_b])
+        assert r.edit_dist <= PL6._ED_MAX_DIST
+
+
+def test_centroid_similarity_matches_numpy(spark, sf_smoke):
+    out = {
+        (r.source_a, r.source_b): r.cos_sim
+        for r in PL6.source_centroid_similarity(spark, sf_smoke).collect()
+    }
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")[
+        ["doc_id", "source"]
+    ]
+    j = emb.merge(docs, left_on="vec_id", right_on="doc_id")
+    cents = {
+        s: np.vstack(g["embedding"].to_numpy()).astype(float).mean(axis=0)
+        for s, g in j.groupby("source")
+    }
+    srcs = sorted(cents)
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            ref = float(
+                cents[a] @ cents[b]
+                / (np.linalg.norm(cents[a]) * np.linalg.norm(cents[b]))
+            )
+            assert out[(a, b)] == pytest.approx(ref, abs=1e-5), (a, b)
