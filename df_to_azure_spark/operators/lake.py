@@ -275,6 +275,36 @@ class ParquetLake:
         merged = upsert_frames(df, existing, keys)
         self._swap_in(merged, table, partition_by=parts or None)
 
+    def delete(
+        self,
+        table: str,
+        keys_df: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Keyed row deletion — the right-to-be-forgotten / retraction
+        primitive the lake needs next to ``upsert``: rows whose key
+        tuple appears in ``keys_df`` are removed via a LEFT ANTI join
+        and the result snapshot-swaps in (same crash contract as
+        ``_swap_in``; the hive partition layout is preserved the same
+        way ``upsert`` preserves it).  Returns the number of rows
+        deleted — the audit count a compliance log records.
+
+        Scale shape: the anti join is a broadcast when the key set is
+        small (the common GDPR case — Spark picks it by size), else a
+        shuffled hash join; either way one pass over the table.  NULLs
+        in ``keys_df`` keys never match (SQL join semantics), so NULL
+        keys cannot mass-delete rows."""
+        spark = keys_df.sparkSession
+        existing = self.read(table)
+        parts = partition_by or self.partition_columns(table)
+        k = keys_df.select(*keys).dropDuplicates(keys)
+        kept = existing.join(k, keys, "left_anti")
+        n_before = existing.count()
+        n_kept = kept.count()
+        self._swap_in(kept, table, partition_by=parts or None)
+        return n_before - n_kept
+
     def upsert_partitioned(
         self,
         df: DataFrame,

@@ -305,6 +305,32 @@ def _rho_case(w: str) -> str:
     return f"CASE {branches} ELSE {_HLL_WBITS + 1} END"
 
 
+def hll_registers(
+    d: DataFrame, key: str = "event_type", item: str = "user_id"
+) -> DataFrame:
+    """``(key, bucket, m_rho)`` HLL register frame — the md5 48-bit
+    hash → bucket/word split and per-bucket MAX rho.  Register inserts
+    are IDEMPOTENT (MAX absorbs duplicates), so the input needs no
+    ``distinct()`` — the property that lets the streaming twin
+    (``streaming.stateful.stream_hll_diff``) maintain the identical
+    registers as a plain streaming MAX aggregation with no
+    dedup/watermark state."""
+    hb = d.select(
+        key,
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({item} AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h48"),
+    ).select(
+        key,
+        F.expr(f"h48 % {_HLL_M}").alias("bucket"),
+        F.expr(f"h48 DIV {_HLL_M}").alias("w"),
+    )
+    return hb.groupBy(key, "bucket").agg(
+        F.expr(f"MAX({_rho_case('w')})").alias("m_rho")
+    )
+
+
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type by a PORTABLE HyperLogLog — the
     register-level sketch (md5 48-bit hash → 8-bit bucket, 40-bit word,
@@ -328,20 +354,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
         .distinct()
     )
-    hb = d.select(
-        "event_type",
-        F.expr(
-            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10)"
-            " AS BIGINT)"
-        ).alias("h48"),
-    ).select(
-        "event_type",
-        F.expr(f"h48 % {_HLL_M}").alias("bucket"),
-        F.expr(f"h48 DIV {_HLL_M}").alias("w"),
-    )
-    regs = hb.groupBy("event_type", "bucket").agg(
-        F.expr(f"MAX({_rho_case('w')})").alias("m_rho")
-    )
+    regs = hll_registers(d)
     buckets = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
     grid = d.select("event_type").distinct().crossJoin(F.broadcast(buckets))
     full = grid.join(regs, ["event_type", "bucket"], "left").select(

@@ -1139,3 +1139,98 @@ SELECT source_a, source_b,
 FROM dots JOIN norms na ON dots.source_a = na.source
           JOIN norms nb ON dots.source_b = nb.source
 """
+
+
+# --------------------------------------------------------------------------
+# Contrastive training data: hard-negative mining across sources
+# --------------------------------------------------------------------------
+
+_HN_K = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each anchor vector,
+    the ``_HN_K`` most-similar vectors from a DIFFERENT source — the
+    near-misses that teach an embedding model the boundary (a random
+    negative is trivially far; the hard ones are what curriculum
+    actually needs).  Anchors are the fixed query batch the ANN family
+    shares (vec_id < 5).
+
+    Plan shape: the source label joins onto the corpus once, anchors
+    broadcast into a nest-loop cosine scan with the cross-source filter
+    applied BEFORE the rank window (so the window ranks only true
+    candidates), per-anchor top-k.  Same broadcast-bounded contract as
+    ``knn_topk``; the source filter is a map-side predicate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window as W
+
+    from df_to_azure_spark.functions.similarity import (
+        _as_double,
+        _spread,
+        cosine,
+    )
+
+    v = _spread(emb.join(docs, emb.vec_id == docs.doc_id)).select(
+        "vec_id", "source", _as_double("embedding").alias("cv")
+    )
+    q = v.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("source").alias("q_source"),
+        F.col("cv").alias("qv"),
+    )
+    scored = (
+        v.join(F.broadcast(q))
+        .where(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("source") != F.col("q_source"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("source").alias("neighbor_source"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _HN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "neighbor_source",
+            "cos_sim",
+        )
+    )
+
+
+def _hard_negative_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import _COS
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, source,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings JOIN documents ON vec_id = doc_id
+), q AS (
+  SELECT vec_id AS query_id, source AS q_source, cv AS qv
+  FROM v WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id, v.source AS neighbor_source,
+         {_COS} AS cos_sim
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> query_id AND v.source <> q_source
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, neighbor_source,
+       cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_HN_K}
+"""

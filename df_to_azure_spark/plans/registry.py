@@ -160,6 +160,18 @@ def _stream_cms_oracle() -> str:
     return STREAM_CMS_DIFF_ORACLE
 
 
+def _stream_hll_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import stream_hll_diff
+
+    return stream_hll_diff(spark, sf_dir)
+
+
+def _stream_hll_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import STREAM_HLL_DIFF_ORACLE
+
+    return STREAM_HLL_DIFF_ORACLE
+
+
 def _stream_sessionize_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.stateful import stream_sessionize_diff
 
@@ -763,6 +775,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_cms_diff": QuerySpec(
         _stream_cms_diff, _stream_cms_oracle()
     ),
+    "stream_hll_diff": QuerySpec(
+        _stream_hll_diff, _stream_hll_oracle()
+    ),
     "cohort_ltv_curve": QuerySpec(
         PL5.cohort_ltv_curve, PL5.COHORT_LTV_ORACLE
     ),
@@ -821,6 +836,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "source_centroid_similarity": QuerySpec(
         PL6.source_centroid_similarity, PL6.CENTROID_SIM_ORACLE
+    ),
+    "hard_negative_mining": QuerySpec(
+        PL6.hard_negative_mining, PL6._hard_negative_oracle()
     ),
 }
 

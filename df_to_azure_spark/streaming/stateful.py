@@ -606,3 +606,75 @@ SELECT CAST(NULL AS INT) AS i, CAST(NULL AS BIGINT) AS pos,
        CAST(NULL AS BIGINT) AS stream_cnt, CAST(NULL AS BIGINT) AS batch_cnt
 WHERE 1 = 0
 """
+
+
+def stream_hll_diff(spark, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the portable HyperLogLog registers:
+    build the exact same (event_type, bucket, m_rho) register frame as
+    the batch ``plans.pipeline5.hll_registers`` through a Structured
+    Streaming MAX aggregation (complete mode), then full-outer-diff the
+    final snapshot against the batch registers.  Expected EMPTY.
+
+    The twin needs NO dedup or watermark: HLL register insertion is
+    idempotent (MAX over any duplicate arrivals of a user is the same
+    register) — the mergeability that makes HLL the sketch a 100 TB
+    ingest maintains incrementally; state is |types| × 256 integers,
+    constant in stream length."""
+    from df_to_azure_spark.plans.pipeline5 import hll_registers
+    from df_to_azure_spark.sources import load_table
+
+    events_schema = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet"
+    ).schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(events_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    q = (
+        hll_registers(raw.select("event_type", "user_id"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT event_type, bucket, m_rho FROM hll_regs_out")
+    batch = hll_registers(
+        load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    )
+    s = streamed.select(
+        F.col("event_type").alias("st"), F.col("bucket").alias("sb"),
+        F.col("m_rho").alias("sr"),
+    )
+    b = batch.select(
+        F.col("event_type").alias("bt"), F.col("bucket").alias("bb"),
+        F.col("m_rho").alias("br"),
+    )
+    joined = s.join(
+        b, (F.col("st") == F.col("bt")) & (F.col("sb") == F.col("bb")), "full"
+    )
+    return (
+        joined.where(
+            F.col("st").isNull()
+            | F.col("bt").isNull()
+            | (F.col("sr") != F.col("br"))
+        )
+        .select(
+            F.coalesce("st", "bt").alias("event_type"),
+            F.coalesce("sb", "bb").cast("bigint").alias("bucket"),
+            F.col("sr").cast("int").alias("stream_rho"),
+            F.col("br").cast("int").alias("batch_rho"),
+        )
+    )
+
+
+STREAM_HLL_DIFF_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS bucket,
+       CAST(NULL AS INT) AS stream_rho, CAST(NULL AS INT) AS batch_rho
+WHERE 1 = 0
+"""

@@ -280,3 +280,40 @@ def test_rows_written_rides_the_write_job(spark, tmp_path):
     assert rows_off == 0
     assert rows_on == 500
     assert jobs_on == jobs_off, (jobs_on, jobs_off)
+
+
+def test_delete_removes_only_keyed_rows(spark, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path))
+    lake.create(sample_1(spark), "t")
+    keys = spark.createDataFrame([(1,), (4,), (99,)], ["col_a"])
+    n = lake.delete("t", keys, ["col_a"])
+    assert n == 2  # key 99 matches nothing
+    left = {r.col_a for r in lake.read("t").collect()}
+    assert left == {3}
+    # deleting again is a no-op
+    assert lake.delete("t", keys, ["col_a"]) == 0
+
+
+def test_delete_null_keys_never_match(spark, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path))
+    lake.create(sample_1(spark), "t")
+    keys = spark.createDataFrame([(None,)], "col_a: int")
+    assert lake.delete("t", keys, ["col_a"]) == 0
+    assert lake.read("t").count() == 3
+
+
+def test_delete_preserves_partition_layout(spark, tmp_path):
+    import os
+
+    lake = ParquetLake(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")],
+        ["id", "lang", "v"],
+    )
+    lake.create(df, "t", partition_by=["lang"])
+    keys = spark.createDataFrame([(2,)], ["id"])
+    assert lake.delete("t", keys, ["id"]) == 1
+    assert sorted(
+        d for d in os.listdir(lake.data_dir("t")) if d.startswith("lang=")
+    ) == ["lang=a", "lang=b"]
+    assert {r.id for r in lake.read("t").collect()} == {1, 3}
