@@ -1234,3 +1234,527 @@ FROM (
 )
 WHERE rank <= {_HN_K}
 """
+
+
+# --------------------------------------------------------------------------
+# STL strength measures (Wang, Hyndman & Smith 2006)
+# --------------------------------------------------------------------------
+
+
+def stl_strength_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonality STRENGTH of the daily revenue series —
+    ``F_T = max(0, 1 − Var(R)/Var(T+R))`` and
+    ``F_S = max(0, 1 − Var(R)/Var(S+R))`` over the STL-lite components
+    (Wang, Hyndman & Smith 2006; the two numbers the feature-based
+    forecasting literature extracts from every series before model
+    selection) — one aggregate over ``daily_revenue_stl_lite``'s
+    interior days.
+
+    Exactness: the components are already ROUND(6) doubles; their
+    variance sums accumulate per-term ROUND-12 into DECIMAL(38,12)
+    (wide integer part — squared daily revenues) so the population
+    variances are aggregation-order-free; the final ratios are fixed
+    double expressions.  Scale: inherits the day-domain bound."""
+
+    def var_exprs(x: str, p: str) -> list:
+        return [
+            F.expr(
+                f"SUM(CAST(ROUND({x}, 12) AS DECIMAL(38,12)))"
+            ).alias(f"s_{p}"),
+            F.expr(
+                f"SUM(CAST(ROUND(({x}) * ({x}), 12) AS DECIMAL(38,12)))"
+            ).alias(f"ss_{p}"),
+        ]
+
+    comp = (
+        daily_revenue_stl_lite(spark, sf_dir)
+        .where(F.col("trend").isNotNull())
+        .select(
+            "resid",
+            F.expr("rev - seasonal").alias("tr"),
+            F.expr("rev - trend").alias("sr"),
+        )
+    )
+    wide = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *var_exprs("resid", "r"),
+        *var_exprs("tr", "t"),
+        *var_exprs("sr", "s"),
+    )
+
+    def var(p: str) -> str:
+        return (
+            f"(CAST(ss_{p} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CAST(s_{p} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" * (CAST(s_{p} AS DOUBLE) / CAST(n AS DOUBLE)))"
+        )
+
+    return wide.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"ROUND(GREATEST(CAST(0 AS DOUBLE),"
+            f" CAST(1 AS DOUBLE) - {var('r')} / {var('t')}), 6)"
+        ).alias("f_trend"),
+        F.expr(
+            f"ROUND(GREATEST(CAST(0 AS DOUBLE),"
+            f" CAST(1 AS DOUBLE) - {var('r')} / {var('s')}), 6)"
+        ).alias("f_seasonal"),
+    )
+
+
+def _stl_strength_oracle() -> str:
+    def var(p: str) -> str:
+        return (
+            f"(CAST(ss_{p} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CAST(s_{p} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" * (CAST(s_{p} AS DOUBLE) / CAST(n AS DOUBLE)))"
+        )
+
+    sums = ", ".join(
+        f"SUM(CAST(ROUND({x}, 12) AS DECIMAL(38,12))) AS s_{p},"
+        f" SUM(CAST(ROUND(({x}) * ({x}), 12) AS DECIMAL(38,12))) AS ss_{p}"
+        for x, p in (("resid", "r"), ("rev - seasonal", "t"),
+                     ("rev - trend", "s"))
+    )
+    return f"""
+WITH stl AS ({STL_LITE_ORACLE}),
+wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}
+  FROM stl WHERE trend IS NOT NULL
+)
+SELECT n AS n_days,
+       ROUND(GREATEST(CAST(0 AS DOUBLE),
+             CAST(1 AS DOUBLE) - {var('r')} / {var('t')}), 6) AS f_trend,
+       ROUND(GREATEST(CAST(0 AS DOUBLE),
+             CAST(1 AS DOUBLE) - {var('r')} / {var('s')}), 6) AS f_seasonal
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization gap-sensitivity sweep
+# --------------------------------------------------------------------------
+
+_GAP_SWEEP_MIN = [5, 15, 30, 60]
+
+
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How the session count depends on the inactivity-gap threshold:
+    ONE pass computes every user's inter-event gaps (the same
+    lag-window device as ``user_interarrival_expfit``), and each
+    candidate threshold g gets ``sessions(g) = users + gaps > g`` —
+    the sweep an analyst runs BEFORE freezing the 30-minute convention,
+    with no re-sessionization per candidate.
+
+    Exactness: gaps are integer microseconds, thresholds integer
+    minutes — the comparison and counts are pure integers; the mean
+    sessions-per-user is the one double.  Scale: one user-keyed window
+    pass; the sweep itself is a 4-row conditional aggregate."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+    )
+    users = gaps.agg(
+        F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("n_users")
+    )
+    th = spark.createDataFrame(
+        [(g,) for g in _GAP_SWEEP_MIN], "gap_minutes int"
+    )
+    per = (
+        gaps.where(F.col("gap_us").isNotNull())
+        .crossJoin(F.broadcast(th))
+        .groupBy("gap_minutes")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN gap_us > CAST(gap_minutes AS BIGINT)"
+                " * 60000000 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_breaks")
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(users))
+        .select(
+            "gap_minutes",
+            F.expr("n_users + n_breaks").alias("n_sessions"),
+            "n_users",
+            F.expr(
+                "ROUND(CAST(n_users + n_breaks AS DOUBLE)"
+                " / CAST(n_users AS DOUBLE), 6)"
+            ).alias("sessions_per_user"),
+        )
+    )
+
+
+GAP_SENSITIVITY_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), users AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM gaps
+), th AS (
+  SELECT UNNEST([{", ".join(str(g) for g in _GAP_SWEEP_MIN)}])::INTEGER
+    AS gap_minutes
+), per AS (
+  SELECT gap_minutes,
+         CAST(SUM(CASE WHEN gap_us > CAST(gap_minutes AS BIGINT) * 60000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+  FROM gaps CROSS JOIN th
+  WHERE gap_us IS NOT NULL
+  GROUP BY gap_minutes
+)
+SELECT gap_minutes, n_users + n_breaks AS n_sessions, n_users,
+       ROUND(CAST(n_users + n_breaks AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         AS sessions_per_user
+FROM per CROSS JOIN users
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-type co-occurrence PMI over users
+# --------------------------------------------------------------------------
+
+
+def event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types at the USER
+    level: for each type pair, ``PMI = ln(n_ab · N / (n_a · n_b))``
+    where n_a counts users who ever fired type a and n_ab users who
+    fired both — positive = the behaviors travel together, negative =
+    they repel; the co-occurrence screen behind 'users who X also Y'.
+
+    Exactness: all counts are exact integers off ONE distinct
+    (user, type) frame; LN is the single transcendental, ROUND(6).
+    Scale: the per-user pair explode is bounded by the type domain
+    (≤ |types|² pairs per user); everything aggregates with map-side
+    combine."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n_users = ut.agg(
+        F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("n_total")
+    )
+    singles = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_single")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_single").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_single").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "ROUND(LN(CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)"
+            ).alias("pmi"),
+        )
+    )
+
+
+EVENT_PMI_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n_users AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total FROM ut
+), singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_single
+  FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n_single AS n_a, sb.n_single AS n_b, n_both,
+       ROUND(LN(CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE)
+                / (CAST(sa.n_single AS DOUBLE)
+                   * CAST(sb.n_single AS DOUBLE))), 6) AS pmi
+FROM pairs JOIN singles sa ON pairs.type_a = sa.event_type
+           JOIN singles sb ON pairs.type_b = sb.event_type
+           CROSS JOIN n_users
+"""
+
+
+# --------------------------------------------------------------------------
+# Customer feature store: one wide ML-ready frame per customer
+# --------------------------------------------------------------------------
+
+
+def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-customer FEATURE TABLE a churn/LTV model trains on —
+    order recency/frequency/monetary, inter-order cadence, basket
+    breadth and return behavior assembled in one pass each over orders
+    and lineitem: the 'feature store materialization' step between the
+    warehouse and the trainer.
+
+    Exactness: money and discounts ride integer cents (2-dp inputs);
+    ``mean_gap_days = (last − first)/(n − 1)`` uses exact day diffs;
+    every ratio is one double division, ROUND(6).  Scale: two keyed
+    aggregates (orders by customer; lineitem by order's customer via an
+    orderkey→custkey join) and one customer-keyed join — no windows, no
+    data-sized broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    o_feat = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("monetary"),
+            F.expr(
+                "CAST(MIN(datediff(CAST(mxd AS DATE),"
+                " CAST(o_orderdate AS DATE))) AS BIGINT)"
+            ).alias("r_days"),
+            F.expr(
+                "CAST(datediff(MAX(CAST(o_orderdate AS DATE)),"
+                " MIN(CAST(o_orderdate AS DATE))) AS BIGINT)"
+            ).alias("span_days"),
+        )
+        .withColumn(
+            "mean_gap_days",
+            F.expr(
+                "CASE WHEN n_orders > 1 THEN"
+                " ROUND(CAST(span_days AS DOUBLE)"
+                "       / CAST(n_orders - 1 AS DOUBLE), 6) END"
+            ),
+        )
+    )
+    l_feat = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.expr("CAST(COUNT(DISTINCT p_brand) AS BIGINT)").alias(
+                "n_brands"
+            ),
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0"
+                " END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("return_rate"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+                " AS DOUBLE) / (CAST(100 AS DOUBLE)"
+                " * CAST(COUNT(*) AS DOUBLE)), 6)"
+            ).alias("avg_discount"),
+        )
+    )
+    return o_feat.join(l_feat, "o_custkey", "left").select(
+        "o_custkey",
+        "n_orders",
+        "monetary",
+        "r_days",
+        "mean_gap_days",
+        F.coalesce("n_items", F.lit(0)).cast("bigint").alias("n_items"),
+        F.coalesce("n_brands", F.lit(0)).cast("bigint").alias("n_brands"),
+        "return_rate",
+        "avg_discount",
+    )
+
+
+FEATURE_STORE_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+o_feat AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS monetary,
+         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(mxd AS DATE))) AS BIGINT) AS r_days,
+         CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                        MAX(CAST(o_orderdate AS DATE))) AS BIGINT)
+           AS span_days
+  FROM orders CROSS JOIN mx GROUP BY o_custkey
+), l_feat AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+         ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS return_rate,
+         ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                    AS DOUBLE)
+               / (CAST(100 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)
+           AS avg_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY o_custkey
+)
+SELECT o_feat.o_custkey, n_orders, monetary, r_days,
+       CASE WHEN n_orders > 1 THEN
+            ROUND(CAST(span_days AS DOUBLE)
+                  / CAST(n_orders - 1 AS DOUBLE), 6) END AS mean_gap_days,
+       CAST(COALESCE(n_items, 0) AS BIGINT) AS n_items,
+       CAST(COALESCE(n_brands, 0) AS BIGINT) AS n_brands,
+       return_rate, avg_discount
+FROM o_feat LEFT JOIN l_feat ON o_feat.o_custkey = l_feat.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantiles + exactness audit
+# --------------------------------------------------------------------------
+
+_QH_BINS = 256
+_QH_TARGETS = [(50, 1, 2), (90, 9, 10), (99, 99, 100)]
+
+
+def quantile_histogram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE equi-width histogram —
+    the constant-state sketch (256 integer counters) a streaming or
+    federated pipeline keeps when exact ranks are too expensive — with
+    the exact nearest-rank value computed alongside (``two_phase_rank``)
+    and the absolute error reported: the audit row that tells you
+    whether the cheap histogram is good enough for your SLA, same
+    estimate-plus-yardstick contract as ``hll_distinct_users``.
+
+    Exactness (of the approximation itself): bin ids are one
+    deterministic double expression; counts are integers; the
+    cumulative profile is a bounded 256×256 triangular self-join
+    (domain-bounded — no window at all); the interpolation is a fixed
+    double formula; rank targets use pure integer ceil arithmetic
+    ((N·qn + qd − 1) DIV qd, positive operands so Spark's truncation
+    and DuckDB's floor agree).  Scale: one scan for min/max, one for
+    the histogram, one range shuffle for the exact yardstick."""
+    from df_to_azure_spark.functions.distrank import two_phase_rank
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    stats = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr(
+            f"LEAST({_QH_BINS - 1}, CAST(FLOOR((value - mn) / (mx - mn)"
+            f" * CAST({_QH_BINS} AS DOUBLE)) AS INT))"
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    h2 = hist.select(F.col("bin").alias("b2"), F.col("cnt").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("b2") <= F.col("bin"))
+        .groupBy("bin", "cnt")
+        .agg(F.expr("CAST(SUM(c2) AS BIGINT)").alias("cum"))
+    )
+    targets = spark.createDataFrame(
+        _QH_TARGETS, "q_pct int, qn int, qd int"
+    ).crossJoin(F.broadcast(stats)).select(
+        "q_pct",
+        F.expr("(n * qn + qd - 1) DIV qd").cast("bigint").alias("rk"),
+        F.expr(
+            "CAST(n * qn AS DOUBLE) / CAST(qd AS DOUBLE)"
+        ).alias("t"),
+        "mn",
+        "mx",
+    )
+    approx = targets.join(
+        F.broadcast(cum),
+        (F.col("cum") - F.col("cnt") < F.col("t"))
+        & (F.col("cum") >= F.col("t")),
+    ).select(
+        "q_pct",
+        "rk",
+        F.expr(
+            f"mn + (mx - mn) / CAST({_QH_BINS} AS DOUBLE)"
+            " * (CAST(bin AS DOUBLE)"
+            "    + (t - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))"
+        ).alias("approx_raw"),
+    )
+    ranked = two_phase_rank(
+        ev, [("value", "asc"), ("event_id", "asc")]
+    ).select("value", "__rn")
+    exact = approx.join(
+        ranked, F.col("__rn") == F.col("rk")
+    ).select(
+        "q_pct",
+        F.col("value").alias("exact_value"),
+        F.expr("ROUND(approx_raw, 6)").alias("approx_value"),
+        F.expr("ROUND(ABS(approx_raw - value), 6)").alias("abs_err"),
+    )
+    return exact
+
+
+def _quantile_histogram_oracle() -> str:
+    vals = ", ".join(f"({q}, {qn}, {qd})" for q, qn, qd in _QH_TARGETS)
+    return f"""
+WITH ev AS (SELECT event_id, value FROM events),
+stats AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev
+), binned AS (
+  SELECT LEAST({_QH_BINS - 1}, CAST(FLOOR((value - mn) / (mx - mn)
+               * CAST({_QH_BINS} AS DOUBLE)) AS INT)) AS bin
+  FROM ev CROSS JOIN stats
+), hist AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT h.bin, h.cnt, CAST(SUM(h2.cnt) AS BIGINT) AS cum
+  FROM hist h JOIN hist h2 ON h2.bin <= h.bin
+  GROUP BY h.bin, h.cnt
+), targets AS (
+  SELECT q_pct, (n * qn + qd - 1) // qd AS rk,
+         CAST(n * qn AS DOUBLE) / CAST(qd AS DOUBLE) AS t, mn, mx
+  FROM (VALUES {vals}) v(q_pct, qn, qd) CROSS JOIN stats
+), approx AS (
+  SELECT q_pct, rk,
+         mn + (mx - mn) / CAST({_QH_BINS} AS DOUBLE)
+            * (CAST(bin AS DOUBLE)
+               + (t - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+           AS approx_raw
+  FROM targets JOIN cum ON (cum - cnt < t AND cum >= t)
+), ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn FROM ev
+)
+SELECT q_pct, value AS exact_value,
+       ROUND(approx_raw, 6) AS approx_value,
+       ROUND(ABS(approx_raw - value), 6) AS abs_err
+FROM approx JOIN ranked ON rn = rk
+"""

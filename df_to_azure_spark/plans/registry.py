@@ -840,6 +840,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "hard_negative_mining": QuerySpec(
         PL6.hard_negative_mining, PL6._hard_negative_oracle()
     ),
+    "stl_strength_measures": QuerySpec(
+        PL6.stl_strength_measures, PL6._stl_strength_oracle()
+    ),
+    "session_gap_sensitivity": QuerySpec(
+        PL6.session_gap_sensitivity, PL6.GAP_SENSITIVITY_ORACLE
+    ),
+    "event_type_pmi": QuerySpec(PL6.event_type_pmi, PL6.EVENT_PMI_ORACLE),
+    "customer_feature_store": QuerySpec(
+        PL6.customer_feature_store, PL6.FEATURE_STORE_ORACLE
+    ),
+    "quantile_histogram_check": QuerySpec(
+        PL6.quantile_histogram_check, PL6._quantile_histogram_oracle()
+    ),
 }
 
 

@@ -298,3 +298,99 @@ def test_centroid_similarity_matches_numpy(spark, sf_smoke):
                 / (np.linalg.norm(cents[a]) * np.linalg.norm(cents[b]))
             )
             assert out[(a, b)] == pytest.approx(ref, abs=1e-5), (a, b)
+
+
+def test_stl_strength_measures_bounds(spark, sf_smoke):
+    row = PL6.stl_strength_measures(spark, sf_smoke).collect()[0]
+    assert row.n_days > 0
+    assert 0.0 <= row.f_trend <= 1.0
+    assert 0.0 <= row.f_seasonal <= 1.0
+
+
+def test_session_gap_sensitivity_monotone(spark, sf_smoke):
+    rows = sorted(
+        PL6.session_gap_sensitivity(spark, sf_smoke).collect(),
+        key=lambda r: r.gap_minutes,
+    )
+    assert [r.gap_minutes for r in rows] == [5, 15, 30, 60]
+    # larger gap threshold -> fewer (or equal) sessions, never below users
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_sessions >= b.n_sessions
+        assert b.n_sessions >= b.n_users
+
+
+def test_event_type_pmi_matches_python(spark, sf_smoke):
+    rows = PL6.event_type_pmi(spark, sf_smoke).collect()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")[
+        ["user_id", "event_type"]
+    ].drop_duplicates()
+    n_total = ev["user_id"].nunique()
+    singles = ev.groupby("event_type")["user_id"].nunique()
+    by_user = ev.groupby("user_id")["event_type"].agg(set)
+    assert rows
+    for r in rows:
+        n_both = sum(
+            1 for s in by_user if r.type_a in s and r.type_b in s
+        )
+        assert r.n_both == n_both
+        assert r.n_a == singles[r.type_a] and r.n_b == singles[r.type_b]
+        ref = math.log(n_both * n_total / (r.n_a * r.n_b))
+        assert r.pmi == pytest.approx(ref, abs=1e-6)
+
+
+def test_customer_feature_store_matches_pandas(spark, sf_smoke):
+    out = (
+        PL6.customer_feature_store(spark, sf_smoke)
+        .toPandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf_smoke}/part.parquet")
+    od = pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+    mx = od.max()
+    g = orders.assign(d=od).groupby("o_custkey")
+    assert (out["n_orders"] == g.size()).all()
+    r_days = (mx - g["d"].max()).dt.days
+    assert (out["r_days"] == r_days).all()
+    span = (g["d"].max() - g["d"].min()).dt.days
+    n = g.size()
+    gap = (span / (n - 1)).where(n > 1)
+    pd.testing.assert_series_equal(
+        out["mean_gap_days"], gap.round(6),
+        check_names=False, atol=1e-6, rtol=0,
+    )
+    j = li.merge(
+        orders[["o_orderkey", "o_custkey"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    ).merge(part[["p_partkey", "p_brand"]], left_on="l_partkey",
+            right_on="p_partkey")
+    lg = j.groupby("o_custkey")
+    items = lg.size().reindex(out.index, fill_value=0)
+    assert (out["n_items"] == items).all()
+    brands = lg["p_brand"].nunique().reindex(out.index, fill_value=0)
+    assert (out["n_brands"] == brands).all()
+    rr = (
+        lg.apply(lambda x: (x["l_returnflag"] == "R").mean())
+        .reindex(out.index)
+    )
+    assert out["return_rate"].to_numpy() == pytest.approx(
+        rr.to_numpy(), abs=1e-6, nan_ok=True
+    )
+
+
+def test_quantile_histogram_check_error_small(spark, sf_oracle):
+    rows = {
+        r.q_pct: r
+        for r in PL6.quantile_histogram_check(spark, sf_oracle).collect()
+    }
+    assert set(rows) == {50, 90, 99}
+    ev = pd.read_parquet(f"{sf_oracle}/events.parquet")["value"]
+    spread = ev.max() - ev.min()
+    for r in rows.values():
+        # interpolation error is bounded by one bin width
+        assert r.abs_err <= spread / 256 + 1e-9
+        assert r.approx_value == pytest.approx(
+            r.exact_value, abs=spread / 256 + 1e-9
+        )
