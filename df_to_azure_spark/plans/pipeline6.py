@@ -1758,3 +1758,222 @@ SELECT q_pct, value AS exact_value,
        ROUND(ABS(approx_raw - value), 6) AS abs_err
 FROM approx JOIN ranked ON rn = rk
 """
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion rates with Wilson intervals
+# --------------------------------------------------------------------------
+
+
+def _wilson_parts(r: str, n: str) -> tuple[str, str, str]:
+    """(phat, center, half) Wilson-score expressions over count columns
+    ``r``/``n`` — shared text across engines and across every query
+    that screens a proportion (``brand_return_rate_wilson``,
+    ``funnel_conversion_wilson``)."""
+    phat = f"(CAST({r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    z2n = f"(CAST({_WILSON_Z2!r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    denom = f"(CAST(1 AS DOUBLE) + {z2n})"
+    center = f"(({phat} + {z2n} / CAST(2 AS DOUBLE)) / {denom})"
+    half = (
+        f"(CAST({_WILSON_Z!r} AS DOUBLE)"
+        f" * SQRT({phat} * (CAST(1 AS DOUBLE) - {phat}) / CAST({n} AS DOUBLE)"
+        f"        + {z2n} / (CAST(4 AS DOUBLE) * CAST({n} AS DOUBLE)))"
+        f" / {denom})"
+    )
+    return phat, center, half
+
+
+def funnel_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict three-step funnel (``pipeline2.funnel_three_step``)
+    re-read as per-step conversion PROPORTIONS with 95% Wilson score
+    intervals — the uncertainty-aware funnel report that stops a
+    product team from chasing a 2% step change inside a ±4% interval.
+
+    Plan: the same three chained conditional min-aggregations produce
+    the stage counts; each step row is (numerator, denominator) and the
+    Wilson math is the shared ``_wilson_parts`` formula.  Output: one
+    row per funnel step."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    wide = nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+    phat, center, half = _wilson_parts("num", "den")
+    steps = wide.selectExpr(
+        "stack(2, 'view_to_click', nc, nv, 'click_to_purchase', np, nc)"
+        " AS (step, num, den)"
+    )
+    return steps.select(
+        "step",
+        F.col("num").cast("bigint").alias("n_converted"),
+        F.col("den").cast("bigint").alias("n_entered"),
+        F.expr(f"ROUND({phat}, 6)").alias("rate"),
+        F.expr(f"ROUND({center} - {half}, 6)").alias("wilson_lo"),
+        F.expr(f"ROUND({center} + {half}, 6)").alias("wilson_hi"),
+    )
+
+
+def _funnel_wilson_oracle() -> str:
+    phat, center, half = _wilson_parts("num", "den")
+    return f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+), wide AS (
+  SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS nv,
+         CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS nc,
+         CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS np
+), steps AS (
+  SELECT 'view_to_click' AS step, nc AS num, nv AS den FROM wide
+  UNION ALL
+  SELECT 'click_to_purchase' AS step, np AS num, nc AS den FROM wide
+)
+SELECT step, CAST(num AS BIGINT) AS n_converted,
+       CAST(den AS BIGINT) AS n_entered,
+       ROUND({phat}, 6) AS rate,
+       ROUND({center} - {half}, 6) AS wilson_lo,
+       ROUND({center} + {half}, 6) AS wilson_hi
+FROM steps
+"""
+
+
+# --------------------------------------------------------------------------
+# GNN-style 2-hop neighborhood features on the co-purchase graph
+# --------------------------------------------------------------------------
+
+
+def part_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighborhood aggregation features per part node:
+    degree, the MEAN DEGREE of its neighbors (the one-round message
+    pass every GNN starts with), and the distinct 2-hop reach
+    (neighbors-of-neighbors excluding self and direct neighbors) — the
+    structural features a fraud/recommendation model consumes without
+    running a full GNN.
+
+    Exactness: degrees and reach are exact integer counts; the
+    neighbor-degree mean is one double division, ROUND(6).  Scale: the
+    2-hop expansion is one keyed self-join bounded by Σdeg² — the
+    support-filtered, mega-basket-capped edge build keeps degrees
+    bounded (same contract as ``part_pagerank``); everything else is
+    keyed aggregation."""
+    from df_to_azure_spark.plans.pipeline2 import _part_edges
+
+    edges = _part_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    nbr_deg = (
+        edges.join(deg.select(F.col("src").alias("dst"), "deg"), "dst")
+        .groupBy("src")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(deg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),"
+                " 6)"
+            ).alias("nbr_deg_mean")
+        )
+    )
+    hop2 = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            edges.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            "b",
+        )
+        .where(F.col("a") != F.col("c"))
+        .select("a", "c")
+        .distinct()
+        .join(
+            edges.select(
+                F.col("src").alias("a"), F.col("dst").alias("c")
+            ),
+            ["a", "c"],
+            "left_anti",
+        )
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_two_hop"))
+    )
+    return (
+        deg.join(nbr_deg, "src")
+        .join(hop2, F.col("src") == F.col("a"), "left")
+        .select(
+            F.col("src").alias("part"),
+            "deg",
+            "nbr_deg_mean",
+            F.coalesce("n_two_hop", F.lit(0)).cast("bigint").alias(
+                "n_two_hop"
+            ),
+        )
+    )
+
+
+def _two_hop_oracle() -> str:
+    from df_to_azure_spark.plans.pipeline2 import _PR_MAX_BASKET, _PR_MIN_SUPPORT
+
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM li GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_PR_MAX_BASKET}
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nbr_deg AS (
+  SELECT e.src,
+         ROUND(CAST(SUM(d.deg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS nbr_deg_mean
+  FROM edges e JOIN deg d ON e.dst = d.src
+  GROUP BY e.src
+), hop2 AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+  FROM (
+    SELECT DISTINCT e1.src AS a, e2.dst AS c
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.src <> e2.dst
+  ) t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges d WHERE d.src = t.a AND d.dst = t.c
+  )
+  GROUP BY a
+)
+SELECT deg.src AS part, deg.deg, nbr_deg_mean,
+       CAST(COALESCE(n_two_hop, 0) AS BIGINT) AS n_two_hop
+FROM deg JOIN nbr_deg ON deg.src = nbr_deg.src
+         LEFT JOIN hop2 ON deg.src = hop2.a
+"""

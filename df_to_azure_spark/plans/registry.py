@@ -853,6 +853,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "quantile_histogram_check": QuerySpec(
         PL6.quantile_histogram_check, PL6._quantile_histogram_oracle()
     ),
+    "funnel_conversion_wilson": QuerySpec(
+        PL6.funnel_conversion_wilson, PL6._funnel_wilson_oracle()
+    ),
+    "part_two_hop_features": QuerySpec(
+        PL6.part_two_hop_features, PL6._two_hop_oracle()
+    ),
 }
 
 
