@@ -249,7 +249,7 @@ def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -532,10 +532,11 @@ def hll_period_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hb.groupBy("period", "bucket").agg(
         F.expr(f"MAX({_rho_case('w')})").alias("m_rho")
     )
+    buckets = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
     grid = (
         spark.range(1, 3)
         .select(F.col("id").cast("int").alias("period"))
-        .crossJoin(F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("bucket"))))
+        .crossJoin(F.broadcast(buckets))
     )
     full = grid.join(regs, ["period", "bucket"], "left").select(
         "period", "bucket", F.coalesce("m_rho", F.lit(0)).alias("m0")
@@ -1565,7 +1566,7 @@ def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),

@@ -99,6 +99,20 @@ BOUNDED_BROADCAST_VARS = {
     "n_bits",  # 1-row set-bit count aggregate
     "pooled",  # 10-row pooled decile counts, fixed by _PSI_BINS
     "glob_mean",  # 1-row global-mean-cents aggregate (target encoding)
+    "offs",  # 7-row STL moving-average offset frame, fixed by _STL_HALF
+    "seas",  # 7-row weekday seasonal frame (daily_revenue_stl_lite)
+    "sd",  # 1-row degree-square-sum aggregate (lpa_modularity)
+    "e2",  # 1-row HLL period-2 estimate (hll_period_overlap)
+    "eu",  # 1-row HLL union estimate (hll_period_overlap)
+    "exact",  # 1-row exact-overlap count aggregate (hll_period_overlap)
+    "q",  # fixed 5-vector anchor/query batch (hard_negative_mining)
+    "th",  # 4-row gap-threshold frame, fixed by _GAP_SWEEP_MIN
+    "users",  # 1-row distinct-user count aggregate (session_gap_sensitivity)
+    "singles",  # per-type user counts — bounded by the type domain (~5)
+    "n_users",  # 1-row distinct-user total (event_type_pmi)
+    "h2",  # 256-row histogram copy, fixed by _QH_BINS
+    "cum",  # 256-row cumulative histogram, fixed by _QH_BINS
+    "targets",  # 3-row quantile-target frame, fixed by _QH_TARGETS
 }
 
 
