@@ -1978,3 +1978,374 @@ SELECT deg.src AS part, deg.deg, nbr_deg_mean,
 FROM deg JOIN nbr_deg ON deg.src = nbr_deg.src
          LEFT JOIN hop2 ON deg.src = hop2.a
 """
+
+
+# --------------------------------------------------------------------------
+# Pattern detection: revenue dip-and-recovery episodes
+# --------------------------------------------------------------------------
+
+_DIP_NUM, _DIP_DEN = 8, 10   # dip = revenue < 8/10 of the previous day
+_DIP_LOOKAHEAD = 7
+
+
+def revenue_dip_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern on the daily grid WITHOUT
+    a pattern engine: find every day whose revenue fell below 8/10 of
+    the previous day (the dip), and the first day within the next 7
+    that recovered to at least the pre-dip level — the
+    drop-then-rebound episode an on-call dashboard pages on, expressed
+    as two bounded offset joins.
+
+    Exactness: the dip predicate is the integer cross-multiplication
+    ``10·rev_d < 8·rev_{d−1}`` (no ratio, no float threshold); recovery
+    is an integer comparison per lookahead offset with an integer MIN.
+    Scale: day-domain-bounded — one keyed self-join for the dip, one
+    7-offset join for the recovery scan."""
+    from df_to_azure_spark.plans.pipeline5 import _daily_revenue
+
+    daily = _daily_revenue(spark, sf_dir).select(
+        "d", F.expr("CAST(rev * 100 AS BIGINT)").alias("cents")
+    )
+    prev = daily.select((F.col("d") + 1).alias("d"), F.col("cents").alias("prev_c"))
+    dips = daily.join(prev, "d").where(
+        F.expr(f"cents * {_DIP_DEN} < prev_c * {_DIP_NUM}")
+    )
+    look = spark.range(1, _DIP_LOOKAHEAD + 1).select(F.col("id").alias("g"))
+    fut = daily.select(F.col("d").alias("fd"), F.col("cents").alias("fut_c"))
+    rec = (
+        dips.crossJoin(F.broadcast(look))
+        .join(
+            fut,
+            F.col("fd") == F.col("d") + F.col("g"),
+        )
+        .where(F.col("fut_c") >= F.col("prev_c"))
+        .groupBy("d")
+        .agg(F.min("g").cast("bigint").alias("days_to_recover"))
+    )
+    return dips.join(rec, "d", "left").select(
+        "d",
+        F.expr("CAST(prev_c AS DOUBLE) / CAST(100 AS DOUBLE)").alias(
+            "rev_before"
+        ),
+        F.expr("CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)").alias(
+            "rev_dip"
+        ),
+        F.expr(
+            "ROUND(CAST(1 AS DOUBLE) - CAST(cents AS DOUBLE)"
+            " / CAST(prev_c AS DOUBLE), 6)"
+        ).alias("drop_frac"),
+        "days_to_recover",
+    )
+
+
+DIP_RECOVERY_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), dips AS (
+  SELECT a.d, a.cents, b.cents AS prev_c
+  FROM daily a JOIN daily b ON a.d = b.d + 1
+  WHERE a.cents * {_DIP_DEN} < b.cents * {_DIP_NUM}
+), rec AS (
+  SELECT dips.d, CAST(MIN(g) AS BIGINT) AS days_to_recover
+  FROM dips
+  CROSS JOIN (SELECT UNNEST(generate_series(1, {_DIP_LOOKAHEAD})) AS g) look
+  JOIN daily f ON f.d = dips.d + g
+  WHERE f.cents >= dips.prev_c
+  GROUP BY dips.d
+)
+SELECT dips.d,
+       CAST(prev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS rev_before,
+       CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS rev_dip,
+       ROUND(CAST(1 AS DOUBLE) - CAST(cents AS DOUBLE)
+             / CAST(prev_c AS DOUBLE), 6) AS drop_frac,
+       days_to_recover
+FROM dips LEFT JOIN rec ON dips.d = rec.d
+"""
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands on the daily grid
+# --------------------------------------------------------------------------
+
+_BB_WIN = 20
+
+
+def revenue_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-day Bollinger bands (MA ± 2σ) with breakout flags on
+    daily revenue — the volatility envelope a monitoring system draws
+    around any KPI; days outside the band are the candidate anomalies.
+
+    Exactness: the trailing window is a bounded 20-offset join on the
+    day grid (NULL until a full window exists); mean and population σ
+    come from exact integer Σc / Σc² (DECIMAL(38,0) squares), with
+    SQRT the only transcendental; the breakout flags compare the raw
+    value against the ROUND(6)-ed band edges — deterministic both
+    ways.  Scale: day-domain-bounded."""
+    from df_to_azure_spark.plans.pipeline5 import _daily_revenue
+
+    daily = _daily_revenue(spark, sf_dir).select(
+        "d", F.expr("CAST(rev * 100 AS BIGINT)").alias("cents")
+    )
+    offs = spark.range(_BB_WIN).select(F.col("id").alias("g"))
+    win = (
+        daily.crossJoin(F.broadcast(offs))
+        .select((F.col("d") + F.col("g")).alias("wd"), "cents")
+        .groupBy("wd")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("sc"),
+            F.expr(
+                "SUM(CAST(cents AS DECIMAL(19,0))"
+                " * CAST(cents AS DECIMAL(19,0)))"
+            ).alias("scc"),
+        )
+        .where(F.col("nw") == _BB_WIN)
+    )
+    mu = f"(CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE))"
+    sig = (
+        f"SQRT(CAST(scc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE)"
+        f" - {mu} * {mu})"
+    )
+    return (
+        daily.join(win, daily.d == F.col("wd"))
+        .select(
+            "d",
+            F.expr("CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)").alias(
+                "rev"
+            ),
+            F.expr(
+                f"ROUND({mu} / CAST(100 AS DOUBLE), 6)"
+            ).alias("ma20"),
+            F.expr(
+                f"ROUND({sig} / CAST(100 AS DOUBLE), 6)"
+            ).alias("sigma20"),
+            F.expr(
+                f"ROUND(({mu} + CAST(2 AS DOUBLE) * {sig})"
+                " / CAST(100 AS DOUBLE), 6)"
+            ).alias("upper"),
+            F.expr(
+                f"ROUND(({mu} - CAST(2 AS DOUBLE) * {sig})"
+                " / CAST(100 AS DOUBLE), 6)"
+            ).alias("lower"),
+        )
+        .withColumn(
+            "breakout",
+            F.expr(
+                "CASE WHEN rev > upper THEN 'above'"
+                " WHEN rev < lower THEN 'below' END"
+            ),
+        )
+    )
+
+
+BOLLINGER_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT wd, COUNT(*) AS nw, CAST(SUM(cents) AS BIGINT) AS sc,
+         SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+           AS scc
+  FROM (
+    SELECT d + g AS wd, cents
+    FROM daily CROSS JOIN (SELECT UNNEST(generate_series(0, {_BB_WIN - 1}))
+                           AS g) offs
+  )
+  GROUP BY wd
+  HAVING COUNT(*) = {_BB_WIN}
+), j AS (
+  SELECT d, cents, sc, scc,
+         (CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE)) AS mu,
+         SQRT(CAST(scc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE)
+              - (CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE))
+              * (CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE))) AS sig
+  FROM daily JOIN win ON daily.d = win.wd
+)
+SELECT d, CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS rev,
+       ROUND(mu / CAST(100 AS DOUBLE), 6) AS ma20,
+       ROUND(sig / CAST(100 AS DOUBLE), 6) AS sigma20,
+       ROUND((mu + CAST(2 AS DOUBLE) * sig) / CAST(100 AS DOUBLE), 6)
+         AS upper,
+       ROUND((mu - CAST(2 AS DOUBLE) * sig) / CAST(100 AS DOUBLE), 6)
+         AS lower,
+       CASE WHEN CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)
+                 > ROUND((mu + CAST(2 AS DOUBLE) * sig)
+                         / CAST(100 AS DOUBLE), 6) THEN 'above'
+            WHEN CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)
+                 < ROUND((mu - CAST(2 AS DOUBLE) * sig)
+                         / CAST(100 AS DOUBLE), 6) THEN 'below' END
+         AS breakout
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking for fuzzy dedup
+# --------------------------------------------------------------------------
+
+_SNM_WINDOW = 3
+_SNM_KEY_LEN = 24
+_SNM_MAX_DIST = 60
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995) —
+    the OTHER classic blocking strategy next to LSH banding: sort the
+    corpus by a normalized key (lowercased 24-char prefix), compare
+    each document only to its ``_SNM_WINDOW`` successors in sort
+    order, and confirm candidates with the exact prefix Levenshtein.
+    Catches near-dups whose shared prefix survives small edits — the
+    complement of shingle-based LSH (which needs content overlap, not
+    prefix locality).
+
+    Scale shape: the global sort order comes from ``two_phase_rank``
+    (range-partitioned, no single-partition window) and the
+    window-of-w comparison is an EQUI-join on ``rank + offset`` with a
+    broadcast w-row offset frame — O(n·w) candidate pairs by
+    construction, never quadratic.  Exactness: ranks and offsets are
+    integers; ``levenshtein`` is byte-identical cross-engine on this
+    corpus."""
+    from df_to_azure_spark.functions.distrank import two_phase_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"lower(substring(text, 1, {_SNM_KEY_LEN}))").alias("k"),
+        F.expr(f"substring(text, 1, {_ED_PREFIX})").alias("pref"),
+    )
+    ranked = two_phase_rank(
+        docs, [("k", "asc"), ("doc_id", "asc")]
+    ).select("doc_id", "k", "pref", F.col("__rn").alias("rn"))
+    offs = spark.range(1, _SNM_WINDOW + 1).select(F.col("id").alias("w"))
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"), F.col("pref").alias("pref_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"), F.col("pref").alias("pref_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.crossJoin(F.broadcast(offs))
+        .join(b, F.col("rn_b") == F.col("rn_a") + F.col("w"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("w").cast("int").alias("window_dist"),
+            F.expr("CAST(levenshtein(pref_a, pref_b) AS INT)").alias(
+                "edit_dist"
+            ),
+        )
+        .where(F.col("edit_dist") <= _SNM_MAX_DIST)
+    )
+
+
+SNM_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lower(substring(text, 1, {_SNM_KEY_LEN})) AS k,
+         substring(text, 1, {_ED_PREFIX}) AS pref
+  FROM documents
+), ranked AS (
+  SELECT doc_id, pref,
+         row_number() OVER (ORDER BY k, doc_id) AS rn
+  FROM docs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(w AS INT) AS window_dist,
+       CAST(levenshtein(a.pref, b.pref) AS INT) AS edit_dist
+FROM ranked a
+CROSS JOIN (SELECT UNNEST(generate_series(1, {_SNM_WINDOW})) AS w) offs
+JOIN ranked b ON b.rn = a.rn + w
+WHERE CAST(levenshtein(a.pref, b.pref) AS INT) <= {_SNM_MAX_DIST}
+"""
+
+
+# --------------------------------------------------------------------------
+# Neyman sampling allocation across strata
+# --------------------------------------------------------------------------
+
+_NEYMAN_N = 10000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman 1934) sample-size allocation across event-type
+    strata for a fixed budget of {n} draws: ``n_h ∝ N_h·σ_h`` — the
+    allocation that minimizes the estimator variance, and the number a
+    data-labeling or QA pipeline needs before drawing its audit sample
+    (uniform allocation over-samples quiet strata).
+
+    Exactness: per-stratum N and σ come from exact integer cent sums
+    (DECIMAL(38,0) squares); each σ is one SQRT ROUND(12); the
+    normalizing Σ N_k·σ_k accumulates the ROUND-12 products as
+    DECIMAL(28,12) (order-free across the bounded stratum domain);
+    allocations are one shared double formula with half-up ROUND.
+    Scale: one aggregate, then arithmetic on a |types|-row frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("sc"),
+        F.expr(
+            "SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))"
+        ).alias("scc"),
+    )
+    mu = "(CAST(sc AS DOUBLE) / CAST(n_h AS DOUBLE))"
+    sig = (
+        f"ROUND(SQRT(CAST(scc AS DOUBLE) / CAST(n_h AS DOUBLE)"
+        f" - {mu} * {mu}) / CAST(100 AS DOUBLE), 12)"
+    )
+    wsig = per.withColumn("sig", F.expr(sig)).withColumn(
+        "w", F.expr("ROUND(CAST(n_h AS DOUBLE) * sig, 12)")
+    )
+    tot = wsig.agg(
+        F.expr(
+            "CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE)"
+        ).alias("wtot")
+    )
+    return wsig.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_h",
+        F.expr("ROUND(sig, 6)").alias("sigma"),
+        F.expr("ROUND(w / wtot, 6)").alias("alloc_frac"),
+        F.expr(
+            f"CAST(ROUND(CAST({_NEYMAN_N} AS DOUBLE) * w / wtot, 0)"
+            " AS BIGINT)"
+        ).alias("alloc_n"),
+    )
+
+
+def _neyman_oracle() -> str:
+    mu = "(CAST(sc AS DOUBLE) / CAST(n_h AS DOUBLE))"
+    sig = (
+        f"ROUND(SQRT(CAST(scc AS DOUBLE) / CAST(n_h AS DOUBLE)"
+        f" - {mu} * {mu}) / CAST(100 AS DOUBLE), 12)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events
+), per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS scc
+  FROM ev GROUP BY event_type
+), wsig AS (
+  SELECT event_type, n_h, {sig} AS sig,
+         ROUND(CAST(n_h AS DOUBLE) * {sig}, 12) AS w
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS wtot FROM wsig
+)
+SELECT event_type, n_h, ROUND(sig, 6) AS sigma,
+       ROUND(w / wtot, 6) AS alloc_frac,
+       CAST(ROUND(CAST({_NEYMAN_N} AS DOUBLE) * w / wtot, 0) AS BIGINT)
+         AS alloc_n
+FROM wsig CROSS JOIN tot
+"""

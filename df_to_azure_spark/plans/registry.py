@@ -859,6 +859,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_two_hop_features": QuerySpec(
         PL6.part_two_hop_features, PL6._two_hop_oracle()
     ),
+    "revenue_dip_recovery": QuerySpec(
+        PL6.revenue_dip_recovery, PL6.DIP_RECOVERY_ORACLE
+    ),
+    "revenue_bollinger_bands": QuerySpec(
+        PL6.revenue_bollinger_bands, PL6.BOLLINGER_ORACLE
+    ),
+    "sorted_neighborhood_pairs": QuerySpec(
+        PL6.sorted_neighborhood_pairs, PL6.SNM_ORACLE
+    ),
+    "neyman_allocation": QuerySpec(
+        PL6.neyman_allocation, PL6._neyman_oracle()
+    ),
 }
 
 

@@ -394,3 +394,73 @@ def test_quantile_histogram_check_error_small(spark, sf_oracle):
         assert r.approx_value == pytest.approx(
             r.exact_value, abs=spread / 256 + 1e-9
         )
+
+
+def test_dip_recovery_matches_python(spark, sf_smoke):
+    rows = {r.d: r for r in PL6.revenue_dip_recovery(spark, sf_smoke).collect()}
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    days = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1992-01-01")
+    ).dt.days
+    cents = (
+        orders.assign(d=days, c=orders["o_totalprice"].round(2) * 100)
+        .groupby("d")["c"].sum().round().astype("int64").to_dict()
+    )
+    expect = {}
+    for d, c in cents.items():
+        prev = cents.get(d - 1)
+        if prev is None or not (c * 10 < prev * 8):
+            continue
+        rec = None
+        for g in range(1, 8):
+            if cents.get(d + g) is not None and cents[d + g] >= prev:
+                rec = g
+                break
+        expect[d] = rec
+    assert set(rows) == set(expect)
+    for d, rec in expect.items():
+        assert rows[d].days_to_recover == rec
+        assert rows[d].drop_frac == pytest.approx(
+            1 - cents[d] / cents[d - 1], abs=1e-6
+        )
+
+
+def test_bollinger_bands_consistency(spark, sf_oracle):
+    # sf0.001's day grid is too sparse for full 20-day windows — the
+    # 0.01 grid is dense, so the window filter actually fires there
+    out = PL6.revenue_bollinger_bands(spark, sf_oracle).toPandas()
+    assert len(out) > 0
+    # bands bracket the MA symmetrically and sigma is non-negative
+    assert (out["sigma20"] >= 0).all()
+    assert np.allclose(out["upper"] - out["ma20"], out["ma20"] - out["lower"],
+                       atol=3e-6)
+    # breakout labels agree with the band comparison
+    above = out[out["breakout"] == "above"]
+    assert (above["rev"] > above["upper"]).all()
+    inside = out[out["breakout"].isna()]
+    assert (
+        (inside["rev"] <= inside["upper"]) & (inside["rev"] >= inside["lower"])
+    ).all()
+
+
+def test_sorted_neighborhood_window_bound(spark, sf_smoke):
+    rows = PL6.sorted_neighborhood_pairs(spark, sf_smoke).collect()
+    assert rows  # planted near-dups share prefixes
+    assert all(1 <= r.window_dist <= 3 for r in rows)
+    assert all(r.edit_dist <= 60 for r in rows)
+    # no self pairs
+    assert all(r.id_a != r.id_b for r in rows)
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_smoke):
+    rows = PL6.neyman_allocation(spark, sf_smoke).collect()
+    assert rows
+    total_frac = sum(r.alloc_frac for r in rows)
+    assert total_frac == pytest.approx(1.0, abs=1e-4)
+    # rounding can shift the integer total by at most the stratum count
+    assert abs(sum(r.alloc_n for r in rows) - 10000) <= len(rows)
+    # higher N*sigma -> more samples (monotone in w)
+    byw = sorted(rows, key=lambda r: r.n_h * r.sigma)
+    allocs = [r.alloc_n for r in byw]
+    assert allocs == sorted(allocs)
