@@ -113,6 +113,8 @@ BOUNDED_BROADCAST_VARS = {
     "h2",  # 256-row histogram copy, fixed by _QH_BINS
     "cum",  # 256-row cumulative histogram, fixed by _QH_BINS
     "targets",  # 3-row quantile-target frame, fixed by _QH_TARGETS
+    "look",  # 7-row recovery-lookahead frame, fixed by _DIP_LOOKAHEAD
+    "tot",  # 1-row Neyman normalizer aggregate (also whitelisted above)
 }
 
 
