@@ -794,7 +794,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL5.user_interarrival_expfit, PL5.EXPFIT_ORACLE
     ),
     "ann_retrieval_matrix": QuerySpec(
-        PL5.ann_retrieval_matrix, PL5.ANN_MATRIX_ORACLE
+        PL5.ann_retrieval_matrix, PL5.ANN_MATRIX_ORACLE, headline=True
     ),
     "lsh_retrieval_metrics": QuerySpec(
         PL5.lsh_retrieval_metrics, PL5.IR_METRICS_ORACLE
@@ -818,7 +818,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL6.brand_return_rate_wilson, PL6.WILSON_ORACLE
     ),
     "part_price_size_skyline": QuerySpec(
-        PL6.part_price_size_skyline, PL6.SKYLINE_ORACLE
+        PL6.part_price_size_skyline, PL6.SKYLINE_ORACLE, headline=True
     ),
     "lpa_modularity": QuerySpec(
         PL6.lpa_modularity, PL6._lpa_modularity_oracle()
