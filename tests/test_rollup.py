@@ -52,3 +52,51 @@ def test_rollup_guard(spark, tmp_path):
     lake = ParquetLake(spark, str(tmp_path))
     with pytest.raises(ValueError):
         IncrementalRollup(lake, "t", [], ["v"])
+
+
+def test_rollup_maintained_by_stream_foreachBatch(spark, tmp_path):
+    """Streaming twin: the rollup folded per micro-batch through
+    foreachBatch equals the direct full aggregate — the materialized-
+    view-maintenance contract under real Structured Streaming."""
+    src = f"{tmp_path}/src"
+    batches = [
+        [("a", 1.0), ("b", 2.0)],
+        [("a", 3.0), ("c", -4.0)],
+        [("c", 10.0), ("b", 0.5)],
+    ]
+    for i, rows in enumerate(batches):
+        _batch(spark, rows).coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+
+    lake = ParquetLake(spark, str(tmp_path / "lake"))
+    roll = IncrementalRollup(lake, "agg", ["k"], ["v"])
+    roll.init(_batch(spark, []).limit(0))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: roll.apply_delta(df)
+        )
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_rows = [r for b in batches for r in b]
+    ref = IncrementalRollup(lake, "agg_ref", ["k"], ["v"])
+    ref.init(_batch(spark, all_rows))
+    got = {r.k: r for r in roll.read().collect()}
+    want = {r.k: r for r in ref.read().collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k].n_rows, got[k].sum_v, got[k].min_v, got[k].max_v) == (
+            want[k].n_rows, want[k].sum_v, want[k].min_v, want[k].max_v,
+        )
