@@ -2349,3 +2349,248 @@ SELECT event_type, n_h, ROUND(sig, 6) AS sigma,
          AS alloc_n
 FROM wsig CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch-Kincaid with a vowel-run syllable proxy)
+# --------------------------------------------------------------------------
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability: words, sentences, a vowel-run syllable
+    proxy, and the Flesch-Kincaid grade / Flesch reading-ease scores —
+    the classic text-quality signals a curation pipeline files next to
+    the Gopher filters (``doc_repetition_stats``); syllables-by-
+    vowel-groups is the standard dictionary-free proxy.
+
+    Exactness: all three counts are regexp counts (identical RE2/Java
+    patterns without engine-divergent constructs); the two scores are
+    fixed double formulas over integer counts with the published
+    constants as shared literals, ROUND(6).  Scale: pure map-side
+    expressions — no shuffle at all beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = "CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)"
+    sents = (
+        "CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+        " AS BIGINT)"
+    )
+    syls = (
+        "CAST(GREATEST(size(regexp_extract_all(lower(text),"
+        " '[aeiouy]+', 0)), 1) AS BIGINT)"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(words).alias("n_words"),
+        F.expr(sents).alias("n_sentences"),
+        F.expr(syls).alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = "(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+    spw = "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            f"ROUND(CAST(0.39 AS DOUBLE) * {wps}"
+            f" + CAST(11.8 AS DOUBLE) * {spw}"
+            " - CAST(15.59 AS DOUBLE), 6)"
+        ).alias("fk_grade"),
+        F.expr(
+            f"ROUND(CAST(206.835 AS DOUBLE)"
+            f" - CAST(1.015 AS DOUBLE) * {wps}"
+            f" - CAST(84.6 AS DOUBLE) * {spw}, 6)"
+        ).alias("reading_ease"),
+    )
+
+
+READABILITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(CAST(0.39 AS DOUBLE)
+             * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + CAST(11.8 AS DOUBLE)
+             * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - CAST(15.59 AS DOUBLE), 6) AS fk_grade,
+       ROUND(CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE)
+             * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - CAST(84.6 AS DOUBLE)
+             * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+         AS reading_ease
+FROM base WHERE n_words > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Markov entropy rate of the event-type chain
+# --------------------------------------------------------------------------
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state next-event uncertainty of the user behavior chain:
+    for each source event type, the conditional entropy
+    ``H(next | from) = ln(n_i) − (Σ_j n_ij ln n_ij)/n_i`` over the
+    transition counts of ``event_transition_matrix``, its empirical
+    stationary weight ``π_i``, and the contribution ``π_i · H_i`` whose
+    sum is the chain's entropy rate — the one-number answer to "how
+    predictable is user behavior after X?".
+
+    Exactness: transition counts are exact integers off the same
+    user-keyed lag pass as the transition matrix; every ``n·ln n`` term
+    rounds to 12 decimals into DECIMAL(28,12) sums over the bounded
+    |types|² grid; the outputs are fixed double formulas, ROUND(6)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    )
+    per_from = pairs.groupBy("from_type").agg(
+        F.expr("CAST(SUM(n_ij) AS BIGINT)").alias("n_i"),
+        F.expr(
+            "SUM(CAST(ROUND(CAST(n_ij AS DOUBLE)"
+            " * LN(CAST(n_ij AS DOUBLE)), 12) AS DECIMAL(28,12)))"
+        ).alias("s_nlogn"),
+    )
+    tot = per_from.agg(F.expr("CAST(SUM(n_i) AS BIGINT)").alias("n_tot"))
+    h_i = (
+        "(LN(CAST(n_i AS DOUBLE))"
+        " - CAST(s_nlogn AS DOUBLE) / CAST(n_i AS DOUBLE))"
+    )
+    pi = "(CAST(n_i AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    return per_from.crossJoin(F.broadcast(tot)).select(
+        "from_type",
+        "n_i",
+        F.expr(f"ROUND({h_i}, 6)").alias("h_next"),
+        F.expr(f"ROUND({pi}, 6)").alias("pi"),
+        F.expr(f"ROUND({pi} * {h_i}, 6)").alias("rate_contrib"),
+    )
+
+
+ENTROPY_RATE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), pairs AS (
+  SELECT from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_ij
+  FROM ordered WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+), per_from AS (
+  SELECT from_type, CAST(SUM(n_ij) AS BIGINT) AS n_i,
+         SUM(CAST(ROUND(CAST(n_ij AS DOUBLE)
+                        * LN(CAST(n_ij AS DOUBLE)), 12)
+             AS DECIMAL(28,12))) AS s_nlogn
+  FROM pairs GROUP BY from_type
+), tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot FROM per_from)
+SELECT from_type, n_i,
+       ROUND((LN(CAST(n_i AS DOUBLE))
+              - CAST(s_nlogn AS DOUBLE) / CAST(n_i AS DOUBLE)), 6)
+         AS h_next,
+       ROUND((CAST(n_i AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6) AS pi,
+       ROUND((CAST(n_i AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             * (LN(CAST(n_i AS DOUBLE))
+                - CAST(s_nlogn AS DOUBLE) / CAST(n_i AS DOUBLE)), 6)
+         AS rate_contrib
+FROM per_from CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Fulfillment latency percentiles per order priority
+# --------------------------------------------------------------------------
+
+_FULFILL_PCTS = [(50, 1, 2), (90, 9, 10), (99, 99, 100)]
+
+
+def fulfillment_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90/p99 of order→ship latency PER ORDER PRIORITY — the SLA
+    matrix that answers "does URGENT actually ship faster?", computed
+    as exact grouped nearest-rank order statistics
+    (``k = ceil(p·n_g)``, pure integer arithmetic) on the GROUPED
+    ``two_phase_rank`` — no single-partition sort, no
+    ``percentile_approx`` engine internals.
+
+    Latency is an exact integer day difference per lineitem; the rank
+    filter selects 3 rows per priority."""
+    from df_to_azure_spark.functions.distrank import two_phase_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE),"
+            " CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("lat_days"),
+    )
+    ranked = two_phase_rank(
+        lat,
+        [("lat_days", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        group_cols=["o_orderpriority"],
+    )
+    picks = None
+    for label, num, den in _FULFILL_PCTS:
+        sel = ranked.where(
+            F.col("__rn") == F.expr(f"({num} * __grp_n + {den} - 1) DIV {den}")
+        ).select(
+            "o_orderpriority",
+            F.lit(f"p{label}").alias("percentile"),
+            F.col("__grp_n").cast("bigint").alias("n_lineitems"),
+            F.col("lat_days").alias("latency_days"),
+        )
+        picks = sel if picks is None else picks.unionAll(sel)
+    return picks
+
+
+def _fulfillment_oracle() -> str:
+    parts = []
+    for label, num, den in _FULFILL_PCTS:
+        parts.append(f"""
+  SELECT o_orderpriority, 'p{label}' AS percentile,
+         CAST(n_g AS BIGINT) AS n_lineitems,
+         lat_days AS latency_days
+  FROM ranked
+  WHERE rn = ({num} * n_g + {den} - 1) // {den}""")
+    return f"""
+WITH lat AS (
+  SELECT o_orderpriority, l_orderkey, l_linenumber,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS lat_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), ranked AS (
+  SELECT o_orderpriority, lat_days,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lat_days, l_orderkey, l_linenumber)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_g
+  FROM lat
+)
+{" UNION ALL ".join(parts)}
+"""

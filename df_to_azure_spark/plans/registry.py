@@ -871,6 +871,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "neyman_allocation": QuerySpec(
         PL6.neyman_allocation, PL6._neyman_oracle()
     ),
+    "doc_readability": QuerySpec(PL6.doc_readability, PL6.READABILITY_ORACLE),
+    "markov_entropy_rate": QuerySpec(
+        PL6.markov_entropy_rate, PL6.ENTROPY_RATE_ORACLE
+    ),
+    "fulfillment_latency_percentiles": QuerySpec(
+        PL6.fulfillment_latency_percentiles, PL6._fulfillment_oracle()
+    ),
 }
 
 

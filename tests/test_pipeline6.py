@@ -464,3 +464,59 @@ def test_neyman_allocation_sums_to_budget(spark, sf_smoke):
     byw = sorted(rows, key=lambda r: r.n_h * r.sigma)
     allocs = [r.alloc_n for r in byw]
     assert allocs == sorted(allocs)
+
+
+def test_readability_matches_python(spark, sf_smoke):
+    import re
+
+    rows = {r.doc_id: r for r in PL6.doc_readability(spark, sf_smoke).collect()}
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    assert rows
+    for _, d in docs.head(40).iterrows():
+        w = len(re.findall(r"[A-Za-z]+", d.text))
+        if w == 0:
+            assert d.doc_id not in rows
+            continue
+        s = max(len(re.findall(r"[.!?]+", d.text)), 1)
+        syl = max(len(re.findall(r"[aeiouy]+", d.text.lower())), 1)
+        r = rows[d.doc_id]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, syl)
+        assert r.fk_grade == pytest.approx(
+            0.39 * w / s + 11.8 * syl / w - 15.59, abs=1e-5
+        )
+        assert r.reading_ease == pytest.approx(
+            206.835 - 1.015 * w / s - 84.6 * syl / w, abs=1e-5
+        )
+
+
+def test_markov_entropy_rate_bounds(spark, sf_smoke):
+    rows = PL6.markov_entropy_rate(spark, sf_smoke).collect()
+    assert rows
+    n_types = len(rows)
+    total_pi = sum(r.pi for r in rows)
+    assert total_pi == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        # conditional entropy bounded by ln(#states)
+        assert -1e-9 <= r.h_next <= math.log(max(n_types, 2)) + 1e-6
+        assert r.rate_contrib == pytest.approx(r.pi * r.h_next, abs=1e-5)
+
+
+def test_fulfillment_percentiles_match_numpy(spark, sf_smoke):
+    rows = PL6.fulfillment_latency_percentiles(spark, sf_smoke).collect()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lat = (
+        pd.to_datetime(j["l_shipdate"]).dt.normalize()
+        - pd.to_datetime(j["o_orderdate"]).dt.normalize()
+    ).dt.days
+    by_prio = lat.groupby(j["o_orderpriority"])
+    got = {(r.o_orderpriority, r.percentile): r for r in rows}
+    for prio, grp in by_prio:
+        vals = sorted(grp)
+        n = len(vals)
+        for label, num, den in ((50, 1, 2), (90, 9, 10), (99, 99, 100)):
+            k = -(-(num * n) // den)  # ceil
+            r = got[(prio, f"p{label}")]
+            assert r.n_lineitems == n
+            assert r.latency_days == vals[k - 1], (prio, label)
