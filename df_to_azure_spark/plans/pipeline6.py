@@ -2594,3 +2594,148 @@ WITH lat AS (
 )
 {" UNION ALL ".join(parts)}
 """
+
+
+# --------------------------------------------------------------------------
+# Multimodal dedup: SimHash banding over the media feature vectors
+# --------------------------------------------------------------------------
+
+_MEDIA_SH_BITS = 12
+_MEDIA_SH_SEED = 29
+
+
+def _media_planes() -> list[list[float]]:
+    import random
+
+    rng = random.Random(_MEDIA_SH_SEED)
+    return [
+        [rng.gauss(0, 1) for _ in range(16)] for _ in range(_MEDIA_SH_BITS)
+    ]
+
+
+def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline reaching DEDUP: hyperplane-sign SimHash
+    over the (stub-decoded) media feature vectors, candidate pairs from
+    exact bucket collisions, cosine confirm — the same
+    bucketed-never-all-pairs contract as the text/embedding dedup
+    family, now on the media modality (features come from the
+    Arrow-batched ``multimodal.extract_features`` stub whose values are
+    sha256-derived, so the WHOLE chain — decode plumbing included — is
+    hash-checked against SQL).
+
+    Scale shape: map-side bucket assignment (seeded plane literals),
+    one equi-join keyed on the 12-bit bucket; pair volume is bounded by
+    bucket collisions, never |media|²."""
+    from df_to_azure_spark.functions import multimodal as MM
+    from df_to_azure_spark.functions.similarity import (
+        cosine,
+        hyperplane_bucket,
+    )
+
+    feats = MM.extract_features(MM.synthesize_media(spark, n=200)).select(
+        "media_id", "features"
+    )
+    b = feats.withColumn(
+        "bucket", hyperplane_bucket(F.col("features"), _media_planes())
+    )
+    a = b.select(
+        F.col("media_id").alias("id_a"), F.col("bucket"),
+        F.col("features").alias("fa"),
+    )
+    c = b.select(
+        F.col("media_id").alias("id_b"), F.col("bucket"),
+        F.col("features").alias("fb"),
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.round(cosine(F.col("fa"), F.col("fb")), 8).alias("cos_sim"),
+        )
+    )
+
+
+def _media_simhash_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import _dot_sql
+
+    planes = _media_planes()
+    lits = [
+        "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_sql('features', lits[i])} >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    cos = (
+        f"round({_dot_sql('fa', 'fb')} / "
+        f"(sqrt({_dot_sql('fa', 'fa')}) * sqrt({_dot_sql('fb', 'fb')})), 8)"
+    )
+    return f"""
+WITH m AS (
+  SELECT range AS media_id,
+         encode(sha256(CAST(range AS VARCHAR))) AS payload
+  FROM range(0, 200)
+), h AS (
+  SELECT media_id, sha256(decode(payload)) AS hx FROM m
+), f AS (
+  SELECT media_id,
+         list_transform(range(1, 17),
+           i -> CAST(strpos('0123456789abcdef', hx[i]) - 1 AS DOUBLE) / 15.0
+         ) AS features
+  FROM h
+), b AS (
+  SELECT media_id, features, CAST({bucket} AS BIGINT) AS bucket FROM f
+)
+SELECT a.media_id AS id_a, c.media_id AS id_b, a.bucket,
+       {cos.replace("fa", "a.features").replace("fb", "c.features")} AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.media_id < c.media_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup observability: near-dup component size distribution
+# --------------------------------------------------------------------------
+
+
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-duplicate components — the one
+    chart a dedup report leads with (how much of the corpus sits in
+    2-clusters vs giant boilerplate blobs), plus the rows deletion
+    would save per size class.  Composes ``neardup_components``; counts
+    are exact integers off two keyed aggregations."""
+    from df_to_azure_spark.functions.graph import connected_components
+    from df_to_azure_spark.functions import similarity as SIM_
+    from df_to_azure_spark.plans.training_data import _neardup_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM_.embedding_neardup_pairs_lsh(
+        emb, _neardup_planes(), threshold=0.6
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.expr("CAST(SUM(size - 1) AS BIGINT)").alias("rows_deletable"),
+    )
+
+
+def _neardup_sizes_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import _NEARDUP_COMP_CTES
+
+    return f"""
+{_NEARDUP_COMP_CTES},
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+  FROM comp GROUP BY component
+)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(size - 1) AS BIGINT) AS rows_deletable
+FROM sizes GROUP BY size
+"""

@@ -878,6 +878,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "fulfillment_latency_percentiles": QuerySpec(
         PL6.fulfillment_latency_percentiles, PL6._fulfillment_oracle()
     ),
+    "media_simhash_pairs": QuerySpec(
+        PL6.media_simhash_pairs, PL6._media_simhash_oracle()
+    ),
+    "neardup_cluster_sizes": QuerySpec(
+        PL6.neardup_cluster_sizes, PL6._neardup_sizes_oracle()
+    ),
 }
 
 
