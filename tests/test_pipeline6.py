@@ -520,3 +520,33 @@ def test_fulfillment_percentiles_match_numpy(spark, sf_smoke):
             r = got[(prio, f"p{label}")]
             assert r.n_lineitems == n
             assert r.latency_days == vals[k - 1], (prio, label)
+
+
+def test_media_simhash_pairs_bucket_consistency(spark, sf_smoke):
+    rows = PL6.media_simhash_pairs(spark, sf_smoke).collect()
+    # deterministic synthetic media: pair set is data-independent; at
+    # 12 bits over 200 items some buckets collide
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(-1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9 for r in rows)
+    # same-bucket means same sign pattern -> recomputing buckets agrees
+    from df_to_azure_spark.functions import multimodal as MM
+    from df_to_azure_spark.functions.similarity import hyperplane_bucket
+
+    feats = MM.extract_features(MM.synthesize_media(spark, n=200))
+    b = {
+        r.media_id: r.bucket
+        for r in feats.withColumn(
+            "bucket",
+            hyperplane_bucket(F.col("features"), PL6._media_planes()),
+        ).collect()
+    }
+    for r in rows:
+        assert b[r.id_a] == b[r.id_b] == r.bucket
+
+
+def test_neardup_cluster_sizes_mass_conservation(spark, sf_smoke):
+    rows = PL6.neardup_cluster_sizes(spark, sf_smoke).collect()
+    # every component has >= 2 members (components come from pairs)
+    assert all(r.size >= 2 for r in rows)
+    for r in rows:
+        assert r.rows_deletable == (r.size - 1) * r.n_clusters
