@@ -1527,7 +1527,12 @@ def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: money and discounts ride integer cents (2-dp inputs);
     ``mean_gap_days = (last − first)/(n − 1)`` uses exact day diffs;
-    every ratio is one double division, ROUND(6).  Scale: two keyed
+    the three small-integer ratios (mean gap, return rate, average
+    discount) round by the EXACT half-up integer-division device
+    ``(2·a·10⁶ + b) DIV (2·b)`` instead of ROUND on a double quotient —
+    quotients of small integers land exactly on .5·10⁻⁶ boundaries
+    often enough that engine ROUND implementations diverge there (this
+    bit at sf0.1: 0.0628125 rounded differently).  Scale: two keyed
     aggregates (orders by customer; lineitem by order's customer via an
     orderkey→custkey join) and one customer-keyed join — no windows, no
     data-sized broadcast."""
@@ -1556,8 +1561,9 @@ def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_days",
             F.expr(
                 "CASE WHEN n_orders > 1 THEN"
-                " ROUND(CAST(span_days AS DOUBLE)"
-                "       / CAST(n_orders - 1 AS DOUBLE), 6) END"
+                " CAST((2000000 * span_days + (n_orders - 1))"
+                "      DIV (2 * (n_orders - 1)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE) END"
             ),
         )
     )
@@ -1574,13 +1580,14 @@ def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_brands"
             ),
             F.expr(
-                "ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0"
-                " END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)"
+                "CAST((2000000 * SUM(CASE WHEN l_returnflag = 'R' THEN 1"
+                " ELSE 0 END) + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
             ).alias("return_rate"),
             F.expr(
-                "ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
-                " AS DOUBLE) / (CAST(100 AS DOUBLE)"
-                " * CAST(COUNT(*) AS DOUBLE)), 6)"
+                "CAST((20000 * SUM(CAST(ROUND(l_discount * 100, 0)"
+                " AS BIGINT)) + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
             ).alias("avg_discount"),
         )
     )
@@ -1614,13 +1621,12 @@ o_feat AS (
   SELECT o_custkey,
          CAST(COUNT(*) AS BIGINT) AS n_items,
          CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
-         ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-           AS return_rate,
-         ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
-                    AS DOUBLE)
-               / (CAST(100 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)
-           AS avg_discount
+         CAST((2000000 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+           / CAST(1000000 AS DOUBLE) AS return_rate,
+         CAST((20000 * SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+               + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+           / CAST(1000000 AS DOUBLE) AS avg_discount
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey
@@ -1628,8 +1634,9 @@ o_feat AS (
 )
 SELECT o_feat.o_custkey, n_orders, monetary, r_days,
        CASE WHEN n_orders > 1 THEN
-            ROUND(CAST(span_days AS DOUBLE)
-                  / CAST(n_orders - 1 AS DOUBLE), 6) END AS mean_gap_days,
+            CAST((2000000 * span_days + (n_orders - 1))
+                 // (2 * (n_orders - 1)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE) END AS mean_gap_days,
        CAST(COALESCE(n_items, 0) AS BIGINT) AS n_items,
        CAST(COALESCE(n_brands, 0) AS BIGINT) AS n_brands,
        return_rate, avg_discount
@@ -2080,11 +2087,18 @@ def revenue_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     around any KPI; days outside the band are the candidate anomalies.
 
     Exactness: the trailing window is a bounded 20-offset join on the
-    day grid (NULL until a full window exists); mean and population σ
-    come from exact integer Σc / Σc² (DECIMAL(38,0) squares), with
-    SQRT the only transcendental; the breakout flags compare the raw
-    value against the ROUND(6)-ed band edges — deterministic both
-    ways.  Scale: day-domain-bounded."""
+    day grid (NULL until a full window exists).  The population
+    variance rides the EXACT integer numerator
+    ``NUM = n·Σc² − (Σc)²`` (cents, DECIMAL(38,0) — no mid-plan
+    division), and NUM reaches double precision through an exact
+    hi/lo split (``NUM DIV 10⁹`` and ``NUM % 10⁹``, both < 2⁵³)
+    recombined with IEEE arithmetic — a DIRECT cast of a >17-digit
+    decimal is NOT correctly rounded in every engine, and because
+    ``σ = √NUM/(n·100)`` feeds a ROUND(6), a 1-ulp cast difference
+    flipped boundary rows at sf0.1 until this device replaced it.
+    SQRT is the only transcendental; the breakout flags compare the
+    raw value against the ROUND(6)-ed band edges.  Scale:
+    day-domain-bounded."""
     from df_to_azure_spark.plans.pipeline5 import _daily_revenue
 
     daily = _daily_revenue(spark, sf_dir).select(
@@ -2104,12 +2118,26 @@ def revenue_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scc"),
         )
         .where(F.col("nw") == _BB_WIN)
+        .withColumn(
+            "num",
+            F.expr(
+                f"CAST({_BB_WIN} * scc"
+                " - CAST(sc AS DECIMAL(38,0)) * sc AS DECIMAL(38,0))"
+            ),
+        )
+        .select(
+            "wd",
+            "sc",
+            F.expr("CAST(num DIV 1000000000 AS BIGINT)").alias("num_hi"),
+            F.expr("CAST(num % 1000000000 AS BIGINT)").alias("num_lo"),
+        )
     )
-    mu = f"(CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE))"
-    sig = (
-        f"SQRT(CAST(scc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE)"
-        f" - {mu} * {mu})"
+    dblnum = (
+        "(CAST(num_hi AS DOUBLE) * CAST(1000000000 AS DOUBLE)"
+        " + CAST(num_lo AS DOUBLE))"
     )
+    mu = f"(CAST(sc AS DOUBLE) / CAST({_BB_WIN * 100} AS DOUBLE))"
+    sig = f"(SQRT({dblnum}) / CAST({_BB_WIN * 100} AS DOUBLE))"
     return (
         daily.join(win, daily.d == F.col("wd"))
         .select(
@@ -2117,19 +2145,13 @@ def revenue_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)").alias(
                 "rev"
             ),
+            F.expr(f"ROUND({mu}, 6)").alias("ma20"),
+            F.expr(f"ROUND({sig}, 6)").alias("sigma20"),
             F.expr(
-                f"ROUND({mu} / CAST(100 AS DOUBLE), 6)"
-            ).alias("ma20"),
-            F.expr(
-                f"ROUND({sig} / CAST(100 AS DOUBLE), 6)"
-            ).alias("sigma20"),
-            F.expr(
-                f"ROUND(({mu} + CAST(2 AS DOUBLE) * {sig})"
-                " / CAST(100 AS DOUBLE), 6)"
+                f"ROUND({mu} + CAST(2 AS DOUBLE) * {sig}, 6)"
             ).alias("upper"),
             F.expr(
-                f"ROUND(({mu} - CAST(2 AS DOUBLE) * {sig})"
-                " / CAST(100 AS DOUBLE), 6)"
+                f"ROUND({mu} - CAST(2 AS DOUBLE) * {sig}, 6)"
             ).alias("lower"),
         )
         .withColumn(
@@ -2160,27 +2182,30 @@ WITH daily AS (
   )
   GROUP BY wd
   HAVING COUNT(*) = {_BB_WIN}
+), split AS (
+  SELECT wd, sc,
+         CAST(CAST({_BB_WIN} * scc - CAST(sc AS DECIMAL(38,0)) * sc
+                   AS HUGEINT) // 1000000000 AS BIGINT) AS num_hi,
+         CAST(CAST({_BB_WIN} * scc - CAST(sc AS DECIMAL(38,0)) * sc
+                   AS HUGEINT) % 1000000000 AS BIGINT) AS num_lo
+  FROM win
 ), j AS (
-  SELECT d, cents, sc, scc,
-         (CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE)) AS mu,
-         SQRT(CAST(scc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE)
-              - (CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE))
-              * (CAST(sc AS DOUBLE) / CAST({_BB_WIN} AS DOUBLE))) AS sig
-  FROM daily JOIN win ON daily.d = win.wd
+  SELECT d, cents,
+         (CAST(sc AS DOUBLE) / CAST({_BB_WIN * 100} AS DOUBLE)) AS mu,
+         (SQRT(CAST(num_hi AS DOUBLE) * CAST(1000000000 AS DOUBLE)
+               + CAST(num_lo AS DOUBLE))
+          / CAST({_BB_WIN * 100} AS DOUBLE)) AS sig
+  FROM daily JOIN split ON daily.d = split.wd
 )
 SELECT d, CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS rev,
-       ROUND(mu / CAST(100 AS DOUBLE), 6) AS ma20,
-       ROUND(sig / CAST(100 AS DOUBLE), 6) AS sigma20,
-       ROUND((mu + CAST(2 AS DOUBLE) * sig) / CAST(100 AS DOUBLE), 6)
-         AS upper,
-       ROUND((mu - CAST(2 AS DOUBLE) * sig) / CAST(100 AS DOUBLE), 6)
-         AS lower,
+       ROUND(mu, 6) AS ma20,
+       ROUND(sig, 6) AS sigma20,
+       ROUND(mu + CAST(2 AS DOUBLE) * sig, 6) AS upper,
+       ROUND(mu - CAST(2 AS DOUBLE) * sig, 6) AS lower,
        CASE WHEN CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)
-                 > ROUND((mu + CAST(2 AS DOUBLE) * sig)
-                         / CAST(100 AS DOUBLE), 6) THEN 'above'
+                 > ROUND(mu + CAST(2 AS DOUBLE) * sig, 6) THEN 'above'
             WHEN CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)
-                 < ROUND((mu - CAST(2 AS DOUBLE) * sig)
-                         / CAST(100 AS DOUBLE), 6) THEN 'below' END
+                 < ROUND(mu - CAST(2 AS DOUBLE) * sig, 6) THEN 'below' END
          AS breakout
 FROM j
 """
