@@ -263,6 +263,57 @@ def ntile_from_rank(rank_col: str, total_col: str, buckets: int) -> Column:
     )
 
 
+def _two_phase_cumext(
+    df: DataFrame,
+    order_by: Sequence[tuple[str, str]],
+    val_col: str,
+    out_col: str,
+    inclusive: bool,
+    take_max: bool,
+) -> DataFrame:
+    """Shared body of ``two_phase_cummin`` / ``two_phase_cummax``: range
+    repartition pins a total order, one bounded counting job takes each
+    partition's extremum, the driver folds the exclusive prefix per
+    partition (≤ num_partitions values), and a *partitioned* local
+    window finishes the job."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_part, *_sort_cols(order_by)).localCheckpoint()
+    withpid = ranged.withColumn("__pid", F.spark_partition_id())
+
+    ext = F.max(val_col) if take_max else F.min(val_col)
+    per = withpid.groupBy("__pid").agg(ext.alias("__pext"))
+    stats = sorted(per.collect(), key=lambda r: r["__pid"])
+
+    val_t = {f.name: f.dataType for f in df.schema.fields}[val_col]
+    rows, run = [], None
+    for r in stats:
+        rows.append((r["__pid"], run))
+        if r["__pext"] is not None and (
+            run is None or (r["__pext"] > run if take_max else r["__pext"] < run)
+        ):
+            run = r["__pext"]
+    off_df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType()),
+                T.StructField("__extoff", val_t),
+            ]
+        ),
+    )
+
+    joined = withpid.join(F.broadcast(off_df), "__pid")
+    w = Window.partitionBy("__pid").orderBy(*_sort_cols(order_by))
+    lo, hi = Window.unboundedPreceding, (0 if inclusive else -1)
+    local_ext = F.max(val_col) if take_max else F.min(val_col)
+    local = local_ext.over(w.rowsBetween(lo, hi))
+    combine = F.greatest if take_max else F.least
+    return joined.withColumn(
+        out_col, combine(F.col("__extoff"), local)
+    ).drop("__pid", "__extoff")
+
+
 def two_phase_cummin(
     df: DataFrame,
     order_by: Sequence[tuple[str, str]],
@@ -285,34 +336,21 @@ def two_phase_cummin(
     row — the form dominance/skyline tests need.  ``order_by`` must be
     a total order (add a unique tie-break) with non-null keys, same
     contract as ``two_phase_rank``."""
-    spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n_part, *_sort_cols(order_by)).localCheckpoint()
-    withpid = ranged.withColumn("__pid", F.spark_partition_id())
+    return _two_phase_cumext(df, order_by, val_col, out_col, inclusive, take_max=False)
 
-    per = withpid.groupBy("__pid").agg(F.min(val_col).alias("__pmin"))
-    stats = sorted(per.collect(), key=lambda r: r["__pid"])
 
-    val_t = {f.name: f.dataType for f in df.schema.fields}[val_col]
-    rows, run = [], None
-    for r in stats:
-        rows.append((r["__pid"], run))
-        if r["__pmin"] is not None and (run is None or r["__pmin"] < run):
-            run = r["__pmin"]
-    off_df = spark.createDataFrame(
-        rows,
-        T.StructType(
-            [
-                T.StructField("__pid", T.IntegerType()),
-                T.StructField("__minoff", val_t),
-            ]
-        ),
-    )
-
-    joined = withpid.join(F.broadcast(off_df), "__pid")
-    w = Window.partitionBy("__pid").orderBy(*_sort_cols(order_by))
-    lo, hi = Window.unboundedPreceding, (0 if inclusive else -1)
-    local = F.min(val_col).over(w.rowsBetween(lo, hi))
-    return joined.withColumn(
-        out_col, F.least(F.col("__minoff"), local)
-    ).drop("__pid", "__minoff")
+def two_phase_cummax(
+    df: DataFrame,
+    order_by: Sequence[tuple[str, str]],
+    val_col: str,
+    out_col: str = "__cummax",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running MAX — mirror of ``two_phase_cummin`` (same
+    two-phase shape, same contracts), bit-identical to
+    ``MAX(val) OVER (ORDER BY ...)`` with no single-partition
+    WindowExec.  ``inclusive=False`` is the exclusive prefix-max (NULL
+    for the global first row) — the form running-record detection needs:
+    a row is a new record iff ``val > cummax_exclusive`` (or the prefix
+    is NULL)."""
+    return _two_phase_cumext(df, order_by, val_col, out_col, inclusive, take_max=True)

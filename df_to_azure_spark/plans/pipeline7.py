@@ -1,0 +1,501 @@
+"""Round-8 extension wave: running-record analytics on the new
+``two_phase_cummax`` prefix-max primitive (record-high detection over
+the data-sized order stream; max drawdown of the daily revenue series),
+attribute-filtered ANN (label-constrained kNN — the filter becomes the
+join key, not a post-filter), a PPJoin-style prefix-filtered set-
+similarity join whose oracle is the UNFILTERED all-pairs ground truth
+(hash-equality proves the filter lossless), and a split-conformal
+coverage audit (distribution-free calibration, Vovk et al. 2005 /
+Angelopoulos & Bates 2021).
+
+Cross-engine policy unchanged: integer cents / exact half-up integer-
+division ratios everywhere a quotient is emitted, every numeric
+constant explicitly typed, ties always broken by a unique key.  No
+counterpart exists in the reference (zypp-io/df_to_azure is pandas +
+Azure orchestration with no relational surface,
+`/root/reference/df_to_azure/export.py`); engine-extension per the
+training-data brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from df_to_azure_spark.functions import similarity as SIM
+from df_to_azure_spark.functions.distrank import two_phase_cummax, two_phase_rank
+from df_to_azure_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Running record highs over the order stream (two_phase_cummax, data-sized)
+# --------------------------------------------------------------------------
+
+
+def order_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-year: how many orders set a NEW all-time price record
+    (strictly above every earlier order in ``(o_orderdate, o_orderkey)``
+    order), and the all-time record as of year end — the running-record
+    watermark a monitoring pipeline keeps over an append-only fact
+    stream.
+
+    The running max over the data-sized order stream rides
+    ``two_phase_cummax(inclusive=False)`` — the exclusive prefix-max —
+    so no single-partition WindowExec ever materializes: a row is a
+    record iff its price exceeds the prefix (or the prefix is NULL,
+    the global first row).  Money stays integer cents end-to-end; the
+    year-end record is a ≤|years|² triangular join over the per-year
+    max frame, never a window.  Scale: one range shuffle + one bounded
+    counting job (the cummax), one keyed agg to years, and a
+    calendar-bounded triangle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(date_part('year', o_orderdate) AS INT)").alias("yr"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    pre = two_phase_cummax(
+        orders,
+        [("o_orderdate", "asc"), ("o_orderkey", "asc")],
+        "cents",
+        out_col="prevmax",
+        inclusive=False,
+    )
+    per_yr = pre.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CASE WHEN prevmax IS NULL OR cents > prevmax"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_records"),
+        F.max("cents").alias("yr_max"),
+    )
+    later = per_yr.select(F.col("yr").alias("yr2"), F.col("yr_max").alias("mx2"))
+    return (
+        per_yr.join(F.broadcast(later), F.col("yr2") <= F.col("yr"))
+        .groupBy("yr", "n_orders", "n_records")
+        .agg(F.max("mx2").alias("record_high_cents"))
+    )
+
+
+RECORD_HIGHS_ORACLE = """
+WITH base AS (
+  SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderdate, o_orderkey
+  FROM orders
+), pre AS (
+  SELECT yr, cents,
+         MAX(cents) OVER (ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM base
+), per_yr AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN prevmax IS NULL OR cents > prevmax
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+         MAX(cents) AS yr_max
+  FROM pre GROUP BY yr
+)
+SELECT a.yr, a.n_orders, a.n_records, MAX(b.yr_max) AS record_high_cents
+FROM per_yr a JOIN per_yr b ON b.yr <= a.yr
+GROUP BY a.yr, a.n_orders, a.n_records
+"""
+
+
+# --------------------------------------------------------------------------
+# Max drawdown of the daily revenue series
+# --------------------------------------------------------------------------
+
+
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough drawdown of the daily revenue series — the
+    risk statistic every financial monitor keeps next to the Bollinger
+    bands: ``dd_t = (peak_t − rev_t)/peak_t`` with ``peak_t`` the
+    running max of daily revenue, reported at its earliest attaining
+    day.
+
+    The running peak rides ``two_phase_cummax`` over the calendar-
+    bounded day grid (pre-aggregated FIRST, so the cummax input is
+    |days|, never |orders|); the drawdown ratio is the exact half-up
+    integer-division device ``(2·a·10⁶ + b) DIV (2·b)`` on integer
+    cents — no double quotient ever crosses the engine boundary.  The
+    argmax extraction is two 1-row broadcast joins."""
+    from df_to_azure_spark.plans.pipeline5 import _daily_revenue
+
+    daily = _daily_revenue(spark, sf_dir).select(
+        "d", F.expr("CAST(rev * 100 AS BIGINT)").alias("cents")
+    )
+    peaked = two_phase_cummax(
+        daily, [("d", "asc")], "cents", out_col="peak_cents", inclusive=True
+    )
+    dd = peaked.withColumn(
+        "dd6",
+        F.expr(
+            "CAST((2000000 * (peak_cents - cents) + peak_cents)"
+            " DIV (2 * peak_cents) AS BIGINT)"
+        ),
+    )
+    mx = dd.agg(F.max("dd6").alias("mxdd"))
+    attain = (
+        dd.join(F.broadcast(mx), F.col("dd6") == F.col("mxdd"))
+        .agg(F.min("d").alias("trough_d"))
+    )
+    return (
+        dd.join(F.broadcast(attain), F.col("d") == F.col("trough_d"))
+        .select(
+            "trough_d",
+            F.col("cents").alias("trough_cents"),
+            "peak_cents",
+            F.expr("CAST(dd6 AS DOUBLE) / CAST(1000000 AS DOUBLE)").alias(
+                "max_drawdown"
+            ),
+        )
+    )
+
+
+MAX_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+              * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), peaked AS (
+  SELECT d, cents,
+         MAX(cents) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+  FROM daily
+), dd AS (
+  SELECT d, cents, peak_cents,
+         (2000000 * (peak_cents - cents) + peak_cents)
+           // (2 * peak_cents) AS dd6
+  FROM peaked
+), attain AS (
+  SELECT MIN(d) AS trough_d FROM dd
+  WHERE dd6 = (SELECT MAX(dd6) FROM dd)
+)
+SELECT d AS trough_d, cents AS trough_cents, peak_cents,
+       CAST(dd6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS max_drawdown
+FROM dd JOIN attain ON dd.d = attain.trough_d
+"""
+
+
+# --------------------------------------------------------------------------
+# Attribute-filtered kNN: the filter becomes the join key
+# --------------------------------------------------------------------------
+
+
+def filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-constrained exact kNN: each query's neighbors are searched
+    ONLY among corpus vectors sharing its ``label`` — the filtered-ANN
+    shape every production vector store implements (metadata predicate
+    + vector search).
+
+    The predicate is pushed INTO the join: label equality turns the
+    broadcast nested-loop scan of ``cosine_topk`` into a broadcast HASH
+    join keyed on the label, so each corpus row is scored against only
+    the queries of its own class — candidate volume drops by the label
+    selectivity before a single dot product runs, the relational
+    analogue of an ANN index's filtered posting lists.  Scale: corpus-
+    linear scan, query set broadcast (bounded), per-query top-k window
+    partitioned by query id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        SIM._as_double("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        SIM._as_double("embedding").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            F.round(SIM.cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "label", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def _filtered_knn_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import _dot_sql
+
+    cos = (
+        f"round({_dot_sql('qv', 'cv')} / "
+        f"(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})), 8)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, c.label, neighbor_id, {cos} AS cos_sim
+  FROM c JOIN q ON c.label = q.qlabel
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, label, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, label, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs/PPJoin family)
+# --------------------------------------------------------------------------
+
+_PF_TAU_NUM = 1  # Jaccard threshold tau = 1/2, kept rational for exact
+_PF_TAU_DEN = 2  # integer filtering (J >= 1/2  <=>  3*inter >= sz_a+sz_b)
+
+
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (Chaudhuri et al.
+    ICDE'06 SSJoin; Bayardo et al. WWW'07 AllPairs; Xiao et al. WWW'08
+    PPJoin): candidate pairs come only from docs sharing a shingle in
+    each other's RAREST-FIRST PREFIX, not from the full posting join.
+
+    Order every doc's distinct 3-shingles by ascending document
+    frequency (ties on the shingle text — one global total order shared
+    by all docs); with ``n`` shingles and threshold τ, any pair with
+    ``J ≥ τ`` shares ≥ ``ceil(τ·n)`` shingles, so its FIRST common
+    shingle (in the global order) must sit within the first
+    ``n − ceil(τ·n) + 1`` of BOTH docs — the prefix-filter theorem.
+    Joining prefixes only means the posting lists that drive the join
+    are the *rarest* shingles: candidate volume collapses from
+    Σ df² over all shingles to Σ df² over low-df prefix shingles — the
+    property that keeps a 100 TB similarity self-join feasible where a
+    plain posting join melts on boilerplate shingles.
+
+    The filter is LOSSLESS, and the oracle proves it: the DuckDB side
+    computes the UNFILTERED all-pairs ground truth (full posting join),
+    so the driver's hash equality is a machine-checked proof that the
+    prefix join dropped no qualifying pair.  Exactness: the Jaccard
+    gate is pure-integer (``3·inter ≥ sz_a + sz_b`` for τ = 1/2) and
+    the reported ratio uses the exact half-up integer-division device —
+    no double ever decides membership."""
+    from df_to_azure_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.asc("df_s"), F.asc("s"))
+            ),
+        )
+        .join(sizes, "doc_id")
+        # prefix length n - ceil(tau*n) + 1, ceil as exact int division
+        .where(
+            F.expr(
+                f"rk <= sz - (({_PF_TAU_NUM} * sz + {_PF_TAU_DEN} - 1)"
+                f" DIV {_PF_TAU_DEN}) + 1"
+            )
+        )
+        .select("doc_id", "s")
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("doc_b")) & (F.col("s_b") == F.col("s_a")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .where(
+            F.expr(
+                f"({_PF_TAU_DEN} + {_PF_TAU_NUM}) * n_inter"
+                f" >= {_PF_TAU_NUM} * (sz_a + sz_b)"
+            )
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.expr(
+            "CAST((2000000 * n_inter + (sz_a + sz_b - n_inter))"
+            " DIV (2 * (sz_a + sz_b - n_inter)) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("jaccard"),
+    )
+
+
+# The oracle is the UNFILTERED ground truth: full posting-list join, no
+# prefix restriction.  Hash equality == machine-checked losslessness.
+_PF_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+PREFIX_FILTER_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_PF_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM toked WHERE len(toks) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.sz AS BIGINT) AS sz_a,
+       CAST(sb.sz AS BIGINT) AS sz_b,
+       CAST((2000000 * n_inter + (sa.sz + sb.sz - n_inter))
+            // (2 * (sa.sz + sb.sz - n_inter)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ({_PF_TAU_DEN} + {_PF_TAU_NUM}) * n_inter
+      >= {_PF_TAU_NUM} * (sa.sz + sb.sz)
+"""
+
+
+# --------------------------------------------------------------------------
+# Split-conformal coverage audit
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 1   # alpha = 1/10 -> nominal coverage 90%
+_CONF_ALPHA_DEN = 10
+
+
+def conformal_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration audit (Vovk et al. 2005; Angelopoulos
+    & Bates 2021): split documents 50/50 by md5 into calibration and
+    test, take the conformal quantile of the nonconformity score
+    (``n_chars`` — any deterministic score works; the machinery is the
+    point) on the calibration half — the ``k``-th smallest with
+    ``k = ceil((n_cal + 1)(1 − α))`` — and report the fraction of TEST
+    scores at or below it.  Exchangeability says that fraction lands
+    near ``1 − α``; this is the distribution-free coverage audit an ML
+    pipeline runs before shipping prediction sets.
+
+    The order statistic rides ``two_phase_rank`` (never a global
+    window); ``k`` and the coverage ratio are exact integer arithmetic
+    (half-up device), the threshold is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            " AS INT) % 100"
+        ).alias("b"),
+    )
+    calib = docs.where(F.col("b") < 50)
+    test = docs.where(F.col("b") >= 50)
+
+    ranked = two_phase_rank(calib, [("score", "asc"), ("doc_id", "asc")])
+    # k = ceil((n+1)(1-alpha)) = ceil((n+1)(den-num)/den), exact int ceil
+    kn = _CONF_ALPHA_DEN - _CONF_ALPHA_NUM
+    thr = (
+        ranked.where(
+            F.expr(
+                f"__rn = ((__grp_n + 1) * {kn} + {_CONF_ALPHA_DEN} - 1)"
+                f" DIV {_CONF_ALPHA_DEN}"
+            )
+        )
+        .select(
+            F.col("__grp_n").cast("bigint").alias("n_calib"),
+            F.col("__rn").cast("bigint").alias("k"),
+            F.col("score").alias("threshold"),
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(thr))
+        .agg(
+            F.max("n_calib").alias("n_calib"),
+            F.max("k").alias("k"),
+            F.max("threshold").alias("threshold"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.expr(
+                "CAST(SUM(CASE WHEN score <= threshold THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.expr(
+                "CAST((2000000 * n_covered + n_test) DIV (2 * n_test)"
+                " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+            ),
+        )
+    )
+
+
+CONFORMAL_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars AS score,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS b
+  FROM documents
+), calib AS (
+  SELECT doc_id, score FROM scored WHERE b < 50
+), ranked AS (
+  SELECT score,
+         ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM calib
+), thr AS (
+  SELECT CAST(n AS BIGINT) AS n_calib, CAST(rn AS BIGINT) AS k,
+         score AS threshold
+  FROM ranked
+  WHERE rn = ((n + 1) * {_CONF_ALPHA_DEN - _CONF_ALPHA_NUM}
+              + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN}
+)
+SELECT MAX(n_calib) AS n_calib, MAX(k) AS k, MAX(threshold) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN score <= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST((2000000 * SUM(CASE WHEN score <= threshold THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS coverage
+FROM scored CROSS JOIN thr
+WHERE b >= 50
+"""

@@ -23,6 +23,7 @@ from df_to_azure_spark.plans import pipeline3 as PL3
 from df_to_azure_spark.plans import pipeline4 as PL4
 from df_to_azure_spark.plans import pipeline5 as PL5
 from df_to_azure_spark.plans import pipeline6 as PL6
+from df_to_azure_spark.plans import pipeline7 as PL7
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -883,6 +884,22 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "neardup_cluster_sizes": QuerySpec(
         PL6.neardup_cluster_sizes, PL6._neardup_sizes_oracle()
+    ),
+    # --- round-8 extension wave (pipeline7) ---
+    "order_record_highs": QuerySpec(
+        PL7.order_record_highs, PL7.RECORD_HIGHS_ORACLE
+    ),
+    "revenue_max_drawdown": QuerySpec(
+        PL7.revenue_max_drawdown, PL7.MAX_DRAWDOWN_ORACLE
+    ),
+    "filtered_knn": QuerySpec(
+        PL7.filtered_knn, PL7._filtered_knn_oracle()
+    ),
+    "prefix_filter_jaccard_pairs": QuerySpec(
+        PL7.prefix_filter_jaccard_pairs, PL7.PREFIX_FILTER_ORACLE
+    ),
+    "conformal_coverage_check": QuerySpec(
+        PL7.conformal_coverage_check, PL7.CONFORMAL_ORACLE
     ),
 }
 

@@ -1,0 +1,201 @@
+"""Unit tests for the pipeline7 wave: two_phase_cummax vs a brute
+running max (inclusive + exclusive), record-high counts vs a pandas
+replay, max drawdown vs a pandas replay, the prefix-filter Jaccard
+join vs brute-force all-pairs (losslessness on a hand corpus), label
+containment + numpy parity for filtered kNN, and the conformal
+quantile/coverage arithmetic."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.plans import pipeline7 as PL7
+
+
+def test_two_phase_cummax_matches_bruteforce(spark):
+    from df_to_azure_spark.functions.distrank import two_phase_cummax
+
+    rng = random.Random(23)
+    vals = [rng.randint(-50, 50) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    inc = {
+        r.k: r.cm
+        for r in two_phase_cummax(df, [("k", "asc")], "v", out_col="cm").collect()
+    }
+    exc = {
+        r.k: r.cm
+        for r in two_phase_cummax(
+            df, [("k", "asc")], "v", out_col="cm", inclusive=False
+        ).collect()
+    }
+    run = None
+    for i, v in enumerate(vals):
+        assert exc[i] == run
+        run = v if run is None or v > run else run
+        assert inc[i] == run
+
+
+def test_order_record_highs_pandas_replay(spark, sf_smoke):
+    got = (
+        PL7.order_record_highs(spark, sf_smoke)
+        .toPandas()
+        .sort_values("yr")
+        .reset_index(drop=True)
+    )
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    orders["cents"] = (
+        orders["o_totalprice"].map(lambda x: round(x * 100))
+    ).astype("int64")
+    orders = orders.sort_values(["o_orderdate", "o_orderkey"]).reset_index(
+        drop=True
+    )
+    orders["prevmax"] = orders["cents"].cummax().shift(1)
+    orders["rec"] = orders["prevmax"].isna() | (
+        orders["cents"] > orders["prevmax"]
+    )
+    orders["yr"] = orders["o_orderdate"].dt.year
+    per = orders.groupby("yr").agg(
+        n_orders=("cents", "size"),
+        n_records=("rec", "sum"),
+        yr_max=("cents", "max"),
+    )
+    per["record_high_cents"] = per["yr_max"].cummax()
+    for _, row in got.iterrows():
+        exp = per.loc[row["yr"]]
+        assert row["n_orders"] == exp["n_orders"]
+        assert row["n_records"] == exp["n_records"]
+        assert row["record_high_cents"] == exp["record_high_cents"]
+    # record counts are positive in the first year and total >= 1
+    assert got["n_records"].iloc[0] >= 1
+    # the year-end record watermark never decreases
+    assert got["record_high_cents"].is_monotonic_increasing
+
+
+def test_revenue_max_drawdown_pandas_replay(spark, sf_smoke):
+    got = PL7.revenue_max_drawdown(spark, sf_smoke).collect()
+    assert len(got) == 1
+    row = got[0]
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    orders["d"] = (
+        orders["o_orderdate"].dt.normalize() - pd.Timestamp("1992-01-01")
+    ).dt.days
+    cents = (
+        orders.assign(c=orders["o_totalprice"].map(lambda x: round(x * 100)))
+        .groupby("d")["c"]
+        .sum()
+        .sort_index()
+    )
+    peak = cents.cummax()
+    dd6 = ((2_000_000 * (peak - cents) + peak) // (2 * peak)).astype("int64")
+    t = dd6[dd6 == dd6.max()].index.min()
+    assert row.trough_d == t
+    assert row.trough_cents == cents.loc[t]
+    assert row.peak_cents == peak.loc[t]
+    assert row.max_drawdown == pytest.approx(dd6.max() / 1e6, abs=0)
+    assert 0.0 <= row.max_drawdown <= 1.0
+
+
+def _brute_jaccard_pairs(doc_shingles, tau=0.5):
+    ids = sorted(doc_shingles)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = doc_shingles[a], doc_shingles[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= tau:
+                out[(a, b)] = inter
+    return out
+
+
+def test_prefix_filter_lossless_vs_bruteforce(spark, sf_smoke):
+    got = PL7.prefix_filter_jaccard_pairs(spark, sf_smoke).collect()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    sh = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split()
+        if len(toks) >= 3:
+            grams = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        elif toks:
+            grams = {" ".join(toks)}
+        else:
+            grams = set()
+        sh[int(doc_id)] = grams
+    expected = _brute_jaccard_pairs(sh, tau=0.5)
+    got_pairs = {(r.id_a, r.id_b): r.n_inter for r in got}
+    assert got_pairs == expected
+    for r in got:
+        u = r.sz_a + r.sz_b - r.n_inter
+        assert 2 * r.n_inter >= u  # exact integer gate, J >= 1/2
+        dev = (2_000_000 * r.n_inter + u) // (2 * u)
+        assert r.jaccard == pytest.approx(dev / 1e6, abs=0)
+
+
+def test_filtered_knn_label_constraint(spark, sf_smoke):
+    rows = PL7.filtered_knn(spark, sf_smoke).collect()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet").set_index("vec_id")
+    assert rows
+    for r in rows:
+        assert emb.loc[r.query_id, "label"] == r.label
+        assert emb.loc[r.neighbor_id, "label"] == r.label
+    # numpy parity for one query: exact same top-10 within the class
+    q = 0
+    qlab = emb.loc[q, "label"]
+    qv = np.array(emb.loc[q, "embedding"], dtype="float64")
+    cands = emb[(emb["label"] == qlab) & (emb.index != q)]
+    sims = {}
+    for vid, row in cands.iterrows():
+        cv = np.array(row["embedding"], dtype="float64")
+        # sequential left-fold, matching the engine's aggregate() order
+        dot = qq = cc = 0.0
+        for x, y in zip(qv, cv):
+            dot += x * y
+        for x in qv:
+            qq += x * x
+        for y in cv:
+            cc += y * y
+        sims[vid] = (
+            round(dot / (math.sqrt(qq) * math.sqrt(cc)), 8) if qq and cc else 0.0
+        )
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_q = sorted(
+        [(r.neighbor_id, r.cos_sim) for r in rows if r.query_id == q],
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    # same neighbor set and same rounded similarity values
+    assert [n for n, _ in got_q] == [n for n, _ in want]
+    for (gn, gs), (wn, ws) in zip(got_q, want):
+        assert gs == pytest.approx(ws, abs=1e-8)
+
+
+def test_conformal_quantile_arithmetic(spark, sf_smoke):
+    row = PL7.conformal_coverage_check(spark, sf_smoke).collect()[0]
+    # k = ceil((n_calib + 1) * 0.9), exact integer form
+    assert row.k == ((row.n_calib + 1) * 9 + 9) // 10
+    assert row.n_covered <= row.n_test
+    # the distribution-free band: coverage lands near 1 - alpha
+    assert 0.8 <= row.coverage <= 1.0
+    # threshold really is the k-th smallest calibration score
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    calib = sorted(
+        (int(c), int(d))
+        for d, c in zip(docs["doc_id"], docs["n_chars"])
+        if bucket(d) < 50
+    )
+    assert row.n_calib == len(calib)
+    assert row.threshold == calib[row.k - 1][0]

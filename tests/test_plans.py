@@ -115,6 +115,9 @@ BOUNDED_BROADCAST_VARS = {
     "targets",  # 3-row quantile-target frame, fixed by _QH_TARGETS
     "look",  # 7-row recovery-lookahead frame, fixed by _DIP_LOOKAHEAD
     "tot",  # 1-row Neyman normalizer aggregate (also whitelisted above)
+    "later",  # per-year max frame — bounded by the calendar year domain (~7)
+    "attain",  # 1-row argmax-day aggregate (revenue_max_drawdown)
+    "thr",  # 1-row conformal-threshold order statistic (conformal_coverage_check)
 }
 
 
