@@ -499,3 +499,147 @@ SELECT MAX(n_calib) AS n_calib, MAX(k) AS k, MAX(threshold) AS threshold,
 FROM scored CROSS JOIN thr
 WHERE b >= 50
 """
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram surprisal (exact rational quantization)
+# --------------------------------------------------------------------------
+
+
+def doc_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP'95;
+    Chen & Goodman 1998) of the md5 TEST split against TRAIN counts —
+    the smoothing upgrade over ``doc_bigram_surprisal``'s stupid
+    backoff: absolute discounting ``max(c−D, 0)/c(w1·)`` plus the
+    CONTINUATION probability ``N₁₊(·w2)/N₁₊(··)`` weighted by
+    ``λ(w1) = D·N₁₊(w1·)/c(w1·)`` — the insight that 'Francisco' is
+    frequent but only ever follows 'San'.
+
+    Engine-exact quantization, same device as the surprisal family:
+    with the discount kept RATIONAL (D = 3/4), ``p_KN`` is an exact
+    integer ratio ``num/den`` with
+    ``num = max(4c−3, 0)·N_bb + 3·N₁₊(w1·)·N₁₊(·w2)`` and
+    ``den = 4·c(w1·)·N_bb``; the bit cost is
+    ``bit_length(den div num)`` (≈ −log₂ p) — pure integer arithmetic,
+    no transcendental ever crosses the engine boundary.  Unseen
+    contexts back off to the bare continuation ratio (floored at
+    1/N_bb).  Per-doc means use the exact half-up integer-division
+    device.  (At 1e12-token counts the num/den products would ride
+    DECIMAL(38,0); int64 headroom here is ~2^20×.)
+
+    Plan: one bigram explode per split, three keyed train aggregates
+    (all map-side combined, model-bounded by vocab²), one 1-row type
+    total, then keyed left joins onto the test stream — AQE broadcasts
+    the small sides; no driver-sized state."""
+    from df_to_azure_spark.functions import text as TXT
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_arr = docs.select("doc_id", "split", TXT.tokens("text").alias("t"))
+    bg = (
+        toks_arr.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id", "split", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+    )
+    bgc = (
+        bg.where(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("n_bg").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_cont"))
+    nbb = bgc.agg(F.count(F.lit(1)).alias("n_bb"))
+    scored = (
+        bg.where(F.col("split") == "test")
+        .join(bgc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c_ctx IS NOT NULL THEN"
+                " length(bin((4 * c_ctx * n_bb) DIV GREATEST("
+                "   GREATEST(4 * coalesce(n_bg, 0) - 3, 0) * n_bb"
+                "   + 3 * n1p_w1 * coalesce(n_cont, 0), 1)))"
+                " ELSE length(bin(n_bb DIV GREATEST(coalesce(n_cont, 0), 1)))"
+                " END"
+            ).alias("bits"),
+            F.expr("IF(c_ctx IS NULL, 1, 0)").alias("oov_ctx"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.expr(
+            "CAST((2000000 * SUM(bits) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        ).alias("mean_kn_bits"),
+        F.max("bits").cast("bigint").alias("max_kn_bits"),
+        F.expr(
+            "CAST((2000000 * SUM(oov_ctx) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        ).alias("oov_ctx_rate"),
+    )
+
+
+_KN_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+KNESER_NEY_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_KN_TOKS} AS t,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), bg AS (
+  SELECT doc_id, split, b[1] AS w1, b[2] AS w2
+  FROM (SELECT doc_id, split,
+               unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS b
+        FROM s WHERE len(t) >= 2)
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS n_bg FROM bg WHERE split = 'train' GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(n_bg) AS c_ctx, COUNT(*) AS n1p_w1 FROM bgc GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS n_cont FROM bgc GROUP BY w2
+), nbb AS (
+  SELECT COUNT(*) AS n_bb FROM bgc
+), scored AS (
+  SELECT b.doc_id,
+         CASE WHEN ctx.c_ctx IS NOT NULL THEN
+              length(bin(CAST((4 * ctx.c_ctx * nbb.n_bb) // GREATEST(
+                GREATEST(4 * coalesce(bgc.n_bg, 0) - 3, 0) * nbb.n_bb
+                + 3 * ctx.n1p_w1 * coalesce(cont.n_cont, 0), 1) AS BIGINT)))
+         ELSE length(bin(CAST(nbb.n_bb // GREATEST(coalesce(cont.n_cont, 0), 1)
+                              AS BIGINT)))
+         END AS bits,
+         CASE WHEN ctx.c_ctx IS NULL THEN 1 ELSE 0 END AS oov_ctx
+  FROM bg b
+  LEFT JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  LEFT JOIN cont ON b.w2 = cont.w2
+  CROSS JOIN nbb
+  WHERE b.split = 'test'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST((2000000 * SUM(bits) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS mean_kn_bits,
+       CAST(MAX(bits) AS BIGINT) AS max_kn_bits,
+       CAST((2000000 * SUM(oov_ctx) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS oov_ctx_rate
+FROM scored GROUP BY doc_id
+"""

@@ -41,6 +41,18 @@ def _stream_hh_oracle() -> str:
     return STREAM_HH_SUPERSET_ORACLE
 
 
+def _stream_qhist_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import stream_quantile_hist_diff
+
+    return stream_quantile_hist_diff(spark, sf_dir)
+
+
+def _stream_qhist_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import STREAM_QHIST_DIFF_ORACLE
+
+    return STREAM_QHIST_DIFF_ORACLE
+
+
 def _stream_windowed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_vs_batch_windowed_diff
 
@@ -900,6 +912,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "conformal_coverage_check": QuerySpec(
         PL7.conformal_coverage_check, PL7.CONFORMAL_ORACLE
+    ),
+    "doc_kneser_ney_surprisal": QuerySpec(
+        PL7.doc_kneser_ney_surprisal, PL7.KNESER_NEY_ORACLE
+    ),
+    "stream_quantile_hist_diff": QuerySpec(
+        _stream_qhist_diff, _stream_qhist_oracle()
     ),
 }
 

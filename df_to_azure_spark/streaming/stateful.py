@@ -678,3 +678,91 @@ SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS bucket,
        CAST(NULL AS INT) AS stream_rho, CAST(NULL AS INT) AS batch_rho
 WHERE 1 = 0
 """
+
+
+def stream_quantile_hist_diff(spark, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the 256-bin mergeable equi-width
+    histogram (the ``quantile_histogram_check`` sketch): bin edges are
+    a TRAINED artifact (one bounded min/max row collected from the
+    batch table up front — exactly how production streaming histograms
+    deploy pre-fitted edges), the stream maintains per-(event_type,
+    bin) integer counters through a plain COUNT aggregation in
+    complete mode, and the final snapshot is full-outer-diffed against
+    the batch histogram built with the SAME edges.  Expected EMPTY.
+
+    Like the HLL/CMS twins, no watermark and no dedup state: counter
+    increments are order-insensitive and the state is |types| × 256
+    integers — constant in stream length, the property that lets a
+    100 TB ingest keep quantile estimates hot without re-scanning."""
+    from df_to_azure_spark.sources import load_table
+
+    _BINS = 256
+    batch_ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    row = batch_ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()[0]
+    mn, mx = float(row["mn"]), float(row["mx"])
+    bin_expr = (
+        f"LEAST({_BINS - 1}, CAST(FLOOR((value - CAST({mn!r} AS DOUBLE))"
+        f" / (CAST({mx!r} AS DOUBLE) - CAST({mn!r} AS DOUBLE))"
+        f" * CAST({_BINS} AS DOUBLE)) AS INT))"
+    )
+
+    def hist(df):
+        return (
+            df.select("event_type", F.expr(bin_expr).alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    events_schema = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet"
+    ).schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(events_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    q = (
+        hist(raw.select("event_type", "value"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("qhist_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT event_type, bin, cnt FROM qhist_out")
+    batch = hist(batch_ev)
+    s = streamed.select(
+        F.col("event_type").alias("st"), F.col("bin").alias("sb"),
+        F.col("cnt").alias("sc"),
+    )
+    b = batch.select(
+        F.col("event_type").alias("bt"), F.col("bin").alias("bb"),
+        F.col("cnt").alias("bc"),
+    )
+    joined = s.join(
+        b, (F.col("st") == F.col("bt")) & (F.col("sb") == F.col("bb")), "full"
+    )
+    return (
+        joined.where(
+            F.col("st").isNull()
+            | F.col("bt").isNull()
+            | (F.col("sc") != F.col("bc"))
+        )
+        .select(
+            F.coalesce("st", "bt").alias("event_type"),
+            F.coalesce("sb", "bb").cast("int").alias("bin"),
+            F.col("sc").cast("bigint").alias("stream_cnt"),
+            F.col("bc").cast("bigint").alias("batch_cnt"),
+        )
+    )
+
+
+STREAM_QHIST_DIFF_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS INT) AS bin,
+       CAST(NULL AS BIGINT) AS stream_cnt, CAST(NULL AS BIGINT) AS batch_cnt
+WHERE 1 = 0
+"""

@@ -199,3 +199,73 @@ def test_conformal_quantile_arithmetic(spark, sf_smoke):
     )
     assert row.n_calib == len(calib)
     assert row.threshold == calib[row.k - 1][0]
+
+
+def test_kneser_ney_pandas_replay(spark, sf_smoke):
+    got = {
+        r.doc_id: r
+        for r in PL7.doc_kneser_ney_surprisal(spark, sf_smoke).collect()
+    }
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    def toks(text):
+        return [t for t in re.split(r"\s+", text) if t]
+
+    bgc = Counter()
+    test_docs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = bucket(doc_id)
+        t = toks(text)
+        grams = list(zip(t, t[1:]))
+        if b < 80:
+            bgc.update(grams)
+        elif b >= 90:
+            test_docs[int(doc_id)] = grams
+    c_ctx, n1p, cont = Counter(), Counter(), Counter()
+    for (w1, w2), c in bgc.items():
+        c_ctx[w1] += c
+        n1p[w1] += 1
+        cont[w2] += 1
+    n_bb = len(bgc)
+
+    for doc_id, grams in test_docs.items():
+        if not grams:
+            assert doc_id not in got
+            continue
+        bits_list, oov = [], 0
+        for w1, w2 in grams:
+            if w1 in c_ctx:
+                num = max(
+                    max(4 * bgc.get((w1, w2), 0) - 3, 0) * n_bb
+                    + 3 * n1p[w1] * cont.get(w2, 0),
+                    1,
+                )
+                den = 4 * c_ctx[w1] * n_bb
+                bits_list.append((den // num).bit_length())
+            else:
+                oov += 1
+                bits_list.append(
+                    (n_bb // max(cont.get(w2, 0), 1)).bit_length()
+                )
+        n = len(bits_list)
+        r = got[doc_id]
+        assert r.n_bigrams == n
+        assert r.max_kn_bits == max(bits_list)
+        mean_dev = (2_000_000 * sum(bits_list) + n) // (2 * n)
+        assert r.mean_kn_bits == pytest.approx(mean_dev / 1e6, abs=0)
+        oov_dev = (2_000_000 * oov + n) // (2 * n)
+        assert r.oov_ctx_rate == pytest.approx(oov_dev / 1e6, abs=0)
+    assert set(got) == {d for d, g in test_docs.items() if g}
+
+
+def test_stream_quantile_hist_diff_empty(spark, sf_smoke):
+    from df_to_azure_spark.streaming.stateful import stream_quantile_hist_diff
+
+    assert stream_quantile_hist_diff(spark, sf_smoke).count() == 0
