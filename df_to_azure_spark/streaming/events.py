@@ -38,10 +38,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.format("parquet")
         .schema(_events_physical_schema(spark, sf_dir))
-        # the file source monitors a DIRECTORY; glob-filter to the events
-        # file so sibling tables in the same dir are not picked up
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir.rstrip("/"))
+        # load the table path itself: works whether events.parquet is a
+        # single file (the shipped testdata layout) or a directory of part
+        # files (any Spark-written copy, e.g. the scale-probe dirs) — a
+        # pathGlobFilter on the parent dir silently matches NOTHING in the
+        # directory layout
+        .option("recursiveFileLookup", "true")
+        .load(f"{sf_dir.rstrip('/')}/events.parquet")
     )
     stream = normalize_ts_col(raw, "ts")
     batch_schema = load_table(spark, sf_dir, "events").schema

@@ -439,8 +439,8 @@ def stream_heavy_hitter_superset_diff(spark, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.format("parquet")
         .schema(docs_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir.rstrip("/"))
+        .option("recursiveFileLookup", "true")
+        .load(f"{sf_dir.rstrip('/')}/documents.parquet")
     )
     toks_stream = raw.select(F.explode(tok_expr("text")).alias("tok"))
     q = (
@@ -557,8 +557,8 @@ def stream_cms_diff(spark, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.format("parquet")
         .schema(events_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir.rstrip("/"))
+        .option("recursiveFileLookup", "true")
+        .load(f"{sf_dir.rstrip('/')}/events.parquet")
     )
     q = (
         cms_cells(raw.select("user_id"))
@@ -629,8 +629,8 @@ def stream_hll_diff(spark, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.format("parquet")
         .schema(events_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir.rstrip("/"))
+        .option("recursiveFileLookup", "true")
+        .load(f"{sf_dir.rstrip('/')}/events.parquet")
     )
     q = (
         hll_registers(raw.select("event_type", "user_id"))
@@ -713,14 +713,17 @@ def stream_quantile_hist_diff(spark, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    events_schema = spark.read.parquet(
-        f"{sf_dir.rstrip('/')}/events.parquet"
-    ).schema
+    # Load the table path itself (works whether events.parquet is a single
+    # file — the shipped testdata layout — or a directory of part files, as
+    # a Spark-written copy is; a pathGlobFilter on the parent dir would
+    # silently match nothing in the latter case).
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    events_schema = spark.read.parquet(events_path).schema
     raw = (
         spark.readStream.format("parquet")
         .schema(events_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir.rstrip("/"))
+        .option("recursiveFileLookup", "true")
+        .load(events_path)
     )
     q = (
         hist(raw.select("event_type", "value"))
