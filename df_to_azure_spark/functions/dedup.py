@@ -977,3 +977,108 @@ def tfidf_cosine_pairs(
         .where(F.col("cosine") >= float(threshold))
         .select("id_a", "id_b", "n_shared_terms", "cosine")
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (Chaudhuri et al.
+    ICDE'06 SSJoin; Bayardo et al. WWW'07 AllPairs; Xiao et al. WWW'08
+    PPJoin): exact Jaccard ≥ τ pairs over distinct ``shingle_n``-gram
+    sets, with candidates generated ONLY from shingles in each doc's
+    RAREST-FIRST PREFIX instead of the full posting join.
+
+    Order every doc's distinct shingles by ascending document frequency
+    (ties on the shingle text — one global total order shared by all
+    docs); with ``n`` shingles and τ = tau_num/tau_den, any pair with
+    ``J ≥ τ`` shares ≥ ``ceil(τ·n)`` shingles, so its FIRST common
+    shingle in the global order must sit within the first
+    ``n − ceil(τ·n) + 1`` of BOTH docs — the prefix-filter theorem
+    (lossless; pinned by the unfiltered-oracle registry query AND a
+    brute-force unit test).  The posting lists that drive the join are
+    therefore the *rarest* shingles: candidate volume collapses from
+    Σ df² over all shingles to Σ df² over low-df prefix shingles — the
+    complement of ``ngram_jaccard_pairs``'s ``hot_shingle_cap`` (which
+    DROPS hot shingles and changes the metric; prefix filtering keeps
+    the metric exact and just refuses to join through hot shingles
+    unless they are somebody's rarest).
+
+    Exactness: the τ gate is pure-integer
+    (``(tau_den+tau_num)·inter ≥ tau_num·(sz_a+sz_b)`` ⟺ J ≥ τ for
+    τ = num/den) and the reported ratio is the exact half-up
+    integer-division device — no double ever decides membership."""
+    tn, td = int(tau_num), int(tau_den)
+    if not (0 < tn <= td):
+        raise ValueError(f"tau must be in (0, 1]: {tn}/{td}")
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.asc("df_s"), F.asc("s"))
+            ),
+        )
+        .join(sizes, id_col)
+        # prefix length n - ceil(tau*n) + 1, ceil as exact int division
+        .where(F.expr(f"rk <= sz - (({tn} * sz + {td} - 1) DIV {td}) + 1"))
+        .select(id_col, "s")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("doc_b")) & (F.col("s_b") == F.col("s_a")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .where(F.expr(f"({td} + {tn}) * n_inter >= {tn} * (sz_a + sz_b)"))
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.expr(
+            "CAST((2000000 * n_inter + (sz_a + sz_b - n_inter))"
+            " DIV (2 * (sz_a + sz_b - n_inter)) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("jaccard"),
+    )

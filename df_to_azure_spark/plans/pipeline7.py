@@ -293,74 +293,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix join dropped no qualifying pair.  Exactness: the Jaccard
     gate is pure-integer (``3·inter ≥ sz_a + sz_b`` for τ = 1/2) and
     the reported ratio uses the exact half-up integer-division device —
-    no double ever decides membership."""
-    from df_to_azure_spark.functions.text import shingles
+    no double ever decides membership.  Machinery lives in
+    ``functions.dedup.prefix_filter_jaccard_join`` (reusable on any
+    (id, text) frame)."""
+    from df_to_azure_spark.functions.dedup import prefix_filter_jaccard_join
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    ranked = (
-        sh.join(dfreq, "s")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.asc("df_s"), F.asc("s"))
-            ),
-        )
-        .join(sizes, "doc_id")
-        # prefix length n - ceil(tau*n) + 1, ceil as exact int division
-        .where(
-            F.expr(
-                f"rk <= sz - (({_PF_TAU_NUM} * sz + {_PF_TAU_DEN} - 1)"
-                f" DIV {_PF_TAU_DEN}) + 1"
-            )
-        )
-        .select("doc_id", "s")
-    )
-    a = ranked.alias("a")
-    b = ranked.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    inter = (
-        cand.join(sa, "id_a")
-        .join(
-            sb,
-            (F.col("id_b") == F.col("doc_b")) & (F.col("s_b") == F.col("s_a")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .where(
-            F.expr(
-                f"({_PF_TAU_DEN} + {_PF_TAU_NUM}) * n_inter"
-                f" >= {_PF_TAU_NUM} * (sz_a + sz_b)"
-            )
-        )
-    )
-    return out.select(
-        "id_a",
-        "id_b",
-        F.col("n_inter").cast("bigint").alias("n_inter"),
-        F.col("sz_a").cast("bigint").alias("sz_a"),
-        F.col("sz_b").cast("bigint").alias("sz_b"),
-        F.expr(
-            "CAST((2000000 * n_inter + (sz_a + sz_b - n_inter))"
-            " DIV (2 * (sz_a + sz_b - n_inter)) AS DOUBLE)"
-            " / CAST(1000000 AS DOUBLE)"
-        ).alias("jaccard"),
+    return prefix_filter_jaccard_join(
+        docs, shingle_n=3, tau_num=_PF_TAU_NUM, tau_den=_PF_TAU_DEN
     )
 
 

@@ -269,3 +269,51 @@ def test_stream_quantile_hist_diff_empty(spark, sf_smoke):
     from df_to_azure_spark.streaming.stateful import stream_quantile_hist_diff
 
     assert stream_quantile_hist_diff(spark, sf_smoke).count() == 0
+
+
+def test_prefix_filter_join_operator_tau_two_thirds(spark):
+    # hand corpus, tau = 2/3, shingle_n = 2; brute-force ground truth
+    from df_to_azure_spark.functions.dedup import prefix_filter_jaccard_join
+
+    texts = {
+        1: "a b c d e",
+        2: "a b c d f",      # J(1,2) on 2-grams: inter {ab,bc,cd} u=5 -> 0.6
+        3: "a b c d e",      # exact dup of 1 -> J=1
+        4: "x y z w",
+        5: "x y z q",        # J(4,5): inter {xy,yz} union 4 -> 0.5
+        6: "p q",            # single shingle
+        7: "p q",            # J(6,7)=1
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+        for r in prefix_filter_jaccard_join(
+            df, shingle_n=2, tau_num=2, tau_den=3
+        ).collect()
+    }
+
+    def sh2(t):
+        toks = t.split()
+        return (
+            {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+            if len(toks) >= 2
+            else {t}
+        )
+
+    exp = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh2(texts[a]), sh2(texts[b])
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if 3 * inter >= 2 * union:  # J >= 2/3 exactly
+                exp[(a, b)] = inter
+    assert {k: v[0] for k, v in got.items()} == exp
+    assert got[(1, 3)][1] == 1.0 and got[(6, 7)][1] == 1.0
+    assert (1, 2) not in got and (4, 5) not in got
+
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_join(df, tau_num=3, tau_den=2)
