@@ -583,3 +583,115 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          / CAST(1000000 AS DOUBLE) AS oov_ctx_rate
 FROM scored GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction: top-1 accuracy eval on held-out users
+# --------------------------------------------------------------------------
+
+
+def markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event model: train the
+    (from → to) transition counts on the md5 TRAIN half of users,
+    predict each held-out transition as the train-side argmax next
+    type, and report per-context top-1 accuracy — the eval loop a
+    personalization pipeline runs before shipping
+    ``event_transition_matrix`` as a recommender.
+
+    Split is BY USER (the model must not see a test user's history);
+    ordering within a user is (ts, event_id), same determinism contract
+    as ``event_transition_matrix``; the argmax ties break (count DESC,
+    to_type ASC) via a row_number over the type×type frame (bounded
+    ~25 rows — the portable tie-break, not max_by).  Accuracy is the
+    exact half-up integer-division device.  Scale: ONE user_id shuffle
+    for the lag window, two type-domain-bounded aggregates, and a
+    broadcast of the 5-row prediction table onto the test stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4), 16, 10)"
+            " AS INT) % 100"
+        ).alias("b"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.withColumn("from_type", F.lag("event_type").over(w)).where(
+        F.col("from_type").isNotNull()
+    )
+    train = (
+        trans.where(F.col("b") < 50)
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pred = (
+        train.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("from_type").orderBy(F.desc("n"), F.asc("to_type"))
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("top_prediction"))
+    )
+    test = trans.where(F.col("b") >= 50).select("from_type", "event_type")
+    return (
+        test.join(F.broadcast(pred), "from_type", "left")
+        .groupBy("from_type")
+        .agg(
+            F.max("top_prediction").alias("top_prediction"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = top_prediction THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.expr(
+                "CAST((2000000 * n_correct + n_test) DIV (2 * n_test)"
+                " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+            ),
+        )
+    )
+
+
+MARKOV_TOP1_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS b
+  FROM events
+), trans AS (
+  SELECT b, from_type, event_type
+  FROM (
+    SELECT b, user_id, event_type, lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type
+    FROM ev
+  )
+  WHERE from_type IS NOT NULL
+), train AS (
+  SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM trans WHERE b < 50 GROUP BY from_type, event_type
+), pred AS (
+  SELECT from_type, to_type AS top_prediction
+  FROM (
+    SELECT from_type, to_type,
+           ROW_NUMBER() OVER (PARTITION BY from_type
+                              ORDER BY n DESC, to_type ASC) AS rk
+    FROM train
+  )
+  WHERE rk = 1
+)
+SELECT t.from_type, MAX(p.top_prediction) AS top_prediction,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.event_type = p.top_prediction THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST((2000000 * SUM(CASE WHEN t.event_type = p.top_prediction THEN 1
+                           ELSE 0 END) + COUNT(*)) // (2 * COUNT(*))
+            AS DOUBLE) / CAST(1000000 AS DOUBLE) AS accuracy
+FROM trans t LEFT JOIN pred p ON t.from_type = p.from_type
+WHERE t.b >= 50
+GROUP BY t.from_type
+"""

@@ -919,6 +919,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_quantile_hist_diff": QuerySpec(
         _stream_qhist_diff, _stream_qhist_oracle()
     ),
+    "markov_top1_accuracy": QuerySpec(
+        PL7.markov_top1_accuracy, PL7.MARKOV_TOP1_ORACLE
+    ),
 }
 
 

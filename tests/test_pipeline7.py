@@ -317,3 +317,43 @@ def test_prefix_filter_join_operator_tau_two_thirds(spark):
 
     with pytest.raises(ValueError):
         prefix_filter_jaccard_join(df, tau_num=3, tau_den=2)
+
+
+def test_markov_top1_pandas_replay(spark, sf_smoke):
+    got = {r.from_type: r for r in PL7.markov_top1_accuracy(spark, sf_smoke).collect()}
+    import hashlib
+    from collections import Counter
+
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    train_c, test_pairs = Counter(), []
+    for uid, g in ev.groupby("user_id"):
+        types = g["event_type"].tolist()
+        pairs = list(zip(types, types[1:]))
+        if bucket(uid) < 50:
+            train_c.update(pairs)
+        else:
+            test_pairs.extend(pairs)
+    pred = {}
+    for (f_t, t_t), n in train_c.items():
+        cur = pred.get(f_t)
+        if cur is None or n > cur[1] or (n == cur[1] and t_t < cur[0]):
+            pred[f_t] = (t_t, n)
+    stats = {}
+    for f_t, t_t in test_pairs:
+        p = pred.get(f_t, (None,))[0]
+        n, c = stats.get(f_t, (0, 0))
+        stats[f_t] = (n + 1, c + (1 if t_t == p else 0))
+    assert set(got) == set(stats)
+    for f_t, (n, c) in stats.items():
+        r = got[f_t]
+        assert r.n_test == n and r.n_correct == c
+        assert r.top_prediction == pred.get(f_t, (None,))[0]
+        assert r.accuracy == pytest.approx(
+            ((2_000_000 * c + n) // (2 * n)) / 1e6, abs=0
+        )
