@@ -695,3 +695,148 @@ FROM trans t LEFT JOIN pred p ON t.from_type = p.from_type
 WHERE t.b >= 50
 GROUP BY t.from_type
 """
+
+
+# --------------------------------------------------------------------------
+# End-to-end dedup funnel report
+# --------------------------------------------------------------------------
+
+_FUNNEL_MIN_CHARS = 100
+
+
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL as one auditable frame — what every
+    training-data pipeline reports after a run: documents surviving
+    each stage, and what each stage removed.
+
+      0_raw      → the incoming corpus
+      1_exact    → md5 fingerprint dedup (keep the min doc_id per hash)
+      2_neardup  → near-dup clusters over the survivors via the
+                   prefix-filtered Jaccard join (τ = 1/2) + connected
+                   components; keep each cluster's min id
+      3_minlen   → drop survivors under {MIN} chars (the cheap quality
+                   gate that runs last, after dedup spent its budget)
+
+    Every stage reuses a registered, independently oracle-checked
+    operator (exact_dedup groups, ``prefix_filter_jaccard_join``,
+    ``connected_components``); the funnel's own oracle replays all
+    four stages in SQL — the near-dup stage through the UNFILTERED
+    all-pairs ground truth plus a recursive-CTE min-label reachability
+    — so the single hash check pins the whole composition, not just
+    the stage counts in isolation.  Scale: each stage is the already-
+    audited plan of its operator; the funnel adds only four 1-row
+    count aggregates and two semi/anti joins on doc_id."""
+    from df_to_azure_spark.functions.dedup import prefix_filter_jaccard_join
+    from df_to_azure_spark.functions.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    keeps = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv1 = docs.join(keeps.select("doc_id"), "doc_id", "semi")
+    pairs = prefix_filter_jaccard_join(
+        surv1, shingle_n=3, tau_num=1, tau_den=2
+    ).select("id_a", "id_b")
+    removed2 = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    surv2 = surv1.join(removed2, "doc_id", "anti")
+    surv3 = surv2.where(F.col("n_chars") >= _FUNNEL_MIN_CHARS)
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    c0, c1 = cnt(docs, "c0"), cnt(surv1, "c1")
+    c2, c3 = cnt(surv2, "c2"), cnt(surv3, "c3")
+    all_counts = c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+    stages = [
+        ("0_raw", "c0", None),
+        ("1_exact", "c1", "c0"),
+        ("2_neardup", "c2", "c1"),
+        ("3_minlen", "c3", "c2"),
+    ]
+    outs = []
+    for name, cur, prev in stages:
+        removed = f"{prev} - {cur}" if prev else "CAST(0 AS BIGINT)"
+        outs.append(
+            all_counts.select(
+                F.lit(name).alias("stage"),
+                F.col(cur).alias("n_docs"),
+                F.expr(f"CAST({removed} AS BIGINT)").alias("n_removed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+dedup_funnel_report.__doc__ = dedup_funnel_report.__doc__.replace(
+    "{MIN}", str(_FUNNEL_MIN_CHARS)
+)
+
+
+DEDUP_FUNNEL_ORACLE = f"""
+WITH RECURSIVE fp AS (
+  SELECT doc_id, text, n_chars, md5(text) AS fp FROM documents
+), keeps AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp
+), surv1 AS (
+  SELECT f.doc_id, f.text, f.n_chars
+  FROM fp f JOIN keeps k ON f.doc_id = k.doc_id
+), toked AS (
+  SELECT doc_id, {_PF_TOKS} AS toks FROM surv1
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM toked WHERE len(toks) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 3 * n_inter >= sa.sz + sb.sz
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM e
+  UNION
+  SELECT e.v, r.lbl FROM e JOIN reach r ON e.u = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+), removed2 AS (
+  SELECT node AS doc_id FROM comp WHERE node <> component
+), surv2 AS (
+  SELECT s.doc_id, s.n_chars FROM surv1 s
+  WHERE NOT EXISTS (SELECT 1 FROM removed2 r WHERE r.doc_id = s.doc_id)
+), surv3 AS (
+  SELECT doc_id FROM surv2 WHERE n_chars >= {_FUNNEL_MIN_CHARS}
+), counts AS (
+  SELECT (SELECT COUNT(*) FROM fp) AS c0,
+         (SELECT COUNT(*) FROM surv1) AS c1,
+         (SELECT COUNT(*) FROM surv2) AS c2,
+         (SELECT COUNT(*) FROM surv3) AS c3
+)
+SELECT '0_raw' AS stage, CAST(c0 AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_removed FROM counts
+UNION ALL
+SELECT '1_exact', CAST(c1 AS BIGINT), CAST(c0 - c1 AS BIGINT) FROM counts
+UNION ALL
+SELECT '2_neardup', CAST(c2 AS BIGINT), CAST(c1 - c2 AS BIGINT) FROM counts
+UNION ALL
+SELECT '3_minlen', CAST(c3 AS BIGINT), CAST(c2 - c3 AS BIGINT) FROM counts
+"""

@@ -922,6 +922,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "markov_top1_accuracy": QuerySpec(
         PL7.markov_top1_accuracy, PL7.MARKOV_TOP1_ORACLE
     ),
+    "dedup_funnel_report": QuerySpec(
+        PL7.dedup_funnel_report, PL7.DEDUP_FUNNEL_ORACLE
+    ),
 }
 
 

@@ -357,3 +357,56 @@ def test_markov_top1_pandas_replay(spark, sf_smoke):
         assert r.accuracy == pytest.approx(
             ((2_000_000 * c + n) // (2 * n)) / 1e6, abs=0
         )
+
+
+def test_dedup_funnel_pandas_replay(spark, sf_smoke):
+    rows = {r.stage: r for r in PL7.dedup_funnel_report(spark, sf_smoke).collect()}
+    assert list(sorted(rows)) == ["0_raw", "1_exact", "2_neardup", "3_minlen"]
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    # stage 1: exact dedup keeps the min doc_id per md5(text)
+    keep = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        fp = hashlib.md5(text.encode()).hexdigest()
+        keep[fp] = min(keep.get(fp, doc_id), doc_id)
+    surv1 = set(keep.values())
+    # stage 2: near-dup components (J >= 1/2 on 3-shingles), keep min id
+    sub = docs[docs["doc_id"].isin(surv1)]
+    sh = {}
+    for doc_id, text in zip(sub["doc_id"], sub["text"]):
+        toks = text.split()
+        if len(toks) >= 3:
+            sh[int(doc_id)] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        elif toks:
+            sh[int(doc_id)] = {" ".join(toks)}
+    pairs = _brute_jaccard_pairs(sh, tau=0.5)
+    parent = {d: d for d in surv1}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    surv2 = {d for d in surv1 if find(d) == d}
+    # components keep the min id per cluster: find() converges to it
+    # because union always roots at the smaller representative
+    surv3 = {
+        d
+        for d in surv2
+        if int(docs.set_index("doc_id").loc[d, "n_chars"]) >= 100
+    }
+    assert rows["0_raw"].n_docs == len(docs) and rows["0_raw"].n_removed == 0
+    assert rows["1_exact"].n_docs == len(surv1)
+    assert rows["1_exact"].n_removed == len(docs) - len(surv1)
+    assert rows["2_neardup"].n_docs == len(surv2)
+    assert rows["2_neardup"].n_removed == len(surv1) - len(surv2)
+    assert rows["3_minlen"].n_docs == len(surv3)
+    assert rows["3_minlen"].n_removed == len(surv2) - len(surv3)
