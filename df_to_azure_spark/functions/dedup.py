@@ -1011,7 +1011,12 @@ def prefix_filter_jaccard_join(
     Exactness: the τ gate is pure-integer
     (``(tau_den+tau_num)·inter ≥ tau_num·(sz_a+sz_b)`` ⟺ J ≥ τ for
     τ = num/den) and the reported ratio is the exact half-up
-    integer-division device — no double ever decides membership."""
+    integer-division device — no double ever decides membership.
+
+    Contract: documents whose text yields NO shingles (empty/whitespace
+    text) have an undefined Jaccard against everything and never appear
+    in the output — same "no empty sets" convention as
+    ``ngram_jaccard_pairs``.  NULL text behaves like empty text."""
     tn, td = int(tau_num), int(tau_den)
     if not (0 < tn <= td):
         raise ValueError(f"tau must be in (0, 1]: {tn}/{td}")

@@ -899,7 +899,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- round-8 extension wave (pipeline7) ---
     "order_record_highs": QuerySpec(
-        PL7.order_record_highs, PL7.RECORD_HIGHS_ORACLE
+        PL7.order_record_highs, PL7.RECORD_HIGHS_ORACLE, headline=True
     ),
     "revenue_max_drawdown": QuerySpec(
         PL7.revenue_max_drawdown, PL7.MAX_DRAWDOWN_ORACLE
@@ -908,7 +908,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL7.filtered_knn, PL7._filtered_knn_oracle()
     ),
     "prefix_filter_jaccard_pairs": QuerySpec(
-        PL7.prefix_filter_jaccard_pairs, PL7.PREFIX_FILTER_ORACLE
+        PL7.prefix_filter_jaccard_pairs, PL7.PREFIX_FILTER_ORACLE, headline=True
     ),
     "conformal_coverage_check": QuerySpec(
         PL7.conformal_coverage_check, PL7.CONFORMAL_ORACLE
