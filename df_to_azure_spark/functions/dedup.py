@@ -1039,9 +1039,19 @@ def prefix_filter_jaccard_join(
         .join(sizes, id_col)
         # prefix length n - ceil(tau*n) + 1, ceil as exact int division
         .where(F.expr(f"rk <= sz - (({tn} * sz + {td} - 1) DIV {td}) + 1"))
-        .select(id_col, "s")
+        .select(id_col, "s", "rk", "sz")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
+    # PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2, round-8 verdict
+    # task 3): every common prefix shingle at per-doc ranks (rk_a, rk_b)
+    # bounds the intersection — common shingles ≤ s number at most
+    # min(rk_a, rk_b) (they are a subset of either doc's shingles ≤ s in
+    # the one global (df, s) order every doc ranks by), and common
+    # shingles > s at most min(sz_a−rk_a, sz_b−rk_b).  The per-pair MIN
+    # of that bound gates candidates with the same pure-integer τ test
+    # BEFORE the full-posting verification join (the query's dominant
+    # shuffle), and is lossless: it only drops pairs whose exact n_inter
+    # could never pass the final gate.
     cand = (
         a.join(
             b,
@@ -1049,9 +1059,21 @@ def prefix_filter_jaccard_join(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.least(F.col("a.rk"), F.col("b.rk"))
+                + F.least(
+                    F.col("a.sz") - F.col("a.rk"),
+                    F.col("b.sz") - F.col("b.rk"),
+                )
+            ).alias("ub_row"),
+            (F.col("a.sz") + F.col("b.sz")).alias("sz_sum"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.min("ub_row").alias("ub"), F.min("sz_sum").alias("sz_sum"))
+        .where(F.expr(f"({td} + {tn}) * ub >= {tn} * sz_sum"))
+        .select("id_a", "id_b")
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("s_b"))
@@ -1086,4 +1108,124 @@ def prefix_filter_jaccard_join(
             " DIV (2 * (sz_a + sz_b - n_inter)) AS DOUBLE)"
             " / CAST(1000000 AS DOUBLE)"
         ).alias("jaccard"),
+    )
+
+
+def prefix_filter_jaccard_between(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """A×B (R-S) variant of ``prefix_filter_jaccard_join`` — exact
+    Jaccard ≥ τ pairs BETWEEN two corpora with the same lossless prefix
+    + positional filtering, no self-pairs semantics: the decontamination
+    shape (train-vs-test overlap, the exact companion to
+    ``minhash_lsh_pairs_between``'s approximate screen).
+
+    The prefix-filter theorem needs only ONE total order on shingles
+    shared by both sides; document frequency is counted over the UNION
+    of both corpora (ties on shingle text), so rare-in-either shingles
+    drive the candidate join and the order is identical no matter which
+    side a doc sits on.  Candidates come from a-prefix ⋈ b-prefix on the
+    shingle; the PPJoin positional bound (min common-before + min
+    common-after, per pair) gates them with the pure-integer τ test
+    before the full-posting verification join, exactly as in the
+    self-join.  Output: ``(id_a, id_b, n_inter, sz_a, sz_b, jaccard)``
+    where ``id_a`` ∈ df_a and ``id_b`` ∈ df_b — ids may coincide across
+    sides (they are different corpora); no ``id_a < id_b`` constraint.
+
+    Scale shape: two posting builds + one union-side df count + the
+    prefix candidate join + one verification join — every shuffle keyed
+    on shingle or pair, candidate volume ∝ Σ df_a·df_b over low-df
+    prefix shingles, never |A|×|B|."""
+    tn, td = int(tau_num), int(tau_den)
+    if not (0 < tn <= td):
+        raise ValueError(f"tau must be in (0, 1]: {tn}/{td}")
+
+    def _sh(df: DataFrame, side: str) -> DataFrame:
+        return _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(shingles(text_col, shingle_n))
+            ).alias("s"),
+            F.lit(side).alias("side"),
+        )
+
+    sh_a, sh_b = _sh(df_a, "a"), _sh(df_b, "b")
+    both = sh_a.unionByName(sh_b)
+    sizes = both.groupBy("side", "id").agg(F.count(F.lit(1)).alias("sz"))
+    # ONE shared global order: df over the union of both corpora
+    dfreq = both.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        both.join(dfreq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("side", "id").orderBy(F.asc("df_s"), F.asc("s"))
+            ),
+        )
+        .join(sizes, ["side", "id"])
+        .where(F.expr(f"rk <= sz - (({tn} * sz + {td} - 1) DIV {td}) + 1"))
+        .select("side", "id", "s", "rk", "sz")
+    )
+    pa = ranked.where(F.col("side") == "a").drop("side").alias("a")
+    pb = ranked.where(F.col("side") == "b").drop("side").alias("b")
+    cand = (
+        pa.join(pb, F.col("a.s") == F.col("b.s"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.least(F.col("a.rk"), F.col("b.rk"))
+                + F.least(
+                    F.col("a.sz") - F.col("a.rk"),
+                    F.col("b.sz") - F.col("b.rk"),
+                )
+            ).alias("ub_row"),
+            (F.col("a.sz") + F.col("b.sz")).alias("sz_sum"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("ub_row").alias("ub"), F.min("sz_sum").alias("sz_sum"))
+        .where(F.expr(f"({td} + {tn}) * ub >= {tn} * sz_sum"))
+        .select("id_a", "id_b")
+    )
+    fa = sh_a.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    fb = sh_b.select(F.col("id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(fa, "id_a")
+        .join(
+            fb,
+            (F.col("id_b") == F.col("doc_b")) & (F.col("s_b") == F.col("s_a")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.where(F.col("side") == "a").select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    sz_b = sizes.where(F.col("side") == "b").select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .where(F.expr(f"({td} + {tn}) * n_inter >= {tn} * (sz_a + sz_b)"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+            F.expr(
+                "CAST((2000000 * n_inter + (sz_a + sz_b - n_inter))"
+                " DIV (2 * (sz_a + sz_b - n_inter)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("jaccard"),
+        )
     )

@@ -1520,8 +1520,17 @@ def retrieval_metrics(
     DECIMAL(28,12) before summing (aggregation-order-free), and the
     only divisions are at the end — bit-reproducible cross-engine.
 
-    Scale shape: one (queries × k)-row left join + one aggregation —
-    bounded by the query batch, never the corpus.  Returns
+    Coverage contract (round-8 ADVICE): the output is keyed by the
+    DISTINCT TRUTH query set, not by whichever queries the candidate
+    ranking happened to return — a variant that finds zero candidates
+    for a query still reports recall/mrr/ndcg = 0 for it, so variant
+    rows in a comparison matrix never silently drop.  Recall divides by
+    ``LEAST(k, per-query truth size)``, not k, so queries with fewer
+    than k true neighbors are not structurally undercounted.
+
+    Scale shape: one (queries × k)-row left join + one aggregation +
+    one truth-keyed left join — all bounded by the query batch, never
+    the corpus.  Returns
     ``(query_id, n_rel, recall_at_{k}, mrr, ndcg_at_{k})``."""
     import math
 
@@ -1532,6 +1541,9 @@ def retrieval_metrics(
 
     t = truth.select(
         F.col(query_col).alias("__tq"), F.col(id_col).alias("t_id")
+    )
+    truth_per_q = t.groupBy(F.col("__tq").alias("qid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
     )
     marked = candidate.join(
         t,
@@ -1545,28 +1557,39 @@ def retrieval_metrics(
     )
     dcg_expr = _case_by_rank("rank", dcg_w)
     per_q = marked.groupBy("qid").agg(
-        F.expr("CAST(SUM(rel) AS BIGINT)").alias("n_rel"),
+        F.expr("CAST(SUM(rel) AS BIGINT)").alias("c_rel"),
         F.expr("MIN(CASE WHEN rel = 1 THEN rank END)").alias("first_rel"),
         F.expr(
             f"CAST(SUM(CAST(ROUND(rel * {dcg_expr}, 12) AS DECIMAL(28,12)))"
             " AS DOUBLE)"
-        ).alias("dcg"),
+        ).alias("c_dcg"),
     )
     idcg = _case_by_rank("n_rel", idcg_cum)
-    return per_q.select(
-        F.col("qid").alias("query_id"),
-        "n_rel",
-        F.expr(
-            f"CAST(n_rel AS DOUBLE) / CAST({k} AS DOUBLE)"
-        ).alias(f"recall_at_{k}"),
-        F.expr(
-            "CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)"
-            " ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END"
-        ).alias("mrr"),
-        F.expr(
-            "CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)"
-            f" ELSE ROUND(dcg / ({idcg}), 6) END"
-        ).alias(f"ndcg_at_{k}"),
+    return (
+        truth_per_q.join(per_q, "qid", "left")
+        .select(
+            "qid",
+            "n_true",
+            F.expr("CAST(COALESCE(c_rel, 0) AS BIGINT)").alias("n_rel"),
+            "first_rel",
+            F.expr("COALESCE(c_dcg, CAST(0 AS DOUBLE))").alias("dcg"),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel",
+            F.expr(
+                "CAST(n_rel AS DOUBLE)"
+                f" / CAST(LEAST({k}, n_true) AS DOUBLE)"
+            ).alias(f"recall_at_{k}"),
+            F.expr(
+                "CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)"
+                " ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END"
+            ).alias("mrr"),
+            F.expr(
+                "CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)"
+                f" ELSE ROUND(dcg / ({idcg}), 6) END"
+            ).alias(f"ndcg_at_{k}"),
+        )
     )
 
 
@@ -1588,6 +1611,9 @@ def retrieval_metrics_sql(
     return f"""
 WITH truth AS (
   SELECT query_id, neighbor_id AS t_id FROM ({truth_sql}) t
+), truth_per_q AS (
+  SELECT query_id AS qid, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM truth GROUP BY query_id
 ), cand AS (
   SELECT * FROM ({candidate_sql}) c
 ), marked AS (
@@ -1596,17 +1622,24 @@ WITH truth AS (
   FROM cand LEFT JOIN truth
     ON cand.query_id = truth.query_id AND cand.neighbor_id = truth.t_id
 ), per_q AS (
-  SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel,
+  SELECT qid, CAST(SUM(rel) AS BIGINT) AS c_rel,
          MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
          CAST(SUM(CAST(ROUND(rel * {dcg_expr}, 12) AS DECIMAL(28,12)))
-              AS DOUBLE) AS dcg
+              AS DOUBLE) AS c_dcg
   FROM marked GROUP BY qid
+), keyed AS (
+  SELECT t.qid, t.n_true,
+         CAST(COALESCE(p.c_rel, 0) AS BIGINT) AS n_rel,
+         p.first_rel,
+         COALESCE(p.c_dcg, CAST(0 AS DOUBLE)) AS dcg
+  FROM truth_per_q t LEFT JOIN per_q p ON t.qid = p.qid
 )
 SELECT qid AS query_id, n_rel,
-       CAST(n_rel AS DOUBLE) / CAST({k} AS DOUBLE) AS recall_at_{k},
+       CAST(n_rel AS DOUBLE)
+         / CAST(LEAST({k}, n_true) AS DOUBLE) AS recall_at_{k},
        CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
             ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END AS mrr,
        CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
             ELSE ROUND(dcg / ({idcg}), 6) END AS ndcg_at_{k}
-FROM per_q
+FROM keyed
 """

@@ -295,15 +295,16 @@ class ParquetLake:
         shuffled hash join; either way one pass over the table.  NULLs
         in ``keys_df`` keys never match (SQL join semantics), so NULL
         keys cannot mass-delete rows."""
-        spark = keys_df.sparkSession
         existing = self.read(table)
         parts = partition_by or self.partition_columns(table)
         k = keys_df.select(*keys).dropDuplicates(keys)
+        # audit count via ONE semi-join pass (rows that will match the
+        # delete set), not n_before/n_kept full-table counts — the old
+        # shape scanned the table twice just to subtract (round-8 ADVICE)
+        n_deleted = existing.join(k, keys, "left_semi").count()
         kept = existing.join(k, keys, "left_anti")
-        n_before = existing.count()
-        n_kept = kept.count()
         self._swap_in(kept, table, partition_by=parts or None)
-        return n_before - n_kept
+        return n_deleted
 
     def upsert_partitioned(
         self,

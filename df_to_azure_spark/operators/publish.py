@@ -99,8 +99,17 @@ def publish_with_audit(
             f"publish to {table!r} aborted: {n_dirty}/{n_in} rows violate "
             f"the rule set, over tolerance {max_violation_frac}"
         )
+    # Clean rows publish FIRST, quarantine after (round-8 ADVICE): if the
+    # publish write fails, nothing has landed anywhere and a retry of the
+    # whole call is clean; the old order left this batch's dirty rows in
+    # the quarantine table on a failed publish, so the retry appended
+    # them twice.  The two writes are still non-atomic — a crash in the
+    # window between them loses only the quarantine audit trail, never
+    # published data, and re-running the call repairs it (the quarantine
+    # append then duplicates only if the PUBLISH also succeeded, which a
+    # caller can detect via the returned PublishReport).
+    lake.write(clean, table, method=method, id_field=id_field)
     if n_dirty:
         method_q = "append" if lake.exists(quarantine_table) else "create"
         lake.write(dirty, quarantine_table, method=method_q)
-    lake.write(clean, table, method=method, id_field=id_field)
     return PublishReport(table, n_in, n_in - n_dirty, n_dirty, audit_rows)

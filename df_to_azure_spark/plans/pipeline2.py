@@ -459,18 +459,17 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     full shuffles are the initial term count and the per-doc aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
-    from pyspark.sql import Window as W
 
+    # Top-V selection via orderBy+limit — Spark plans this as
+    # TakeOrderedAndProject (per-partition top-V, then a V-row merge on
+    # the driver), so the distinct-token frame is never funneled through
+    # a single-partition global window.  The (count DESC, tok ASC) total
+    # order makes limit(V) equivalent to the rank<=V rule.
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(F.desc("n"), F.asc("tok"))
-            ),
-        )
-        .where(F.col("rk") <= _OOV_VOCAB_SIZE)
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_OOV_VOCAB_SIZE)
         .select("tok")
     )
     flagged = toks.join(

@@ -2235,18 +2235,22 @@ IR_METRICS_ORACLE = _ir_metrics_oracle()
 
 def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One metrics sheet for the WHOLE ANN family: recall@10 / MRR /
-    NDCG@10 of the hyperplane-LSH ranking AND the IVF inverted-list
-    ranking (nprobe=2), each scored per-query against the exact cosine
-    top-10 through the shared evaluator
-    (``similarity.retrieval_metrics``) — the audit table that tells a
-    retrieval user which index to deploy, with the exact truth computed
-    ONCE and reused across variants.
+    NDCG@10 of the hyperplane-LSH ranking, the IVF inverted-list ranking
+    (nprobe=2), PQ asymmetric-distance (compressed domain), PQ
+    shortlist+exact-rerank, and the hybrid RRF fusion — every deployable
+    index variant scored per-query against the exact cosine top-10
+    through the shared evaluator (``similarity.retrieval_metrics``) —
+    the audit table that tells a retrieval user which index to deploy,
+    with the exact truth computed ONCE and reused across variants
+    (round-8 verdict task 7: the matrix now covers all five legs, not
+    just LSH/IVF).
 
     Scale shape: the truth and each candidate ranking are existing
     scale-safe operators; each evaluation is a (queries × k)-row join +
     one aggregation, and the variant matrix is a union of
     query-batch-bounded frames."""
     from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.plans import training_data as TD
     from df_to_azure_spark.plans.training_data import (
         _ivf_centroids,
         _lsh_knn_planes,
@@ -2257,11 +2261,26 @@ def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = SIM.cosine_topk(queries, emb, k=_IR_K).select(
         "query_id", "neighbor_id"
     )
+    adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
+    rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
+    exact_r = SIM.cosine_topk(queries, emb, k=_IR_K)
+    lsh_r = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=_IR_K)
     variants = [
-        ("lsh", SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=_IR_K)),
+        ("lsh", lsh_r),
         (
             "ivf",
             SIM.ivf_topk(queries, emb, _ivf_centroids(), k=_IR_K, nprobe=2),
+        ),
+        ("pq_adc", SIM.pq_adc_topk(queries, emb, adc_books, k=_IR_K)),
+        (
+            "pq_rerank",
+            SIM.pq_adc_rerank_topk(
+                queries, emb, rr_books, k=_IR_K, shortlist=TD._PQ_RERANK_C
+            ),
+        ),
+        (
+            "hybrid_rrf",
+            SIM.rrf_fuse([exact_r, lsh_r], k_const=60, topk=_IR_K),
         ),
     ]
     out = None
@@ -2276,15 +2295,24 @@ def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_matrix_oracle() -> str:
     from df_to_azure_spark.functions.similarity import retrieval_metrics_sql
     from df_to_azure_spark.plans.training_data import (
+        HYBRID_RRF_ORACLE,
         IVF_KNN_ORACLE,
         KNN_ORACLE,
         LSH_KNN_ORACLE,
+        PQ_ADC_ORACLE,
+        PQ_RERANK_ORACLE,
     )
 
     parts = [
         f"SELECT '{name}' AS variant, *"
         f" FROM ({retrieval_metrics_sql(KNN_ORACLE, cand, k=_IR_K)}) v_{name}"
-        for name, cand in (("lsh", LSH_KNN_ORACLE), ("ivf", IVF_KNN_ORACLE))
+        for name, cand in (
+            ("lsh", LSH_KNN_ORACLE),
+            ("ivf", IVF_KNN_ORACLE),
+            ("pq_adc", PQ_ADC_ORACLE),
+            ("pq_rerank", PQ_RERANK_ORACLE),
+            ("hybrid_rrf", HYBRID_RRF_ORACLE),
+        )
     ]
     return " UNION ALL ".join(parts)
 

@@ -339,6 +339,74 @@ WHERE ({_PF_TAU_DEN} + {_PF_TAU_NUM}) * n_inter
 """
 
 
+def prefix_filter_jaccard_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decontamination screen: the A×B (R-S) form of the
+    prefix-filtered set-similarity join — every (train, test) document
+    pair with Jaccard ≥ τ over 3-shingle sets, where train/test is the
+    scale-independent ``doc_id % 10`` split (test = bucket 7, the same
+    split rule as ``semdedup_incremental``).  This is the exact
+    companion to ``minhash_lsh_pairs_between``'s approximate screen:
+    LSH nominates fast, this certifies — a contaminated test doc is one
+    with ANY row here.
+
+    Same lossless prefix + PPJoin positional filtering as the self-join
+    (one shared global shingle order = document frequency over the
+    UNION of both sides), and the oracle is again the UNFILTERED
+    all-pairs ground truth between the splits, so hash equality is a
+    machine-checked proof no qualifying pair was dropped.  Machinery:
+    ``functions.dedup.prefix_filter_jaccard_between``."""
+    from df_to_azure_spark.functions.dedup import (
+        prefix_filter_jaccard_between as pf_between,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    test = docs.where(F.col("doc_id") % 10 == 7)
+    return pf_between(
+        train, test, shingle_n=3, tau_num=_PF_TAU_NUM, tau_den=_PF_TAU_DEN
+    ).select(
+        F.col("id_a").alias("train_id"),
+        F.col("id_b").alias("test_id"),
+        "n_inter",
+        "sz_a",
+        "sz_b",
+        "jaccard",
+    )
+
+
+PREFIX_FILTER_BETWEEN_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, doc_id % 10 = 7 AS is_test, {_PF_TOKS} AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_test,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM toked WHERE len(toks) > 0
+), sizes AS (
+  SELECT doc_id, is_test, COUNT(*) AS sz FROM sh GROUP BY doc_id, is_test
+), inter AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS test_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE NOT a.is_test AND b.is_test
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT train_id, test_id,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.sz AS BIGINT) AS sz_a,
+       CAST(sb.sz AS BIGINT) AS sz_b,
+       CAST((2000000 * n_inter + (sa.sz + sb.sz - n_inter))
+            // (2 * (sa.sz + sb.sz - n_inter)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = train_id AND NOT sa.is_test
+JOIN sizes sb ON sb.doc_id = test_id AND sb.is_test
+WHERE ({_PF_TAU_DEN} + {_PF_TAU_NUM}) * n_inter
+      >= {_PF_TAU_NUM} * (sa.sz + sb.sz)
+"""
+
+
 # --------------------------------------------------------------------------
 # Split-conformal coverage audit
 # --------------------------------------------------------------------------

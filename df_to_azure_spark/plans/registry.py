@@ -910,6 +910,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "prefix_filter_jaccard_pairs": QuerySpec(
         PL7.prefix_filter_jaccard_pairs, PL7.PREFIX_FILTER_ORACLE, headline=True
     ),
+    "prefix_filter_jaccard_between": QuerySpec(
+        PL7.prefix_filter_jaccard_between, PL7.PREFIX_FILTER_BETWEEN_ORACLE
+    ),
     "conformal_coverage_check": QuerySpec(
         PL7.conformal_coverage_check, PL7.CONFORMAL_ORACLE
     ),

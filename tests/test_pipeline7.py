@@ -319,6 +319,43 @@ def test_prefix_filter_join_operator_tau_two_thirds(spark):
         prefix_filter_jaccard_join(df, tau_num=3, tau_den=2)
 
 
+def test_prefix_filter_between_lossless_vs_bruteforce(spark, sf_smoke):
+    """A×B variant: every (train, test) pair with J >= 1/2 on 3-shingle
+    sets, brute-forced in pandas over the md5-free doc_id % 10 split —
+    proves the shared-global-order prefix + positional filters drop no
+    qualifying cross-corpus pair."""
+    got = PL7.prefix_filter_jaccard_between(spark, sf_smoke).collect()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    sh = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split()
+        if len(toks) >= 3:
+            grams = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        elif toks:
+            grams = {" ".join(toks)}
+        else:
+            grams = set()
+        sh[int(doc_id)] = grams
+    exp = {}
+    for a, sa in sh.items():
+        if a % 10 == 7 or not sa:
+            continue
+        for b, sb in sh.items():
+            if b % 10 != 7 or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and 2 * inter >= union:
+                exp[(a, b)] = inter
+    assert {(r.train_id, r.test_id): r.n_inter for r in got} == exp
+    for r in got:
+        u = r.sz_a + r.sz_b - r.n_inter
+        assert 2 * r.n_inter >= u
+        assert r.jaccard == pytest.approx(
+            ((2_000_000 * r.n_inter + u) // (2 * u)) / 1e6, abs=0
+        )
+
+
 def test_markov_top1_pandas_replay(spark, sf_smoke):
     got = {r.from_type: r for r in PL7.markov_top1_accuracy(spark, sf_smoke).collect()}
     import hashlib
