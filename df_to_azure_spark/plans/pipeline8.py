@@ -1,0 +1,888 @@
+"""Round-9 extension wave: sufficient-statistics ML (ridge regression by
+normal equations — the one-pass distributed closed-form fit), inequality
+measurement (Gini over the two_phase_rank distributed ranking),
+time-to-event analytics (Kaplan-Meier churn curve with right-censoring),
+a Benford first-digit audit (the classic fraud screen), and per-document
+lexical-richness stats (type-token ratio + hapax share).
+
+Cross-engine policy unchanged: money and quantities integerize through
+the DECIMAL cents device before any aggregation, every sum is
+DECIMAL(38,x) (aggregation-order-free), transcendentals (LN here) follow
+the ROUND(·,12)-per-row policy the Zipf/attribution queries established,
+ratios are emitted by the exact half-up integer-division device, and the
+Cramer-rule determinants are generated ONCE as shared expression text so
+Spark and the DuckDB oracle evaluate the identical IEEE tree.  No
+counterpart exists in the reference (zypp-io/df_to_azure is pandas + ADF
+orchestration, `/root/reference/df_to_azure/export.py`); engine-extension
+per the training-data brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.functions.distrank import two_phase_rank
+from df_to_azure_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Ridge regression via normal equations (sufficient statistics, one pass)
+# --------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1000.0  # literal; on the non-intercept diagonal only
+
+
+def _ridge_formulas() -> dict[str, str]:
+    """Cramer-rule expression text for the 3×3 ridge system, generated
+    once and shared verbatim by the Spark plan and the DuckDB oracle:
+    identical expression trees over identical DOUBLE inputs evaluate
+    bit-identically (IEEE 754 is deterministic; only DIFFERING
+    association orders drift), so the betas need no tolerance.
+
+    System: (XᵀX + λ·diag(0,1,1)) β = Xᵀy with X = [1, x1, x2], built
+    from the nine exact DECIMAL sufficient statistics n, sx1, sx2, s11,
+    s22, s12, sy, s1y, s2y."""
+    lam = f"CAST({_RIDGE_LAMBDA!r} AS DOUBLE)"
+    a11 = "CAST(n AS DOUBLE)"
+    a12 = "CAST(sx1 AS DOUBLE)"
+    a13 = "CAST(sx2 AS DOUBLE)"
+    a22 = f"(CAST(s11 AS DOUBLE) + {lam})"
+    a23 = "CAST(s12 AS DOUBLE)"
+    a33 = f"(CAST(s22 AS DOUBLE) + {lam})"
+    b1 = "CAST(sy AS DOUBLE)"
+    b2 = "CAST(s1y AS DOUBLE)"
+    b3 = "CAST(s2y AS DOUBLE)"
+
+    def det3(r1, r2, r3):
+        (x1, x2, x3), (y1, y2, y3), (z1, z2, z3) = r1, r2, r3
+        return (
+            f"({x1} * ({y2} * {z3} - {y3} * {z2})"
+            f" - {x2} * ({y1} * {z3} - {y3} * {z1})"
+            f" + {x3} * ({y1} * {z2} - {y2} * {z1}))"
+        )
+
+    a_rows = [(a11, a12, a13), (a12, a22, a23), (a13, a23, a33)]
+    det_a = det3(*a_rows)
+
+    def replaced(col_i):
+        b = (b1, b2, b3)
+        return [
+            tuple(b[r] if c == col_i else a_rows[r][c] for c in range(3))
+            for r in range(3)
+        ]
+
+    return {
+        "det": det_a,
+        "beta0": f"ROUND({det3(*replaced(0))} / {det_a}, 10)",
+        "beta1": f"ROUND({det3(*replaced(1))} / {det_a}, 10)",
+        "beta2": f"ROUND({det3(*replaced(2))} / {det_a}, 10)",
+    }
+
+
+def ridge_regression_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ridge regression fit in ONE pass: predict the line
+    revenue (cents) from quantity and discount over the whole lineitem
+    table by aggregating the nine sufficient statistics of the normal
+    equations (n, Σx, Σx², Σxy — all exact DECIMAL(38,0) sums of
+    integerized features), then solving the 3×3 system (XᵀX + λI')β =
+    Xᵀy on the driver row via Cramer's rule.  This is how linear models
+    actually train at 100 TB — the data pass is a single fused
+    aggregation (map-side partial, one shuffle to one row); the solve is
+    O(1).  λ = 1000 on the non-intercept diagonal (plain ridge).
+
+    Exactness: features integerize exactly (cents / hundredths), sums
+    are DECIMAL (order-free), and the determinant formulas are the SAME
+    generated expression text in Spark and the oracle, so the DOUBLE
+    arithmetic trees match bit for bit.  Returns one row:
+    ``(n, beta0, beta1, beta2)`` with betas ROUND(10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))"
+        ).alias("x1"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))"
+        ).alias("x2"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))"
+        ).alias("y"),
+    )
+    suff = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(x1) AS DECIMAL(38,0))").alias("sx1"),
+        F.expr("CAST(SUM(x2) AS DECIMAL(38,0))").alias("sx2"),
+        F.expr("CAST(SUM(x1 * x1) AS DECIMAL(38,0))").alias("s11"),
+        F.expr("CAST(SUM(x2 * x2) AS DECIMAL(38,0))").alias("s22"),
+        F.expr("CAST(SUM(x1 * x2) AS DECIMAL(38,0))").alias("s12"),
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(SUM(x1 * y) AS DECIMAL(38,0))").alias("s1y"),
+        F.expr("CAST(SUM(x2 * y) AS DECIMAL(38,0))").alias("s2y"),
+    )
+    fm = _ridge_formulas()
+    return suff.selectExpr(
+        "n",
+        f"{fm['beta0']} AS beta0",
+        f"{fm['beta1']} AS beta1",
+        f"{fm['beta2']} AS beta2",
+    )
+
+
+def _ridge_oracle() -> str:
+    fm = _ridge_formulas()
+    return f"""
+WITH feats AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS x2,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0)) AS y
+  FROM lineitem
+), suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS DECIMAL(38,0)) AS sx1,
+         CAST(SUM(x2) AS DECIMAL(38,0)) AS sx2,
+         CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS s11,
+         CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS s22,
+         CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS s12,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS s1y,
+         CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS s2y
+  FROM feats
+)
+SELECT n,
+       {fm['beta0']} AS beta0,
+       {fm['beta1']} AS beta1,
+       {fm['beta2']} AS beta2
+FROM suff
+"""
+
+
+RIDGE_ORACLE = _ridge_oracle()
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer revenue (distributed ranking, exact integers)
+# --------------------------------------------------------------------------
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of lifetime revenue across ordering customers —
+    the one-number inequality audit behind "what share of revenue do the
+    top customers carry" (companion to ``part_abc_classification``'s
+    cumulative-share table).  Uses the rank formula
+    ``G = (2·Σi·yᵢ − (n+1)·Σyᵢ) / (n·Σyᵢ)`` over revenues sorted
+    ascending with (revenue, custkey) tie-break — every term an exact
+    integer, so the coefficient is engine-exact via the half-up
+    integer-division device (scale 1e6).
+
+    Scale shape: one groupBy for per-customer cents, the distributed
+    ``two_phase_rank`` for the global ascending rank (range partition +
+    per-partition offsets — never a single-partition window), one fused
+    final aggregation.  Customers with no orders are out of scope by
+    construction (revenue undefined vs zero is a policy choice;
+    documented, matched by the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))) AS DECIMAL(19,0))"
+        ).alias("rev_cents")
+    )
+    ranked = two_phase_rank(
+        rev,
+        order_by=[("rev_cents", "asc"), ("o_custkey", "asc")],
+        rank_col="rk",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.expr("CAST(SUM(rev_cents) AS DECIMAL(38,0))").alias("total_cents"),
+        F.expr(
+            "CAST(SUM(CAST(rk AS DECIMAL(19,0)) * rev_cents)"
+            " AS DECIMAL(38,0))"
+        ).alias("s_iy"),
+    ).selectExpr(
+        "n_customers",
+        "CAST(total_cents AS BIGINT) AS total_cents",
+        # G = (2*s_iy - (n+1)*total) / (n*total), exact half-up at 1e6
+        "CAST((2000000 * (2 * s_iy - (n_customers + 1) * total_cents)"
+        " + (n_customers * total_cents))"
+        " DIV (2 * (n_customers * total_cents)) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS gini",
+    )
+
+
+GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev_cents,
+         CAST(row_number() OVER (ORDER BY rev_cents, o_custkey)
+              AS DECIMAL(19,0)) AS rk
+  FROM rev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST((2000000 * (2 * CAST(SUM(rk * rev_cents) AS HUGEINT)
+             - (COUNT(*) + 1) * CAST(SUM(rev_cents) AS HUGEINT))
+             + (COUNT(*) * CAST(SUM(rev_cents) AS HUGEINT)))
+            // (2 * (COUNT(*) * CAST(SUM(rev_cents) AS HUGEINT)))
+            AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier time-to-churn curve (right-censored survival analysis)
+# --------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 7  # active within the last week of data = censored
+
+
+def event_user_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of user lifetime (days from first to last
+    event): users whose last event falls within ``_KM_CENSOR_DAYS`` of
+    the corpus's final day are RIGHT-CENSORED (still active — their true
+    lifetime is only known to exceed the observed one); everyone else
+    "churned" at their observed duration.  Output: one row per distinct
+    observed duration with the risk set, churn/censor counts, the
+    KM survival estimate, and its exact log form — the
+    retention curve product analytics reads off for "how long does a
+    user live".
+
+    Exactness: per-step factors (n_risk − d)/n_risk are exact-integer
+    quotients; each step contributes ``ROUND(LN(factor), 12)`` (the
+    Zipf/attribution transcendental policy) into a DECIMAL(38,12)
+    cumulative sum — aggregation-order-free — and the final
+    ``km_survival = ROUND(EXP(log_survival), 6)`` is one transcendental
+    over a bit-identical input.  Censored rows enter the risk set at
+    their duration but contribute no factor (standard KM convention:
+    censoring removes AFTER the time point).
+
+    Scale shape: the per-user pass is one groupBy; everything after
+    runs on the per-duration frame, bounded by the CALENDAR (distinct
+    day-counts), not the user count — so the cumulative windows are
+    bounded by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("MIN(CAST(ts AS DATE))").alias("d0"),
+        F.expr("MAX(CAST(ts AS DATE))").alias("d1"),
+    )
+    gmax = ev.agg(F.expr("MAX(CAST(ts AS DATE))").alias("dmax"))
+    lifetimes = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.expr("CAST(datediff(d1, d0) AS BIGINT)").alias("dur"),
+        F.expr(
+            f"CASE WHEN datediff(dmax, d1) < {_KM_CENSOR_DAYS}"
+            " THEN 1 ELSE 0 END"
+        ).alias("censored"),
+    )
+    per_dur = lifetimes.groupBy("dur").agg(
+        F.expr("CAST(SUM(1 - censored) AS BIGINT)").alias("n_churned"),
+        F.expr("CAST(SUM(censored) AS BIGINT)").alias("n_censored"),
+    )
+    n_tot = lifetimes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    from pyspark.sql import Window as W
+
+    # bounded: per-duration frame, ≤ |calendar days| rows by construction
+    w_excl = W.orderBy(F.asc("dur")).rowsBetween(W.unboundedPreceding, -1)
+    # bounded: same ≤ |calendar days| frame (inclusive prefix)
+    w_prev = W.orderBy(F.asc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    stepped = (
+        per_dur.withColumn(
+            "n_removed_before",
+            F.coalesce(
+                F.sum(F.col("n_churned") + F.col("n_censored")).over(w_excl),
+                F.lit(0),
+            ),
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("n_risk", F.expr("n_total - n_removed_before"))
+        .withColumn(
+            "log_step",
+            F.expr(
+                "CASE WHEN n_churned = 0 THEN CAST(0 AS DECIMAL(18,12))"
+                " ELSE CAST(ROUND(LN(CAST(n_risk - n_churned AS DOUBLE)"
+                " / CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(18,12)) END"
+            ),
+        )
+    )
+    return (
+        stepped.withColumn("log_surv_dec", F.sum("log_step").over(w_prev))
+        .selectExpr(
+            "dur AS duration_days",
+            "n_risk",
+            "n_churned",
+            "n_censored",
+            "CAST(log_surv_dec AS DOUBLE) AS log_survival",
+            "ROUND(EXP(CAST(log_surv_dec AS DOUBLE)), 6) AS km_survival",
+        )
+    )
+
+
+KM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY user_id
+), gmax AS (
+  SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events
+), lifetimes AS (
+  SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS dur,
+         CASE WHEN date_diff('day', d1, dmax) < {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM per_user CROSS JOIN gmax
+), per_dur AS (
+  SELECT dur,
+         CAST(SUM(1 - censored) AS BIGINT) AS n_churned,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM lifetimes GROUP BY dur
+), stepped AS (
+  SELECT dur, n_churned, n_censored,
+         (SELECT COUNT(*) FROM lifetimes)
+           - COALESCE(SUM(n_churned + n_censored) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+  FROM per_dur
+), logged AS (
+  SELECT dur, n_risk, n_churned, n_censored,
+         CASE WHEN n_churned = 0 THEN CAST(0 AS DECIMAL(18,12))
+              ELSE CAST(ROUND(LN(CAST(n_risk - n_churned AS DOUBLE)
+                   / CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(18,12)) END
+           AS log_step
+  FROM stepped
+)
+SELECT dur AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       n_churned, n_censored,
+       CAST(CAST(SUM(log_step) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,12)) AS DOUBLE) AS log_survival,
+       ROUND(EXP(CAST(CAST(SUM(log_step) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,12)) AS DOUBLE)), 6) AS km_survival
+FROM logged
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+
+def _benford_shares() -> list[tuple[int, float]]:
+    """log10(1 + 1/d) for d = 1..9, precomputed Python literals shared
+    with the oracle (the _case_by_rank device: the transcendental never
+    runs in either engine)."""
+    import math
+
+    return [(d, round(math.log10(1.0 + 1.0 / d), 12)) for d in range(1, 10)]
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the distribution of the
+    first significant digit of ``o_totalprice`` against the Benford
+    expectation ``log10(1+1/d)`` — the classic screen for fabricated or
+    systematically generated amounts (synthetic TPC-H prices are
+    uniform-ish, so the deviations themselves are the finding).  Per
+    digit: observed count, observed share (exact half-up device),
+    expected share (shared literal), and the χ² contribution
+    ``(obs − n·p)²/(n·p)`` in DOUBLE over bit-identical inputs.
+
+    Scale shape: one scan, digit extracted as the first character of the
+    exact cents integer's string form (CAST(DECIMAL(19,0) AS STRING) of
+    a positive integer has no sign/exponent/separator in either engine —
+    never the double's scientific form; a repeated-division CASE chain
+    would re-reference its operand 3× per level and regrow the
+    expression tree 3^19-fold, the round-5 lazy-plan trap), one 9-group
+    aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+    )
+    digit = f"CAST(SUBSTRING(CAST({cents} AS STRING), 1, 1) AS INT)"
+    n_tot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    counted = (
+        orders.selectExpr(f"CAST({digit} AS INT) AS first_digit")
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    shares = " ".join(
+        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _benford_shares()
+    )
+    exp_share = f"CASE first_digit {shares} ELSE CAST(0 AS DOUBLE) END"
+    return counted.selectExpr(
+        "first_digit",
+        "n_obs",
+        "CAST((2000000 * n_obs + n_total) DIV (2 * n_total) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS obs_share",
+        f"{exp_share} AS benford_share",
+        f"ROUND(POWER(CAST(n_obs AS DOUBLE)"
+        f" - CAST(n_total AS DOUBLE) * ({exp_share}), 2)"
+        f" / (CAST(n_total AS DOUBLE) * ({exp_share})), 6)"
+        " AS chi2_contrib",
+    )
+
+
+def _benford_oracle() -> str:
+    shares = " ".join(
+        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _benford_shares()
+    )
+    exp_share = f"CASE first_digit {shares} ELSE CAST(0 AS DOUBLE) END"
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+    digit = f"CAST(SUBSTRING(CAST({cents} AS VARCHAR), 1, 1) AS INT)"
+    return f"""
+WITH digits AS (
+  SELECT CAST({digit} AS INT) AS first_digit FROM orders
+), counted AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total
+  FROM digits GROUP BY first_digit
+)
+SELECT first_digit, n_obs,
+       CAST((2000000 * n_obs + n_total) // (2 * n_total) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS obs_share,
+       {exp_share} AS benford_share,
+       ROUND(POWER(CAST(n_obs AS DOUBLE)
+             - CAST(n_total AS DOUBLE) * ({exp_share}), 2)
+             / (CAST(n_total AS DOUBLE) * ({exp_share})), 6)
+         AS chi2_contrib
+FROM counted
+"""
+
+
+BENFORD_ORACLE = _benford_oracle()
+
+
+# --------------------------------------------------------------------------
+# Per-document lexical richness: type-token ratio + hapax share
+# --------------------------------------------------------------------------
+
+
+def doc_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per document: token count, distinct-type
+    count, type-token ratio, and the hapax-legomena share (fraction of
+    types occurring exactly once IN THE DOCUMENT) — the vocabulary-
+    diversity features a data-quality model sits next to the Gopher
+    ratios (low TTR ⟹ boilerplate/repetition; high hapax on long docs ⟹
+    OCR noise or codewords).  Ratios via the exact half-up device.
+
+    Scale shape: one explode + (doc, token) count + per-doc fused
+    aggregate — two keyed shuffles, both on the doc axis; nothing
+    corpus-global."""
+    from df_to_azure_spark.functions import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select(
+            "doc_id", F.explode(TXT.tokens("text")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(
+            "CAST((2000000 * COUNT(*) + SUM(n)) DIV (2 * SUM(n)) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("type_token_ratio"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_hapax"),
+        F.expr(
+            "CAST((2000000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+            " + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("hapax_share"),
+    )
+
+
+_TOKS8 = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+TTR_ORACLE = f"""
+WITH per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest({_TOKS8}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST((2000000 * COUNT(*) + SUM(n)) // (2 * SUM(n)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS type_token_ratio,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((2000000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS hapax_share
+FROM per_tok GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve deciles (companion table to the Gini coefficient)
+# --------------------------------------------------------------------------
+
+
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz table behind ``customer_revenue_gini``: customers
+    sorted ascending by lifetime revenue, cut into 10 rank deciles
+    (``decile = (rk−1)·10 DIV n + 1`` — deterministic, sizes differ by
+    at most one), each reporting its customer count, its revenue, its
+    share of total revenue, and the CUMULATIVE share at the decile's
+    upper edge — the curve a revenue-concentration chart plots ("the
+    top decile carries X% of revenue").
+
+    Scale shape: ``two_phase_rank`` supplies the global ascending rank
+    AND the exact running revenue sum in the same distributed pass
+    (range partition + per-partition offsets); the decile fold is one
+    10-group aggregation.  All shares via the half-up device over exact
+    DECIMAL sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))) AS DECIMAL(19,0))"
+        ).alias("rev_cents")
+    )
+    ranked = two_phase_rank(
+        rev,
+        order_by=[("rev_cents", "asc"), ("o_custkey", "asc")],
+        sum_col="rev_cents",
+        rank_col="rk",
+        total_col="n_all",
+        cum_col="cum_cents",
+        sum_total_col="total_cents",
+    )
+    return (
+        ranked.withColumn(
+            "decile", F.expr("CAST((rk - 1) * 10 DIV n_all AS INT) + 1")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("CAST(SUM(rev_cents) AS BIGINT)").alias("decile_cents"),
+            F.expr(
+                "CAST((2000000 * CAST(SUM(rev_cents) AS DECIMAL(38,0))"
+                " + MAX(total_cents)) DIV (2 * MAX(total_cents)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("revenue_share"),
+            F.expr(
+                "CAST((2000000 * MAX(cum_cents) + MAX(total_cents))"
+                " DIV (2 * MAX(total_cents)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("cum_share"),
+        )
+    )
+
+
+LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev_cents,
+         row_number() OVER (ORDER BY rev_cents, o_custkey) AS rk,
+         COUNT(*) OVER () AS n_all,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,0)) AS cum_cents,
+         CAST(SUM(rev_cents) OVER () AS DECIMAL(38,0)) AS total_cents
+  FROM rev
+)
+SELECT CAST((rk - 1) * 10 // n_all AS INT) + 1 AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_cents) AS BIGINT) AS decile_cents,
+       CAST((2000000 * CAST(SUM(rev_cents) AS HUGEINT)
+             + CAST(MAX(total_cents) AS HUGEINT))
+            // (2 * CAST(MAX(total_cents) AS HUGEINT)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS revenue_share,
+       CAST((2000000 * CAST(MAX(cum_cents) AS HUGEINT)
+             + CAST(MAX(total_cents) AS HUGEINT))
+            // (2 * CAST(MAX(total_cents) AS HUGEINT)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS cum_share
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test: document language × source
+# --------------------------------------------------------------------------
+
+
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence audit of the documents' language ×
+    source contingency table — "does source composition differ by
+    language" (the companion hypothesis test to
+    ``priority_status_mutual_info``'s information-theoretic view).  One
+    row per observed cell: observed count, expected count under
+    independence (row·col/n — exact integers until the final division),
+    and the χ² contribution ``(obs − exp)²/exp``, ROUND(6) over
+    bit-identical DOUBLE inputs.
+
+    Scale shape: one (lang, source) aggregation (domain-bounded output),
+    two domain-bounded marginal frames broadcast back on — no
+    data-sized shuffle after the first groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    marg_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang")
+    )
+    marg_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        cells.join(F.broadcast(marg_lang), "lang")
+        .join(F.broadcast(marg_src), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .selectExpr(
+            "lang",
+            "source",
+            "n_obs",
+            "ROUND(CAST(n_lang AS DOUBLE) * CAST(n_src AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE), 6) AS expected",
+            "ROUND(POWER(CAST(n_obs AS DOUBLE)"
+            " - CAST(n_lang AS DOUBLE) * CAST(n_src AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE), 2)"
+            " / (CAST(n_lang AS DOUBLE) * CAST(n_src AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE)), 6) AS chi2_contrib",
+        )
+    )
+
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM documents GROUP BY lang, source
+), marg_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+  FROM documents GROUP BY lang
+), marg_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM documents GROUP BY source
+), n_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents
+)
+SELECT c.lang, c.source, c.n_obs,
+       ROUND(CAST(n_lang AS DOUBLE) * CAST(n_src AS DOUBLE)
+             / CAST(n_total AS DOUBLE), 6) AS expected,
+       ROUND(POWER(CAST(n_obs AS DOUBLE)
+             - CAST(n_lang AS DOUBLE) * CAST(n_src AS DOUBLE)
+             / CAST(n_total AS DOUBLE), 2)
+             / (CAST(n_lang AS DOUBLE) * CAST(n_src AS DOUBLE)
+             / CAST(n_total AS DOUBLE)), 6) AS chi2_contrib
+FROM cells c
+JOIN marg_lang USING (lang)
+JOIN marg_src USING (source)
+CROSS JOIN n_tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval for the mean order value
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32  # replicate count; 2.5%/97.5% nearest-rank = min/max at B=32
+
+
+def _poisson_thresholds() -> list[int]:
+    """floor(P(Poisson(1) ≤ w) · 2³²) for w = 0..6 — integer literals
+    shared with the oracle so the weight draw is a pure integer compare
+    (no double ever decides a weight).  Tail truncated at 7
+    (P ≈ 8.3e-5, documented)."""
+    import math
+
+    cum, thresholds, p = 0.0, [], math.exp(-1.0)
+    for w in range(7):
+        cum += p
+        thresholds.append(int(cum * 4294967296.0))
+        p /= w + 1
+    return thresholds
+
+
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the distributed bootstrap: each row's
+    replicate weight is an independent Poisson(1) draw, so resampling
+    never materializes n×B rows on one machine) for the mean order
+    value: B = 32 replicates, each a weighted mean with deterministic
+    md5-derived weights, and the 2.5%/97.5% nearest-rank envelope of the
+    replicate means — which at B = 32 is exactly their min/max
+    (⌈0.025·32⌉ = 1, ⌈0.975·32⌉ = 32).
+
+    Weight draw: u = first 8 md5 hex chars of ``orderkey_b`` as a
+    uniform 32-bit integer, mapped through the precomputed Poisson(1)
+    CDF thresholds — integer compares end to end, identical in any
+    engine.  Replicate means are exact-integer ratios via the half-up
+    device.
+
+    Scale shape: one explode to n×B rows (B bounded), one B-group
+    aggregation, one 32-row fold — no data-sized shuffle beyond the
+    B-key aggregation, and the whole replicate axis is model-sized."""
+    thr = _poisson_thresholds()
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.selectExpr(
+        "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+        " AS cents",
+    ).selectExpr(
+        "o_orderkey",
+        "cents",
+        f"explode(sequence(0, {_BOOT_B - 1})) AS b",
+    )
+    weight_case = " ".join(
+        f"WHEN h < {t} THEN {w}" for w, t in enumerate(thr)
+    )
+    weighted = reps.selectExpr(
+        "b",
+        "cents",
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_',"
+        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) AS h",
+    ).selectExpr("b", "cents", f"CASE {weight_case} ELSE 7 END AS w")
+    rep_means = weighted.groupBy("b").agg(
+        F.expr(
+            "CAST((2 * CAST(SUM(w * cents) AS DECIMAL(38,0)) + SUM(w))"
+            " DIV (2 * SUM(w)) AS DECIMAL(38,0))"
+        ).alias("rep_mean_cents")
+    )
+    return rep_means.agg(
+        F.expr(f"CAST({_BOOT_B} AS BIGINT)").alias("n_replicates"),
+        F.expr("CAST(MIN(rep_mean_cents) AS BIGINT)").alias("ci_lo_cents"),
+        F.expr("CAST(MAX(rep_mean_cents) AS BIGINT)").alias("ci_hi_cents"),
+    )
+
+
+def _bootstrap_oracle() -> str:
+    thr = _poisson_thresholds()
+    weight_case = " ".join(
+        f"WHEN h < {t} THEN {w}" for w, t in enumerate(thr)
+    )
+    return f"""
+WITH reps AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))
+           AS cents,
+         unnest(range(0, {_BOOT_B})) AS b
+  FROM orders
+), hashed AS (
+  SELECT b, cents,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+              || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS BIGINT) AS h
+  FROM reps
+), weighted AS (
+  SELECT b, cents, CASE {weight_case} ELSE 7 END AS w FROM hashed
+), rep_means AS (
+  SELECT b,
+         CAST((2 * CAST(SUM(w * cents) AS HUGEINT) + CAST(SUM(w) AS HUGEINT))
+              // (2 * CAST(SUM(w) AS HUGEINT)) AS HUGEINT) AS rep_mean_cents
+  FROM weighted GROUP BY b
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       CAST(MIN(rep_mean_cents) AS BIGINT) AS ci_lo_cents,
+       CAST(MAX(rep_mean_cents) AS BIGINT) AS ci_hi_cents
+FROM rep_means
+"""
+
+
+BOOTSTRAP_ORACLE = _bootstrap_oracle()
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U / AUC: does the discount separate returned lineitems?
+# --------------------------------------------------------------------------
+
+
+def lineitem_discount_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test as an AUC: the probability that a randomly
+    chosen RETURNED lineitem (``l_returnflag = 'R'``) carries a higher
+    discount than a non-returned one (ties count half) — the
+    distribution-free two-sample separation score every feature audit
+    starts with (AUC 0.5 = no signal).
+
+    Tie handling is the real content: discounts integerize to few
+    distinct values, so per VALUE the doubled mid-rank
+    ``2·cum_before + n_v + 1`` keeps everything integer; the R-side
+    rank-sum, U and AUC = U/(n_R·n_other) then emit through the exact
+    half-up device.  Scale shape: one (value)-grouped aggregation
+    (domain-bounded: discounts are 2-dp in [0, 0.10]), one bounded
+    prefix fold, one final row — the data-sized input is touched
+    exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_val = li.selectExpr(
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
+        " AS disc",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r",
+    ).groupBy("disc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.expr("CAST(SUM(is_r) AS BIGINT)").alias("n_r_v"),
+    )
+    from pyspark.sql import Window as W
+
+    # bounded: per-distinct-discount frame (2-dp domain, ≤ 11 rows)
+    w_excl = W.orderBy(F.asc("disc")).rowsBetween(W.unboundedPreceding, -1)
+    stepped = per_val.withColumn(
+        "cum_before", F.coalesce(F.sum("n_v").over(w_excl), F.lit(0))
+    )
+    return stepped.agg(
+        F.expr("CAST(SUM(n_r_v) AS BIGINT)").alias("n_returned"),
+        F.expr("CAST(SUM(n_v - n_r_v) AS BIGINT)").alias("n_other"),
+        F.expr(
+            "CAST(SUM(n_r_v * (2 * cum_before + n_v + 1)) AS DECIMAL(38,0))"
+        ).alias("ranksum2_r"),
+    ).selectExpr(
+        "n_returned",
+        "n_other",
+        # U2 = 2*ranksum_R - n_R(n_R+1) (doubled to stay integer)
+        "CAST(ranksum2_r - CAST(n_returned AS DECIMAL(38,0))"
+        " * (n_returned + 1) AS BIGINT) AS u2",
+        "CAST((1000000 * (ranksum2_r - CAST(n_returned AS DECIMAL(38,0))"
+        " * (n_returned + 1))"
+        " + CAST(n_returned AS DECIMAL(38,0)) * n_other)"
+        " DIV (2 * CAST(n_returned AS DECIMAL(38,0)) * n_other) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS auc",
+    )
+
+
+MANNWHITNEY_ORACLE = """
+WITH per_val AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))
+           AS disc,
+         CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_r_v
+  FROM lineitem GROUP BY 1
+), stepped AS (
+  SELECT disc, n_v, n_r_v,
+         COALESCE(SUM(n_v) OVER (ORDER BY disc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM per_val
+), agg AS (
+  SELECT CAST(SUM(n_r_v) AS BIGINT) AS n_returned,
+         CAST(SUM(n_v - n_r_v) AS BIGINT) AS n_other,
+         CAST(SUM(n_r_v * (2 * cum_before + n_v + 1)) AS DECIMAL(38,0))
+           AS ranksum2_r
+  FROM stepped
+)
+SELECT n_returned, n_other,
+       CAST(CAST(ranksum2_r AS HUGEINT)
+            - CAST(n_returned AS HUGEINT) * (n_returned + 1) AS BIGINT) AS u2,
+       CAST((1000000 * (CAST(ranksum2_r AS HUGEINT)
+             - CAST(n_returned AS HUGEINT) * (n_returned + 1))
+             + CAST(n_returned AS HUGEINT) * n_other)
+            // (2 * CAST(n_returned AS HUGEINT) * n_other) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS auc
+FROM agg
+"""

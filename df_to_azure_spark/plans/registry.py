@@ -24,6 +24,7 @@ from df_to_azure_spark.plans import pipeline4 as PL4
 from df_to_azure_spark.plans import pipeline5 as PL5
 from df_to_azure_spark.plans import pipeline6 as PL6
 from df_to_azure_spark.plans import pipeline7 as PL7
+from df_to_azure_spark.plans import pipeline8 as PL8
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -927,6 +928,32 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_funnel_report": QuerySpec(
         PL7.dedup_funnel_report, PL7.DEDUP_FUNNEL_ORACLE
+    ),
+    "ridge_regression_normal_eq": QuerySpec(
+        PL8.ridge_regression_normal_eq, PL8.RIDGE_ORACLE
+    ),
+    "customer_revenue_gini": QuerySpec(
+        PL8.customer_revenue_gini, PL8.GINI_ORACLE
+    ),
+    "event_user_kaplan_meier": QuerySpec(
+        PL8.event_user_kaplan_meier, PL8.KM_ORACLE
+    ),
+    "benford_first_digit": QuerySpec(
+        PL8.benford_first_digit, PL8.BENFORD_ORACLE
+    ),
+    "doc_ttr_hapax": QuerySpec(PL8.doc_ttr_hapax, PL8.TTR_ORACLE),
+    "ivf_pq_residual_knn": QuerySpec(
+        TD.ivf_pq_residual_knn, TD.IVF_PQ_RESIDUAL_ORACLE, headline=True
+    ),
+    "revenue_lorenz_deciles": QuerySpec(
+        PL8.revenue_lorenz_deciles, PL8.LORENZ_ORACLE
+    ),
+    "lang_source_chi2": QuerySpec(PL8.lang_source_chi2, PL8.CHI2_ORACLE),
+    "revenue_bootstrap_ci": QuerySpec(
+        PL8.revenue_bootstrap_ci, PL8.BOOTSTRAP_ORACLE, headline=True
+    ),
+    "lineitem_discount_auc": QuerySpec(
+        PL8.lineitem_discount_auc, PL8.MANNWHITNEY_ORACLE
     ),
 }
 

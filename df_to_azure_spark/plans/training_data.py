@@ -1272,6 +1272,142 @@ WHERE 1 = 0
 """
 
 
+# full production IVF-PQ: coarse lists + residual product quantization
+_IVFPQ_NPROBE = 2
+
+
+def ivf_pq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style IVFADC index (IVFx,PQy): coarse inverted
+    lists (the ``_ivf_centroids`` literals), PQ over the RESIDUAL to the
+    list centroid (M=4, K=8, codebooks sampled from the residuals of the
+    exemplar vectors), queries probing nprobe=2 lists with a per-(query,
+    list) residual distance table — the composition of ``ivf_knn`` and
+    ``pq_adc_knn`` into the index an actual billion-vector deployment
+    runs.  Machinery: ``similarity.ivf_pq_residual_topk`` /
+    ``similarity.residual_frame``; the oracle replays coarse argmin,
+    residual, exemplar codebook, encode argmin, probe ranking, and the
+    left-to-right ADC sum relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    res = SIM.residual_frame(emb, cents)
+    books = SIM.sample_codebooks(res, _PQ_M, _PQ_K, vec_col="rv")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_pq_residual_topk(
+        queries, emb, cents, books, k=10, nprobe=_IVFPQ_NPROBE
+    )
+
+
+def _ivf_pq_residual_oracle() -> str:
+    M, K = _PQ_M, _PQ_K
+    sub = _NEARDUP_DIM // M
+    cents = _ivf_centroids()
+    lits = [
+        "CAST([" + ", ".join(repr(x) for x in c) + "] AS DOUBLE[])"
+        for c in cents
+    ]
+    c2s = [repr(float(sum(x * x for x in c))) for c in cents]
+    d_cols = ", ".join(
+        f"({_dot_sql('cv', 'cv')} - 2.0 * {_dot_sql('cv', lits[i])}"
+        f" + {c2s[i]}) AS d{i}"
+        for i in range(len(cents))
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    values = ", ".join(f"({i}, {lits[i]})" for i in range(len(cents)))
+    slc_r = f"list_slice(r.rv, cb.m * {sub} + 1, (cb.m + 1) * {sub})"
+    slc_q = f"list_slice(p.qres, cb.m * {sub} + 1, (cb.m + 1) * {sub})"
+    code_pivot = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS code_{m}" for m in range(M)
+    )
+    dt_joins = []
+    for m in range(M):
+        cond = (
+            f"d{m}.m = {m} AND d{m}.code = codes.code_{m}"
+            f" AND d{m}.cid = codes.cid"
+        )
+        if m > 0:
+            cond += f" AND d{m}.query_id = d0.query_id"
+        dt_joins.append(f"JOIN dt d{m} ON {cond}")
+    adc = " + ".join(f"d{m}.d" for m in range(M))
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), cdist AS (
+  SELECT vec_id, cv, {d_cols} FROM c
+), ca AS (
+  SELECT vec_id, cv, CAST({case} AS INT) AS cid FROM cdist
+), cenv AS (
+  SELECT * FROM (VALUES {values}) AS t(cid, cev)
+), res AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, {_NEARDUP_DIM} + 1),
+                        i -> a.cv[i] - v.cev[i]) AS rv
+  FROM ca a JOIN cenv v ON a.cid = v.cid
+), cb AS (
+  SELECT CAST(vec_id // {K} AS INT) AS m, CAST(vec_id % {K} AS INT) AS code,
+         list_slice(rv, CAST(vec_id // {K} AS INT) * {sub} + 1,
+                    (CAST(vec_id // {K} AS INT) + 1) * {sub}) AS cell
+  FROM res WHERE vec_id < {M * K}
+), encdist AS (
+  SELECT r.vec_id AS neighbor_id, r.cid, cb.m, cb.code,
+         {_dot_sql(slc_r, slc_r)} - 2.0 * {_dot_sql(slc_r, 'cb.cell')}
+           + {_dot_sql('cb.cell', 'cb.cell')} AS dsub
+  FROM res r CROSS JOIN cb
+), code_rows AS (
+  SELECT neighbor_id, cid, m, code FROM (
+    SELECT neighbor_id, cid, m, code,
+           row_number() OVER (PARTITION BY neighbor_id, m
+                              ORDER BY dsub, code) AS rk
+    FROM encdist
+  ) WHERE rk = 1
+), codes AS (
+  SELECT neighbor_id, cid, {code_pivot}
+  FROM code_rows GROUP BY neighbor_id, cid
+), q AS (
+  SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 5
+), qd AS (
+  SELECT query_id, qv, cenv.cid, cenv.cev,
+         {_dot_sql('qv', 'qv')} - 2.0 * {_dot_sql('qv', 'cenv.cev')}
+           + {_dot_sql('cenv.cev', 'cenv.cev')} AS cd
+  FROM q CROSS JOIN cenv
+), probes AS (
+  SELECT query_id, cid,
+         list_transform(range(1, {_NEARDUP_DIM} + 1),
+                        i -> qv[i] - cev[i]) AS qres
+  FROM (
+    SELECT query_id, qv, cid, cev,
+           row_number() OVER (PARTITION BY query_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {_IVFPQ_NPROBE}
+), dt AS (
+  SELECT p.query_id, p.cid, cb.m, cb.code,
+         {_dot_sql(slc_q, slc_q)} - 2.0 * {_dot_sql(slc_q, 'cb.cell')}
+           + {_dot_sql('cb.cell', 'cb.cell')} AS d
+  FROM probes p CROSS JOIN cb
+), scored AS (
+  SELECT d0.query_id, codes.neighbor_id, round({adc}, 8) AS adc_dist
+  FROM codes {' '.join(dt_joins)}
+  WHERE d0.query_id <> codes.neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+IVF_PQ_RESIDUAL_ORACLE = _ivf_pq_residual_oracle()
+
+
 def ivf_trained_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over TRAINED coarse centroids: ``train_codebooks`` with
     a single subspace (m=1) IS distributed k-means over the full vectors

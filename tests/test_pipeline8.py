@@ -1,0 +1,174 @@
+"""Unit tests for the round-9 pipeline8 wave — each query replayed
+against an INDEPENDENT formulation (numpy linear algebra, pandas brute
+force, pair counting) rather than the shared SQL text, so a bug in the
+shared expression generators cannot hide."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from df_to_azure_spark.plans import pipeline8 as PL8
+
+
+def test_ridge_matches_numpy_solve(spark, sf_smoke):
+    got = PL8.ridge_regression_normal_eq(spark, sf_smoke).collect()[0]
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    x1 = np.round(li["l_quantity"].to_numpy() * 100).astype(np.int64)
+    x2 = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    y = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    X = np.column_stack([np.ones_like(x1), x1, x2]).astype(np.float64)
+    lam = PL8._RIDGE_LAMBDA
+    A = X.T @ X + lam * np.diag([0.0, 1.0, 1.0])
+    beta = np.linalg.solve(A, X.T @ y.astype(np.float64))
+    assert got.n == len(li)
+    # numpy solves by LU, Cramer by determinants — agreement to 1e-6
+    # relative proves the sufficient statistics and system are right
+    assert got.beta0 == pytest.approx(beta[0], rel=1e-6)
+    assert got.beta1 == pytest.approx(beta[1], rel=1e-6)
+    assert got.beta2 == pytest.approx(beta[2], rel=1e-6)
+
+
+def test_gini_matches_numpy(spark, sf_smoke):
+    got = PL8.customer_revenue_gini(spark, sf_smoke).collect()[0]
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    rev = (
+        pd.DataFrame({"k": orders["o_custkey"], "c": cents})
+        .groupby("k")["c"]
+        .sum()
+        .sort_values(kind="stable")
+    )
+    y = rev.to_numpy(dtype=np.float64)
+    n = len(y)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    gini = (2 * (i * y).sum() - (n + 1) * y.sum()) / (n * y.sum())
+    assert got.n_customers == n
+    assert got.total_cents == int(y.sum())
+    assert got.gini == pytest.approx(gini, abs=1e-6)
+    assert 0.0 <= got.gini < 1.0
+
+
+def test_kaplan_meier_pandas_replay(spark, sf_smoke):
+    rows = PL8.event_user_kaplan_meier(spark, sf_smoke).collect()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    days = ev["ts"].dt.normalize()
+    per = days.groupby(ev["user_id"]).agg(["min", "max"])
+    dmax = days.max()
+    dur = (per["max"] - per["min"]).dt.days.to_numpy()
+    censored = ((dmax - per["max"]).dt.days < PL8._KM_CENSOR_DAYS).to_numpy()
+    n = len(dur)
+    got = {r.duration_days: r for r in rows}
+    assert set(got) == set(np.unique(dur).tolist())
+    surv = 1.0
+    for t in sorted(np.unique(dur)):
+        at_t = dur == t
+        d = int((at_t & ~censored).sum())
+        c = int((at_t & censored).sum())
+        n_risk = int(n - (dur < t).sum())
+        r = got[int(t)]
+        assert (r.n_risk, r.n_churned, r.n_censored) == (n_risk, d, c), t
+        if d:
+            surv *= (n_risk - d) / n_risk
+        # per-step ROUND(12) in the engine vs float here: loose bound
+        assert r.km_survival == pytest.approx(surv, abs=1e-6), t
+    # the curve is non-increasing and within [0, 1]
+    s = [r.km_survival for r in sorted(rows, key=lambda r: r.duration_days)]
+    assert all(a >= b for a, b in zip(s, s[1:]))
+    assert all(0.0 <= x <= 1.0 for x in s)
+
+
+def test_benford_shares_and_chi2(spark, sf_smoke):
+    rows = PL8.benford_first_digit(spark, sf_smoke).collect()
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    first = pd.Series([int(str(c)[0]) for c in cents]).value_counts()
+    got = {r.first_digit: r for r in rows}
+    assert set(got) == set(int(d) for d in first.index)
+    n = len(cents)
+    for d, cnt in first.items():
+        r = got[int(d)]
+        assert r.n_obs == cnt
+        p = np.log10(1 + 1 / d)
+        assert r.benford_share == pytest.approx(p, abs=1e-9)
+        assert r.chi2_contrib == pytest.approx(
+            (cnt - n * p) ** 2 / (n * p), abs=1e-4
+        )
+
+
+def test_lorenz_deciles_consistency(spark, sf_smoke):
+    rows = sorted(
+        PL8.revenue_lorenz_deciles(spark, sf_smoke).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # shares sum to ~1, cumulative share is non-decreasing and ends at 1
+    assert sum(r.revenue_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    cums = [r.cum_share for r in rows]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    assert cums[-1] == pytest.approx(1.0, abs=1e-6)
+    # ascending sort: later deciles carry more revenue
+    assert rows[-1].decile_cents > rows[0].decile_cents
+    # decile sizes differ by at most 1 under the rank rule
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_chi2_cells_match_pandas(spark, sf_smoke):
+    rows = PL8.lang_source_chi2(spark, sf_smoke).collect()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    ct = docs.groupby(["lang", "source"]).size()
+    got = {(r.lang, r.source): r for r in rows}
+    assert set(got) == set(ct.index)
+    n = len(docs)
+    rl = docs["lang"].value_counts()
+    cs = docs["source"].value_counts()
+    for (lang, src), cnt in ct.items():
+        r = got[(lang, src)]
+        exp = rl[lang] * cs[src] / n
+        assert r.n_obs == cnt
+        assert r.expected == pytest.approx(exp, abs=1e-4)
+        assert r.chi2_contrib == pytest.approx((cnt - exp) ** 2 / exp, abs=1e-4)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_smoke):
+    r1 = PL8.revenue_bootstrap_ci(spark, sf_smoke).collect()[0]
+    r2 = PL8.revenue_bootstrap_ci(spark, sf_smoke).collect()[0]
+    assert r1 == r2  # md5-derived weights: bit-identical on re-run
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    mean = cents.mean()
+    assert r1.n_replicates == PL8._BOOT_B
+    assert r1.ci_lo_cents <= mean <= r1.ci_hi_cents
+    # a CI from n≈1500 samples is narrow: half-width well under 10% of mean
+    assert (r1.ci_hi_cents - r1.ci_lo_cents) / mean < 0.2
+
+
+def test_poisson_thresholds_are_a_cdf():
+    thr = PL8._poisson_thresholds()
+    assert len(thr) == 7
+    assert all(a < b for a, b in zip(thr, thr[1:]))
+    # P(w <= 6) covers all but ~8e-5 of the distribution
+    assert thr[-1] / 4294967296.0 > 0.99991
+    # P(0) = 1/e
+    assert thr[0] / 4294967296.0 == pytest.approx(np.exp(-1.0), abs=1e-9)
+
+
+def test_mannwhitney_auc_vs_pair_counting(spark, sf_smoke):
+    got = PL8.lineitem_discount_auc(spark, sf_smoke).collect()[0]
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    disc = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    is_r = (li["l_returnflag"] == "R").to_numpy()
+    r, o = disc[is_r], disc[~is_r]
+    assert got.n_returned == len(r) and got.n_other == len(o)
+    # exact pair counting on the (bounded) distinct-value histogram
+    rv = pd.Series(r).value_counts()
+    ov = pd.Series(o).value_counts()
+    wins = ties = 0
+    for dv, nr in rv.items():
+        wins += nr * int(ov[ov.index < dv].sum())
+        ties += nr * int(ov.get(dv, 0))
+    auc = (wins + 0.5 * ties) / (len(r) * len(o))
+    assert got.auc == pytest.approx(auc, abs=1e-6)
+    assert got.u2 == 2 * wins + ties

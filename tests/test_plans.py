@@ -121,6 +121,7 @@ BOUNDED_BROADCAST_VARS = {
     "nbb",  # 1-row distinct-bigram-count aggregate (doc_kneser_ney_surprisal)
     "pred",  # per-from_type argmax prediction table — bounded by the event
     # type domain (~5 rows; markov_top1_accuracy)
+    "gmax",  # 1-row global max-date aggregate (event_user_kaplan_meier)
 }
 
 
