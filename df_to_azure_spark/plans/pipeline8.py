@@ -886,3 +886,165 @@ SELECT n_returned, n_other,
          / CAST(1000000 AS DOUBLE) AS auc
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix against the labeled lang column
+# --------------------------------------------------------------------------
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the marker-word language classifier
+    (``text.language_id``): the (true lang × predicted lang) confusion
+    matrix over the labeled ``documents.lang`` column, with per-cell
+    share of the TRUE class (row-normalized recall when on the diagonal)
+    — the audit a pipeline runs before trusting a heuristic filter to
+    route documents by language.
+
+    Scale shape: classify map-side (codegen'd token filters), one
+    (true, pred) aggregation bounded by the language-domain square, one
+    broadcast row-marginal join.  Shares via the half-up device."""
+    from df_to_azure_spark.functions import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.col("lang").alias("true_lang"),
+        TXT.language_id("text").alias("pred_lang"),
+    )
+    cells = labeled.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    marg = labeled.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    return cells.join(F.broadcast(marg), "true_lang").selectExpr(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        "CAST((2000000 * n_docs + n_true) DIV (2 * n_true) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS share_of_true",
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from df_to_azure_spark.plans.training_data import DOC_LANG_ORACLE
+
+    return f"""
+WITH labeled AS (
+  SELECT lang AS true_lang, lang_guess AS pred_lang
+  FROM ({DOC_LANG_ORACLE}) t
+), cells AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM labeled GROUP BY true_lang, pred_lang
+), marg AS (
+  SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM labeled GROUP BY true_lang
+)
+SELECT c.true_lang, c.pred_lang, c.n_docs,
+       CAST((2000000 * n_docs + n_true) // (2 * n_true) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS share_of_true
+FROM cells c JOIN marg USING (true_lang)
+"""
+
+
+LANGID_CONFUSION_ORACLE = _langid_confusion_oracle()
+
+
+# --------------------------------------------------------------------------
+# CUSUM change detection over daily revenue (non-recursive identity)
+# --------------------------------------------------------------------------
+
+
+def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic over the daily revenue series —
+    the classic sequential change detector, computed WITHOUT its usual
+    clamp recursion: ``C_t = max(0, C_{t−1} + x_t − μ)`` is identically
+    ``S_t − min(0, min_{s≤t} S_s)`` for the plain cumulative sum
+    ``S_t = Σ_{s≤t}(x_s − μ)``, which turns the sequential definition
+    into a prefix-sum + prefix-min — both of which this engine already
+    distributes exactly (``two_phase_rank``'s running DECIMAL sum and
+    ``two_phase_cummin``), so the detector needs no single-partition
+    window and no iteration.  μ is the exact half-up mean of the daily
+    cents (integer), so every value in the chain is an exact integer.
+
+    Output per day: revenue, deviation sum ``s_cents``, and the CUSUM
+    statistic ``cusum_cents ≥ 0`` — spikes flag sustained upward drift
+    from the global mean."""
+    from df_to_azure_spark.functions.distrank import two_phase_cummin
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+            " AS BIGINT)"
+        ).alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))) AS DECIMAL(19,0))"
+        ).alias("rev_cents")
+    )
+    mu = daily.agg(
+        F.expr(
+            "CAST((2 * CAST(SUM(rev_cents) AS DECIMAL(38,0)) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS DECIMAL(19,0))"
+        ).alias("mu_cents")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        "rev_cents",
+        F.expr("CAST(rev_cents - mu_cents AS DECIMAL(19,0))").alias("dev"),
+    )
+    summed = two_phase_rank(
+        dev,
+        order_by=[("day", "asc")],
+        sum_col="dev",
+        rank_col="rk",
+        cum_col="s_cents",
+    )
+    out = two_phase_cummin(
+        summed.select("day", "rev_cents", "s_cents"),
+        order_by=[("day", "asc")],
+        val_col="s_cents",
+        out_col="min_s",
+        inclusive=True,
+    )
+    return out.selectExpr(
+        "day",
+        "CAST(rev_cents AS BIGINT) AS rev_cents",
+        "CAST(s_cents AS BIGINT) AS s_cents",
+        "CAST(s_cents - LEAST(CAST(0 AS DECIMAL(38,0)), min_s) AS BIGINT)"
+        " AS cusum_cents",
+    )
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS rev_cents
+  FROM orders GROUP BY 1
+), mu AS (
+  SELECT CAST((2 * CAST(SUM(rev_cents) AS HUGEINT) + COUNT(*))
+              // (2 * COUNT(*)) AS HUGEINT) AS mu_cents
+  FROM daily
+), dev AS (
+  SELECT day, rev_cents,
+         CAST(rev_cents AS HUGEINT) - mu_cents AS dev
+  FROM daily CROSS JOIN mu
+), summed AS (
+  SELECT day, rev_cents,
+         SUM(dev) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cents
+  FROM dev
+)
+SELECT day,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(s_cents AS BIGINT) AS s_cents,
+       CAST(s_cents - LEAST(CAST(0 AS HUGEINT),
+            MIN(s_cents) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            AS BIGINT) AS cusum_cents
+FROM summed
+"""

@@ -955,6 +955,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "lineitem_discount_auc": QuerySpec(
         PL8.lineitem_discount_auc, PL8.MANNWHITNEY_ORACLE
     ),
+    "langid_confusion_matrix": QuerySpec(
+        PL8.langid_confusion_matrix, PL8.LANGID_CONFUSION_ORACLE
+    ),
+    "daily_revenue_cusum": QuerySpec(
+        PL8.daily_revenue_cusum, PL8.CUSUM_ORACLE
+    ),
 }
 
 

@@ -172,3 +172,57 @@ def test_mannwhitney_auc_vs_pair_counting(spark, sf_smoke):
     auc = (wins + 0.5 * ties) / (len(r) * len(o))
     assert got.auc == pytest.approx(auc, abs=1e-6)
     assert got.u2 == 2 * wins + ties
+
+
+def test_ivf_pq_degenerates_to_flat_pq_with_one_zero_centroid(spark, sf_smoke):
+    """With a single all-zero coarse centroid the residual IS the raw
+    vector and every query probes the only list — so IVFADC must return
+    exactly the flat-PQ ADC ranking (same codes, same table, same
+    distances).  A structural identity check on the whole composed
+    plan."""
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    zero = [[0.0] * 64]
+    books = SIM.sample_codebooks(emb, 4, 8)
+    queries = emb.where("vec_id < 3")
+    flat = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in SIM.pq_adc_topk(queries, emb, books, k=5).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in SIM.ivf_pq_residual_topk(
+            queries, emb, zero, books, k=5, nprobe=1
+        ).collect()
+    }
+    assert ivfpq == flat
+
+
+def test_langid_confusion_row_shares_sum_to_one(spark, sf_smoke):
+    rows = PL8.langid_confusion_matrix(spark, sf_smoke).collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, []).append(r)
+    for lang, cells in by_true.items():
+        assert sum(c.share_of_true for c in cells) == pytest.approx(
+            1.0, abs=1e-4
+        ), lang
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == len(docs)
+
+
+def test_cusum_matches_clamp_recursion(spark, sf_smoke):
+    """The S − min(0, running-min S) identity must reproduce the
+    textbook clamp recursion C_t = max(0, C_{t−1} + x_t − μ) exactly."""
+    rows = sorted(
+        PL8.daily_revenue_cusum(spark, sf_smoke).collect(),
+        key=lambda r: r.day,
+    )
+    xs = [r.rev_cents for r in rows]
+    mu = (2 * sum(xs) + len(xs)) // (2 * len(xs))  # same half-up device
+    c = 0
+    for r in rows:
+        c = max(0, c + r.rev_cents - mu)
+        assert r.cusum_cents == c, r.day

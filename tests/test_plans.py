@@ -122,6 +122,9 @@ BOUNDED_BROADCAST_VARS = {
     "pred",  # per-from_type argmax prediction table — bounded by the event
     # type domain (~5 rows; markov_top1_accuracy)
     "gmax",  # 1-row global max-date aggregate (event_user_kaplan_meier)
+    "marg_lang",  # per-language marginals — bounded by the lang domain
+    "marg_src",  # per-source marginals — bounded by the source domain
+    "mu",  # 1-row global mean aggregate (daily_revenue_cusum)
 }
 
 
