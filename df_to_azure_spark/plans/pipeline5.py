@@ -2258,12 +2258,11 @@ def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    truth = SIM.cosine_topk(queries, emb, k=_IR_K).select(
-        "query_id", "neighbor_id"
-    )
+    # ONE exact pass serves both the ground truth and the RRF exact leg
+    exact_r = SIM.cosine_topk(queries, emb, k=_IR_K)
+    truth = exact_r.select("query_id", "neighbor_id")
     adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
     rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
-    exact_r = SIM.cosine_topk(queries, emb, k=_IR_K)
     lsh_r = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=_IR_K)
     variants = [
         ("lsh", lsh_r),

@@ -1289,7 +1289,11 @@ def ivf_pq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right ADC sum relationally."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids()
-    res = SIM.residual_frame(emb, cents)
+    # exemplar residuals only (ids < M·K): the codebook sample never
+    # needs the full corpus residualized
+    res = SIM.residual_frame(
+        emb.where(F.col("vec_id") < _PQ_M * _PQ_K), cents
+    )
     books = SIM.sample_codebooks(res, _PQ_M, _PQ_K, vec_col="rv")
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.ivf_pq_residual_topk(
@@ -1318,7 +1322,7 @@ def _ivf_pq_residual_oracle() -> str:
         + " END"
     )
     values = ", ".join(f"({i}, {lits[i]})" for i in range(len(cents)))
-    slc_r = f"list_slice(r.rv, cb.m * {sub} + 1, (cb.m + 1) * {sub})"
+    slc_a = f"list_slice(a.cv, j.m * {sub} + 1, (j.m + 1) * {sub})"
     slc_q = f"list_slice(p.qres, cb.m * {sub} + 1, (cb.m + 1) * {sub})"
     code_pivot = ", ".join(
         f"MAX(CASE WHEN m = {m} THEN code END) AS code_{m}" for m in range(M)
@@ -1348,16 +1352,26 @@ WITH c AS (
          list_transform(range(1, {_NEARDUP_DIM} + 1),
                         i -> a.cv[i] - v.cev[i]) AS rv
   FROM ca a JOIN cenv v ON a.cid = v.cid
+  WHERE a.vec_id < {M * K}
 ), cb AS (
   SELECT CAST(vec_id // {K} AS INT) AS m, CAST(vec_id % {K} AS INT) AS code,
          list_slice(rv, CAST(vec_id // {K} AS INT) * {sub} + 1,
                     (CAST(vec_id // {K} AS INT) + 1) * {sub}) AS cell
   FROM res WHERE vec_id < {M * K}
+), cbadj0 AS (
+  SELECT cenv.cid, cb.m, cb.code,
+         list_transform(
+           list_zip(list_slice(cenv.cev, cb.m * {sub} + 1,
+                               (cb.m + 1) * {sub}), cb.cell),
+           r -> r[1] + r[2]) AS adj
+  FROM cenv CROSS JOIN cb
+), cbadj AS (
+  SELECT cid, m, code, adj, {_dot_sql('adj', 'adj')} AS adj2 FROM cbadj0
 ), encdist AS (
-  SELECT r.vec_id AS neighbor_id, r.cid, cb.m, cb.code,
-         {_dot_sql(slc_r, slc_r)} - 2.0 * {_dot_sql(slc_r, 'cb.cell')}
-           + {_dot_sql('cb.cell', 'cb.cell')} AS dsub
-  FROM res r CROSS JOIN cb
+  SELECT a.vec_id AS neighbor_id, a.cid, j.m, j.code,
+         {_dot_sql(slc_a, slc_a)} - 2.0 * {_dot_sql(slc_a, 'j.adj')}
+           + j.adj2 AS dsub
+  FROM ca a JOIN cbadj j ON j.cid = a.cid
 ), code_rows AS (
   SELECT neighbor_id, cid, m, code FROM (
     SELECT neighbor_id, cid, m, code,
