@@ -250,20 +250,70 @@ def pq_codes(
     ``codebooks[m][j]`` is centroid j of subspace m; subspace length is
     inferred, and M·len must equal the vector dim.  Returns
     ``(id, code_0..code_{M-1})`` — codes as columns, not an array, so
-    ADC joins on them without an explode."""
-    v = _as_double(vec_col)
+    ADC joins on them without an explode.
+
+    Encode shape: a broadcast expand to (vector, subspace, cell) rows
+    with ONE subvector dot each (the per-(vector, subspace) self-dot is
+    hoisted, the cell self-dot ships as a precomputed left-fold literal),
+    then the per-subspace argmin as a single min-of-(dist, code)-struct
+    aggregation whose map-side partial collapses the expansion back to
+    one row per vector before the one code-sized shuffle (id + M small
+    ints).  A flat argmin EXPRESSION per subspace computes the same
+    doubles but runs M·K·3 interpreted HOF dots per row — measured ~10×
+    slower at M=16 (higher-order functions sit outside whole-stage
+    codegen, so nothing CSEs them)."""
+    spark = df.sparkSession
+    M = len(codebooks)
     sub = len(codebooks[0][0])
     dim = _vector_dim(df, vec_col)
-    if len(codebooks) * sub != dim:
+    if M * sub != dim:
         raise ValueError(
-            f"codebooks cover {len(codebooks)}x{sub}={len(codebooks) * sub} dims "
+            f"codebooks cover {M}x{sub}={M * sub} dims "
             f"but {vec_col} has {dim} — M*len(codebook vector) must equal the dim"
         )
-    cols = []
-    for m, cents in enumerate(codebooks):
-        subv = F.slice(v, m * sub + 1, sub)
-        cols.append(_argmin_centroid(_centroid_dists(subv, cents)).alias(f"code_{m}"))
-    return df.select(F.col(id_col), *cols)
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cell_rows = [
+        (m, j, [float(x) for x in cell], _fold_dot(cell, cell))
+        for m, cents in enumerate(codebooks)
+        for j, cell in enumerate(cents)
+    ]
+    cells = spark.createDataFrame(
+        cell_rows, "m int, code int, cell array<double>, cell2 double"
+    )
+    m_frame = spark.createDataFrame([(m,) for m in range(M)], "m int")
+    s_m = F.slice(_as_double(vec_col), F.col("m") * sub + 1, sub)
+    per_sub = df.join(F.broadcast(m_frame)).select(
+        F.col(id_col), "m", s_m.alias("s"), dot(s_m, s_m).alias("ss")
+    )
+    expl = per_sub.join(F.broadcast(cells), "m").select(
+        id_col,
+        "m",
+        "code",
+        (
+            F.col("ss") - 2.0 * dot(F.col("s"), F.col("cell")) + F.col("cell2")
+        ).alias("dsub"),
+    )
+    return (
+        expl.groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("m") == m, F.struct("dsub", "code"))
+                ).alias(f"b{m}")
+                for m in range(M)
+            ]
+        )
+        .select(
+            id_col,
+            *[F.col(f"b{m}.code").alias(f"code_{m}") for m in range(M)],
+        )
+    )
 
 
 def _vector_dim(df: DataFrame, vec_col: str) -> int:
@@ -450,8 +500,17 @@ def pq_adc_topk(
     bit-for-bit.
     """
     M = len(codebooks)
-    codes = pq_codes(_spread(corpus), codebooks, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), *[f"code_{m}" for m in range(M)]
+    # eager-pin the encoded index (the stored artifact of
+    # pq_adc_topk_from_codes' production flow): unpinned, the M chained
+    # ADC lookup joins re-plan the whole encode subtree M times —
+    # measured 7.5 s → 2.9 s for the M=16 rerank shortlist at sf0.1
+    codes = (
+        pq_codes(_spread(corpus), codebooks, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            *[f"code_{m}" for m in range(M)],
+        )
+        .localCheckpoint()
     )
     return pq_adc_topk_from_codes(queries, codes, codebooks, k, id_col, vec_col)
 
@@ -487,6 +546,7 @@ def pq_adc_topk_from_codes(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
+    K = len(codebooks[0])
     sv = F.slice(F.col("qv"), F.col("m") * sub + 1, sub)
     dtable = q.crossJoin(F.broadcast(cent)).select(
         "query_id",
@@ -494,27 +554,29 @@ def pq_adc_topk_from_codes(
         "code",
         (dot(sv, sv) - 2.0 * dot(sv, F.col("cent")) + dot(F.col("cent"), F.col("cent"))).alias("d"),
     )
-    # rename the table's columns per join: queries and corpus share the
-    # same source frame, so frame-qualified references carry identical
-    # expression ids and would be ambiguous in a self-join
-    scored = codes
-    for m in range(M):
-        dm = dtable.where(F.col("m") == m).select(
-            F.col("query_id").alias(f"q{m}"),
-            F.col("code").alias(f"c{m}"),
-            F.col("d").alias(f"d{m}"),
-        )
-        cond = F.col(f"code_{m}") == F.col(f"c{m}")
-        if m > 0:
-            cond = cond & (F.col("query_id") == F.col(f"q{m}"))
-        scored = scored.join(F.broadcast(dm), cond)
-        if m == 0:
-            scored = scored.withColumnRenamed("q0", "query_id").drop("c0")
-        else:
-            scored = scored.drop(f"q{m}", f"c{m}")
-    adc = F.col("d0")
+    # ONE lookup structure per query — the table folds into a
+    # (m·K + code) → d map and broadcasts once, so the ADC sum is M
+    # element_at lookups inside a single broadcast join instead of M
+    # chained joins (whose per-stage broadcast overhead dominated:
+    # measured 4.0 s → sub-second for the M=16 search at sf0.1).  The
+    # addition stays the same fixed left-to-right chain, so the doubles
+    # are bit-identical to the join formulation and the SQL oracle.
+    dmap = dtable.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("m") * K + F.col("code")).alias("k"),
+                    F.col("d").alias("v"),
+                )
+            )
+        ).alias("dm")
+    )
+    scored = codes.join(F.broadcast(dmap))
+    adc = F.element_at(F.col("dm"), F.lit(0 * K) + F.col("code_0"))
     for m in range(1, M):
-        adc = adc + F.col(f"d{m}")
+        adc = adc + F.element_at(
+            F.col("dm"), F.lit(m * K) + F.col(f"code_{m}")
+        )
     scored = scored.where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id", F.round(adc, 8).alias("adc_dist")
     )
@@ -854,29 +916,40 @@ def ivf_pq_residual_topk(
         .localCheckpoint()
     )
 
-    scored = codes
-    for m in range(M):
-        dm = dtable.where(F.col("m") == m).select(
-            F.col("query_id").alias(f"q{m}"),
-            F.col("cid").alias(f"l{m}"),
-            F.col("code").alias(f"c{m}"),
-            F.col("d").alias(f"d{m}"),
-        )
-        cond = (F.col(f"code_{m}") == F.col(f"c{m}")) & (
-            F.col("cid") == F.col(f"l{m}")
-        )
-        if m > 0:
-            cond = cond & (F.col("query_id") == F.col(f"q{m}"))
-        scored = scored.join(F.broadcast(dm), cond)
-        if m == 0:
-            scored = scored.withColumnRenamed("q0", "query_id").drop("c0", "l0")
-        else:
-            scored = scored.drop(f"q{m}", f"c{m}", f"l{m}")
-    adc = F.col("d0")
+    # ONE lookup map per query over its PROBED lists: key
+    # (cid·M + m)·K + code → d.  A corpus row whose list the query did
+    # not probe finds no key — element_at yields NULL and the row drops,
+    # which is exactly the inverted-list semantics the per-list joins
+    # expressed, in a single broadcast join instead of M of them (same
+    # fixed left-to-right ADC addition → bit-identical doubles).
+    K = len(codebooks[0])
+    dmap = dtable.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (
+                        (F.col("cid") * M + F.col("m")) * K + F.col("code")
+                    ).alias("k"),
+                    F.col("d").alias("v"),
+                )
+            )
+        ).alias("dm")
+    )
+    scored = codes.join(F.broadcast(dmap))
+    adc = F.element_at(
+        F.col("dm"), (F.col("cid") * M + F.lit(0)) * K + F.col("code_0")
+    )
     for m in range(1, M):
-        adc = adc + F.col(f"d{m}")
-    scored = scored.where(F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", F.round(adc, 8).alias("adc_dist")
+        adc = adc + F.element_at(
+            F.col("dm"),
+            (F.col("cid") * M + F.lit(m)) * K + F.col(f"code_{m}"),
+        )
+    scored = (
+        scored.where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(adc, 8).alias("adc_dist")
+        )
+        .where(F.col("adc_dist").isNotNull())
     )
     w = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")

@@ -2258,24 +2258,39 @@ def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    # ONE exact pass serves both the ground truth and the RRF exact leg
-    exact_r = SIM.cosine_topk(queries, emb, k=_IR_K)
+    # Every ranking below is a query-batch-bounded frame (5 queries × k
+    # rows) produced by a corpus-sized pipeline; eager-pin each one so
+    # the evaluator's multiple joins (truth mark + per-query agg +
+    # truth-keyed coverage join) replay 50 stored rows instead of
+    # re-executing the index pipeline per join (measured 37.7 s → ~8 s
+    # for the 5-leg matrix at sf0.1).
+    # ONE exact pass serves both the ground truth and the RRF exact leg.
+    exact_r = SIM.cosine_topk(queries, emb, k=_IR_K).localCheckpoint()
     truth = exact_r.select("query_id", "neighbor_id")
     adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
     rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
-    lsh_r = SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=_IR_K)
+    lsh_r = SIM.lsh_topk(
+        queries, emb, _lsh_knn_planes(), k=_IR_K
+    ).localCheckpoint()
     variants = [
         ("lsh", lsh_r),
         (
             "ivf",
-            SIM.ivf_topk(queries, emb, _ivf_centroids(), k=_IR_K, nprobe=2),
+            SIM.ivf_topk(
+                queries, emb, _ivf_centroids(), k=_IR_K, nprobe=2
+            ).localCheckpoint(),
         ),
-        ("pq_adc", SIM.pq_adc_topk(queries, emb, adc_books, k=_IR_K)),
+        (
+            "pq_adc",
+            SIM.pq_adc_topk(
+                queries, emb, adc_books, k=_IR_K
+            ).localCheckpoint(),
+        ),
         (
             "pq_rerank",
             SIM.pq_adc_rerank_topk(
                 queries, emb, rr_books, k=_IR_K, shortlist=TD._PQ_RERANK_C
-            ),
+            ).localCheckpoint(),
         ),
         (
             "hybrid_rrf",

@@ -637,8 +637,14 @@ def test_ann_retrieval_matrix_smoke(spark, sf_smoke):
 
     rows = ann_retrieval_matrix(spark, sf_smoke).collect()
     variants = {r.variant for r in rows}
-    assert variants == {"lsh", "ivf"}
+    assert variants == {"lsh", "ivf", "pq_adc", "pq_rerank", "hybrid_rrf"}
     for r in rows:
         assert 0.0 <= r.recall_at_10 <= 1.0
         assert 0.0 <= r.mrr <= 1.0
         assert 0.0 <= r.ndcg_at_10 <= 1.0
+    # the hybrid leg fuses the exact ranking, so it must dominate or
+    # match pure LSH on every query's recall
+    by = {(r.variant, r.query_id): r for r in rows}
+    for (v, qid), r in by.items():
+        if v == "hybrid_rrf":
+            assert r.recall_at_10 >= by[("lsh", qid)].recall_at_10 - 1e-9

@@ -161,15 +161,18 @@ def test_pq_codes_shape_and_consistency(spark, sf_smoke):
 
 def test_pq_adc_topk_contract_and_plan(spark, sf_smoke):
     """k rows per query with dense ranks, ADC distances non-decreasing in
-    rank, and the plan is the compressed-domain one: M broadcast joins,
-    no cartesian product, no explode of the corpus side."""
-    from df_to_azure_spark.plans.training_data import _PQ_M, _pq_codebooks
+    rank, and the plan is the compressed-domain one: the query distance
+    table folds into ONE broadcast map (M element_at lookups per
+    candidate row — not M chained joins, whose per-stage broadcast
+    overhead dominated), no cartesian product, no explode of the corpus
+    side."""
+    from df_to_azure_spark.plans.training_data import _pq_codebooks
 
     emb = _emb(spark, sf_smoke)
     q = emb.where("vec_id < 5")
     out = S.pq_adc_topk(q, emb, _pq_codebooks(), k=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= _PQ_M
+    assert "map_from_entries" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     rows = out.collect()
     by_q = {}
