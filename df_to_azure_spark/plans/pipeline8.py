@@ -314,9 +314,19 @@ def event_user_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(18,12)) END"
             ),
         )
+        # Nelson-Aalen increment d/n — the cumulative-hazard twin
+        # estimator, same ROUND(12)-per-step policy
+        .withColumn(
+            "haz_step",
+            F.expr(
+                "CAST(ROUND(CAST(n_churned AS DOUBLE)"
+                " / CAST(n_risk AS DOUBLE), 12) AS DECIMAL(18,12))"
+            ),
+        )
     )
     return (
         stepped.withColumn("log_surv_dec", F.sum("log_step").over(w_prev))
+        .withColumn("cumhaz_dec", F.sum("haz_step").over(w_prev))
         .selectExpr(
             "dur AS duration_days",
             "n_risk",
@@ -324,6 +334,7 @@ def event_user_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_censored",
             "CAST(log_surv_dec AS DOUBLE) AS log_survival",
             "ROUND(EXP(CAST(log_surv_dec AS DOUBLE)), 6) AS km_survival",
+            "CAST(cumhaz_dec AS DOUBLE) AS nelson_aalen_cumhaz",
         )
     )
 
@@ -356,7 +367,9 @@ WITH per_user AS (
          CASE WHEN n_churned = 0 THEN CAST(0 AS DECIMAL(18,12))
               ELSE CAST(ROUND(LN(CAST(n_risk - n_churned AS DOUBLE)
                    / CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(18,12)) END
-           AS log_step
+           AS log_step,
+         CAST(ROUND(CAST(n_churned AS DOUBLE)
+              / CAST(n_risk AS DOUBLE), 12) AS DECIMAL(18,12)) AS haz_step
   FROM stepped
 )
 SELECT dur AS duration_days,
@@ -367,7 +380,10 @@ SELECT dur AS duration_days,
             AS DECIMAL(38,12)) AS DOUBLE) AS log_survival,
        ROUND(EXP(CAST(CAST(SUM(log_step) OVER (
              ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(38,12)) AS DOUBLE)), 6) AS km_survival
+            AS DECIMAL(38,12)) AS DOUBLE)), 6) AS km_survival,
+       CAST(CAST(SUM(haz_step) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,12)) AS DOUBLE) AS nelson_aalen_cumhaz
 FROM logged
 """
 
@@ -1048,3 +1064,55 @@ SELECT day,
             AS BIGINT) AS cusum_cents
 FROM summed
 """
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 API): synthetic log source rollup
+# --------------------------------------------------------------------------
+
+_SYNTH_PARTS = 4
+_SYNTH_ROWS = 1500
+
+
+def synthlogs_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the CUSTOM CONNECTOR (``sources.pydatasource`` — the
+    Spark 4 Python DataSource API): the deterministic ``synthlogs``
+    generator exposes a programmatic source as a first-class partitioned
+    table, and this query proves the full loop — register, parallel
+    partitioned read (one task per InputPartition), relational rollup —
+    with the generator's LCG integer math replayed row-exactly by the
+    DuckDB oracle.  ``sf_dir`` is unused by design: the source IS the
+    fixture (a load generator does not scale with the lake).
+
+    Scale shape: N generator partitions → N map tasks, one
+    domain-bounded (6-status) aggregation."""
+    from df_to_azure_spark.sources import pydatasource as PDS
+
+    PDS.register(spark)
+    logs = (
+        spark.read.format("synthlogs")
+        .option("partitions", str(_SYNTH_PARTS))
+        .option("rows_per_partition", str(_SYNTH_ROWS))
+        .load()
+    )
+    return logs.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_requests"),
+        F.expr("CAST(SUM(n_bytes) AS BIGINT)").alias("total_bytes"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def _synthlogs_rollup_oracle() -> str:
+    from df_to_azure_spark.sources.pydatasource import synthlogs_oracle_sql
+
+    return f"""
+WITH logs AS ({synthlogs_oracle_sql(_SYNTH_PARTS, _SYNTH_ROWS)})
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM logs GROUP BY status
+"""
+
+
+SYNTHLOGS_ROLLUP_ORACLE = _synthlogs_rollup_oracle()

@@ -961,6 +961,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "daily_revenue_cusum": QuerySpec(
         PL8.daily_revenue_cusum, PL8.CUSUM_ORACLE
     ),
+    "synthlogs_status_rollup": QuerySpec(
+        PL8.synthlogs_status_rollup, PL8.SYNTHLOGS_ROLLUP_ORACLE
+    ),
 }
 
 

@@ -1,0 +1,136 @@
+"""Custom connector via Spark 4's Python DataSource API — the newest
+extension surface for sources the built-in readers don't cover (internal
+HTTP feeds, bespoke binary formats, synthetic load generators).
+
+The reference has exactly one source shape (a pandas frame handed to
+``df_to_azure``, `/root/reference/df_to_azure/export.py`); this shows the
+Spark-native way to make ANY programmatic source a first-class,
+partitioned, schema-typed table: subclass ``DataSource``/
+``DataSourceReader``, register once per session, then ``spark.read
+.format(...)`` like any built-in.
+
+``synthlogs`` generates a deterministic synthetic web-log table — the
+fixture-data generator a pipeline test-bench needs — with N partitions
+each producing R rows of pure-integer-arithmetic values, so (a) the read
+is embarrassingly parallel (one task per ``InputPartition``, no driver
+bottleneck, the 100 TB shape for any generated/fetched source) and (b) a
+SQL oracle can replay every row exactly (the generator is LCG-style
+integer math, no RNG state).
+
+Filter pushdown: the reader implements ``pushFilters`` for equality on
+``status`` — partitions still generate their slice but skip non-matching
+rows at the source, and Spark drops the residual filter from the plan
+(observable in ``explain``), demonstrating the API's pushdown contract.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+# generator constants — shared with the SQL oracle via synthlogs_oracle_sql()
+_MULT = 1103515245
+_INC = 12345
+_MOD = 2147483648
+_USER_MULT = 2654435761
+_USER_MOD = 997
+_STATUSES = (200, 200, 200, 301, 404, 500)  # skewed like real logs
+
+
+def _row(log_id: int) -> tuple[int, int, int, int]:
+    h = (log_id * _MULT + _INC) % _MOD
+    status = _STATUSES[h % len(_STATUSES)]
+    user_id = (log_id * _USER_MULT) % _USER_MOD
+    n_bytes = h % 100_000
+    return (log_id, user_id, status, n_bytes)
+
+
+class SynthLogsDataSource(DataSource):
+    """``spark.read.format("synthlogs").option("partitions", P)
+    .option("rows_per_partition", R).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthlogs"
+
+    def schema(self) -> str:
+        return "log_id bigint, user_id bigint, status int, n_bytes bigint"
+
+    def reader(self, schema) -> "SynthLogsReader":
+        return SynthLogsReader(self.options)
+
+
+class SynthLogsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_partitions = int(options.get("partitions", "4"))
+        self.rows_per_partition = int(options.get("rows_per_partition", "1000"))
+        self.status_eq: int | None = None
+
+    def pushFilters(self, filters):
+        """Accept one ``status = <lit>`` equality; everything else is
+        returned for Spark to evaluate (the API contract: yield the
+        filters you can NOT handle)."""
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("status",)
+                and self.status_eq is None
+            ):
+                self.status_eq = int(f.value)
+            else:
+                yield f
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_partitions)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        p = partition.value
+        base = p * self.rows_per_partition
+        for i in range(self.rows_per_partition):
+            row = _row(base + i)
+            if self.status_eq is not None and row[2] != self.status_eq:
+                continue
+            yield row
+
+
+def register(spark) -> None:
+    """Idempotent session registration.
+
+    Two deployment details handled here so ANY session can read the
+    format: (1) the Python-side filter-pushdown capability is gated by a
+    runtime SQL conf — a reader that implements ``pushFilters`` refuses
+    to plan without it; (2) the class is registered with cloudpickle's
+    by-VALUE module pickling, so executors deserialize the generator
+    without needing this package importable on their PYTHONPATH (the
+    same property closures get for free; classes default to by-reference
+    pickling)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthLogsDataSource)
+
+
+def synthlogs_oracle_sql(n_partitions: int, rows_per_partition: int) -> str:
+    """DuckDB replay of the generator — the same LCG integer math over
+    ``range(0, N)``, so any query over the source is oracle-checkable."""
+    n = n_partitions * rows_per_partition
+    statuses = ", ".join(str(s) for s in _STATUSES)
+    return f"""
+SELECT log_id,
+       (log_id * {_USER_MULT}) % {_USER_MOD} AS user_id,
+       CAST(list_value({statuses})[
+         CAST((log_id * {_MULT} + {_INC}) % {_MOD} AS BIGINT)
+           % {len(_STATUSES)} + 1] AS INT) AS status,
+       CAST((log_id * {_MULT} + {_INC}) % {_MOD} AS BIGINT) % 100000
+         AS n_bytes
+FROM (SELECT unnest(range(0, {n})) AS log_id)
+"""

@@ -61,7 +61,7 @@ def test_kaplan_meier_pandas_replay(spark, sf_smoke):
     n = len(dur)
     got = {r.duration_days: r for r in rows}
     assert set(got) == set(np.unique(dur).tolist())
-    surv = 1.0
+    surv, cumhaz = 1.0, 0.0
     for t in sorted(np.unique(dur)):
         at_t = dur == t
         d = int((at_t & ~censored).sum())
@@ -71,8 +71,10 @@ def test_kaplan_meier_pandas_replay(spark, sf_smoke):
         assert (r.n_risk, r.n_churned, r.n_censored) == (n_risk, d, c), t
         if d:
             surv *= (n_risk - d) / n_risk
+        cumhaz += d / n_risk
         # per-step ROUND(12) in the engine vs float here: loose bound
         assert r.km_survival == pytest.approx(surv, abs=1e-6), t
+        assert r.nelson_aalen_cumhaz == pytest.approx(cumhaz, abs=1e-6), t
     # the curve is non-increasing and within [0, 1]
     s = [r.km_survival for r in sorted(rows, key=lambda r: r.duration_days)]
     assert all(a >= b for a, b in zip(s, s[1:]))
