@@ -1116,3 +1116,211 @@ FROM logs GROUP BY status
 
 
 SYNTHLOGS_ROLLUP_ORACLE = _synthlogs_rollup_oracle()
+
+
+# --------------------------------------------------------------------------
+# Logistic regression by unrolled IRLS (2 Newton steps, fully relational)
+# --------------------------------------------------------------------------
+
+
+def _cramer3_text(a: dict[str, str], r: tuple[str, str, str]) -> dict[str, str]:
+    """Cramer-rule expression text for a symmetric 3×3 system with named
+    entry expressions — the same shared-text device as the ridge solve:
+    both engines evaluate the identical IEEE tree, so the solution
+    components are bit-identical.  ``a`` maps {a11,a12,a13,a22,a23,a33};
+    ``r`` is the RHS triple."""
+
+    def det3(r1, r2, r3):
+        (x1, x2, x3), (y1, y2, y3), (z1, z2, z3) = r1, r2, r3
+        return (
+            f"({x1} * ({y2} * {z3} - {y3} * {z2})"
+            f" - {x2} * ({y1} * {z3} - {y3} * {z1})"
+            f" + {x3} * ({y1} * {z2} - {y2} * {z1}))"
+        )
+
+    rows = [
+        (a["a11"], a["a12"], a["a13"]),
+        (a["a12"], a["a22"], a["a23"]),
+        (a["a13"], a["a23"], a["a33"]),
+    ]
+    det_a = det3(*rows)
+
+    def repl(i):
+        return [
+            tuple(r[ri] if ci == i else rows[ri][ci] for ci in range(3))
+            for ri in range(3)
+        ]
+
+    return {
+        "x0": f"({det3(*repl(0))} / {det_a})",
+        "x1": f"({det3(*repl(1))} / {det_a})",
+        "x2": f"({det3(*repl(2))} / {det_a})",
+    }
+
+
+_LOGIT_FEATURES = """
+  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(10,0)) AS x1,
+  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(10,0)) AS x2,
+  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+"""
+
+# iteration-1 closed form: at beta = 0 every p_i = 1/2, so
+# (X'WX) b = X'(y - 1/2) becomes the INTEGER system G b = [2*t0, 2*t1,
+# 2*t2] with G the raw Gram matrix and t_j = sum (2y-1) x_j
+_IT1_SUMS = """
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(x1) AS DECIMAL(38,0)) AS sx1,
+  CAST(SUM(x2) AS DECIMAL(38,0)) AS sx2,
+  CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS s11,
+  CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS s12,
+  CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS s22,
+  CAST(SUM(2 * y - 1) AS DECIMAL(38,0)) AS t0,
+  CAST(SUM((2 * y - 1) * x1) AS DECIMAL(38,0)) AS t1,
+  CAST(SUM((2 * y - 1) * x2) AS DECIMAL(38,0)) AS t2
+"""
+
+_IT1_A = {
+    "a11": "CAST(n AS DOUBLE)",
+    "a12": "CAST(sx1 AS DOUBLE)",
+    "a13": "CAST(sx2 AS DOUBLE)",
+    "a22": "CAST(s11 AS DOUBLE)",
+    "a23": "CAST(s12 AS DOUBLE)",
+    "a33": "CAST(s22 AS DOUBLE)",
+}
+_IT1_R = (
+    "(2.0 * CAST(t0 AS DOUBLE))",
+    "(2.0 * CAST(t1 AS DOUBLE))",
+    "(2.0 * CAST(t2 AS DOUBLE))",
+)
+
+# iteration-2 per-row terms: eta from the iteration-1 betas, p through
+# the one transcendental (EXP) with the ROUND(12) per-row policy, then
+# every sum is a DECIMAL product of exact factors — order-free
+_P_EXPR = (
+    "CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+    " + EXP(-(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)))),"
+    " 12) AS DECIMAL(14,12))"
+)
+# w widened to DECIMAL(20,12) before any product: DuckDB runs a
+# DECIMAL(14,12)x(10,0) multiply on int64 storage and overflows at
+# ~1e18 scaled units; width > 18 forces its int128 path (value-identical
+# either way, so the shared text stays engine-exact)
+_IT2_SUMS = """
+  CAST(SUM(w) AS DECIMAL(38,12)) AS sw,
+  CAST(SUM(CAST(w AS DECIMAL(20,12)) * x1) AS DECIMAL(38,12)) AS swx1,
+  CAST(SUM(CAST(w AS DECIMAL(20,12)) * x2) AS DECIMAL(38,12)) AS swx2,
+  CAST(SUM(CAST(w AS DECIMAL(20,12)) * CAST(x1 * x1 AS DECIMAL(10,0)))
+       AS DECIMAL(38,12)) AS swx11,
+  CAST(SUM(CAST(w AS DECIMAL(20,12)) * CAST(x1 * x2 AS DECIMAL(10,0)))
+       AS DECIMAL(38,12)) AS swx12,
+  CAST(SUM(CAST(w AS DECIMAL(20,12)) * CAST(x2 * x2 AS DECIMAL(10,0)))
+       AS DECIMAL(38,12)) AS swx22,
+  CAST(SUM(CAST(y AS DECIMAL(14,12)) - p) AS DECIMAL(38,12)) AS u0,
+  CAST(SUM(CAST(CAST(y AS DECIMAL(14,12)) - p AS DECIMAL(21,12)) * x1)
+       AS DECIMAL(38,12)) AS u1,
+  CAST(SUM(CAST(CAST(y AS DECIMAL(14,12)) - p AS DECIMAL(21,12)) * x2)
+       AS DECIMAL(38,12)) AS u2
+"""
+
+_IT2_A = {
+    "a11": "CAST(sw AS DOUBLE)",
+    "a12": "CAST(swx1 AS DOUBLE)",
+    "a13": "CAST(swx2 AS DOUBLE)",
+    "a22": "CAST(swx11 AS DOUBLE)",
+    "a23": "CAST(swx12 AS DOUBLE)",
+    "a33": "CAST(swx22 AS DOUBLE)",
+}
+_IT2_R = ("CAST(u0 AS DOUBLE)", "CAST(u1 AS DOUBLE)", "CAST(u2 AS DOUBLE)")
+
+
+def logistic_return_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained IN the engine: P(returned) ~
+    sigmoid(β₀ + β₁·discount + β₂·quantity) over the whole lineitem
+    table, fit by TWO unrolled IRLS/Newton steps with zero driver-side
+    iteration — the relational formulation of how GLMs actually train
+    at 100 TB (one full pass per step: sufficient statistics in, 3×3
+    solve as shared Cramer expression text, coefficients re-broadcast
+    into the next pass as a 1-row frame, never a collect).
+
+    Step 1 exploits β=0 ⇒ p≡½: the Newton system collapses to the
+    INTEGER system G·β = 2·Σ(2y−1)xⱼ — no transcendental at all.
+    Step 2 computes per-row p via the one EXP (ROUND(12) policy), forms
+    the weighted Gram/gradient as exact DECIMAL sums (order-free), and
+    adds the Cramer-solved Newton delta.  Every DOUBLE division happens
+    in identical shared expression text, so the betas are engine-exact
+    at ROUND(8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(*[
+        s.strip() for s in _LOGIT_FEATURES.strip().split(",\n")
+    ])
+    it1_sums = feats.selectExpr("x1", "x2", "y").agg(
+        *[
+            F.expr(e.strip())
+            for e in _IT1_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c1 = _cramer3_text(_IT1_A, _IT1_R)
+    it1 = it1_sums.selectExpr(
+        "n",
+        f"{c1['x0']} AS b0",
+        f"{c1['x1']} AS b1",
+        f"{c1['x2']} AS b2",
+    )
+    scored = feats.crossJoin(F.broadcast(it1)).selectExpr(
+        "n",
+        "b0",
+        "b1",
+        "b2",
+        "x1",
+        "x2",
+        "y",
+        f"{_P_EXPR} AS p",
+    ).selectExpr(
+        "n", "b0", "b1", "b2", "x1", "x2", "y", "p",
+        "CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w",
+    )
+    it2_sums = scored.groupBy("n", "b0", "b1", "b2").agg(
+        *[
+            F.expr(e.strip())
+            for e in _IT2_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c2 = _cramer3_text(_IT2_A, _IT2_R)
+    return it2_sums.selectExpr(
+        "n",
+        f"ROUND(b0 + {c2['x0']}, 8) AS beta0",
+        f"ROUND(b1 + {c2['x1']}, 8) AS beta1",
+        f"ROUND(b2 + {c2['x2']}, 8) AS beta2",
+    )
+
+
+def _logistic_oracle() -> str:
+    c1 = _cramer3_text(_IT1_A, _IT1_R)
+    c2 = _cramer3_text(_IT2_A, _IT2_R)
+    return f"""
+WITH feats AS (
+  SELECT {_LOGIT_FEATURES} FROM lineitem
+), it1_sums AS (
+  SELECT {_IT1_SUMS} FROM feats
+), it1 AS (
+  SELECT n, {c1['x0']} AS b0, {c1['x1']} AS b1, {c1['x2']} AS b2
+  FROM it1_sums
+), scored0 AS (
+  SELECT n, b0, b1, b2, x1, x2, y, {_P_EXPR} AS p
+  FROM feats CROSS JOIN it1
+), scored AS (
+  SELECT *, CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w
+  FROM scored0
+), it2_sums AS (
+  SELECT n, b0, b1, b2, {_IT2_SUMS}
+  FROM scored GROUP BY n, b0, b1, b2
+)
+SELECT n,
+       ROUND(b0 + {c2['x0']}, 8) AS beta0,
+       ROUND(b1 + {c2['x1']}, 8) AS beta1,
+       ROUND(b2 + {c2['x2']}, 8) AS beta2
+FROM it2_sums
+"""
+
+
+LOGISTIC_ORACLE = _logistic_oracle()

@@ -964,6 +964,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "synthlogs_status_rollup": QuerySpec(
         PL8.synthlogs_status_rollup, PL8.SYNTHLOGS_ROLLUP_ORACLE
     ),
+    "logistic_return_model": QuerySpec(
+        PL8.logistic_return_model, PL8.LOGISTIC_ORACLE
+    ),
 }
 
 

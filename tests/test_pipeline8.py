@@ -228,3 +228,28 @@ def test_cusum_matches_clamp_recursion(spark, sf_smoke):
     for r in rows:
         c = max(0, c + r.rev_cents - mu)
         assert r.cusum_cents == c, r.day
+
+
+def test_logistic_irls_matches_numpy_two_steps(spark, sf_smoke):
+    """Replay the exact 2-step IRLS in numpy (same per-row ROUND(12) on
+    p and w) — independent of the shared Cramer text, so a wrong
+    sufficient statistic or a mis-derived Newton step cannot hide."""
+    got = PL8.logistic_return_model(spark, sf_smoke).collect()[0]
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    x1 = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    x2 = np.round(li["l_quantity"].to_numpy() * 100).astype(np.int64)
+    y = (li["l_returnflag"] == "R").to_numpy().astype(np.int64)
+    X = np.column_stack([np.ones_like(x1), x1, x2]).astype(np.float64)
+    # step 1: beta = 0 => p = 1/2: G b = 2 * X'(2y-1)
+    G = X.T @ X
+    b = np.linalg.solve(G, 2.0 * (X.T @ (2 * y - 1)))
+    # step 2: one Newton update with rounded p/w
+    p = np.round(1.0 / (1.0 + np.exp(-(X @ b))), 12)
+    w = np.round(p * (1 - p), 12)
+    A = X.T @ (X * w[:, None])
+    g = X.T @ (y - p)
+    b2 = b + np.linalg.solve(A, g)
+    assert got.n == len(li)
+    assert got.beta0 == pytest.approx(b2[0], rel=1e-5, abs=1e-6)
+    assert got.beta1 == pytest.approx(b2[1], rel=1e-5, abs=1e-6)
+    assert got.beta2 == pytest.approx(b2[2], rel=1e-5, abs=1e-6)

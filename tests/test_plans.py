@@ -125,6 +125,7 @@ BOUNDED_BROADCAST_VARS = {
     "marg_lang",  # per-language marginals — bounded by the lang domain
     "marg_src",  # per-source marginals — bounded by the source domain
     "mu",  # 1-row global mean aggregate (daily_revenue_cusum)
+    "it1",  # 1-row iteration-1 coefficient frame (logistic_return_model)
 }
 
 
