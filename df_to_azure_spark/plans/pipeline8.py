@@ -168,10 +168,12 @@ RIDGE_ORACLE = _ridge_oracle()
 
 
 def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of lifetime revenue across ordering customers —
-    the one-number inequality audit behind "what share of revenue do the
-    top customers carry" (companion to ``part_abc_classification``'s
-    cumulative-share table).  Uses the rank formula
+    """GLOBAL Gini coefficient of lifetime revenue across all ordering
+    customers — the corpus-level companion to the per-nation
+    ``customer_gini_by_nation`` (pipeline4) and to
+    ``part_abc_classification``'s cumulative-share table; the
+    ``revenue_lorenz_deciles`` query plots this number's curve.  Uses
+    the rank formula
     ``G = (2·Σi·yᵢ − (n+1)·Σyᵢ) / (n·Σyᵢ)`` over revenues sorted
     ascending with (revenue, custkey) tie-break — every term an exact
     integer, so the coefficient is engine-exact via the half-up
