@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 # generator constants — shared with the SQL oracle via synthlogs_oracle_sql()
@@ -65,6 +66,9 @@ class SynthLogsDataSource(DataSource):
     def reader(self, schema) -> "SynthLogsReader":
         return SynthLogsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SynthLogsStreamReader":
+        return SynthLogsStreamReader(self.options)
+
 
 class SynthLogsReader(DataSourceReader):
     def __init__(self, options):
@@ -97,6 +101,41 @@ class SynthLogsReader(DataSourceReader):
             if self.status_eq is not None and row[2] != self.status_eq:
                 continue
             yield row
+
+
+class SynthLogsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the SAME deterministic
+    generator exposed as an unbounded source — each micro-batch emits
+    the next ``rows_per_batch`` log_ids, the offset is just the high
+    watermark ``{"log_id": n}``, and replaying any offset range
+    reproduces identical rows (the generator is pure), which is exactly
+    the replayability contract Structured Streaming's exactly-once
+    recovery needs from a source.  ``readBetweenOffsets`` IS the
+    recovery path and falls out of purity for free.
+
+    This is the custom-connector streaming story at any scale: offsets
+    are tiny dicts, batches generate on executors, and a batch-mode read
+    of the same generator is the exactness oracle (see
+    ``tests/test_pydatasource.py`` — streamed accumulation equals the
+    batch table row-for-row)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", "100"))
+        self.max_rows = int(options.get("max_rows", "1000000000"))
+
+    def initialOffset(self) -> dict:
+        return {"log_id": 0}
+
+    def read(self, start: dict):
+        first = int(start["log_id"])
+        end = min(first + self.rows_per_batch, self.max_rows)
+        return (iter([_row(i) for i in range(first, end)]), {"log_id": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["log_id"]), int(end["log_id"]))])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the generator is stateless
 
 
 def register(spark) -> None:

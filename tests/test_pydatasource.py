@@ -58,3 +58,37 @@ def test_synthlogs_row_function_is_pure():
     assert status in PDS._STATUSES
     assert 0 <= n_bytes < 100_000
     assert 0 <= user_id < PDS._USER_MOD
+
+
+def test_synthlogs_stream_accumulates_to_batch_table(spark, tmp_path):
+    """Streaming twin: run the unbounded synthlogs stream for a few
+    micro-batches into a memory-backed accumulator and check the rows
+    are EXACTLY the batch generator's prefix — the same
+    stream-equals-batch oracle pattern as the events stream twins, here
+    proving the custom connector's offset/replay contract."""
+    PDS.register(spark)
+    stream = (
+        spark.readStream.format("synthlogs")
+        .option("rows_per_batch", "150")
+        .option("max_rows", "450")
+        .load()
+    )
+    got = []
+
+    def sink(df, _bid):
+        got.extend(df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while len(got) < 450 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    rows = sorted((r.log_id, r.user_id, r.status, r.n_bytes) for r in got)
+    assert rows == [PDS._row(i) for i in range(450)]
