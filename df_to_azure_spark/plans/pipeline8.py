@@ -1326,3 +1326,283 @@ FROM it2_sums
 
 
 LOGISTIC_ORACLE = _logistic_oracle()
+
+
+# --------------------------------------------------------------------------
+# Logistic model evaluation: exact AUC of the fitted scores
+# --------------------------------------------------------------------------
+
+
+def logistic_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact training-set AUC of the 2-step IRLS model
+    (``logistic_return_model``): score every lineitem with the FINAL
+    betas, then Mann-Whitney with mid-rank tie handling over the score
+    distribution.  Unlike ``lineitem_discount_auc`` (whose 11-value
+    discount domain bounds the rank fold), the fitted score p takes a
+    DATA-SIZED set of distinct values — so the cumulative count below
+    the current score runs through the distributed ``two_phase_rank``
+    running sum (range partition + offsets), never a global window.
+    This is the eval loop closed in-engine: train (two passes) → score
+    (one pass) → rank-based metric (one grouped pass + the two-phase
+    fold), all exact.
+
+    Exactness: p is the ROUND(12) DECIMAL score (ties are real equal
+    values, handled by the doubled mid-rank identity
+    ``2·cum_before + n_v + 1``); every sum is integer/DECIMAL; the AUC
+    emits through the half-up device."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(*[
+        s.strip() for s in _LOGIT_FEATURES.strip().split(",\n")
+    ])
+    it1_sums = feats.agg(
+        *[
+            F.expr(e.strip())
+            for e in _IT1_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c1 = _cramer3_text(_IT1_A, _IT1_R)
+    it1 = it1_sums.selectExpr(
+        "n", f"{c1['x0']} AS b0", f"{c1['x1']} AS b1", f"{c1['x2']} AS b2"
+    )
+    scored = feats.crossJoin(F.broadcast(it1)).selectExpr(
+        "n", "b0", "b1", "b2", "x1", "x2", "y", f"{_P_EXPR} AS p"
+    ).selectExpr(
+        "n", "b0", "b1", "b2", "x1", "x2", "y", "p",
+        "CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w",
+    )
+    it2_sums = scored.groupBy("n", "b0", "b1", "b2").agg(
+        *[
+            F.expr(e.strip())
+            for e in _IT2_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c2 = _cramer3_text(_IT2_A, _IT2_R)
+    it2 = it2_sums.selectExpr(
+        f"b0 + {c2['x0']} AS f0",
+        f"b1 + {c2['x1']} AS f1",
+        f"b2 + {c2['x2']} AS f2",
+    )
+    rescored = feats.crossJoin(F.broadcast(it2)).selectExpr(
+        "y",
+        "CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+        " + EXP(-(f0 + f1 * CAST(x1 AS DOUBLE)"
+        " + f2 * CAST(x2 AS DOUBLE)))), 12) AS DECIMAL(14,12)) AS p",
+    )
+    per_val = rescored.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos_v"),
+    )
+    ranked = two_phase_rank(
+        per_val,
+        order_by=[("p", "asc")],
+        sum_col="n_v",
+        rank_col="rk",
+        cum_col="cum_incl",
+    )
+    return ranked.agg(
+        F.expr("CAST(SUM(n_pos_v) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(n_v - n_pos_v) AS BIGINT)").alias("n_neg"),
+        F.expr(
+            "CAST(SUM(CAST(n_pos_v AS DECIMAL(19,0))"
+            " * (2 * (cum_incl - n_v) + n_v + 1)) AS DECIMAL(38,0))"
+        ).alias("ranksum2_pos"),
+    ).selectExpr(
+        "n_pos",
+        "n_neg",
+        "CAST(ranksum2_pos - CAST(n_pos AS DECIMAL(38,0))"
+        " * (n_pos + 1) AS BIGINT) AS u2",
+        "CAST((1000000 * (ranksum2_pos - CAST(n_pos AS DECIMAL(38,0))"
+        " * (n_pos + 1))"
+        " + CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+        " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS auc",
+    )
+
+
+def _logistic_auc_oracle() -> str:
+    c1 = _cramer3_text(_IT1_A, _IT1_R)
+    c2 = _cramer3_text(_IT2_A, _IT2_R)
+    return f"""
+WITH feats AS (
+  SELECT {_LOGIT_FEATURES} FROM lineitem
+), it1_sums AS (
+  SELECT {_IT1_SUMS} FROM feats
+), it1 AS (
+  SELECT n, {c1['x0']} AS b0, {c1['x1']} AS b1, {c1['x2']} AS b2
+  FROM it1_sums
+), scored0 AS (
+  SELECT n, b0, b1, b2, x1, x2, y, {_P_EXPR} AS p
+  FROM feats CROSS JOIN it1
+), scored AS (
+  SELECT *, CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w
+  FROM scored0
+), it2_sums AS (
+  SELECT n, b0, b1, b2, {_IT2_SUMS}
+  FROM scored GROUP BY n, b0, b1, b2
+), it2 AS (
+  SELECT b0 + {c2['x0']} AS f0, b1 + {c2['x1']} AS f1,
+         b2 + {c2['x2']} AS f2
+  FROM it2_sums
+), rescored AS (
+  SELECT y,
+         CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+              + EXP(-(f0 + f1 * CAST(x1 AS DOUBLE)
+              + f2 * CAST(x2 AS DOUBLE)))), 12) AS DECIMAL(14,12)) AS p
+  FROM feats CROSS JOIN it2
+), per_val AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(y) AS BIGINT) AS n_pos_v
+  FROM rescored GROUP BY p
+), ranked AS (
+  SELECT n_v, n_pos_v,
+         CAST(SUM(n_v) OVER (ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,0)) AS cum_incl
+  FROM per_val
+), agg AS (
+  SELECT CAST(SUM(n_pos_v) AS BIGINT) AS n_pos,
+         CAST(SUM(n_v - n_pos_v) AS BIGINT) AS n_neg,
+         CAST(SUM(CAST(n_pos_v AS HUGEINT)
+              * (2 * (cum_incl - n_v) + n_v + 1)) AS HUGEINT)
+           AS ranksum2_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(ranksum2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+            AS BIGINT) AS u2,
+       CAST((1000000 * (ranksum2_pos - CAST(n_pos AS HUGEINT)
+             * (n_pos + 1))
+             + CAST(n_pos AS HUGEINT) * n_neg)
+            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS auc
+FROM agg
+"""
+
+
+LOGISTIC_AUC_ORACLE = _logistic_auc_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier by signup cohort (grouped survival curves)
+# --------------------------------------------------------------------------
+
+
+def kaplan_meier_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted survival: the same right-censored KM estimate as
+    ``event_user_kaplan_meier``, grouped by the user's signup YEAR
+    (first event's year) — "did this year's users live longer than last
+    year's", the retention comparison a product team actually reads.
+    All windows are PARTITIONED by cohort (never a global-order window),
+    so the fold distributes across cohorts by construction; within a
+    cohort the frame stays calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("MIN(CAST(ts AS DATE))").alias("d0"),
+        F.expr("MAX(CAST(ts AS DATE))").alias("d1"),
+    )
+    gmax = ev.agg(F.expr("MAX(CAST(ts AS DATE))").alias("dmax"))
+    lifetimes = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.expr("CAST(year(d0) AS INT)").alias("cohort_year"),
+        F.expr("CAST(datediff(d1, d0) AS BIGINT)").alias("dur"),
+        F.expr(
+            f"CASE WHEN datediff(dmax, d1) < {_KM_CENSOR_DAYS}"
+            " THEN 1 ELSE 0 END"
+        ).alias("censored"),
+    )
+    per_dur = lifetimes.groupBy("cohort_year", "dur").agg(
+        F.expr("CAST(SUM(1 - censored) AS BIGINT)").alias("n_churned"),
+        F.expr("CAST(SUM(censored) AS BIGINT)").alias("n_censored"),
+    )
+    coh_tot = lifetimes.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    from pyspark.sql import Window as W
+
+    w_excl = (
+        W.partitionBy("cohort_year")
+        .orderBy(F.asc("dur"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_prev = (
+        W.partitionBy("cohort_year")
+        .orderBy(F.asc("dur"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    stepped = (
+        per_dur.withColumn(
+            "n_removed_before",
+            F.coalesce(
+                F.sum(F.col("n_churned") + F.col("n_censored")).over(w_excl),
+                F.lit(0),
+            ),
+        )
+        .join(F.broadcast(coh_tot), "cohort_year")
+        .withColumn("n_risk", F.expr("n_total - n_removed_before"))
+        .withColumn(
+            "log_step",
+            F.expr(
+                "CASE WHEN n_churned = 0 THEN CAST(0 AS DECIMAL(18,12))"
+                " ELSE CAST(ROUND(LN(CAST(n_risk - n_churned AS DOUBLE)"
+                " / CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(18,12)) END"
+            ),
+        )
+    )
+    return (
+        stepped.withColumn("log_surv_dec", F.sum("log_step").over(w_prev))
+        .selectExpr(
+            "cohort_year",
+            "dur AS duration_days",
+            "n_risk",
+            "n_churned",
+            "n_censored",
+            "ROUND(EXP(CAST(log_surv_dec AS DOUBLE)), 6) AS km_survival",
+        )
+    )
+
+
+KM_COHORT_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY user_id
+), gmax AS (
+  SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events
+), lifetimes AS (
+  SELECT CAST(year(d0) AS INT) AS cohort_year,
+         CAST(date_diff('day', d0, d1) AS BIGINT) AS dur,
+         CASE WHEN date_diff('day', d1, dmax) < {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM per_user CROSS JOIN gmax
+), per_dur AS (
+  SELECT cohort_year, dur,
+         CAST(SUM(1 - censored) AS BIGINT) AS n_churned,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM lifetimes GROUP BY cohort_year, dur
+), coh_tot AS (
+  SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM lifetimes GROUP BY cohort_year
+), stepped AS (
+  SELECT p.cohort_year, p.dur, p.n_churned, p.n_censored,
+         t.n_total
+           - COALESCE(SUM(p.n_churned + p.n_censored) OVER (
+               PARTITION BY p.cohort_year ORDER BY p.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per_dur p JOIN coh_tot t USING (cohort_year)
+), logged AS (
+  SELECT cohort_year, dur, n_risk, n_churned, n_censored,
+         CASE WHEN n_churned = 0 THEN CAST(0 AS DECIMAL(18,12))
+              ELSE CAST(ROUND(LN(CAST(n_risk - n_churned AS DOUBLE)
+                   / CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(18,12)) END
+           AS log_step
+  FROM stepped
+)
+SELECT cohort_year,
+       dur AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       n_churned, n_censored,
+       ROUND(EXP(CAST(CAST(SUM(log_step) OVER (
+             PARTITION BY cohort_year ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,12)) AS DOUBLE)), 6) AS km_survival
+FROM logged
+"""

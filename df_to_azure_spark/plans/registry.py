@@ -967,6 +967,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "logistic_return_model": QuerySpec(
         PL8.logistic_return_model, PL8.LOGISTIC_ORACLE
     ),
+    "logistic_model_auc": QuerySpec(
+        PL8.logistic_model_auc, PL8.LOGISTIC_AUC_ORACLE
+    ),
+    "kaplan_meier_by_cohort": QuerySpec(
+        PL8.kaplan_meier_by_cohort, PL8.KM_COHORT_ORACLE
+    ),
 }
 
 

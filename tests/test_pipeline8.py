@@ -253,3 +253,57 @@ def test_logistic_irls_matches_numpy_two_steps(spark, sf_smoke):
     assert got.beta0 == pytest.approx(b2[0], rel=1e-5, abs=1e-6)
     assert got.beta1 == pytest.approx(b2[1], rel=1e-5, abs=1e-6)
     assert got.beta2 == pytest.approx(b2[2], rel=1e-5, abs=1e-6)
+
+
+def test_logistic_auc_vs_sorted_pair_counting(spark, sf_smoke):
+    """Independent check of the data-sized rank fold: score with the
+    numpy-replayed 2-step betas, count concordant/tied pairs via the
+    sorted-merge identity (O(n log n), no quadratic loop)."""
+    got = PL8.logistic_model_auc(spark, sf_smoke).collect()[0]
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    x1 = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    x2 = np.round(li["l_quantity"].to_numpy() * 100).astype(np.int64)
+    y = (li["l_returnflag"] == "R").to_numpy().astype(np.int64)
+    X = np.column_stack([np.ones_like(x1), x1, x2]).astype(np.float64)
+    b = np.linalg.solve(X.T @ X, 2.0 * (X.T @ (2 * y - 1)))
+    p1 = np.round(1.0 / (1.0 + np.exp(-(X @ b))), 12)
+    w = np.round(p1 * (1 - p1), 12)
+    A = X.T @ (X * w[:, None])
+    b2 = b + np.linalg.solve(A, X.T @ (y - p1))
+    p = np.round(1.0 / (1.0 + np.exp(-(X @ b2))), 12)
+    pos, neg = np.sort(p[y == 1]), np.sort(p[y == 0])
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    # concordant = for each positive, #negatives strictly below; ties via
+    # counting equal values
+    lo = np.searchsorted(neg, pos, side="left")
+    hi = np.searchsorted(neg, pos, side="right")
+    wins = int(lo.sum())
+    ties = int((hi - lo).sum())
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got.auc == pytest.approx(auc, abs=1e-6)
+    assert got.u2 == 2 * wins + ties
+
+
+def test_cohort_km_matches_global_km_when_one_cohort(spark, sf_smoke):
+    """Cross-consistency: pooling the cohort curves' risk sets at each
+    duration must reproduce the GLOBAL KM inputs (risk sets and event
+    counts are additive across cohorts)."""
+    coh = PL8.kaplan_meier_by_cohort(spark, sf_smoke).collect()
+    glob = {r.duration_days: r for r in
+            PL8.event_user_kaplan_meier(spark, sf_smoke).collect()}
+    pooled = {}
+    for r in coh:
+        agg = pooled.setdefault(r.duration_days, [0, 0, 0])
+        agg[0] += r.n_risk
+        agg[1] += r.n_churned
+        agg[2] += r.n_censored
+    for t, (nr, d, c) in pooled.items():
+        # per-duration churn/censor counts pool exactly across cohorts
+        assert d == glob[t].n_churned, t
+        assert c == glob[t].n_censored, t
+    total_churn = sum(r.n_churned for r in coh)
+    total_cens = sum(r.n_censored for r in coh)
+    assert total_churn == sum(g.n_churned for g in glob.values())
+    assert total_cens == sum(g.n_censored for g in glob.values())
+    for r in coh:
+        assert 0.0 <= r.km_survival <= 1.0
