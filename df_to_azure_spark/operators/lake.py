@@ -225,7 +225,12 @@ class ParquetLake:
             removed.append(name)
         return sorted(removed)
 
-    def compact(self, table: str, target_files: int = 8) -> int:
+    def compact(
+        self,
+        table: str,
+        target_files: int = 8,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the table into ``target_files`` part-files and
         snapshot-swap it in; returns the file count before compaction.
 
@@ -234,7 +239,21 @@ class ParquetLake:
         eventually dominate reads — periodic compaction is the standard
         fix (Delta/Iceberg's OPTIMIZE).  Data is byte-identical, only the
         layout changes; the swap reuses the crash-safe rename dance of
-        ``_swap_in``."""
+        ``_swap_in``.
+
+        ``zorder_by`` (Delta's ``OPTIMIZE ... ZORDER BY``): cluster the
+        rewrite on a MORTON (Z-)curve over 2+ numeric/date/timestamp
+        columns, so every output file covers a small hyper-rectangle of
+        the combined key space instead of a slice of one column — parquet
+        min/max footer stats then prune files for predicates on ANY of
+        the z-columns, which a single-column sort only delivers for its
+        leading column.  Implementation: each column normalizes to a
+        16-bit range bucket (min/max from one bounded aggregate), buckets
+        bit-interleave into the z-value, the rewrite range-partitions +
+        sorts on it, and the helper column is dropped before writing —
+        all map-side except the one range exchange any clustered rewrite
+        needs.  The skipping win is asserted from real parquet footers in
+        ``tests/test_lake_zorder.py``."""
         fs, data_path, _ = self._fs(self.data_dir(table))
         if not fs.exists(data_path):
             raise PipelineRunError(f"lake table {table!r} does not exist under {self.root}")
@@ -254,7 +273,11 @@ class ParquetLake:
         # pruning AND later partition-scoped upserts)
         parts = self.partition_columns(table)
         # merge_schema so files written before a schema evolution survive
-        df = self.read(table, merge_schema=True).coalesce(target_files)
+        df = self.read(table, merge_schema=True)
+        if zorder_by:
+            df = _zorder_cluster(df, zorder_by, target_files)
+        else:
+            df = df.coalesce(target_files)
         self._swap_in(df, table, partition_by=parts or None)
         return before
 
@@ -504,3 +527,58 @@ class ParquetLake:
             raise PipelineRunError(f"snapshot swap failed for table {table!r}")
         if had_old:
             fs.delete(old_path, True)
+
+
+_Z_BITS = 16  # per-column range-bucket resolution of the Morton curve
+
+
+def _zorder_cluster(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
+    """Range-partition + sort ``df`` on a Morton (Z-)curve over ``cols``.
+
+    Each column maps to a ``_Z_BITS``-bit bucket by linear range
+    normalization — dates/timestamps through their epoch numbers, so any
+    orderable numeric works; the per-column min/max come from ONE fused
+    bounded aggregate (2·|cols| values).  Buckets interleave bitwise into
+    the z-value (column i owns bit positions i, i+|cols|, i+2|cols|, …),
+    the frame range-partitions and sorts on it, and the helper column is
+    dropped — the layout changes, the data does not.  Constant columns
+    (max == min) bucket to 0 and simply drop out of the curve."""
+    if len(cols) < 2:
+        raise ValueError("zorder_by needs at least 2 columns")
+    ncols = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if dt in ("date",):
+            ncols.append(f"CAST(datediff({c}, DATE '1970-01-01') AS DOUBLE)")
+        elif dt.startswith("timestamp"):
+            # CAST(ts AS DOUBLE) = epoch seconds; works for ntz too
+            ncols.append(f"CAST(CAST({c} AS TIMESTAMP) AS DOUBLE)")
+        else:
+            ncols.append(f"CAST({c} AS DOUBLE)")
+    stats = df.agg(
+        *[F.expr(f"MIN({e})").alias(f"mn_{i}") for i, e in enumerate(ncols)],
+        *[F.expr(f"MAX({e})").alias(f"mx_{i}") for i, e in enumerate(ncols)],
+    ).collect()[0]
+    top = (1 << _Z_BITS) - 1
+    bucket_exprs = []
+    for i, e in enumerate(ncols):
+        mn, mx = float(stats[f"mn_{i}"]), float(stats[f"mx_{i}"])
+        if mx <= mn:
+            bucket_exprs.append("CAST(0 AS BIGINT)")
+        else:
+            bucket_exprs.append(
+                f"CAST(FLOOR(({e} - {mn!r}) * {float(top)!r}"
+                f" / {mx - mn!r}) AS BIGINT)"
+            )
+    k = len(cols)
+    terms = []
+    for i, b in enumerate(bucket_exprs):
+        for bit in range(_Z_BITS):
+            terms.append(f"(SHIFTLEFT(SHIFTRIGHT({b}, {bit}) & 1, {bit * k + i}))")
+    z = " + ".join(terms)
+    return (
+        df.withColumn("__z", F.expr(z))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
