@@ -1606,3 +1606,234 @@ SELECT cohort_year,
             AS DECIMAL(38,12)) AS DOUBLE)), 6) AS km_survival
 FROM logged
 """
+
+
+# --------------------------------------------------------------------------
+# Good-Turing count-of-counts (LM smoothing diagnostics)
+# --------------------------------------------------------------------------
+
+_GT_MAX_R = 10
+
+
+def token_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies over the corpus's 3-gram
+    TYPES: for r = 1..{r_max}, how many distinct 3-grams occur exactly r
+    times (``n_r``) and the GT-discounted count
+    ``r* = (r+1)·N_{{r+1}}/N_r`` — the table every count-based n-gram LM
+    smoother (and the unseen-mass estimate ``N_1/N_tokens``) is built
+    from.  3-grams, not unigrams, because GT lives where the count tail
+    lives: this corpus's unigram vocabulary is fully saturated (every
+    word type occurs hundreds of times — N_r empty below r≈26) while the
+    3-gram tail is properly Zipfian; that is exactly the regime where
+    r* dropping below r signals the tail needs smoothing before a
+    perplexity means anything.
+
+    Scale shape: shingle count (one shuffle), count-of-counts (one
+    bounded-output shuffle), then a self-join on the ≤ r_max+1-row
+    frame.  The ratio emits exact via the half-up device; the unseen
+    mass rides along as constant columns of the bounded table."""
+    from df_to_azure_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(shingles("text", 3)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    n_tok = counts.agg(
+        F.expr("CAST(SUM(r) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_types"),
+    )
+    coc = (
+        counts.groupBy("r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+        .where(F.col("r") <= _GT_MAX_R + 1)
+    )
+    nxt = coc.selectExpr("r - 1 AS r", "n_r AS n_r_next")
+    return (
+        coc.where(F.col("r") <= _GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(n_tok))
+        .selectExpr(
+            "CAST(r AS BIGINT) AS r",
+            "n_r",
+            "COALESCE(n_r_next, CAST(0 AS BIGINT)) AS n_r_next",
+            # r* = (r+1) * N_{r+1} / N_r, exact half-up at 1e6
+            "CAST((2000000 * (r + 1) * COALESCE(n_r_next, 0) + n_r)"
+            " DIV (2 * n_r) AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+            " AS gt_discounted_r",
+            "n_tokens",
+            "n_types",
+        )
+    )
+
+
+GOOD_TURING_ORACLE = f"""
+WITH toked AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), toks AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS tok
+  FROM toked WHERE len(toks) > 0
+), counts AS (
+  SELECT tok, COUNT(*) AS r FROM toks GROUP BY tok
+), n_tok AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM counts
+), coc AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM counts GROUP BY r HAVING r <= {_GT_MAX_R + 1}
+)
+SELECT CAST(c.r AS BIGINT) AS r, c.n_r,
+       COALESCE(nx.n_r, CAST(0 AS BIGINT)) AS n_r_next,
+       CAST((2000000 * (c.r + 1) * COALESCE(nx.n_r, 0) + c.n_r)
+            // (2 * c.n_r) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS gt_discounted_r,
+       n_tokens, n_types
+FROM coc c
+LEFT JOIN coc nx ON nx.r = c.r + 1
+CROSS JOIN n_tok
+WHERE c.r <= {_GT_MAX_R}
+"""
+
+
+# --------------------------------------------------------------------------
+# Logistic model calibration curve (reliability diagram)
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 20
+
+
+def logistic_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the 2-step IRLS model: bin the fitted
+    probabilities into fixed 1/{bins}-wide bins and compare each bin's
+    MEAN PREDICTED probability against its OBSERVED positive rate — the
+    calibration audit that decides whether the scores can be used as
+    probabilities or must be recalibrated (Platt/isotonic).  Bins are
+    fixed-width (not quantile), so the bin id is a pure integer function
+    of p and the output is bounded by the bin count.
+
+    Exactness: p is the ROUND(12) DECIMAL score; per-bin sums of p are
+    exact DECIMAL; both emitted ratios go through the half-up device."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(*[
+        s.strip() for s in _LOGIT_FEATURES.strip().split(",\n")
+    ])
+    it1_sums = feats.agg(
+        *[
+            F.expr(e.strip())
+            for e in _IT1_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c1 = _cramer3_text(_IT1_A, _IT1_R)
+    it1 = it1_sums.selectExpr(
+        "n", f"{c1['x0']} AS b0", f"{c1['x1']} AS b1", f"{c1['x2']} AS b2"
+    )
+    scored = feats.crossJoin(F.broadcast(it1)).selectExpr(
+        "n", "b0", "b1", "b2", "x1", "x2", "y", f"{_P_EXPR} AS p"
+    ).selectExpr(
+        "n", "b0", "b1", "b2", "x1", "x2", "y", "p",
+        "CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w",
+    )
+    it2_sums = scored.groupBy("n", "b0", "b1", "b2").agg(
+        *[
+            F.expr(e.strip())
+            for e in _IT2_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c2 = _cramer3_text(_IT2_A, _IT2_R)
+    it2 = it2_sums.selectExpr(
+        f"b0 + {c2['x0']} AS f0",
+        f"b1 + {c2['x1']} AS f1",
+        f"b2 + {c2['x2']} AS f2",
+    )
+    rescored = feats.crossJoin(F.broadcast(it2)).selectExpr(
+        "y",
+        "CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+        " + EXP(-(f0 + f1 * CAST(x1 AS DOUBLE)"
+        " + f2 * CAST(x2 AS DOUBLE)))), 12) AS DECIMAL(14,12)) AS p",
+    )
+    return (
+        rescored.selectExpr(
+            "y",
+            "p",
+            f"CAST(LEAST(CAST(FLOOR(CAST(p AS DOUBLE) * {_CAL_BINS})"
+            f" AS INT), {_CAL_BINS - 1}) AS BIGINT) AS bin",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(SUM(p) AS DECIMAL(38,12))").alias("sum_p"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+        )
+        .selectExpr(
+            "bin",
+            "n",
+            # mean predicted probability: exact decimal sum / n, 1e6 device
+            "CAST((2000000 * CAST(sum_p * 1000000 AS DECIMAL(38,0))"
+            " + CAST(n AS DECIMAL(38,0)) * 1000000)"
+            " DIV (2 * CAST(n AS DECIMAL(38,0)) * 1000000) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE) AS mean_predicted",
+            "CAST((2000000 * n_pos + n) DIV (2 * n) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE) AS observed_rate",
+        )
+    )
+
+
+def _logistic_calibration_oracle() -> str:
+    c1 = _cramer3_text(_IT1_A, _IT1_R)
+    c2 = _cramer3_text(_IT2_A, _IT2_R)
+    return f"""
+WITH feats AS (
+  SELECT {_LOGIT_FEATURES} FROM lineitem
+), it1_sums AS (
+  SELECT {_IT1_SUMS} FROM feats
+), it1 AS (
+  SELECT n, {c1['x0']} AS b0, {c1['x1']} AS b1, {c1['x2']} AS b2
+  FROM it1_sums
+), scored0 AS (
+  SELECT n, b0, b1, b2, x1, x2, y, {_P_EXPR} AS p
+  FROM feats CROSS JOIN it1
+), scored AS (
+  SELECT *, CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w
+  FROM scored0
+), it2_sums AS (
+  SELECT n, b0, b1, b2, {_IT2_SUMS}
+  FROM scored GROUP BY n, b0, b1, b2
+), it2 AS (
+  SELECT b0 + {c2['x0']} AS f0, b1 + {c2['x1']} AS f1,
+         b2 + {c2['x2']} AS f2
+  FROM it2_sums
+), rescored AS (
+  SELECT y,
+         CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+              + EXP(-(f0 + f1 * CAST(x1 AS DOUBLE)
+              + f2 * CAST(x2 AS DOUBLE)))), 12) AS DECIMAL(14,12)) AS p
+  FROM feats CROSS JOIN it2
+), binned AS (
+  SELECT y, p,
+         CAST(LEAST(CAST(FLOOR(CAST(p AS DOUBLE) * {_CAL_BINS}) AS INT),
+               {_CAL_BINS - 1}) AS BIGINT) AS bin
+  FROM rescored
+), agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p) AS DECIMAL(38,12)) AS sum_p,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY bin
+)
+SELECT bin, n,
+       CAST((2000000 * CAST(sum_p * 1000000 AS HUGEINT)
+             + CAST(n AS HUGEINT) * 1000000)
+            // (2 * CAST(n AS HUGEINT) * 1000000) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS mean_predicted,
+       CAST((2000000 * n_pos + n) // (2 * n) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS observed_rate
+FROM agg
+"""
+
+
+LOGISTIC_CALIBRATION_ORACLE = _logistic_calibration_oracle()

@@ -973,6 +973,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "kaplan_meier_by_cohort": QuerySpec(
         PL8.kaplan_meier_by_cohort, PL8.KM_COHORT_ORACLE
     ),
+    "token_good_turing": QuerySpec(
+        PL8.token_good_turing, PL8.GOOD_TURING_ORACLE
+    ),
+    "logistic_calibration_curve": QuerySpec(
+        PL8.logistic_calibration_curve, PL8.LOGISTIC_CALIBRATION_ORACLE
+    ),
 }
 
 

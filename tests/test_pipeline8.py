@@ -307,3 +307,44 @@ def test_cohort_km_matches_global_km_when_one_cohort(spark, sf_smoke):
     assert total_cens == sum(g.n_censored for g in glob.values())
     for r in coh:
         assert 0.0 <= r.km_survival <= 1.0
+
+
+def test_good_turing_table_properties(spark, sf_oracle):
+    # sf0.001's tiny vocab has no rare tokens (every type occurs > r_max
+    # times), which would make the table legitimately empty — check at
+    # sf0.01 where singletons exist
+    rows = {r.r: r for r in PL8.token_good_turing(spark, sf_oracle).collect()}
+    assert rows, "expected rare-shingle rows at sf0.01"
+    docs = pd.read_parquet(f"{sf_oracle}/documents.parquet")
+    from collections import Counter
+
+    tok_counts = Counter()
+    for t in docs["text"]:
+        toks = t.split()
+        if len(toks) >= 3:
+            tok_counts.update(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        elif toks:
+            tok_counts.update([" ".join(toks)])
+    coc = Counter(tok_counts.values())
+    for r, row in rows.items():
+        assert row.n_r == coc[r], r
+        assert row.n_r_next == coc.get(r + 1, 0), r
+        exp = (r + 1) * coc.get(r + 1, 0) / coc[r]
+        assert row.gt_discounted_r == pytest.approx(exp, abs=1e-6)
+    any_row = next(iter(rows.values()))
+    assert any_row.n_tokens == sum(tok_counts.values())
+    assert any_row.n_types == len(tok_counts)
+
+
+def test_calibration_bins_are_consistent(spark, sf_smoke):
+    rows = PL8.logistic_calibration_curve(spark, sf_smoke).collect()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    assert sum(r.n for r in rows) == len(li)
+    for r in rows:
+        assert 0 <= r.bin < PL8._CAL_BINS
+        assert 0.0 <= r.observed_rate <= 1.0
+        # mean predicted prob falls inside (or at the edge of) its bin
+        lo, hi = r.bin / PL8._CAL_BINS, (r.bin + 1) / PL8._CAL_BINS
+        assert lo - 1e-9 <= r.mean_predicted <= hi + 1e-9 or r.bin == PL8._CAL_BINS - 1
