@@ -757,6 +757,15 @@ def ivf_pq_residual_topk(
     ``pq_adc_topk`` = fine only) into the shape FAISS calls IVFx,PQy —
     the standard billion-vector search index.
 
+    Build/search split (the production flow): ``ivf_pq_codes`` is the
+    one-pass index build whose output is a lake-persistable table of
+    cid + M small ints per vector; ``ivf_pq_residual_topk_from_codes``
+    searches ANY such stored index without touching raw corpus vectors
+    — this convenience wrapper composes the two with an eager pin in
+    between (the in-session stand-in for the stored table; round-trip
+    equality through a real lake write is asserted in
+    ``tests/test_similarity.py``).
+
     Plan shape for 100 TB: corpus assignment + residual + encode are all
     map-side column expressions (no shuffle); the distance table is
     bounded by queries × nprobe × M × K (model-sized, broadcast); search
@@ -764,6 +773,35 @@ def ivf_pq_residual_topk(
     keyed on (cid, code_m)); the only exchange is the final per-query
     top-k window.  ADC sums left-to-right, so the IEEE order is fixed and
     a SQL oracle replays it bit-for-bit given the same literals."""
+    codes = ivf_pq_codes(corpus, centroids, codebooks, id_col, vec_col)
+    # eager-pin the encoded index: the in-session equivalent of reading
+    # the stored codes table back; unpinned, Catalyst re-executes the
+    # encode under every search join (measured 33 s → 1.6 s at sf0.1)
+    return ivf_pq_residual_topk_from_codes(
+        queries,
+        codes.localCheckpoint(),
+        centroids,
+        codebooks,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivf_pq_codes(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC index BUILD: one pass over the corpus producing the stored
+    index table ``(neighbor_id, cid, code_0..code_{M-1})`` — the coarse
+    list id plus the PQ codes of the residual.  Persist this to the lake
+    and search it forever with ``ivf_pq_residual_topk_from_codes``; at a
+    billion vectors the table is the ~60× compressed thing that ships,
+    never the raw embeddings."""
     M = len(codebooks)
     sub = len(codebooks[0][0])
     spark = corpus.sparkSession
@@ -833,7 +871,7 @@ def ivf_pq_residual_topk(
     # back to one row per vector before the single key shuffle — the
     # standard encode shape at any scale, with no giant expression tree
     # (a CASE-per-list argmin formulation blew the codegen heap).
-    codes = (
+    return (
         expl.groupBy("neighbor_id", "cid")
         .agg(
             *[
@@ -848,13 +886,35 @@ def ivf_pq_residual_topk(
             "cid",
             *[F.col(f"b{m}.code").alias(f"code_{m}") for m in range(M)],
         )
-        # eager-pin the encoded index: this IS the stored artifact a real
-        # deployment persists (cid + M small ints per vector — the
-        # lake-table shape of pq_adc_topk_from_codes), and the pin keeps
-        # Catalyst from re-executing the encode under every search join
-        # (measured 33 s → 1.6 s at sf0.1 for the search chain)
-        .localCheckpoint()
     )
+
+
+def ivf_pq_residual_topk_from_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC SEARCH over an already-encoded (typically lake-stored)
+    index: ``codes`` must carry ``(neighbor_id, cid, code_0..)`` — the
+    ``ivf_pq_codes`` layout.  Only query vectors are ever touched; the
+    corpus side is M small ints per row."""
+    M = len(codebooks)
+    sub = len(codebooks[0][0])
+    spark = codes.sparkSession
+    missing = [
+        c
+        for c in ["neighbor_id", "cid", *(f"code_{m}" for m in range(M))]
+        if c not in codes.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"ivf_pq_residual_topk_from_codes: codes frame lacks {missing}"
+        )
 
     # query side: nprobe nearest lists, then the query residual PER
     # PROBED LIST (unlike the corpus, a query has one residual per list

@@ -487,3 +487,35 @@ def test_pca_guards(spark):
         pca_fit(df, dim=2, k=3)
     with pytest.raises(ValueError, match="at least 2 rows"):
         pca_fit(df, dim=2, k=1)
+
+
+def test_ivf_pq_index_lake_round_trip(spark, sf_smoke, tmp_path):
+    """The production flow end-to-end: build the IVFADC codes table,
+    persist it as a lake table, read it back, and search from the STORED
+    index — results must equal the direct (in-session) search exactly."""
+    from df_to_azure_spark.operators.lake import ParquetLake
+    from df_to_azure_spark.plans.training_data import _ivf_centroids
+
+    emb = _emb(spark, sf_smoke)
+    cents = _ivf_centroids()
+    res = S.residual_frame(emb.where("vec_id < 32"), cents)
+    books = S.sample_codebooks(res, 4, 8, vec_col="rv")
+    q = emb.where("vec_id < 3")
+
+    direct = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in S.ivf_pq_residual_topk(
+            q, emb, cents, books, k=5, nprobe=2
+        ).collect()
+    }
+
+    lake = ParquetLake(spark, str(tmp_path))
+    lake.create(S.ivf_pq_codes(emb, cents, books), "ivfpq_index")
+    stored = lake.read("ivfpq_index")
+    from_store = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in S.ivf_pq_residual_topk_from_codes(
+            q, stored, cents, books, k=5, nprobe=2
+        ).collect()
+    }
+    assert from_store == direct
