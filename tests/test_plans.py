@@ -127,6 +127,7 @@ BOUNDED_BROADCAST_VARS = {
     "mu",  # 1-row global mean aggregate (daily_revenue_cusum)
     "it1",  # 1-row iteration-1 coefficient frame (logistic_return_model)
     "it2",  # 1-row final-coefficient frame (logistic_model_auc)
+    "n_tok",  # 1-row corpus token/type totals (token_good_turing)
     "coh_tot",  # per-cohort-year user counts — bounded by the calendar
     # year domain (kaplan_meier_by_cohort)
 }
