@@ -2,8 +2,8 @@
 normal equations — the one-pass distributed closed-form fit), inequality
 measurement (Gini over the two_phase_rank distributed ranking),
 time-to-event analytics (Kaplan-Meier churn curve with right-censoring),
-a Benford first-digit audit (the classic fraud screen), and per-document
-lexical-richness stats (type-token ratio + hapax share).
+and per-document lexical-richness stats (type-token ratio + hapax
+share), among others added through the round.
 
 Cross-engine policy unchanged: money and quantities integerize through
 the DECIMAL cents device before any aggregation, every sum is
@@ -388,96 +388,6 @@ SELECT dur AS duration_days,
             AS DECIMAL(38,12)) AS DOUBLE) AS nelson_aalen_cumhaz
 FROM logged
 """
-
-
-# --------------------------------------------------------------------------
-# Benford first-digit audit
-# --------------------------------------------------------------------------
-
-
-def _benford_shares() -> list[tuple[int, float]]:
-    """log10(1 + 1/d) for d = 1..9, precomputed Python literals shared
-    with the oracle (the _case_by_rank device: the transcendental never
-    runs in either engine)."""
-    import math
-
-    return [(d, round(math.log10(1.0 + 1.0 / d), 12)) for d in range(1, 10)]
-
-
-def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law audit of order totals: the distribution of the
-    first significant digit of ``o_totalprice`` against the Benford
-    expectation ``log10(1+1/d)`` — the classic screen for fabricated or
-    systematically generated amounts (synthetic TPC-H prices are
-    uniform-ish, so the deviations themselves are the finding).  Per
-    digit: observed count, observed share (exact half-up device),
-    expected share (shared literal), and the χ² contribution
-    ``(obs − n·p)²/(n·p)`` in DOUBLE over bit-identical inputs.
-
-    Scale shape: one scan, digit extracted as the first character of the
-    exact cents integer's string form (CAST(DECIMAL(19,0) AS STRING) of
-    a positive integer has no sign/exponent/separator in either engine —
-    never the double's scientific form; a repeated-division CASE chain
-    would re-reference its operand 3× per level and regrow the
-    expression tree 3^19-fold, the round-5 lazy-plan trap), one 9-group
-    aggregation."""
-    orders = load_table(spark, sf_dir, "orders")
-    cents = (
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
-    )
-    digit = f"CAST(SUBSTRING(CAST({cents} AS STRING), 1, 1) AS INT)"
-    n_tot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    counted = (
-        orders.selectExpr(f"CAST({digit} AS INT) AS first_digit")
-        .groupBy("first_digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
-        .crossJoin(F.broadcast(n_tot))
-    )
-    shares = " ".join(
-        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _benford_shares()
-    )
-    exp_share = f"CASE first_digit {shares} ELSE CAST(0 AS DOUBLE) END"
-    return counted.selectExpr(
-        "first_digit",
-        "n_obs",
-        "CAST((2000000 * n_obs + n_total) DIV (2 * n_total) AS DOUBLE)"
-        " / CAST(1000000 AS DOUBLE) AS obs_share",
-        f"{exp_share} AS benford_share",
-        f"ROUND(POWER(CAST(n_obs AS DOUBLE)"
-        f" - CAST(n_total AS DOUBLE) * ({exp_share}), 2)"
-        f" / (CAST(n_total AS DOUBLE) * ({exp_share})), 6)"
-        " AS chi2_contrib",
-    )
-
-
-def _benford_oracle() -> str:
-    shares = " ".join(
-        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _benford_shares()
-    )
-    exp_share = f"CASE first_digit {shares} ELSE CAST(0 AS DOUBLE) END"
-    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"
-    digit = f"CAST(SUBSTRING(CAST({cents} AS VARCHAR), 1, 1) AS INT)"
-    return f"""
-WITH digits AS (
-  SELECT CAST({digit} AS INT) AS first_digit FROM orders
-), counted AS (
-  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total
-  FROM digits GROUP BY first_digit
-)
-SELECT first_digit, n_obs,
-       CAST((2000000 * n_obs + n_total) // (2 * n_total) AS DOUBLE)
-         / CAST(1000000 AS DOUBLE) AS obs_share,
-       {exp_share} AS benford_share,
-       ROUND(POWER(CAST(n_obs AS DOUBLE)
-             - CAST(n_total AS DOUBLE) * ({exp_share}), 2)
-             / (CAST(n_total AS DOUBLE) * ({exp_share})), 6)
-         AS chi2_contrib
-FROM counted
-"""
-
-
-BENFORD_ORACLE = _benford_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -975,8 +885,11 @@ LANGID_CONFUSION_ORACLE = _langid_confusion_oracle()
 
 def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift statistic over the daily revenue series —
-    the classic sequential change detector, computed WITHOUT its usual
-    clamp recursion: ``C_t = max(0, C_{t−1} + x_t − μ)`` is identically
+    the SEQUENTIAL companion to ``revenue_cusum_changepoint``
+    (pipeline4), which reports only the offline argmax |S_t| change
+    point; this query emits the full clamped drift series a monitor
+    thresholds in production.  Computed WITHOUT the usual clamp
+    recursion: ``C_t = max(0, C_{t−1} + x_t − μ)`` is identically
     ``S_t − min(0, min_{s≤t} S_s)`` for the plain cumulative sum
     ``S_t = Σ_{s≤t}(x_s − μ)``, which turns the sequential definition
     into a prefix-sum + prefix-min — both of which this engine already
@@ -1709,8 +1622,10 @@ _CAL_BINS = 20
 
 
 def logistic_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability diagram of the 2-step IRLS model: bin the fitted
-    probabilities into fixed 1/{bins}-wide bins and compare each bin's
+    """Reliability diagram of the 2-step IRLS model (the in-engine-
+    trained GLM; ``classifier_calibration_bins`` in pipeline3 is the
+    same audit for the document quality classifier, with quantile bins):
+    bin the fitted probabilities into fixed 1/{bins}-wide bins and compare each bin's
     MEAN PREDICTED probability against its OBSERVED positive rate — the
     calibration audit that decides whether the scores can be used as
     probabilities or must be recalibrated (Platt/isotonic).  Bins are

@@ -938,9 +938,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_user_kaplan_meier": QuerySpec(
         PL8.event_user_kaplan_meier, PL8.KM_ORACLE
     ),
-    "benford_first_digit": QuerySpec(
-        PL8.benford_first_digit, PL8.BENFORD_ORACLE
-    ),
     "doc_ttr_hapax": QuerySpec(PL8.doc_ttr_hapax, PL8.TTR_ORACLE),
     "ivf_pq_residual_knn": QuerySpec(
         TD.ivf_pq_residual_knn, TD.IVF_PQ_RESIDUAL_ORACLE, headline=True

@@ -81,24 +81,6 @@ def test_kaplan_meier_pandas_replay(spark, sf_smoke):
     assert all(0.0 <= x <= 1.0 for x in s)
 
 
-def test_benford_shares_and_chi2(spark, sf_smoke):
-    rows = PL8.benford_first_digit(spark, sf_smoke).collect()
-    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
-    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
-    first = pd.Series([int(str(c)[0]) for c in cents]).value_counts()
-    got = {r.first_digit: r for r in rows}
-    assert set(got) == set(int(d) for d in first.index)
-    n = len(cents)
-    for d, cnt in first.items():
-        r = got[int(d)]
-        assert r.n_obs == cnt
-        p = np.log10(1 + 1 / d)
-        assert r.benford_share == pytest.approx(p, abs=1e-9)
-        assert r.chi2_contrib == pytest.approx(
-            (cnt - n * p) ** 2 / (n * p), abs=1e-4
-        )
-
-
 def test_lorenz_deciles_consistency(spark, sf_smoke):
     rows = sorted(
         PL8.revenue_lorenz_deciles(spark, sf_smoke).collect(),
