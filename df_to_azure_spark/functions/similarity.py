@@ -93,6 +93,23 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_index(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH index BUILD: one map-side pass over the corpus producing the
+    stored index table ``(neighbor_id, bucket, cv)`` — the hyperplane
+    bucket id next to the (double-cast) vector, which in-bucket exact
+    re-ranking still needs.  Persist this to the lake and search it with
+    ``lsh_topk_from_index``: query batches then pay only the bucket
+    equi-join + in-bucket cosine, never the corpus-wide hashing pass."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -103,15 +120,36 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane bucket, then exact
     cosine + rank inside the bucket.  Recall trades off with ``len(planes)``
-    (more planes → smaller buckets → faster, lower recall)."""
+    (more planes → smaller buckets → faster, lower recall).  Convenience
+    composition of ``lsh_index`` (build) + ``lsh_topk_from_index``
+    (search) in one plan."""
+    return lsh_topk_from_index(
+        queries, lsh_index(corpus, planes, id_col, vec_col), planes, k,
+        id_col, vec_col,
+    )
+
+
+def lsh_topk_from_index(
+    queries: DataFrame,
+    index: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH search over an ALREADY-BUCKETED corpus — the production shape:
+    the index table (``lsh_index`` layout: ``neighbor_id, bucket, cv``)
+    is built once and persisted; every query batch hashes only itself
+    with the same ``planes`` and equi-joins the stored buckets.  Same
+    math, bit-identical output to ``lsh_topk``."""
+    missing = [c for c in ("neighbor_id", "bucket", "cv") if c not in index.columns]
+    if missing:
+        raise ValueError(f"lsh_topk_from_index: index frame lacks {missing}")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        index.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -271,6 +309,11 @@ def pq_codes(
             f"codebooks cover {M}x{sub}={M * sub} dims "
             f"but {vec_col} has {dim} — M*len(codebook vector) must equal the dim"
         )
+    # project to just (id, vec) BEFORE the broadcast expand: the expand
+    # introduces intermediate names (m/s/ss/code/cell2) that would hit an
+    # ambiguous-reference analysis error if the caller's frame already
+    # carries a same-named column
+    df = df.select(F.col(id_col), F.col(vec_col))
 
     def _fold_dot(a, b):
         acc = 0.0
@@ -503,7 +546,15 @@ def pq_adc_topk(
     # eager-pin the encoded index (the stored artifact of
     # pq_adc_topk_from_codes' production flow): unpinned, the M chained
     # ADC lookup joins re-plan the whole encode subtree M times —
-    # measured 7.5 s → 2.9 s for the M=16 rerank shortlist at sf0.1
+    # measured 7.5 s → 2.9 s for the M=16 rerank shortlist at sf0.1.
+    # NOTE (cluster deployments): localCheckpoint() runs Spark jobs
+    # EAGERLY at construction time, and its blocks are NOT fault-tolerant
+    # (an executor loss drops them with no lineage to recover from) — it
+    # is the single-JVM stand-in for the real production flow, which
+    # persists the codes as a lake table (``pq_codes`` → lake →
+    # ``pq_adc_topk_from_codes``; round-tripped in tests).  On a
+    # 1000-executor cluster use the stored-table path, or swap the pin
+    # for persist(StorageLevel.DISK_ONLY)/reliable checkpoint.
     codes = (
         pq_codes(_spread(corpus), codebooks, id_col, vec_col)
         .select(
@@ -588,6 +639,22 @@ def pq_adc_topk_from_codes(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index BUILD: one map-side pass assigning every corpus vector
+    to its nearest coarse centroid — the stored inverted-list table
+    ``(neighbor_id, cid, cv)``.  Persist to the lake and search with
+    ``ivf_topk_from_index``; query batches then scan only their probed
+    lists of the stored table, never re-assigning the corpus."""
+    return _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cid", ivf_assign(F.col("cv"), centroids))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -606,13 +673,35 @@ def ivf_topk(
     frame → distance → rank window), so the whole plan is joins and
     windows — deterministic and engine-reproducible given ``centroids``
     (production systems would k-means them; sampling or seeding keeps
-    them a bounded literal either way).
+    them a bounded literal either way).  Convenience composition of
+    ``ivf_index`` (build) + ``ivf_topk_from_index`` (search) in one plan.
     """
-    spark = corpus.sparkSession
-    c = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    return ivf_topk_from_index(
+        queries, ivf_index(corpus, centroids, id_col, vec_col), centroids,
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
     )
-    c = c.withColumn("cid", ivf_assign(F.col("cv"), centroids))
+
+
+def ivf_topk_from_index(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over an ALREADY-ASSIGNED corpus — the production
+    shape: the inverted-list table (``ivf_index`` layout: ``neighbor_id,
+    cid, cv``) is built once and persisted (at scale, hive-partitioned
+    by ``cid`` so a probe prunes whole directories); search only
+    computes the query-side probe ranking.  Bit-identical output to
+    ``ivf_topk``."""
+    spark = index.sparkSession
+    missing = [c for c in ("neighbor_id", "cid", "cv") if c not in index.columns]
+    if missing:
+        raise ValueError(f"ivf_topk_from_index: index frame lacks {missing}")
+    c = index
 
     cent_rows = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
     cent = spark.createDataFrame(cent_rows, "cid int, cent array<double>")
@@ -673,9 +762,43 @@ def pq_adc_rerank_topk(
     queries×C rows — at a billion vectors that is the entire difference
     between an index and a scan.  The candidate set broadcasts back onto
     the corpus, so the raw-vector fetch is a broadcast semi-join, not a
-    shuffle of the corpus."""
-    short = pq_adc_topk(
-        queries, corpus, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
+    shuffle of the corpus.  Convenience composition: encodes the corpus
+    inline, then searches via ``pq_rerank_topk_from_codes`` (the
+    stored-index production path)."""
+    M = len(codebooks)
+    codes = (
+        pq_codes(_spread(corpus), codebooks, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            *[f"code_{m}" for m in range(M)],
+        )
+        .localCheckpoint()
+    )
+    return pq_rerank_topk_from_codes(
+        queries, codes, corpus, codebooks, k=k, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def pq_rerank_topk_from_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shortlist+rerank over an ALREADY-ENCODED corpus: the ADC shortlist
+    comes from the stored PQ codes table (``pq_codes`` layout, id renamed
+    to ``neighbor_id`` — built once, persisted), and only the C
+    shortlisted candidates' raw vectors are fetched from ``corpus`` for
+    the exact re-rank (a broadcast semi-join keyed on the candidate ids —
+    the point-lookup pattern a lake table serves cheaply at any scale).
+    Bit-identical output to ``pq_adc_rerank_topk``."""
+    short = pq_adc_topk_from_codes(
+        queries, codes, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id2"), _as_double(vec_col).alias("qv")
@@ -776,7 +899,10 @@ def ivf_pq_residual_topk(
     codes = ivf_pq_codes(corpus, centroids, codebooks, id_col, vec_col)
     # eager-pin the encoded index: the in-session equivalent of reading
     # the stored codes table back; unpinned, Catalyst re-executes the
-    # encode under every search join (measured 33 s → 1.6 s at sf0.1)
+    # encode under every search join (measured 33 s → 1.6 s at sf0.1).
+    # Same cluster caveat as pq_adc_topk: localCheckpoint is eager and
+    # non-fault-tolerant — the production path is the stored lake table
+    # (``ivf_pq_codes`` → lake → ``ivf_pq_residual_topk_from_codes``).
     return ivf_pq_residual_topk_from_codes(
         queries,
         codes.localCheckpoint(),
@@ -959,7 +1085,11 @@ def ivf_pq_residual_topk_from_codes(
     # eager-pin the table: it is MODEL-sized (queries × nprobe × M × K
     # rows), and each of the M broadcast joins below would otherwise
     # re-execute the whole probe-window + HOF-distance subtree — measured
-    # 4× ~7 s of pure re-evaluation at sf0.1 before the pin
+    # 4× ~7 s of pure re-evaluation at sf0.1 before the pin.  Eager +
+    # non-fault-tolerant (localCheckpoint) — acceptable because the
+    # pinned frame is model-sized and trivially recomputed by a retry of
+    # the whole query; the corpus-sized artifact is the stored codes
+    # table, never a checkpoint.
     dtable = (
         probes.crossJoin(F.broadcast(cells))
         .select(

@@ -2233,22 +2233,256 @@ def _ir_metrics_oracle() -> str:
 IR_METRICS_ORACLE = _ir_metrics_oracle()
 
 
+# --------------------------------------------------------------------------
+# ANN index artifact store: build once, persist, evaluate from stored codes
+# --------------------------------------------------------------------------
+
+# bump when any artifact layout / encoding parameter changes: stale
+# artifacts from an older engine version must never satisfy a read
+_ANN_INDEX_VERSION = 1
+_ANN_TABLES = ("lsh_index", "ivf_index", "pq_adc_codes", "pq_rerank_codes")
+
+
+def _ann_index_root(sf_dir: str) -> str:
+    """Scratch lake root for the ANN index artifacts of one dataset —
+    keyed by the dataset's identity (path + embeddings file size/mtime)
+    and the artifact version, so a data refresh or an encoder change
+    invalidates the cache instead of serving stale codes.  Lives under
+    the system temp dir: on a real cluster this would be a lake path;
+    every artifact is rebuilt deterministically on a miss, so the store
+    is a pure cache, never a source of truth."""
+    import hashlib
+    import os
+    import tempfile
+
+    ident = os.path.realpath(sf_dir)
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        ident += f"|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        pass  # non-local sf_dir: path-only key (still version-scoped)
+    key = hashlib.md5(
+        f"{ident}|v{_ANN_INDEX_VERSION}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "dfa_spark_ann_index", key)
+
+
+def _build_ann_index(spark: SparkSession, sf_dir: str):
+    """Build and persist ALL deployable ANN index artifacts for the
+    embeddings table — the one-pass index builds whose outputs are what
+    a production deployment stores and ships:
+
+    - ``lsh_index``      (neighbor_id, bucket, cv)   ``similarity.lsh_index``
+    - ``ivf_index``      (neighbor_id, cid, cv)      ``similarity.ivf_index``
+    - ``pq_adc_codes``   (neighbor_id, code_0..3)    ``similarity.pq_codes`` M=4
+    - ``pq_rerank_codes`` (neighbor_id, code_0..15)  ``similarity.pq_codes`` M=16
+
+    Every artifact is a deterministic function of the data and the
+    seeded model literals (planes/centroids/sampled codebooks), so a
+    rebuild is bit-identical to a cached read — asserted in
+    ``tests/test_pipeline5.py``.  A ``COMPLETE`` marker commits the set
+    atomically-enough for the sequential driver: readers treat a
+    markerless root as absent and rebuild."""
+    import os
+
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.operators.lake import ParquetLake
+    from df_to_azure_spark.plans import training_data as TD
+    from df_to_azure_spark.plans.training_data import (
+        _ivf_centroids,
+        _lsh_knn_planes,
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = _ann_index_root(sf_dir)
+    lake = ParquetLake(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
+    rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
+    builds = [
+        (SIM.lsh_index(emb, _lsh_knn_planes()), "lsh_index"),
+        (SIM.ivf_index(emb, _ivf_centroids()), "ivf_index"),
+        (
+            SIM.pq_codes(emb, adc_books).withColumnRenamed(
+                "vec_id", "neighbor_id"
+            ),
+            "pq_adc_codes",
+        ),
+        (
+            SIM.pq_codes(emb, rr_books).withColumnRenamed(
+                "vec_id", "neighbor_id"
+            ),
+            "pq_rerank_codes",
+        ),
+    ]
+    # the four builds are independent single-output jobs writing to
+    # disjoint dirs; submitting them from threads lets the scheduler
+    # overlap their stages (each leaves most of the cluster idle between
+    # stage boundaries) — results are unaffected, only wall-clock
+    with ThreadPoolExecutor(max_workers=len(builds)) as pool:
+        futs = [
+            pool.submit(lake.write, df, table, method="create")
+            for df, table in builds
+        ]
+        for f in futs:
+            f.result()
+    with open(os.path.join(root, "COMPLETE"), "w") as fh:
+        fh.write(f"v{_ANN_INDEX_VERSION} tables={','.join(_ANN_TABLES)}\n")
+    return lake
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str):
+    """Open the artifact store, building it on a miss (no marker).  The
+    artifacts are deterministic, so build-on-miss and cached-read return
+    identical contents — query results cannot depend on run order."""
+    import os
+
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    root = _ann_index_root(sf_dir)
+    if not os.path.exists(os.path.join(root, "COMPLETE")):
+        return _build_ann_index(spark, sf_dir)
+    return ParquetLake(spark, root)
+
+
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paired BUILD query for ``ann_retrieval_matrix``: (re)build and
+    persist every ANN index artifact, then summarize each STORED table —
+    ``(variant, n_vectors, n_groups, code_checksum)`` where ``n_groups``
+    counts distinct buckets / cells / code tuples and ``code_checksum``
+    is an order-free integer fold of the stored codes.  The summary is
+    computed from the parquet the build wrote (not the in-flight
+    frames), so a green hash certifies the artifacts on disk; the DuckDB
+    oracle replays bucket/assign/encode from the raw embeddings.
+
+    This query carries the index-build cost explicitly (it always
+    rebuilds); the matrix then scores from the stored artifacts — the
+    build/search split that IS the production deployment shape
+    (round-9 verdict task 1)."""
+    from df_to_azure_spark.plans import training_data as TD
+
+    lake = _build_ann_index(spark, sf_dir)
+
+    def _summary(table: str, variant: str, group_cols, checksum) -> DataFrame:
+        df = lake.read(table)
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct(*group_cols).cast("bigint").alias("n_groups"),
+            F.sum(checksum).cast("bigint").alias("code_checksum"),
+        ).select(F.lit(variant).alias("variant"), "*")
+
+    def _pq_checksum(m: int):
+        cs = F.col("code_0").cast("bigint")
+        for i in range(1, m):
+            cs = cs + F.col(f"code_{i}").cast("bigint") * F.lit(i + 1)
+        return cs
+
+    out = _summary("lsh_index", "lsh", [F.col("bucket")], F.col("bucket"))
+    out = out.unionByName(
+        _summary("ivf_index", "ivf", [F.col("cid")], F.col("cid").cast("bigint"))
+    )
+    out = out.unionByName(
+        _summary(
+            "pq_adc_codes",
+            "pq_adc",
+            [F.col(f"code_{i}") for i in range(TD._PQ_M)],
+            _pq_checksum(TD._PQ_M),
+        )
+    )
+    return out.unionByName(
+        _summary(
+            "pq_rerank_codes",
+            "pq_rerank",
+            [F.col(f"code_{i}") for i in range(TD._PQ_RERANK_M)],
+            _pq_checksum(TD._PQ_RERANK_M),
+        )
+    )
+
+
+def _ann_build_oracle() -> str:
+    """DuckDB twin of the build summary: replays the bucket / coarse
+    assign / PQ encode from the raw embeddings via the SAME shared CTE
+    text the search oracles use, then folds the identical summaries."""
+    from df_to_azure_spark.plans.training_data import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_RERANK_K,
+        _PQ_RERANK_M,
+        _ivf_assign_ctes,
+        _lsh_bucket_sql,
+        _pq_ctes,
+    )
+
+    lsh = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, {_lsh_bucket_sql('ev')} AS bucket FROM v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_groups,
+       CAST(SUM(bucket) AS BIGINT) AS code_checksum
+FROM vb"""
+    ivf = f"""
+WITH {_ivf_assign_ctes()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_groups,
+       CAST(SUM(cid) AS BIGINT) AS code_checksum
+FROM ca"""
+
+    def _pq(m: int, k: int) -> str:
+        tup = ", ".join(f"code_{i}" for i in range(m))
+        cs = " + ".join(
+            f"code_{i} * {i + 1}" if i else "code_0" for i in range(m)
+        )
+        return f"""
+{_pq_ctes(m, k)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT ({tup})) AS BIGINT) AS n_groups,
+       CAST(SUM({cs}) AS BIGINT) AS code_checksum
+FROM codes"""
+
+    parts = [
+        f"SELECT '{name}' AS variant, * FROM ({body}) b_{name}"
+        for name, body in (
+            ("lsh", lsh),
+            ("ivf", ivf),
+            ("pq_adc", _pq(_PQ_M, _PQ_K)),
+            ("pq_rerank", _pq(_PQ_RERANK_M, _PQ_RERANK_K)),
+        )
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ANN_BUILD_ORACLE = _ann_build_oracle()
+
+
 def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One metrics sheet for the WHOLE ANN family: recall@10 / MRR /
     NDCG@10 of the hyperplane-LSH ranking, the IVF inverted-list ranking
     (nprobe=2), PQ asymmetric-distance (compressed domain), PQ
-    shortlist+exact-rerank, and the hybrid RRF fusion — every deployable
-    index variant scored per-query against the exact cosine top-10
-    through the shared evaluator (``similarity.retrieval_metrics``) —
-    the audit table that tells a retrieval user which index to deploy,
-    with the exact truth computed ONCE and reused across variants
-    (round-8 verdict task 7: the matrix now covers all five legs, not
-    just LSH/IVF).
+    shortlist+exact-rerank, and the hybrid RRF fusion of the two
+    cheapest APPROXIMATE retrievers (LSH + IVF) — every deployable index
+    variant scored per-query against the exact cosine top-10 through the
+    shared evaluator (``similarity.retrieval_metrics``) — the audit
+    table that tells a retrieval user which index to deploy.
 
-    Scale shape: the truth and each candidate ranking are existing
-    scale-safe operators; each evaluation is a (queries × k)-row join +
-    one aggregation, and the variant matrix is a union of
-    query-batch-bounded frames."""
+    Round-9 verdict tasks 1+2: every leg now scores from the PERSISTED
+    index artifacts (``_ensure_ann_index`` → ``*_from_index`` /
+    ``*_from_codes`` search paths), so evaluation never rebuilds an
+    index — ``ann_index_build`` is the paired query that carries the
+    build cost — and the hybrid leg fuses two approximate retrievers
+    instead of fusing the exact truth into its own candidate set (the
+    round-9 self-referential-metrics wart).
+
+    Scale shape: each candidate ranking is a query-batch-bounded frame
+    (5 queries × k rows) produced by a stored-index search; each
+    evaluation is a (queries × k)-row join + one aggregation, and the
+    variant matrix is a union of query-batch-bounded frames.  The
+    eager pins replay 50 stored rows instead of re-running each search
+    under the evaluator's three joins."""
     from df_to_azure_spark.functions import similarity as SIM
     from df_to_azure_spark.plans import training_data as TD
     from df_to_azure_spark.plans.training_data import (
@@ -2256,60 +2490,119 @@ def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lsh_knn_planes,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    lake = _ensure_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    # Every ranking below is a query-batch-bounded frame (5 queries × k
-    # rows) produced by a corpus-sized pipeline; eager-pin each one so
-    # the evaluator's multiple joins (truth mark + per-query agg +
-    # truth-keyed coverage join) replay 50 stored rows instead of
-    # re-executing the index pipeline per join (measured 37.7 s → ~8 s
-    # for the 5-leg matrix at sf0.1).
-    # ONE exact pass serves both the ground truth and the RRF exact leg.
-    exact_r = SIM.cosine_topk(queries, emb, k=_IR_K).localCheckpoint()
-    truth = exact_r.select("query_id", "neighbor_id")
     adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
     rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
-    lsh_r = SIM.lsh_topk(
-        queries, emb, _lsh_knn_planes(), k=_IR_K
-    ).localCheckpoint()
+    # Each pin is an independent ~1 s search job over a stored artifact
+    # (dominated by fixed scheduler overhead, not data); submitting the
+    # five from threads overlaps them — pinned contents are unchanged
+    pins = {
+        "exact": lambda: SIM.cosine_topk(
+            queries, emb, k=_IR_K
+        ).localCheckpoint(),
+        "lsh": lambda: SIM.lsh_topk_from_index(
+            queries, lake.read("lsh_index"), _lsh_knn_planes(), k=_IR_K
+        ).localCheckpoint(),
+        "ivf": lambda: SIM.ivf_topk_from_index(
+            queries,
+            lake.read("ivf_index"),
+            _ivf_centroids(),
+            k=_IR_K,
+            nprobe=2,
+        ).localCheckpoint(),
+        "pq_adc": lambda: SIM.pq_adc_topk_from_codes(
+            queries, lake.read("pq_adc_codes"), adc_books, k=_IR_K
+        ).localCheckpoint(),
+        "pq_rerank": lambda: SIM.pq_rerank_topk_from_codes(
+            queries,
+            lake.read("pq_rerank_codes"),
+            emb,
+            rr_books,
+            k=_IR_K,
+            shortlist=TD._PQ_RERANK_C,
+        ).localCheckpoint(),
+    }
+    with ThreadPoolExecutor(max_workers=len(pins)) as pool:
+        futs = {name: pool.submit(fn) for name, fn in pins.items()}
+        pinned = {name: f.result() for name, f in futs.items()}
+    truth = pinned["exact"].select("query_id", "neighbor_id")
     variants = [
-        ("lsh", lsh_r),
-        (
-            "ivf",
-            SIM.ivf_topk(
-                queries, emb, _ivf_centroids(), k=_IR_K, nprobe=2
-            ).localCheckpoint(),
-        ),
-        (
-            "pq_adc",
-            SIM.pq_adc_topk(
-                queries, emb, adc_books, k=_IR_K
-            ).localCheckpoint(),
-        ),
-        (
-            "pq_rerank",
-            SIM.pq_adc_rerank_topk(
-                queries, emb, rr_books, k=_IR_K, shortlist=TD._PQ_RERANK_C
-            ).localCheckpoint(),
-        ),
+        ("lsh", pinned["lsh"]),
+        ("ivf", pinned["ivf"]),
+        ("pq_adc", pinned["pq_adc"]),
+        ("pq_rerank", pinned["pq_rerank"]),
         (
             "hybrid_rrf",
-            SIM.rrf_fuse([exact_r, lsh_r], k_const=60, topk=_IR_K),
+            SIM.rrf_fuse(
+                [pinned["lsh"], pinned["ivf"]], k_const=60, topk=_IR_K
+            ),
         ),
     ]
-    out = None
-    for name, cand in variants:
-        m = SIM.retrieval_metrics(truth, cand, k=_IR_K).select(
-            F.lit(name).alias("variant"), "*"
+    # second wave: the five evaluations are again independent tiny jobs
+    # (three joins over 50-row pinned frames each) — overlap and pin
+    # them so the returned plan is a flat union of 5-row frames
+    def _eval(name: str, cand: DataFrame) -> DataFrame:
+        return (
+            SIM.retrieval_metrics(truth, cand, k=_IR_K)
+            .select(F.lit(name).alias("variant"), "*")
+            .localCheckpoint()
         )
-        out = m if out is None else out.unionByName(m)
+
+    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+        evs = [pool.submit(_eval, name, cand) for name, cand in variants]
+        frames = [f.result() for f in evs]
+    out = frames[0]
+    for m in frames[1:]:
+        out = out.unionByName(m)
     return out
+
+
+def _hybrid_lsh_ivf_oracle() -> str:
+    """RRF fusion of the LSH and IVF rankings (both approximate — no leg
+    of the fused candidate set contains the exact truth by construction);
+    same decimal-summed reciprocal contributions as ``rrf_fuse``."""
+    from df_to_azure_spark.plans.training_data import (
+        IVF_KNN_ORACLE,
+        LSH_KNN_ORACLE,
+    )
+
+    k_sql = "CAST(60 AS DOUBLE)"
+    contrib = (
+        f"CAST(ROUND(CAST(1 AS DOUBLE) / ({k_sql} + CAST(rank AS DOUBLE)), 12)"
+        " AS DECIMAL(28,12))"
+    )
+    return f"""
+WITH lsh_r AS ({LSH_KNN_ORACLE}),
+ivf_r AS ({IVF_KNN_ORACLE}),
+contrib AS (
+  SELECT query_id, neighbor_id, {contrib} AS c FROM lsh_r
+  UNION ALL
+  SELECT query_id, neighbor_id, {contrib} AS c FROM ivf_r
+), agg AS (
+  SELECT query_id, neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lists,
+         ROUND(CAST(SUM(c) AS DOUBLE), 8) AS rrf_score
+  FROM contrib GROUP BY query_id, neighbor_id
+)
+SELECT query_id, rank, neighbor_id, n_lists, rrf_score
+FROM (
+  SELECT query_id, neighbor_id, n_lists, rrf_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM agg
+)
+WHERE rank <= {_IR_K}
+"""
 
 
 def _ann_matrix_oracle() -> str:
     from df_to_azure_spark.functions.similarity import retrieval_metrics_sql
     from df_to_azure_spark.plans.training_data import (
-        HYBRID_RRF_ORACLE,
         IVF_KNN_ORACLE,
         KNN_ORACLE,
         LSH_KNN_ORACLE,
@@ -2325,7 +2618,7 @@ def _ann_matrix_oracle() -> str:
             ("ivf", IVF_KNN_ORACLE),
             ("pq_adc", PQ_ADC_ORACLE),
             ("pq_rerank", PQ_RERANK_ORACLE),
-            ("hybrid_rrf", HYBRID_RRF_ORACLE),
+            ("hybrid_rrf", _hybrid_lsh_ivf_oracle()),
         )
     ]
     return " UNION ALL ".join(parts)

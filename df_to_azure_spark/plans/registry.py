@@ -807,6 +807,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "user_interarrival_expfit": QuerySpec(
         PL5.user_interarrival_expfit, PL5.EXPFIT_ORACLE
     ),
+    "ann_index_build": QuerySpec(
+        PL5.ann_index_build, PL5.ANN_BUILD_ORACLE, headline=True
+    ),
     "ann_retrieval_matrix": QuerySpec(
         PL5.ann_retrieval_matrix, PL5.ANN_MATRIX_ORACLE, headline=True
     ),

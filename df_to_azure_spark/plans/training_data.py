@@ -594,15 +594,22 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(queries, emb, _lsh_knn_planes(), k=10)
 
 
-def _lsh_knn_oracle() -> str:
+def _lsh_bucket_sql(vec_expr: str = "ev") -> str:
+    """Sign-fold bucket expression over the seeded ``_lsh_knn_planes`` —
+    the SQL twin of ``similarity.hyperplane_bucket`` with those planes;
+    shared by the kNN oracle and the index-artifact summary oracle."""
     planes = _lsh_knn_planes()
     terms = []
     for i, pl in enumerate(planes):
         lit = "CAST([" + ", ".join(repr(x) for x in pl) + "] AS DOUBLE[])"
         terms.append(
-            f"(CASE WHEN {_dot_sql('ev', lit)} >= 0 THEN {1 << i} ELSE 0 END)"
+            f"(CASE WHEN {_dot_sql(vec_expr, lit)} >= 0 THEN {1 << i} ELSE 0 END)"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _lsh_knn_oracle() -> str:
+    bucket = _lsh_bucket_sql("ev")
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
@@ -739,7 +746,11 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(queries, emb, _ivf_centroids(), k=10, nprobe=2)
 
 
-def _ivf_oracle() -> str:
+def _ivf_assign_ctes() -> str:
+    """CTE fragment ``c, cd, ca`` assigning every corpus vector its
+    nearest coarse centroid (``ca`` = ``neighbor_id, cv, cid``) — the
+    SQL twin of ``similarity.ivf_index`` over ``_ivf_centroids``; shared
+    by the kNN oracle and the index-artifact summary oracle."""
     cents = _ivf_centroids()
     # explicit DOUBLE[] cast: DuckDB otherwise types bare numeric list
     # literals as DECIMAL, which overflows in literal×literal dot products
@@ -757,16 +768,24 @@ def _ivf_oracle() -> str:
         + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(len(cents)))
         + " END"
     )
-    values = ", ".join(f"({i}, {lits[i]})" for i in range(len(cents)))
-    return f"""
-WITH c AS (
+    return f"""c AS (
   SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
 ), cd AS (
   SELECT neighbor_id, cv, {d_cols} FROM c
 ), ca AS (
   SELECT neighbor_id, cv, CAST({case} AS INT) AS cid FROM cd
-), q AS (
+)"""
+
+
+def _ivf_oracle() -> str:
+    cents = _ivf_centroids()
+    lits = [
+        "CAST([" + ", ".join(repr(x) for x in c) + "] AS DOUBLE[])" for c in cents
+    ]
+    values = ", ".join(f"({i}, {lits[i]})" for i in range(len(cents)))
+    return f"""
+WITH {_ivf_assign_ctes()}, q AS (
   SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
   FROM embeddings WHERE vec_id < 5
 ), qd AS (

@@ -648,3 +648,21 @@ def test_ann_retrieval_matrix_smoke(spark, sf_smoke):
     for (v, qid), r in by.items():
         if v == "hybrid_rrf":
             assert r.recall_at_10 >= by[("lsh", qid)].recall_at_10 - 1e-9
+
+
+def test_ann_index_build_deterministic_and_matrix_reads_store(spark, sf_smoke):
+    """Two consecutive builds must summarize identically (the artifacts
+    are pure functions of data + seeded literals), and the matrix must
+    produce its 5×|queries| evaluation rows from the stored artifacts."""
+    from df_to_azure_spark.plans.pipeline5 import (
+        ann_index_build,
+        ann_retrieval_matrix,
+    )
+
+    s1 = sorted(map(tuple, ann_index_build(spark, sf_smoke).collect()))
+    s2 = sorted(map(tuple, ann_index_build(spark, sf_smoke).collect()))
+    assert s1 == s2
+    assert [r[0] for r in s1] == ["ivf", "lsh", "pq_adc", "pq_rerank"]
+    rows = ann_retrieval_matrix(spark, sf_smoke).collect()
+    variants = {r.variant for r in rows}
+    assert variants == {"lsh", "ivf", "pq_adc", "pq_rerank", "hybrid_rrf"}

@@ -519,3 +519,93 @@ def test_ivf_pq_index_lake_round_trip(spark, sf_smoke, tmp_path):
         ).collect()
     }
     assert from_store == direct
+
+
+def test_lsh_ivf_index_lake_round_trip(spark, sf_smoke, tmp_path):
+    """Build/search split for the LSH and IVF variants: persist each
+    index artifact to a lake table, search from the STORED table, and
+    require bit-identical results to the direct one-plan search."""
+    from df_to_azure_spark.operators.lake import ParquetLake
+    from df_to_azure_spark.plans.training_data import (
+        _ivf_centroids,
+        _lsh_knn_planes,
+    )
+
+    emb = _emb(spark, sf_smoke)
+    q = emb.where("vec_id < 3")
+    planes = _lsh_knn_planes()
+    cents = _ivf_centroids()
+    lake = ParquetLake(spark, str(tmp_path))
+
+    direct_lsh = sorted(
+        map(tuple, S.lsh_topk(q, emb, planes, k=5).collect())
+    )
+    lake.create(S.lsh_index(emb, planes), "lsh_index")
+    stored_lsh = sorted(
+        map(
+            tuple,
+            S.lsh_topk_from_index(
+                q, lake.read("lsh_index"), planes, k=5
+            ).collect(),
+        )
+    )
+    assert stored_lsh == direct_lsh
+
+    direct_ivf = sorted(
+        map(tuple, S.ivf_topk(q, emb, cents, k=5, nprobe=2).collect())
+    )
+    lake.create(S.ivf_index(emb, cents), "ivf_index")
+    stored_ivf = sorted(
+        map(
+            tuple,
+            S.ivf_topk_from_index(
+                q, lake.read("ivf_index"), cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert stored_ivf == direct_ivf
+
+
+def test_pq_rerank_from_codes_lake_round_trip(spark, sf_smoke, tmp_path):
+    """Shortlist+rerank from a stored PQ codes table equals the direct
+    encode-inline search exactly."""
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    emb = _emb(spark, sf_smoke)
+    books = S.sample_codebooks(emb, 4, 8)
+    q = emb.where("vec_id < 3")
+    direct = sorted(
+        map(
+            tuple,
+            S.pq_adc_rerank_topk(q, emb, books, k=5, shortlist=20).collect(),
+        )
+    )
+    lake = ParquetLake(spark, str(tmp_path))
+    lake.create(
+        S.pq_codes(emb, books).withColumnRenamed("vec_id", "neighbor_id"),
+        "pq_codes",
+    )
+    stored = sorted(
+        map(
+            tuple,
+            S.pq_rerank_topk_from_codes(
+                q, lake.read("pq_codes"), emb, books, k=5, shortlist=20
+            ).collect(),
+        )
+    )
+    assert stored == direct
+
+
+def test_pq_codes_tolerates_colliding_column_names(spark, sf_smoke):
+    """A caller frame already carrying one of the encode's intermediate
+    names (m/s/ss/code/cell2) must not hit an ambiguous-reference
+    analysis error (round-9 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_smoke).withColumn("m", F.lit(1)).withColumn(
+        "code", F.lit("x")
+    )
+    books = S.sample_codebooks(emb, 4, 8)
+    out = S.pq_codes(emb.where("vec_id < 40"), books)
+    assert out.columns == ["vec_id", "code_0", "code_1", "code_2", "code_3"]
+    assert out.count() == 40
