@@ -542,23 +542,44 @@ def _zorder_cluster(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
     the z-value (column i owns bit positions i, i+|cols|, i+2|cols|, …),
     the frame range-partitions and sorts on it, and the helper column is
     dropped — the layout changes, the data does not.  Constant columns
-    (max == min) bucket to 0 and simply drop out of the curve."""
+    (max == min) bucket to 0 and simply drop out of the curve.
+
+    Guards (round-9 ADVICE): non-orderable column types raise up front
+    (a silent CAST-to-DOUBLE of a string column would NULL out and
+    collapse the curve); an empty / all-NULL table (MIN/MAX = NULL)
+    falls back to a plain ``coalesce(n_files)`` rewrite — there is no
+    data to cluster."""
     if len(cols) < 2:
         raise ValueError("zorder_by needs at least 2 columns")
+    exact_ok = {"tinyint", "smallint", "int", "bigint", "float", "double", "date"}
     ncols = []
+    dtypes = dict(df.dtypes)
     for c in cols:
-        dt = dict(df.dtypes)[c]
-        if dt in ("date",):
+        dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"zorder_by column {c!r} is not in the table")
+        if dt == "date":
             ncols.append(f"CAST(datediff({c}, DATE '1970-01-01') AS DOUBLE)")
         elif dt.startswith("timestamp"):
             # CAST(ts AS DOUBLE) = epoch seconds; works for ntz too
             ncols.append(f"CAST(CAST({c} AS TIMESTAMP) AS DOUBLE)")
-        else:
+        elif dt in exact_ok or dt.startswith("decimal"):
             ncols.append(f"CAST({c} AS DOUBLE)")
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} has non-orderable type {dt!r} — "
+                "z-ordering needs numeric/date/timestamp columns"
+            )
     stats = df.agg(
         *[F.expr(f"MIN({e})").alias(f"mn_{i}") for i, e in enumerate(ncols)],
         *[F.expr(f"MAX({e})").alias(f"mx_{i}") for i, e in enumerate(ncols)],
     ).collect()[0]
+    if any(
+        stats[f"mn_{i}"] is None or stats[f"mx_{i}"] is None
+        for i in range(len(ncols))
+    ):
+        # empty table or an all-NULL z-column: nothing to cluster
+        return df.coalesce(n_files)
     top = (1 << _Z_BITS) - 1
     bucket_exprs = []
     for i, e in enumerate(ncols):

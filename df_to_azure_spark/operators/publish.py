@@ -54,6 +54,7 @@ def publish_with_audit(
     id_field: list[str] | str | None = None,
     max_violation_frac: float = 0.0,
     quarantine_table: str | None = None,
+    batch_id: str | None = None,
 ) -> PublishReport:
     """Audit ``df`` against ``rules``, then publish via the lake writer.
 
@@ -65,10 +66,29 @@ def publish_with_audit(
       rots past the threshold still aborts instead of silently
       quarantining itself away.
 
+    Retry contract (round-9 ADVICE): retries are safe by construction
+    for idempotent methods (``create`` overwrites, ``upsert`` is keyed).
+    For ``method='append'`` pass a caller-stable ``batch_id`` — the
+    publish then writes a per-batch marker next to the table and a
+    retry that finds the marker SKIPS the clean-row append instead of
+    duplicating already-published rows (the quarantine append still
+    runs, repairing a crash between the two writes).  An ``append``
+    without ``batch_id`` keeps the documented non-atomic window: a
+    crash after the publish write but before return means a blind retry
+    appends the batch twice.
+
     One audit scan (fused aggregate), one publish write, at most one
     quarantine write — no per-rule passes."""
     if not rules:
         raise ValueError("publish_with_audit needs at least one rule")
+    marker_fs = marker_path = None
+    already_published = False
+    if batch_id is not None:
+        if "/" in batch_id or batch_id in ("", ".", ".."):
+            raise ValueError(f"batch_id {batch_id!r} must be a plain token")
+        marker = f"{lake.table_dir(table)}/_batches/{batch_id}"
+        marker_fs, marker_path, _ = lake._fs(marker)
+        already_published = marker_fs.exists(marker_path)
     audit_rows = evaluate_expectations(df, rules).collect()
     n_in = int(audit_rows[0]["n_rows"]) if audit_rows else 0
     worst = max((r["n_violations"] for r in audit_rows), default=0)
@@ -82,7 +102,10 @@ def publish_with_audit(
                 f"publish to {table!r} aborted: rules {failing} exceed "
                 f"tolerance {max_violation_frac} (worst {worst}/{n_in} rows)"
             )
-        lake.write(df, table, method=method, id_field=id_field)
+        if not already_published:
+            lake.write(df, table, method=method, id_field=id_field)
+            if marker_path is not None:
+                marker_fs.createNewFile(marker_path)
         return PublishReport(table, n_in, n_in, 0, audit_rows)
 
     clean_pred = F.lit(True)
@@ -105,10 +128,15 @@ def publish_with_audit(
     # the quarantine table on a failed publish, so the retry appended
     # them twice.  The two writes are still non-atomic — a crash in the
     # window between them loses only the quarantine audit trail, never
-    # published data, and re-running the call repairs it (the quarantine
-    # append then duplicates only if the PUBLISH also succeeded, which a
-    # caller can detect via the returned PublishReport).
-    lake.write(clean, table, method=method, id_field=id_field)
+    # published data.  Re-running the call repairs it safely when the
+    # method is idempotent (create/upsert) or when ``batch_id`` is set
+    # (the marker below makes the retry skip the clean append); an
+    # unmarked append retry after a mid-window crash duplicates the
+    # published rows — see the retry contract in the docstring.
+    if not already_published:
+        lake.write(clean, table, method=method, id_field=id_field)
+        if marker_path is not None:
+            marker_fs.createNewFile(marker_path)
     if n_dirty:
         method_q = "append" if lake.exists(quarantine_table) else "create"
         lake.write(dirty, quarantine_table, method=method_q)

@@ -72,3 +72,31 @@ def test_zorder_cluster_validation_and_constant_column(spark):
     out = _zorder_cluster(df, ["a", "const"], 2)
     assert out.count() == 100
     assert "__z" not in out.columns
+
+
+def test_zorder_compact_on_empty_table_falls_back(spark, tmp_path):
+    """compact(zorder_by=...) on an empty table must not crash
+    (round-9 ADVICE: MIN/MAX aggregate returns NULLs)."""
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path))
+    df = spark.createDataFrame([], "a int, b int")
+    lake.create(df, "t")
+    lake.compact("t", target_files=1, zorder_by=["a", "b"])
+    assert lake.read("t").count() == 0
+
+
+def test_zorder_rejects_non_numeric_column(spark, tmp_path):
+    """A string z-column must raise up front instead of silently
+    casting to NULL doubles and collapsing the curve."""
+    import pytest
+
+    from df_to_azure_spark.operators.lake import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, s string")
+    lake.create(df, "t")
+    with pytest.raises(ValueError, match="non-orderable"):
+        lake.compact("t", target_files=1, zorder_by=["a", "s"])
+    with pytest.raises(ValueError, match="not in the table"):
+        lake.compact("t", target_files=1, zorder_by=["a", "zz"])

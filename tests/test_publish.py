@@ -55,3 +55,62 @@ def test_quarantine_tolerance_still_aborts(spark, tmp_path):
             max_violation_frac=0.5, quarantine_table="t_bad",
         )
     assert not lake.exists("t")
+
+
+def test_batch_marker_makes_append_retry_idempotent(spark, tmp_path):
+    """A retried append with the same batch_id must NOT duplicate the
+    already-published rows (round-9 ADVICE), while a new batch_id
+    appends normally."""
+    lake = ParquetLake(spark, str(tmp_path))
+    rules = [not_null("v")]
+    first = _df(spark, [(1, 5), (2, 7)])
+    publish_with_audit(lake, first, "t", rules, batch_id="b1")
+    assert lake.read("t").count() == 2
+
+    # simulated retry of the SAME batch (crash after publish): skipped
+    rep = publish_with_audit(
+        lake, first, "t", rules, method="append", batch_id="b1"
+    )
+    assert lake.read("t").count() == 2
+    assert rep.n_rows_in == 2
+
+    # a genuinely new batch still appends
+    second = _df(spark, [(3, 9)])
+    publish_with_audit(
+        lake, second, "t", rules, method="append", batch_id="b2"
+    )
+    assert lake.read("t").count() == 3
+
+
+def test_batch_marker_retry_still_repairs_quarantine(spark, tmp_path):
+    """Crash-between-writes repair: the retry skips the clean append
+    (marker present) but still lands the quarantine rows."""
+    lake = ParquetLake(spark, str(tmp_path))
+    rules = [not_null("v")]
+    mixed = _df(spark, [(1, 5), (2, None)])
+    rep1 = publish_with_audit(
+        lake, mixed, "t", rules, method="create",
+        max_violation_frac=1.0, quarantine_table="q", batch_id="b1",
+    )
+    assert rep1.n_rows_published == 1 and rep1.n_rows_quarantined == 1
+    # wipe the quarantine table to simulate the crash window (publish
+    # succeeded + marker written, quarantine write lost)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "q"))
+    rep2 = publish_with_audit(
+        lake, mixed, "t", rules, method="append",
+        max_violation_frac=1.0, quarantine_table="q", batch_id="b1",
+    )
+    assert lake.read("t").count() == 1  # clean append skipped
+    assert lake.read("q").count() == 1  # quarantine repaired
+    assert rep2.n_rows_quarantined == 1
+
+
+def test_batch_id_must_be_plain_token(spark, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="plain token"):
+        publish_with_audit(
+            lake, _df(spark, [(1, 1)]), "t", [not_null("v")],
+            batch_id="a/b",
+        )
