@@ -795,6 +795,77 @@ def remove_shared_spans(
     )
 
 
+def duplicate_spans_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-GLOBAL exact duplicate substrings via distributed
+    suffix-ordering semantics — the whole-corpus half of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL'22,
+    the deduplicate-text-datasets suffix-array tool): every maximal
+    token span of ≥ ``min_span_tokens`` whose content occurs at least
+    TWICE anywhere in the corpus (another document OR another position
+    of the same document — the within-doc repeats the pairwise
+    ``shared_span_pairs`` cannot see).
+
+    Suffix-array equivalence: the SA tool marks position ``p`` when the
+    suffix at ``p`` shares a ≥ k-token prefix with an adjacent suffix in
+    suffix-sorted order — which holds exactly when the k-gram starting
+    at ``p`` occurs ≥ 2 times in the corpus.  The global suffix SORT
+    exists only to bring equal k-prefixes together; a distributed
+    engine gets the same adjacency from one groupBy on the k-gram
+    fingerprint, so the plan is: positional k-gram fingerprints → one
+    count aggregation (``n_occ ≥ 2`` = the LCP ≥ k criterion) → semi-
+    join the marks back to positions → per-document gaps-and-islands
+    chaining of consecutive marked starts → maximal spans of
+    ``run + shingle_n − 1`` tokens.
+
+    Returns ``(doc_id, start_pos, span_tokens)`` with 1-based token
+    positions, one row per maximal duplicated span.
+
+    Scale shape (the reason this beats a literal suffix array at
+    100 TB): no global sort, no pair join — one map-side shingle pass,
+    one count shuffle on the 48-bit fingerprint (map-side partials
+    collapse repeats), one semi-join shuffle, one per-document window
+    (bounded by document length).  NO hot-shingle cap, deliberately:
+    a fingerprint occurring millions of times never multiplies rows
+    (the count side keeps one row per fingerprint, the semi-join marks
+    each position once) — the hottest content is exactly the
+    duplication the operator must report, so capping would be wrong as
+    well as unnecessary."""
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "s"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        # same 48-bit portable fingerprint as shared_span_pairs
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    marked = sh.join(dup, "h", "left_semi").select(id_col, "pos")
+    from pyspark.sql import Window as W
+
+    # bounded: partitioned per document, frame ≤ document token count
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    spans = islands.groupBy(id_col, "isl").agg(
+        F.min("pos").alias("start_pos"),
+        (F.count(F.lit(1)) + (shingle_n - 1)).cast("bigint").alias("span_tokens"),
+    )
+    return spans.where(F.col("span_tokens") >= min_span_tokens).select(
+        id_col, "start_pos", "span_tokens"
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     max_hamming: int = 3,

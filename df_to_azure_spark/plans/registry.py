@@ -521,6 +521,12 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.doc_shared_spans, TD.SHARED_SPANS_ORACLE, headline=True
     ),
     "doc_span_dedup": QuerySpec(TD.doc_span_dedup, TD.SPAN_DEDUP_ORACLE),
+    "suffix_dup_spans": QuerySpec(
+        TD.suffix_dup_spans, TD.SUFFIX_DUP_SPANS_ORACLE, headline=True
+    ),
+    "suffix_dup_profile": QuerySpec(
+        TD.suffix_dup_profile, TD.SUFFIX_DUP_PROFILE_ORACLE
+    ),
     "token_budget_mix": QuerySpec(TD.token_budget_mix, TD.TOKEN_BUDGET_ORACLE),
     "ngram_jaccard_pairs": QuerySpec(TD.ngram_jaccard, TD.NGRAM_JACCARD_ORACLE),
     "ngram_containment_pairs": QuerySpec(

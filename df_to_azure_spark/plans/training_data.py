@@ -476,6 +476,129 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-GLOBAL exact duplicate substrings (Lee et al. ACL'22
+    suffix-array semantics, round-9 verdict task 4): every maximal
+    token span ≥ 12 whose content occurs ≥ 2 times anywhere in the
+    corpus — across documents OR repeated within one document, which
+    the pairwise ``doc_shared_spans`` misses by construction.  See
+    ``dedup.duplicate_spans_global`` for the suffix-ordering
+    equivalence and the no-pair-join scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_spans_global(docs, shingle_n=_SPAN_K, min_span_tokens=12)
+
+
+# Shared CTE chain for the suffix-ordering dedup family: positional
+# k-gram fingerprints → global occurrence count (the LCP ≥ k criterion)
+# → marked positions → per-doc islands → maximal spans ≥ 12 tokens.
+_SUFFIX_CTES = f"""toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id, u.pos AS pos,
+         ('0x' || substr(md5(u.s), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - {_SPAN_K - 1}, 1) + 1),
+                 i -> {{'pos': i, 's': array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')}})) AS u
+        FROM toked WHERE len(toks) > 0)
+), dup AS (
+  SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) >= 2
+), mk AS (
+  SELECT doc_id, pos FROM sh0 WHERE h IN (SELECT h FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM mk
+), spans AS (
+  SELECT doc_id, MIN(pos) AS start_pos,
+         CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, isl
+), spans12 AS (
+  SELECT doc_id, start_pos, span_tokens FROM spans WHERE span_tokens >= 12
+)"""
+
+SUFFIX_DUP_SPANS_ORACLE = f"""
+WITH {_SUFFIX_CTES}
+SELECT doc_id, start_pos, span_tokens FROM spans12
+"""
+
+
+def suffix_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language duplication-burden report over the suffix-ordering
+    spans: how many documents carry ≥ 12-token corpus-duplicated spans,
+    and what fraction of each language's token mass a span-removal pass
+    would touch — the go/no-go sheet a training-data owner reads before
+    running substring dedup.  Duplicated token positions are counted
+    DISTINCT (adjacent spans whose token ranges overlap are not
+    double-counted).  All counts are integers until the one final
+    rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicate_spans_global(
+        docs, shingle_n=_SPAN_K, min_span_tokens=12
+    )
+    dup_pos = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start_pos"),
+                F.col("start_pos") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
+    per_doc = dup_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_tokens")
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(D.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.coalesce(F.col("dup_tokens"), F.lit(0)) > 0, 1).otherwise(0)
+            ).cast("bigint").alias("docs_with_dups"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.expr(
+                "CASE WHEN SUM(n_tokens) = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE ROUND(CAST(SUM(COALESCE(dup_tokens, 0)) AS DOUBLE)"
+                " / CAST(SUM(n_tokens) AS DOUBLE), 6) END"
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SUFFIX_DUP_PROFILE_ORACLE = f"""
+WITH {_SUFFIX_CTES}, dpos AS (
+  SELECT DISTINCT doc_id, u AS pos
+  FROM (SELECT doc_id,
+          unnest(range(start_pos, start_pos + span_tokens)) AS u
+        FROM spans12)
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens
+  FROM dpos GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens
+  FROM documents d JOIN toked t USING (doc_id)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(p.dup_tokens, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_dups,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       CASE WHEN SUM(n_tokens) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(SUM(COALESCE(p.dup_tokens, 0)) AS DOUBLE)
+                 / CAST(SUM(n_tokens) AS DOUBLE), 6) END AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+GROUP BY lang
+"""
+
+
 def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample each source to an 800-token budget in deterministic
     hash order — the "N tokens of each source" data-mix selection; see

@@ -406,3 +406,64 @@ def test_tfidf_cosine_shingle_terms(spark):
     got = {(r.id_a, r.id_b): r.n_shared_terms for r in rows}
     # docs 1-2 share exactly the 2 shingles of the common 4-token prefix
     assert got == {(1, 2): 2}
+
+
+def _brute_duplicate_spans(texts: dict, k: int, min_span: int):
+    """Reference implementation of the suffix-ordering dedup criterion:
+    position p is marked iff the k-gram at p occurs >= 2 times anywhere
+    in the corpus; maximal runs of marked starts become spans."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in texts.items()}
+    grams = Counter()
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    out = set()
+    for d, ts in toks.items():
+        marked = [
+            i + 1
+            for i in range(len(ts) - k + 1)
+            if grams[tuple(ts[i : i + k])] >= 2
+        ]
+        run_start = None
+        prev = None
+        for p in marked + [None]:
+            if run_start is None:
+                run_start = p
+            elif p is None or p != prev + 1:
+                span = prev - run_start + k
+                if span >= min_span:
+                    out.add((d, run_start, span))
+                run_start = p
+            prev = p
+    return out
+
+
+def test_duplicate_spans_global_matches_brute_force(spark):
+    """Planted cross-doc AND within-doc repeats: the distributed
+    suffix-ordering operator must equal the brute-force k-gram-count
+    criterion exactly (positions, lengths, and nothing else)."""
+    phrase = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        1: "alpha " + phrase + " beta gamma delta epsilon zeta eta theta",
+        2: "one two three " + phrase + " four five six seven eight nine",
+        # within-doc repeat: the same 10-token run appears twice in doc 3
+        3: "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 mid1 mid2 mid3 "
+           "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 tail1 tail2 tail3",
+        4: "totally unique content nothing here repeats anywhere at all "
+           "just filler words to pad the document out safely",
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.start_pos, r.span_tokens)
+        for r in D.duplicate_spans_global(
+            df, shingle_n=4, min_span_tokens=6
+        ).collect()
+    }
+    want = _brute_duplicate_spans(texts, k=4, min_span=6)
+    assert got == want
+    # sanity: the within-doc repeat in doc 3 was found (both copies)
+    assert {(3, 1, 10), (3, 14, 10)} <= got
