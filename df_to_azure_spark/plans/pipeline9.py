@@ -1,0 +1,552 @@
+"""Round-10 wave: interpolated Kneser–Ney TRIGRAM scoring (the
+three-level backoff upgrade over pipeline7's bigram KN), per-nation
+Lorenz concentration curves (grouped two-phase rank), and isotonic
+recalibration of the in-engine logistic model via the PAV minimax
+identity on the bounded calibration-bin grid.
+
+Same cross-engine exactness policy as ``pipeline2``..``pipeline8``:
+integer/decimal arithmetic end-to-end, double literals shared via
+``repr`` + ``CAST(.. AS DOUBLE)``, one ROUND after each transcendental,
+per-row ROUND → DECIMAL before any order-free SUM.
+
+Reference anchor: the reference (``/root/reference/df_to_azure``) is a
+pandas→Azure mover with no analytics surface; these extend the engine's
+query capabilities per the brief (language-model data scoring,
+concentration audits, probability recalibration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from df_to_azure_spark.functions.distrank import two_phase_rank
+from df_to_azure_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser–Ney TRIGRAM surprisal (Chen & Goodman 1998 §2.7)
+# --------------------------------------------------------------------------
+
+# 2^62: surprisal clamp so the integer ratio always fits BIGINT before
+# bin() — a test trigram whose exact 1/p exceeds this reports 63 bits
+# (both engines share the LEAST, so the clamp is oracle-exact)
+_KN3_CLAMP = 4611686018427387904
+
+
+def doc_kn_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney TRIGRAM scoring of the md5 TEST split
+    against TRAIN counts — the full three-level backoff chain on top of
+    ``doc_kneser_ney_surprisal``'s bigram model:
+
+    ``p(w3|w1w2) = max(c123−D,0)/c12 + λ(w1w2)·p_low(w3|w2)`` with
+    ``p_low(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·) + λ(w2)·p_cont(w3)``
+    and ``p_cont(w3) = N1+(·w3)/N1+(··)`` over continuation TYPES — the
+    Kneser–Ney insight applied twice (a continuation is counted once per
+    distinct context, not per token).  Unseen (w1,w2) contexts back off
+    to ``p_low``; a w2 never seen as a trigram middle backs off to the
+    bare continuation ratio (floored at 1/N1+(··)).
+
+    Engine-exact quantization, same device as the bigram model: D is
+    kept RATIONAL (3/4), so every level is an exact integer fraction —
+    ``p_low = numL/denL`` with
+    ``numL = max(4·N1+(·w2w3)−3,0)·Nbb + 3·N1+(w2·)·N1+(·w3)`` and
+    ``denL = 4·N1+(·w2·)·Nbb``, then
+    ``p = num/den`` with
+    ``num = max(4·c123−3,0)·denL + 3·N1+(w1w2·)·numL`` and
+    ``den = 4·c12·denL``.  The bit cost is
+    ``bit_length(den div num)`` (≈ −log₂ p) — pure integer arithmetic;
+    all products ride DECIMAL(38,0)/HUGEINT (den ≤ 16·c12·N1+(·w2·)·Nbb
+    overflows int64 at corpus scale) and the ratio clamps at 2^62
+    before the BIGINT ``bin()`` (the clamp is shared, so exact).
+
+    Plan: one trigram explode per split, four keyed TRAIN aggregates
+    (all map-side combined, bounded by trigram-type cardinality), one
+    1-row type total, then keyed left joins onto the test stream — AQE
+    broadcasts the small sides; no driver-sized state."""
+    from df_to_azure_spark.functions import text as TXT
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_arr = docs.select("doc_id", "split", TXT.tokens("text").alias("t"))
+    tg = (
+        toks_arr.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2,"
+                    " element_at(t, i + 2) AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+    )
+    tgc = (
+        tg.where(F.col("split") == "train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_tg"))
+    )
+    ctx12 = tgc.groupBy("w1", "w2").agg(
+        F.sum("n_tg").alias("c12"), F.count(F.lit(1)).alias("n1p12")
+    )
+    a23 = tgc.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1p_23"))
+    mid = a23.groupBy("w2").agg(
+        F.sum("n1p_23").alias("n2mid"), F.count(F.lit(1)).alias("n1p_2dot")
+    )
+    cont = a23.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_3"))
+    nbb = a23.agg(F.count(F.lit(1)).alias("n_bb"))
+    scored = (
+        tg.where(F.col("split") == "test")
+        .join(tgc, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(a23, ["w2", "w3"], "left")
+        .join(mid, "w2", "left")
+        .join(cont, "w3", "left")
+        .crossJoin(F.broadcast(nbb))
+        .selectExpr(
+            "doc_id",
+            # lower level p_low = numL/denL (DECIMAL(38,0) headroom)
+            """CASE WHEN n2mid IS NOT NULL THEN
+                 GREATEST(CAST(GREATEST(4 * coalesce(n1p_23, 0) - 3, 0)
+                   AS DECIMAL(38,0)) * n_bb
+                   + CAST(3 AS DECIMAL(38,0)) * n1p_2dot
+                     * coalesce(n1p_3, 0), CAST(1 AS DECIMAL(38,0)))
+               ELSE CAST(GREATEST(coalesce(n1p_3, 0), 1) AS DECIMAL(38,0))
+               END AS num_l""",
+            """CASE WHEN n2mid IS NOT NULL THEN
+                 CAST(4 AS DECIMAL(38,0)) * n2mid * n_bb
+               ELSE CAST(n_bb AS DECIMAL(38,0)) END AS den_l""",
+            "c12",
+            "n1p12",
+            "coalesce(n_tg, 0) AS n_tg0",
+        )
+        .selectExpr(
+            "doc_id",
+            """CASE WHEN c12 IS NOT NULL THEN
+                 GREATEST(CAST(GREATEST(4 * n_tg0 - 3, 0) AS DECIMAL(38,0))
+                   * den_l + CAST(3 AS DECIMAL(38,0)) * n1p12 * num_l,
+                   CAST(1 AS DECIMAL(38,0)))
+               ELSE num_l END AS num""",
+            """CASE WHEN c12 IS NOT NULL THEN
+                 CAST(4 AS DECIMAL(38,0)) * c12 * den_l
+               ELSE den_l END AS den""",
+            "IF(c12 IS NULL, 1, 0) AS oov_ctx",
+        )
+        .selectExpr(
+            "doc_id",
+            f"length(bin(CAST(LEAST(den DIV num, {_KN3_CLAMP}) AS BIGINT)))"
+            " AS bits",
+            "oov_ctx",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.expr(
+            "CAST((2000000 * SUM(bits) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        ).alias("mean_kn3_bits"),
+        F.max("bits").cast("bigint").alias("max_kn3_bits"),
+        F.expr(
+            "CAST((2000000 * SUM(oov_ctx) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        ).alias("oov_ctx_rate"),
+    )
+
+
+_KN3_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+KN_TRIGRAM_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_KN3_TOKS} AS t,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), tg AS (
+  SELECT doc_id, split, g[1] AS w1, g[2] AS w2, g[3] AS w3
+  FROM (SELECT doc_id, split,
+               unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS g
+        FROM s WHERE len(t) >= 3)
+), tgc AS (
+  SELECT w1, w2, w3, COUNT(*) AS n_tg
+  FROM tg WHERE split = 'train' GROUP BY w1, w2, w3
+), ctx12 AS (
+  SELECT w1, w2, SUM(n_tg) AS c12, COUNT(*) AS n1p12 FROM tgc GROUP BY w1, w2
+), a23 AS (
+  SELECT w2, w3, COUNT(*) AS n1p_23 FROM tgc GROUP BY w2, w3
+), mid AS (
+  SELECT w2, SUM(n1p_23) AS n2mid, COUNT(*) AS n1p_2dot FROM a23 GROUP BY w2
+), cont AS (
+  SELECT w3, COUNT(*) AS n1p_3 FROM a23 GROUP BY w3
+), nbb AS (
+  SELECT COUNT(*) AS n_bb FROM a23
+), lower_lvl AS (
+  SELECT t.doc_id,
+         CASE WHEN mid.n2mid IS NOT NULL THEN
+           GREATEST(CAST(GREATEST(4 * coalesce(a23.n1p_23, 0) - 3, 0)
+             AS HUGEINT) * nbb.n_bb
+             + CAST(3 AS HUGEINT) * mid.n1p_2dot * coalesce(cont.n1p_3, 0),
+             CAST(1 AS HUGEINT))
+         ELSE CAST(GREATEST(coalesce(cont.n1p_3, 0), 1) AS HUGEINT)
+         END AS num_l,
+         CASE WHEN mid.n2mid IS NOT NULL THEN
+           CAST(4 AS HUGEINT) * mid.n2mid * nbb.n_bb
+         ELSE CAST(nbb.n_bb AS HUGEINT) END AS den_l,
+         ctx12.c12 AS c12, ctx12.n1p12 AS n1p12,
+         coalesce(tgc.n_tg, 0) AS n_tg0
+  FROM tg t
+  LEFT JOIN tgc ON t.w1 = tgc.w1 AND t.w2 = tgc.w2 AND t.w3 = tgc.w3
+  LEFT JOIN ctx12 ON t.w1 = ctx12.w1 AND t.w2 = ctx12.w2
+  LEFT JOIN a23 ON t.w2 = a23.w2 AND t.w3 = a23.w3
+  LEFT JOIN mid ON t.w2 = mid.w2
+  LEFT JOIN cont ON t.w3 = cont.w3
+  CROSS JOIN nbb
+  WHERE t.split = 'test'
+), ratio AS (
+  SELECT doc_id,
+         CASE WHEN c12 IS NOT NULL THEN
+           GREATEST(CAST(GREATEST(4 * n_tg0 - 3, 0) AS HUGEINT) * den_l
+             + CAST(3 AS HUGEINT) * n1p12 * num_l, CAST(1 AS HUGEINT))
+         ELSE num_l END AS num,
+         CASE WHEN c12 IS NOT NULL THEN CAST(4 AS HUGEINT) * c12 * den_l
+         ELSE den_l END AS den,
+         CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS oov_ctx
+  FROM lower_lvl
+), scored AS (
+  SELECT doc_id,
+         length(bin(CAST(LEAST(den // num, {_KN3_CLAMP}) AS BIGINT))) AS bits,
+         oov_ctx
+  FROM ratio
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST((2000000 * SUM(bits) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS mean_kn3_bits,
+       CAST(MAX(bits) AS BIGINT) AS max_kn3_bits,
+       CAST((2000000 * SUM(oov_ctx) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS oov_ctx_rate
+FROM scored GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-nation Lorenz concentration curves (grouped two-phase rank)
+# --------------------------------------------------------------------------
+
+
+def nation_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-NATION revenue concentration: each nation's customers ranked
+    ascending by lifetime revenue and cut into 5 rank quintiles, with
+    the quintile's revenue share and the cumulative share at its upper
+    edge — 25 nations × 5 rows, the comparative-concentration sheet
+    next to the global ``revenue_lorenz_deciles`` ("is revenue more
+    top-heavy in some markets?").
+
+    Scale shape: ``two_phase_rank`` with ``group_cols=['nation']`` —
+    the grouped form of the exact distributed rank (range partition on
+    (nation, revenue), per-(partition, nation) offsets; no
+    single-partition window even though every nation's customer list is
+    data-sized).  The nation dim broadcasts; shares use the half-up
+    device over exact DECIMAL sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS DECIMAL(19,0))) AS DECIMAL(19,0))"
+        ).alias("rev_cents")
+    )
+    revn = (
+        rev.join(
+            customer.select("c_custkey", "c_nationkey"),
+            rev["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "o_custkey", "rev_cents")
+    )
+    ranked = two_phase_rank(
+        revn,
+        order_by=[("rev_cents", "asc"), ("o_custkey", "asc")],
+        group_cols=["nation"],
+        sum_col="rev_cents",
+        rank_col="rk",
+        total_col="n_grp",
+        cum_col="cum_cents",
+        sum_total_col="total_cents",
+    )
+    return (
+        ranked.withColumn(
+            "quintile", F.expr("CAST((rk - 1) * 5 DIV n_grp AS INT) + 1")
+        )
+        .groupBy("nation", "quintile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("CAST(SUM(rev_cents) AS BIGINT)").alias("quintile_cents"),
+            F.expr(
+                "CAST((2000000 * CAST(SUM(rev_cents) AS DECIMAL(38,0))"
+                " + MAX(total_cents)) DIV (2 * MAX(total_cents)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("revenue_share"),
+            F.expr(
+                "CAST((2000000 * MAX(cum_cents) + MAX(total_cents))"
+                " DIV (2 * MAX(total_cents)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("cum_share"),
+        )
+    )
+
+
+NATION_LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), revn AS (
+  SELECT n.n_name AS nation, r.o_custkey, r.rev_cents
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), ranked AS (
+  SELECT nation, rev_cents,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY rev_cents, o_custkey) AS rk,
+         COUNT(*) OVER (PARTITION BY nation) AS n_grp,
+         CAST(SUM(rev_cents) OVER (PARTITION BY nation
+              ORDER BY rev_cents, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,0)) AS cum_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY nation)
+              AS DECIMAL(38,0)) AS total_cents
+  FROM revn
+)
+SELECT nation, CAST((rk - 1) * 5 // n_grp AS INT) + 1 AS quintile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_cents) AS BIGINT) AS quintile_cents,
+       CAST((2000000 * CAST(SUM(rev_cents) AS HUGEINT)
+             + CAST(MAX(total_cents) AS HUGEINT))
+            // (2 * CAST(MAX(total_cents) AS HUGEINT)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS revenue_share,
+       CAST((2000000 * CAST(MAX(cum_cents) AS HUGEINT)
+             + CAST(MAX(total_cents) AS HUGEINT))
+            // (2 * CAST(MAX(total_cents) AS HUGEINT)) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS cum_share
+FROM ranked GROUP BY nation, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Isotonic recalibration (PAV) of the IRLS logistic model
+# --------------------------------------------------------------------------
+
+
+def logistic_isotonic_recalibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of the 2-step IRLS logistic model:
+    the monotone step function closest (L2, count-weighted) to the
+    per-bin observed positive rates of ``logistic_calibration_curve`` —
+    the standard fix when the reliability diagram shows mis-calibrated
+    scores (Zadrozny & Elkan, KDD'02).
+
+    PAV via the minimax identity on the BOUNDED bin grid:
+    ``iso(i) = max_{a≤i} min_{b≥a} (Σ_{j=a..b} pos_j / Σ_{j=a..b} n_j)``
+    — the closed form of pool-adjacent-violators, computed relationally
+    over the ≤ 20² interval grid (data-independent) instead of the
+    sequential pooling loop.  Interval rates are single IEEE divisions
+    of exact integer sums (correctly rounded in any engine), so the
+    min/max folds are cross-engine exact; the output rounds once.
+
+    Scale shape: the model fit + scoring is the existing one-pass IRLS
+    plan; everything after the 20-row bin aggregate is constant-size
+    work.  Returns ``(bin, n, observed_rate, iso_rate)`` with
+    ``iso_rate`` monotone nondecreasing in ``bin`` by construction."""
+    from df_to_azure_spark.plans import pipeline8 as PL8
+
+    # rebuild the binned aggregate (bin, n, n_pos) from the shared model
+    # pieces — the calibration query's OUTPUT rounds its rates, which
+    # PAV must not consume
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(
+        *[s.strip() for s in PL8._LOGIT_FEATURES.strip().split(",\n")]
+    )
+    it1_sums = feats.agg(
+        *[
+            F.expr(e.strip())
+            for e in PL8._IT1_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c1 = PL8._cramer3_text(PL8._IT1_A, PL8._IT1_R)
+    it1 = it1_sums.selectExpr(
+        "n", f"{c1['x0']} AS b0", f"{c1['x1']} AS b1", f"{c1['x2']} AS b2"
+    )
+    scored = feats.crossJoin(F.broadcast(it1)).selectExpr(
+        "n", "b0", "b1", "b2", "x1", "x2", "y", f"{PL8._P_EXPR} AS p"
+    ).selectExpr(
+        "n", "b0", "b1", "b2", "x1", "x2", "y", "p",
+        "CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w",
+    )
+    it2_sums = scored.groupBy("n", "b0", "b1", "b2").agg(
+        *[
+            F.expr(e.strip())
+            for e in PL8._IT2_SUMS.strip().rstrip(",").split(",\n")
+        ]
+    )
+    c2 = PL8._cramer3_text(PL8._IT2_A, PL8._IT2_R)
+    it2 = it2_sums.selectExpr(
+        f"b0 + {c2['x0']} AS f0",
+        f"b1 + {c2['x1']} AS f1",
+        f"b2 + {c2['x2']} AS f2",
+    )
+    rescored = feats.crossJoin(F.broadcast(it2)).selectExpr(
+        "y",
+        "CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+        " + EXP(-(f0 + f1 * CAST(x1 AS DOUBLE)"
+        " + f2 * CAST(x2 AS DOUBLE)))), 12) AS DECIMAL(14,12)) AS p",
+    )
+    bins = PL8._CAL_BINS
+    agg = (
+        rescored.selectExpr(
+            "y",
+            f"CAST(LEAST(CAST(FLOOR(CAST(p AS DOUBLE) * {bins})"
+            f" AS INT), {bins - 1}) AS BIGINT) AS bin",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+        )
+    )
+    # bounded: the window runs over the ≤ _CAL_BINS-row bin aggregate
+    wb = W.orderBy("bin")
+    pre = agg.withColumn("cn", F.sum("n").over(wb)).withColumn(
+        "cp", F.sum("n_pos").over(wb)
+    )
+    a = pre.select(
+        F.col("bin").alias("abin"),
+        F.col("n").alias("an"),
+        F.col("n_pos").alias("ap"),
+        F.col("cn").alias("acn"),
+        F.col("cp").alias("acp"),
+    )
+    b = pre.select(
+        F.col("bin").alias("bbin"),
+        F.col("cn").alias("bcn"),
+        F.col("cp").alias("bcp"),
+    )
+    # both sides are ≤ _CAL_BINS-row aggregates: broadcast the
+    # range join so the plan is a BroadcastNestedLoop over bounded
+    # frames, never a CartesianProduct
+    iv = a.join(F.broadcast(b), F.col("bbin") >= F.col("abin")).select(
+        "abin",
+        F.expr(
+            "CAST(bcp - acp + ap AS DOUBLE) / CAST(bcn - acn + an AS DOUBLE)"
+        ).alias("rate"),
+    )
+    mins = iv.groupBy("abin").agg(F.min("rate").alias("minr"))
+    iso = (
+        pre.select("bin")
+        .join(F.broadcast(mins), F.col("abin") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.expr("ROUND(MAX(minr), 6)").alias("iso_rate"))
+    )
+    return agg.join(iso, "bin").selectExpr(
+        "bin",
+        "n",
+        "CAST((2000000 * n_pos + n) DIV (2 * n) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS observed_rate",
+        "iso_rate",
+    )
+
+
+def _isotonic_oracle() -> str:
+    from df_to_azure_spark.plans.pipeline8 import (
+        _CAL_BINS,
+        _IT1_A,
+        _IT1_R,
+        _IT1_SUMS,
+        _IT2_A,
+        _IT2_R,
+        _IT2_SUMS,
+        _LOGIT_FEATURES,
+        _P_EXPR,
+        _cramer3_text,
+    )
+
+    c1 = _cramer3_text(_IT1_A, _IT1_R)
+    c2 = _cramer3_text(_IT2_A, _IT2_R)
+    return f"""
+WITH feats AS (
+  SELECT {_LOGIT_FEATURES} FROM lineitem
+), it1_sums AS (
+  SELECT {_IT1_SUMS} FROM feats
+), it1 AS (
+  SELECT n, {c1['x0']} AS b0, {c1['x1']} AS b1, {c1['x2']} AS b2
+  FROM it1_sums
+), scored0 AS (
+  SELECT n, b0, b1, b2, x1, x2, y, {_P_EXPR} AS p
+  FROM feats CROSS JOIN it1
+), scored AS (
+  SELECT *, CAST(ROUND(p * (1 - p), 12) AS DECIMAL(14,12)) AS w
+  FROM scored0
+), it2_sums AS (
+  SELECT n, b0, b1, b2, {_IT2_SUMS}
+  FROM scored GROUP BY n, b0, b1, b2
+), it2 AS (
+  SELECT b0 + {c2['x0']} AS f0, b1 + {c2['x1']} AS f1,
+         b2 + {c2['x2']} AS f2
+  FROM it2_sums
+), rescored AS (
+  SELECT y,
+         CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+              + EXP(-(f0 + f1 * CAST(x1 AS DOUBLE)
+              + f2 * CAST(x2 AS DOUBLE)))), 12) AS DECIMAL(14,12)) AS p
+  FROM feats CROSS JOIN it2
+), agg AS (
+  SELECT CAST(LEAST(CAST(FLOOR(CAST(p AS DOUBLE) * {_CAL_BINS}) AS INT),
+              {_CAL_BINS - 1}) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM rescored GROUP BY 1
+), pre AS (
+  SELECT bin, n, n_pos,
+         SUM(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM agg
+), iv AS (
+  SELECT a.bin AS abin,
+         CAST(b.cp - a.cp + a.n_pos AS DOUBLE)
+           / CAST(b.cn - a.cn + a.n AS DOUBLE) AS rate
+  FROM pre a JOIN pre b ON b.bin >= a.bin
+), mins AS (
+  SELECT abin, MIN(rate) AS minr FROM iv GROUP BY abin
+), iso AS (
+  SELECT p.bin, ROUND(MAX(m.minr), 6) AS iso_rate
+  FROM pre p JOIN mins m ON m.abin <= p.bin GROUP BY p.bin
+)
+SELECT g.bin, g.n,
+       CAST((2000000 * g.n_pos + g.n) // (2 * g.n) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS observed_rate,
+       i.iso_rate AS iso_rate
+FROM agg g JOIN iso i ON g.bin = i.bin
+"""
+
+
+ISOTONIC_RECAL_ORACLE = _isotonic_oracle()

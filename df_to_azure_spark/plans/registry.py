@@ -25,6 +25,7 @@ from df_to_azure_spark.plans import pipeline5 as PL5
 from df_to_azure_spark.plans import pipeline6 as PL6
 from df_to_azure_spark.plans import pipeline7 as PL7
 from df_to_azure_spark.plans import pipeline8 as PL8
+from df_to_azure_spark.plans import pipeline9 as PL9
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -981,6 +982,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "token_good_turing": QuerySpec(
         PL8.token_good_turing, PL8.GOOD_TURING_ORACLE
+    ),
+    "doc_kn_trigram_surprisal": QuerySpec(
+        PL9.doc_kn_trigram_surprisal, PL9.KN_TRIGRAM_ORACLE, headline=True
+    ),
+    "nation_revenue_lorenz": QuerySpec(
+        PL9.nation_revenue_lorenz, PL9.NATION_LORENZ_ORACLE
+    ),
+    "logistic_isotonic_recalibration": QuerySpec(
+        PL9.logistic_isotonic_recalibration, PL9.ISOTONIC_RECAL_ORACLE
     ),
     "logistic_calibration_curve": QuerySpec(
         PL8.logistic_calibration_curve, PL8.LOGISTIC_CALIBRATION_ORACLE

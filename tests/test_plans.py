@@ -130,6 +130,8 @@ BOUNDED_BROADCAST_VARS = {
     "n_tok",  # 1-row corpus token/type totals (token_good_turing)
     "coh_tot",  # per-cohort-year user counts — bounded by the calendar
     # year domain (kaplan_meier_by_cohort)
+    "mins",  # ≤ _CAL_BINS-row per-start interval minima, fixed by the
+    # calibration bin count (logistic_isotonic_recalibration PAV grid)
 }
 
 
