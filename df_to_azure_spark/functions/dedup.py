@@ -866,6 +866,63 @@ def duplicate_spans_global(
     )
 
 
+def contaminated_spans_between(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """A×B substring DECONTAMINATION (the between-corpus form of
+    ``duplicate_spans_global``, Lee et al. ACL'22 §eval-leakage): every
+    maximal token span ≥ ``min_span_tokens`` in a TEST document whose
+    every ``shingle_n``-window also occurs somewhere in the TRAIN
+    corpus — the spans an eval-set owner must excise (or flag) because
+    the model has seen their content verbatim.
+
+    Same suffix-ordering criterion as the global operator, with the
+    occurrence test against the OTHER corpus: test position ``p`` is
+    marked iff its k-gram fingerprint exists in train.  Plan: one
+    map-side shingle pass per corpus, the train side collapsed to
+    DISTINCT fingerprints (map-side combine), one semi-join shuffle,
+    one per-test-document window.  No pair join, no hot-key cap needed
+    (the distinct train side keeps one row per fingerprint).
+
+    Returns ``(doc_id, start_pos, span_tokens)`` over TEST documents,
+    1-based token positions."""
+    def _positions(df: DataFrame) -> DataFrame:
+        return _spread(df).select(
+            F.col(id_col),
+            F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "s"),
+        ).select(
+            id_col,
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+
+    train_h = _positions(train_df).select("h").distinct()
+    marked = (
+        _positions(test_df)
+        .join(train_h, "h", "left_semi")
+        .select(id_col, "pos")
+    )
+    from pyspark.sql import Window as W
+
+    # bounded: partitioned per test document, frame ≤ document length
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    spans = islands.groupBy(id_col, "isl").agg(
+        F.min("pos").alias("start_pos"),
+        (F.count(F.lit(1)) + (shingle_n - 1)).cast("bigint").alias("span_tokens"),
+    )
+    return spans.where(F.col("span_tokens") >= min_span_tokens).select(
+        id_col, "start_pos", "span_tokens"
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -550,3 +550,115 @@ FROM agg g JOIN iso i ON g.bin = i.bin
 
 
 ISOTONIC_RECAL_ORACLE = _isotonic_oracle()
+
+# --------------------------------------------------------------------------
+# Exact Spearman rank correlation over bounded value domains
+# --------------------------------------------------------------------------
+
+
+def discount_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between ``l_discount``
+    and ``l_quantity`` — "do bigger orders get bigger discounts" as a
+    RANK statistic, immune to the columns' scales and outliers (the
+    nonparametric sibling of the Pearson fits in pipeline5/6).
+
+    Exactness device: both value domains are BOUNDED (11 discounts, 50
+    quantities), so the tie-averaged rank of every value is an exact
+    HALF-INTEGER computable from the value-count table alone —
+    ``2·avg_rank(v) = 2·cum_before(v) + cnt(v) + 1`` — and no row-level
+    rank pass exists at all.  With A = 2·rank_x, B = 2·rank_y (integers)
+    the tie-aware Spearman is
+    ``rho = (S_AB − n(n+1)²) / sqrt((S_AA − n(n+1)²)(S_BB − n(n+1)²))``
+    where ``S_AB = Σ cnt(x,y)·A(x)·B(y)`` etc. — every term an exact
+    DECIMAL(38,0)/HUGEINT integer (the 4s from the half-integer doubling
+    cancel); the only floating point is the final sqrt + divide, then
+    one ROUND(6).
+
+    Plan: ONE joint-count shuffle (≤ 11×50 output rows); the marginal
+    rank tables and the final fold are constant-size.  At 100 TB the
+    joint count is the whole cost — a single map-side-combined
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_quantity"
+    )
+    joint = li.groupBy("l_discount", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    margx = joint.groupBy("l_discount").agg(F.sum("cnt").alias("cx"))
+    margy = joint.groupBy("l_quantity").agg(F.sum("cnt").alias("cy"))
+    # bounded: windows run over the ≤ 11-row / ≤ 50-row value-domain
+    # marginal frames, never the data
+    wx = W.orderBy("l_discount")
+    wy = W.orderBy("l_quantity")
+    ax = margx.withColumn("cumx", F.sum("cx").over(wx)).selectExpr(
+        "l_discount",
+        "CAST(2 * (cumx - cx) + cx + 1 AS DECIMAL(38,0)) AS ax",
+    )
+    ay = margy.withColumn("cumy", F.sum("cy").over(wy)).selectExpr(
+        "l_quantity",
+        "CAST(2 * (cumy - cy) + cy + 1 AS DECIMAL(38,0)) AS ay",
+    )
+    scored = joint.join(ax, "l_discount").join(ay, "l_quantity")
+    sums = scored.agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * ax * ay)"
+            " AS DECIMAL(38,0))"
+        ).alias("s_ab"),
+        F.expr(
+            "CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * ax * ax)"
+            " AS DECIMAL(38,0))"
+        ).alias("s_aa"),
+        F.expr(
+            "CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * ay * ay)"
+            " AS DECIMAL(38,0))"
+        ).alias("s_bb"),
+    )
+    return sums.selectExpr(
+        "n AS n_rows",
+        "ROUND(CAST(s_ab - CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
+        " AS DOUBLE)"
+        " / SQRT(CAST(s_aa - CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
+        " AS DOUBLE)"
+        " * CAST(s_bb - CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
+        " AS DOUBLE)), 6) AS spearman_rho",
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH joint AS (
+  SELECT l_discount, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_discount, l_quantity
+), margx AS (
+  SELECT l_discount, SUM(cnt) AS cx FROM joint GROUP BY l_discount
+), margy AS (
+  SELECT l_quantity, SUM(cnt) AS cy FROM joint GROUP BY l_quantity
+), ax AS (
+  SELECT l_discount,
+         CAST(2 * (SUM(cx) OVER (ORDER BY l_discount
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cx)
+             + cx + 1 AS HUGEINT) AS ax
+  FROM margx
+), ay AS (
+  SELECT l_quantity,
+         CAST(2 * (SUM(cy) OVER (ORDER BY l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cy)
+             + cy + 1 AS HUGEINT) AS ay
+  FROM margy
+), scored AS (
+  SELECT j.cnt, ax.ax, ay.ay
+  FROM joint j JOIN ax USING (l_discount) JOIN ay USING (l_quantity)
+), sums AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(cnt AS HUGEINT) * ax * ay) AS HUGEINT) AS s_ab,
+         CAST(SUM(CAST(cnt AS HUGEINT) * ax * ax) AS HUGEINT) AS s_aa,
+         CAST(SUM(CAST(cnt AS HUGEINT) * ay * ay) AS HUGEINT) AS s_bb
+  FROM scored
+)
+SELECT n AS n_rows,
+       ROUND(CAST(s_ab - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE)
+         / SQRT(CAST(s_aa - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE)
+         * CAST(s_bb - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE)), 6)
+         AS spearman_rho
+FROM sums
+"""

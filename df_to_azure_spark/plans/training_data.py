@@ -599,6 +599,57 @@ GROUP BY lang
 """
 
 
+def suffix_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set substring leakage screen (Lee et al. decontamination):
+    maximal ≥ 12-token spans in the md5 TEST split whose every 8-gram
+    also occurs in the TRAIN split — verbatim content the model trained
+    on, at span granularity instead of ``split_contamination``'s
+    whole-document / shingle-set granularity.  See
+    ``dedup.contaminated_spans_between``."""
+    from df_to_azure_spark.functions.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return D.contaminated_spans_between(
+        docs.where(F.col("split") == "test").drop("split"),
+        docs.where(F.col("split") == "train").drop("split"),
+        shingle_n=_SPAN_K,
+        min_span_tokens=12,
+    )
+
+
+SUFFIX_CONTAMINATION_ORACLE = f"""
+WITH sdoc AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, split, u.pos AS pos,
+         ('0x' || substr(md5(u.s), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id, split,
+          unnest(list_transform(range(1, greatest(len(toks) - {_SPAN_K - 1}, 1) + 1),
+                 i -> {{'pos': i, 's': array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')}})) AS u
+        FROM sdoc WHERE len(toks) > 0)
+), trainh AS (
+  SELECT DISTINCT h FROM sh0 WHERE split = 'train'
+), mk AS (
+  SELECT doc_id, pos FROM sh0
+  WHERE split = 'test' AND h IN (SELECT h FROM trainh)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM mk
+), spans AS (
+  SELECT doc_id, MIN(pos) AS start_pos,
+         CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, isl
+)
+SELECT doc_id, start_pos, span_tokens FROM spans WHERE span_tokens >= 12
+"""
+
+
 def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample each source to an 800-token budget in deterministic
     hash order — the "N tokens of each source" data-mix selection; see

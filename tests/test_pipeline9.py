@@ -64,3 +64,94 @@ def test_nation_lorenz_shares_are_coherent(spark, sf_smoke):
         assert abs(cums[-1] - 1.0) < 1e-5, nation
         # per-quintile shares sum to ~1
         assert abs(sum(r.revenue_share for r in rs) - 1.0) < 1e-4, nation
+
+
+def test_contaminated_spans_between_matches_brute_force(spark):
+    from df_to_azure_spark.functions import dedup as D
+
+    train = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "completely different training content goes here now",
+    }
+    test = {
+        10: "prefix words the quick brown fox jumps over the lazy dog "
+            "tonight suffix words",
+        11: "nothing from training appears in this document at all",
+    }
+    k, min_span = 4, 6
+    tr = spark.createDataFrame(
+        list(train.items()), "doc_id bigint, text string"
+    )
+    te = spark.createDataFrame(
+        list(test.items()), "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.start_pos, r.span_tokens)
+        for r in D.contaminated_spans_between(
+            te, tr, shingle_n=k, min_span_tokens=min_span
+        ).collect()
+    }
+    # brute force: mark test positions whose k-gram occurs in train
+    grams = set()
+    for t in train.values():
+        ts = t.split()
+        for i in range(len(ts) - k + 1):
+            grams.add(tuple(ts[i : i + k]))
+    want = set()
+    for d, t in test.items():
+        ts = t.split()
+        marked = [
+            i + 1
+            for i in range(len(ts) - k + 1)
+            if tuple(ts[i : i + k]) in grams
+        ]
+        run, prev = None, None
+        for p in marked + [None]:
+            if run is None:
+                run = p
+            elif p is None or p != prev + 1:
+                span = prev - run + k
+                if span >= min_span:
+                    want.add((d, run, span))
+                run = p
+            prev = p
+    assert got == want
+    assert any(d == 10 for d, _, _ in got)
+    assert not any(d == 11 for d, _, _ in got)
+
+
+def test_spearman_matches_brute_force(spark, sf_smoke):
+    import duckdb
+
+    rows = PL9.discount_quantity_spearman(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    pdf = duckdb.sql(
+        f"SELECT l_discount, l_quantity FROM '{sf_smoke}/lineitem.parquet'"
+    ).df()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j + 1) / 2.0
+            for t in range(i, j + 1):
+                ranks[order[t]] = r
+            i = j + 1
+        return ranks
+
+    rx = avg_ranks(list(pdf["l_discount"]))
+    ry = avg_ranks(list(pdf["l_quantity"]))
+    n = len(rx)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert got.n_rows == n
+    assert abs(got.spearman_rho - num / den) < 1e-6
