@@ -866,6 +866,109 @@ def duplicate_spans_global(
     )
 
 
+def remove_duplicate_spans_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-global substring-dedup REMOVAL — the transform half of
+    ``duplicate_spans_global`` (Lee et al.'s deduplicate-text-datasets
+    applies exactly this): every maximal ≥ ``min_span_tokens`` span of
+    NON-FIRST duplicate occurrences is dropped and the text rebuilt, so
+    exactly ONE copy of each duplicated substring survives in the
+    corpus (the globally-first occurrence by (doc_id, pos) — a
+    deterministic, engine-shared keep policy; Lee et al. likewise keep
+    a single occurrence).
+
+    Position ``p`` is droppable iff its k-gram's FIRST corpus
+    occurrence is at a strictly smaller (doc_id, pos) — computed with
+    two keyed aggregates (min doc per fingerprint, then min pos within
+    that doc), never a per-fingerprint window, so a million-occurrence
+    fingerprint costs two combiner rows, not a million-row partition.
+
+    Returns ``(id_col, n_tokens, n_removed, text_dedup)`` for every
+    input row — same contract as ``remove_shared_spans``.
+
+    Scale shape: the marking is two count-style shuffles + one keyed
+    join; the drop/rebuild tail is bounded by duplicated token mass +
+    one per-doc shuffle (per-doc state bounded by document length)."""
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "s"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+    )
+    f1 = sh.groupBy("h").agg(F.min(id_col).alias("fdoc"))
+    f2 = (
+        sh.join(f1, "h")
+        .where(F.col(id_col) == F.col("fdoc"))
+        .groupBy("h", "fdoc")
+        .agg(F.min("pos").alias("fpos"))
+    )
+    marked = (
+        sh.join(f2, "h")
+        .where((F.col(id_col) != F.col("fdoc")) | (F.col("pos") != F.col("fpos")))
+        .select(id_col, "pos")
+    )
+    from pyspark.sql import Window as W
+
+    # bounded: partitioned per document, frame ≤ document token count
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    spans = (
+        islands.groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.count(F.lit(1)) + (shingle_n - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span_tokens)
+    )
+    drops = (
+        spans.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_pos"),
+                    F.col("start_pos") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = _spread(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    kept = toks.join(drops, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def contaminated_spans_between(
     test_df: DataFrame,
     train_df: DataFrame,

@@ -662,3 +662,116 @@ SELECT n AS n_rows,
          AS spearman_rho
 FROM sums
 """
+
+def discount_quantity_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Kendall τ-b between ``l_discount`` and
+    ``l_quantity`` — the concordance-probability sibling of
+    ``discount_quantity_spearman`` (τ-b is the standard companion
+    report: same monotone-association question, pair-counting instead
+    of rank-moment form, more robust to a few extreme ranks).
+
+    Exactness device: with BOUNDED value domains the concordant /
+    discordant pair counts are sums over the joint-count grid —
+    ``C = Σ_cells cnt·(rows strictly greater in both)`` counts every
+    concordant pair exactly once from its lower cell, and the
+    "strictly greater" lookup is a ≤ (11·50)² broadcast range join of
+    the grid against itself (data-independent size).  Tie corrections
+    come from the marginals; with doubled forms ``N0d = n(n−1)``,
+    ``N1d = Σ tx(tx−1)``, ``N2d = Σ ty(ty−1)``:
+    ``τ_b = 2(C−D)/sqrt((N0d−N1d)·(N0d−N2d))`` — every count an exact
+    DECIMAL(38,0)/HUGEINT integer, one final sqrt+divide, ROUND(6).
+    C and D are emitted as BIGINT (exact up to ~4.3e9 input rows; the
+    τ itself rides decimals throughout).
+
+    Plan: ONE joint-count shuffle; the grid self-join and the three
+    1-row folds are constant-size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_quantity"
+    )
+    joint = li.groupBy("l_discount", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g2 = joint.select(
+        F.col("l_discount").alias("x2"),
+        F.col("l_quantity").alias("y2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    # bounded grid self-join: both sides ≤ |discount|×|quantity| cells
+    pairs = joint.join(F.broadcast(g2), F.col("x2") > F.col("l_discount"))
+    cd = pairs.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN y2 > l_quantity THEN"
+            " CAST(cnt AS DECIMAL(38,0)) * cnt2 ELSE CAST(0 AS DECIMAL(38,0))"
+            " END) AS DECIMAL(38,0))"
+        ).alias("c_pairs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN y2 < l_quantity THEN"
+            " CAST(cnt AS DECIMAL(38,0)) * cnt2 ELSE CAST(0 AS DECIMAL(38,0))"
+            " END) AS DECIMAL(38,0))"
+        ).alias("d_pairs"),
+    )
+    tie_x = (
+        joint.groupBy("l_discount")
+        .agg(F.sum("cnt").alias("cx"))
+        .agg(
+            F.expr("CAST(SUM(cx) AS DECIMAL(38,0))").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(cx AS DECIMAL(38,0)) * (cx - 1))"
+                " AS DECIMAL(38,0))"
+            ).alias("n1d"),
+        )
+    )
+    tie_y = (
+        joint.groupBy("l_quantity")
+        .agg(F.sum("cnt").alias("cy"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(cy AS DECIMAL(38,0)) * (cy - 1))"
+                " AS DECIMAL(38,0))"
+            ).alias("n2d"),
+        )
+    )
+    return (
+        cd.crossJoin(F.broadcast(tie_x))
+        .crossJoin(F.broadcast(tie_y))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_rows",
+            "CAST(c_pairs AS BIGINT) AS n_concordant",
+            "CAST(d_pairs AS BIGINT) AS n_discordant",
+            "ROUND(CAST(2 AS DOUBLE) * CAST(c_pairs - d_pairs AS DOUBLE)"
+            " / SQRT(CAST(n * (n - 1) - n1d AS DOUBLE)"
+            " * CAST(n * (n - 1) - n2d AS DOUBLE)), 6) AS kendall_tau_b",
+        )
+    )
+
+
+KENDALL_ORACLE = """
+WITH joint AS (
+  SELECT l_discount, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_discount, l_quantity
+), pairs AS (
+  SELECT g.cnt AS cnt, g.l_quantity AS y, g2.l_quantity AS y2,
+         g2.cnt AS cnt2
+  FROM joint g JOIN joint g2 ON g2.l_discount > g.l_discount
+), cd AS (
+  SELECT CAST(SUM(CASE WHEN y2 > y THEN CAST(cnt AS HUGEINT) * cnt2
+              ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS c_pairs,
+         CAST(SUM(CASE WHEN y2 < y THEN CAST(cnt AS HUGEINT) * cnt2
+              ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS d_pairs
+  FROM pairs
+), tie_x AS (
+  SELECT CAST(SUM(cx) AS HUGEINT) AS n,
+         CAST(SUM(CAST(cx AS HUGEINT) * (cx - 1)) AS HUGEINT) AS n1d
+  FROM (SELECT SUM(cnt) AS cx FROM joint GROUP BY l_discount)
+), tie_y AS (
+  SELECT CAST(SUM(CAST(cy AS HUGEINT) * (cy - 1)) AS HUGEINT) AS n2d
+  FROM (SELECT SUM(cnt) AS cy FROM joint GROUP BY l_quantity)
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(c_pairs AS BIGINT) AS n_concordant,
+       CAST(d_pairs AS BIGINT) AS n_discordant,
+       ROUND(CAST(2 AS DOUBLE) * CAST(c_pairs - d_pairs AS DOUBLE)
+         / SQRT(CAST(n * (n - 1) - n1d AS DOUBLE)
+         * CAST(n * (n - 1) - n2d AS DOUBLE)), 6) AS kendall_tau_b
+FROM cd, tie_x, tie_y
+"""

@@ -983,11 +983,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_good_turing": QuerySpec(
         PL8.token_good_turing, PL8.GOOD_TURING_ORACLE
     ),
+    "suffix_dup_removal": QuerySpec(
+        TD.suffix_dup_removal, TD.SUFFIX_DUP_REMOVAL_ORACLE
+    ),
     "suffix_contamination_spans": QuerySpec(
         TD.suffix_contamination_spans, TD.SUFFIX_CONTAMINATION_ORACLE
     ),
     "discount_quantity_spearman": QuerySpec(
         PL9.discount_quantity_spearman, PL9.SPEARMAN_ORACLE
+    ),
+    "discount_quantity_kendall": QuerySpec(
+        PL9.discount_quantity_kendall, PL9.KENDALL_ORACLE
     ),
     "doc_kn_trigram_surprisal": QuerySpec(
         PL9.doc_kn_trigram_surprisal, PL9.KN_TRIGRAM_ORACLE, headline=True

@@ -599,6 +599,74 @@ GROUP BY lang
 """
 
 
+def suffix_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global substring-dedup REMOVAL: drop every maximal ≥ 12-
+    token span of non-first duplicate occurrences (globally-first copy
+    by (doc_id, pos) survives) and rebuild the text — the transform
+    Lee et al.'s suffix-array tool applies, verified all the way to the
+    reconstructed strings.  See ``dedup.remove_duplicate_spans_global``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans_global(
+        docs, shingle_n=_SPAN_K, min_span_tokens=12
+    )
+
+
+SUFFIX_DUP_REMOVAL_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id, u.pos AS pos,
+         ('0x' || substr(md5(u.s), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - {_SPAN_K - 1}, 1) + 1),
+                 i -> {{'pos': i, 's': array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')}})) AS u
+        FROM toked WHERE len(toks) > 0)
+), f1 AS (
+  SELECT h, MIN(doc_id) AS fdoc FROM sh0 GROUP BY h
+), f2 AS (
+  SELECT s.h, f1.fdoc, MIN(s.pos) AS fpos
+  FROM sh0 s JOIN f1 ON s.h = f1.h AND s.doc_id = f1.fdoc
+  GROUP BY s.h, f1.fdoc
+), mk AS (
+  SELECT s.doc_id, s.pos FROM sh0 s JOIN f2 ON s.h = f2.h
+  WHERE s.doc_id <> f2.fdoc OR s.pos <> f2.fpos
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM mk
+), spans AS (
+  SELECT doc_id, MIN(pos) AS start_pos,
+         CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, isl
+), drops AS (
+  SELECT DISTINCT doc_id, u AS pos
+  FROM (SELECT doc_id, unnest(range(start_pos, start_pos + span_tokens)) AS u
+        FROM spans WHERE span_tokens >= 12)
+), tpos AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks) + 1),
+                 i -> {{'pos': i, 'tok': toks[i]}})) AS u
+        FROM toked)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tpos t
+  WHERE NOT EXISTS (SELECT 1 FROM drops d
+                    WHERE d.doc_id = t.doc_id AND d.pos = t.pos)
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM documents d
+JOIN toked t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def suffix_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set substring leakage screen (Lee et al. decontamination):
     maximal ≥ 12-token spans in the md5 TEST split whose every 8-gram

@@ -467,3 +467,35 @@ def test_duplicate_spans_global_matches_brute_force(spark):
     assert got == want
     # sanity: the within-doc repeat in doc 3 was found (both copies)
     assert {(3, 1, 10), (3, 14, 10)} <= got
+
+
+def test_remove_duplicate_spans_global_keeps_first_occurrence(spark):
+    """Planted duplicate across docs 1→2 and within doc 3: only the
+    globally-first copy survives; unique text is untouched."""
+    phrase = "a1 a2 a3 a4 a5 a6 a7 a8"
+    texts = {
+        1: phrase + " unique1 unique2 unique3",
+        2: "pre1 pre2 " + phrase + " post1",
+        3: "b1 b2 b3 b4 b5 b6 b7 b8 gap " + "b1 b2 b3 b4 b5 b6 b7 b8",
+        4: "all fresh words nothing shared at this document ever",
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in D.remove_duplicate_spans_global(
+            df, shingle_n=4, min_span_tokens=6
+        ).collect()
+    }
+    # doc 1 holds the first occurrence of the phrase: nothing removed
+    assert out[1].n_removed == 0
+    assert out[1].text_dedup == texts[1]
+    # doc 2's copy (8 tokens) is removed, surroundings kept
+    assert out[2].n_removed == 8
+    assert out[2].text_dedup == "pre1 pre2 post1"
+    # doc 3: the SECOND within-doc copy is removed
+    assert out[3].n_removed == 8
+    assert out[3].text_dedup == "b1 b2 b3 b4 b5 b6 b7 b8 gap"
+    # untouched doc
+    assert out[4].n_removed == 0 and out[4].text_dedup == texts[4]

@@ -155,3 +155,37 @@ def test_spearman_matches_brute_force(spark, sf_smoke):
     ) ** 0.5
     assert got.n_rows == n
     assert abs(got.spearman_rho - num / den) < 1e-6
+
+
+def test_kendall_matches_brute_force(spark, sf_smoke):
+    import duckdb
+
+    rows = PL9.discount_quantity_kendall(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    pdf = duckdb.sql(
+        f"SELECT l_discount, l_quantity FROM '{sf_smoke}/lineitem.parquet'"
+    ).df()
+    xs = list(pdf["l_discount"])
+    ys = list(pdf["l_quantity"])
+    n = len(xs)
+    # O(n^2) literal pair count on the smoke slice
+    C = D_ = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx != 0 and dy != 0:
+                if dx == dy:
+                    C += 1
+                else:
+                    D_ += 1
+    n0 = n * (n - 1) // 2
+    want = (C - D_) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert got.n_rows == n
+    assert got.n_concordant == C and got.n_discordant == D_
+    assert abs(got.kendall_tau_b - want) < 1e-6

@@ -132,6 +132,10 @@ BOUNDED_BROADCAST_VARS = {
     # year domain (kaplan_meier_by_cohort)
     "mins",  # ≤ _CAL_BINS-row per-start interval minima, fixed by the
     # calibration bin count (logistic_isotonic_recalibration PAV grid)
+    "g2",  # joint-count grid copy — bounded by the discount×quantity
+    # value domains (≤ 11×50 cells; discount_quantity_kendall)
+    "tie_x",  # 1-row n + x-tie aggregate (discount_quantity_kendall)
+    "tie_y",  # 1-row y-tie aggregate (discount_quantity_kendall)
 }
 
 

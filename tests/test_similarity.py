@@ -609,3 +609,41 @@ def test_pq_codes_tolerates_colliding_column_names(spark, sf_smoke):
     out = S.pq_codes(emb.where("vec_id < 40"), books)
     assert out.columns == ["vec_id", "code_0", "code_1", "code_2", "code_3"]
     assert out.count() == 40
+
+
+def test_ivf_pq_index_incremental_append(spark, sf_smoke, tmp_path):
+    """Append-only index maintenance: the IVFADC encode is a per-row
+    map (no cross-vector state), so appending the NEW vectors' codes to
+    a stored index table must equal a full rebuild — the property that
+    lets a 100 TB deployment index new data incrementally instead of
+    re-encoding the corpus."""
+    from df_to_azure_spark.operators.lake import ParquetLake
+    from df_to_azure_spark.plans.training_data import _ivf_centroids
+
+    emb = _emb(spark, sf_smoke)
+    cents = _ivf_centroids()
+    res = S.residual_frame(emb.where("vec_id < 32"), cents)
+    books = S.sample_codebooks(res, 4, 8, vec_col="rv")
+    q = emb.where("vec_id < 3")
+
+    lake = ParquetLake(spark, str(tmp_path))
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    lake.create(S.ivf_pq_codes(old, cents, books), "ivfpq")
+    lake.append(S.ivf_pq_codes(new, cents, books), "ivfpq")
+
+    incremental = sorted(
+        map(
+            tuple,
+            S.ivf_pq_residual_topk_from_codes(
+                q, lake.read("ivfpq"), cents, books, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            S.ivf_pq_residual_topk(q, emb, cents, books, k=5, nprobe=2).collect(),
+        )
+    )
+    assert incremental == full
