@@ -30,9 +30,11 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # generator constants — shared with the SQL oracle via synthlogs_oracle_sql()
@@ -156,6 +158,7 @@ def register(spark) -> None:
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthLogsDataSource)
+    spark.dataSource.register(JsonLinesDirDataSource)
 
 
 def synthlogs_oracle_sql(n_partitions: int, rows_per_partition: int) -> str:
@@ -173,3 +176,113 @@ SELECT log_id,
          AS n_bytes
 FROM (SELECT unnest(range(0, {n})) AS log_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Custom SINK via the same API: a JSON-lines directory writer with real
+# two-phase commit (task-temp files -> driver rename), completing the
+# connector surface next to the batch reader and the stream reader.
+# --------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: where the task staged its file and what
+    the final name should be.  Only data the DRIVER needs to finish or
+    undo the job belongs here — never row data."""
+
+    def __init__(self, temp_path: str, final_name: str, n_rows: int):
+        self.temp_path = temp_path
+        self.final_name = final_name
+        self.n_rows = n_rows
+
+
+class JsonLinesDirDataSource(DataSource):
+    """``df.write.format("jsonldir").option("path", dir).mode(...)
+    .save()`` — a directory of one JSON-lines file per task, written
+    with the API's transactional contract:
+
+    - ``write()`` (executors) stages each partition into a uuid temp
+      file and returns a commit message; a crash mid-task leaves only
+      an invisible temp.
+    - ``commit()`` (driver, all tasks succeeded) renames every temp to
+      its final ``part-NNNNN.jsonl`` name and drops a ``_SUCCESS``
+      marker — readers that respect the marker never observe a partial
+      job.
+    - ``abort()`` (driver, any task failed) deletes the staged temps —
+      nothing of the failed job remains visible.
+
+    ``mode("overwrite")`` removes the previous generation's part files
+    inside ``commit()`` (after all new temps are staged), so even an
+    overwrite never exposes an empty/partial directory.  Local-FS
+    rename semantics stand in for the cloud-store copy/commit a cluster
+    deployment would use — the PROTOCOL (stage, message, commit/abort)
+    is the portable part, demonstrated end-to-end in
+    ``tests/test_pydatasource.py`` including the abort path."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def schema(self) -> str:  # required override; writer infers from df
+        return "log_id bigint"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesDirWriter":
+        return JsonLinesDirWriter(self.options, schema, overwrite)
+
+
+class JsonLinesDirWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonldir writer requires .option('path', dir)")
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        # test hook: make one partition fail to exercise abort()
+        fail = options.get("fail_partition")
+        self.fail_partition = int(fail) if fail is not None else None
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if self.fail_partition is not None and pid == self.fail_partition:
+            raise RuntimeError(f"jsonldir test failure on partition {pid}")
+        os.makedirs(self.path, exist_ok=True)
+        temp = os.path.join(self.path, f".staged-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(temp, "w") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {k: row[k] for k in self.fields}, sort_keys=False
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        return _JsonlCommit(temp, f"part-{pid:05d}.jsonl", n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.path, name))
+        total = 0
+        for m in messages:
+            os.replace(m.temp_path, os.path.join(self.path, m.final_name))
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(f"rows={total}\n")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)

@@ -92,3 +92,77 @@ def test_synthlogs_stream_accumulates_to_batch_table(spark, tmp_path):
     q.stop()
     rows = sorted((r.log_id, r.user_id, r.status, r.n_bytes) for r in got)
     assert rows == [PDS._row(i) for i in range(450)]
+
+
+def test_jsonldir_writer_round_trip_and_success_marker(spark, tmp_path):
+    """Write through the custom Python DataSource sink, read the files
+    back: exact row parity, one part file per task, _SUCCESS marker
+    carries the committed row count."""
+    import json
+    import os
+
+    from df_to_azure_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id AS log_id", "id % 7 AS user_id"
+    )
+    out = str(tmp_path / "sink")
+    df.write.format("jsonldir").option("path", out).mode("append").save()
+
+    parts = sorted(n for n in os.listdir(out) if n.startswith("part-"))
+    assert len(parts) == 4
+    rows = []
+    for name in parts:
+        with open(os.path.join(out, name)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["log_id"] for r in rows) == list(range(100))
+    assert all(r["user_id"] == r["log_id"] % 7 for r in rows)
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "rows=100"
+    # no staged temps survive a committed job
+    assert not [n for n in os.listdir(out) if n.startswith(".staged-")]
+
+
+def test_jsonldir_writer_overwrite_replaces_previous_generation(
+    spark, tmp_path
+):
+    import os
+
+    from df_to_azure_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    spark.range(0, 50, 1, 4).selectExpr("id AS log_id").write.format(
+        "jsonldir"
+    ).option("path", out).mode("append").save()
+    spark.range(0, 10, 1, 2).selectExpr("id AS log_id").write.format(
+        "jsonldir"
+    ).option("path", out).mode("overwrite").save()
+    parts = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert len(parts) == 2  # the 4 old part files are gone
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "rows=10"
+
+
+def test_jsonldir_writer_abort_leaves_nothing_visible(spark, tmp_path):
+    """A failing task aborts the job: no part files, no _SUCCESS, and
+    the staged temps of the tasks that DID finish are cleaned up."""
+    import os
+
+    import pytest
+
+    from df_to_azure_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    with pytest.raises(Exception):
+        spark.range(0, 100, 1, 4).selectExpr("id AS log_id").write.format(
+            "jsonldir"
+        ).option("path", out).option("fail_partition", "2").mode(
+            "append"
+        ).save()
+    leftover = os.listdir(out) if os.path.exists(out) else []
+    assert not [n for n in leftover if n.startswith("part-")]
+    assert "_SUCCESS" not in leftover
+    assert not [n for n in leftover if n.startswith(".staged-")]
