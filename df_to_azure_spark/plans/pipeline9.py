@@ -419,6 +419,8 @@ def logistic_isotonic_recalibration(
         " + EXP(-(f0 + f1 * CAST(x1 AS DOUBLE)"
         " + f2 * CAST(x2 AS DOUBLE)))), 12) AS DECIMAL(14,12)) AS p",
     )
+    from df_to_azure_spark.functions.calibration import pav_isotonic
+
     bins = PL8._CAL_BINS
     agg = (
         rescored.selectExpr(
@@ -432,40 +434,7 @@ def logistic_isotonic_recalibration(
             F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
         )
     )
-    # bounded: the window runs over the ≤ _CAL_BINS-row bin aggregate
-    wb = W.orderBy("bin")
-    pre = agg.withColumn("cn", F.sum("n").over(wb)).withColumn(
-        "cp", F.sum("n_pos").over(wb)
-    )
-    a = pre.select(
-        F.col("bin").alias("abin"),
-        F.col("n").alias("an"),
-        F.col("n_pos").alias("ap"),
-        F.col("cn").alias("acn"),
-        F.col("cp").alias("acp"),
-    )
-    b = pre.select(
-        F.col("bin").alias("bbin"),
-        F.col("cn").alias("bcn"),
-        F.col("cp").alias("bcp"),
-    )
-    # both sides are ≤ _CAL_BINS-row aggregates: broadcast the
-    # range join so the plan is a BroadcastNestedLoop over bounded
-    # frames, never a CartesianProduct
-    iv = a.join(F.broadcast(b), F.col("bbin") >= F.col("abin")).select(
-        "abin",
-        F.expr(
-            "CAST(bcp - acp + ap AS DOUBLE) / CAST(bcn - acn + an AS DOUBLE)"
-        ).alias("rate"),
-    )
-    mins = iv.groupBy("abin").agg(F.min("rate").alias("minr"))
-    iso = (
-        pre.select("bin")
-        .join(F.broadcast(mins), F.col("abin") <= F.col("bin"))
-        .groupBy("bin")
-        .agg(F.expr("ROUND(MAX(minr), 6)").alias("iso_rate"))
-    )
-    return agg.join(iso, "bin").selectExpr(
+    return pav_isotonic(agg, "bin", "n", "n_pos").selectExpr(
         "bin",
         "n",
         "CAST((2000000 * n_pos + n) DIV (2 * n) AS DOUBLE)"
@@ -475,6 +444,7 @@ def logistic_isotonic_recalibration(
 
 
 def _isotonic_oracle() -> str:
+    from df_to_azure_spark.functions.calibration import pav_isotonic_ctes
     from df_to_azure_spark.plans.pipeline8 import (
         _CAL_BINS,
         _IT1_A,
@@ -523,29 +493,12 @@ WITH feats AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(y) AS BIGINT) AS n_pos
   FROM rescored GROUP BY 1
-), pre AS (
-  SELECT bin, n, n_pos,
-         SUM(n) OVER (ORDER BY bin
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
-         SUM(n_pos) OVER (ORDER BY bin
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
-  FROM agg
-), iv AS (
-  SELECT a.bin AS abin,
-         CAST(b.cp - a.cp + a.n_pos AS DOUBLE)
-           / CAST(b.cn - a.cn + a.n AS DOUBLE) AS rate
-  FROM pre a JOIN pre b ON b.bin >= a.bin
-), mins AS (
-  SELECT abin, MIN(rate) AS minr FROM iv GROUP BY abin
-), iso AS (
-  SELECT p.bin, ROUND(MAX(m.minr), 6) AS iso_rate
-  FROM pre p JOIN mins m ON m.abin <= p.bin GROUP BY p.bin
-)
+), {pav_isotonic_ctes('agg', 'bin', 'n', 'n_pos')}
 SELECT g.bin, g.n,
        CAST((2000000 * g.n_pos + g.n) // (2 * g.n) AS DOUBLE)
          / CAST(1000000 AS DOUBLE) AS observed_rate,
        i.iso_rate AS iso_rate
-FROM agg g JOIN iso i ON g.bin = i.bin
+FROM agg g JOIN pav_iso i ON g.bin = i.bin
 """
 
 
@@ -775,3 +728,95 @@ SELECT CAST(n AS BIGINT) AS n_rows,
          * CAST(n * (n - 1) - n2d AS DOUBLE)), 6) AS kendall_tau_b
 FROM cd, tie_x, tie_y
 """
+
+# --------------------------------------------------------------------------
+# Isotonic recalibration of the learned quality classifier (2nd consumer)
+# --------------------------------------------------------------------------
+
+
+def quality_isotonic_recalibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of the learned document-quality
+    classifier against the rule-based Gopher labels — the second
+    consumer of ``calibration.pav_isotonic`` (the first recalibrates
+    the IRLS order-returns model): score deciles from the exact
+    distributed rank, each decile's empirical keep-rate, and the
+    monotone PAV fit that a deployment would look scores up against.
+    If the raw ``keep_rate`` column is already monotone the fit equals
+    it; where the classifier ranks documents out of order, PAV pools
+    the offending deciles — the pooled steps ARE the diagnosis.
+
+    Exactness: bins are (n, n_keep) integer pairs; mean predicted
+    probability is the same DECIMAL(18,6)-sum device as
+    ``classifier_calibration_bins``; PAV per the module contract."""
+    from df_to_azure_spark.functions import distrank as DR
+    from df_to_azure_spark.functions.calibration import pav_isotonic
+    from df_to_azure_spark.plans.pipeline import gopher_quality_filter
+    from df_to_azure_spark.plans.pipeline2 import doc_classifier_scores
+
+    scores = doc_classifier_scores(spark, sf_dir).select(
+        "doc_id", "quality_prob"
+    )
+    labels = gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    j = scores.join(labels, "doc_id")
+    ranked = DR.two_phase_rank(
+        j, [("quality_prob", "asc"), ("doc_id", "asc")]
+    )
+    binned = ranked.withColumn(
+        "decile", DR.ntile_from_rank("__rn", "__grp_n", 10).cast("bigint")
+    )
+    agg = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_keep"),
+        F.expr(
+            "CAST(SUM(CAST(quality_prob AS DECIMAL(18,6)))"
+            " AS DECIMAL(38,6))"
+        ).alias("sum_prob"),
+    )
+    return pav_isotonic(
+        agg, "decile", "n", "n_keep", out_col="iso_keep_rate"
+    ).selectExpr(
+        "decile",
+        "n",
+        "ROUND(CAST(sum_prob AS DOUBLE) / n, 6) AS mean_prob",
+        "ROUND(CAST(n_keep AS DOUBLE) / n, 6) AS keep_rate",
+        "iso_keep_rate",
+    )
+
+
+def _quality_isotonic_oracle() -> str:
+    from df_to_azure_spark.functions.calibration import pav_isotonic_ctes
+    from df_to_azure_spark.plans.pipeline import GOPHER_ORACLE
+    from df_to_azure_spark.plans.pipeline2 import CLASSIFIER_ORACLE
+
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, quality_prob FROM ({CLASSIFIER_ORACLE}) t
+), g AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({GOPHER_ORACLE}) t
+), j AS (
+  SELECT s.doc_id, s.quality_prob, g.keep FROM s JOIN g USING (doc_id)
+), b AS (
+  SELECT quality_prob, keep,
+         CAST(ntile(10) OVER (ORDER BY quality_prob, doc_id) AS BIGINT)
+           AS decile
+  FROM j
+), agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(SUM(CAST(quality_prob AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           AS sum_prob
+  FROM b GROUP BY decile
+), {pav_isotonic_ctes('agg', 'decile', 'n', 'n_keep')}
+SELECT a.decile, a.n,
+       ROUND(CAST(a.sum_prob AS DOUBLE) / a.n, 6) AS mean_prob,
+       ROUND(CAST(a.n_keep AS DOUBLE) / a.n, 6) AS keep_rate,
+       i.iso_rate AS iso_keep_rate
+FROM agg a JOIN pav_iso i ON a.decile = i.decile
+"""
+
+
+QUALITY_ISOTONIC_ORACLE = _quality_isotonic_oracle()

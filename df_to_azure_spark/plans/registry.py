@@ -1004,6 +1004,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "logistic_isotonic_recalibration": QuerySpec(
         PL9.logistic_isotonic_recalibration, PL9.ISOTONIC_RECAL_ORACLE
     ),
+    "quality_isotonic_recalibration": QuerySpec(
+        PL9.quality_isotonic_recalibration, PL9.QUALITY_ISOTONIC_ORACLE
+    ),
     "logistic_calibration_curve": QuerySpec(
         PL8.logistic_calibration_curve, PL8.LOGISTIC_CALIBRATION_ORACLE
     ),

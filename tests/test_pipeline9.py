@@ -189,3 +189,34 @@ def test_kendall_matches_brute_force(spark, sf_smoke):
     assert got.n_rows == n
     assert got.n_concordant == C and got.n_discordant == D_
     assert abs(got.kendall_tau_b - want) < 1e-6
+
+
+def test_pav_isotonic_helper_pools_violations(spark):
+    from df_to_azure_spark.functions.calibration import pav_isotonic
+
+    # bins 2 and 3 violate monotonicity (0.8 then 0.2): PAV pools them
+    # to their weighted average (8+2)/(10+10) = 0.5
+    bins = spark.createDataFrame(
+        [(1, 10, 1), (2, 10, 8), (3, 10, 2), (4, 10, 9)],
+        "bin int, n bigint, n_pos bigint",
+    )
+    out = {
+        r.bin: r.iso_rate
+        for r in pav_isotonic(bins, "bin", "n", "n_pos").collect()
+    }
+    assert out == {1: 0.1, 2: 0.5, 3: 0.5, 4: 0.9}
+
+
+def test_quality_isotonic_monotone_and_mass_preserving(spark, sf_smoke):
+    rows = sorted(
+        PL9.quality_isotonic_recalibration(spark, sf_smoke).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    iso = [r.iso_keep_rate for r in rows]
+    assert iso == sorted(iso)
+    # PAV preserves the weighted mean (up to rounding)
+    tot = sum(r.n for r in rows)
+    raw = sum(r.keep_rate * r.n for r in rows) / tot
+    fit = sum(r.iso_keep_rate * r.n for r in rows) / tot
+    assert abs(raw - fit) < 1e-4
