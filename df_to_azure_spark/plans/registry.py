@@ -37,6 +37,20 @@ def _stream_hh_superset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_heavy_hitter_superset_diff(spark, sf_dir)
 
 
+def _stream_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.stateful import stream_contamination_diff
+
+    return stream_contamination_diff(spark, sf_dir)
+
+
+def _stream_contamination_oracle() -> str:
+    from df_to_azure_spark.streaming.stateful import (
+        STREAM_CONTAMINATION_ORACLE,
+    )
+
+    return STREAM_CONTAMINATION_ORACLE
+
+
 def _stream_hh_oracle() -> str:
     from df_to_azure_spark.streaming.stateful import STREAM_HH_SUPERSET_ORACLE
 
@@ -798,6 +812,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "stream_hll_diff": QuerySpec(
         _stream_hll_diff, _stream_hll_oracle()
+    ),
+    "stream_contamination_diff": QuerySpec(
+        _stream_contamination_diff, _stream_contamination_oracle()
     ),
     "cohort_ltv_curve": QuerySpec(
         PL5.cohort_ltv_curve, PL5.COHORT_LTV_ORACLE

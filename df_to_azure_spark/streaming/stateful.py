@@ -482,6 +482,99 @@ WHERE 1 = 0
 """
 
 
+def _doc_positions(df: DataFrame, shingle_n: int = 8) -> DataFrame:
+    """(doc_id, pos, h) positional k-gram fingerprints — the same
+    tokenize/shingle/48-bit-md5 lane as ``dedup.duplicate_spans_global``,
+    stateless so it applies to a stream and a batch frame identically."""
+    from df_to_azure_spark.functions.dedup import shingles
+
+    return df.select(
+        "doc_id",
+        F.posexplode(shingles("text", shingle_n)).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+
+
+def stream_contamination_diff(spark, sf_dir: str) -> DataFrame:
+    """Streaming eval-leakage screen — the production deployment shape
+    of ``suffix_contamination_spans``'s marking stage: documents ARRIVE
+    as a stream (an eval-set ingestion feed), the TRAIN corpus's
+    distinct 8-gram fingerprints are a static table, and every incoming
+    test position whose fingerprint exists in train is flagged by a
+    stream-static LEFT SEMI join — per-row, append-mode, no watermark
+    and no stream state (the static side is just a join build side each
+    micro-batch; at 100 TB it is the lake-persisted fingerprint table).
+    The maximal-span chaining stays a downstream batch step by design:
+    it needs per-document position ordering, which an append stream
+    hands to the sink.
+
+    Emits the symmetric multiset diff of marked ``(doc_id, pos)`` pairs
+    vs the batch twin (the same marking computed batch-side).  Expected
+    EMPTY — the driver's empty-set oracle hash-proves stream/batch
+    marking equivalence end to end."""
+    from df_to_azure_spark.functions.sampling import with_split
+    from df_to_azure_spark.sources import load_table
+
+    docs_schema = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(docs_schema)
+        .option("recursiveFileLookup", "true")
+        .load(f"{sf_dir.rstrip('/')}/documents.parquet")
+    )
+    batch_docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    train_h = _doc_positions(
+        batch_docs.where(F.col("split") == "train")
+    ).select("h").distinct()
+
+    stream_marked = (
+        _doc_positions(
+            with_split(raw, "doc_id").where(F.col("split") == "test")
+        )
+        .join(train_h, "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    q = (
+        stream_marked.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("contamination_marks_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM contamination_marks_out")
+    batch_marked = (
+        _doc_positions(batch_docs.where(F.col("split") == "test"))
+        .join(train_h, "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return (
+        streamed.exceptAll(batch_marked)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(
+            batch_marked.exceptAll(streamed).withColumn(
+                "side", F.lit("batch_only")
+            )
+        )
+    )
+
+
+STREAM_CONTAMINATION_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pos,
+       CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""
+
+
 def stream_concurrency_diff(spark, sf_dir: str) -> DataFrame:
     """Equivalence check composing the stateful sessionizer with the
     slice-clipped sweep-line concurrency operator
