@@ -499,3 +499,35 @@ def test_remove_duplicate_spans_global_keeps_first_occurrence(spark):
     assert out[3].text_dedup == "b1 b2 b3 b4 b5 b6 b7 b8 gap"
     # untouched doc
     assert out[4].n_removed == 0 and out[4].text_dedup == texts[4]
+
+
+def test_suffix_family_edge_inputs(spark):
+    """Degenerate inputs must not crash or emit phantom spans: empty
+    text, shorter-than-k text, exactly-k duplicated text."""
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one two three"),           # < k tokens: no shingles
+            (3, "w1 w2 w3 w4"),             # exactly k, duplicated in 4
+            (4, "w1 w2 w3 w4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = D.duplicate_spans_global(df, shingle_n=4, min_span_tokens=4).collect()
+    assert {(r.doc_id, r.start_pos, r.span_tokens) for r in spans} == {
+        (3, 1, 4),
+        (4, 1, 4),
+    }
+    out = {
+        r.doc_id: r
+        for r in D.remove_duplicate_spans_global(
+            df, shingle_n=4, min_span_tokens=4
+        ).collect()
+    }
+    assert out[1].n_tokens == 0 and out[1].text_dedup == ""
+    assert out[2].n_removed == 0 and out[2].text_dedup == "one two three"
+    assert out[3].n_removed == 0          # first occurrence survives
+    assert out[4].n_removed == 4 and out[4].text_dedup == ""
+    # between-corpus: empty test side -> empty result, not an error
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert D.contaminated_spans_between(empty, df, shingle_n=4).count() == 0
