@@ -1,0 +1,757 @@
+"""Round-10 second wave: the binned range-join operator family
+(point-in-interval and keyed interval-overlap — the join shape Spark
+lacks natively and naive plans turn into cross products), an in-engine
+multinomial Naive Bayes language classifier (train + score + confusion
+in ONE plan over the md5 split), a seeded randomization test, Ljung–Box
+autocorrelation diagnostics, a Matryoshka truncated-dimension retrieval
+check, and an l-diversity audit next to the k-anonymity one.
+
+Same cross-engine exactness policy as ``pipeline2``..``pipeline9``:
+integer/decimal arithmetic end-to-end where possible, one ROUND after
+each transcendental (9 dp here), per-row ROUND → DECIMAL before any
+order-free SUM, final presentation doubles rounded once.
+
+Reference anchor: the reference (``/root/reference/df_to_azure``) is a
+pandas→Azure mover with no analytics surface; these extend the engine's
+query capabilities per the brief (temporal joins, corpus classifiers,
+resampling inference, privacy audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from df_to_azure_spark.functions import similarity as SIM
+from df_to_azure_spark.functions import text as TXT
+from df_to_azure_spark.operators.intervaljoin import (
+    interval_overlap_join,
+    interval_point_join,
+)
+from df_to_azure_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Binned range join #1: point-in-interval (purchases × sessions)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+_IJ_BUCKET_S = 3600  # ~typical session length; replication = len/W + 1
+
+
+def purchase_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, how many OTHER users had an active
+    session (30-min-gap sessionization) covering the purchase moment —
+    the platform-load covariate a price-sensitivity model joins onto
+    conversions.
+
+    This is a RANGE join (no equi-key: any user's session may cover any
+    purchase), executed with the binned strategy from
+    ``operators/intervaljoin.py``: sessions replicate once per covered
+    hour bucket, purchases carry exactly one bucket, ONE hash equi-join
+    on the bucket id, exact containment + user-mismatch as the join
+    filter.  At 100 TB the shuffle is keyed by hour-of-history — tens of
+    thousands of keys — and a hot hour is an ordinary AQE skew-join
+    case.  The naive plan (cross join, then filter) touches |purchases|
+    × |sessions| pairs and is exactly what this operator exists to
+    avoid.  Left join keeps zero-concurrency purchases in the output.
+    """
+    from df_to_azure_spark.streaming.events import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(events, gap_minutes=_SESSION_GAP_MIN).select(
+        F.col("user_id").alias("s_user"),
+        F.col("session_start"),
+        F.col("session_end"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), "ts"
+    )
+    joined = interval_point_join(
+        purchases,
+        sessions,
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=_IJ_BUCKET_S,
+        extra_on=F.col("p_user") != F.col("s_user"),
+        how="left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count(F.col("s_user")).cast("bigint").alias("n_concurrent"))
+        .select("event_id", "n_concurrent")
+    )
+
+
+_SESSIONS_CTE = """
+flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), with_ids AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), sessions AS (
+  SELECT user_id AS s_user,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM with_ids GROUP BY user_id, session_seq
+)
+"""
+
+CONCURRENT_SESSIONS_ORACLE = f"""
+WITH {_SESSIONS_CTE},
+p AS (
+  SELECT event_id, user_id AS p_user, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       CAST(COUNT(s.s_user) AS BIGINT) AS n_concurrent
+FROM p LEFT JOIN sessions s
+  ON p.ts >= s.session_start AND p.ts <= s.session_end AND s.s_user <> p.p_user
+GROUP BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Binned range join #2: keyed interval overlap (order windows per customer)
+# --------------------------------------------------------------------------
+
+_ORDER_WINDOW_DAYS = 30
+
+
+def customer_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: how many pairs of their 30-day order-fulfillment
+    windows ``[o_orderdate, +30d)`` overlap, and the widest overlap in
+    days — the double-booking exposure a fulfillment planner audits.
+
+    Keyed interval-overlap join (``operators/intervaljoin.py``): the
+    customer key carries the shuffle as an ordinary hash join and the
+    overlap predicate runs as the join filter, so per-key work is
+    bounded by (orders per customer)² — a domain constant, not a data
+    property.  No time-bucket replication is needed when a bounded
+    equi-key exists; the keyless binned form is the sibling operator
+    ``purchase_concurrent_sessions`` exercises.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("ws"),
+        F.date_add(F.col("o_orderdate").cast("date"), _ORDER_WINDOW_DAYS).alias(
+            "we"
+        ),
+    )
+    a = w.select([F.col(c).alias(f"a_{c}") for c in w.columns])
+    b = w.select([F.col(c).alias(f"b_{c}") for c in w.columns])
+    pairs = interval_overlap_join(
+        a,
+        b,
+        keys=[("a_custkey", "b_custkey")],
+        left_start="a_ws",
+        left_end="a_we",
+        right_start="b_ws",
+        right_end="b_we",
+    ).where(F.col("a_okey") < F.col("b_okey"))
+    return (
+        pairs.groupBy(F.col("a_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs"),
+            F.max(
+                F.datediff(
+                    F.least(F.col("a_we"), F.col("b_we")),
+                    F.greatest(F.col("a_ws"), F.col("b_ws")),
+                )
+            )
+            .cast("int")
+            .alias("max_overlap_days"),
+        )
+        .select("custkey", "n_overlap_pairs", "max_overlap_days")
+    )
+
+
+ORDER_OVERLAP_ORACLE = f"""
+WITH w AS (
+  SELECT o_custkey AS custkey, o_orderkey AS okey,
+         CAST(o_orderdate AS DATE) AS ws,
+         CAST(o_orderdate AS DATE) + {_ORDER_WINDOW_DAYS} AS we
+  FROM orders
+)
+SELECT a.custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs,
+       CAST(MAX(date_diff('day', greatest(a.ws, b.ws), least(a.we, b.we))) AS INT)
+         AS max_overlap_days
+FROM w a JOIN w b
+  ON a.custkey = b.custkey AND a.okey < b.okey
+ AND a.ws < b.we AND b.ws < a.we
+GROUP BY a.custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (train + score + confusion)
+# --------------------------------------------------------------------------
+
+# md5 80/20 split — the same device the KN / contamination family uses
+_SPLIT_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+)
+_SPLIT_DUCK = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100"
+
+# transcendental rounding for this family: ROUND(·, 9) — coarser than
+# the 12 dp elsewhere ON PURPOSE: scores sum hundreds of per-token LN
+# terms, so the extra headroom against a cross-libm last-ulp disagreement
+# costs nothing (argmax margins dwarf 1e-9) while making each rounded
+# term bit-identical across engines with even more slack
+_NB_DP = 9
+
+
+def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID — the classic fastText-class
+    baseline a corpus pipeline trains as its first lang-ID pass — with
+    training, scoring, and the confusion matrix in ONE Spark plan:
+
+    * TRAIN (md5 80%): per-language token counts ``c_{L,w}``, token
+      totals ``t_L``, doc priors ``n_L/N``, Laplace-smoothed vocabulary
+      ``V`` (train-wide distinct tokens);
+    * TEST (md5 20%): ``score(d, L) = ln prior_L + Σ_w m_w ·
+      ln((c_{L,w}+1)/(t_L+V))``, argmax over L, ties → language asc;
+    * output: (true lang, predicted, count).
+
+    The unseen-token mass is factored so the scoring join touches only
+    SEEN (token, lang) pairs: ``score = prior + M_d·lnp0_L + Σ_seen
+    m·(lnp_{L,w} − lnp0_L)`` with ``lnp0_L = ln(1/(t_L+V))`` — the
+    correction join is test-tokens × train-vocabulary (inner), never
+    test-tokens × languages.  Every LN is rounded once (9 dp) and summed
+    as exact DECIMAL, so the argmax is deterministic and engine-exact.
+    At 100 TB: token-keyed shuffles with map-side combine; the language
+    model frame is 5 rows (lang domain) and broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(_SPLIT_SPARK)
+    train = docs.where(split < 80)
+    test = docs.where(split >= 80)
+
+    train_tok = train.select("lang", F.explode(TXT.tokens("text")).alias("tok"))
+    c_lw = train_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # 5-row language frame: doc prior + token total per language
+    per_lang = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TXT.token_count("text").cast("bigint")).alias("t_l"),
+    )
+    # 1-row corpus frames: smoothed vocabulary size + train doc total
+    vocab_n = train_tok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    totals = train.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    ).crossJoin(F.broadcast(vocab_n))
+    lang_model = (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            F.expr(
+                f"CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)), {_NB_DP})"
+                f" AS DECIMAL(20,{_NB_DP})) AS prior"
+            ),
+            F.expr(
+                f"CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)), {_NB_DP})"
+                f" AS DECIMAL(20,{_NB_DP})) AS lnp0"
+            ),
+            F.expr("t_l + v AS den"),
+        )
+    )
+    # seen-token log-probs minus the unseen floor (exact decimal delta)
+    c_aug = c_lw.join(F.broadcast(lang_model), "lang").select(
+        "lang",
+        "tok",
+        F.expr(
+            f"CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / CAST(den AS DOUBLE)), {_NB_DP})"
+            f" AS DECIMAL(20,{_NB_DP})) - lnp0 AS delta"
+        ),
+    )
+    test_tok = (
+        test.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    corr = (
+        test_tok.join(c_aug, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                f"SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr"
+            )
+        )
+    )
+    test_docs = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        TXT.token_count("text").cast("bigint").alias("m_total"),
+    )
+    scored = (
+        test_docs.crossJoin(F.broadcast(lang_model))
+        .join(corr, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.expr(
+                f"CAST(prior AS DECIMAL(38,{_NB_DP}))"
+                f" + CAST(m_total * lnp0 AS DECIMAL(38,{_NB_DP}))"
+                f" + COALESCE(corr, CAST(0 AS DECIMAL(38,{_NB_DP}))) AS score"
+            ),
+        )
+    )
+    w_doc = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"), "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select("lang", "predicted", "n")
+    )
+
+
+NB_CONFUSION_ORACLE = f"""
+WITH train AS (
+  SELECT * FROM documents WHERE {_SPLIT_DUCK} < 80
+), test AS (
+  SELECT * FROM documents WHERE {_SPLIT_DUCK} >= 80
+), train_tok AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM train
+), c_lw AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM train_tok GROUP BY 1, 2
+), per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS t_l
+  FROM train GROUP BY 1
+), totals AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train
+  FROM train_tok
+), lang_model AS (
+  SELECT lang,
+         CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)), {_NB_DP}) AS DECIMAL(20,{_NB_DP})) AS prior,
+         CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)), {_NB_DP}) AS DECIMAL(20,{_NB_DP})) AS lnp0,
+         t_l + v AS den
+  FROM per_lang CROSS JOIN totals
+), c_aug AS (
+  SELECT c_lw.lang, tok,
+         CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / CAST(den AS DOUBLE)), {_NB_DP}) AS DECIMAL(20,{_NB_DP})) - lnp0 AS delta
+  FROM c_lw JOIN lang_model ON c_lw.lang = lang_model.lang
+), test_tok AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+  FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+    FROM test
+  ) GROUP BY 1, 2
+), corr AS (
+  SELECT doc_id, lang, SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr
+  FROM test_tok JOIN c_aug USING (tok)
+  GROUP BY 1, 2
+), test_docs AS (
+  SELECT doc_id, lang AS true_lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS m_total
+  FROM test
+), scored AS (
+  SELECT d.doc_id, d.true_lang, lm.lang,
+         CAST(lm.prior AS DECIMAL(38,{_NB_DP}))
+           + CAST(d.m_total * lm.lnp0 AS DECIMAL(38,{_NB_DP}))
+           + COALESCE(c.corr, CAST(0 AS DECIMAL(38,{_NB_DP}))) AS score
+  FROM test_docs d CROSS JOIN lang_model lm
+  LEFT JOIN corr c ON c.doc_id = d.doc_id AND c.lang = lm.lang
+), pred AS (
+  SELECT true_lang, lang AS predicted
+  FROM (
+    SELECT true_lang, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT true_lang AS lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Seeded randomization test (daily revenue, calendar-phase split)
+# --------------------------------------------------------------------------
+
+_PERM_B = 200
+
+
+def revenue_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the daily-revenue gap between the 2-of-7
+    calendar phase (day-number mod 7 < 2 — the weekend proxy this
+    synthetic calendar admits) and the rest: is the observed mean gap
+    explainable by chance alignment?  B=200 seeded md5 reassignments of
+    the group label per day; the p-value is the add-one-smoothed
+    fraction of replicas whose |gap| reaches the observed |gap|.
+
+    This is a Bernoulli RANDOMIZATION test (group sizes vary per
+    replica), the standard large-sample surrogate for the exact
+    permutation test — per-replica group sizes are reported nowhere
+    because the statistic conditions on them.  Plan: one day-level
+    pre-agg (bounded by the calendar), a 200× explode of that bounded
+    frame, ONE grouped aggregation over replicas, and a broadcast of the
+    1-row observed statistic.  At 100 TB the only data-sized stage is
+    the daily pre-agg; everything after is calendar × B.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))").alias(
+            "rev"
+        )
+    )
+    gap = (
+        "ROUND(CAST(SUM(CASE WHEN g = 1 THEN rev END) AS DOUBLE)"
+        "      / COUNT(CASE WHEN g = 1 THEN 1 END)"
+        "    - CAST(SUM(CASE WHEN g = 0 THEN rev END) AS DOUBLE)"
+        "      / COUNT(CASE WHEN g = 0 THEN 1 END), 9)"
+    )
+    obs = daily.withColumn(
+        "g", F.expr("CASE WHEN d % 7 < 2 THEN 1 ELSE 0 END")
+    ).agg(F.expr(f"{gap} AS obs_gap"))
+    reps = (
+        daily.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))))
+        .withColumn(
+            "g",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(d AS STRING), '_',"
+                " CAST(b AS STRING))), 1, 4), 16, 10) AS INT) % 2"
+            ),
+        )
+        .groupBy("b")
+        .agg(F.expr(f"{gap} AS gap_b"))
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("obs_gap").alias("obs_gap"),
+            F.expr(
+                "CAST(SUM(CASE WHEN ABS(gap_b) >= ABS(obs_gap) THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_extreme"
+            ),
+        )
+        .select(
+            "obs_gap",
+            "n_extreme",
+            F.lit(_PERM_B).cast("int").alias("n_replicas"),
+            F.expr(
+                f"ROUND(CAST(n_extreme + 1 AS DOUBLE) / CAST({_PERM_B} + 1 AS DOUBLE), 6)"
+                " AS p_value"
+            ),
+        )
+    )
+
+
+PERMUTATION_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), obs AS (
+  SELECT ROUND(CAST(SUM(CASE WHEN d % 7 < 2 THEN rev END) AS DOUBLE)
+               / COUNT(CASE WHEN d % 7 < 2 THEN 1 END)
+             - CAST(SUM(CASE WHEN d % 7 >= 2 THEN rev END) AS DOUBLE)
+               / COUNT(CASE WHEN d % 7 >= 2 THEN 1 END), 9) AS obs_gap
+  FROM daily
+), reps AS (
+  SELECT b,
+         ROUND(CAST(SUM(CASE WHEN g = 1 THEN rev END) AS DOUBLE)
+               / COUNT(CASE WHEN g = 1 THEN 1 END)
+             - CAST(SUM(CASE WHEN g = 0 THEN rev END) AS DOUBLE)
+               / COUNT(CASE WHEN g = 0 THEN 1 END), 9) AS gap_b
+  FROM (
+    SELECT d, rev, b,
+           ('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 4))::INTEGER % 2 AS g
+    FROM daily CROSS JOIN (SELECT UNNEST(generate_series(0, {_PERM_B - 1})) AS b)
+  ) GROUP BY b
+)
+SELECT obs.obs_gap,
+       CAST(SUM(CASE WHEN ABS(gap_b) >= ABS(obs_gap) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST({_PERM_B} AS INT) AS n_replicas,
+       ROUND(CAST(SUM(CASE WHEN ABS(gap_b) >= ABS(obs_gap) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+             / CAST({_PERM_B} + 1 AS DOUBLE), 6) AS p_value
+FROM reps CROSS JOIN obs
+GROUP BY obs.obs_gap
+"""
+
+
+# --------------------------------------------------------------------------
+# Ljung–Box autocorrelation diagnostic (daily revenue, lags 1..10)
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 10
+
+
+def daily_revenue_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic on daily order revenue:
+    ``Q(m) = n(n+2) Σ_{k≤m} ρ_k²/(n−k)`` with the standard ACF estimator
+    (global-mean-centered, full-series variance denominator) — the
+    white-noise screen run on forecast residuals; on raw revenue it
+    quantifies how much structure a forecaster must explain before its
+    residuals could pass.
+
+    Exactness: the daily pre-agg and all sufficient sums (per-lag n, Σx,
+    Σy, Σxy; global n, Σy, Σy²) are exact DECIMALs; ρ_k is ONE double
+    expression per lag row (ROUND 9), the per-lag Q term is rounded to a
+    DECIMAL(28,12) and the cumulative sum over the 10-row lag frame is
+    exact.  Same calendar-bounded shape as ``daily_revenue_acf``: after
+    the day-level pre-agg every frame is bounded by |calendar| × lags.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))").alias(
+            "rev"
+        )
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("SUM(rev)").alias("gsy"),
+        F.expr("SUM(CAST(rev * rev AS DECIMAL(38,4)))").alias("gsyy"),
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").cast("int").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        (F.col("d") + F.col("lag")).alias("d"), "lag", F.col("rev").alias("x")
+    )
+    pairs = shifted.join(daily.select("d", F.col("rev").alias("y")), "d")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(CAST(x * y AS DECIMAL(38,4)))").alias("sxy"),
+    )
+    rho = (
+        "ROUND((CAST(sxy AS DOUBLE)"
+        "       - (CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE))"
+        "         * (CAST(sx AS DOUBLE) + CAST(sy AS DOUBLE))"
+        "       + CAST(nk AS DOUBLE) * POWER(CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE), 2))"
+        "  / (CAST(gsyy AS DOUBLE)"
+        "     - CAST(n AS DOUBLE) * POWER(CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE), 2)), 9)"
+    )
+    terms = (
+        s.crossJoin(F.broadcast(totals))
+        .select(
+            "lag",
+            "n",
+            F.expr(f"{rho} AS rho"),
+        )
+        .select(
+            "lag",
+            "n",
+            "rho",
+            F.expr(
+                "CAST(ROUND(rho * rho / CAST(n - lag AS DOUBLE), 12)"
+                " AS DECIMAL(28,12)) AS term"
+            ),
+        )
+    )
+    # bounded: the cumulative SUM() OVER (ORDER BY lag) below runs over
+    # the 10-row fixed lag frame, never over data-sized input
+    return terms.select(
+        "lag",
+        "rho",
+        F.expr(
+            "ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)"
+            " * CAST(SUM(term) OVER (ORDER BY lag"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)"
+        ).alias("q_stat"),
+    )
+
+
+LJUNG_BOX_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS gsy,
+         SUM(CAST(rev * rev AS DECIMAL(38,4))) AS gsyy
+  FROM daily
+), lags AS (
+  SELECT CAST(UNNEST(generate_series(1, {_LB_LAGS})) AS INTEGER) AS lag
+), pairs AS (
+  SELECT sh.lag, sh.x, dy.rev AS y
+  FROM (SELECT d + lag AS d, lag, rev AS x FROM daily CROSS JOIN lags) sh
+  JOIN daily dy ON sh.d = dy.d
+), s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS nk,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+  FROM pairs GROUP BY lag
+), terms AS (
+  SELECT lag, n,
+         ROUND((CAST(sxy AS DOUBLE)
+                - (CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) + CAST(sy AS DOUBLE))
+                + CAST(nk AS DOUBLE) * POWER(CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE), 2))
+           / (CAST(gsyy AS DOUBLE)
+              - CAST(n AS DOUBLE) * POWER(CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE), 2)), 9) AS rho
+  FROM s CROSS JOIN totals
+)
+SELECT lag, rho,
+       ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+             * CAST(SUM(CAST(ROUND(rho * rho / CAST(n - lag AS DOUBLE), 12) AS DECIMAL(28,12)))
+                    OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS q_stat
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval check
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = (16, 32)
+_MRL_K = 10
+_MRL_QUERIES = 50
+
+
+def matryoshka_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PREFIX-truncated embeddings against the full-dim
+    exact ranking — the evaluation behind Matryoshka-style
+    dimension-adaptive retrieval (store one 64-dim vector, serve cheap
+    queries from its first 16 or 32 coordinates, escalate only misses).
+    A coarse-to-fine ANN deployment needs this table before picking the
+    cheap tier's dimensionality.
+
+    Truth and candidates both come from the exact brute-force ranker
+    (``similarity.cosine_topk`` — rounded cosine, id tie-break), so the
+    measured gap is PURELY the truncation's cost, not index noise.  At
+    100 TB the sliced candidate pass scans the same corpus with a
+    4×-narrower vector — the whole point of the technique.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MRL_QUERIES)
+    truth = SIM.cosine_topk(queries, emb, k=_MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    cands = None
+    for dims in _MRL_DIMS:
+        sliced = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, dims).alias("embedding")
+        )
+        cand = SIM.cosine_topk(
+            sliced.where(F.col("vec_id") < _MRL_QUERIES), sliced, k=_MRL_K
+        ).select(
+            F.lit(dims).cast("int").alias("dims"), "query_id", "neighbor_id"
+        )
+        cands = cand if cands is None else cands.unionByName(cand)
+    totals = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    hits = cands.join(truth, ["query_id", "neighbor_id"]).groupBy("dims").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(totals)).select(
+        "dims",
+        "n_hits",
+        F.expr(
+            "ROUND(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 4) AS recall"
+        ),
+    )
+
+
+def _mrl_oracle() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), r -> r[1] * r[2])), (acc, x) -> acc + x)"
+        )
+
+    def topk(view: str, vec: str) -> str:
+        cos = (
+            f"round({dot('qv', 'cv')} / "
+            f"(sqrt({dot('qv', 'qv')}) * sqrt({dot('cv', 'cv')})), 8)"
+        )
+        return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.query_id, c.neighbor_id, {cos} AS cos_sim
+      FROM (SELECT vec_id AS neighbor_id, {vec} AS cv FROM {view}) c
+      CROSS JOIN (SELECT vec_id AS query_id, {vec} AS qv FROM {view}
+                  WHERE vec_id < {_MRL_QUERIES}) q
+      WHERE query_id <> neighbor_id
+    )
+  ) WHERE rank <= {_MRL_K}"""
+
+    full = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    parts = []
+    for dims in _MRL_DIMS:
+        sliced = f"list_transform(embedding, x -> CAST(x AS DOUBLE))[1:{dims}]"
+        parts.append(
+            f"SELECT CAST({dims} AS INT) AS dims, query_id, neighbor_id"
+            f" FROM ({topk('embeddings', sliced)})"
+        )
+    cand_union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH truth AS ({topk('embeddings', full)}
+), cands AS (
+{cand_union}
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth
+)
+SELECT dims, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_truth) AS DOUBLE), 4) AS recall
+FROM cands JOIN truth USING (query_id, neighbor_id)
+CROSS JOIN tot
+GROUP BY dims
+"""
+
+
+MATRYOSHKA_ORACLE = _mrl_oracle()
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (sibling of customer_kanonymity)
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the quasi-identifier classes (nation,
+    account-balance band): how many DISTINCT sensitive values (market
+    segment) each class carries.  k-anonymity alone
+    (``customer_kanonymity``) does not stop attribute disclosure — a
+    class of 50 members all in one segment reveals the segment of every
+    member; this reports the classes failing l ≥ 3.  Same one-hash-
+    aggregate shape as any groupBy at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("bigint")
+    return (
+        cust.select("c_nationkey", band.alias("acctbal_band"), "c_mktsegment")
+        .groupBy("c_nationkey", "acctbal_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("l_distinct"),
+        )
+        .withColumn("violates_l", F.col("l_distinct") < _LDIV_L)
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+SELECT c_nationkey,
+       CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+       COUNT(DISTINCT c_mktsegment) < {_LDIV_L} AS violates_l
+FROM customer
+GROUP BY 1, 2
+"""

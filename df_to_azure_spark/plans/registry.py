@@ -26,6 +26,7 @@ from df_to_azure_spark.plans import pipeline6 as PL6
 from df_to_azure_spark.plans import pipeline7 as PL7
 from df_to_azure_spark.plans import pipeline8 as PL8
 from df_to_azure_spark.plans import pipeline9 as PL9
+from df_to_azure_spark.plans import pipeline10 as PL10
 from df_to_azure_spark.plans import training_data as TD
 
 
@@ -1026,6 +1027,29 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "logistic_calibration_curve": QuerySpec(
         PL8.logistic_calibration_curve, PL8.LOGISTIC_CALIBRATION_ORACLE
+    ),
+    "purchase_concurrent_sessions": QuerySpec(
+        PL10.purchase_concurrent_sessions,
+        PL10.CONCURRENT_SESSIONS_ORACLE,
+        headline=True,
+    ),
+    "customer_order_overlap": QuerySpec(
+        PL10.customer_order_overlap, PL10.ORDER_OVERLAP_ORACLE
+    ),
+    "nb_language_confusion": QuerySpec(
+        PL10.nb_language_confusion, PL10.NB_CONFUSION_ORACLE, headline=True
+    ),
+    "revenue_permutation_test": QuerySpec(
+        PL10.revenue_permutation_test, PL10.PERMUTATION_ORACLE
+    ),
+    "daily_revenue_ljung_box": QuerySpec(
+        PL10.daily_revenue_ljung_box, PL10.LJUNG_BOX_ORACLE
+    ),
+    "matryoshka_recall_check": QuerySpec(
+        PL10.matryoshka_recall_check, PL10.MATRYOSHKA_ORACLE
+    ),
+    "customer_l_diversity": QuerySpec(
+        PL10.customer_l_diversity, PL10.L_DIVERSITY_ORACLE
     ),
 }
 

@@ -6,7 +6,7 @@ installed (skipped-not-failed otherwise); the fallback algebra and the
 reader-visible swap guarantees are tested unconditionally.
 
 delta-spark is not installed in this build environment (pip install
-re-attempted through 2026-08-15 round 10 (rounds 6-10): the index host is unreachable — DNS-blocked
+re-attempted through 2026-08-16 round 10 (rounds 6-10): the index host is unreachable — DNS-blocked
 sandbox) and the environment contract forbids adding packages, so
 ``test_delta_merge_when_available`` stays a gated skip here; it runs
 the real DeltaTable.merge end-to-end (log-backed create, MERGE, read

@@ -1,0 +1,173 @@
+"""Round-10 second-wave tests: the binned interval-join operator pinned
+against a brute-force cross-join reference (boundary inclusion,
+bucket-crossing intervals, left-join zero rows), Naive Bayes confusion
+sanity, randomization-test invariants, Ljung–Box against a NumPy-style
+sequential reference, Matryoshka recall monotonicity, l-diversity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.operators.intervaljoin import (
+    interval_overlap_join,
+    interval_point_join,
+)
+from df_to_azure_spark.plans import pipeline10 as PL10
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_interval_point_join_matches_bruteforce(spark):
+    """Binned join == cross-join filter, including intervals that span
+    many buckets and points exactly on the closed endpoints."""
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # exactly on i1.start
+            (2, _ts("2024-01-01 00:59:59")),
+            (3, _ts("2024-01-01 05:30:00")),  # inside the long interval only
+            (4, _ts("2024-01-02 00:00:00")),  # matches nothing
+            (5, _ts("2024-01-01 03:00:00")),  # exactly on i2.end
+        ],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+            (11, _ts("2024-01-01 02:00:00"), _ts("2024-01-01 03:00:00")),
+            # 8-hour interval: replicated across 9 hour buckets
+            (12, _ts("2024-01-01 00:30:00"), _ts("2024-01-01 08:30:00")),
+        ],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = sorted(
+        interval_point_join(
+            points, intervals, "ts", "s", "e", bucket_seconds=3600
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    expect = sorted(
+        points.crossJoin(intervals)
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+        .select("pid", "iid")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    # no bucket-induced duplicates: pair (3, 12) appears exactly once
+    assert [tuple(r) for r in got].count((3, 12)) == 1
+
+
+def test_interval_point_join_left_keeps_unmatched(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:30:00")), (2, _ts("2024-06-01 00:00:00"))],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    rows = {
+        r.pid: r.iid
+        for r in interval_point_join(
+            points, intervals, "ts", "s", "e", how="left"
+        ).collect()
+    }
+    assert rows == {1: 10, 2: None}
+
+
+def test_interval_point_join_rejects_bad_how(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1, _ts("2024-01-01"))], "pid int, ts timestamp")
+    with pytest.raises(ValueError):
+        interval_point_join(points, points, "ts", "ts", "ts", how="outer")
+
+
+def test_interval_overlap_join_halfopen_semantics(spark):
+    """Touching half-open intervals [0,10) and [10,20) must NOT pair."""
+    left = spark.createDataFrame(
+        [(1, "k", 0, 10), (2, "k", 5, 15)], "lid int, lk string, ls int, le int"
+    )
+    right = spark.createDataFrame(
+        [(3, "k", 10, 20), (4, "k", 14, 30), (5, "other", 0, 100)],
+        "rid int, rk string, rs int, re int",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, [("lk", "rk")], "ls", "le", "rs", "re"
+        ).collect()
+    )
+    # 1:[0,10) overlaps nothing on "k" (3 starts at 10); 2:[5,15) overlaps both
+    assert got == [(2, 3), (2, 4)]
+
+
+def test_purchase_concurrent_sessions_covers_all_purchases(spark, sf_smoke):
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    n_purch = events.where(F.col("event_type") == "purchase").count()
+    df = PL10.purchase_concurrent_sessions(spark, sf_smoke)
+    rows = df.collect()
+    assert len(rows) == n_purch  # left join keeps zero-concurrency rows
+    assert all(r.n_concurrent >= 0 for r in rows)
+
+
+def test_nb_language_confusion_is_square_and_dominant(spark, sf_oracle):
+    rows = PL10.nb_language_confusion(spark, sf_oracle).collect()
+    langs = {r.lang for r in rows}
+    total = sum(r.n for r in rows)
+    correct = sum(r.n for r in rows if r.lang == r.predicted)
+    assert langs  # at least one true language present in the test split
+    assert total > 0
+    # the synthetic corpus has a real lang signal: NB must beat chance
+    assert correct / total > 1.0 / 5
+
+
+def test_permutation_test_pvalue_bounds(spark, sf_smoke):
+    row = PL10.revenue_permutation_test(spark, sf_smoke).collect()[0]
+    assert row.n_replicas == 200
+    assert 0 <= row.n_extreme <= row.n_replicas
+    lo = 1.0 / (row.n_replicas + 1)
+    assert lo <= row.p_value <= 1.0
+
+
+def test_ljung_box_matches_sequential_reference(spark, sf_smoke):
+    """Q(m) recomputed sequentially from the collected rho values — the
+    cumulative window and the n(n+2) factor must agree."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice"))
+        .count()
+    )
+    rows = sorted(
+        PL10.daily_revenue_ljung_box(spark, sf_smoke).collect(),
+        key=lambda r: r.lag,
+    )
+    assert [r.lag for r in rows] == list(range(1, 11))
+    n = daily
+    acc = 0.0
+    for r in rows:
+        assert -1.0 <= r.rho <= 1.0
+        acc += round(r.rho * r.rho / (n - r.lag), 12)
+        assert abs(r.q_stat - round(n * (n + 2) * acc, 6)) < 1e-6
+    # Q is nondecreasing in m
+    qs = [r.q_stat for r in rows]
+    assert qs == sorted(qs)
+
+
+def test_matryoshka_recall_monotone_in_dims(spark, sf_smoke):
+    rows = {r.dims: r.recall for r in PL10.matryoshka_recall_check(spark, sf_smoke).collect()}
+    assert set(rows) == {16, 32}
+    assert 0.0 <= rows[16] <= rows[32] <= 1.0
+
+
+def test_l_diversity_bounds(spark, sf_smoke):
+    rows = PL10.customer_l_diversity(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.l_distinct <= min(r.class_size, 5)  # 5 segments
+        assert r.violates_l == (r.l_distinct < 3)

@@ -55,7 +55,10 @@ BOUNDED_BROADCAST_VARS = {
     # domain, not the row count (source_ks_matrix ECDF grid)
     "marg",  # per-brand marginals — bounded by the brand domain (25)
     "n_baskets",  # 1-row basket total (brand_association_rules)
-    "lags",  # 7-row literal lag frame (daily_revenue_acf)
+    "lags",  # literal lag frames (daily_revenue_acf 7 rows, ljung_box 10)
+    "lang_model",  # per-language NB model — bounded by the lang domain (~5)
+    "vocab_n",  # 1-row distinct-token aggregate (nb_language_confusion)
+    "obs",  # 1-row observed-statistic aggregate (revenue_permutation_test)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain

@@ -73,7 +73,7 @@ def test_processor_rounding_matches_batch_contract():
 @pytest.mark.skipif(
     not has_tws_runtime(),
     reason="transformWithState worker needs google.protobuf (absent here; "
-    "pip re-attempted through 2026-08-15 round 10 (rounds 6-10), index host DNS-blocked)",
+    "pip re-attempted through 2026-08-16 round 10 (rounds 6-10), index host DNS-blocked)",
 )
 def test_tws_totals_diff_is_empty(spark, sf_smoke):
     from df_to_azure_spark.streaming.stateful2 import stream_tws_totals_diff
