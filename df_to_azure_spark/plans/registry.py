@@ -142,6 +142,18 @@ def _stream_static_oracle() -> str:
     return STREAM_STATIC_ORACLE
 
 
+def _stream_interval_join_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.events import stream_interval_join_diff
+
+    return stream_interval_join_diff(spark, sf_dir)
+
+
+def _stream_interval_oracle() -> str:
+    from df_to_azure_spark.streaming.events import STREAM_INTERVAL_ORACLE
+
+    return STREAM_INTERVAL_ORACLE
+
+
 def _stream_sliding_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.streaming.events import stream_sliding_counts_diff
 
@@ -1050,6 +1062,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "customer_l_diversity": QuerySpec(
         PL10.customer_l_diversity, PL10.L_DIVERSITY_ORACLE
+    ),
+    "stream_interval_join_diff": QuerySpec(
+        _stream_interval_join_diff, _stream_interval_oracle()
     ),
 }
 

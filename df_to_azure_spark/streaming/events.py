@@ -914,3 +914,66 @@ SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS purchase_event_i
        CAST(NULL AS TIMESTAMP) AS view_ts, CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def _interval_pairs(purchases: DataFrame, sessions: DataFrame) -> DataFrame:
+    """Shared builder for the stream-static INTERVAL join equivalence
+    pair: each purchase (point) joined to every OTHER user's session
+    interval covering it, via the binned range join from
+    ``operators/intervaljoin.py`` — the SAME operator code runs both the
+    batch and the streaming side (the binned form is an equi-join on the
+    hour bucket plus a filter, which is exactly the stateless shape
+    stream-static joins support in append mode)."""
+    from df_to_azure_spark.operators.intervaljoin import interval_point_join
+
+    return interval_point_join(
+        purchases,
+        sessions,
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=3600,
+        extra_on=F.col("p_user") != F.col("s_user"),
+    ).select("event_id", "s_user", "session_start")
+
+
+def stream_interval_join_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence gate for the stream-static binned INTERVAL join: the
+    purchase stream joined against a static session-interval table (in
+    production: the previous day's sessions materialized to the lake)
+    must emit exactly the batch twin's pair set.  Because the binned
+    interval join lowers to equi-join + filter, it needs NO streaming
+    state and works in append mode — the property this diff proves.
+    Oracle = empty set."""
+    from df_to_azure_spark.sources import load_table
+
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_interval_{_STREAM_QUERY_SEQ[0]}"
+    batch_events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(batch_events, gap_minutes=30).select(
+        F.col("user_id").alias("s_user"), "session_start", "session_end"
+    )
+    purchases_stream = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), "ts")
+    )
+    streamed = run_stream_to_memory(
+        _interval_pairs(purchases_stream, sessions), name, output_mode="append"
+    )
+    purchases_batch = batch_events.where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", F.col("user_id").alias("p_user"), "ts")
+    batch = _interval_pairs(purchases_batch, sessions)
+    return (
+        streamed.exceptAll(batch)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(batch.exceptAll(streamed).withColumn("side", F.lit("batch_only")))
+    )
+
+
+STREAM_INTERVAL_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS s_user,
+       CAST(NULL AS TIMESTAMP) AS session_start, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""

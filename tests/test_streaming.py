@@ -175,3 +175,13 @@ def test_stream_right_outer_interval_join_equals_batch_on_released_region(
     batch = attribution_right_join_batch(load_table(spark, sf_smoke, "events"))
     assert batch.where(F.col("view_event_id").isNotNull()).count() > 0
     assert batch.where(F.col("view_event_id").isNull()).count() > 0
+
+
+def test_stream_static_binned_interval_join_equals_batch(spark, sf_smoke):
+    """The binned range join (operators/intervaljoin.py) lowers to a
+    stateless equi-join + filter, so the SAME operator code must produce
+    identical pair sets driven by a real purchase stream against static
+    session intervals and by the batch twin."""
+    from df_to_azure_spark.streaming.events import stream_interval_join_diff
+
+    assert stream_interval_join_diff(spark, sf_smoke).count() == 0
