@@ -755,3 +755,227 @@ SELECT c_nationkey,
 FROM customer
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# L2-boosted decision stumps (2 rounds, histogram split search)
+# --------------------------------------------------------------------------
+
+_GBDT_DP = 12  # leaf-value quantization (exact decimal residuals after it)
+
+
+def gbdt_stump_return_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of L2 gradient boosting with depth-1 trees (decision
+    stumps) fit IN-ENGINE on the return-flag target — the distributed
+    histogram algorithm every scalable GBDT implementation uses: one scan
+    aggregates (feature, bin) → (count, residual sum); prefix sums over
+    each feature's ordered bins price every candidate threshold at once;
+    the argmax split needs no second pass because the winning row already
+    carries its side sums.
+
+    Round 1 fits ``y − ȳ`` (the gain is shift-invariant, so the
+    histogram aggregates raw ``y``); round 2 re-scans once with the
+    broadcast 1-row stump to form exact-decimal residuals and repeats the
+    search.  Features are the integer-binned discount/quantity/tax
+    domains (11/50/9 bins — stacked in ONE scan, never three).  Split
+    gain is the SSE reduction ``S_L²/n_L + S_R²/n_R − S²/N`` computed as
+    one double expression per candidate from exact decimal sums
+    (ROUND 9); leaf values quantize at 12 dp so round-2 residuals stay
+    exact decimals.  Ties break (feature, threshold) ascending.
+
+    At 100 TB: two scans total, each collapsing map-side to the ~70-row
+    bin domain before any shuffle; the candidate pricing and argmax run
+    on that bounded frame.  Output: one row per round — the fitted stump
+    and its gain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr("CAST(l_returnflag = 'R' AS INT) AS y"),
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS INT) AS d"),
+        F.expr("CAST(l_quantity AS INT) AS q"),
+        F.expr("CAST(ROUND(l_tax * 100, 0) AS INT) AS t"),
+    )
+
+    def split_search(rows: DataFrame, r_col: str) -> DataFrame:
+        """(feat, val) histogram → prefix sums → per-threshold gain."""
+        fv = rows.select(
+            F.col(r_col).alias("r"),
+            F.expr("stack(3, 'd', d, 'q', q, 't', t) AS (feat, val)"),
+        )
+        g = fv.groupBy("feat", "val").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(f"SUM(CAST(r AS DECIMAL(38,{_GBDT_DP}))) AS s"),
+        )
+        w = W.partitionBy("feat").orderBy("val").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        pre = g.select(
+            "feat",
+            "val",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("s").over(w).alias("sl"),
+        )
+        tot = rows.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nn"),
+            F.expr(f"SUM(CAST({r_col} AS DECIMAL(38,{_GBDT_DP}))) AS ss"),
+        )
+        return (
+            pre.crossJoin(F.broadcast(tot))
+            .where(F.col("nl") < F.col("nn"))
+            .select(
+                "feat",
+                "val",
+                "nl",
+                "sl",
+                "nn",
+                "ss",
+                F.expr(
+                    "ROUND(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"
+                    " + CAST(ss - sl AS DOUBLE) * CAST(ss - sl AS DOUBLE)"
+                    "   / CAST(nn - nl AS DOUBLE)"
+                    " - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), 9)"
+                ).alias("gain"),
+            )
+            .orderBy(F.desc("gain"), F.asc("feat"), F.asc("val"))
+            .limit(1)
+        )
+
+    dp = _GBDT_DP
+    best1 = split_search(base, "y").select(
+        "feat",
+        "val",
+        "nl",
+        "nn",
+        "gain",
+        F.expr(f"CAST(ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), {dp})"
+               f" AS DECIMAL(20,{dp})) AS f0"),
+        F.expr(
+            f"CAST(ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"
+            f" - ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), {dp}), {dp})"
+            f" AS DECIMAL(20,{dp})) AS vl"
+        ),
+        F.expr(
+            f"CAST(ROUND(CAST(ss - sl AS DOUBLE) / CAST(nn - nl AS DOUBLE)"
+            f" - ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), {dp}), {dp})"
+            f" AS DECIMAL(20,{dp})) AS vr"
+        ),
+    )
+    resid = base.crossJoin(F.broadcast(best1)).select(
+        F.expr(
+            f"CAST(y AS DECIMAL(20,{dp})) - f0 - CASE WHEN"
+            " (feat = 'd' AND d <= val) OR (feat = 'q' AND q <= val)"
+            " OR (feat = 't' AND t <= val) THEN vl ELSE vr END AS r2"
+        ),
+        "d",
+        "q",
+        "t",
+    )
+    best2 = split_search(resid, "r2").select(
+        "feat",
+        "val",
+        "nl",
+        "nn",
+        "gain",
+        F.expr(
+            f"CAST(ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), {dp})"
+            f" AS DECIMAL(20,{dp})) AS vl"
+        ),
+        F.expr(
+            f"CAST(ROUND(CAST(ss - sl AS DOUBLE) / CAST(nn - nl AS DOUBLE), {dp})"
+            f" AS DECIMAL(20,{dp})) AS vr"
+        ),
+    )
+    out_cols = [
+        F.col("feat").alias("feature"),
+        F.col("val").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.expr("nn - nl AS n_right"),
+        F.expr("CAST(vl AS DOUBLE) AS left_value"),
+        F.expr("CAST(vr AS DOUBLE) AS right_value"),
+        "gain",
+    ]
+    return (
+        best1.select(F.lit(1).cast("int").alias("round"), *out_cols)
+        .unionByName(best2.select(F.lit(2).cast("int").alias("round"), *out_cols))
+    )
+
+
+def _gbdt_oracle() -> str:
+    dp = _GBDT_DP
+    search = """
+  g_{i} AS (
+    SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(r AS DECIMAL(38,{dp}))) AS s
+    FROM fv_{i} GROUP BY 1, 2
+  ), pre_{i} AS (
+    SELECT feat, val,
+           SUM(n) OVER (PARTITION BY feat ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+           SUM(s) OVER (PARTITION BY feat ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+    FROM g_{i}
+  ), tot_{i} AS (
+    -- totals over the BASE rows (N), not the 3x-stacked feature frame
+    SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+           SUM(CAST({totcol} AS DECIMAL(38,{dp}))) AS ss
+    FROM {totsrc}
+  ), cand_{i} AS (
+    SELECT feat, val, CAST(nl AS BIGINT) AS nl, sl, nn, ss,
+           ROUND(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+               + CAST(ss - sl AS DOUBLE) * CAST(ss - sl AS DOUBLE)
+                 / CAST(nn - nl AS DOUBLE)
+               - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS gain
+    FROM pre_{i} CROSS JOIN tot_{i}
+    WHERE nl < nn
+  ), best_{i} AS (
+    SELECT * FROM cand_{i} ORDER BY gain DESC, feat, val LIMIT 1
+  )"""
+    return f"""
+WITH base AS (
+  SELECT CAST(l_returnflag = 'R' AS INT) AS y,
+         CAST(ROUND(l_discount * 100, 0) AS INT) AS d,
+         CAST(l_quantity AS INT) AS q,
+         CAST(ROUND(l_tax * 100, 0) AS INT) AS t
+  FROM lineitem
+), fv_1 AS (
+  SELECT y AS r, 'd' AS feat, d AS val FROM base
+  UNION ALL SELECT y, 'q', q FROM base
+  UNION ALL SELECT y, 't', t FROM base
+),{search.format(i=1, dp=dp, totsrc='base', totcol='y')}
+, stump1 AS (
+  SELECT feat, val, nl, nn, gain,
+         CAST(ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), {dp}) AS DECIMAL(20,{dp})) AS f0,
+         CAST(ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+              - ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), {dp}), {dp}) AS DECIMAL(20,{dp})) AS vl,
+         CAST(ROUND(CAST(ss - sl AS DOUBLE) / CAST(nn - nl AS DOUBLE)
+              - ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), {dp}), {dp}) AS DECIMAL(20,{dp})) AS vr
+  FROM best_1
+), resid AS (
+  SELECT CAST(y AS DECIMAL(20,{dp})) - f0 - CASE WHEN
+           (feat = 'd' AND d <= val) OR (feat = 'q' AND q <= val)
+           OR (feat = 't' AND t <= val) THEN vl ELSE vr END AS r2,
+         d, q, t
+  FROM base CROSS JOIN stump1
+), fv_2 AS (
+  SELECT r2 AS r, 'd' AS feat, d AS val FROM resid
+  UNION ALL SELECT r2, 'q', q FROM resid
+  UNION ALL SELECT r2, 't', t FROM resid
+),{search.format(i=2, dp=dp, totsrc='resid', totcol='r2')}
+, stump2 AS (
+  SELECT feat, val, nl, nn, gain,
+         CAST(ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), {dp}) AS DECIMAL(20,{dp})) AS vl,
+         CAST(ROUND(CAST(ss - sl AS DOUBLE) / CAST(nn - nl AS DOUBLE), {dp}) AS DECIMAL(20,{dp})) AS vr
+  FROM best_2
+)
+SELECT CAST(1 AS INT) AS round, feat AS feature, val AS threshold,
+       CAST(nl AS BIGINT) AS n_left, CAST(nn - nl AS BIGINT) AS n_right,
+       CAST(vl AS DOUBLE) AS left_value, CAST(vr AS DOUBLE) AS right_value, gain
+FROM stump1
+UNION ALL
+SELECT CAST(2 AS INT), feat, val, CAST(nl AS BIGINT), CAST(nn - nl AS BIGINT),
+       CAST(vl AS DOUBLE), CAST(vr AS DOUBLE), gain
+FROM stump2
+"""
+
+
+GBDT_STUMP_ORACLE = _gbdt_oracle()

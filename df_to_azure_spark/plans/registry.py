@@ -1066,6 +1066,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_interval_join_diff": QuerySpec(
         _stream_interval_join_diff, _stream_interval_oracle()
     ),
+    "gbdt_stump_return_model": QuerySpec(
+        PL10.gbdt_stump_return_model, PL10.GBDT_STUMP_ORACLE, headline=True
+    ),
 }
 
 

@@ -171,3 +171,56 @@ def test_l_diversity_bounds(spark, sf_smoke):
     for r in rows:
         assert 1 <= r.l_distinct <= min(r.class_size, 5)  # 5 segments
         assert r.violates_l == (r.l_distinct < 3)
+
+
+def test_gbdt_stump_matches_sequential_reference(spark, sf_smoke):
+    """Both stumps re-derived with a plain pandas split search on the
+    same binned features — the distributed histogram algorithm must pick
+    the identical (feature, threshold) and leaf values."""
+    import pandas as pd
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_returnflag", "l_discount", "l_quantity", "l_tax"
+    )
+    pdf = li.toPandas()
+    pdf["y"] = (pdf.l_returnflag == "R").astype(int)
+    pdf["d"] = (pdf.l_discount * 100).round().astype(int)
+    pdf["q"] = pdf.l_quantity.astype(int)
+    pdf["t"] = (pdf.l_tax * 100).round().astype(int)
+
+    def best_split(r):
+        cands = []
+        N, S = len(r), r.sum()
+        for f in ("d", "q", "t"):
+            vals = sorted(pdf[f].unique())
+            for v in vals[:-1]:
+                mask = pdf[f] <= v
+                nl, sl = int(mask.sum()), r[mask].sum()
+                gain = round(
+                    sl * sl / nl + (S - sl) * (S - sl) / (N - nl) - S * S / N, 9
+                )
+                cands.append((-gain, f, v, nl, sl))
+        cands.sort()
+        g, f, v, nl, sl = cands[0]
+        return f, v, nl, float(sl), float(S), N
+
+    rows = {r["round"]: r for r in
+            (row.asDict() for row in
+             __import__("df_to_azure_spark.plans.pipeline10", fromlist=["x"])
+             .gbdt_stump_return_model(spark, sf_smoke).collect())}
+
+    f1, v1, nl1, sl1, S1, N = best_split(pdf.y)
+    assert (rows[1]["feature"], rows[1]["threshold"]) == (f1, v1)
+    f0 = round(S1 / N, 12)
+    vl1 = round(sl1 / nl1 - f0, 12)
+    vr1 = round((S1 - sl1) / (N - nl1) - f0, 12)
+    assert abs(rows[1]["left_value"] - vl1) < 1e-9
+    assert abs(rows[1]["right_value"] - vr1) < 1e-9
+
+    pred = pd.Series(vl1, index=pdf.index)
+    pred[~(pdf[f1] <= v1)] = vr1
+    r2 = pdf.y - f0 - pred
+    f2, v2, *_ = best_split(r2)
+    assert (rows[2]["feature"], rows[2]["threshold"]) == (f2, v2)
+    # boosting must reduce SSE: round-2 gain is positive
+    assert rows[2]["gain"] > 0

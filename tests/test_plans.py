@@ -59,6 +59,7 @@ BOUNDED_BROADCAST_VARS = {
     "lang_model",  # per-language NB model — bounded by the lang domain (~5)
     "vocab_n",  # 1-row distinct-token aggregate (nb_language_confusion)
     "obs",  # 1-row observed-statistic aggregate (revenue_permutation_test)
+    "best1",  # 1-row argmax stump frame (gbdt_stump_return_model round 2)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
