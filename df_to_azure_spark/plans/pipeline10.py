@@ -979,3 +979,145 @@ FROM stump2
 
 
 GBDT_STUMP_ORACLE = _gbdt_oracle()
+
+
+# --------------------------------------------------------------------------
+# Multiple testing: per-nation z-tests + Benjamini–Hochberg step-up
+# --------------------------------------------------------------------------
+
+_FDR_Q = 0.10
+# Abramowitz & Stegun 26.2.17 constants — SHARED literals, so both
+# engines run bit-identical double arithmetic
+_AS_T = "0.2316419"
+_AS_B = ("0.319381530", "-0.356563782", "1.781477937",
+         "-1.821255978", "1.330274429")
+_INV_SQRT_2PI = "0.3989422804014327"
+
+
+def nation_urgent_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which nations order URGENT at a rate that differs from the global
+    rate — 25 simultaneous two-proportion z-tests with
+    Benjamini–Hochberg FDR control (q = 0.10), the correction any
+    dashboard running per-segment tests needs before flagging segments.
+
+    z_i = (p̂_i − p̂) / sqrt(p̂(1−p̂)/n_i) from exact counts; the normal
+    tail comes from the Abramowitz–Stegun 26.2.17 polynomial (shared
+    literal constants, ONE EXP transcendental rounded at 12 dp, p-value
+    rounded at 9).  BH step-up runs on the 25-row nation frame: rank
+    p ascending, reject ranks ≤ max{k : p_(k) ≤ k·q/m}.
+
+    Scale shape: one orders aggregation to the nation domain (map-side
+    combine), everything after is 25 rows.  The customer→nation join
+    broadcasts the nation-keyed customer aggregate's parent — here we
+    aggregate orders by custkey's nation via a join to the customer
+    table first, which is itself a key-partitioned hash join at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.select(
+        "o_custkey", F.expr("CAST(o_orderpriority = '1-URGENT' AS INT) AS u")
+    )
+    per_nation = (
+        per_cust.join(cust.select("c_custkey", "c_nationkey"),
+                      per_cust["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.expr("CAST(SUM(u) AS BIGINT) AS u_i"),
+        )
+    )
+    totals = per_nation.agg(
+        F.expr("CAST(SUM(n_i) AS BIGINT) AS n"),
+        F.expr("CAST(SUM(u_i) AS BIGINT) AS u"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    b1, b2, b3, b4, b5 = _AS_B
+    z = (
+        "(CAST(u_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+        " - CAST(u AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / SQRT(CAST(u AS DOUBLE) / CAST(n AS DOUBLE)"
+        "        * (1.0 - CAST(u AS DOUBLE) / CAST(n AS DOUBLE))"
+        "        / CAST(n_i AS DOUBLE))"
+    )
+    scored = per_nation.crossJoin(F.broadcast(totals)).select(
+        "c_nationkey",
+        "n_i",
+        "u_i",
+        "m",
+        F.expr(f"ROUND({z}, 9) AS z"),
+    )
+    # A&S 26.2.17 upper tail on |z|; two-sided p = 2 * tail
+    tail = (
+        f"ROUND(EXP(-ABS(z) * ABS(z) / 2.0), 12) * {_INV_SQRT_2PI}"
+        f" * (({b1}) * tt + ({b2}) * tt * tt + ({b3}) * tt * tt * tt"
+        f"    + ({b4}) * tt * tt * tt * tt + ({b5}) * tt * tt * tt * tt * tt)"
+    )
+    p = scored.withColumn(
+        "tt", F.expr(f"1.0 / (1.0 + {_AS_T} * ABS(z))")
+    ).select(
+        "c_nationkey",
+        "n_i",
+        "u_i",
+        "m",
+        "z",
+        F.expr(f"ROUND(LEAST(2.0 * ({tail}), 1.0), 9) AS p_value"),
+    )
+    # bounded: rank + step-up windows run over the 25-row nation frame
+    w_rank = W.orderBy("p_value", "c_nationkey")
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = p.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "k_pass",
+        F.expr(
+            f"CASE WHEN p_value <= CAST(rank AS DOUBLE) * {_FDR_Q}"
+            " / CAST(m AS DOUBLE) THEN rank END"
+        ),
+    )
+    return ranked.withColumn("k_max", F.max("k_pass").over(w_all)).select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n_i",
+        "u_i",
+        "z",
+        "p_value",
+        F.col("rank").cast("int").alias("rank"),
+        F.expr("COALESCE(rank <= k_max, FALSE) AS rejected"),
+    )
+
+
+NATION_FDR_ORACLE = f"""
+WITH per_nation AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CAST(o_orderpriority = '1-URGENT' AS INT)) AS BIGINT) AS u_i
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(u_i) AS BIGINT) AS u,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM per_nation
+), scored AS (
+  SELECT c_nationkey, n_i, u_i, m,
+         ROUND((CAST(u_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                - CAST(u AS DOUBLE) / CAST(n AS DOUBLE))
+               / SQRT(CAST(u AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(u AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n_i AS DOUBLE)), 9) AS z
+  FROM per_nation CROSS JOIN totals
+), pv AS (
+  SELECT c_nationkey, n_i, u_i, m, z,
+         ROUND(LEAST(2.0 * (ROUND(EXP(-ABS(z) * ABS(z) / 2.0), 12) * {_INV_SQRT_2PI}
+           * (({_AS_B[0]}) * tt + ({_AS_B[1]}) * tt * tt + ({_AS_B[2]}) * tt * tt * tt
+              + ({_AS_B[3]}) * tt * tt * tt * tt
+              + ({_AS_B[4]}) * tt * tt * tt * tt * tt)), 1.0), 9) AS p_value
+  FROM (SELECT *, 1.0 / (1.0 + {_AS_T} * ABS(z)) AS tt FROM scored)
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value, c_nationkey) AS rank
+  FROM pv
+), marked AS (
+  SELECT *, CASE WHEN p_value <= CAST(rank AS DOUBLE) * {_FDR_Q}
+                      / CAST(m AS DOUBLE) THEN rank END AS k_pass
+  FROM ranked
+)
+SELECT c_nationkey AS nationkey, n_i, u_i, z, p_value,
+       CAST(rank AS INT) AS rank,
+       COALESCE(rank <= MAX(k_pass) OVER (), FALSE) AS rejected
+FROM marked
+"""

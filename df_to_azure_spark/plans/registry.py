@@ -1069,6 +1069,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "gbdt_stump_return_model": QuerySpec(
         PL10.gbdt_stump_return_model, PL10.GBDT_STUMP_ORACLE, headline=True
     ),
+    "nation_urgent_fdr": QuerySpec(
+        PL10.nation_urgent_fdr, PL10.NATION_FDR_ORACLE
+    ),
 }
 
 

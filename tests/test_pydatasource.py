@@ -146,8 +146,18 @@ def test_jsonldir_writer_overwrite_replaces_previous_generation(
 
 
 def test_jsonldir_writer_abort_leaves_nothing_visible(spark, tmp_path):
-    """A failing task aborts the job: no part files, no _SUCCESS, and
-    the staged temps of the tasks that DID finish are cleaned up."""
+    """A failing task aborts the job: no part files and no _SUCCESS ever
+    become visible, and a SUBSEQUENT successful write commits cleanly on
+    top of whatever the aborted job left behind.
+
+    Deliberately NOT asserted: zero ``.staged-`` temps.  Tasks that were
+    still running when the failing task killed the job never deliver a
+    commit message, so ``abort()`` cannot know their temp names — a
+    dot-invisible temp leaking from a killed in-flight task is inherent
+    to every stage-then-commit protocol on a store without directory
+    transactions (cloud commit protocols sweep them with a janitor).
+    Whether any leak here is pure task-timing, which is why the original
+    zero-temps assertion flaked under load."""
     import os
 
     import pytest
@@ -165,4 +175,11 @@ def test_jsonldir_writer_abort_leaves_nothing_visible(spark, tmp_path):
     leftover = os.listdir(out) if os.path.exists(out) else []
     assert not [n for n in leftover if n.startswith("part-")]
     assert "_SUCCESS" not in leftover
-    assert not [n for n in leftover if n.startswith(".staged-")]
+    # recovery: a clean retry commits and exposes exactly its own rows
+    spark.range(0, 10, 1, 2).selectExpr("id AS log_id").write.format(
+        "jsonldir"
+    ).option("path", out).mode("overwrite").save()
+    parts = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert len(parts) == 2
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "rows=10"
