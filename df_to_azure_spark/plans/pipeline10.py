@@ -300,9 +300,15 @@ def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_lang",
             "lang",
             F.expr(
-                f"CAST(prior AS DECIMAL(38,{_NB_DP}))"
-                f" + CAST(m_total * lnp0 AS DECIMAL(38,{_NB_DP}))"
-                f" + COALESCE(corr, CAST(0 AS DECIMAL(38,{_NB_DP}))) AS score"
+                # operands cast to DECIMAL(25,·): the three-term sum
+                # stays inside precision 38, so BOTH engines add exactly —
+                # DECIMAL(38,·)+DECIMAL(38,·) would overflow the cap and
+                # make Spark silently round scale down (half-up) while
+                # DuckDB widens differently, flipping near-tie argmaxes
+                f"CAST(prior AS DECIMAL(25,{_NB_DP}))"
+                f" + CAST(m_total * lnp0 AS DECIMAL(25,{_NB_DP}))"
+                f" + COALESCE(CAST(corr AS DECIMAL(25,{_NB_DP})),"
+                f" CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score"
             ),
         )
     )
@@ -363,9 +369,10 @@ WITH train AS (
   FROM test
 ), scored AS (
   SELECT d.doc_id, d.true_lang, lm.lang,
-         CAST(lm.prior AS DECIMAL(38,{_NB_DP}))
-           + CAST(d.m_total * lm.lnp0 AS DECIMAL(38,{_NB_DP}))
-           + COALESCE(c.corr, CAST(0 AS DECIMAL(38,{_NB_DP}))) AS score
+         CAST(lm.prior AS DECIMAL(25,{_NB_DP}))
+           + CAST(d.m_total * lm.lnp0 AS DECIMAL(25,{_NB_DP}))
+           + COALESCE(CAST(c.corr AS DECIMAL(25,{_NB_DP})),
+                      CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score
   FROM test_docs d CROSS JOIN lang_model lm
   LEFT JOIN corr c ON c.doc_id = d.doc_id AND c.lang = lm.lang
 ), pred AS (
@@ -1120,4 +1127,315 @@ SELECT c_nationkey AS nationkey, n_i, u_i, z, p_value,
        CAST(rank AS INT) AS rank,
        COALESCE(rank <= MAX(k_pass) OVER (), FALSE) AS rejected
 FROM marked
+"""
+
+
+# --------------------------------------------------------------------------
+# NB leave-own-source-out generalization (data valuation by count algebra)
+# --------------------------------------------------------------------------
+
+
+def _nb_loso_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level LOSO score frame (doc_id, src, true_lang, lang, score)
+    — split out so tests and cross-engine debugging can compare the
+    score surface itself, not just the aggregated accuracies."""
+    return _nb_loso_impl(spark, sf_dir)
+
+
+def _nb_loso_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source generalization of the Naive Bayes language model:
+    every md5-TEST document is scored under the model trained WITHOUT
+    its own source — the leave-one-source-out screen a data-curation
+    pipeline runs to measure how much each source's lang-ID signal is
+    self-reinforcement (cf. ``nb_language_confusion`` for the full-model
+    confusion).  Because NB is count-based, the 5 held-out models are
+    pure COUNT ALGEBRA — no retraining: ``c_{L,w,−s} = c_{L,w} −
+    c_{L,w,s}``, and the held-out vocabulary is the full vocabulary
+    minus the tokens occurring ONLY in s.  Tokens whose remaining count
+    is zero contribute a zero delta against the unseen floor, so the
+    scoring join still touches only seen (token, lang) pairs.
+
+    Output: per source — test docs, correct LOSO predictions, accuracy.
+    At 100 TB: token-keyed shuffles with map-side combine; every model
+    frame is bounded by the lang × source domain (25 rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(_SPLIT_SPARK)
+    train = docs.where(split < 80)
+    test = docs.where(split >= 80)
+
+    train_tok = train.select(
+        "lang", "source", F.explode(TXT.tokens("text")).alias("tok")
+    )
+    c_lw = train_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c_lws = train_tok.groupBy("lang", "tok", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    )
+    per_lang = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TXT.token_count("text").cast("bigint")).alias("t_l"),
+    )
+    per_lang_src = train.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_s"),
+        F.sum(TXT.token_count("text").cast("bigint")).alias("t_ls"),
+    )
+    n_tr_tot = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_tr"))
+    n_train = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_s")
+    ).crossJoin(F.broadcast(n_tr_tot))
+    # held-out vocabulary: |V| minus tokens living ONLY in source s
+    tok_tot = train_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tot")
+    )
+    tok_src = train_tok.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tot_s")
+    )
+    vocab_n = tok_tot.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    excl = (
+        tok_src.join(tok_tot, "tok")
+        .where(F.col("c_tot_s") == F.col("c_tot"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v_excl"))
+    )
+    # 25-row held-out model frame: (lang, source) → prior/lnp0/den
+    # full lang x source grid: a language with ZERO training docs in the
+    # held-out source keeps its whole model (n_docs_s/t_ls default 0) —
+    # dropping it would silently remove it from the candidate set
+    grid = per_lang.crossJoin(
+        F.broadcast(n_train.select("source", "n_train_s"))
+    )
+    ls_model = (
+        grid.join(per_lang_src, ["lang", "source"], "left")
+        .withColumn("n_docs_s", F.expr("COALESCE(n_docs_s, CAST(0 AS BIGINT))"))
+        .withColumn("t_ls", F.expr("COALESCE(t_ls, CAST(0 AS BIGINT))"))
+        .join(n_train.select("source", "n_tr"), "source")
+        .join(excl, "source", "left")
+        .crossJoin(F.broadcast(vocab_n))
+        .where(F.col("n_docs") > F.col("n_docs_s"))
+        .select(
+            "lang",
+            "source",
+            F.expr(
+                f"CAST(ROUND(LN(CAST(n_docs - n_docs_s AS DOUBLE)"
+                f" / CAST(n_tr - n_train_s AS DOUBLE)), {_NB_DP})"
+                f" AS DECIMAL(20,{_NB_DP})) AS prior"
+            ),
+            F.expr(
+                "t_l - t_ls + v - COALESCE(v_excl, CAST(0 AS BIGINT)) AS den"
+            ),
+        )
+        .withColumn(
+            "lnp0",
+            F.expr(
+                f"CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(den AS DOUBLE)), {_NB_DP})"
+                f" AS DECIMAL(20,{_NB_DP}))"
+            ),
+        )
+    )
+    # seen-token deltas vs the held-out floor, per (lang, tok, src) for
+    # EVERY source — a token absent from the held-out source but present
+    # elsewhere keeps its full count and MUST contribute (only tokens
+    # living entirely in the held-out source collapse to a zero delta)
+    sources = train.select(F.col("source").alias("src")).distinct()
+    c_aug = (
+        c_lw.crossJoin(F.broadcast(sources))
+        .join(
+            F.broadcast(ls_model.withColumnRenamed("source", "src")),
+            ["lang", "src"],
+        )
+        .join(
+            c_lws.withColumnRenamed("source", "src"),
+            ["lang", "tok", "src"],
+            "left",
+        )
+        .select(
+            "lang",
+            "tok",
+            "src",
+            F.expr(
+                f"CAST(ROUND(LN(CAST(c - COALESCE(c_s, CAST(0 AS BIGINT)) + 1 AS DOUBLE)"
+                f" / CAST(den AS DOUBLE)),"
+                f" {_NB_DP}) AS DECIMAL(20,{_NB_DP})) - lnp0 AS delta"
+            ),
+        )
+    )
+    test_tok = (
+        test.select(
+            "doc_id",
+            F.col("source").alias("src"),
+            F.explode(TXT.tokens("text")).alias("tok"),
+        )
+        .groupBy("doc_id", "src", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    corr = (
+        test_tok.join(c_aug, ["tok", "src"])
+        .groupBy("doc_id", "lang")
+        .agg(F.expr(f"SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr"))
+    )
+    test_docs = test.select(
+        "doc_id",
+        F.col("source").alias("src"),
+        F.col("lang").alias("true_lang"),
+        TXT.token_count("text").cast("bigint").alias("m_total"),
+    )
+    scored = (
+        test_docs.join(
+            F.broadcast(ls_model.withColumnRenamed("source", "src")), "src"
+        )
+        .join(corr, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "src",
+            "true_lang",
+            "lang",
+            F.expr(
+                # operands cast to DECIMAL(25,·): the three-term sum
+                # stays inside precision 38, so BOTH engines add exactly —
+                # DECIMAL(38,·)+DECIMAL(38,·) would overflow the cap and
+                # make Spark silently round scale down (half-up) while
+                # DuckDB widens differently, flipping near-tie argmaxes
+                f"CAST(prior AS DECIMAL(25,{_NB_DP}))"
+                f" + CAST(m_total * lnp0 AS DECIMAL(25,{_NB_DP}))"
+                f" + COALESCE(CAST(corr AS DECIMAL(25,{_NB_DP})),"
+                f" CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score"
+            ),
+        )
+    )
+    return scored
+
+
+def nb_loso_source_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LOSO accuracy — the aggregation of ``_nb_loso_scored``;
+    see ``_nb_loso_impl`` for the full model/count-algebra docstring."""
+    return _nb_loso_accuracy_from_scored(_nb_loso_scored(spark, sf_dir))
+
+
+def _nb_loso_accuracy_from_scored(scored: DataFrame) -> DataFrame:
+    w_doc = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .select("src", F.expr("CAST(lang = true_lang AS INT) AS ok"))
+    )
+    return (
+        pred.groupBy(F.col("src").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(SUM(ok) AS BIGINT) AS n_correct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_correct",
+            F.expr(
+                "ROUND(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)"
+                " AS acc_loso"
+            ),
+        )
+    )
+
+
+NB_LOSO_ORACLE = f"""
+WITH train AS (
+  SELECT * FROM documents WHERE {_SPLIT_DUCK} < 80
+), test AS (
+  SELECT * FROM documents WHERE {_SPLIT_DUCK} >= 80
+), train_tok AS (
+  SELECT lang, source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM train
+), c_lw AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM train_tok GROUP BY 1, 2
+), c_lws AS (
+  SELECT lang, tok, source AS src, CAST(COUNT(*) AS BIGINT) AS c_s
+  FROM train_tok GROUP BY 1, 2, 3
+), per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS t_l
+  FROM train GROUP BY 1
+), per_lang_src AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs_s,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS t_ls
+  FROM train GROUP BY 1, 2
+), n_train AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_s,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_tr
+  FROM train GROUP BY 1
+), tok_tot AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tot FROM train_tok GROUP BY 1
+), tok_src AS (
+  SELECT tok, source, CAST(COUNT(*) AS BIGINT) AS c_tot_s
+  FROM train_tok GROUP BY 1, 2
+), vocab_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tok_tot
+), excl AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v_excl
+  FROM tok_src JOIN tok_tot USING (tok)
+  WHERE c_tot_s = c_tot
+  GROUP BY 1
+), grid AS (
+  SELECT pl.lang, pl.n_docs, pl.t_l, nt.source, nt.n_train_s, nt.n_tr
+  FROM per_lang pl CROSS JOIN n_train nt
+), ls_model AS (
+  SELECT g.lang, g.source,
+         CAST(ROUND(LN(CAST(g.n_docs - COALESCE(pls.n_docs_s, 0) AS DOUBLE)
+              / CAST(g.n_tr - g.n_train_s AS DOUBLE)), {_NB_DP}) AS DECIMAL(20,{_NB_DP})) AS prior,
+         g.t_l - COALESCE(pls.t_ls, 0) + vn.v - COALESCE(ex.v_excl, 0) AS den,
+         CAST(ROUND(LN(CAST(1 AS DOUBLE)
+              / CAST(g.t_l - COALESCE(pls.t_ls, 0) + vn.v - COALESCE(ex.v_excl, 0) AS DOUBLE)),
+              {_NB_DP}) AS DECIMAL(20,{_NB_DP})) AS lnp0
+  FROM grid g
+  LEFT JOIN per_lang_src pls ON g.lang = pls.lang AND g.source = pls.source
+  LEFT JOIN excl ex ON g.source = ex.source
+  CROSS JOIN vocab_n vn
+  WHERE g.n_docs > COALESCE(pls.n_docs_s, 0)
+), sources AS (
+  SELECT DISTINCT source AS src FROM train
+), c_aug AS (
+  SELECT c_lw.lang, c_lw.tok, so.src,
+         CAST(ROUND(LN(CAST(c_lw.c - COALESCE(cs.c_s, 0) + 1 AS DOUBLE)
+              / CAST(lm.den AS DOUBLE)), {_NB_DP}) AS DECIMAL(20,{_NB_DP})) - lm.lnp0 AS delta
+  FROM c_lw
+  CROSS JOIN sources so
+  JOIN ls_model lm ON lm.lang = c_lw.lang AND lm.source = so.src
+  LEFT JOIN c_lws cs ON cs.lang = c_lw.lang AND cs.tok = c_lw.tok AND cs.src = so.src
+), test_tok AS (
+  SELECT doc_id, src, tok, CAST(COUNT(*) AS BIGINT) AS m
+  FROM (
+    SELECT doc_id, source AS src,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+    FROM test
+  ) GROUP BY 1, 2, 3
+), corr AS (
+  SELECT doc_id, lang, SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr
+  FROM test_tok JOIN c_aug ON test_tok.tok = c_aug.tok AND test_tok.src = c_aug.src
+  GROUP BY 1, 2
+), test_docs AS (
+  SELECT doc_id, source AS src, lang AS true_lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS m_total
+  FROM test
+), scored AS (
+  SELECT d.doc_id, d.src, d.true_lang, lm.lang,
+         CAST(lm.prior AS DECIMAL(25,{_NB_DP}))
+           + CAST(d.m_total * lm.lnp0 AS DECIMAL(25,{_NB_DP}))
+           + COALESCE(CAST(c.corr AS DECIMAL(25,{_NB_DP})),
+                      CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score
+  FROM test_docs d
+  JOIN ls_model lm ON lm.source = d.src
+  LEFT JOIN corr c ON c.doc_id = d.doc_id AND c.lang = lm.lang
+), pred AS (
+  SELECT src, CAST(lang = true_lang AS INT) AS ok
+  FROM (
+    SELECT src, lang, true_lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS acc_loso
+FROM pred GROUP BY 1
 """

@@ -1072,6 +1072,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "nation_urgent_fdr": QuerySpec(
         PL10.nation_urgent_fdr, PL10.NATION_FDR_ORACLE
     ),
+    "nb_loso_source_accuracy": QuerySpec(
+        PL10.nb_loso_source_accuracy, PL10.NB_LOSO_ORACLE
+    ),
 }
 
 

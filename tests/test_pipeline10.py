@@ -224,3 +224,41 @@ def test_gbdt_stump_matches_sequential_reference(spark, sf_smoke):
     assert (rows[2]["feature"], rows[2]["threshold"]) == (f2, v2)
     # boosting must reduce SSE: round-2 gain is positive
     assert rows[2]["gain"] > 0
+
+
+def test_nb_loso_covers_all_test_sources(spark, sf_oracle):
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    rows = PL10.nb_loso_source_accuracy(spark, sf_oracle).collect()
+    got = {r.source: r.n_docs for r in rows}
+    # every source with >=1 md5-test doc appears, with the right count
+    expect = {
+        r.source: r.n
+        for r in docs.where(
+            SF.expr(PL10._SPLIT_SPARK + " >= 80")
+        )
+        .groupBy("source")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_docs
+        assert abs(r.acc_loso - round(r.n_correct / r.n_docs, 4)) < 1e-9
+
+
+def test_nb_loso_scored_has_full_candidate_set(spark, sf_oracle):
+    """Every test doc must be scored against every language the held-out
+    model retains — with 20 sources and 5 well-represented languages
+    that is exactly 5 candidates per doc (the round-10 grid-fix
+    regression: languages absent from the held-out source used to drop
+    out of the candidate set)."""
+    from pyspark.sql import functions as SF
+
+    scored = PL10._nb_loso_scored(spark, sf_oracle)
+    per_doc = scored.groupBy("doc_id").agg(
+        SF.countDistinct("lang").alias("k")
+    )
+    ks = {r.k for r in per_doc.collect()}
+    assert ks == {5}, ks

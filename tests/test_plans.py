@@ -60,6 +60,10 @@ BOUNDED_BROADCAST_VARS = {
     "vocab_n",  # 1-row distinct-token aggregate (nb_language_confusion)
     "obs",  # 1-row observed-statistic aggregate (revenue_permutation_test)
     "best1",  # 1-row argmax stump frame (gbdt_stump_return_model round 2)
+    "ls_model",  # lang × source held-out NB model — bounded by domain (25)
+    "sources",  # distinct source frame — bounded by the source domain (~5)
+    "n_tr_tot",  # 1-row train-doc total (nb_loso_source_accuracy)
+    "n_train",  # per-source train-doc counts — bounded by the source domain
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
