@@ -237,3 +237,50 @@ def synthesize_media(spark, n: int = 100) -> DataFrame:
             F.lit("source"), F.concat(F.lit("synth-"), (F.col("id") % 7).cast("string"))
         ).alias("meta"),
     )
+
+
+FRAME_MANIFEST_SCHEMA = (
+    "media_id long, frame_idx int, byte_offset int, window_sha string"
+)
+
+
+def sample_frames(df: DataFrame, k: int = 4, window: int = 16) -> DataFrame:
+    """Deterministic frame-sampling manifest over media payloads via
+    Arrow-batched ``mapInPandas``: ``k`` byte offsets evenly spaced over
+    each payload (``j·(len−window)//(k−1)``) and the sha256 of each
+    ``window``-byte slice as the frame fingerprint.
+
+    This is the SAMPLING side of a video pipeline with the decode
+    swapped for a byte-window fingerprint: the production artifact —
+    a (media_id, frame_idx, offset, fingerprint) manifest that dedup and
+    retrieval join on — has exactly this schema whether the fingerprint
+    comes from pixels or payload bytes, and the Spark-side plumbing
+    (Arrow batch shape, binary column dropped from the output so
+    shuffles stay narrow) is identical.  Deterministic offsets keep the
+    whole lane SQL-replicable, the same contract as
+    ``extract_features``'s fake decoder."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "byte_offset": [],
+                "window_sha": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) < window:
+                    continue
+                n = len(payload)
+                for j in range(k):
+                    off = j * (n - window) // (k - 1) if k > 1 else 0
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j)
+                    out["byte_offset"].append(off)
+                    out["window_sha"].append(
+                        hashlib.sha256(payload[off : off + window]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_MANIFEST_SCHEMA)

@@ -1439,3 +1439,43 @@ SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS acc_loso
 FROM pred GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame-sampling manifest (video lane)
+# --------------------------------------------------------------------------
+
+_FRAME_K = 4
+_FRAME_W = 16
+
+
+def media_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling manifest: K evenly-spaced byte offsets per
+    video payload with a sha256 window fingerprint each — the artifact a
+    frame-dedup / frame-retrieval pipeline materializes before any GPU
+    decode (see ``multimodal.sample_frames`` for why the byte-window
+    stand-in keeps the whole lane hash-checkable).  Arrow-batched
+    mapInPandas; the binary column never enters a shuffle."""
+    from df_to_azure_spark.functions import multimodal as MM
+
+    media = MM.synthesize_media(spark, n=200).where(F.col("kind") == "video")
+    return MM.sample_frames(media, k=_FRAME_K, window=_FRAME_W)
+
+
+MEDIA_FRAME_ORACLE = f"""
+WITH m AS (
+  SELECT range AS media_id, sha256(CAST(range AS VARCHAR)) AS payload
+  FROM range(0, 200) WHERE range % 3 = 2
+), f AS (
+  SELECT media_id, payload, CAST(UNNEST(range(0, {_FRAME_K})) AS INT) AS frame_idx
+  FROM m
+)
+SELECT media_id, frame_idx,
+       CAST(frame_idx * (length(payload) - {_FRAME_W}) // {_FRAME_K - 1} AS INT)
+         AS byte_offset,
+       sha256(substr(payload,
+                     CAST(frame_idx * (length(payload) - {_FRAME_W})
+                          // {_FRAME_K - 1} AS INT) + 1,
+                     {_FRAME_W})) AS window_sha
+FROM f
+"""

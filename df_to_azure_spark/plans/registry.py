@@ -1075,6 +1075,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "nb_loso_source_accuracy": QuerySpec(
         PL10.nb_loso_source_accuracy, PL10.NB_LOSO_ORACLE
     ),
+    "media_frame_manifest": QuerySpec(
+        PL10.media_frame_manifest, PL10.MEDIA_FRAME_ORACLE
+    ),
 }
 
 

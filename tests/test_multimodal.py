@@ -156,3 +156,28 @@ def test_video_branch_via_mocked_av(monkeypatch):
     assert feats[2] == 1.0
     assert feats[3:] == [0.0] * (MM.FEATURE_DIM - 3)
     assert MM.available_codecs()["video"] is True
+
+
+def test_sample_frames_manifest_matches_python_reference(spark):
+    """Offsets and window fingerprints recomputed sequentially from the
+    same payloads; short payloads (< window) are skipped entirely."""
+    import hashlib
+
+    from df_to_azure_spark.functions import multimodal as MM
+
+    media = MM.synthesize_media(spark, n=12)
+    rows = sorted(
+        MM.sample_frames(media, k=4, window=16).collect(),
+        key=lambda r: (r.media_id, r.frame_idx),
+    )
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    expect = []
+    for mid in sorted(payloads):
+        p = payloads[mid]
+        n = len(p)
+        for j in range(4):
+            off = j * (n - 16) // 3
+            expect.append(
+                (mid, j, off, hashlib.sha256(p[off : off + 16]).hexdigest())
+            )
+    assert [(r.media_id, r.frame_idx, r.byte_offset, r.window_sha) for r in rows] == expect
