@@ -1479,3 +1479,193 @@ SELECT media_id, frame_idx,
                      {_FRAME_W})) AS window_sha
 FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# Always-valid monitoring: e-process on daily revenue (testing by betting)
+# --------------------------------------------------------------------------
+
+_EV_LAMBDA = "0.2"
+_EV_BASELINE_DAYS = 365
+_EV_ALARM = 20.0  # e >= 1/alpha, alpha = 0.05
+
+
+def revenue_evalue_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid drift monitor on daily revenue, the
+    testing-by-betting form (Shafer 2021): against a FIXED baseline
+    window (first year: exact-decimal mean μ0 and variance), each later
+    day bets a bounded fraction ``λ·g_d`` of current wealth with
+    ``g_d = clip((r_d − μ0)/(3σ0), −1, 1)``; the running wealth
+    ``E_t = Π(1 + λ·g_d)`` is an anytime-valid evidence measure — a
+    dashboard can stop at ANY day and read ``E_t ≥ 1/α`` as a level-α
+    rejection, with no multiple-testing correction for continuous
+    monitoring.  The classical fixed-horizon tests next to it
+    (``revenue_permutation_test``, ``daily_revenue_cusum``) answer the
+    same question only at a pre-registered stopping point.
+
+    Exactness: baseline sums are exact decimals; per-day ``g`` and
+    ``ln(1+λg)`` are one double expression each (ROUND 12 → DECIMAL),
+    the cumulative log-wealth is an exact decimal running sum, and the
+    final EXP is rounded once.  Everything after the day-level pre-agg
+    is calendar-bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))").alias(
+            "rev"
+        )
+    )
+    d0 = daily.agg(F.expr("MIN(d) AS dmin"))
+    base = (
+        daily.crossJoin(F.broadcast(d0))
+        .where(F.col("d") < F.col("dmin") + _EV_BASELINE_DAYS)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+            F.expr("SUM(rev) AS s0"),
+            F.expr("SUM(CAST(rev * rev AS DECIMAL(38,4))) AS ss0"),
+            F.expr(f"MIN(d) + {_EV_BASELINE_DAYS} AS cut"),
+        )
+    )
+    g = (
+        "LEAST(GREATEST((CAST(rev AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+        " / (3.0 * SQRT(CAST(ss0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        "     - POWER(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 2))), -1.0), 1.0)"
+    )
+    post = (
+        daily.crossJoin(F.broadcast(base))
+        .where(F.col("d") >= F.col("cut"))
+        .select(
+            "d",
+            F.expr(f"ROUND({g}, 9) AS g"),
+        )
+        .select(
+            "d",
+            "g",
+            F.expr(
+                f"CAST(ROUND(LN(1.0 + {_EV_LAMBDA} * g), 12) AS DECIMAL(28,12))"
+                " AS lw"
+            ),
+        )
+    )
+    # bounded: the running log-wealth window orders the calendar-bounded
+    # post-baseline day frame (|days| is a domain constant, not row count)
+    return post.select(
+        "d",
+        "g",
+        F.expr(
+            "ROUND(EXP(CAST(SUM(lw) OVER (ORDER BY d"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)"
+        ).alias("e_value"),
+    ).withColumn("alarm", F.expr(f"e_value >= {_EV_ALARM}"))
+
+
+EVALUE_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0, SUM(rev) AS s0,
+         SUM(CAST(rev * rev AS DECIMAL(38,4))) AS ss0,
+         MIN(d) + {_EV_BASELINE_DAYS} AS cut
+  FROM daily
+  WHERE d < (SELECT MIN(d) FROM daily) + {_EV_BASELINE_DAYS}
+), post AS (
+  SELECT d,
+         ROUND(LEAST(GREATEST((CAST(rev AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / (3.0 * SQRT(CAST(ss0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+               - POWER(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 2))), -1.0), 1.0), 9) AS g
+  FROM daily CROSS JOIN base
+  WHERE d >= cut
+), lw AS (
+  SELECT d, g,
+         CAST(ROUND(LN(1.0 + {_EV_LAMBDA} * g), 12) AS DECIMAL(28,12)) AS lw
+  FROM post
+)
+SELECT d, g,
+       ROUND(EXP(CAST(SUM(lw) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS e_value,
+       ROUND(EXP(CAST(SUM(lw) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) >= {_EV_ALARM} AS alarm
+FROM lw
+"""
+
+
+# --------------------------------------------------------------------------
+# HBOS outlier scoring (histogram-based, fully decomposable)
+# --------------------------------------------------------------------------
+
+_HBOS_PRICE_BAND = 20000
+_HBOS_TOP = 100
+
+
+def order_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score over orders: treat (price band,
+    priority, order weekday) as independent feature histograms and score
+    each order by ``Σ −ln(bin share)`` — the embarrassingly-parallel
+    outlier detector (Goldstein & Dengel 2012) a 100 TB triage pass
+    runs before any pairwise/density method, because it needs only one
+    histogram per feature (map-side combine to domain-bounded frames)
+    plus one broadcast-join scoring scan.  Top-100 by score
+    (TakeOrdered, never a full sort), ties → orderkey.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    feat = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr(f"CAST(FLOOR(o_totalprice / {_HBOS_PRICE_BAND}) AS BIGINT) AS pband"),
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 7 AS INT)"
+            " AS dow"
+        ),
+    )
+    tot = feat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hp = feat.groupBy("pband").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
+    hq = feat.groupBy("prio").agg(F.count(F.lit(1)).cast("bigint").alias("n_q"))
+    hd = feat.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    score = (
+        "ROUND(-LN(CAST(n_p AS DOUBLE) / CAST(n AS DOUBLE))"
+        " - LN(CAST(n_q AS DOUBLE) / CAST(n AS DOUBLE))"
+        " - LN(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)), 9)"
+    )
+    return (
+        feat.join(F.broadcast(hp), "pband")
+        .join(F.broadcast(hq), "prio")
+        .join(F.broadcast(hd), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "okey",
+            "pband",
+            "prio",
+            "dow",
+            F.expr(f"{score} AS hbos"),
+        )
+        .orderBy(F.desc("hbos"), F.asc("okey"))
+        .limit(_HBOS_TOP)
+    )
+
+
+HBOS_ORACLE = f"""
+WITH feat AS (
+  SELECT o_orderkey AS okey,
+         CAST(FLOOR(o_totalprice / {_HBOS_PRICE_BAND}) AS BIGINT) AS pband,
+         o_orderpriority AS prio,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 7 AS INT) AS dow
+  FROM orders
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+hp AS (SELECT pband, CAST(COUNT(*) AS BIGINT) AS n_p FROM feat GROUP BY 1),
+hq AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_q FROM feat GROUP BY 1),
+hd AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_d FROM feat GROUP BY 1)
+SELECT okey, pband, prio, dow,
+       ROUND(-LN(CAST(n_p AS DOUBLE) / CAST(n AS DOUBLE))
+             - LN(CAST(n_q AS DOUBLE) / CAST(n AS DOUBLE))
+             - LN(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS hbos
+FROM feat
+JOIN hp USING (pband) JOIN hq USING (prio) JOIN hd USING (dow)
+CROSS JOIN tot
+ORDER BY hbos DESC, okey
+LIMIT {_HBOS_TOP}
+"""

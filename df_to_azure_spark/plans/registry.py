@@ -1078,6 +1078,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_frame_manifest": QuerySpec(
         PL10.media_frame_manifest, PL10.MEDIA_FRAME_ORACLE
     ),
+    "revenue_evalue_monitor": QuerySpec(
+        PL10.revenue_evalue_monitor, PL10.EVALUE_ORACLE
+    ),
+    "order_hbos_outliers": QuerySpec(
+        PL10.order_hbos_outliers, PL10.HBOS_ORACLE
+    ),
 }
 
 

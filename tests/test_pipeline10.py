@@ -262,3 +262,40 @@ def test_nb_loso_scored_has_full_candidate_set(spark, sf_oracle):
     )
     ks = {r.k for r in per_doc.collect()}
     assert ks == {5}, ks
+
+
+def test_evalue_monitor_is_anytime_valid_shape(spark, sf_smoke):
+    """Wealth recomputed sequentially from the per-day bets; bets are
+    bounded; the e-process matches exp(cumulative rounded log-wealth)."""
+    import math
+
+    rows = sorted(
+        PL10.revenue_evalue_monitor(spark, sf_smoke).collect(),
+        key=lambda r: r.d,
+    )
+    assert rows, "needs post-baseline days"
+    acc = 0.0
+    for r in rows:
+        assert -1.0 <= r.g <= 1.0
+        acc += round(math.log(1.0 + 0.2 * r.g), 12)
+        assert abs(r.e_value - round(math.exp(acc), 6)) < 1e-6
+        assert r.alarm == (r.e_value >= 20.0)
+
+
+def test_hbos_outliers_topk_and_rare_bins(spark, sf_smoke):
+    rows = PL10.order_hbos_outliers(spark, sf_smoke).collect()
+    assert len(rows) == 100
+    scores = [r.hbos for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the top outlier must sit in a rarer price band than the corpus mode
+    from pyspark.sql import functions as SF
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    bands = (
+        orders.groupBy(SF.expr("CAST(FLOOR(o_totalprice / 20000) AS BIGINT)").alias("b"))
+        .count()
+        .collect()
+    )
+    counts = {r.b: r["count"] for r in bands}
+    mode_band = max(counts, key=counts.get)
+    assert counts[rows[0].pband] <= counts[mode_band]

@@ -64,6 +64,11 @@ BOUNDED_BROADCAST_VARS = {
     "sources",  # distinct source frame — bounded by the source domain (~5)
     "n_tr_tot",  # 1-row train-doc total (nb_loso_source_accuracy)
     "n_train",  # per-source train-doc counts — bounded by the source domain
+    "d0",  # 1-row MIN(day) aggregate (revenue_evalue_monitor baseline cut)
+    "base",  # 1-row baseline-window aggregate (revenue_evalue_monitor)
+    "hp",  # price-band histogram — bounded by the band domain (order_hbos)
+    "hq",  # priority histogram — bounded by the priority domain (5)
+    "hd",  # weekday histogram — bounded by the 7-day domain
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
