@@ -1669,3 +1669,95 @@ CROSS JOIN tot
 ORDER BY hbos DESC, okey
 LIMIT {_HBOS_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# AGMS (tug-of-war) join-size estimation — optimizer-internals sketch
+# --------------------------------------------------------------------------
+
+_AGMS_K = 64  # independent ±1 sketches averaged
+
+
+def agms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT executing the join — the
+    AGMS / tug-of-war sketch (Alon-Gibbons-Matias-Szegedy) a
+    cost-based optimizer consults before picking a join strategy:
+    each side folds to K signed sums ``X_i = Σ_rows s_i(key)`` with
+    ``s_i(key) ∈ {−1,+1}`` from a seeded md5 parity; ``E[X_i^A·X_i^B] =
+    |A ⋈ B|`` exactly, and averaging K independent sketches tames the
+    variance.  One scan per side collapsing map-side to K rows — at
+    100 TB this is the cheapest join-size probe that handles skewed
+    multiplicities (distinct-only sketches like KMV cannot: join size
+    is Σ_k n_A(k)·n_B(k), not the key overlap).
+
+    Output: the sketch estimate, the exact size (computed here from the
+    key-count join — the audit a test harness wants; production omits
+    it), and the relative error.  Everything is exact integer
+    arithmetic until the final two ROUNDed doubles; the seeded signs
+    are shared literals, so the estimate is bit-reproducible."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        signed = df.select(F.col(key).cast("long").alias("k")).withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(_AGMS_K - 1)))
+        )
+        return signed.groupBy("i").agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(conv(substring(md5(concat("
+                "CAST(i AS STRING), '_', CAST(k AS STRING))), 1, 4), 16, 10)"
+                " AS INT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)"
+            ).alias("x")
+        )
+    xa = sketch(orders, "o_custkey").withColumnRenamed("x", "xa")
+    xb = sketch(cust, "c_custkey").withColumnRenamed("x", "xb")
+    est = xa.join(xb, "i").agg(
+        F.expr(f"CAST(SUM(xa * xb) AS BIGINT) AS dot_sum"),
+    )
+    na = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    nb_ = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    actual = na.join(nb_, "k").agg(
+        F.expr("CAST(SUM(n_a * n_b) AS BIGINT) AS actual")
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        F.expr(f"ROUND(CAST(dot_sum AS DOUBLE) / {_AGMS_K}, 4) AS estimate"),
+        "actual",
+        F.expr(
+            f"ROUND(ABS(CAST(dot_sum AS DOUBLE) / {_AGMS_K}"
+            " - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE), 6)"
+            " AS rel_error"
+        ),
+    )
+
+
+AGMS_ORACLE = f"""
+WITH ii AS (
+  SELECT CAST(UNNEST(generate_series(0, {_AGMS_K - 1})) AS INTEGER) AS i
+), xa AS (
+  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
+             CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
+             THEN 1 ELSE -1 END) AS BIGINT) AS xa
+  FROM orders CROSS JOIN ii GROUP BY i
+), xb AS (
+  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
+             CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
+             THEN 1 ELSE -1 END) AS BIGINT) AS xb
+  FROM customer CROSS JOIN ii GROUP BY i
+), est AS (
+  SELECT CAST(SUM(xa * xb) AS BIGINT) AS dot_sum FROM xa JOIN xb USING (i)
+), actual AS (
+  SELECT CAST(SUM(n_a * n_b) AS BIGINT) AS actual
+  FROM (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_a FROM orders GROUP BY 1) a
+  JOIN (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_b FROM customer GROUP BY 1) b
+  USING (k)
+)
+SELECT ROUND(CAST(dot_sum AS DOUBLE) / {_AGMS_K}, 4) AS estimate,
+       actual,
+       ROUND(ABS(CAST(dot_sum AS DOUBLE) / {_AGMS_K} - CAST(actual AS DOUBLE))
+             / CAST(actual AS DOUBLE), 6) AS rel_error
+FROM est CROSS JOIN actual
+"""

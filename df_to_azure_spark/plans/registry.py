@@ -1084,6 +1084,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "order_hbos_outliers": QuerySpec(
         PL10.order_hbos_outliers, PL10.HBOS_ORACLE
     ),
+    "agms_join_size": QuerySpec(PL10.agms_join_size, PL10.AGMS_ORACLE),
 }
 
 

@@ -299,3 +299,16 @@ def test_hbos_outliers_topk_and_rare_bins(spark, sf_smoke):
     counts = {r.b: r["count"] for r in bands}
     mode_band = max(counts, key=counts.get)
     assert counts[rows[0].pband] <= counts[mode_band]
+
+
+def test_agms_join_size_unbiased_shape(spark, sf_smoke):
+    """The sketch estimate must land within a loose variance band of the
+    exact join size (K=64 averages; AGMS std ≈ sqrt(F2_A·F2_B/K) — we
+    assert a generous 5x band to stay flake-free), and rel_error must be
+    consistent with the two reported numbers."""
+    row = PL10.agms_join_size(spark, sf_smoke).collect()[0]
+    assert row.actual > 0
+    assert abs(row.estimate - row.actual) / row.actual == __import__("pytest").approx(
+        row.rel_error, abs=1e-6
+    )
+    assert row.rel_error < 5.0

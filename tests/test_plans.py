@@ -69,6 +69,7 @@ BOUNDED_BROADCAST_VARS = {
     "hp",  # price-band histogram — bounded by the band domain (order_hbos)
     "hq",  # priority histogram — bounded by the priority domain (5)
     "hd",  # weekday histogram — bounded by the 7-day domain
+    "actual",  # 1-row exact-join-size audit aggregate (agms_join_size)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
