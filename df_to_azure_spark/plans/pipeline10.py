@@ -1761,3 +1761,115 @@ SELECT ROUND(CAST(dot_sum AS DOUBLE) / {_AGMS_K}, 4) AS estimate,
              / CAST(actual AS DOUBLE), 6) AS rel_error
 FROM est CROSS JOIN actual
 """
+
+
+# --------------------------------------------------------------------------
+# ALS half-step: per-user rank-2 normal equations (recommender factors)
+# --------------------------------------------------------------------------
+
+_ALS_LAMBDA_SCALED = 100000  # λ=0.1 after the (f/1000) scaling folds out
+
+
+def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed ALS alternation (the user half-step) on implicit
+    feedback: ratings = lineitem counts per (customer, part), item
+    factors = seeded md5-derived rank-2 vectors, and each user's factor
+    solves the per-user 2×2 ridge normal equations
+    ``(FᵀF + λI)x = Fᵀr`` in closed form.  Iterating this half-step
+    alternating sides IS ALS-WR (Zhou et al. 2008) — the half-step
+    carries all the distribution structure: ONE groupBy(custkey)
+    aggregation of five sufficient sums, no item×item work, no driver
+    participation.
+
+    Integer exactness end-to-end: item factors are integers
+    ``h(part) % 1000`` (the /1000 scaling folds out of the normal
+    equations — λ·10⁶ lands on the diagonal as the exact integer 10⁵),
+    so every sufficient sum is an exact BIGINT and the Cramer solve is
+    the only double arithmetic (ROUND 9).  Seeded factor literals are
+    shared with the oracle, making the whole sweep bit-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    h = (
+        "CAST(conv(substring(md5(concat('{tag}_', CAST(partkey AS STRING))),"
+        " 1, 4), 16, 10) AS BIGINT) % 1000"
+    )
+    feats = r.select(
+        "custkey",
+        "r",
+        F.expr(h.format(tag="f1")).alias("f1"),
+        F.expr(h.format(tag="f2")).alias("f2"),
+    )
+    s = feats.groupBy("custkey").agg(
+        F.expr("CAST(SUM(f1 * f1) AS BIGINT) AS a11"),
+        F.expr("CAST(SUM(f1 * f2) AS BIGINT) AS a12"),
+        F.expr("CAST(SUM(f2 * f2) AS BIGINT) AS a22"),
+        F.expr("CAST(SUM(r * f1) AS BIGINT) AS b1"),
+        F.expr("CAST(SUM(r * f2) AS BIGINT) AS b2"),
+    )
+    lam = _ALS_LAMBDA_SCALED
+    det = (
+        f"(CAST(a11 + {lam} AS DOUBLE) * CAST(a22 + {lam} AS DOUBLE)"
+        " - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))"
+    )
+    return s.select(
+        "custkey",
+        F.expr(
+            f"ROUND((1000.0 * CAST(b1 AS DOUBLE) * CAST(a22 + {lam} AS DOUBLE)"
+            f" - 1000.0 * CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / {det}, 9)"
+            " AS x1"
+        ),
+        F.expr(
+            f"ROUND((1000.0 * CAST(b2 AS DOUBLE) * CAST(a11 + {lam} AS DOUBLE)"
+            f" - 1000.0 * CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / {det}, 9)"
+            " AS x2"
+        ),
+    )
+
+
+_ALS_H_DUCK = (
+    "('0x' || substr(md5('{tag}_' || CAST(partkey AS VARCHAR)), 1, 4))::BIGINT % 1000"
+)
+
+ALS_ORACLE = f"""
+WITH r AS (
+  SELECT o_custkey AS custkey, l_partkey AS partkey,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), feats AS (
+  SELECT custkey, r,
+         {_ALS_H_DUCK.format(tag='f1')} AS f1,
+         {_ALS_H_DUCK.format(tag='f2')} AS f2
+  FROM r
+), s AS (
+  SELECT custkey,
+         CAST(SUM(f1 * f1) AS BIGINT) AS a11,
+         CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+         CAST(SUM(f2 * f2) AS BIGINT) AS a22,
+         CAST(SUM(r * f1) AS BIGINT) AS b1,
+         CAST(SUM(r * f2) AS BIGINT) AS b2
+  FROM feats GROUP BY 1
+)
+SELECT custkey,
+       ROUND((1000.0 * CAST(b1 AS DOUBLE) * CAST(a22 + {_ALS_LAMBDA_SCALED} AS DOUBLE)
+              - 1000.0 * CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE))
+             / (CAST(a11 + {_ALS_LAMBDA_SCALED} AS DOUBLE) * CAST(a22 + {_ALS_LAMBDA_SCALED} AS DOUBLE)
+                - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)), 9) AS x1,
+       ROUND((1000.0 * CAST(b2 AS DOUBLE) * CAST(a11 + {_ALS_LAMBDA_SCALED} AS DOUBLE)
+              - 1000.0 * CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE))
+             / (CAST(a11 + {_ALS_LAMBDA_SCALED} AS DOUBLE) * CAST(a22 + {_ALS_LAMBDA_SCALED} AS DOUBLE)
+                - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)), 9) AS x2
+FROM s
+"""

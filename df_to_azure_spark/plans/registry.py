@@ -1085,6 +1085,7 @@ REGISTRY: dict[str, QuerySpec] = {
         PL10.order_hbos_outliers, PL10.HBOS_ORACLE
     ),
     "agms_join_size": QuerySpec(PL10.agms_join_size, PL10.AGMS_ORACLE),
+    "als_user_factors": QuerySpec(PL10.als_user_factors, PL10.ALS_ORACLE),
 }
 
 

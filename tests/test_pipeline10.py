@@ -312,3 +312,41 @@ def test_agms_join_size_unbiased_shape(spark, sf_smoke):
         row.rel_error, abs=1e-6
     )
     assert row.rel_error < 5.0
+
+
+def test_als_user_factors_solve_matches_numpy(spark, sf_smoke):
+    """The per-user 2x2 ridge solve re-derived with numpy from the same
+    integer sufficient sums for a handful of users."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    pairs = (
+        li.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              SF.col("l_orderkey") == SF.col("o_orderkey"))
+        .groupBy("o_custkey", "l_partkey")
+        .count()
+        .collect()
+    )
+
+    def h(tag, p):
+        return int(hashlib.md5(f"{tag}_{p}".encode()).hexdigest()[:4], 16) % 1000
+
+    by_user = {}
+    for row in pairs:
+        by_user.setdefault(row.o_custkey, []).append((row.l_partkey, row["count"]))
+    got = {r.custkey: (r.x1, r.x2) for r in PL10.als_user_factors(spark, sf_smoke).collect()}
+    assert set(got) == set(by_user)
+    for cust in list(by_user)[:25]:
+        A = np.zeros((2, 2)); b = np.zeros(2)
+        for p, r in by_user[cust]:
+            f = np.array([h("f1", p), h("f2", p)], dtype=float)
+            A += np.outer(f, f); b += r * f
+        A += 100000 * np.eye(2)
+        x = np.linalg.solve(A, 1000.0 * b)
+        assert abs(got[cust][0] - round(x[0], 9)) < 1e-6
+        assert abs(got[cust][1] - round(x[1], 9)) < 1e-6
