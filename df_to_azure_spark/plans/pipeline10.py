@@ -1678,6 +1678,34 @@ LIMIT {_HBOS_TOP}
 _AGMS_K = 64  # independent ±1 sketches averaged
 
 
+
+def _agms_dot_sum(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """1-row frame with the AGMS integer dot-sum for a key pair — the
+    sketch-only half shared by ``agms_join_size`` (which audits it
+    against the exact size) and ``join_strategy_probe`` (which must
+    never execute the join it is pricing)."""
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        signed = df.select(F.col(key).cast("long").alias("k")).withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(_AGMS_K - 1)))
+        )
+        return signed.groupBy("i").agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(conv(substring(md5(concat("
+                "CAST(i AS STRING), '_', CAST(k AS STRING))), 1, 4), 16, 10)"
+                " AS INT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)"
+            ).alias("x")
+        )
+
+    xa = sketch(left, left_key).withColumnRenamed("x", "xa")
+    xb = sketch(right, right_key).withColumnRenamed("x", "xb")
+    return xa.join(xb, "i").agg(
+        F.expr("CAST(SUM(xa * xb) AS BIGINT) AS dot_sum"),
+    )
+
+
 def agms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation WITHOUT executing the join — the
     AGMS / tug-of-war sketch (Alon-Gibbons-Matias-Szegedy) a
@@ -1697,23 +1725,7 @@ def agms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shared literals, so the estimate is bit-reproducible."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-
-    def sketch(df: DataFrame, key: str) -> DataFrame:
-        signed = df.select(F.col(key).cast("long").alias("k")).withColumn(
-            "i", F.explode(F.sequence(F.lit(0), F.lit(_AGMS_K - 1)))
-        )
-        return signed.groupBy("i").agg(
-            F.expr(
-                "CAST(SUM(CASE WHEN CAST(conv(substring(md5(concat("
-                "CAST(i AS STRING), '_', CAST(k AS STRING))), 1, 4), 16, 10)"
-                " AS INT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)"
-            ).alias("x")
-        )
-    xa = sketch(orders, "o_custkey").withColumnRenamed("x", "xa")
-    xb = sketch(cust, "c_custkey").withColumnRenamed("x", "xb")
-    est = xa.join(xb, "i").agg(
-        F.expr(f"CAST(SUM(xa * xb) AS BIGINT) AS dot_sum"),
-    )
+    est = _agms_dot_sum(orders, "o_custkey", cust, "c_custkey")
     na = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_a")
     )
@@ -1872,4 +1884,101 @@ SELECT custkey,
              / (CAST(a11 + {_ALS_LAMBDA_SCALED} AS DOUBLE) * CAST(a22 + {_ALS_LAMBDA_SCALED} AS DOUBLE)
                 - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)), 9) AS x2
 FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Join-strategy advisor probe (cost-model features + recommendation)
+# --------------------------------------------------------------------------
+
+_ADVISOR_BROADCAST_ROWS = 100_000  # ~10 MB at 100 B/row — Spark's default
+
+
+def join_strategy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-model probe a join planner runs BEFORE executing a big
+    join: per-side row counts and exact key NDVs, the AGMS-sketch join
+    size estimate (never the join itself), the implied average output
+    fan-out, and the strategy a Spark-shaped cost model would pick —
+    broadcast-hash when a side fits the broadcast budget, shuffle-hash
+    when one side is much smaller, sort-merge otherwise.  At 100 TB all
+    four inputs are one-scan map-side-collapsing aggregates; the probe
+    costs two table scans and answers the question that decides whether
+    the real join shuffles 100 TB or 10 MB.
+
+    Every number is exact integer arithmetic (the sketch estimate is the
+    integer dot-sum over K=64 averaged at the end), so the
+    recommendation is deterministic and oracle-checkable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def side(df: DataFrame, key: str, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("side"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(f"CAST(COUNT(DISTINCT {key}) AS BIGINT) AS ndv"),
+        )
+
+    side_a = side(orders, "o_custkey", "orders").select(
+        F.col("n_rows").alias("rows_a"), F.col("ndv").alias("ndv_a")
+    )
+    side_b = side(cust, "c_custkey", "customer").select(
+        F.col("n_rows").alias("rows_b"), F.col("ndv").alias("ndv_b")
+    )
+    est = _agms_dot_sum(orders, "o_custkey", cust, "c_custkey").select(
+        F.expr(f"ROUND(CAST(dot_sum AS DOUBLE) / {_AGMS_K}, 4) AS estimate")
+    )
+    stats = side_a.crossJoin(F.broadcast(side_b)).crossJoin(F.broadcast(est))
+    return stats.select(
+        "rows_a",
+        "ndv_a",
+        "rows_b",
+        "ndv_b",
+        "estimate",
+        F.expr(
+            "ROUND(estimate / CAST(GREATEST(rows_a, rows_b) AS DOUBLE), 6)"
+            " AS est_fanout"
+        ),
+        F.expr(
+            f"CASE WHEN LEAST(rows_a, rows_b) <= {_ADVISOR_BROADCAST_ROWS}"
+            "      THEN 'broadcast_hash'"
+            "      WHEN LEAST(rows_a, rows_b) * 3 <= GREATEST(rows_a, rows_b)"
+            "      THEN 'shuffle_hash'"
+            "      ELSE 'sort_merge' END AS recommended"
+        ),
+    )
+
+
+ADVISOR_ORACLE = f"""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_a,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_a
+  FROM orders
+), b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_b,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv_b
+  FROM customer
+), ii AS (
+  SELECT CAST(UNNEST(generate_series(0, {_AGMS_K - 1})) AS INTEGER) AS i
+), xa AS (
+  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
+             CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
+             THEN 1 ELSE -1 END) AS BIGINT) AS xa
+  FROM orders CROSS JOIN ii GROUP BY i
+), xb AS (
+  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
+             CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
+             THEN 1 ELSE -1 END) AS BIGINT) AS xb
+  FROM customer CROSS JOIN ii GROUP BY i
+), est AS (
+  SELECT ROUND(CAST(SUM(xa * xb) AS DOUBLE) / {_AGMS_K}, 4) AS estimate
+  FROM xa JOIN xb USING (i)
+)
+SELECT rows_a, ndv_a, rows_b, ndv_b, estimate,
+       ROUND(estimate / CAST(GREATEST(rows_a, rows_b) AS DOUBLE), 6) AS est_fanout,
+       CASE WHEN LEAST(rows_a, rows_b) <= {_ADVISOR_BROADCAST_ROWS}
+            THEN 'broadcast_hash'
+            WHEN LEAST(rows_a, rows_b) * 3 <= GREATEST(rows_a, rows_b)
+            THEN 'shuffle_hash'
+            ELSE 'sort_merge' END AS recommended
+FROM a CROSS JOIN b CROSS JOIN est
 """

@@ -1086,6 +1086,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "agms_join_size": QuerySpec(PL10.agms_join_size, PL10.AGMS_ORACLE),
     "als_user_factors": QuerySpec(PL10.als_user_factors, PL10.ALS_ORACLE),
+    "join_strategy_probe": QuerySpec(
+        PL10.join_strategy_probe, PL10.ADVISOR_ORACLE
+    ),
 }
 
 

@@ -350,3 +350,20 @@ def test_als_user_factors_solve_matches_numpy(spark, sf_smoke):
         x = np.linalg.solve(A, 1000.0 * b)
         assert abs(got[cust][0] - round(x[0], 9)) < 1e-6
         assert abs(got[cust][1] - round(x[1], 9)) < 1e-6
+
+
+def test_join_strategy_probe_never_joins_the_fact_tables(spark, sf_smoke):
+    """The probe's physical plan must contain NO join keyed on custkey —
+    only the i-keyed sketch join and the 1-row stat cross joins; the
+    whole point is pricing the join without running it."""
+    df = PL10.join_strategy_probe(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        l for l in plan.splitlines() if "Join" in l and "custkey" in l
+    ]
+    assert not join_lines, join_lines
+    row = df.collect()[0]
+    assert row.recommended in {"broadcast_hash", "shuffle_hash", "sort_merge"}
+    # at every SF customer fits the broadcast budget here
+    assert row.recommended == "broadcast_hash"
+    assert row.ndv_a <= row.rows_a and row.ndv_b <= row.rows_b

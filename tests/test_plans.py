@@ -70,6 +70,8 @@ BOUNDED_BROADCAST_VARS = {
     "hq",  # priority histogram — bounded by the priority domain (5)
     "hd",  # weekday histogram — bounded by the 7-day domain
     "actual",  # 1-row exact-join-size audit aggregate (agms_join_size)
+    "side_b",  # 1-row per-side stats aggregate (join_strategy_probe)
+    "est",  # 1-row sketch-estimate aggregate (join_strategy_probe)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
