@@ -1982,3 +1982,265 @@ SELECT rows_a, ndv_a, rows_b, ndv_b, estimate,
             ELSE 'sort_merge' END AS recommended
 FROM a CROSS JOIN b CROSS JOIN est
 """
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining: frequent contiguous event triples + lift
+# --------------------------------------------------------------------------
+
+_TRIPLE_TOP = 50
+
+
+def frequent_event_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent CONTIGUOUS 3-event sequences per user (the PrefixSpan-
+    lite screen a journey-mining pass runs before any model): support
+    (distinct users emitting the triple), total occurrences, and lift
+    against the order-1 Markov factorization
+    ``P(abc) / (P(ab)·P(bc)/P(b·))`` — triples with lift ≫ 1 are real
+    3-step structure, not chained bigram noise.
+
+    Plan: ONE user-ordered window pass builds (e1,e2,e3) per position
+    (two LEADs over the same shuffle), then domain-bounded aggregates —
+    triple counts are capped by |event_type|³ = 125 rows, so every
+    frame after the window is a constant.  Exact integer lift
+    arithmetic until the final ROUNDed double.  Top-50 by occurrences
+    via TakeOrdered."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    triples = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    pairs12 = seq.groupBy("e1", "e2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    )
+    pairs23 = seq.groupBy("e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n23")
+    )
+    mid = seq.groupBy("e2").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    return (
+        triples.join(F.broadcast(pairs12), ["e1", "e2"])
+        .join(F.broadcast(pairs23), ["e2", "e3"])
+        .join(F.broadcast(mid), "e2")
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n_occ",
+            "n_users",
+            F.expr(
+                "ROUND(CAST(n_occ AS DOUBLE) * CAST(n2 AS DOUBLE)"
+                " / (CAST(n12 AS DOUBLE) * CAST(n23 AS DOUBLE)), 6) AS lift"
+            ),
+        )
+        .orderBy(F.desc("n_occ"), "e1", "e2", "e3")
+        .limit(_TRIPLE_TOP)
+    )
+
+
+EVENT_TRIPLES_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (SELECT * FROM seq WHERE e3 IS NOT NULL),
+triples AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM s GROUP BY 1, 2, 3
+),
+p12 AS (SELECT e1, e2, CAST(COUNT(*) AS BIGINT) AS n12 FROM s GROUP BY 1, 2),
+p23 AS (SELECT e2, e3, CAST(COUNT(*) AS BIGINT) AS n23 FROM s GROUP BY 1, 2),
+mid AS (SELECT e2, CAST(COUNT(*) AS BIGINT) AS n2 FROM s GROUP BY 1)
+SELECT e1, e2, e3, n_occ, n_users,
+       ROUND(CAST(n_occ AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n12 AS DOUBLE) * CAST(n23 AS DOUBLE)), 6) AS lift
+FROM triples JOIN p12 USING (e1, e2) JOIN p23 USING (e2, e3) JOIN mid USING (e2)
+ORDER BY n_occ DESC, e1, e2, e3
+LIMIT {_TRIPLE_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Local differential privacy: randomized-response frequency estimation
+# --------------------------------------------------------------------------
+
+_LDP_KEEP_PCT = 75  # P(report truth) = 0.75, else uniform over 5 types
+
+
+def dp_local_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy for the event-type histogram:
+    generalized randomized response where each row keeps its true type
+    with p = 0.75 and otherwise reports a uniformly drawn type — the
+    client-side mechanism (each record is privatized BEFORE
+    aggregation, no trusted curator), vs the central-DP
+    ``dp_segment_counts``.  The debiased estimator inverts the
+    perturbation: ``n̂_v = (obs_v − n·q) / (p − q)`` with
+    ``q = (1−p)/k``.  Output per event type: perturbed count, debiased
+    estimate, true count (the audit), and relative error.
+
+    Seeded md5 coins make the mechanism deterministic and
+    oracle-exact — the privacy ANALYSIS (ε = ln(p/q)) is the standard
+    one, while the coin is a test-harness device.  At 100 TB the
+    mechanism is a map-side expression and the aggregation is a 5-row
+    histogram."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    k = len(types)
+    arr = "array(" + ", ".join(f"'{t}'" for t in types) + ")"
+    coin = (
+        "CAST(conv(substring(md5(concat('rr_', CAST(event_id AS STRING))),"
+        " 1, 4), 16, 10) AS INT) % 100"
+    )
+    pick = (
+        "CAST(conv(substring(md5(concat('pk_', CAST(event_id AS STRING))),"
+        " 1, 4), 16, 10) AS INT) % " + str(k)
+    )
+    reported = events.select(
+        F.expr(
+            f"CASE WHEN {coin} < {_LDP_KEEP_PCT} THEN event_type"
+            f" ELSE element_at({arr}, {pick} + 1) END AS reported"
+        ),
+        "event_type",
+    )
+    obs = reported.groupBy(F.col("reported").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_perturbed")
+    )
+    true = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    tot = events.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    p, q = _LDP_KEEP_PCT / 100.0, (1 - _LDP_KEEP_PCT / 100.0) / k
+    return (
+        obs.join(true, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_perturbed",
+            F.expr(
+                f"ROUND((CAST(n_perturbed AS DOUBLE) - CAST(n AS DOUBLE) * {q!r})"
+                f" / ({p!r} - {q!r}), 4) AS n_estimated"
+            ),
+            "n_true",
+            F.expr(
+                f"ROUND(ABS((CAST(n_perturbed AS DOUBLE) - CAST(n AS DOUBLE) * {q!r})"
+                f" / ({p!r} - {q!r}) - CAST(n_true AS DOUBLE))"
+                " / CAST(n_true AS DOUBLE), 6) AS rel_error"
+            ),
+        )
+    )
+
+
+_LDP_P = _LDP_KEEP_PCT / 100.0
+_LDP_Q = (1 - _LDP_KEEP_PCT / 100.0) / 5
+
+DP_LOCAL_ORACLE = f"""
+WITH rep AS (
+  SELECT CASE WHEN ('0x' || substr(md5('rr_' || CAST(event_id AS VARCHAR)), 1, 4))::INTEGER % 100 < {_LDP_KEEP_PCT}
+              THEN event_type
+              ELSE (['click', 'error', 'purchase', 'signup', 'view'])
+                   [(('0x' || substr(md5('pk_' || CAST(event_id AS VARCHAR)), 1, 4))::INTEGER % 5) + 1]
+         END AS reported,
+         event_type
+  FROM events
+), obs AS (
+  SELECT reported AS event_type, CAST(COUNT(*) AS BIGINT) AS n_perturbed
+  FROM rep GROUP BY 1
+), tru AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true FROM events GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT event_type, n_perturbed,
+       ROUND((CAST(n_perturbed AS DOUBLE) - CAST(n AS DOUBLE) * {_LDP_Q!r})
+             / ({_LDP_P!r} - {_LDP_Q!r}), 4) AS n_estimated,
+       n_true,
+       ROUND(ABS((CAST(n_perturbed AS DOUBLE) - CAST(n AS DOUBLE) * {_LDP_Q!r})
+             / ({_LDP_P!r} - {_LDP_Q!r}) - CAST(n_true AS DOUBLE))
+             / CAST(n_true AS DOUBLE), 6) AS rel_error
+FROM obs JOIN tru USING (event_type) CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (causal readout on the order panel)
+# --------------------------------------------------------------------------
+
+_DID_CUTOFF = "DATE '1998-01-01'"
+_DID_SEGMENT = "BUILDING"
+
+
+def revenue_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: did BUILDING-segment customers'
+    mean order value move differently after 1998-01-01 than everyone
+    else's?  ``DID = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)`` —
+    the workhorse causal estimate when treatment assignment is a fixed
+    group and a calendar cutoff (the CUPED query next door is its
+    variance-reduction sibling for randomized assignment).
+
+    One orders→customer join, one 4-cell aggregation (group × period),
+    exact decimal sums; the four means and the DID are one double
+    expression each (ROUND 4).  Output: the 2×2 cell means + one DID
+    row value on each row for self-containedness."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.expr(f"CAST(c_mktsegment = '{_DID_SEGMENT}' AS INT) AS treated"),
+            F.expr(
+                f"CAST(CAST(o_orderdate AS DATE) >= {_DID_CUTOFF} AS INT) AS post"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))"
+            ).alias("s"),
+        )
+    )
+    m = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    wide = cells.groupBy().agg(
+        F.expr(f"MAX(CASE WHEN treated = 1 AND post = 1 THEN {m} END) AS t_post"),
+        F.expr(f"MAX(CASE WHEN treated = 1 AND post = 0 THEN {m} END) AS t_pre"),
+        F.expr(f"MAX(CASE WHEN treated = 0 AND post = 1 THEN {m} END) AS c_post"),
+        F.expr(f"MAX(CASE WHEN treated = 0 AND post = 0 THEN {m} END) AS c_pre"),
+    )
+    return wide.select(
+        F.expr("ROUND(t_pre, 4) AS treated_pre"),
+        F.expr("ROUND(t_post, 4) AS treated_post"),
+        F.expr("ROUND(c_pre, 4) AS control_pre"),
+        F.expr("ROUND(c_post, 4) AS control_post"),
+        F.expr("ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did"),
+    )
+
+
+DID_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(c_mktsegment = '{_DID_SEGMENT}' AS INT) AS treated,
+         CAST(CAST(o_orderdate AS DATE) >= {_DID_CUTOFF} AS INT) AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), wide AS (
+  SELECT MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t_post,
+         MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t_pre,
+         MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c_post,
+         MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c_pre
+  FROM cells
+)
+SELECT ROUND(t_pre, 4) AS treated_pre, ROUND(t_post, 4) AS treated_post,
+       ROUND(c_pre, 4) AS control_pre, ROUND(c_post, 4) AS control_post,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did
+FROM wide
+"""

@@ -1089,6 +1089,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_strategy_probe": QuerySpec(
         PL10.join_strategy_probe, PL10.ADVISOR_ORACLE
     ),
+    "frequent_event_triples": QuerySpec(
+        PL10.frequent_event_triples, PL10.EVENT_TRIPLES_ORACLE
+    ),
+    "dp_local_frequency": QuerySpec(
+        PL10.dp_local_frequency, PL10.DP_LOCAL_ORACLE
+    ),
+    "revenue_diff_in_diff": QuerySpec(
+        PL10.revenue_diff_in_diff, PL10.DID_ORACLE
+    ),
 }
 
 

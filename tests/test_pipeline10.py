@@ -367,3 +367,35 @@ def test_join_strategy_probe_never_joins_the_fact_tables(spark, sf_smoke):
     # at every SF customer fits the broadcast budget here
     assert row.recommended == "broadcast_hash"
     assert row.ndv_a <= row.rows_a and row.ndv_b <= row.rows_b
+
+
+def test_event_triples_lift_consistency(spark, sf_smoke):
+    rows = PL10.frequent_event_triples(spark, sf_smoke).collect()
+    assert rows and len(rows) <= 50
+    occ = [r.n_occ for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    for r in rows:
+        assert r.n_users <= r.n_occ
+        assert r.lift > 0
+
+
+def test_dp_local_frequency_debias_beats_raw(spark, sf_smoke):
+    """The debiased estimate must be closer to truth than the raw
+    perturbed count for the dominant types (the mechanism's point)."""
+    rows = PL10.dp_local_frequency(spark, sf_smoke).collect()
+    assert {r.event_type for r in rows} == {
+        "click", "error", "purchase", "signup", "view"
+    }
+    for r in rows:
+        raw_err = abs(r.n_perturbed - r.n_true)
+        est_err = abs(r.n_estimated - r.n_true)
+        # estimator noise is bounded by the coin variance; generous band
+        assert est_err <= raw_err + 3 * (r.n_true ** 0.5) + 30
+
+
+def test_did_identity(spark, sf_smoke):
+    row = PL10.revenue_diff_in_diff(spark, sf_smoke).collect()[0]
+    did = (row.treated_post - row.treated_pre) - (
+        row.control_post - row.control_pre
+    )
+    assert abs(row.did - round(did, 4)) < 1e-3

@@ -72,6 +72,10 @@ BOUNDED_BROADCAST_VARS = {
     "actual",  # 1-row exact-join-size audit aggregate (agms_join_size)
     "side_b",  # 1-row per-side stats aggregate (join_strategy_probe)
     "est",  # 1-row sketch-estimate aggregate (join_strategy_probe)
+    "pairs12",  # bigram counts — bounded by |event_type|² (event triples)
+    "pairs23",  # bigram counts — bounded by |event_type|² (event triples)
+    "mid",  # unigram counts — bounded by the event-type domain
+    "true",  # per-type true counts — bounded by the event-type domain (LDP audit)
     "cent",  # K×dim centroid cells, K=8 fixed (kmeans_step)
     "total",  # 1-row global aggregate (doc_unigram_surprisal corpus token count)
     "proto",  # |labels|×dim prototype cells — bounded by the label domain
