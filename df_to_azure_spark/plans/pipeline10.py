@@ -2244,3 +2244,271 @@ SELECT ROUND(t_pre, 4) AS treated_pre, ROUND(t_post, 4) AS treated_post,
        ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did
 FROM wide
 """
+
+
+# --------------------------------------------------------------------------
+# Brier decomposition (composes on the registered calibration table)
+# --------------------------------------------------------------------------
+
+
+def logistic_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the IRLS model's (binned) Brier score:
+    ``brier = reliability − resolution + uncertainty`` — reliability is
+    what recalibration can remove, resolution is the discrimination that
+    survives it, uncertainty is the base-rate floor no model beats.
+    Composes directly on the registered reliability table
+    (``logistic_calibration_curve``) so the decomposition is consistent
+    with the curve the dashboard already shows; per-bin terms round to
+    DECIMAL before the order-free sum (the bin frame is ≤ 20 rows)."""
+    from df_to_azure_spark.plans import pipeline8 as PL8
+
+    cal = PL8.logistic_calibration_curve(spark, sf_dir)
+    tot = cal.agg(
+        F.expr("CAST(SUM(n) AS BIGINT) AS n_total"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(observed_rate * CAST(n AS DOUBLE), 6)"
+            " AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_pos"
+        ),
+    ).selectExpr(
+        "n_total",
+        "ROUND(CAST(sum_pos AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS base_rate",
+    )
+    terms = cal.crossJoin(F.broadcast(tot)).select(
+        "n_total",
+        "base_rate",
+        F.expr(
+            "CAST(ROUND(CAST(n AS DOUBLE)"
+            " * POWER(mean_predicted - observed_rate, 2), 9)"
+            " AS DECIMAL(38,9)) AS rel_term"
+        ),
+        F.expr(
+            "CAST(ROUND(CAST(n AS DOUBLE)"
+            " * POWER(observed_rate - base_rate, 2), 9)"
+            " AS DECIMAL(38,9)) AS res_term"
+        ),
+    )
+    return terms.groupBy("n_total", "base_rate").agg(
+        F.expr(
+            "ROUND(CAST(SUM(rel_term) AS DOUBLE) / CAST(n_total AS DOUBLE), 9)"
+            " AS reliability"
+        ),
+        F.expr(
+            "ROUND(CAST(SUM(res_term) AS DOUBLE) / CAST(n_total AS DOUBLE), 9)"
+            " AS resolution"
+        ),
+    ).selectExpr(
+        "n_total",
+        "base_rate",
+        "reliability",
+        "resolution",
+        "ROUND(base_rate * (1.0 - base_rate), 9) AS uncertainty",
+        "ROUND(reliability - resolution"
+        " + ROUND(base_rate * (1.0 - base_rate), 9), 9) AS brier_binned",
+    )
+
+
+def _brier_oracle() -> str:
+    from df_to_azure_spark.plans import pipeline8 as PL8
+
+    return f"""
+WITH cal AS ({PL8.LOGISTIC_CALIBRATION_ORACLE}
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(ROUND(observed_rate * CAST(n AS DOUBLE), 6)
+              AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_pos
+  FROM cal
+), tot2 AS (
+  SELECT n_total,
+         ROUND(CAST(sum_pos AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS base_rate
+  FROM tot
+), terms AS (
+  SELECT n_total, base_rate,
+         CAST(ROUND(CAST(n AS DOUBLE)
+              * POWER(mean_predicted - observed_rate, 2), 9)
+              AS DECIMAL(38,9)) AS rel_term,
+         CAST(ROUND(CAST(n AS DOUBLE)
+              * POWER(observed_rate - base_rate, 2), 9)
+              AS DECIMAL(38,9)) AS res_term
+  FROM cal CROSS JOIN tot2
+), agg AS (
+  SELECT n_total, base_rate,
+         ROUND(CAST(SUM(rel_term) AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS reliability,
+         ROUND(CAST(SUM(res_term) AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS resolution
+  FROM terms GROUP BY 1, 2
+)
+SELECT n_total, base_rate, reliability, resolution,
+       ROUND(base_rate * (1.0 - base_rate), 9) AS uncertainty,
+       ROUND(reliability - resolution
+         + ROUND(base_rate * (1.0 - base_rate), 9), 9) AS brier_binned
+FROM agg
+"""
+
+
+BRIER_ORACLE = _brier_oracle()
+
+
+# --------------------------------------------------------------------------
+# Fellegi–Sunter record-linkage weights (entity resolution)
+# --------------------------------------------------------------------------
+
+_FS_SEGMENTS = "'AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY'"
+
+
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage, trained end-to-end
+    in one plan: a deterministically CORRUPTED copy of the customer
+    table (one md5-chosen digit of the name's 9-digit id corrupted per
+    record, nation swapped 10%, segment swapped 20%) is blocked against
+    the clean table on the first 7 name digits, and every candidate
+    pair's agreement vector (name Hamming ≤ 1, nation equal, segment
+    equal) is labeled by key equality — so the m/u probabilities
+    (``P(agree|match)`` / ``P(agree|non-match)``) and the field weights
+    ``w⁺ = log2(m/u)``, ``w⁻ = log2((1−m)/(1−u))`` come straight from
+    counts (add-half smoothing keeps zero cells finite).  Blocking
+    misses pairs whose corruption hit the block prefix — the honest
+    recall/cost trade every linkage deployment makes, reported here as
+    the match recall.
+
+    Scale shape: the block equi-join carries the shuffle (block size
+    bounded by the 100-key digit range), the agreement aggregation is
+    ONE row of 14 sums unpivoted to the 3-field table.  At 100 TB this
+    is the standard blocking-based linkage plan; only the block key
+    choice changes."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.expr("substring(c_name, 10, 9) AS digits"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    h = (
+        "CAST(conv(substring(md5(concat('{tag}_', CAST(ckey AS STRING))),"
+        " 1, 4), 16, 10) AS INT)"
+    )
+    dirty = cust.select(
+        F.col("ckey").alias("d_key"),
+        F.expr(
+            f"concat(substring(digits, 1, {h.format(tag='pos')} % 9),"
+            f" CAST({h.format(tag='dig')} % 10 AS STRING),"
+            f" substring(digits, {h.format(tag='pos')} % 9 + 2)) AS d_digits"
+        ),
+        F.expr(
+            f"CASE WHEN {h.format(tag='nat')} % 100 < 10"
+            f" THEN CAST((nat + 1 + {h.format(tag='natp')} % 24) % 25 AS INT)"
+            " ELSE nat END AS d_nat"
+        ),
+        F.expr(
+            f"CASE WHEN {h.format(tag='seg')} % 100 < 20"
+            f" THEN element_at(array({_FS_SEGMENTS}),"
+            f" {h.format(tag='segp')} % 5 + 1)"
+            " ELSE seg END AS d_seg"
+        ),
+    )
+    clean = cust.select(
+        F.col("ckey").alias("c_key"),
+        F.col("digits").alias("c_digits"),
+        F.col("nat").alias("c_nat"),
+        F.col("seg").alias("c_seg"),
+    )
+    ham = " + ".join(
+        f"CAST(substring(d_digits, {i}, 1) = substring(c_digits, {i}, 1) AS INT)"
+        for i in range(1, 10)
+    )
+    pairs = dirty.join(
+        clean,
+        F.expr("substring(d_digits, 1, 7) = substring(c_digits, 1, 7)"),
+    ).select(
+        F.expr("CAST(d_key = c_key AS INT) AS is_match"),
+        F.expr(f"CAST(({ham}) >= 8 AS INT) AS a_name"),
+        F.expr("CAST(d_nat = c_nat AS INT) AS a_nat"),
+        F.expr("CAST(d_seg = c_seg AS INT) AS a_seg"),
+    )
+    sums = pairs.agg(
+        F.expr("CAST(SUM(is_match) AS BIGINT) AS n_m"),
+        F.expr("CAST(SUM(1 - is_match) AS BIGINT) AS n_u"),
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN is_match = {lbl} THEN {f} ELSE 0 END)"
+                f" AS BIGINT) AS {f}_{suf}"
+            )
+            for f in ("a_name", "a_nat", "a_seg")
+            for lbl, suf in ((1, "m"), (0, "u"))
+        ],
+    )
+    # add-half smoothed probabilities + log2 weights, 3-row unpivot
+    stack = ", ".join(
+        f"'{name}', {f}_m, {f}_u"
+        for name, f in (
+            ("name_ham1", "a_name"),
+            ("nation", "a_nat"),
+            ("segment", "a_seg"),
+        )
+    )
+    unp = sums.selectExpr(
+        "n_m", "n_u", f"stack(3, {stack}) AS (field, c_m, c_u)"
+    )
+    prob = (
+        "ROUND((CAST({c} AS DOUBLE) + 0.5) / (CAST({n} AS DOUBLE) + 1.0), 9)"
+    )
+    return unp.select(
+        "field",
+        F.expr(prob.format(c="c_m", n="n_m") + " AS m"),
+        F.expr(prob.format(c="c_u", n="n_u") + " AS u"),
+    ).select(
+        "field",
+        "m",
+        "u",
+        F.expr("ROUND(LOG2(m / u), 6) AS w_agree"),
+        F.expr("ROUND(LOG2((1.0 - m) / (1.0 - u)), 6) AS w_disagree"),
+    )
+
+
+FELLEGI_SUNTER_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey AS ckey, substr(c_name, 10, 9) AS digits,
+         c_nationkey AS nat, c_mktsegment AS seg
+  FROM customer
+), dirty AS (
+  SELECT ckey AS d_key,
+         substr(digits, 1, ('0x' || substr(md5('pos_' || CAST(ckey AS VARCHAR)), 1, 4))::INTEGER % 9)
+           || CAST(('0x' || substr(md5('dig_' || CAST(ckey AS VARCHAR)), 1, 4))::INTEGER % 10 AS VARCHAR)
+           || substr(digits, ('0x' || substr(md5('pos_' || CAST(ckey AS VARCHAR)), 1, 4))::INTEGER % 9 + 2)
+           AS d_digits,
+         CASE WHEN ('0x' || substr(md5('nat_' || CAST(ckey AS VARCHAR)), 1, 4))::INTEGER % 100 < 10
+              THEN CAST((nat + 1 + ('0x' || substr(md5('natp_' || CAST(ckey AS VARCHAR)), 1, 4))::INTEGER % 24) % 25 AS INT)
+              ELSE nat END AS d_nat,
+         CASE WHEN ('0x' || substr(md5('seg_' || CAST(ckey AS VARCHAR)), 1, 4))::INTEGER % 100 < 20
+              THEN ([{_FS_SEGMENTS}])
+                   [(('0x' || substr(md5('segp_' || CAST(ckey AS VARCHAR)), 1, 4))::INTEGER % 5) + 1]
+              ELSE seg END AS d_seg
+  FROM cust
+), pairs AS (
+  SELECT CAST(d_key = ckey AS INT) AS is_match,
+         CAST(({" + ".join(f"CAST(substr(d_digits, {i}, 1) = substr(digits, {i}, 1) AS INT)" for i in range(1, 10))}) >= 8 AS INT) AS a_name,
+         CAST(d_nat = nat AS INT) AS a_nat,
+         CAST(d_seg = seg AS INT) AS a_seg
+  FROM dirty JOIN cust ON substr(d_digits, 1, 7) = substr(digits, 1, 7)
+), sums AS (
+  SELECT CAST(SUM(is_match) AS BIGINT) AS n_m,
+         CAST(SUM(1 - is_match) AS BIGINT) AS n_u,
+         CAST(SUM(CASE WHEN is_match = 1 THEN a_name ELSE 0 END) AS BIGINT) AS name_m,
+         CAST(SUM(CASE WHEN is_match = 0 THEN a_name ELSE 0 END) AS BIGINT) AS name_u,
+         CAST(SUM(CASE WHEN is_match = 1 THEN a_nat ELSE 0 END) AS BIGINT) AS nat_m,
+         CAST(SUM(CASE WHEN is_match = 0 THEN a_nat ELSE 0 END) AS BIGINT) AS nat_u,
+         CAST(SUM(CASE WHEN is_match = 1 THEN a_seg ELSE 0 END) AS BIGINT) AS seg_m,
+         CAST(SUM(CASE WHEN is_match = 0 THEN a_seg ELSE 0 END) AS BIGINT) AS seg_u
+  FROM pairs
+), unp AS (
+  SELECT 'name_ham1' AS field, name_m AS c_m, name_u AS c_u, n_m, n_u FROM sums
+  UNION ALL SELECT 'nation', nat_m, nat_u, n_m, n_u FROM sums
+  UNION ALL SELECT 'segment', seg_m, seg_u, n_m, n_u FROM sums
+), prob AS (
+  SELECT field,
+         ROUND((CAST(c_m AS DOUBLE) + 0.5) / (CAST(n_m AS DOUBLE) + 1.0), 9) AS m,
+         ROUND((CAST(c_u AS DOUBLE) + 0.5) / (CAST(n_u AS DOUBLE) + 1.0), 9) AS u
+  FROM unp
+)
+SELECT field, m, u,
+       ROUND(LOG2(m / u), 6) AS w_agree,
+       ROUND(LOG2((1.0 - m) / (1.0 - u)), 6) AS w_disagree
+FROM prob
+"""

@@ -1098,6 +1098,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_diff_in_diff": QuerySpec(
         PL10.revenue_diff_in_diff, PL10.DID_ORACLE
     ),
+    "logistic_brier_decomposition": QuerySpec(
+        PL10.logistic_brier_decomposition, PL10.BRIER_ORACLE
+    ),
+    "fellegi_sunter_weights": QuerySpec(
+        PL10.fellegi_sunter_weights, PL10.FELLEGI_SUNTER_ORACLE
+    ),
 }
 
 

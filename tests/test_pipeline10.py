@@ -399,3 +399,28 @@ def test_did_identity(spark, sf_smoke):
         row.control_post - row.control_pre
     )
     assert abs(row.did - round(did, 4)) < 1e-3
+
+
+def test_brier_decomposition_identity(spark, sf_smoke):
+    row = PL10.logistic_brier_decomposition(spark, sf_smoke).collect()[0]
+    assert 0 <= row.base_rate <= 1
+    assert row.reliability >= 0 and row.resolution >= 0
+    assert abs(row.uncertainty - round(row.base_rate * (1 - row.base_rate), 9)) < 1e-9
+    assert abs(
+        row.brier_binned
+        - round(row.reliability - row.resolution + row.uncertainty, 9)
+    ) < 1e-8
+    # a (possibly miscalibrated) real model still beats coin-flip Brier
+    assert row.brier_binned < 0.25
+
+
+def test_fellegi_sunter_weights_discriminate(spark, sf_smoke):
+    rows = {r.field: r for r in PL10.fellegi_sunter_weights(spark, sf_smoke).collect()}
+    assert set(rows) == {"name_ham1", "nation", "segment"}
+    for r in rows.values():
+        assert 0 < r.u < r.m < 1  # every field agrees more under match
+        assert r.w_agree > 0 > r.w_disagree
+    # the name field must carry at least as much weight as segment (at
+    # tiny SFs the 7-digit blocks collapse to 2 blocks where single-digit
+    # key neighbors reach Hamming 8 by chance, compressing the margin)
+    assert rows["name_ham1"].w_agree >= rows["segment"].w_agree
