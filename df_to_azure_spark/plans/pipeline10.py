@@ -283,7 +283,15 @@ def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.expr(
-                f"SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr"
+                # shrink the BIGINT count to DECIMAL(10,0) before the
+                # multiply: BIGINT×DECIMAL(21,9) would promote to
+                # DECIMAL(42,9) and hit Spark's precision-38 cap
+                # (silent round to scale 6 under allowPrecisionLoss)
+                # while DuckDB keeps exact 9-dp via HUGEINT — the
+                # DECIMAL(10,0) operand keeps the product at
+                # DECIMAL(32,9), exact in both engines
+                f"SUM(CAST(CAST(m AS DECIMAL(10,0)) * delta"
+                f" AS DECIMAL(38,{_NB_DP}))) AS corr"
             )
         )
     )
@@ -304,9 +312,13 @@ def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # stays inside precision 38, so BOTH engines add exactly —
                 # DECIMAL(38,·)+DECIMAL(38,·) would overflow the cap and
                 # make Spark silently round scale down (half-up) while
-                # DuckDB widens differently, flipping near-tie argmaxes
+                # DuckDB widens differently, flipping near-tie argmaxes.
+                # m_total is shrunk to DECIMAL(10,0) first for the same
+                # reason as the corr multiply (BIGINT×DECIMAL(20,9)
+                # would exceed precision 38 and round at 6 dp in Spark)
                 f"CAST(prior AS DECIMAL(25,{_NB_DP}))"
-                f" + CAST(m_total * lnp0 AS DECIMAL(25,{_NB_DP}))"
+                f" + CAST(CAST(m_total AS DECIMAL(10,0)) * lnp0"
+                f" AS DECIMAL(25,{_NB_DP}))"
                 f" + COALESCE(CAST(corr AS DECIMAL(25,{_NB_DP})),"
                 f" CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score"
             ),
@@ -360,7 +372,8 @@ WITH train AS (
     FROM test
   ) GROUP BY 1, 2
 ), corr AS (
-  SELECT doc_id, lang, SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr
+  SELECT doc_id, lang,
+         SUM(CAST(CAST(m AS DECIMAL(10,0)) * delta AS DECIMAL(38,{_NB_DP}))) AS corr
   FROM test_tok JOIN c_aug USING (tok)
   GROUP BY 1, 2
 ), test_docs AS (
@@ -370,7 +383,7 @@ WITH train AS (
 ), scored AS (
   SELECT d.doc_id, d.true_lang, lm.lang,
          CAST(lm.prior AS DECIMAL(25,{_NB_DP}))
-           + CAST(d.m_total * lm.lnp0 AS DECIMAL(25,{_NB_DP}))
+           + CAST(CAST(d.m_total AS DECIMAL(10,0)) * lm.lnp0 AS DECIMAL(25,{_NB_DP}))
            + COALESCE(CAST(c.corr AS DECIMAL(25,{_NB_DP})),
                       CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score
   FROM test_docs d CROSS JOIN lang_model lm
@@ -1273,7 +1286,14 @@ def _nb_loso_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (
         test_tok.join(c_aug, ["tok", "src"])
         .groupBy("doc_id", "lang")
-        .agg(F.expr(f"SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr"))
+        .agg(
+            F.expr(
+                # DECIMAL(10,0) operand shrink — same precision-38-cap
+                # rationale as the confusion-matrix corr sum above
+                f"SUM(CAST(CAST(m AS DECIMAL(10,0)) * delta"
+                f" AS DECIMAL(38,{_NB_DP}))) AS corr"
+            )
+        )
     )
     test_docs = test.select(
         "doc_id",
@@ -1296,9 +1316,12 @@ def _nb_loso_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # stays inside precision 38, so BOTH engines add exactly —
                 # DECIMAL(38,·)+DECIMAL(38,·) would overflow the cap and
                 # make Spark silently round scale down (half-up) while
-                # DuckDB widens differently, flipping near-tie argmaxes
+                # DuckDB widens differently, flipping near-tie argmaxes.
+                # m_total shrunk to DECIMAL(10,0) to keep the product
+                # inside precision 38 (exact 9-dp in both engines)
                 f"CAST(prior AS DECIMAL(25,{_NB_DP}))"
-                f" + CAST(m_total * lnp0 AS DECIMAL(25,{_NB_DP}))"
+                f" + CAST(CAST(m_total AS DECIMAL(10,0)) * lnp0"
+                f" AS DECIMAL(25,{_NB_DP}))"
                 f" + COALESCE(CAST(corr AS DECIMAL(25,{_NB_DP})),"
                 f" CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score"
             ),
@@ -1410,7 +1433,8 @@ WITH train AS (
     FROM test
   ) GROUP BY 1, 2, 3
 ), corr AS (
-  SELECT doc_id, lang, SUM(CAST(m * delta AS DECIMAL(38,{_NB_DP}))) AS corr
+  SELECT doc_id, lang,
+         SUM(CAST(CAST(m AS DECIMAL(10,0)) * delta AS DECIMAL(38,{_NB_DP}))) AS corr
   FROM test_tok JOIN c_aug ON test_tok.tok = c_aug.tok AND test_tok.src = c_aug.src
   GROUP BY 1, 2
 ), test_docs AS (
@@ -1420,7 +1444,7 @@ WITH train AS (
 ), scored AS (
   SELECT d.doc_id, d.src, d.true_lang, lm.lang,
          CAST(lm.prior AS DECIMAL(25,{_NB_DP}))
-           + CAST(d.m_total * lm.lnp0 AS DECIMAL(25,{_NB_DP}))
+           + CAST(CAST(d.m_total AS DECIMAL(10,0)) * lm.lnp0 AS DECIMAL(25,{_NB_DP}))
            + COALESCE(CAST(c.corr AS DECIMAL(25,{_NB_DP})),
                       CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score
   FROM test_docs d
