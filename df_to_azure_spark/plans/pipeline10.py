@@ -1704,29 +1704,67 @@ _AGMS_K = 64  # independent ±1 sketches averaged
 
 
 def _agms_dot_sum(
-    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """1-row frame with the AGMS integer dot-sum for a key pair — the
     sketch-only half shared by ``agms_join_size`` (which audits it
     against the exact size) and ``join_strategy_probe`` (which must
-    never execute the join it is pricing)."""
+    never execute the join it is pricing).
 
-    def sketch(df: DataFrame, key: str) -> DataFrame:
-        signed = df.select(F.col(key).cast("long").alias("k")).withColumn(
-            "i", F.explode(F.sequence(F.lit(0), F.lit(_AGMS_K - 1)))
-        )
-        return signed.groupBy("i").agg(
-            F.expr(
-                "CAST(SUM(CASE WHEN CAST(conv(substring(md5(concat("
-                "CAST(i AS STRING), '_', CAST(k AS STRING))), 1, 4), 16, 10)"
-                " AS INT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)"
-            ).alias("x")
+    The K=64 ±1 signs for a key are the 64 low bits of ONE digest per
+    row (``xxhash64`` default — JVM-side, no string materialization;
+    ``hash_fn='md5'`` slices the first 16 hex nibbles instead, kept
+    because DuckDB reproduces it bit-for-bit for the oracle-paired
+    registry twins).  One hash per row + 64 map-side SUMs replaces the
+    previous 64×-explode-then-md5 shape: no row blowup, no i-keyed
+    shuffle — each side collapses map-side to a single 64-column row,
+    and the dot product is a broadcast join of two 1-row frames.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+    def sketch(df: DataFrame, key: str, prefix: str) -> DataFrame:
+        if hash_fn == "xxhash64":
+            base = df.select(
+                F.expr(f"xxhash64(CAST({key} AS BIGINT))").alias("h")
+            )
+            # bit i of the signed 64-bit hash; & 1 is sign-safe where
+            # % 2 would return -1 for negative odd values
+            signs = [
+                F.expr(f"1 - 2 * CAST(shiftright(h, {i}) & 1 AS INT)").alias(
+                    f"s{i}"
+                )
+                for i in range(_AGMS_K)
+            ]
+        else:
+            base = df.select(
+                F.expr(f"md5(CAST(CAST({key} AS BIGINT) AS STRING))").alias("h")
+            )
+            # bit i%4 of hex nibble i//4 — DIV/% on a 0..15 value is
+            # exact and identical in DuckDB ( // and % )
+            signs = [
+                F.expr(
+                    f"1 - 2 * ((CAST(conv(substring(h, {1 + i // 4}, 1),"
+                    f" 16, 10) AS INT) DIV {2 ** (i % 4)}) % 2)"
+                ).alias(f"s{i}")
+                for i in range(_AGMS_K)
+            ]
+        return base.select(*signs).agg(
+            *[
+                F.expr(f"CAST(SUM(s{i}) AS BIGINT) AS {prefix}{i}")
+                for i in range(_AGMS_K)
+            ]
         )
 
-    xa = sketch(left, left_key).withColumnRenamed("x", "xa")
-    xb = sketch(right, right_key).withColumnRenamed("x", "xb")
-    return xa.join(xb, "i").agg(
-        F.expr("CAST(SUM(xa * xb) AS BIGINT) AS dot_sum"),
+    xa = sketch(left, left_key, "a")
+    xb = sketch(right, right_key, "b")
+    dot = " + ".join(f"a{i} * b{i}" for i in range(_AGMS_K))
+    return xa.crossJoin(F.broadcast(xb)).select(
+        F.expr(f"CAST({dot} AS BIGINT) AS dot_sum")
     )
 
 
@@ -1735,12 +1773,15 @@ def agms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGMS / tug-of-war sketch (Alon-Gibbons-Matias-Szegedy) a
     cost-based optimizer consults before picking a join strategy:
     each side folds to K signed sums ``X_i = Σ_rows s_i(key)`` with
-    ``s_i(key) ∈ {−1,+1}`` from a seeded md5 parity; ``E[X_i^A·X_i^B] =
-    |A ⋈ B|`` exactly, and averaging K independent sketches tames the
-    variance.  One scan per side collapsing map-side to K rows — at
-    100 TB this is the cheapest join-size probe that handles skewed
-    multiplicities (distinct-only sketches like KMV cannot: join size
-    is Σ_k n_A(k)·n_B(k), not the key overlap).
+    ``s_i(key) ∈ {−1,+1}`` = bit i of one seeded digest of the key;
+    ``E[X_i^A·X_i^B] = |A ⋈ B|`` exactly, and averaging K independent
+    sketches tames the variance.  One scan per side collapsing map-side
+    to a single K-column row — at 100 TB this is the cheapest join-size
+    probe that handles skewed multiplicities (distinct-only sketches
+    like KMV cannot: join size is Σ_k n_A(k)·n_B(k), not the key
+    overlap).  This registry twin pins ``hash_fn='md5'`` so DuckDB
+    reproduces every bit; library callers get the faster xxhash64
+    default of :func:`_agms_dot_sum`.
 
     Output: the sketch estimate, the exact size (computed here from the
     key-count join — the audit a test harness wants; production omits
@@ -1749,7 +1790,7 @@ def agms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shared literals, so the estimate is bit-reproducible."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    est = _agms_dot_sum(orders, "o_custkey", cust, "c_custkey")
+    est = _agms_dot_sum(orders, "o_custkey", cust, "c_custkey", hash_fn="md5")
     na = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_a")
     )
@@ -1774,14 +1815,14 @@ AGMS_ORACLE = f"""
 WITH ii AS (
   SELECT CAST(UNNEST(generate_series(0, {_AGMS_K - 1})) AS INTEGER) AS i
 ), xa AS (
-  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
-             CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
-             THEN 1 ELSE -1 END) AS BIGINT) AS xa
+  SELECT i, CAST(SUM(1 - 2 * (((('0x' || substr(md5(
+             CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)),
+             1 + i // 4, 1))::INTEGER) // (1 << (i % 4))) % 2)) AS BIGINT) AS xa
   FROM orders CROSS JOIN ii GROUP BY i
 ), xb AS (
-  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
-             CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
-             THEN 1 ELSE -1 END) AS BIGINT) AS xb
+  SELECT i, CAST(SUM(1 - 2 * (((('0x' || substr(md5(
+             CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)),
+             1 + i // 4, 1))::INTEGER) // (1 << (i % 4))) % 2)) AS BIGINT) AS xb
   FROM customer CROSS JOIN ii GROUP BY i
 ), est AS (
   SELECT CAST(SUM(xa * xb) AS BIGINT) AS dot_sum FROM xa JOIN xb USING (i)
@@ -1948,9 +1989,9 @@ def join_strategy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     side_b = side(cust, "c_custkey", "customer").select(
         F.col("n_rows").alias("rows_b"), F.col("ndv").alias("ndv_b")
     )
-    est = _agms_dot_sum(orders, "o_custkey", cust, "c_custkey").select(
-        F.expr(f"ROUND(CAST(dot_sum AS DOUBLE) / {_AGMS_K}, 4) AS estimate")
-    )
+    est = _agms_dot_sum(
+        orders, "o_custkey", cust, "c_custkey", hash_fn="md5"
+    ).select(F.expr(f"ROUND(CAST(dot_sum AS DOUBLE) / {_AGMS_K}, 4) AS estimate"))
     stats = side_a.crossJoin(F.broadcast(side_b)).crossJoin(F.broadcast(est))
     return stats.select(
         "rows_a",
@@ -1984,14 +2025,14 @@ WITH a AS (
 ), ii AS (
   SELECT CAST(UNNEST(generate_series(0, {_AGMS_K - 1})) AS INTEGER) AS i
 ), xa AS (
-  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
-             CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
-             THEN 1 ELSE -1 END) AS BIGINT) AS xa
+  SELECT i, CAST(SUM(1 - 2 * (((('0x' || substr(md5(
+             CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)),
+             1 + i // 4, 1))::INTEGER) // (1 << (i % 4))) % 2)) AS BIGINT) AS xa
   FROM orders CROSS JOIN ii GROUP BY i
 ), xb AS (
-  SELECT i, CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
-             CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 4))::INTEGER % 2 = 0
-             THEN 1 ELSE -1 END) AS BIGINT) AS xb
+  SELECT i, CAST(SUM(1 - 2 * (((('0x' || substr(md5(
+             CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)),
+             1 + i // 4, 1))::INTEGER) // (1 << (i % 4))) % 2)) AS BIGINT) AS xb
   FROM customer CROSS JOIN ii GROUP BY i
 ), est AS (
   SELECT ROUND(CAST(SUM(xa * xb) AS DOUBLE) / {_AGMS_K}, 4) AS estimate

@@ -314,6 +314,29 @@ def test_agms_join_size_unbiased_shape(spark, sf_smoke):
     assert row.rel_error < 5.0
 
 
+def test_agms_dot_sum_xxhash64_default(spark, sf_smoke):
+    """The library-default xxhash64 sketch must estimate the same join
+    size as the md5 oracle twin to within the shared AGMS variance band
+    (different hash => different draw of the same estimator), and the
+    hash_fn knob must reject unknown names loudly."""
+    from pyspark.sql import functions as SF
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    actual = (
+        orders.groupBy("o_custkey").count()
+        .join(cust.groupBy("c_custkey").count().withColumnRenamed("count", "cb"),
+              SF.col("o_custkey") == SF.col("c_custkey"))
+        .agg(SF.expr("CAST(SUM(count * cb) AS BIGINT) AS n")).collect()[0].n
+    )
+    est = PL10._agms_dot_sum(orders, "o_custkey", cust, "c_custkey").collect()[0]
+    assert abs(est.dot_sum / 64.0 - actual) / actual < 5.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hash_fn"):
+        PL10._agms_dot_sum(orders, "o_custkey", cust, "c_custkey", hash_fn="sha1")
+
+
 def test_als_user_factors_solve_matches_numpy(spark, sf_smoke):
     """The per-user 2x2 ridge solve re-derived with numpy from the same
     integer sufficient sums for a handful of users."""
@@ -354,8 +377,8 @@ def test_als_user_factors_solve_matches_numpy(spark, sf_smoke):
 
 def test_join_strategy_probe_never_joins_the_fact_tables(spark, sf_smoke):
     """The probe's physical plan must contain NO join keyed on custkey —
-    only the i-keyed sketch join and the 1-row stat cross joins; the
-    whole point is pricing the join without running it."""
+    only the 1-row sketch/stat cross joins; the whole point is pricing
+    the join without running it."""
     df = PL10.join_strategy_probe(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     join_lines = [

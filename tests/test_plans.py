@@ -72,6 +72,7 @@ BOUNDED_BROADCAST_VARS = {
     "actual",  # 1-row exact-join-size audit aggregate (agms_join_size)
     "side_b",  # 1-row per-side stats aggregate (join_strategy_probe)
     "est",  # 1-row sketch-estimate aggregate (join_strategy_probe)
+    "xb",  # 1-row 64-column AGMS sketch aggregate (_agms_dot_sum)
     "pairs12",  # bigram counts — bounded by |event_type|² (event triples)
     "pairs23",  # bigram counts — bounded by |event_type|² (event triples)
     "mid",  # unigram counts — bounded by the event-type domain
