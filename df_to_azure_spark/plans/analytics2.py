@@ -411,17 +411,182 @@ FROM supplier
 """
 
 
-def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregation surface (HLL distinct + quantile sketch).
-    No SQL oracle — sketches are engine-specific by construction; the
-    driver records the rows-only check, and ``approx_stats_error_check``
-    hash-checks the error bounds (HLL within 5%, sketch quantiles inside
-    the observed range)."""
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+_AES_K_DISTINCT = 128  # KMV bottom-k size for the distinct-user estimate
+_AES_K_SAMPLE = 512  # hash-sample size for the quantile estimates
+_AES_SALTS = 32  # phase-1 fan-out of the two-phase bottom-k
+
+
+def _bottom_k_by_hash(
+    df: DataFrame, k: int, order_cols: list, salt_col
+) -> DataFrame:
+    """Deterministic per-event_type bottom-k without a giant per-group
+    sort: phase 1 keeps the k smallest rows inside each of the
+    ``_AES_SALTS`` salted cells (windows over (event_type, salt) —
+    partition count scales with salts × groups, each cell's sort is
+    1/salts of the group), phase 2 takes the exact global bottom-k from
+    the ≤ salts × k survivors per group.  Composition is identical to a
+    single global bottom-k (each salt cell forwards at least its share
+    of the true bottom-k), so the SQL oracle can use the one-window
+    form while this stays skew-safe at 100 TB."""
+    w1 = W.partitionBy("event_type", salt_col).orderBy(*order_cols)
+    cand = (
+        df.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1")
     )
+    w2 = W.partitionBy("event_type").orderBy(*order_cols)
+    return (
+        cand.withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation surface — deterministic sketches, so the
+    ESTIMATES themselves hash-match the SQL oracle (closing the one
+    rows-only registry entry that `approx_count_distinct` /
+    `percentile_approx` internals forced; those engine-private built-ins
+    remain exercised and error-bound-gated by
+    ``approx_stats_error_check``).
+
+    Per event type:
+
+    - ``approx_users``: KMV distinct-count estimate (Bar-Yossef et al.)
+      over the k=128 smallest 48-bit md5 user hashes — exact below k,
+      ``(k-1)/h_k`` at or above (same estimator as
+      ``kmv_distinct_users``, which documents the sketch algebra).
+    - ``p50_approx`` / ``p95_approx``: nearest-rank quantiles of a
+      deterministic k=512 uniform sample (the rows with the smallest
+      md5(event_id) — bottom-k hash sampling, the mergeable form of
+      reservoir sampling).
+
+    Scale shape: both bottom-k passes run salted two-phase windows
+    (``_bottom_k_by_hash``) — no single giant per-group sort; phase-2
+    state is ≤ salts × k rows per group regardless of data size."""
+    events = load_table(spark, sf_dir, "events")
+    h48 = float(1 << 48)
+
+    # --- KMV distinct users: bottom-128 user hashes per group
+    d = events.select("event_type", "user_id").distinct()
+    uh = d.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT) AS hi"
+        ),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 13, 2),"
+            f" 16, 10) AS INT) % {_AES_SALTS} AS salt"
+        ),
+    )
+    ubot = _bottom_k_by_hash(
+        uh, _AES_K_DISTINCT, [F.asc("hi"), F.asc("user_id")], "salt"
+    )
+    users = ubot.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bot"),
+        F.max("hi").alias("hi_k"),
+    ).select(
+        "event_type",
+        F.when(
+            F.col("n_bot") < _AES_K_DISTINCT, F.col("n_bot").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(_AES_K_DISTINCT - 1))
+                / (F.col("hi_k").cast("double") / F.lit(h48)),
+                6,
+            )
+        )
+        .alias("approx_users"),
+    )
+
+    # --- quantiles of the deterministic bottom-512 hash sample
+    sh = events.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT) AS hi"
+        ),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 13, 2),"
+            f" 16, 10) AS INT) % {_AES_SALTS} AS salt"
+        ),
+    )
+    samp = _bottom_k_by_hash(
+        sh, _AES_K_SAMPLE, [F.asc("hi"), F.asc("event_id")], "salt"
+    ).select("event_type", "value")
+    ns = samp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    q = samp.withColumn(
+        "vrn", F.row_number().over(W.partitionBy("event_type").orderBy("value"))
+    )
+    quant = (
+        q.join(ns, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(MAX(CASE WHEN vrn = (n_s + 1) DIV 2 THEN value END)"
+                " AS DOUBLE) AS p50_approx"
+            ),
+            F.expr(
+                "CAST(MAX(CASE WHEN vrn = (19 * n_s + 19) DIV 20 THEN value"
+                " END) AS DOUBLE) AS p95_approx"
+            ),
+        )
+    )
+    return users.join(quant, "event_type").select(
+        "event_type", "approx_users", "p50_approx", "p95_approx"
+    )
+
+
+APPROX_EVENT_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), uh AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hi
+  FROM d
+), ub AS (
+  SELECT event_type, hi,
+         row_number() OVER (PARTITION BY event_type ORDER BY hi, user_id) AS rn
+  FROM uh
+), users AS (
+  SELECT event_type,
+         CASE WHEN COUNT(*) < {_AES_K_DISTINCT} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE round({float(_AES_K_DISTINCT - 1)}
+                         / (CAST(MAX(hi) AS DOUBLE) / {float(1 << 48)}), 6)
+         END AS approx_users
+  FROM ub WHERE rn <= {_AES_K_DISTINCT} GROUP BY event_type
+), sh AS (
+  SELECT event_type, value, event_id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS hi
+  FROM events
+), sb AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY hi, event_id) AS rn
+  FROM sh
+), samp AS (
+  SELECT event_type, value FROM sb WHERE rn <= {_AES_K_SAMPLE}
+), ns AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_s FROM samp GROUP BY 1
+), q AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vrn
+  FROM samp
+)
+SELECT event_type, approx_users,
+       CAST(MAX(CASE WHEN vrn = (n_s + 1) // 2 THEN value END) AS DOUBLE)
+         AS p50_approx,
+       CAST(MAX(CASE WHEN vrn = (19 * n_s + 19) // 20 THEN value END)
+            AS DOUBLE) AS p95_approx
+FROM q JOIN ns USING (event_type) JOIN users USING (event_type)
+GROUP BY event_type, approx_users
+"""
 
 
 def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:

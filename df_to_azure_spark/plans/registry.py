@@ -641,11 +641,13 @@ REGISTRY: dict[str, QuerySpec] = {
         PL2.documents_dataset_card, PL2.DATASET_CARD_ORACLE
     ),
     "doc_bm25_scores": QuerySpec(PL2.doc_bm25_scores, PL2.BM25_ORACLE),
-    # the ONE rows-only survivor: t-digest/HLL sketch internals are
-    # legitimately engine-specific (no SQL can reproduce Spark's sketch
-    # merge order); its numeric contract is hash-gated by the paired
-    # approx_stats_error_check (bounds vs exact quantiles/counts).
-    "approx_event_stats": QuerySpec(A2.approx_event_stats, None),
+    # deterministic KMV + bottom-k-sample sketches since round 11 — the
+    # formerly rows-only entry is now strict-hash-checked; the
+    # engine-private approx_count_distinct/percentile_approx built-ins
+    # stay exercised by approx_stats_error_check (error-bound gate).
+    "approx_event_stats": QuerySpec(
+        A2.approx_event_stats, A2.APPROX_EVENT_STATS_ORACLE
+    ),
     # KMV bottom-k sketch: the PORTABLE approximate-distinct companion —
     # deterministic hash order statistics, estimate itself hash-checked
     "kmv_distinct_users": QuerySpec(A2.kmv_distinct_users, A2.KMV_ORACLE),

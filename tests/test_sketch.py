@@ -122,3 +122,74 @@ def test_kmv_set_jaccard_partitioning_invariance(spark):
     assert 0.05 < jk < 0.75
     assert by_pair[("A", "C")] == (0.0, 0.0)
     assert by_pair[("B", "C")] == (0.0, 0.0)
+
+
+def test_approx_event_stats_deterministic_sketch_bounds(spark, sf_smoke):
+    """The deterministic KMV/bottom-k-sample surface must (a) estimate
+    distinct users within the KMV variance band (k=128 -> ~9% sigma;
+    assert a generous 5x band), (b) keep both quantile estimates inside
+    the observed per-group value range with p50 <= p95, and (c) degrade
+    to exact counts for groups below k."""
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.plans.analytics2 import approx_event_stats
+
+    got = {r.event_type: r for r in approx_event_stats(spark, sf_smoke).collect()}
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    truth = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for et, r in got.items():
+        t = truth[et]
+        if t.nd < 128:
+            assert r.approx_users == float(t.nd)
+        else:
+            assert abs(r.approx_users - t.nd) / t.nd < 5 * 0.0883 * 5
+        assert t.vmin <= r.p50_approx <= r.p95_approx <= t.vmax
+
+
+def test_bottom_k_by_hash_matches_single_window(spark):
+    """Two-phase salted bottom-k must equal the single-window bottom-k
+    exactly (the invariant that lets the SQL oracle use one window)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.plans.analytics2 import _bottom_k_by_hash
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.lit("g").alias("event_type"),
+            F.col("id"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10)"
+                " AS BIGINT) AS hi"
+            ),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(id AS STRING)), 13, 2), 16, 10)"
+                " AS INT) % 32 AS salt"
+            ),
+        )
+    )
+    two = sorted(
+        r.id
+        for r in _bottom_k_by_hash(
+            df, 100, [F.asc("hi"), F.asc("id")], "salt"
+        ).collect()
+    )
+    w = W.partitionBy("event_type").orderBy(F.asc("hi"), F.asc("id"))
+    one = sorted(
+        r.id
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .collect()
+    )
+    assert two == one
