@@ -25,6 +25,35 @@ from pyspark.sql import Window as W
 from df_to_azure_spark.operators.partitioning import spread as _spread
 
 
+def _pin(df: DataFrame, checkpoint: str) -> DataFrame:
+    """Pin an eagerly-reused index/iteration frame.
+
+    ``'persist'`` (library default): ``persist(DISK_ONLY)`` — lazy,
+    fault-tolerant (lineage kept, executor loss recomputes), and the
+    cache manager substitutes the cached plan under every downstream
+    self-join, so the encode subtree still executes once.  The right
+    default on a real cluster.
+
+    ``'local'``: eager ``localCheckpoint()`` — truncates lineage and
+    runs jobs at CONSTRUCTION time; fastest in a single JVM (the bench
+    path pins this explicitly) but its blocks are not fault-tolerant.
+
+    ``'none'``: no pin — only sane when the caller persists the result
+    itself (e.g. writing the codes table to a lake).
+    """
+    if checkpoint == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if checkpoint == "local":
+        return df.localCheckpoint()
+    if checkpoint == "none":
+        return df
+    raise ValueError(
+        f"checkpoint must be 'persist', 'local' or 'none', got {checkpoint!r}"
+    )
+
+
 def _as_double(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -415,6 +444,7 @@ def train_codebooks_frame(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: str = "persist",
 ) -> DataFrame:
     """Distributed Lloyd training of PQ codebooks: ``iters`` k-means
     iterations run independently in every one of the ``m`` subspaces,
@@ -434,32 +464,37 @@ def train_codebooks_frame(
     Scale shape per iteration: dims⋈broadcast(centroids) (the centroid
     frame is m·k·sub rows — model-sized), one (vec, subspace, centroid)
     partial-agg shuffle, one rank window, one mean shuffle of m·k·sub
-    cells.  ``localCheckpoint`` truncates lineage between iterations.
+    cells.  The between-iteration pin is governed by ``checkpoint`` (see
+    :func:`_pin`): ``'persist'`` keeps lineage (fault-tolerant default —
+    fine at iters≈2), ``'local'`` truncates it eagerly (bench path).
     """
     dim = _vector_dim(df, vec_col)
     if dim % m != 0:
         raise ValueError(f"{vec_col} dim {dim} is not divisible by m={m}")
     sub = dim // m
-    dims = df.select(
-        F.col(id_col).alias("vid"), F.posexplode(_as_double(vec_col)).alias("g", "x")
-    ).select(
-        "vid",
-        (F.col("g") / sub).cast("int").alias("mi"),
-        (F.col("g") % sub + 1).cast("bigint").alias("i"),
-        F.col("x").alias("x"),
-    ).localCheckpoint()
+    dims = _pin(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(_as_double(vec_col)).alias("g", "x"),
+        ).select(
+            "vid",
+            (F.col("g") / sub).cast("int").alias("mi"),
+            (F.col("g") % sub + 1).cast("bigint").alias("i"),
+            F.col("x").alias("x"),
+        ),
+        checkpoint,
+    )
 
     # init = sample_codebooks' exemplar rule: subspace mi's centroid j is
     # the mi-th slice of vector mi*k + j
-    cent = (
+    cent = _pin(
         dims.where(
             (F.col("vid") < m * k) & (F.col("mi") == (F.col("vid") / k).cast("int"))
-        )
-        .select(
+        ).select(
             "mi", (F.col("vid") % k).cast("int").alias("cid"), "i",
             F.col("x").alias("cx"),
-        )
-        .localCheckpoint()
+        ),
+        checkpoint,
     )
 
     for _ in range(iters):
@@ -485,11 +520,11 @@ def train_codebooks_frame(
                 ).alias("cx")
             )
         )
-        cent = (
+        cent = _pin(
             cent.select("mi", "cid", "i", F.col("cx").alias("old"))
             .join(newc, ["mi", "cid", "i"], "left")
-            .select("mi", "cid", "i", F.coalesce("cx", "old").alias("cx"))
-            .localCheckpoint()
+            .select("mi", "cid", "i", F.coalesce("cx", "old").alias("cx")),
+            checkpoint,
         )
     return cent
 
@@ -501,11 +536,14 @@ def train_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: str = "persist",
 ) -> list[list[list[float]]]:
     """``train_codebooks_frame`` collected into the nested-list literal
     shape ``pq_codes``/``pq_adc_topk`` take.  The collect is bounded by
     m·k·sub rows — model size, never data size."""
-    rows = train_codebooks_frame(df, m, k, iters, id_col, vec_col).collect()
+    rows = train_codebooks_frame(
+        df, m, k, iters, id_col, vec_col, checkpoint
+    ).collect()
     by_key = {(r.mi, r.cid, r.i): float(r.cx) for r in rows}
     sub = max(i for (_, _, i) in by_key) if by_key else 0
     return [
@@ -521,6 +559,7 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: str = "persist",
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC): the corpus is
     PQ-encoded once (map-side, M codes per vector); each query computes a
@@ -543,25 +582,22 @@ def pq_adc_topk(
     bit-for-bit.
     """
     M = len(codebooks)
-    # eager-pin the encoded index (the stored artifact of
+    # pin the encoded index (the stored artifact of
     # pq_adc_topk_from_codes' production flow): unpinned, the M chained
     # ADC lookup joins re-plan the whole encode subtree M times —
     # measured 7.5 s → 2.9 s for the M=16 rerank shortlist at sf0.1.
-    # NOTE (cluster deployments): localCheckpoint() runs Spark jobs
-    # EAGERLY at construction time, and its blocks are NOT fault-tolerant
-    # (an executor loss drops them with no lineage to recover from) — it
-    # is the single-JVM stand-in for the real production flow, which
-    # persists the codes as a lake table (``pq_codes`` → lake →
-    # ``pq_adc_topk_from_codes``; round-tripped in tests).  On a
-    # 1000-executor cluster use the stored-table path, or swap the pin
-    # for persist(StorageLevel.DISK_ONLY)/reliable checkpoint.
-    codes = (
-        pq_codes(_spread(corpus), codebooks, id_col, vec_col)
-        .select(
+    # The pin mode is the caller's ``checkpoint`` knob (see ``_pin``):
+    # 'persist' (default) is the fault-tolerant cluster-safe cache;
+    # 'local' is the eager single-JVM localCheckpoint the bench pins.
+    # The real production flow persists the codes as a lake table
+    # (``pq_codes`` → lake → ``pq_adc_topk_from_codes``; round-tripped
+    # in tests) and needs no pin at all.
+    codes = _pin(
+        pq_codes(_spread(corpus), codebooks, id_col, vec_col).select(
             F.col(id_col).alias("neighbor_id"),
             *[f"code_{m}" for m in range(M)],
-        )
-        .localCheckpoint()
+        ),
+        checkpoint,
     )
     return pq_adc_topk_from_codes(queries, codes, codebooks, k, id_col, vec_col)
 
@@ -750,6 +786,7 @@ def pq_adc_rerank_topk(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: str = "persist",
 ) -> DataFrame:
     """The production IVF-PQ search shape: ADC over compressed codes
     produces a ``shortlist`` of candidates per query (cheap — M lookup
@@ -766,13 +803,12 @@ def pq_adc_rerank_topk(
     inline, then searches via ``pq_rerank_topk_from_codes`` (the
     stored-index production path)."""
     M = len(codebooks)
-    codes = (
-        pq_codes(_spread(corpus), codebooks, id_col, vec_col)
-        .select(
+    codes = _pin(
+        pq_codes(_spread(corpus), codebooks, id_col, vec_col).select(
             F.col(id_col).alias("neighbor_id"),
             *[f"code_{m}" for m in range(M)],
-        )
-        .localCheckpoint()
+        ),
+        checkpoint,
     )
     return pq_rerank_topk_from_codes(
         queries, codes, corpus, codebooks, k=k, shortlist=shortlist,
@@ -869,6 +905,7 @@ def ivf_pq_residual_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: str = "persist",
 ) -> DataFrame:
     """Full production IVF-PQ (IVFADC, Jégou et al. PAMI'11): the corpus
     is coarsely partitioned into inverted lists (``ivf_assign``), each
@@ -897,15 +934,16 @@ def ivf_pq_residual_topk(
     top-k window.  ADC sums left-to-right, so the IEEE order is fixed and
     a SQL oracle replays it bit-for-bit given the same literals."""
     codes = ivf_pq_codes(corpus, centroids, codebooks, id_col, vec_col)
-    # eager-pin the encoded index: the in-session equivalent of reading
-    # the stored codes table back; unpinned, Catalyst re-executes the
+    # pin the encoded index: the in-session equivalent of reading the
+    # stored codes table back; unpinned, Catalyst re-executes the
     # encode under every search join (measured 33 s → 1.6 s at sf0.1).
-    # Same cluster caveat as pq_adc_topk: localCheckpoint is eager and
-    # non-fault-tolerant — the production path is the stored lake table
-    # (``ivf_pq_codes`` → lake → ``ivf_pq_residual_topk_from_codes``).
+    # Pin mode per the ``checkpoint`` knob (``_pin``): 'persist' default
+    # is fault-tolerant; 'local' is the eager bench pin; the production
+    # path is the stored lake table (``ivf_pq_codes`` → lake →
+    # ``ivf_pq_residual_topk_from_codes``) and needs neither.
     return ivf_pq_residual_topk_from_codes(
         queries,
-        codes.localCheckpoint(),
+        _pin(codes, checkpoint),
         centroids,
         codebooks,
         k=k,

@@ -1273,7 +1273,7 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = SIM.sample_codebooks(emb, _PQ_M, _PQ_K)
     queries = emb.where(F.col("vec_id") < 5)
-    return SIM.pq_adc_topk(queries, emb, books, k=10)
+    return SIM.pq_adc_topk(queries, emb, books, k=10, checkpoint="local")
 
 
 def _pq_ctes(M: int, K: int) -> str:
@@ -1368,7 +1368,8 @@ def pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = SIM.sample_codebooks(emb, _PQ_RERANK_M, _PQ_RERANK_K)
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.pq_adc_rerank_topk(
-        queries, emb, books, k=10, shortlist=_PQ_RERANK_C
+        queries, emb, books, k=10, shortlist=_PQ_RERANK_C,
+        checkpoint="local",
     )
 
 
@@ -1439,7 +1440,9 @@ def pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp rounded means make every iteration engine-reproducible — the
     oracle replays the full unrolled training relationally."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.train_codebooks_frame(emb, _PQ_M, _PQ_K, iters=_PQ_TRAIN_ITERS)
+    return SIM.train_codebooks_frame(
+        emb, _PQ_M, _PQ_K, iters=_PQ_TRAIN_ITERS, checkpoint="local"
+    )
 
 
 def _pq_train_ctes(
@@ -1506,18 +1509,20 @@ def pq_trained_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     training made recall WORSE — expected empty; the empty-set oracle
     makes the driver hash-check prove trained ≥ exemplar recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    trained = SIM.train_codebooks(emb, _PQ_M, _PQ_K, iters=_PQ_TRAIN_ITERS)
+    trained = SIM.train_codebooks(
+        emb, _PQ_M, _PQ_K, iters=_PQ_TRAIN_ITERS, checkpoint="local"
+    )
     exemplar = SIM.sample_codebooks(emb, _PQ_M, _PQ_K)
     queries = emb.where(F.col("vec_id") < 5)
     exact = SIM.cosine_topk(queries, emb, k=10).select("query_id", "neighbor_id")
     hits_t = (
-        SIM.pq_adc_topk(queries, emb, trained, k=10)
+        SIM.pq_adc_topk(queries, emb, trained, k=10, checkpoint="local")
         .select("query_id", "neighbor_id")
         .join(exact, ["query_id", "neighbor_id"])
         .agg(F.count(F.lit(1)).alias("hits_trained"))
     )
     hits_e = (
-        SIM.pq_adc_topk(queries, emb, exemplar, k=10)
+        SIM.pq_adc_topk(queries, emb, exemplar, k=10, checkpoint="local")
         .select("query_id", "neighbor_id")
         .join(exact, ["query_id", "neighbor_id"])
         .agg(F.count(F.lit(1)).alias("hits_exemplar"))
@@ -1558,7 +1563,8 @@ def ivf_pq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = SIM.sample_codebooks(res, _PQ_M, _PQ_K, vec_col="rv")
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.ivf_pq_residual_topk(
-        queries, emb, cents, books, k=10, nprobe=_IVFPQ_NPROBE
+        queries, emb, cents, books, k=10, nprobe=_IVFPQ_NPROBE,
+        checkpoint="local",
     )
 
 

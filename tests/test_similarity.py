@@ -647,3 +647,40 @@ def test_ivf_pq_index_incremental_append(spark, sf_smoke, tmp_path):
         )
     )
     assert incremental == full
+
+
+def test_checkpoint_knob_modes_agree_and_validate(spark):
+    """'persist', 'local' and 'none' must produce identical results (the
+    knob changes only the pin mechanism), and unknown modes must fail
+    loudly before any job runs."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.functions.similarity import (
+        pq_adc_topk,
+        sample_codebooks,
+    )
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> CAST((id * 31 + j * 7) % 13"
+            " AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    books = sample_codebooks(emb, 2, 4)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    def rows(mode):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in pq_adc_topk(
+                queries, emb, books, k=5, checkpoint=mode
+            ).collect()
+        )
+
+    base = rows("persist")
+    assert rows("local") == base
+    assert rows("none") == base
+    with _pt.raises(ValueError, match="checkpoint"):
+        pq_adc_topk(queries, emb, books, k=5, checkpoint="reliable")
