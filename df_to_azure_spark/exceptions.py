@@ -46,6 +46,13 @@ class PipelineRunError(EngineError):
     """A write pipeline failed or exceeded its timeout."""
 
 
+class ConcurrentWriteError(PipelineRunError):
+    """An optimistic manifest commit lost the race to another writer
+    (the target manifest version already exists).  The table is
+    unchanged; re-running the operation re-reads the new latest version
+    and retries the commit one version later."""
+
+
 class EngineConfigError(EngineError):
     """Required connection/engine configuration is missing (the intent of
     the reference's never-invoked ``check_env_variables``, V6)."""

@@ -278,7 +278,7 @@ class ParquetLake:
             df = _zorder_cluster(df, zorder_by, target_files)
         else:
             df = df.coalesce(target_files)
-        self._swap_in(df, table, partition_by=parts or None)
+        self._commit_rewrite(df, table, partition_by=parts or None)
         return before
 
     def upsert(
@@ -296,7 +296,7 @@ class ParquetLake:
         parts = partition_by or self.partition_columns(table)
         existing = self.read(table)
         merged = upsert_frames(df, existing, keys)
-        self._swap_in(merged, table, partition_by=parts or None)
+        self._commit_rewrite(merged, table, partition_by=parts or None)
 
     def delete(
         self,
@@ -326,7 +326,7 @@ class ParquetLake:
         # shape scanned the table twice just to subtract (round-8 ADVICE)
         n_deleted = existing.join(k, keys, "left_semi").count()
         kept = existing.join(k, keys, "left_anti")
-        self._swap_in(kept, table, partition_by=parts or None)
+        self._commit_rewrite(kept, table, partition_by=parts or None)
         return n_deleted
 
     def upsert_partitioned(
@@ -445,7 +445,7 @@ class ParquetLake:
             check_keys=False,
         )
         parts = self.partition_columns(table)
-        self._swap_in(merged, table, partition_by=parts or None)
+        self._commit_rewrite(merged, table, partition_by=parts or None)
 
     def _delta_merge(
         self,
@@ -478,6 +478,14 @@ class ParquetLake:
         return True
 
     # -- snapshot swap ---------------------------------------------------
+    def _commit_rewrite(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Seam every full-rewrite path (upsert/delete/merge/compact)
+        lands on: the base lake snapshot-swaps; ``VersionedLake``
+        overrides this with an atomic manifest commit."""
+        self._swap_in(df, table, partition_by=partition_by)
+
     def _swap_in(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> None:

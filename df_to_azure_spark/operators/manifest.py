@@ -1,0 +1,535 @@
+"""Versioned parquet lake: atomic manifest commits (minimal transaction log).
+
+``ParquetLake`` (``operators/lake.py``) snapshot-swaps directories: readers
+never see a torn table, but a reader that listed files before a swap can
+fail mid-scan once the old directory is deleted, concurrent writers must be
+externally serialized, and a crash between a publish write and its batch
+marker leaves a non-atomic window (``operators/publish.py``).  The
+reference gets transactionality for free because its writes terminate in
+Azure SQL MERGE (``/root/reference/df_to_azure/db.py:36-53`` runs inside
+the database's transaction); this module gives the lake path the same
+guarantee with a versioned manifest — the one-file transaction log that
+Delta/Iceberg scale up:
+
+- data files are IMMUTABLE and uniquely named
+  (``{table}/files/[col=val/]<commit>-part-*.parquet``); no write ever
+  renames or deletes a live file — only ``vacuum`` removes files, and only
+  those no retained manifest references;
+- a table VERSION is one JSON manifest ``{table}/_manifests/v<N>.json``
+  listing exactly the live files; the manifest is written to a temp name
+  and RENAMED into place — one atomic filesystem operation IS the commit;
+- readers resolve the newest (or a pinned) manifest and plan over that
+  explicit file list: a concurrent commit cannot tear the scan, because
+  the files a pinned version references are never touched;
+- writers are optimistically concurrent: two commits racing for version
+  N+1 collide on the rename (Hadoop ``rename`` does not overwrite), the
+  loser raises :class:`~df_to_azure_spark.exceptions.ConcurrentWriteError`
+  with the table unchanged, and a retry re-reads the new latest — the
+  lost-update anomaly is structurally impossible (appends auto-retry,
+  because appended files commute with any interleaved commit);
+- idempotence markers (``batch_id``) live INSIDE the manifest, so
+  "data published" and "marker exists" become one atomic fact — closing
+  the publish-then-marker crash window.
+
+Crash contract: every mutation stages its part-files first and commits
+last; a crash before the manifest rename leaves the previous version
+live and intact (readers never see the orphaned files — they are not in
+any manifest) and a retry converges.  Orphans are swept by ``vacuum``.
+
+Scale notes (SCALE_r11 §manifest): the read-side overhead is one small-
+file read + zero directory listings (the manifest IS the file index —
+at many-file scale this is cheaper than the recursive listing a plain
+parquet scan does).  The manifest grows linearly with live file count;
+compaction bounds it, and the production-scale continuation is exactly
+Delta's: periodic parquet checkpoint manifests instead of one JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from df_to_azure_spark.checks import ensure_unique_keys
+from df_to_azure_spark.exceptions import ConcurrentWriteError, PipelineRunError
+from df_to_azure_spark.operators.lake import ParquetLake, _zorder_cluster
+from df_to_azure_spark.operators.upsert import upsert_frames
+
+__all__ = ["VersionedLake"]
+
+_V_WIDTH = 20  # zero-padded version width: lexicographic == numeric order
+
+
+class VersionedLake(ParquetLake):
+    """Drop-in ``ParquetLake`` with atomic versioned-manifest commits.
+
+    Inherits the row-level algebra (``upsert``/``delete``/``merge``/
+    ``compact`` bodies) from the base class through the
+    ``_commit_rewrite`` seam and replaces every physical-layout concern:
+    reads resolve through manifests, writes stage immutable files and
+    commit by one atomic rename.  Extra surface over the base lake:
+    ``versions``/``current_version``, time-travel ``read(version=...)``,
+    ``has_batch`` + ``batch_id`` idempotence markers, and a
+    retention-based ``vacuum(keep_last=...)``.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        self._read_version: dict[str, int] = {}
+        self._pending_batch: str | None = None
+
+    # -- paths -------------------------------------------------------
+    def files_dir(self, table: str) -> str:
+        return f"{self.table_dir(table)}/files"
+
+    def _manifest_dir(self, table: str) -> str:
+        return f"{self.table_dir(table)}/_manifests"
+
+    def _manifest_path(self, table: str, version: int) -> str:
+        return f"{self._manifest_dir(table)}/v{version:0{_V_WIDTH}d}.json"
+
+    # -- small-file IO through the Hadoop FS (works on any scheme) ----
+    def _write_small(self, path: str, payload: str) -> None:
+        fs, jpath, _ = self._fs(path)
+        out = fs.create(jpath, False)
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_small(self, path: str) -> str:
+        fs, jpath, jvm = self._fs(path)
+        stream = fs.open(jpath)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            chunks = []
+            line = reader.readLine()
+            while line is not None:
+                chunks.append(line)
+                line = reader.readLine()
+            return "\n".join(chunks)
+        finally:
+            stream.close()
+
+    # -- version resolution -------------------------------------------
+    def versions(self, table: str) -> list[int]:
+        """Committed versions, oldest first (empty = table absent)."""
+        fs, mdir, _ = self._fs(self._manifest_dir(table))
+        if not fs.exists(mdir):
+            return []
+        out = []
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if (
+                name.startswith("v")
+                and name.endswith(".json")
+                and name[1:-5].isdigit()
+            ):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def current_version(self, table: str) -> int | None:
+        vs = self.versions(table)
+        return vs[-1] if vs else None
+
+    def _load_manifest(self, table: str, version: int) -> dict:
+        return json.loads(self._read_small(self._manifest_path(table, version)))
+
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) is not None
+
+    def partition_columns(self, table: str) -> list[str]:
+        v = self.current_version(table)
+        if v is None:
+            return []
+        return list(self._load_manifest(table, v).get("partition_by") or [])
+
+    def has_batch(self, table: str, batch_id: str) -> bool:
+        """True when ``batch_id`` was recorded by a committed write —
+        the atomic replacement for the plain lake's marker files."""
+        v = self.current_version(table)
+        if v is None:
+            return False
+        return batch_id in self._load_manifest(table, v).get("batch_ids", [])
+
+    # -- reads ---------------------------------------------------------
+    def read(
+        self,
+        table: str,
+        merge_schema: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Plan over the file list of one manifest version (latest by
+        default; pass ``version`` to time-travel).  The scan needs no
+        directory listing, and the referenced files are immutable, so a
+        concurrent commit can never tear it."""
+        v = self.current_version(table) if version is None else version
+        if v is None:
+            raise PipelineRunError(
+                f"lake table {table!r} does not exist under {self.root}"
+            )
+        m = self._load_manifest(table, v)
+        if version is None:
+            self._read_version[table] = v
+        paths = [f"{self.table_dir(table)}/{rel}" for rel in m["files"]]
+        if not paths:
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read.option("basePath", self.files_dir(table))
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    # -- staging + commit ----------------------------------------------
+    def _stage_files(
+        self, df: DataFrame, table: str, partition_by: list[str] | None
+    ) -> tuple[list[str], str]:
+        """Write ``df``'s part-files under ``files/`` with a unique
+        commit prefix and return their table-relative paths.  Until a
+        manifest references them they are invisible orphans — a crash
+        here changes nothing a reader can see."""
+        cid = uuid.uuid4().hex[:12]
+        stage = f"{self.table_dir(table)}/.stage-{cid}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage)
+        fs, stage_path, jvm = self._fs(stage)
+        files_base = self.files_dir(table)
+        rels: list[str] = []
+
+        def _walk(path, rel_prefix: str) -> None:
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    _walk(st.getPath(), f"{rel_prefix}{name}/")
+                elif name.startswith("part-"):
+                    rel = f"{rel_prefix}{cid}-{name}"
+                    target = jvm.org.apache.hadoop.fs.Path(
+                        f"{files_base}/{rel}"
+                    )
+                    fs.mkdirs(target.getParent())
+                    if not fs.rename(st.getPath(), target):
+                        raise PipelineRunError(
+                            f"staging rename failed for table {table!r}"
+                        )
+                    rels.append(f"files/{rel}")
+
+        _walk(stage_path, "")
+        fs.delete(stage_path, True)
+        return sorted(rels), df.schema.json()
+
+    def _commit(
+        self,
+        table: str,
+        files: list[str],
+        partition_by: list[str] | None,
+        schema_json: str,
+        expected_version: int | None,
+        batch_ids: list[str],
+    ) -> int:
+        """Atomically publish version ``expected_version + 1``.  The
+        temp-write + rename pair is the entire transaction: rename onto
+        an existing path fails on Hadoop filesystems, so the first
+        committer wins and every loser raises ``ConcurrentWriteError``
+        with nothing changed."""
+        n = (expected_version or 0) + 1
+        payload = json.dumps(
+            {
+                "version": n,
+                "files": files,
+                "partition_by": list(partition_by or []),
+                "schema": schema_json,
+                "batch_ids": sorted(batch_ids),
+                "committed_ms": int(time.time() * 1000),
+            },
+            separators=(",", ":"),
+        )
+        mdir = self._manifest_dir(table)
+        fs, mdir_path, jvm = self._fs(mdir)
+        fs.mkdirs(mdir_path)
+        tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}"
+        self._write_small(tmp, payload)
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        target = jvm.org.apache.hadoop.fs.Path(self._manifest_path(table, n))
+        if fs.exists(target) or not fs.rename(tmp_path, target):
+            fs.delete(tmp_path, False)
+            raise ConcurrentWriteError(
+                f"lake table {table!r}: version {n} was committed by a "
+                "concurrent writer; re-run to rebase on the new latest"
+            )
+        return n
+
+    def _carry_batches(self, table: str, batch_id: str | None) -> list[str]:
+        v = self.current_version(table)
+        prior = (
+            self._load_manifest(table, v).get("batch_ids", [])
+            if v is not None
+            else []
+        )
+        b = batch_id if batch_id is not None else self._pending_batch
+        return sorted(set(prior) | ({b} if b else set()))
+
+    # -- writes ----------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        method: str = "create",
+        id_field: list[str] | str | None = None,
+        partition_by: list[str] | str | None = None,
+        batch_id: str | None = None,
+    ) -> None:
+        self._pending_batch = batch_id
+        try:
+            super().write(
+                df, table, method=method, id_field=id_field,
+                partition_by=partition_by,
+            )
+        finally:
+            self._pending_batch = None
+
+    def create(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        sort_files: int | None = None,
+        batch_id: str | None = None,
+    ) -> None:
+        """Replace the table: stage a complete file set, commit a
+        manifest referencing only it.  ``create`` starts a fresh
+        batch-marker history (it is a new logical table state)."""
+        if sort_by:
+            if sort_files:
+                df = df.repartitionByRange(sort_files, *sort_by)
+            else:
+                df = df.repartitionByRange(*sort_by)
+            df = df.sortWithinPartitions(*sort_by)
+        expected = self.current_version(table)
+        files, schema = self._stage_files(df, table, partition_by)
+        b = batch_id if batch_id is not None else self._pending_batch
+        self._commit(
+            table, files, partition_by, schema, expected,
+            [b] if b else [],
+        )
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        timestamped_file: bool = False,
+        partition_by: list[str] | None = None,
+        batch_id: str | None = None,
+        _retries: int = 3,
+    ) -> None:
+        """Append = stage new files once, commit old list ∪ new.
+        Appended files commute with any interleaved commit, so a lost
+        OCC race is rebased automatically: the staged files are reused
+        and only the manifest contents recompute (``_retries`` bounds
+        the loop; pathological contention surfaces the error)."""
+        if timestamped_file:
+            raise ValueError(
+                "timestamped_file is a plain-ParquetLake layout feature; "
+                "the versioned manifest already names every file uniquely"
+            )
+        files: list[str] | None = None
+        schema = staged_parts = None
+        last_err: Exception | None = None
+        for _ in range(max(1, _retries)):
+            expected = self.current_version(table)
+            if expected is None:
+                prior: list[str] = []
+                parts = list(partition_by or [])
+                mschema = None
+            else:
+                m = self._load_manifest(table, expected)
+                prior = m["files"]
+                # an existing table's layout wins: appending flat files
+                # into a hive-partitioned tree (or vice versa) would make
+                # the read-side directory structures conflict
+                parts = list(m.get("partition_by") or partition_by or [])
+                mschema = m.get("schema") if prior else None
+            if files is None or staged_parts != parts:
+                files, schema = self._stage_files(df, table, parts or None)
+                staged_parts = parts
+            try:
+                self._commit(
+                    table,
+                    sorted(set(prior) | set(files)),
+                    parts or None,
+                    mschema or schema,
+                    expected,
+                    self._carry_batches(table, batch_id),
+                )
+                return
+            except ConcurrentWriteError as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
+    def _commit_rewrite(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Full-rewrite commit (the seam ``upsert``/``delete``/``merge``/
+        ``compact`` land on): the OCC expected version is the version
+        the rewrite READ (pinned by ``read``), so an interleaved commit
+        makes this one fail instead of silently undoing it — the
+        lost-update protection a snapshot swap cannot give."""
+        expected = self._read_version.get(table, self.current_version(table))
+        files, schema = self._stage_files(df, table, partition_by)
+        self._commit(
+            table, files, partition_by, schema, expected,
+            self._carry_batches(table, None),
+        )
+
+    def compact(
+        self,
+        table: str,
+        target_files: int = 8,
+        zorder_by: list[str] | None = None,
+    ) -> int:
+        """Same contract as the base ``compact`` (returns the file count
+        before), but the old files stay on disk until ``vacuum`` — a
+        reader of any retained version keeps working through the
+        rewrite."""
+        v = self.current_version(table)
+        if v is None:
+            raise PipelineRunError(
+                f"lake table {table!r} does not exist under {self.root}"
+            )
+        before = len(self._load_manifest(table, v)["files"])
+        parts = self.partition_columns(table)
+        df = self.read(table, merge_schema=True)
+        if zorder_by:
+            df = _zorder_cluster(df, zorder_by, target_files)
+        else:
+            df = df.coalesce(target_files)
+        self._commit_rewrite(df, table, partition_by=parts or None)
+        return before
+
+    def upsert_partitioned(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        partition_col: str,
+    ) -> int:
+        """Partition-scoped upsert with atomic visibility: only the
+        touched partitions' rows are merged and restaged; the commit
+        swaps exactly those partitions' files in the manifest (old files
+        of untouched partitions carry over verbatim).  The touched set
+        comes from the STAGED paths' hive directories, so value escaping
+        is Spark's own.  Same moved-key guard as the base method."""
+        ensure_unique_keys(df, keys)
+        if partition_col not in self.partition_columns(table):
+            raise PipelineRunError(
+                f"upsert_partitioned: {partition_col!r} is not a partition "
+                f"column of {table!r}"
+            )
+        existing = self.read(table)
+        expected = self._read_version.get(table)
+        touched_vals = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+        non_null = [t for t in touched_vals if t is not None]
+        in_touched = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(t is None for t in touched_vals):
+            in_touched = in_touched | F.col(partition_col).isNull()
+        in_touched = F.coalesce(in_touched, F.lit(False))
+        moved = existing.where(~in_touched).join(
+            df.select(*keys), keys, "left_semi"
+        )
+        if moved.limit(1).count() > 0:
+            raise PipelineRunError(
+                "upsert_partitioned: delta moves key(s) across partitions; "
+                "use the full upsert for partition-changing updates"
+            )
+        affected = existing.where(in_touched)
+        merged = upsert_frames(df, affected, keys, sort=False, check_keys=False)
+        new_files, _ = self._stage_files(merged, table, [partition_col])
+        touched_dirs = {rel.split("/")[1] for rel in new_files}
+        m = self._load_manifest(table, expected)
+        kept = [
+            rel
+            for rel in m["files"]
+            if rel.split("/")[1] not in touched_dirs
+        ]
+        self._commit(
+            table,
+            sorted(set(kept) | set(new_files)),
+            m.get("partition_by"),
+            m["schema"],
+            expected,
+            self._carry_batches(table, None),
+        )
+        return len(touched_dirs)
+
+    # -- maintenance -----------------------------------------------------
+    def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
+        """Retention GC: keep the newest ``keep_last`` manifests, delete
+        older manifests, commit temps, stage leftovers, and every data
+        file no retained manifest references.  Time travel reaches only
+        retained versions afterwards.  Returns removed paths (relative
+        to the table dir)."""
+        if keep_last < 1:
+            raise ValueError("vacuum must keep at least the latest version")
+        vs = self.versions(table)
+        if not vs:
+            return []
+        keep = vs[-keep_last:]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._load_manifest(table, v)["files"])
+        fs, tdir, jvm = self._fs(self.table_dir(table))
+        removed: list[str] = []
+
+        for v in vs[:-keep_last]:
+            p = jvm.org.apache.hadoop.fs.Path(self._manifest_path(table, v))
+            fs.delete(p, False)
+            removed.append(f"_manifests/v{v:0{_V_WIDTH}d}.json")
+        mdir = jvm.org.apache.hadoop.fs.Path(self._manifest_dir(table))
+        if fs.exists(mdir):
+            for st in fs.listStatus(mdir):
+                name = st.getPath().getName()
+                if name.startswith(".tmp-"):
+                    fs.delete(st.getPath(), False)
+                    removed.append(f"_manifests/{name}")
+        for st in fs.listStatus(tdir):
+            name = st.getPath().getName()
+            if name.startswith(".stage-"):
+                fs.delete(st.getPath(), True)
+                removed.append(name)
+
+        files_root = jvm.org.apache.hadoop.fs.Path(self.files_dir(table))
+
+        def _sweep(path, rel_prefix: str) -> bool:
+            """Delete unreferenced files; return True if dir is empty."""
+            empty = True
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    if _sweep(st.getPath(), f"{rel_prefix}{name}/"):
+                        fs.delete(st.getPath(), False)
+                    else:
+                        empty = False
+                else:
+                    rel = f"{rel_prefix}{name}"
+                    if rel not in live:
+                        fs.delete(st.getPath(), False)
+                        removed.append(rel)
+                    else:
+                        empty = False
+            return empty
+
+        if fs.exists(files_root):
+            _sweep(files_root, "files/")
+        return sorted(removed)

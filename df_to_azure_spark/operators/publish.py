@@ -78,17 +78,29 @@ def publish_with_audit(
     appends the batch twice.
 
     One audit scan (fused aggregate), one publish write, at most one
-    quarantine write — no per-rule passes."""
+    quarantine write — no per-rule passes.
+
+    On a :class:`~df_to_azure_spark.operators.manifest.VersionedLake`
+    the ``batch_id`` marker is recorded INSIDE the atomic manifest
+    commit, so "rows published" and "marker exists" are one fact and the
+    publish-succeeds-then-marker-crashes window of the plain lake's
+    side-file marker does not exist."""
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
     if not rules:
         raise ValueError("publish_with_audit needs at least one rule")
+    versioned = isinstance(lake, VersionedLake)
     marker_fs = marker_path = None
     already_published = False
     if batch_id is not None:
         if "/" in batch_id or batch_id in ("", ".", ".."):
             raise ValueError(f"batch_id {batch_id!r} must be a plain token")
-        marker = f"{lake.table_dir(table)}/_batches/{batch_id}"
-        marker_fs, marker_path, _ = lake._fs(marker)
-        already_published = marker_fs.exists(marker_path)
+        if versioned:
+            already_published = lake.has_batch(table, batch_id)
+        else:
+            marker = f"{lake.table_dir(table)}/_batches/{batch_id}"
+            marker_fs, marker_path, _ = lake._fs(marker)
+            already_published = marker_fs.exists(marker_path)
     audit_rows = evaluate_expectations(df, rules).collect()
     n_in = int(audit_rows[0]["n_rows"]) if audit_rows else 0
     worst = max((r["n_violations"] for r in audit_rows), default=0)
@@ -103,9 +115,15 @@ def publish_with_audit(
                 f"tolerance {max_violation_frac} (worst {worst}/{n_in} rows)"
             )
         if not already_published:
-            lake.write(df, table, method=method, id_field=id_field)
-            if marker_path is not None:
-                marker_fs.createNewFile(marker_path)
+            if versioned and batch_id is not None:
+                lake.write(
+                    df, table, method=method, id_field=id_field,
+                    batch_id=batch_id,
+                )
+            else:
+                lake.write(df, table, method=method, id_field=id_field)
+                if marker_path is not None:
+                    marker_fs.createNewFile(marker_path)
         return PublishReport(table, n_in, n_in, 0, audit_rows)
 
     clean_pred = F.lit(True)
@@ -134,9 +152,15 @@ def publish_with_audit(
     # unmarked append retry after a mid-window crash duplicates the
     # published rows — see the retry contract in the docstring.
     if not already_published:
-        lake.write(clean, table, method=method, id_field=id_field)
-        if marker_path is not None:
-            marker_fs.createNewFile(marker_path)
+        if versioned and batch_id is not None:
+            lake.write(
+                clean, table, method=method, id_field=id_field,
+                batch_id=batch_id,
+            )
+        else:
+            lake.write(clean, table, method=method, id_field=id_field)
+            if marker_path is not None:
+                marker_fs.createNewFile(marker_path)
     if n_dirty:
         method_q = "append" if lake.exists(quarantine_table) else "create"
         lake.write(dirty, quarantine_table, method=method_q)

@@ -1,0 +1,247 @@
+"""VersionedLake: atomic manifest commits, crash injection, OCC races.
+
+The contract under test (operators/manifest.py): a mutation is visible
+iff its manifest rename happened; a crash at ANY earlier point leaves
+the previous version live and a retry converges; concurrent writers
+lose the commit race loudly (rewrites) or rebase automatically
+(appends); batch markers commit atomically with their data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from df_to_azure_spark.exceptions import ConcurrentWriteError, PipelineRunError
+from df_to_azure_spark.operators.manifest import VersionedLake
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return VersionedLake(spark, str(tmp_path / "lake"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v string")
+
+
+def test_create_read_roundtrip_and_versions(spark, lake):
+    lake.create(_df(spark, [(1, "a"), (2, "b")]), "t")
+    assert lake.versions("t") == [1]
+    assert lake.exists("t")
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_append_and_time_travel(spark, lake):
+    lake.create(_df(spark, [(1, "a")]), "t")
+    lake.append(_df(spark, [(2, "b")]), "t")
+    assert lake.versions("t") == [1, 2]
+    assert {r.id for r in lake.read("t").collect()} == {1, 2}
+    # the old version is still a complete, readable snapshot
+    assert {r.id for r in lake.read("t", version=1).collect()} == {1}
+
+
+def test_upsert_inherited_path_commits_new_version(spark, lake):
+    lake.create(_df(spark, [(1, "a"), (2, "b")]), "t")
+    lake.upsert(_df(spark, [(2, "B"), (3, "c")]), "t", ["id"])
+    assert lake.current_version("t") == 2
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # pre-upsert snapshot is intact
+    got1 = {(r.id, r.v) for r in lake.read("t", version=1).collect()}
+    assert got1 == {(1, "a"), (2, "b")}
+
+
+def test_crash_between_data_write_and_manifest_commit(spark, lake, monkeypatch):
+    """Kill the writer after the part-files land but before the manifest
+    rename: the reader must still see the OLD version, and a plain retry
+    must converge.  This is the crash window the plain lake's
+    publish-marker could not close."""
+    lake.create(_df(spark, [(1, "a")]), "t")
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash before manifest rename")
+
+    monkeypatch.setattr(VersionedLake, "_commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lake.upsert(_df(spark, [(1, "A"), (2, "b")]), "t", ["id"])
+    monkeypatch.undo()
+
+    # reader sees the old version, bit-for-bit
+    assert lake.current_version("t") == 1
+    assert {(r.id, r.v) for r in lake.read("t").collect()} == {(1, "a")}
+    # retry converges
+    lake.upsert(_df(spark, [(1, "A"), (2, "b")]), "t", ["id"])
+    assert lake.current_version("t") == 2
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "A"), (2, "b")}
+    # the crashed attempt's orphaned files are invisible garbage; vacuum
+    # sweeps them and the surviving read is unchanged
+    removed = lake.vacuum("t", keep_last=1)
+    assert removed  # at least the orphaned staged files + old manifest
+    assert {(r.id, r.v) for r in lake.read("t").collect()} == got
+
+
+def test_rewrite_occ_conflict_raises_and_table_unharmed(spark, lake, monkeypatch):
+    """A rewrite that lost the race must fail loudly (lost-update
+    protection) and leave the winner's commit intact; a fresh retry
+    rebases on the new latest."""
+    root = lake.root
+    lake2 = VersionedLake(spark, root)
+    lake.create(_df(spark, [(1, "a"), (2, "b")]), "t")
+
+    orig = VersionedLake._commit
+    state = {"fired": False}
+
+    def racy(self, *a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            lake2.upsert(_df(spark, [(2, "THEIRS")]), "t", ["id"])
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(VersionedLake, "_commit", racy)
+    with pytest.raises(ConcurrentWriteError):
+        lake.upsert(_df(spark, [(1, "MINE")]), "t", ["id"])
+    monkeypatch.undo()
+
+    # the interleaved writer's commit is what the table shows
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "THEIRS")}
+    # a fresh retry reads the new latest and applies cleanly on top
+    lake.upsert(_df(spark, [(1, "MINE")]), "t", ["id"])
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "MINE"), (2, "THEIRS")}
+
+
+def test_append_rebases_automatically_on_occ_conflict(spark, lake, monkeypatch):
+    """Appends commute, so a lost race must NOT surface: the staged
+    files are recommitted against the new latest and both writers'
+    rows survive."""
+    root = lake.root
+    lake2 = VersionedLake(spark, root)
+    lake.create(_df(spark, [(1, "a")]), "t")
+
+    orig = VersionedLake._commit
+    state = {"fired": False}
+
+    def racy(self, *a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            lake2.append(_df(spark, [(2, "theirs")]), "t")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(VersionedLake, "_commit", racy)
+    lake.append(_df(spark, [(3, "mine")]), "t")
+    monkeypatch.undo()
+
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "theirs"), (3, "mine")}
+
+
+def test_batch_marker_commits_atomically_with_data(spark, lake):
+    lake.create(_df(spark, [(1, "a")]), "t")
+    lake.append(_df(spark, [(2, "b")]), "t", batch_id="b42")
+    assert lake.has_batch("t", "b42")
+    assert not lake.has_batch("t", "b43")
+    # markers survive later rewrites (they record publish history)
+    lake.upsert(_df(spark, [(1, "A")]), "t", ["id"])
+    assert lake.has_batch("t", "b42")
+
+
+def test_publish_with_audit_versioned_batch_idempotent(spark, lake):
+    from df_to_azure_spark.operators.expectations import Expectation
+    from df_to_azure_spark.operators.publish import publish_with_audit
+
+    rules = [Expectation("id_positive", F.col("id") > 0)]
+    lake.create(_df(spark, [(1, "a")]), "t")
+    batch = _df(spark, [(2, "b"), (3, "c")])
+    publish_with_audit(lake, batch, "t", rules, method="append", batch_id="B1")
+    # a blind retry of the same batch must be a no-op, atomically
+    publish_with_audit(lake, batch, "t", rules, method="append", batch_id="B1")
+    assert lake.read("t").count() == 3
+    assert lake.has_batch("t", "B1")
+
+
+def test_compact_shrinks_files_keeps_data_and_history(spark, lake):
+    lake.create(_df(spark, [(i, f"v{i}") for i in range(20)]), "t")
+    for j in range(3):
+        lake.append(_df(spark, [(100 + j, f"a{j}")]), "t")
+    v_before = lake.current_version("t")
+    before_rows = {(r.id, r.v) for r in lake.read("t").collect()}
+    n_before = lake.compact("t", target_files=1)
+    assert n_before >= 4  # create + 3 appends
+    assert {(r.id, r.v) for r in lake.read("t").collect()} == before_rows
+    # pre-compaction version still readable (files retained until vacuum)
+    assert {
+        (r.id, r.v) for r in lake.read("t", version=v_before).collect()
+    } == before_rows
+
+
+def test_vacuum_retention_and_time_travel_boundary(spark, lake):
+    lake.create(_df(spark, [(1, "a")]), "t")
+    lake.append(_df(spark, [(2, "b")]), "t")
+    lake.upsert(_df(spark, [(1, "A")]), "t", ["id"])
+    assert lake.versions("t") == [1, 2, 3]
+    removed = lake.vacuum("t", keep_last=1)
+    assert any(r.startswith("_manifests/") for r in removed)
+    assert any(r.startswith("files/") for r in removed)
+    assert lake.versions("t") == [3]
+    assert {(r.id, r.v) for r in lake.read("t").collect()} == {
+        (1, "A"),
+        (2, "b"),
+    }
+    with pytest.raises(Exception):
+        lake.read("t", version=1).collect()
+
+
+def test_partitioned_create_and_partition_scoped_upsert(spark, lake):
+    df = spark.createDataFrame(
+        [(1, "NL", "a"), (2, "NL", "b"), (3, "DE", "c")],
+        "id bigint, country string, v string",
+    )
+    lake.create(df, "t", partition_by=["country"])
+    assert lake.partition_columns("t") == ["country"]
+    m1 = lake._load_manifest("t", 1)
+    de_files = {f for f in m1["files"] if "country=DE" in f}
+    assert de_files
+
+    delta = spark.createDataFrame(
+        [(2, "NL", "B")], "id bigint, country string, v string"
+    )
+    n = lake.upsert_partitioned(delta, "t", ["id"], "country")
+    assert n == 1
+    got = {(r.id, r.country, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "NL", "a"), (2, "NL", "B"), (3, "DE", "c")}
+    # untouched partition's files carried over VERBATIM (no rewrite)
+    m2 = lake._load_manifest("t", 2)
+    assert de_files <= set(m2["files"])
+    # moved-key guard still enforced
+    mover = spark.createDataFrame(
+        [(3, "NL", "moved")], "id bigint, country string, v string"
+    )
+    with pytest.raises(PipelineRunError, match="moves key"):
+        lake.upsert_partitioned(mover, "t", ["id"], "country")
+
+
+def test_empty_create_reads_back_empty_with_schema(spark, lake):
+    lake.create(_df(spark, []), "t")
+    out = lake.read("t")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "v"]
+
+
+def test_delete_and_merge_inherit_versioned_commits(spark, lake):
+    lake.create(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), "t")
+    n = lake.delete("t", _df(spark, [(2, "x")]), ["id"])
+    assert n == 1 and lake.current_version("t") == 2
+    lake.merge(_df(spark, [(3, "C"), (4, "d")]), "t", ["id"])
+    assert lake.current_version("t") == 3
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (3, "C"), (4, "d")}
+
+
+def test_timestamped_append_rejected(spark, lake):
+    lake.create(_df(spark, [(1, "a")]), "t")
+    with pytest.raises(ValueError, match="timestamped_file"):
+        lake.append(_df(spark, [(2, "b")]), "t", timestamped_file=True)
