@@ -2188,3 +2188,140 @@ SELECT qid AS query_id, n_rel,
             ELSE ROUND(dcg / ({idcg}), 6) END AS ndcg_at_{k}
 FROM keyed
 """
+
+
+def nn_descent_graph(
+    corpus: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 5,
+    init_cap: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str = "persist",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Graph-based ANN: a deterministic, partition-parallel NN-descent
+    k-NN-graph build (Dong et al., WWW'11) — the graph-index family
+    (HNSW/NSW/NN-descent) next to the module's LSH/IVF/PQ quantization
+    families.  Production graph ANN searches a prebuilt neighbor graph;
+    this operator IS that build, distributed:
+
+    - **Init**: each vector joins a coarse cell — its IVF cell
+      (``ivf_assign`` over ``centroids``) or its sign-bit LSH bucket
+      (``hyperplane_bucket`` over ``planes``; exactly one of the two
+      must be given, and LSH is the better seeder when no trained
+      centroids exist) — and seeds candidates from a deterministic RING
+      over the cell's id-ordered members (each node links to the
+      ``init_cap`` members following it cyclically) — bounded degree in
+      AND out, no hub blow-up, no all-pairs-within-cell join.
+    - **Refine** (``rounds``×): the NN-descent local join — every
+      node's neighbor list ``B`` unions with its REVERSE neighbors
+      (capped at k per node by the same (cos desc, id) rule, bounding
+      the join), and any two members of that list become candidate
+      neighbors of each other; score, keep top-k per node.
+
+    Scale shape per round: one reverse-cap window, one self-equi-join
+    on the pivot node (≤ (2k)² candidate pairs per node — constants,
+    never data-quadratic), two hash joins to fetch vectors, one top-k
+    window.  Everything is linear in corpus size with k²/init_cap
+    constants — the property that makes NN-descent the standard
+    billion-scale graph builder.
+
+    Determinism contract: seeded centroid literals, id-ordered ring,
+    8-dp rounded cosine with (cos desc, id asc) tie-breaks — the paired
+    DuckDB oracle replays the whole build bit-for-bit.  Nodes alone in
+    their cell have no ring edges and drop out of the graph (documented;
+    production would multi-probe them to a second cell).
+
+    Returns ``(id_col, rank, neighbor_id, cos_sim)`` — the k-NN graph.
+    """
+    if (centroids is None) == (planes is None):
+        raise ValueError(
+            "nn_descent_graph needs exactly one of centroids (IVF cells) "
+            "or planes (LSH buckets) for the ring init"
+        )
+    cell = (
+        ivf_assign(F.col("vv"), centroids)
+        if centroids is not None
+        else hyperplane_bucket(F.col("vv"), planes)
+    )
+    v = _pin(
+        corpus.select(
+            F.col(id_col).alias("nid"), _as_double(vec_col).alias("vv")
+        ).select("nid", "vv", cell.alias("cid")),
+        checkpoint,
+    )
+    ranked = v.select("cid", "nid").withColumn(
+        "rn", F.row_number().over(W.partitionBy("cid").orderBy("nid"))
+    )
+    sizes = ranked.groupBy("cid").agg(F.count(F.lit(1)).cast("int").alias("m"))
+    ring = (
+        ranked.join(sizes, "cid")
+        .select(
+            "cid",
+            F.col("nid").alias("u"),
+            "rn",
+            "m",
+            F.explode(F.sequence(F.lit(1), F.lit(init_cap))).alias("o"),
+        )
+        .where(F.col("o") <= F.col("m") - 1)
+        .select(
+            "cid", "u",
+            (((F.col("rn") - 1 + F.col("o")) % F.col("m")) + 1).alias("trn"),
+        )
+        .join(
+            ranked.select(
+                "cid", F.col("nid").alias("w"), F.col("rn").alias("trn")
+            ),
+            ["cid", "trn"],
+        )
+        .select("u", "w")
+    )
+
+    vu = v.select(F.col("nid").alias("u"), F.col("vv").alias("uv"))
+    vw = v.select(F.col("nid").alias("w"), F.col("vv").alias("wv"))
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(vu, "u")
+            .join(vw, "w")
+            .select(
+                "u", "w",
+                F.round(cosine(F.col("uv"), F.col("wv")), 8).alias("cos_sim"),
+            )
+        )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        wq = W.partitionBy("u").orderBy(F.desc("cos_sim"), F.asc("w"))
+        return (
+            scored.withColumn("rank", F.row_number().over(wq))
+            .where(F.col("rank") <= k)
+        )
+
+    b = _pin(_topk(_score(ring)), checkpoint)
+    for _ in range(rounds):
+        rev = _topk(
+            b.select(
+                F.col("w").alias("u"), F.col("u").alias("w"), "cos_sim"
+            )
+        )
+        l_nbrs = (
+            b.select(F.col("u").alias("node"), F.col("w").alias("nbr"))
+            .union(rev.select(F.col("u").alias("node"), F.col("w").alias("nbr")))
+            .distinct()
+        )
+        co = (
+            l_nbrs.alias("a")
+            .join(l_nbrs.alias("b"), "node")
+            .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
+            .where(F.col("u") != F.col("w"))
+        )
+        pool = co.union(b.select("u", "w")).distinct()
+        b = _pin(_topk(_score(pool)), checkpoint)
+    return b.select(
+        F.col("u").alias(id_col),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("w").alias("neighbor_id"),
+        "cos_sim",
+    )

@@ -303,6 +303,14 @@ REGISTRY: dict[str, QuerySpec] = {
         TD.embedding_neardup_pairs_lsh, TD.NEARDUP_LSH_ORACLE
     ),
     "ivf_knn": QuerySpec(TD.ivf_knn, TD.IVF_KNN_ORACLE),
+    # graph-index ANN family (round 11): deterministic NN-descent k-NN
+    # graph build over IVF-cell ring seeds + its exact-recall audit
+    "nn_descent_knn_graph": QuerySpec(
+        TD.nn_descent_knn_graph, TD.NN_DESCENT_ORACLE, headline=True
+    ),
+    "nn_descent_recall_check": QuerySpec(
+        TD.nn_descent_recall_check, TD.NN_DESCENT_RECALL_ORACLE
+    ),
     "pq_adc_knn": QuerySpec(TD.pq_adc_knn, TD.PQ_ADC_ORACLE),
     "pq_rerank_knn": QuerySpec(TD.pq_rerank_knn, TD.PQ_RERANK_ORACLE),
     "sq8_rerank_knn": QuerySpec(TD.sq8_rerank_knn, TD.SQ8_RERANK_ORACLE),

@@ -684,3 +684,80 @@ def test_checkpoint_knob_modes_agree_and_validate(spark):
     assert rows("none") == base
     with _pt.raises(ValueError, match="checkpoint"):
         pq_adc_topk(queries, emb, books, k=5, checkpoint="reliable")
+
+
+def test_nn_descent_graph_matches_local_reference(spark):
+    """The distributed build must equal a straightforward local
+    implementation of the same deterministic iteration (ring init,
+    k-capped reverse lists, local join, (cos desc, id) tie-breaks)."""
+    import numpy as np
+
+    from df_to_azure_spark.functions.similarity import nn_descent_graph
+
+    rng = np.random.RandomState(7)
+    n, k, cap, rounds = 120, 5, 8, 2
+    pts = rng.randn(n, 3)
+    norm = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    cosm = norm @ norm.T
+    np.fill_diagonal(cosm, -2)
+
+    def topk_list(cands, u):
+        c = sorted(
+            {w for w in cands if w != u},
+            key=lambda w: (-round(cosm[u, w], 8), w),
+        )
+        return c[:k]
+
+    B = {
+        u: topk_list([(u + o) % n for o in range(1, cap + 1)], u)
+        for u in range(n)
+    }
+    for _ in range(rounds):
+        R = {u: [] for u in range(n)}
+        for u in range(n):
+            for w in B[u]:
+                R[w].append(u)
+        for w in R:
+            R[w] = sorted(
+                R[w], key=lambda u: (-round(cosm[w, u], 8), u)
+            )[:k]
+        L = {v: set(B[v]) | set(R[v]) for v in range(n)}
+        cand = {u: set(B[u]) for u in range(n)}
+        for v in range(n):
+            lv = L[v]
+            for u in lv:
+                cand[u].update(lv)
+        B = {u: topk_list(cand[u], u) for u in range(n)}
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # single cell: the ring covers the whole id space, like the reference
+    g = nn_descent_graph(
+        df, centroids=[[0.0, 0.0, 1.0]], k=k, init_cap=cap, rounds=rounds,
+        checkpoint="local",
+    )
+    got = {}
+    for r in g.collect():
+        got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    assert set(got) == set(range(n))
+    for u in range(n):
+        ordered = [w for _, w in sorted(got[u])]
+        assert ordered == B[u], f"node {u}"
+
+
+def test_nn_descent_graph_validates_cell_args(spark):
+    from df_to_azure_spark.functions.similarity import nn_descent_graph
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(CAST(id AS DOUBLE), 1.0d)").alias("embedding"),
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exactly one"):
+        nn_descent_graph(df)
+    with _pt.raises(ValueError, match="exactly one"):
+        nn_descent_graph(df, centroids=[[0.0, 1.0]], planes=[[1.0, 0.0]])
