@@ -352,3 +352,67 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
              THEN 'changed'
       END IS NOT NULL
 """
+
+
+def w5_versioned_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the transactional lake (``operators/manifest.py``) through
+    its full lifecycle UNDER the hash gate: create → keyed upsert (an
+    OCC manifest rewrite) → batch-marked append → a blind retry of the
+    same batch (must be skipped via the in-manifest marker, not
+    duplicated) → retention vacuum → read of the latest version.  The
+    scratch table is torn down and rebuilt per call, so the result is a
+    pure function of the input tables and the oracle can replay the
+    row algebra relationally.  Filesystem semantics (crash injection,
+    OCC races, time travel) are pinned by ``tests/test_manifest_lake.py``;
+    THIS entry certifies that the committed bytes equal the algebra."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    customer = load_table(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vlake",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(customer, "customer")
+    lake.upsert(_upsert_delta(customer), "customer", ["c_custkey"])
+    batch = customer.where(F.col("c_custkey") % 200 == 0).select(
+        (F.col("c_custkey") + F.lit(2_000_000)).alias("c_custkey"),
+        F.concat(F.lit("b1_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(50.0).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    for _ in range(2):  # second pass must no-op on the manifest marker
+        if not lake.has_batch("customer", "b1"):
+            lake.append(batch, "customer", batch_id="b1")
+    lake.vacuum("customer", keep_last=1)
+    return lake.read("customer")
+
+
+W5_VERSIONED_ORACLE = """
+WITH new AS (
+  SELECT c_custkey, 'upd_' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+         CAST(500.0 AS DOUBLE), c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+), merged AS (
+  SELECT * FROM new
+  UNION ALL
+  SELECT c.* FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.c_custkey = c.c_custkey)
+)
+SELECT * FROM merged
+UNION ALL
+SELECT c_custkey + 2000000 AS c_custkey, 'b1_' || c_name AS c_name,
+       c_nationkey, CAST(50.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 200 = 0
+"""

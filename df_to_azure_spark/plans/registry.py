@@ -262,6 +262,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "w1_create_typed": QuerySpec(P.w1_create_typed, P.W1_ORACLE),
     "w2_append_union": QuerySpec(P.w2_append_union, P.W2_ORACLE),
     "w4_upsert_lake": QuerySpec(P.w4_upsert_lake, P.W4_ORACLE, headline=True),
+    # transactional lake (round 11): full VersionedLake lifecycle —
+    # create → OCC upsert → batch-marked append + idempotent retry →
+    # vacuum → read — certified against the pure row algebra
+    "w5_versioned_lake_roundtrip": QuerySpec(
+        P.w5_versioned_lake_roundtrip, P.W5_VERSIONED_ORACLE
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),
