@@ -41,11 +41,18 @@ def df_to_spark(
     dtypes: dict[str, str] | None = None,
     clean_staging: bool = True,
     count_rows: bool = True,
+    versioned: bool = False,
 ) -> RunReport:
     """Land ``df`` in a SQL table (``sql_sink`` — a configured
     :class:`~df_to_azure_spark.operators.sql_sink.SqlSink`) or a parquet
     lake (``parquet=True`` + ``lake_root``), with create/append/upsert
     semantics.  Validations run before any write, like the reference.
+
+    ``versioned=True`` routes the lake path through
+    :class:`~df_to_azure_spark.operators.manifest.VersionedLake` —
+    atomic manifest commits, OCC against concurrent writers, time
+    travel — giving the lake the transactionality the reference's SQL
+    path inherits from the database.
 
     Accepts a ``pandas.DataFrame`` as well (the reference's sole input
     type, ``export.py:20-35``): it is converted via
@@ -112,7 +119,12 @@ def df_to_spark(
     if parquet:
         if not lake_root:
             raise ValueError("parquet=True requires lake_root")
-        lake = ParquetLake(df.sparkSession, lake_root)
+        if versioned:
+            from df_to_azure_spark.operators.manifest import VersionedLake
+
+            lake: ParquetLake = VersionedLake(df.sparkSession, lake_root)
+        else:
+            lake = ParquetLake(df.sparkSession, lake_root)
         lake.write(df, tablename, method=method, id_field=keys or None)
     else:
         if sql_sink is None:

@@ -245,3 +245,23 @@ def test_timestamped_append_rejected(spark, lake):
     lake.create(_df(spark, [(1, "a")]), "t")
     with pytest.raises(ValueError, match="timestamped_file"):
         lake.append(_df(spark, [(2, "b")]), "t", timestamped_file=True)
+
+
+def test_df_to_spark_versioned_flag(spark, tmp_path):
+    """The facade's versioned=True must land writes as manifest commits
+    (versions visible, upsert values applied, plain-lake layout absent)."""
+    from df_to_azure_spark.api import df_to_spark
+
+    root = str(tmp_path / "vroot")
+    base = _df(spark, [(1, "a"), (2, "b")])
+    r1 = df_to_spark(base, "t", parquet=True, lake_root=root, versioned=True)
+    assert r1.rows_written == 2
+    delta = _df(spark, [(2, "B"), (3, "c")])
+    df_to_spark(
+        delta, "t", parquet=True, lake_root=root, method="upsert",
+        id_field="id", versioned=True,
+    )
+    lake = VersionedLake(spark, root)
+    assert lake.versions("t") == [1, 2]
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
