@@ -416,3 +416,44 @@ SELECT c_custkey + 2000000 AS c_custkey, 'b1_' || c_name AS c_name,
        c_nationkey, CAST(50.0 AS DOUBLE) AS c_acctbal, c_mktsegment
 FROM customer WHERE c_custkey % 200 = 0
 """
+
+
+def w6_lake_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel CDC: the diff between two COMMITTED VersionedLake
+    versions, recovered through the manifest read path — create pins
+    version 1, a keyed upsert commits version 2, and ``table_diff``
+    over ``read(version=1)`` vs ``read(version=2)`` must equal exactly
+    the delta that was applied (the oracle states that change set
+    directly).  Certifies time travel end-to-end: both frames come from
+    immutable manifest file lists, not directory listings."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.operators.manifest import VersionedLake
+    from df_to_azure_spark.operators.upsert import table_diff
+
+    customer = load_table(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vdiff",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(customer, "customer")
+    lake.upsert(_upsert_delta(customer), "customer", ["c_custkey"])
+    return table_diff(
+        lake.read("customer", version=1),
+        lake.read("customer", version=2),
+        ["c_custkey"],
+    )
+
+
+W6_VERSION_DIFF_ORACLE = """
+SELECT c_custkey, 'changed' AS change_type
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, 'added' AS change_type
+FROM customer WHERE c_custkey % 100 = 0
+"""

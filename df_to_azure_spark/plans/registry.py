@@ -268,6 +268,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "w5_versioned_lake_roundtrip": QuerySpec(
         P.w5_versioned_lake_roundtrip, P.W5_VERSIONED_ORACLE
     ),
+    # time-travel CDC between two committed manifest versions
+    "w6_lake_version_diff": QuerySpec(
+        P.w6_lake_version_diff, P.W6_VERSION_DIFF_ORACLE
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),

@@ -142,13 +142,23 @@ def make_lake_batch_handler(
 
     - ``id_field`` given → each batch applies as a keyed lake upsert,
       idempotent under replay by construction;
-    - no keys → batches APPEND, guarded by a per-table marker-file ledger
-      (``_batches/<batch_id>`` under the table dir — one filesystem stat
-      per batch, no data read).  The marker lands after the data append,
-      so like the SQL path this mode is at-least-once with a one-batch
-      replay window on crash between append and marker.
+    - no keys, plain ``ParquetLake`` → batches APPEND, guarded by a
+      per-table marker-file ledger (``_batches/<batch_id>`` under the
+      table dir — one filesystem stat per batch, no data read).  The
+      marker lands after the data append, so this mode is at-least-once
+      with a one-batch replay window on crash between append and marker;
+    - no keys, :class:`~df_to_azure_spark.operators.manifest.
+      VersionedLake` → EXACTLY-ONCE: the epoch id commits as an
+      in-manifest ``batch_id`` in the SAME atomic rename as the data, so
+      the append-then-marker crash window does not exist — a replayed
+      epoch is recognized from the manifest and skipped.  This is the
+      Delta-streaming-sink semantics (txn version in the commit) on the
+      minimal manifest log.
     """
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
     keys = [id_field] if isinstance(id_field, str) else list(id_field or [])
+    versioned = isinstance(lake, VersionedLake)
 
     def _ledger_path(batch_id: int):
         fs, _, jvm = lake._fs(lake.table_dir(table))
@@ -164,6 +174,15 @@ def make_lake_batch_handler(
                 lake.upsert(batch_df, table, keys)
             else:
                 lake.create(batch_df, table)
+            return
+        if versioned:
+            bid = f"epoch-{int(batch_id)}"
+            if lake.has_batch(table, bid):
+                return  # replayed epoch — its manifest commit happened
+            if lake.exists(table):
+                lake.append(batch_df, table, batch_id=bid)
+            else:
+                lake.create(batch_df, table, batch_id=bid)
             return
         fs, marker = _ledger_path(batch_id)
         if fs.exists(marker):
