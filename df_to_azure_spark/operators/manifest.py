@@ -473,6 +473,27 @@ class VersionedLake(ParquetLake):
         )
         return len(touched_dirs)
 
+    def history(self, table: str) -> DataFrame:
+        """Commit history as a DataFrame — ``(version, committed_ms,
+        n_files, n_batches)`` per retained manifest, oldest first (the
+        DESCRIBE HISTORY introspection a versioned table owes its
+        operators).  Driver-side cost is one small-file read per
+        retained version — bounded by the vacuum retention, not data."""
+        rows = []
+        for v in self.versions(table):
+            m = self._load_manifest(table, v)
+            rows.append(
+                (
+                    v,
+                    int(m.get("committed_ms", 0)),
+                    len(m["files"]),
+                    len(m.get("batch_ids", [])),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "version bigint, committed_ms bigint, n_files bigint, n_batches bigint"
+        )
+
     # -- maintenance -----------------------------------------------------
     def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
         """Retention GC: keep the newest ``keep_last`` manifests, delete

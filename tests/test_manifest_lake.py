@@ -265,3 +265,30 @@ def test_df_to_spark_versioned_flag(spark, tmp_path):
     assert lake.versions("t") == [1, 2]
     got = {(r.id, r.v) for r in lake.read("t").collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_history_introspection(spark, lake):
+    lake.create(_df(spark, [(1, "a")]), "t")
+    lake.append(_df(spark, [(2, "b")]), "t", batch_id="b1")
+    h = {r.version: r for r in lake.history("t").collect()}
+    assert sorted(h) == [1, 2]
+    assert h[2].n_files > h[1].n_files >= 1
+    assert h[1].n_batches == 0 and h[2].n_batches == 1
+    assert h[2].committed_ms >= h[1].committed_ms > 0
+
+
+def test_append_schema_evolution_reads_with_merge_schema(spark, lake):
+    """Appending a frame with an extra column must commit cleanly; the
+    evolved column surfaces under merge_schema=True (NULL for old files)
+    and the default read keeps working."""
+    lake.create(_df(spark, [(1, "a")]), "t")
+    wider = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    )
+    lake.append(wider, "t")
+    assert lake.read("t").count() == 2
+    got = {
+        (r.id, r.v, r.score)
+        for r in lake.read("t", merge_schema=True).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 9.5)}
