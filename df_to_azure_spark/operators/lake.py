@@ -355,6 +355,16 @@ class ParquetLake:
         which would otherwise leave the old row behind).
         """
         ensure_unique_keys(df, keys)
+        # the dynamic-overwrite below repartitions by this ONE column; on
+        # a table partitioned by more (or other) columns the rewrite would
+        # land at the wrong hive depth and corrupt subsequent reads
+        table_parts = self.partition_columns(table)
+        if table_parts != [partition_col]:
+            raise PipelineRunError(
+                f"upsert_partitioned requires a table partitioned by "
+                f"exactly [{partition_col!r}]; {table!r} is partitioned "
+                f"by {table_parts!r}"
+            )
         spark = df.sparkSession
         touched = [r[0] for r in df.select(partition_col).distinct().collect()]
         existing = self.read(table)

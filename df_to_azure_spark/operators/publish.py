@@ -82,9 +82,13 @@ def publish_with_audit(
 
     On a :class:`~df_to_azure_spark.operators.manifest.VersionedLake`
     the ``batch_id`` marker is recorded INSIDE the atomic manifest
-    commit, so "rows published" and "marker exists" are one fact and the
-    publish-succeeds-then-marker-crashes window of the plain lake's
-    side-file marker does not exist."""
+    commit, so for the PUBLISHED table "rows published" and "marker
+    exists" are one fact and the publish-succeeds-then-marker-crashes
+    window of the plain lake's side-file marker does not exist.  The
+    quarantine append is a separate commit carrying its own derived
+    marker (``<batch_id>.q``): a crash between the two writes loses
+    nothing — the retry skips the already-marked publish and replays
+    only the missing quarantine append, never duplicating either."""
     from df_to_azure_spark.operators.manifest import VersionedLake
 
     if not rules:
@@ -163,5 +167,18 @@ def publish_with_audit(
                 marker_fs.createNewFile(marker_path)
     if n_dirty:
         method_q = "append" if lake.exists(quarantine_table) else "create"
-        lake.write(dirty, quarantine_table, method=method_q)
+        if versioned and batch_id is not None:
+            # the quarantine commit carries its own derived marker, so a
+            # retry after a crash anywhere in this function duplicates
+            # neither published nor quarantined rows (round-11 ADVICE:
+            # the published table's marker alone left this append
+            # unguarded on retries)
+            q_marker = f"{batch_id}.q"
+            if not lake.has_batch(quarantine_table, q_marker):
+                lake.write(
+                    dirty, quarantine_table, method=method_q,
+                    batch_id=q_marker,
+                )
+        else:
+            lake.write(dirty, quarantine_table, method=method_q)
     return PublishReport(table, n_in, n_in - n_dirty, n_dirty, audit_rows)

@@ -114,3 +114,28 @@ def test_batch_id_must_be_plain_token(spark, tmp_path):
             lake, _df(spark, [(1, 1)]), "t", [not_null("v")],
             batch_id="a/b",
         )
+
+
+def test_versioned_quarantine_marker_blocks_duplicates_on_retry(spark, tmp_path):
+    """On a VersionedLake the quarantine append carries its own derived
+    marker (<batch_id>.q), so a blind retry duplicates neither the
+    published nor the quarantined rows (round-11 ADVICE: the quarantine
+    append previously ran outside any marked commit)."""
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    lake = VersionedLake(spark, str(tmp_path / "v"))
+    rules = [not_null("v")]
+    mixed = _df(spark, [(1, 5), (2, None)])
+    rep1 = publish_with_audit(
+        lake, mixed, "t", rules, method="create",
+        max_violation_frac=1.0, quarantine_table="q", batch_id="b1",
+    )
+    assert rep1.n_rows_published == 1 and rep1.n_rows_quarantined == 1
+    # blind retry of the fully-successful call: both writes skipped
+    publish_with_audit(
+        lake, mixed, "t", rules, method="append",
+        max_violation_frac=1.0, quarantine_table="q", batch_id="b1",
+    )
+    assert lake.read("t").count() == 1
+    assert lake.read("q").count() == 1
+    assert lake.has_batch("q", "b1.q")
