@@ -51,8 +51,10 @@ Delta's: periodic parquet checkpoint manifests instead of one JSON.
 from __future__ import annotations
 
 import json
+import math
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +68,60 @@ from df_to_azure_spark.operators.upsert import upsert_frames
 __all__ = ["VersionedLake"]
 
 _V_WIDTH = 20  # zero-padded version width: lexicographic == numeric order
+
+# zone-map stats are recorded for at most this many leading eligible
+# columns (Delta's dataSkippingNumIndexedCols default): stats cost and
+# manifest size stay bounded no matter how wide the table is
+_STATS_MAX_COLS = 32
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+# sentinel: this (file, column) pair must carry NO stats (value not
+# safely encodable — non-finite float, oversized string)
+_NO_STAT = object()
+
+_STATS_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.BooleanType,
+    T.StringType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _encode_stat(value, dtype):
+    """JSON-safe, ORDER-PRESERVING encoding of one min/max bound.
+
+    Every type maps onto a Python value whose natural ``<`` matches the
+    column's Spark ordering: numbers stay numbers, strings stay strings,
+    dates/timestamps become fixed-width ISO strings (lexicographic ==
+    chronological).  Values that cannot be encoded without risking a
+    wrong comparison (NaN/inf floats, strings > 256 chars — truncating a
+    max is NOT a valid upper bound) return ``_NO_STAT``, which drops the
+    whole (file, column) entry: pruning then conservatively keeps the
+    file.  Decimals/binary/complex types are never stats-eligible."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.BooleanType):
+        return bool(value)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(value)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        v = float(value)
+        return v if math.isfinite(v) else _NO_STAT
+    if isinstance(dtype, T.StringType):
+        return value if len(value) <= 256 else _NO_STAT
+    if isinstance(dtype, T.DateType):
+        return value.isoformat() if not isinstance(value, str) else value
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(value, str):
+            return value
+        return value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return _NO_STAT
 
 
 class VersionedLake(ParquetLake):
@@ -85,6 +141,12 @@ class VersionedLake(ParquetLake):
         super().__init__(spark, root)
         self._read_version: dict[str, int] = {}
         self._pending_batch: str | None = None
+        # zone-map stats of the most recent _stage_files call, keyed by
+        # the staged table-relative path (consumed by the commit wiring)
+        self._pending_stats: dict[str, dict] = {}
+        # (files read, files total) of the most recent scan() — the
+        # observable data-skipping effect, probed by tests and SCALE_r12
+        self.last_scan_files: tuple[int, int] | None = None
 
     # -- paths -------------------------------------------------------
     def files_dir(self, table: str) -> str:
@@ -190,23 +252,235 @@ class VersionedLake(ParquetLake):
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
 
+    # -- stats-pruned reads ---------------------------------------------
+    @staticmethod
+    def _file_may_match(
+        st: dict, predicates: list[tuple], types: dict
+    ) -> bool:
+        """Conservative zone-map test: False ONLY when the file's
+        recorded stats prove no row can satisfy every conjunct.  Any
+        missing/undecidable stat keeps the file — pruning can only skip,
+        never lie."""
+        import datetime as _dt
+
+        part = st.get("part") or {}
+        cols = st.get("cols") or {}
+        rows = st.get("rows")
+        if rows == 0:
+            return False  # empty part file: no row matches anything
+        for col, op, val in predicates:
+            if col in part:
+                # partition value comes from the hive path; only exact
+                # equality on values whose str() provably matches hive's
+                # rendering (plain str/int/date — NOT bool/float, whose
+                # Python and hive spellings differ) is decidable
+                decidable = (
+                    isinstance(val, str)
+                    or (isinstance(val, int) and not isinstance(val, bool))
+                    or (
+                        isinstance(val, _dt.date)
+                        and not isinstance(val, _dt.datetime)
+                    )
+                )
+                if op != "=" or not decidable:
+                    continue
+                pv = part[col]
+                if pv == _HIVE_NULL or str(val) != unquote(pv):
+                    return False  # val is non-null by contract
+                continue
+            c = cols.get(col)
+            if c is None or col not in types:
+                continue
+            mn, mx, nl = c["mn"], c["mx"], c["nl"]
+            if mn is None or mx is None:
+                if rows is not None and nl == rows:
+                    return False  # all-null file, null-rejecting predicate
+                continue
+            try:
+                if op == "between":
+                    lo = _encode_stat(val[0], types[col])
+                    hi = _encode_stat(val[1], types[col])
+                    if lo is _NO_STAT or hi is _NO_STAT:
+                        continue
+                    if mx < lo or mn > hi:
+                        return False
+                    continue
+                enc = _encode_stat(val, types[col])
+                if enc is _NO_STAT:
+                    continue
+                if op == "=" and (enc < mn or enc > mx):
+                    return False
+                if op == "<" and mn >= enc:
+                    return False
+                if op == "<=" and mn > enc:
+                    return False
+                if op == ">" and mx <= enc:
+                    return False
+                if op == ">=" and mx < enc:
+                    return False
+            except TypeError:
+                # stats recorded under an evolved/older column type are
+                # not comparable to this literal — keep the file
+                continue
+        return True
+
+    def _prune(
+        self, m: dict, predicates: list[tuple]
+    ) -> tuple[list[str], int]:
+        stats = m.get("stats") or {}
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        kept = [
+            rel
+            for rel in m["files"]
+            if rel not in stats
+            or self._file_may_match(stats[rel], predicates, types)
+        ]
+        return kept, len(m["files"])
+
+    def scan(
+        self,
+        table: str,
+        predicates: list[tuple],
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Zone-map-pruned read: plan over only the manifest files whose
+        per-file min/max stats could satisfy ``predicates``, then apply
+        the SAME predicates as a real Spark filter — results are always
+        identical to ``read(table).where(...)``; the stats only cut IO.
+
+        ``predicates`` is a conjunction of ``(column, op, value)`` with
+        op in ``= < <= > >= between`` (``between`` takes a ``(lo, hi)``
+        tuple, both inclusive).  NULL literals are rejected: every op
+        here is null-rejecting, so the call would be the empty set.
+
+        This is what ``create(sort_by=...)`` / ``compact(zorder_by=...)``
+        exist to feed — clustering makes per-file ranges narrow and
+        disjoint, so a selective scan opens a handful of files out of
+        millions (the manifest is exactly where Delta/Iceberg hang the
+        same zone maps; at 100 TB file skipping is the single biggest
+        read-path lever).  ``self.last_scan_files`` records
+        ``(files_read, files_total)`` after each call."""
+        ops = {"=", "<", "<=", ">", ">=", "between"}
+        for col, op, val in predicates:
+            if op not in ops:
+                raise ValueError(f"scan: unsupported op {op!r}")
+            if val is None or (op == "between" and None in tuple(val)):
+                raise ValueError("scan predicates must be non-NULL")
+        v = self.current_version(table) if version is None else version
+        if v is None:
+            raise PipelineRunError(
+                f"lake table {table!r} does not exist under {self.root}"
+            )
+        m = self._load_manifest(table, v)
+        kept, total = self._prune(m, predicates)
+        self.last_scan_files = (len(kept), total)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not kept:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            reader = self.spark.read.option(
+                "basePath", self.files_dir(table)
+            )
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(
+                *[f"{self.table_dir(table)}/{rel}" for rel in kept]
+            )
+        cond = F.lit(True)
+        for col, op, val in predicates:
+            c = F.col(f"`{col}`")
+            if op == "=":
+                cond = cond & (c == F.lit(val))
+            elif op == "<":
+                cond = cond & (c < F.lit(val))
+            elif op == "<=":
+                cond = cond & (c <= F.lit(val))
+            elif op == ">":
+                cond = cond & (c > F.lit(val))
+            elif op == ">=":
+                cond = cond & (c >= F.lit(val))
+            else:
+                cond = cond & c.between(F.lit(val[0]), F.lit(val[1]))
+        return df.where(cond)
+
     # -- staging + commit ----------------------------------------------
+    def _file_stats(
+        self, stage: str, cid: str, schema: T.StructType,
+        partition_by: list[str] | None,
+    ) -> dict[str, dict] | None:
+        """Per-file zone maps for the staged part-files: ONE distributed
+        aggregation over the data just written (page-cache warm), giving
+        min/max/null-count per (file, column) for the first
+        ``_STATS_MAX_COLS`` stats-eligible NON-partition columns.  Keys
+        are stage-relative paths; the rename loop remaps them to the
+        committed ``files/...`` names.  The collect is one row per
+        staged file — bounded by the commit's file count, never by data.
+        Partition columns need no zone maps: their per-file value is the
+        hive path itself, recorded separately in ``part``.  Returns
+        ``None`` (not ``{}``) when no column is stats-eligible, so the
+        caller can tell "stats ran, this file had zero rows" apart from
+        "stats never ran"."""
+        parts = set(partition_by or [])
+        eligible = [
+            f
+            for f in schema.fields
+            if f.name not in parts and isinstance(f.dataType, _STATS_TYPES)
+        ][:_STATS_MAX_COLS]
+        if not eligible:
+            return None
+        df = self.spark.read.option("basePath", stage).parquet(stage)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in eligible:
+            c = F.col(f"`{f.name}`")
+            aggs.append(F.min(c).alias(f"mn__{f.name}"))
+            aggs.append(F.max(c).alias(f"mx__{f.name}"))
+            aggs.append(F.sum(c.isNull().cast("long")).alias(f"nl__{f.name}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        )
+        marker = f"/.stage-{cid}/"
+        out: dict[str, dict] = {}
+        for r in rows:
+            uri = r["__f"]
+            if marker not in uri:
+                continue
+            rel = unquote(uri.split(marker, 1)[1])
+            cols: dict[str, dict] = {}
+            for f in eligible:
+                mn = _encode_stat(r[f"mn__{f.name}"], f.dataType)
+                mx = _encode_stat(r[f"mx__{f.name}"], f.dataType)
+                if mn is _NO_STAT or mx is _NO_STAT:
+                    continue
+                cols[f.name] = {
+                    "mn": mn,
+                    "mx": mx,
+                    "nl": int(r[f"nl__{f.name}"]),
+                }
+            out[rel] = {"rows": int(r["__rows"]), "cols": cols}
+        return out
+
     def _stage_files(
         self, df: DataFrame, table: str, partition_by: list[str] | None
     ) -> tuple[list[str], str]:
         """Write ``df``'s part-files under ``files/`` with a unique
         commit prefix and return their table-relative paths.  Until a
         manifest references them they are invisible orphans — a crash
-        here changes nothing a reader can see."""
+        here changes nothing a reader can see.  Zone-map stats for the
+        staged files land in ``self._pending_stats`` (keyed by the
+        returned paths) for the committing caller to record."""
         cid = uuid.uuid4().hex[:12]
         stage = f"{self.table_dir(table)}/.stage-{cid}"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(stage)
+        raw_stats = self._file_stats(stage, cid, df.schema, partition_by)
         fs, stage_path, jvm = self._fs(stage)
         files_base = self.files_dir(table)
         rels: list[str] = []
+        staged_stats: dict[str, dict] = {}
 
         def _walk(path, rel_prefix: str) -> None:
             for st in fs.listStatus(path):
@@ -224,9 +498,24 @@ class VersionedLake(ParquetLake):
                             f"staging rename failed for table {table!r}"
                         )
                     rels.append(f"files/{rel}")
+                    if raw_stats is not None:
+                        # a staged file absent from the aggregation had
+                        # zero rows — record that, it prunes for free
+                        s = raw_stats.get(
+                            unquote(f"{rel_prefix}{name}"),
+                            {"rows": 0, "cols": {}},
+                        )
+                        if rel_prefix:
+                            s = dict(s)
+                            s["part"] = dict(
+                                seg.split("=", 1)
+                                for seg in rel_prefix.rstrip("/").split("/")
+                            )
+                        staged_stats[f"files/{rel}"] = s
 
         _walk(stage_path, "")
         fs.delete(stage_path, True)
+        self._pending_stats = staged_stats
         return sorted(rels), df.schema.json()
 
     def _publish_manifest(self, table: str, version: int, payload: str) -> bool:
@@ -308,7 +597,10 @@ class VersionedLake(ParquetLake):
             "committed_ms": int(time.time() * 1000),
         }
         if stats:
-            doc["stats"] = {rel: stats[rel] for rel in sorted(stats)}
+            in_list = set(files)
+            kept = {r: stats[r] for r in sorted(stats) if r in in_list}
+            if kept:
+                doc["stats"] = kept
         payload = json.dumps(doc, separators=(",", ":"))
         if not self._publish_manifest(table, n, payload):
             raise ConcurrentWriteError(
@@ -370,6 +662,7 @@ class VersionedLake(ParquetLake):
         self._commit(
             table, files, partition_by, schema, expected,
             [b] if b else [],
+            stats=self._pending_stats,
         )
 
     def append(
@@ -393,16 +686,19 @@ class VersionedLake(ParquetLake):
             )
         files: list[str] | None = None
         schema = staged_parts = None
+        staged_stats: dict[str, dict] = {}
         last_err: Exception | None = None
         for _ in range(max(1, _retries)):
             expected = self.current_version(table)
             if expected is None:
                 prior: list[str] = []
+                prior_stats: dict[str, dict] = {}
                 parts = list(partition_by or [])
                 mschema = None
             else:
                 m = self._load_manifest(table, expected)
                 prior = m["files"]
+                prior_stats = m.get("stats") or {}
                 # an existing table's layout wins: appending flat files
                 # into a hive-partitioned tree (or vice versa) would make
                 # the read-side directory structures conflict
@@ -410,6 +706,7 @@ class VersionedLake(ParquetLake):
                 mschema = m.get("schema") if prior else None
             if files is None or staged_parts != parts:
                 files, schema = self._stage_files(df, table, parts or None)
+                staged_stats = self._pending_stats
                 staged_parts = parts
             try:
                 self._commit(
@@ -419,6 +716,7 @@ class VersionedLake(ParquetLake):
                     mschema or schema,
                     expected,
                     self._carry_batches(table, batch_id),
+                    stats={**prior_stats, **staged_stats},
                 )
                 return
             except ConcurrentWriteError as e:
@@ -438,6 +736,7 @@ class VersionedLake(ParquetLake):
         self._commit(
             table, files, partition_by, schema, expected,
             self._carry_batches(table, None),
+            stats=self._pending_stats,
         )
 
     def compact(
@@ -513,6 +812,7 @@ class VersionedLake(ParquetLake):
         affected = existing.where(in_touched)
         merged = upsert_frames(df, affected, keys, sort=False, check_keys=False)
         new_files, _ = self._stage_files(merged, table, [partition_col])
+        new_stats = self._pending_stats
         touched_dirs = {rel.split("/")[1] for rel in new_files}
         m = self._load_manifest(table, expected)
         kept = [
@@ -520,6 +820,8 @@ class VersionedLake(ParquetLake):
             for rel in m["files"]
             if rel.split("/")[1] not in touched_dirs
         ]
+        prior_stats = m.get("stats") or {}
+        kept_stats = {r: prior_stats[r] for r in kept if r in prior_stats}
         self._commit(
             table,
             sorted(set(kept) | set(new_files)),
@@ -527,6 +829,7 @@ class VersionedLake(ParquetLake):
             m["schema"],
             expected,
             self._carry_batches(table, None),
+            stats={**kept_stats, **new_stats},
         )
         return len(touched_dirs)
 

@@ -460,3 +460,69 @@ UNION ALL
 SELECT c_custkey + 1000000 AS c_custkey, 'added' AS change_type
 FROM customer WHERE c_custkey % 100 = 0
 """
+
+
+def w7_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file pruning end-to-end under the hash gate: orders is
+    committed to a VersionedLake clustered on ``o_orderdate`` (so the
+    manifest's per-file min/max are narrow, disjoint ranges), then
+    ``scan`` answers a 6-month range query planning over ONLY the files
+    the stats admit — and the aggregate must hash-equal the plain SQL
+    over the full table.  The entry asserts files were actually skipped:
+    a silent pruning regression fails the run, not just a benchmark.
+    This is the manifest-level analogue of the row-group skipping
+    ``create(sort_by=...)`` already exercises, and the read lever that
+    matters most at 100 TB (open hundreds of files, not millions)."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vprune",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(orders, "orders", sort_by=["o_orderdate"], sort_files=8)
+    out = lake.scan(
+        "orders",
+        [
+            ("o_orderdate", ">=", datetime.datetime(1996, 1, 1)),
+            ("o_orderdate", "<", datetime.datetime(1996, 7, 1)),
+        ],
+    )
+    read_files, total = lake.last_scan_files
+    if not read_files < total:
+        raise PipelineRunError(
+            f"pruned scan read {read_files}/{total} files — zone-map "
+            "skipping regressed"
+        )
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            # decimal sum → exact in both engines, DOUBLE only at output
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+W7_PRUNED_SCAN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -272,6 +272,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "w6_lake_version_diff": QuerySpec(
         P.w6_lake_version_diff, P.W6_VERSION_DIFF_ORACLE
     ),
+    # zone-map file pruning (round 12): scan() plans over only the
+    # manifest files whose per-file min/max admit the predicate; the
+    # entry raises if no file was skipped
+    "w7_pruned_scan": QuerySpec(
+        P.w7_pruned_scan, P.W7_PRUNED_SCAN_ORACLE, headline=True
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),

@@ -1,0 +1,185 @@
+"""Zone-map stats + file pruning on the VersionedLake manifest.
+
+Contract (operators/manifest.py): every staged file's manifest entry may
+carry per-column min/max/null-count; ``scan(table, predicates)`` plans
+over only files the stats cannot rule out, then applies the SAME
+predicates as a Spark filter — so scan results are ALWAYS identical to
+``read(...).where(...)`` and pruning only ever cuts IO.  This is what
+``sort_by``/``zorder_by`` clustering exists to feed (the verdict's
+"biggest remaining 100 TB read lever").
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from df_to_azure_spark.exceptions import PipelineRunError
+from df_to_azure_spark.operators.manifest import VersionedLake
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return VersionedLake(spark, str(tmp_path / "lake"))
+
+
+def _nums(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS score", "CONCAT('k', LPAD(id, 6, '0')) AS k"
+    )
+
+
+def test_stats_recorded_and_range_scan_prunes(spark, lake):
+    # sort_by gives disjoint per-file id ranges → selective scans skip
+    lake.create(_nums(spark, 0, 4000), "t", sort_by=["id"], sort_files=8)
+    m = lake._load_manifest("t", 1)
+    assert "stats" in m and set(m["stats"]) == set(m["files"])
+    st = next(iter(m["stats"].values()))
+    assert {"mn", "mx", "nl"} <= set(st["cols"]["id"])
+
+    out = lake.scan("t", [("id", "between", (100, 120))])
+    got = {r.id for r in out.collect()}
+    assert got == set(range(100, 121))
+    read_files, total = lake.last_scan_files
+    assert total == 8 and read_files < total
+
+    # operator forms agree with read().where everywhere
+    for preds, cond in [
+        ([("id", "<", 30)], "id < 30"),
+        ([("id", ">=", 3990)], "id >= 3990"),
+        ([("id", "=", 777)], "id = 777"),
+        ([("k", ">", "k003999")], "k > 'k003999'"),
+    ]:
+        a = sorted(r.id for r in lake.scan("t", preds).collect())
+        b = sorted(r.id for r in lake.read("t").where(cond).collect())
+        assert a == b
+        assert lake.last_scan_files[0] <= lake.last_scan_files[1]
+
+
+def test_scan_never_loses_rows_without_clustering(spark, lake):
+    # unsorted create: ranges overlap, pruning may keep everything —
+    # results must still be exact
+    lake.create(_nums(spark, 0, 1000).repartition(6), "t")
+    a = sorted(r.id for r in lake.scan("t", [("id", "<=", 10)]).collect())
+    assert a == list(range(11))
+
+
+def test_scan_on_empty_prune_returns_typed_empty(spark, lake):
+    lake.create(_nums(spark, 0, 100), "t", sort_by=["id"], sort_files=4)
+    out = lake.scan("t", [("id", ">", 10_000)])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "score", "k"]
+    assert lake.last_scan_files[0] == 0
+
+
+def test_all_null_column_file_is_skipped(spark, lake):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, v string"
+    )
+    lake.create(df, "t")
+    # every file is all-null in v → a null-rejecting predicate skips all
+    out = lake.scan("t", [("v", "=", "x")])
+    assert out.count() == 0
+    assert lake.last_scan_files[0] == 0
+
+
+def test_oversized_strings_drop_stats_but_stay_correct(spark, lake):
+    big, big2 = "z" * 400, "a" * 400
+    df = spark.createDataFrame(
+        [(1, big), (2, big2)], "id bigint, v string"
+    )
+    lake.create(df, "t")
+    m = lake._load_manifest("t", 1)
+    for st in m["stats"].values():
+        if st["rows"]:
+            assert "v" not in st["cols"]  # > 256 chars: no safe bound
+    assert lake.scan("t", [("v", "=", big)]).count() == 1
+
+
+def test_stats_carry_through_append_and_upsert_partitioned(spark, lake):
+    df = spark.createDataFrame(
+        [(i, "NL" if i % 2 else "DE", float(i)) for i in range(100)],
+        "id bigint, country string, x double",
+    )
+    lake.create(df, "t", partition_by=["country"])
+    lake.append(
+        spark.createDataFrame(
+            [(200, "FR", 9.0)], "id bigint, country string, x double"
+        ),
+        "t",
+    )
+    m = lake._load_manifest("t", 2)
+    assert set(m["stats"]) == set(m["files"])  # old + new all covered
+    # partition value equality prunes via the hive path record
+    out = lake.scan("t", [("country", "=", "FR")])
+    assert {r.id for r in out.collect()} == {200}
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+
+    delta = spark.createDataFrame(
+        [(1, "NL", 111.0)], "id bigint, country string, x double"
+    )
+    lake.upsert_partitioned(delta, "t", ["id"], "country")
+    m3 = lake._load_manifest("t", 3)
+    assert set(m3["stats"]) == set(m3["files"])
+    got = sorted(
+        r.id for r in lake.scan("t", [("x", ">=", 100.0)]).collect()
+    )
+    assert got == [1]
+
+
+def test_scan_rejects_null_literals_and_bad_ops(spark, lake):
+    lake.create(_nums(spark, 0, 10), "t")
+    with pytest.raises(ValueError, match="non-NULL"):
+        lake.scan("t", [("id", "=", None)])
+    with pytest.raises(ValueError, match="unsupported op"):
+        lake.scan("t", [("id", "!=", 3)])
+    with pytest.raises(PipelineRunError):
+        lake.scan("missing", [("id", "=", 1)])
+
+
+def test_scan_tolerates_statless_manifest(spark, lake):
+    """Manifests written before the stats feature (or by an override
+    that skips them) must scan correctly — just without skipping."""
+    lake.create(_nums(spark, 0, 50), "t")
+    import json
+
+    path = lake._manifest_path("t", 1)
+    m = json.loads(lake._read_small(path))
+    m.pop("stats", None)
+    fs, jpath, _ = lake._fs(path)
+    fs.delete(jpath, False)
+    lake._write_small(path, json.dumps(m, separators=(",", ":")))
+    out = lake.scan("t", [("id", "<", 5)])
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4]
+    assert lake.last_scan_files == (lake.last_scan_files[1],) * 2
+
+
+def test_date_and_timestamp_pruning(spark, lake):
+    rows = [
+        (i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, d date")
+    lake.create(df, "t", sort_by=["d"], sort_files=5)
+    out = lake.scan(
+        "t",
+        [("d", "between", (datetime.date(2024, 2, 1), datetime.date(2024, 2, 5)))],
+    )
+    assert out.count() == 5
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+
+
+def test_compact_zorder_then_scan_skips_files(spark, lake):
+    """The read lever the stats exist for: after zorder compaction the
+    per-file (x, y) ranges cluster into z-curve tiles, so a corner
+    rectangle query opens a fraction of the files."""
+    df = spark.range(0, 4096).selectExpr(
+        "id", "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+    lake.create(df.repartition(8), "t")
+    lake.compact("t", target_files=8, zorder_by=["x", "y"])
+    out = lake.scan("t", [("x", "between", (0, 7)), ("y", "between", (0, 7))])
+    assert out.count() == 64
+    read_files, total = lake.last_scan_files
+    assert read_files < total
