@@ -2325,3 +2325,130 @@ def nn_descent_graph(
         F.col("w").alias("neighbor_id"),
         "cos_sim",
     )
+
+
+def nn_descent_search(
+    corpus: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]] | None = None,
+    planes: list[list[float]] | None = None,
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = False,
+    checkpoint: str = "persist",
+) -> DataFrame:
+    """Beam search over a prebuilt k-NN graph — the retrieval operator
+    the :func:`nn_descent_graph` build exists for (the graph-index
+    family's query path, next to the LSH/IVF/PQ searches).
+
+    Every query walks the graph in lock-step, fully distributed:
+
+    - **Entry**: each query lands in the same coarse cell the build
+      seeded from (its IVF cell over ``centroids`` or sign-bit LSH
+      bucket over ``planes`` — pass the BUILD's seeder) and starts from
+      that cell's ``beam`` lowest-id members (the deterministic entry
+      rule; production systems use exactly this coarse-quantizer
+      seeding).  A query whose cell has no corpus member gets no
+      entry points and drops out — the same documented edge as the
+      build's singleton cells.
+    - **Hop** (``hops``×): the current per-query beam (top-``beam`` of
+      everything scored so far, ``(cos desc, id asc)`` ties) expands
+      one step along the graph's out-edges; only never-scored
+      ``(query, node)`` pairs are scored (8-dp rounded cosine), and
+      the new scores join the query's visited pool.
+    - **Result**: top-``k`` of the final pool per query.
+
+    Scale shape per hop: one hash join frontier×graph (≤ beam×k rows
+    per query), one anti-join against the visited pool, one vector
+    fetch join, one top-beam window — all linear in |queries| with
+    beam×k constants, nothing data-quadratic, no driver-side state.
+    Determinism contract matches the build (seeded literals, rounded
+    cosine, total tie-breaks), so a DuckDB oracle replays the search
+    bit-for-bit on top of the replayed build.
+
+    Returns ``(query_id, rank, neighbor_id, cos_sim)``.
+    """
+    if (centroids is None) == (planes is None):
+        raise ValueError(
+            "nn_descent_search needs exactly one of centroids or planes "
+            "— pass the same seeder the graph was built with"
+        )
+    if beam < 1 or k < 1 or hops < 0:
+        raise ValueError("nn_descent_search: beam/k must be >=1, hops >=0")
+
+    corpus_cell = (
+        ivf_assign(F.col("cv"), centroids)
+        if centroids is not None
+        else hyperplane_bucket(F.col("cv"), planes)
+    )
+    v = _pin(
+        corpus.select(
+            F.col(id_col).alias("nid"), _as_double(vec_col).alias("cv")
+        ).select("nid", "cv", corpus_cell.alias("cid")),
+        checkpoint,
+    )
+    query_cell = (
+        ivf_assign(F.col("qv"), centroids)
+        if centroids is not None
+        else hyperplane_bucket(F.col("qv"), planes)
+    )
+    q = _pin(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            _as_double(query_vec_col).alias("qv"),
+        ).select("qid", "qv", query_cell.alias("qcid")),
+        checkpoint,
+    )
+    entries = (
+        v.select("cid", "nid")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("cid").orderBy("nid"))
+        )
+        .where(F.col("rn") <= beam)
+        .select(F.col("cid").alias("qcid"), "nid")
+    )
+    edges = graph.select(
+        F.col(id_col).alias("nid"), F.col("neighbor_id").alias("nbr")
+    )
+    vecs = v.select("nid", "cv")
+
+    def _score(cand: DataFrame) -> DataFrame:
+        out = cand.join(vecs, "nid").join(q.select("qid", "qv"), "qid").select(
+            "qid", "nid",
+            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+        if exclude_self:
+            out = out.where(F.col("qid") != F.col("nid"))
+        return out
+
+    pool = _pin(_score(q.join(entries, "qcid").select("qid", "nid")), checkpoint)
+    wq = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    for _ in range(hops):
+        frontier = (
+            pool.withColumn("rk", F.row_number().over(wq))
+            .where(F.col("rk") <= beam)
+            .select("qid", "nid")
+        )
+        fresh = (
+            frontier.join(edges, "nid")
+            .select("qid", F.col("nbr").alias("nid"))
+            .distinct()
+            .join(pool.select("qid", "nid"), ["qid", "nid"], "left_anti")
+        )
+        pool = _pin(pool.unionByName(_score(fresh)), checkpoint)
+    return (
+        pool.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )

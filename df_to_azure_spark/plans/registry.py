@@ -324,6 +324,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "nn_descent_knn_graph": QuerySpec(
         TD.nn_descent_knn_graph, TD.NN_DESCENT_ORACLE, headline=True
     ),
+    # graph-ANN search (round 12): beam search walking the NN-descent
+    # graph — oracle replays build + unrolled hops bit-for-bit
+    "nn_descent_search_knn": QuerySpec(
+        TD.nn_descent_search_knn, TD.NN_DESCENT_SEARCH_ORACLE, headline=True
+    ),
+    "nn_descent_search_recall": QuerySpec(
+        TD.nn_descent_search_recall, TD.NN_DESCENT_SEARCH_RECALL_ORACLE
+    ),
     "nn_descent_recall_check": QuerySpec(
         TD.nn_descent_recall_check, TD.NN_DESCENT_RECALL_ORACLE
     ),

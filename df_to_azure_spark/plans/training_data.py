@@ -1127,18 +1127,24 @@ def _nnd_cos(a: str, b: str) -> str:
     )
 
 
+def _nnd_bucket_expr(var: str) -> str:
+    """Sign-bit LSH bucket id of vector expression ``var`` over the
+    seeded ``_nnd_planes`` literals — the SQL twin of
+    ``similarity.hyperplane_bucket``."""
+    terms = []
+    for i, p in enumerate(_nnd_planes()):
+        lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN {_dot_sql(var, lit)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _nnd_bucket_ctes() -> str:
     """CTE pair ``c, ca`` assigning every 8-d view vector its sign-bit
     LSH bucket over the seeded ``_nnd_planes`` literals — the SQL twin
     of ``similarity.hyperplane_bucket`` on the sliced view."""
-    planes = _nnd_planes()
-    terms = []
-    for i, p in enumerate(planes):
-        lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
-        terms.append(
-            f"(CASE WHEN {_dot_sql('cv', lit)} >= 0 THEN {1 << i} ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
+    bucket = _nnd_bucket_expr("cv")
     return f"""c AS (
   SELECT vec_id AS neighbor_id,
          list_transform(range(1, {_NND_DIM + 1}),
@@ -1271,6 +1277,167 @@ WITH {_nn_descent_ctes()}, q AS (
 ), h AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
   FROM g JOIN truth USING (vec_id, neighbor_id)
+), tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth
+)
+SELECT n_truth, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 4) AS recall
+FROM tt CROSS JOIN h
+"""
+
+
+# Graph-ANN SEARCH (round 12, verdict task 3): beam search walking the
+# NN-descent graph for a deterministic query prefix — the retrieval the
+# build exists for.  Entry = the query's LSH bucket's `beam` lowest-id
+# members (the build's own seeder as coarse quantizer); each hop expands
+# the current beam one step along graph out-edges; the oracle replays
+# the whole build (shared CTEs) and then unrolls the hops.
+_NND_SEARCH_Q = 25
+_NND_SEARCH_K = 10
+_NND_SEARCH_BEAM = 8
+_NND_SEARCH_HOPS = 3
+
+
+def _nnd_search_graph(spark: SparkSession, sf_dir: str):
+    emb = _nnd_view(spark, sf_dir)
+    graph = SIM.nn_descent_graph(
+        emb, planes=_nnd_planes(), k=_NND_K, init_cap=_NND_CAP,
+        rounds=_NND_ROUNDS, checkpoint="local",
+    )
+    queries = emb.where(F.col("vec_id") < _NND_SEARCH_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, graph, queries
+
+
+def nn_descent_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval by beam search over the NN-descent k-NN graph —
+    see ``similarity.nn_descent_search`` for the algorithm and per-hop
+    scale shape (one frontier×graph hash join + one anti-join + one
+    vector-fetch join + one window per hop; linear in |queries| with
+    beam×k constants)."""
+    emb, graph, queries = _nnd_search_graph(spark, sf_dir)
+    return SIM.nn_descent_search(
+        emb, graph, queries, planes=_nnd_planes(), k=_NND_SEARCH_K,
+        beam=_NND_SEARCH_BEAM, hops=_NND_SEARCH_HOPS, exclude_self=True,
+        checkpoint="local",
+    )
+
+
+def _nnd_search_ctes() -> str:
+    """CTE chain replaying the beam search on top of the replayed build
+    (``_nn_descent_ctes`` ends at ``b{_NND_ROUNDS}``): hops unrolled,
+    every round CTE MATERIALIZED (plain CTEs re-inline exponentially in
+    DuckDB — the documented OOM trap).  Ends at pool ``p{HOPS}``."""
+    cos = _nnd_cos("qc.qv", "vv.cv")
+    parts = [
+        f""", qs AS MATERIALIZED (
+  SELECT neighbor_id AS qid, cv AS qv FROM c
+  WHERE neighbor_id < {_NND_SEARCH_Q}
+), qc AS MATERIALIZED (
+  SELECT qid, qv, CAST({_nnd_bucket_expr("qv")} AS BIGINT) AS qcid FROM qs
+), ent AS MATERIALIZED (
+  SELECT qc.qid, r0.nid
+  FROM qc JOIN r0 ON r0.cid = qc.qcid AND r0.rn <= {_NND_SEARCH_BEAM}
+), p0 AS MATERIALIZED (
+  SELECT e.qid, e.nid, {cos} AS cos_sim
+  FROM ent e JOIN vv ON vv.nid = e.nid JOIN qc ON qc.qid = e.qid
+  WHERE e.qid <> e.nid
+)"""
+    ]
+    for i in range(_NND_SEARCH_HOPS):
+        j = i + 1
+        parts.append(
+            f""", hf{j} AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rk
+    FROM p{i}
+  ) WHERE rk <= {_NND_SEARCH_BEAM}
+), hx{j} AS MATERIALIZED (
+  SELECT DISTINCT f.qid, g.w AS nid
+  FROM hf{j} f JOIN b{_NND_ROUNDS} g ON g.u = f.nid
+), hn{j} AS MATERIALIZED (
+  SELECT x.qid, x.nid
+  FROM hx{j} x LEFT JOIN p{i} p ON p.qid = x.qid AND p.nid = x.nid
+  WHERE p.nid IS NULL
+), hs{j} AS MATERIALIZED (
+  SELECT n.qid, n.nid, {cos} AS cos_sim
+  FROM hn{j} n JOIN vv ON vv.nid = n.nid JOIN qc ON qc.qid = n.qid
+  WHERE n.qid <> n.nid
+), p{j} AS MATERIALIZED (
+  SELECT qid, nid, cos_sim FROM p{i}
+  UNION ALL
+  SELECT qid, nid, cos_sim FROM hs{j}
+)"""
+        )
+    return "".join(parts)
+
+
+NN_DESCENT_SEARCH_ORACLE = f"""
+WITH {_nn_descent_ctes()}{_nnd_search_ctes()}
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+       cos_sim
+FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rank
+  FROM p{_NND_SEARCH_HOPS}
+) WHERE rank <= {_NND_SEARCH_K}
+"""
+
+
+def nn_descent_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the graph SEARCH against exact top-k for the
+    same query prefix — the end-to-end quality gate of the graph-ANN
+    path (build quality × entry seeding × beam width together), next to
+    the build-only audit ``nn_descent_recall_check``."""
+    emb, graph, queries = _nnd_search_graph(spark, sf_dir)
+    got = SIM.nn_descent_search(
+        emb, graph, queries, planes=_nnd_planes(), k=_NND_SEARCH_K,
+        beam=_NND_SEARCH_BEAM, hops=_NND_SEARCH_HOPS, exclude_self=True,
+        checkpoint="local",
+    ).select("query_id", "neighbor_id")
+    truth = SIM.cosine_topk(
+        emb.where(F.col("vec_id") < _NND_SEARCH_Q), emb, k=_NND_SEARCH_K
+    ).select("query_id", "neighbor_id")
+    hits = got.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "n_truth",
+        "n_hits",
+        F.expr(
+            "ROUND(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 4)"
+            " AS recall"
+        ),
+    )
+
+
+NN_DESCENT_SEARCH_RECALL_ORACLE = f"""
+WITH {_nn_descent_ctes()}{_nnd_search_ctes()}, g AS (
+  SELECT qid AS query_id, nid AS neighbor_id FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rank
+    FROM p{_NND_SEARCH_HOPS}
+  ) WHERE rank <= {_NND_SEARCH_K}
+), sc AS (
+  SELECT qs.qid AS query_id, vv.nid AS neighbor_id,
+         {_nnd_cos("qs.qv", "vv.cv")} AS cos_sim
+  FROM qs CROSS JOIN vv WHERE vv.nid <> qs.qid
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM sc
+  ) WHERE rank <= {_NND_SEARCH_K}
+), h AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM g JOIN truth USING (query_id, neighbor_id)
 ), tt AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth
 )

@@ -761,3 +761,95 @@ def test_nn_descent_graph_validates_cell_args(spark):
         nn_descent_graph(df)
     with _pt.raises(ValueError, match="exactly one"):
         nn_descent_graph(df, centroids=[[0.0, 1.0]], planes=[[1.0, 0.0]])
+
+
+def test_nn_descent_search_matches_local_reference(spark):
+    """Beam search over the k-NN graph must equal a straightforward
+    local implementation of the same deterministic walk (cell entry
+    seeds, top-beam frontier, one-hop expansion along out-edges,
+    (cos desc, id) tie-breaks) — run on a single cell so entries are
+    simply the `beam` lowest ids."""
+    import numpy as np
+
+    from df_to_azure_spark.functions.similarity import (
+        nn_descent_graph,
+        nn_descent_search,
+    )
+
+    rng = np.random.RandomState(11)
+    n, k, cap, rounds = 120, 5, 8, 2
+    kq, beam, hops = 4, 6, 3
+    pts = rng.randn(n, 3)
+    norm = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    cosm = norm @ norm.T
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    centroids = [[0.0, 0.0, 1.0]]
+    graph = nn_descent_graph(
+        df, centroids=centroids, k=k, init_cap=cap, rounds=rounds,
+        checkpoint="local",
+    )
+    B = {}
+    for r in graph.collect():
+        B.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    B = {u: [w for _, w in sorted(v)] for u, v in B.items()}
+
+    qids = list(range(10))
+    queries = df.where(df.vec_id < 10).select(
+        df.vec_id.alias("query_id"), "embedding"
+    )
+    got_df = nn_descent_search(
+        df, graph, queries, centroids=centroids, k=kq, beam=beam,
+        hops=hops, exclude_self=True, checkpoint="local",
+    )
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    got = {q: [w for _, w in sorted(v)] for q, v in got.items()}
+
+    entries = list(range(beam))  # single cell, rn ordered by id
+    for q in qids:
+        pool = {
+            e: round(float(cosm[q, e]), 8) for e in entries if e != q
+        }
+        for _ in range(hops):
+            frontier = sorted(pool, key=lambda m: (-pool[m], m))[:beam]
+            fresh = {
+                nbr
+                for node in frontier
+                for nbr in B.get(node, [])
+                if nbr not in pool
+            }
+            for m in fresh:
+                if m != q:
+                    pool[m] = round(float(cosm[q, m]), 8)
+        top = sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[:kq]
+        assert got.get(q, []) == [m for m, _ in top], f"query {q}"
+
+
+def test_nn_descent_search_validates_args(spark):
+    from pyspark.sql import functions as F
+
+    from df_to_azure_spark.functions.similarity import nn_descent_search
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(CAST(id AS DOUBLE), 1.0d)").alias("embedding"),
+    )
+    g = spark.createDataFrame(
+        [(0, 1, 1)], "vec_id bigint, rank int, neighbor_id bigint"
+    )
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exactly one"):
+        nn_descent_search(df, g, q)
+    with _pt.raises(ValueError, match="exactly one"):
+        nn_descent_search(
+            df, g, q, centroids=[[0.0, 1.0]], planes=[[1.0, 0.0]]
+        )
+    with _pt.raises(ValueError, match="beam"):
+        nn_descent_search(df, g, q, planes=[[1.0, 0.0]], beam=0)
