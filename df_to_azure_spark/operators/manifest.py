@@ -40,12 +40,16 @@ any manifest) and a retry converges.  Orphans are swept by ``vacuum``,
 whose retention window (``older_than_ms``) guarantees it never reaps an
 in-flight writer's staged-but-uncommitted files.
 
-Scale notes (SCALE_r11 §manifest): the read-side overhead is one small-
-file read + zero directory listings (the manifest IS the file index —
-at many-file scale this is cheaper than the recursive listing a plain
-parquet scan does).  The manifest grows linearly with live file count;
-compaction bounds it, and the production-scale continuation is exactly
-Delta's: periodic parquet checkpoint manifests instead of one JSON.
+Scale notes (SCALE_r12 §manifest): the read-side overhead is a bounded
+chain of small-file reads + zero directory listings (the manifest IS
+the file index — at many-file scale this is cheaper than the recursive
+listing a plain parquet scan does).  Commit cost is bounded the same
+way Delta bounds it: appends and partition-scoped upserts write O(delta)
+manifests (``add``/``remove`` against the previous version), and every
+``checkpoint_interval``-th version is a full checkpoint manifest, so
+resolution walks at most ``checkpoint_interval`` files no matter how
+old the table is.  Manifests also carry per-file zone-map stats
+(min/max/null-count), which ``scan`` uses for read-side file skipping.
 """
 
 from __future__ import annotations
@@ -137,10 +141,22 @@ class VersionedLake(ParquetLake):
     retention-based ``vacuum(keep_last=...)``.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, checkpoint_interval: int = 20
+    ):
         super().__init__(spark, root)
+        if checkpoint_interval < 1:
+            raise ValueError("checkpoint_interval must be >= 1")
+        # every Nth version is written as a FULL manifest; versions in
+        # between may be O(delta) manifests chaining off the previous
+        # version (Delta's checkpoint/log split, one file per version)
+        self.checkpoint_interval = checkpoint_interval
         self._read_version: dict[str, int] = {}
         self._pending_batch: str | None = None
+        # raw + resolved manifest caches: manifests are immutable once
+        # committed, so cached entries never go stale; bounded below
+        self._raw_cache: dict[tuple[str, int], dict] = {}
+        self._resolved_cache: dict[tuple[str, int], dict] = {}
         # zone-map stats of the most recent _stage_files call, keyed by
         # the staged table-relative path (consumed by the commit wiring)
         self._pending_stats: dict[str, dict] = {}
@@ -205,7 +221,61 @@ class VersionedLake(ParquetLake):
         return vs[-1] if vs else None
 
     def _load_manifest(self, table: str, version: int) -> dict:
-        return json.loads(self._read_small(self._manifest_path(table, version)))
+        key = (table, version)
+        if key not in self._raw_cache:
+            if len(self._raw_cache) > 512:
+                self._raw_cache.clear()
+            self._raw_cache[key] = json.loads(
+                self._read_small(self._manifest_path(table, version))
+            )
+        return self._raw_cache[key]
+
+    def resolve_manifest(self, table: str, version: int) -> dict:
+        """The version's LOGICAL manifest: the raw file is either full
+        (has ``files``) or a delta chaining off ``base`` (``add`` /
+        ``remove`` against the base's resolved list, stats for added
+        files only).  Resolution walks back to the nearest full manifest
+        — at most ``checkpoint_interval`` small-file reads, memoized, so
+        a long-lived table's commit cost is O(delta) while read planning
+        stays O(interval) regardless of table age."""
+        key = (table, version)
+        if key in self._resolved_cache:
+            return self._resolved_cache[key]
+        raw = self._load_manifest(table, version)
+        if "files" in raw:
+            resolved = dict(raw)
+            resolved.setdefault("stats", {})
+        else:
+            base = self.resolve_manifest(table, raw["base"])
+            removed = set(raw.get("remove") or [])
+            files = sorted(
+                (set(base["files"]) - removed) | set(raw.get("add") or [])
+            )
+            fset = set(files)
+            stats = {
+                r: s for r, s in base.get("stats", {}).items() if r in fset
+            }
+            stats.update(raw.get("stats") or {})
+            resolved = {
+                "version": version,
+                "files": files,
+                "stats": stats,
+                "partition_by": raw.get("partition_by"),
+                "schema": raw["schema"],
+                "batch_ids": raw.get("batch_ids", []),
+                "committed_ms": raw.get("committed_ms", 0),
+            }
+        if len(self._resolved_cache) > 128:
+            self._resolved_cache.clear()
+        self._resolved_cache[key] = resolved
+        return resolved
+
+    def _chain_root(self, table: str, version: int) -> int:
+        """Version of the full manifest this version's chain roots at."""
+        v = version
+        while "files" not in self._load_manifest(table, v):
+            v = self._load_manifest(table, v)["base"]
+        return v
 
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
@@ -240,7 +310,7 @@ class VersionedLake(ParquetLake):
             raise PipelineRunError(
                 f"lake table {table!r} does not exist under {self.root}"
             )
-        m = self._load_manifest(table, v)
+        m = self.resolve_manifest(table, v)
         if version is None:
             self._read_version[table] = v
         paths = [f"{self.table_dir(table)}/{rel}" for rel in m["files"]]
@@ -373,7 +443,7 @@ class VersionedLake(ParquetLake):
             raise PipelineRunError(
                 f"lake table {table!r} does not exist under {self.root}"
             )
-        m = self._load_manifest(table, v)
+        m = self.resolve_manifest(table, v)
         kept, total = self._prune(m, predicates)
         self.last_scan_files = (len(kept), total)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
@@ -607,6 +677,82 @@ class VersionedLake(ParquetLake):
                 f"lake table {table!r}: version {n} was committed by a "
                 "concurrent writer; re-run to rebase on the new latest"
             )
+        self._after_commit(table, n, payload)
+        return n
+
+    def _after_commit(self, table: str, n: int, payload: str) -> None:
+        """Refresh the caches after a successful publish: the raw entry
+        becomes authoritative, and every resolved entry for the table is
+        dropped — this also covers a table recreated at the same root
+        (external rmtree + new v1), where stale version-keyed cache hits
+        would otherwise serve the dead table's manifests."""
+        self._raw_cache[(table, n)] = json.loads(payload)
+        self._resolved_cache = {
+            k: v for k, v in self._resolved_cache.items() if k[0] != table
+        }
+
+    def _commit_delta(
+        self,
+        table: str,
+        add: list[str],
+        remove: list[str],
+        partition_by: list[str] | None,
+        schema_json: str,
+        expected_version: int | None,
+        batch_ids: list[str],
+        stats: dict[str, dict] | None = None,
+    ) -> int:
+        """Commit version ``expected_version + 1`` as an O(delta)
+        manifest — ``add``/``remove`` against the previous version plus
+        stats for added files only — instead of rewriting the full live
+        list.  Every ``checkpoint_interval``-th version is materialized
+        FULL (the resolution chain is therefore bounded), as is any
+        version with no predecessor.  This is what keeps commit cost
+        proportional to the write, not the table: a million-file table's
+        append writes a manifest the size of the append."""
+        n = (expected_version or 0) + 1
+        if expected_version is None or n % self.checkpoint_interval == 0:
+            base = (
+                self.resolve_manifest(table, expected_version)
+                if expected_version is not None
+                else {"files": [], "stats": {}}
+            )
+            files = sorted(
+                (set(base["files"]) - set(remove)) | set(add)
+            )
+            fset = set(files)
+            merged = {
+                r: s
+                for r, s in base.get("stats", {}).items()
+                if r in fset
+            }
+            merged.update(stats or {})
+            return self._commit(
+                table, files, partition_by, schema_json,
+                expected_version, batch_ids, stats=merged,
+            )
+        doc = {
+            "version": n,
+            "base": expected_version,
+            "add": sorted(add),
+            "remove": sorted(remove),
+            "partition_by": list(partition_by or []),
+            "schema": schema_json,
+            "batch_ids": sorted(batch_ids),
+            "committed_ms": int(time.time() * 1000),
+        }
+        if stats:
+            in_add = set(add)
+            kept = {r: stats[r] for r in sorted(stats) if r in in_add}
+            if kept:
+                doc["stats"] = kept
+        payload = json.dumps(doc, separators=(",", ":"))
+        if not self._publish_manifest(table, n, payload):
+            raise ConcurrentWriteError(
+                f"lake table {table!r}: version {n} was committed by a "
+                "concurrent writer; re-run to rebase on the new latest"
+            )
+        self._after_commit(table, n, payload)
         return n
 
     def _carry_batches(self, table: str, batch_id: str | None) -> list[str]:
@@ -691,32 +837,31 @@ class VersionedLake(ParquetLake):
         for _ in range(max(1, _retries)):
             expected = self.current_version(table)
             if expected is None:
-                prior: list[str] = []
-                prior_stats: dict[str, dict] = {}
                 parts = list(partition_by or [])
                 mschema = None
             else:
-                m = self._load_manifest(table, expected)
-                prior = m["files"]
-                prior_stats = m.get("stats") or {}
+                m = self.resolve_manifest(table, expected)
                 # an existing table's layout wins: appending flat files
                 # into a hive-partitioned tree (or vice versa) would make
                 # the read-side directory structures conflict
                 parts = list(m.get("partition_by") or partition_by or [])
-                mschema = m.get("schema") if prior else None
+                mschema = m.get("schema") if m["files"] else None
             if files is None or staged_parts != parts:
                 files, schema = self._stage_files(df, table, parts or None)
                 staged_stats = self._pending_stats
                 staged_parts = parts
             try:
-                self._commit(
+                # O(delta) commit: the manifest records only the added
+                # files; the live list is never rewritten on append
+                self._commit_delta(
                     table,
-                    sorted(set(prior) | set(files)),
+                    files,
+                    [],
                     parts or None,
                     mschema or schema,
                     expected,
                     self._carry_batches(table, batch_id),
-                    stats={**prior_stats, **staged_stats},
+                    stats=staged_stats,
                 )
                 return
             except ConcurrentWriteError as e:
@@ -754,7 +899,7 @@ class VersionedLake(ParquetLake):
             raise PipelineRunError(
                 f"lake table {table!r} does not exist under {self.root}"
             )
-        before = len(self._load_manifest(table, v)["files"])
+        before = len(self.resolve_manifest(table, v)["files"])
         parts = self.partition_columns(table)
         df = self.read(table, merge_schema=True)
         if zorder_by:
@@ -814,22 +959,22 @@ class VersionedLake(ParquetLake):
         new_files, _ = self._stage_files(merged, table, [partition_col])
         new_stats = self._pending_stats
         touched_dirs = {rel.split("/")[1] for rel in new_files}
-        m = self._load_manifest(table, expected)
-        kept = [
-            rel
-            for rel in m["files"]
-            if rel.split("/")[1] not in touched_dirs
+        m = self.resolve_manifest(table, expected)
+        replaced = [
+            rel for rel in m["files"] if rel.split("/")[1] in touched_dirs
         ]
-        prior_stats = m.get("stats") or {}
-        kept_stats = {r: prior_stats[r] for r in kept if r in prior_stats}
-        self._commit(
+        # O(delta) commit: only the touched partitions' removals and the
+        # new files are written; untouched partitions carry over through
+        # the base chain without being re-listed
+        self._commit_delta(
             table,
-            sorted(set(kept) | set(new_files)),
+            new_files,
+            replaced,
             m.get("partition_by"),
             m["schema"],
             expected,
             self._carry_batches(table, None),
-            stats={**kept_stats, **new_stats},
+            stats=new_stats,
         )
         return len(touched_dirs)
 
@@ -841,7 +986,7 @@ class VersionedLake(ParquetLake):
         retained version — bounded by the vacuum retention, not data."""
         rows = []
         for v in self.versions(table):
-            m = self._load_manifest(table, v)
+            m = self.resolve_manifest(table, v)
             rows.append(
                 (
                     v,
@@ -877,16 +1022,24 @@ class VersionedLake(ParquetLake):
         quiesced writers (tests, single-writer maintenance windows).
         Out-of-retention manifests themselves are dropped regardless of
         age — they are committed history being retired by policy, never
-        an in-flight writer's state."""
+        an in-flight writer's state.
+
+        Delta-manifest interaction: retention rounds DOWN to the nearest
+        full (checkpoint) manifest — the oldest retained version's chain
+        root and everything after it are kept, so every kept version
+        stays fully time-travel readable (a delta's resolution chain is
+        never broken).  At most ``checkpoint_interval - 1`` extra
+        versions survive a vacuum because of this rounding."""
         if keep_last < 1:
             raise ValueError("vacuum must keep at least the latest version")
         vs = self.versions(table)
         if not vs:
             return []
-        keep = vs[-keep_last:]
+        root_v = self._chain_root(table, vs[-keep_last:][0])
+        keep = [v for v in vs if v >= root_v]
         live: set[str] = set()
         for v in keep:
-            live.update(self._load_manifest(table, v)["files"])
+            live.update(self.resolve_manifest(table, v)["files"])
         fs, tdir, jvm = self._fs(self.table_dir(table))
         removed: list[str] = []
         cutoff_ms = int(time.time() * 1000) - max(0, older_than_ms)
@@ -894,7 +1047,9 @@ class VersionedLake(ParquetLake):
         def _old_enough(st) -> bool:
             return older_than_ms <= 0 or st.getModificationTime() < cutoff_ms
 
-        for v in vs[:-keep_last]:
+        for v in vs:
+            if v >= root_v:
+                continue
             p = jvm.org.apache.hadoop.fs.Path(self._manifest_path(table, v))
             fs.delete(p, False)
             removed.append(f"_manifests/v{v:0{_V_WIDTH}d}.json")

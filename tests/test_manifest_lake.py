@@ -122,7 +122,9 @@ def test_append_rebases_automatically_on_occ_conflict(spark, lake, monkeypatch):
     lake2 = VersionedLake(spark, root)
     lake.create(_df(spark, [(1, "a")]), "t")
 
-    orig = VersionedLake._commit
+    # intercept at the publish seam: appends commit O(delta) manifests
+    # through _commit_delta, so the race must fire below both paths
+    orig = VersionedLake._publish_manifest
     state = {"fired": False}
 
     def racy(self, *a, **k):
@@ -131,7 +133,7 @@ def test_append_rebases_automatically_on_occ_conflict(spark, lake, monkeypatch):
             lake2.append(_df(spark, [(2, "theirs")]), "t")
         return orig(self, *a, **k)
 
-    monkeypatch.setattr(VersionedLake, "_commit", racy)
+    monkeypatch.setattr(VersionedLake, "_publish_manifest", racy)
     lake.append(_df(spark, [(3, "mine")]), "t")
     monkeypatch.undo()
 
@@ -214,7 +216,7 @@ def test_partitioned_create_and_partition_scoped_upsert(spark, lake):
     got = {(r.id, r.country, r.v) for r in lake.read("t").collect()}
     assert got == {(1, "NL", "a"), (2, "NL", "B"), (3, "DE", "c")}
     # untouched partition's files carried over VERBATIM (no rewrite)
-    m2 = lake._load_manifest("t", 2)
+    m2 = lake.resolve_manifest("t", 2)
     assert de_files <= set(m2["files"])
     # moved-key guard still enforced
     mover = spark.createDataFrame(
@@ -378,3 +380,34 @@ def test_upsert_partitioned_requires_exact_partition_spec(spark, lake):
         lake.upsert_partitioned(delta, "t", ["id"], "country")
     # table untouched by the refused call
     assert lake.current_version("t") == 1
+
+
+def test_delta_manifests_chain_checkpoint_and_vacuum(spark, tmp_path):
+    """O(delta) commits: appends write add-only manifests chaining off
+    the previous version, every checkpoint_interval-th version is a full
+    manifest, resolution reproduces exact snapshots at every version,
+    and vacuum rounds retention down to the chain root so every kept
+    version stays readable."""
+    lake = VersionedLake(spark, str(tmp_path / "dl"), checkpoint_interval=3)
+    lake.create(_df(spark, [(0, "v0")]), "t")  # v1 full
+    for i in range(1, 6):
+        lake.append(_df(spark, [(i, f"v{i}")]), "t")  # v2..v6
+    raw = {v: lake._load_manifest("t", v) for v in lake.versions("t")}
+    assert "files" in raw[1] and "files" in raw[3] and "files" in raw[6]
+    for v in (2, 4, 5):
+        assert "add" in raw[v] and "files" not in raw[v]
+        assert raw[v]["remove"] == [] and len(raw[v]["add"]) >= 1
+    # resolution equals data at every version (time travel intact)
+    assert {r.id for r in lake.read("t").collect()} == set(range(6))
+    assert {r.id for r in lake.read("t", version=4).collect()} == set(range(4))
+    # stats resolve across the chain (added files' stats merge in)
+    m = lake.resolve_manifest("t", 5)
+    assert set(m["stats"]) == set(m["files"])
+    # a FRESH reader (no caches) resolves identically
+    lake2 = VersionedLake(spark, lake.root, checkpoint_interval=3)
+    assert {r.id for r in lake2.read("t", version=5).collect()} == set(range(5))
+    # vacuum keep_last=2 retains v5,v6 → rounds down to v5's root v3
+    lake.vacuum("t", keep_last=2, older_than_ms=0)
+    assert lake.versions("t") == [3, 4, 5, 6]
+    for v in lake.versions("t"):
+        assert lake.read("t", version=v).count() == v

@@ -109,7 +109,7 @@ def test_stats_carry_through_append_and_upsert_partitioned(spark, lake):
         ),
         "t",
     )
-    m = lake._load_manifest("t", 2)
+    m = lake.resolve_manifest("t", 2)
     assert set(m["stats"]) == set(m["files"])  # old + new all covered
     # partition value equality prunes via the hive path record
     out = lake.scan("t", [("country", "=", "FR")])
@@ -120,7 +120,7 @@ def test_stats_carry_through_append_and_upsert_partitioned(spark, lake):
         [(1, "NL", 111.0)], "id bigint, country string, x double"
     )
     lake.upsert_partitioned(delta, "t", ["id"], "country")
-    m3 = lake._load_manifest("t", 3)
+    m3 = lake.resolve_manifest("t", 3)
     assert set(m3["stats"]) == set(m3["files"])
     got = sorted(
         r.id for r in lake.scan("t", [("x", ">=", 100.0)]).collect()
@@ -150,6 +150,11 @@ def test_scan_tolerates_statless_manifest(spark, lake):
     fs, jpath, _ = lake._fs(path)
     fs.delete(jpath, False)
     lake._write_small(path, json.dumps(m, separators=(",", ":")))
+    # the rewrite happened behind the instance's back — model a fresh
+    # reader (manifests are immutable in normal operation, so caches
+    # never see this)
+    lake._raw_cache.clear()
+    lake._resolved_cache.clear()
     out = lake.scan("t", [("id", "<", 5)])
     assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4]
     assert lake.last_scan_files == (lake.last_scan_files[1],) * 2
