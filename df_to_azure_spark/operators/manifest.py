@@ -258,6 +258,7 @@ class VersionedLake(ParquetLake):
             stats.update(raw.get("stats") or {})
             resolved = {
                 "version": version,
+                "op": raw.get("op", "commit"),
                 "files": files,
                 "stats": stats,
                 "partition_by": raw.get("partition_by"),
@@ -338,25 +339,32 @@ class VersionedLake(ParquetLake):
         rows = st.get("rows")
         if rows == 0:
             return False  # empty part file: no row matches anything
+        def _hive_decidable(v) -> bool:
+            # only values whose str() provably matches hive's path
+            # rendering (plain str/int/date — NOT bool/float, whose
+            # Python and hive spellings differ) are decidable
+            return (
+                isinstance(v, str)
+                or (isinstance(v, int) and not isinstance(v, bool))
+                or (
+                    isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime)
+                )
+            )
+
         for col, op, val in predicates:
             if col in part:
-                # partition value comes from the hive path; only exact
-                # equality on values whose str() provably matches hive's
-                # rendering (plain str/int/date — NOT bool/float, whose
-                # Python and hive spellings differ) is decidable
-                decidable = (
-                    isinstance(val, str)
-                    or (isinstance(val, int) and not isinstance(val, bool))
-                    or (
-                        isinstance(val, _dt.date)
-                        and not isinstance(val, _dt.datetime)
-                    )
-                )
-                if op != "=" or not decidable:
-                    continue
+                # partition value comes from the hive path; exact
+                # (in-)equality only, on decidable renderings
                 pv = part[col]
-                if pv == _HIVE_NULL or str(val) != unquote(pv):
-                    return False  # val is non-null by contract
+                if op == "=" and _hive_decidable(val):
+                    if pv == _HIVE_NULL or str(val) != unquote(pv):
+                        return False  # val is non-null by contract
+                elif op == "in" and all(_hive_decidable(v) for v in val):
+                    if pv == _HIVE_NULL or all(
+                        str(v) != unquote(pv) for v in val
+                    ):
+                        return False
                 continue
             c = cols.get(col)
             if c is None or col not in types:
@@ -373,6 +381,13 @@ class VersionedLake(ParquetLake):
                     if lo is _NO_STAT or hi is _NO_STAT:
                         continue
                     if mx < lo or mn > hi:
+                        return False
+                    continue
+                if op == "in":
+                    encs = [_encode_stat(v, types[col]) for v in val]
+                    if any(e is _NO_STAT for e in encs):
+                        continue
+                    if all(e < mn or e > mx for e in encs):
                         return False
                     continue
                 enc = _encode_stat(val, types[col])
@@ -421,9 +436,10 @@ class VersionedLake(ParquetLake):
         identical to ``read(table).where(...)``; the stats only cut IO.
 
         ``predicates`` is a conjunction of ``(column, op, value)`` with
-        op in ``= < <= > >= between`` (``between`` takes a ``(lo, hi)``
-        tuple, both inclusive).  NULL literals are rejected: every op
-        here is null-rejecting, so the call would be the empty set.
+        op in ``= < <= > >= between in`` (``between`` takes a ``(lo,
+        hi)`` tuple, both inclusive; ``in`` takes a non-empty sequence
+        of values).  NULL literals are rejected: every op here is
+        null-rejecting, so the call would be the empty set.
 
         This is what ``create(sort_by=...)`` / ``compact(zorder_by=...)``
         exist to feed — clustering makes per-file ranges narrow and
@@ -432,11 +448,15 @@ class VersionedLake(ParquetLake):
         same zone maps; at 100 TB file skipping is the single biggest
         read-path lever).  ``self.last_scan_files`` records
         ``(files_read, files_total)`` after each call."""
-        ops = {"=", "<", "<=", ">", ">=", "between"}
+        ops = {"=", "<", "<=", ">", ">=", "between", "in"}
         for col, op, val in predicates:
             if op not in ops:
                 raise ValueError(f"scan: unsupported op {op!r}")
-            if val is None or (op == "between" and None in tuple(val)):
+            if op == "in" and not tuple(val or ()):
+                raise ValueError("scan: 'in' needs a non-empty value list")
+            if val is None or (
+                op in ("between", "in") and None in tuple(val)
+            ):
                 raise ValueError("scan predicates must be non-NULL")
         v = self.current_version(table) if version is None else version
         if v is None:
@@ -471,6 +491,8 @@ class VersionedLake(ParquetLake):
                 cond = cond & (c > F.lit(val))
             elif op == ">=":
                 cond = cond & (c >= F.lit(val))
+            elif op == "in":
+                cond = cond & c.isin(list(val))
             else:
                 cond = cond & c.between(F.lit(val[0]), F.lit(val[1]))
         return df.where(cond)
@@ -652,6 +674,7 @@ class VersionedLake(ParquetLake):
         expected_version: int | None,
         batch_ids: list[str],
         stats: dict[str, dict] | None = None,
+        op: str = "commit",
     ) -> int:
         """Atomically publish version ``expected_version + 1`` through
         the :meth:`_publish_manifest` seam: the first committer wins and
@@ -660,6 +683,7 @@ class VersionedLake(ParquetLake):
         n = (expected_version or 0) + 1
         doc = {
             "version": n,
+            "op": op,
             "files": files,
             "partition_by": list(partition_by or []),
             "schema": schema_json,
@@ -701,6 +725,7 @@ class VersionedLake(ParquetLake):
         expected_version: int | None,
         batch_ids: list[str],
         stats: dict[str, dict] | None = None,
+        op: str = "commit",
     ) -> int:
         """Commit version ``expected_version + 1`` as an O(delta)
         manifest — ``add``/``remove`` against the previous version plus
@@ -729,10 +754,11 @@ class VersionedLake(ParquetLake):
             merged.update(stats or {})
             return self._commit(
                 table, files, partition_by, schema_json,
-                expected_version, batch_ids, stats=merged,
+                expected_version, batch_ids, stats=merged, op=op,
             )
         doc = {
             "version": n,
+            "op": op,
             "base": expected_version,
             "add": sorted(add),
             "remove": sorted(remove),
@@ -808,7 +834,7 @@ class VersionedLake(ParquetLake):
         self._commit(
             table, files, partition_by, schema, expected,
             [b] if b else [],
-            stats=self._pending_stats,
+            stats=self._pending_stats, op="create",
         )
 
     def append(
@@ -861,7 +887,7 @@ class VersionedLake(ParquetLake):
                     mschema or schema,
                     expected,
                     self._carry_batches(table, batch_id),
-                    stats=staged_stats,
+                    stats=staged_stats, op="append",
                 )
                 return
             except ConcurrentWriteError as e:
@@ -881,7 +907,7 @@ class VersionedLake(ParquetLake):
         self._commit(
             table, files, partition_by, schema, expected,
             self._carry_batches(table, None),
-            stats=self._pending_stats,
+            stats=self._pending_stats, op="rewrite",
         )
 
     def compact(
@@ -974,12 +1000,12 @@ class VersionedLake(ParquetLake):
             m["schema"],
             expected,
             self._carry_batches(table, None),
-            stats=new_stats,
+            stats=new_stats, op="upsert_partitioned",
         )
         return len(touched_dirs)
 
     def history(self, table: str) -> DataFrame:
-        """Commit history as a DataFrame — ``(version, committed_ms,
+        """Commit history as a DataFrame — ``(version, op, committed_ms,
         n_files, n_batches)`` per retained manifest, oldest first (the
         DESCRIBE HISTORY introspection a versioned table owes its
         operators).  Driver-side cost is one small-file read per
@@ -990,13 +1016,45 @@ class VersionedLake(ParquetLake):
             rows.append(
                 (
                     v,
+                    m.get("op", "commit"),
                     int(m.get("committed_ms", 0)),
                     len(m["files"]),
                     len(m.get("batch_ids", [])),
                 )
             )
         return self.spark.createDataFrame(
-            rows, "version bigint, committed_ms bigint, n_files bigint, n_batches bigint"
+            rows,
+            "version bigint, op string, committed_ms bigint, "
+            "n_files bigint, n_batches bigint",
+        )
+
+    def restore(self, table: str, version: int) -> int:
+        """Roll the table BACK to ``version`` as a NEW commit (Delta's
+        RESTORE): the target version's resolved file list is simply
+        re-published as the next version.  No data moves — the old
+        files are immutable and still on disk (``vacuum`` keeps every
+        file a retained manifest references; restoring past the vacuum
+        horizon fails at resolution instead of fabricating a table).
+        History is append-only: time travel still reaches the undone
+        versions, and the restore itself shows up in ``history()`` as
+        ``op='restore'``.  Batch markers carry over from the CURRENT
+        latest (they record publish history, which the restore does not
+        rewrite).  Returns the new version number."""
+        current = self.current_version(table)
+        if current is None:
+            raise PipelineRunError(
+                f"lake table {table!r} does not exist under {self.root}"
+            )
+        m = self.resolve_manifest(table, version)
+        return self._commit(
+            table,
+            m["files"],
+            m.get("partition_by") or None,
+            m["schema"],
+            current,
+            self._carry_batches(table, None),
+            stats=m.get("stats"),
+            op="restore",
         )
 
     # -- maintenance -----------------------------------------------------

@@ -526,3 +526,36 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def w8_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the hash gate: customer is committed (v1), a keyed
+    upsert rewrites it (v2), ``restore(1)`` republishes v1's file list
+    as v3 WITHOUT moving data — and the read must hash-equal the
+    original table exactly (the oracle is the untouched source).  Also
+    asserts history labels the three commits create/rewrite/restore."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    customer = load_table(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vrestore",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(customer, "customer")
+    lake.upsert(_upsert_delta(customer), "customer", ["c_custkey"])
+    lake.restore("customer", 1)
+    ops = [r.op for r in lake.history("customer").collect()]
+    if ops != ["create", "rewrite", "restore"]:
+        raise PipelineRunError(f"unexpected history ops: {ops}")
+    return lake.read("customer")
+
+
+W8_RESTORE_ORACLE = "SELECT * FROM customer"

@@ -278,6 +278,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "w7_pruned_scan": QuerySpec(
         P.w7_pruned_scan, P.W7_PRUNED_SCAN_ORACLE, headline=True
     ),
+    # RESTORE (round 12): roll back to a version by republishing its
+    # file list — read must equal the untouched source bit-for-bit
+    "w8_table_restore": QuerySpec(P.w8_table_restore, P.W8_RESTORE_ORACLE),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),

@@ -411,3 +411,53 @@ def test_delta_manifests_chain_checkpoint_and_vacuum(spark, tmp_path):
     assert lake.versions("t") == [3, 4, 5, 6]
     for v in lake.versions("t"):
         assert lake.read("t", version=v).count() == v
+
+
+def test_restore_rolls_back_as_new_commit(spark, lake):
+    """RESTORE republishes an old version's file list as the next
+    commit: no data moves, history stays append-only, the undone
+    versions remain time-travel readable, and history() labels every
+    commit with its operation."""
+    lake.create(_df(spark, [(1, "a"), (2, "b")]), "t")
+    lake.upsert(_df(spark, [(2, "B2")]), "t", ["id"])
+    lake.append(_df(spark, [(3, "c")]), "t")
+    assert lake.current_version("t") == 3
+    new_v = lake.restore("t", 1)
+    assert new_v == 4
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "b")}  # exactly version 1 again
+    # undone versions still readable
+    assert {(r.id, r.v) for r in lake.read("t", version=3).collect()} == {
+        (1, "a"), (2, "B2"), (3, "c"),
+    }
+    ops = {r.version: r.op for r in lake.history("t").collect()}
+    assert ops == {1: "create", 2: "rewrite", 3: "append", 4: "restore"}
+    # restoring a missing table fails loudly
+    with pytest.raises(PipelineRunError):
+        lake.restore("nope", 1)
+
+
+def test_scan_in_predicate_prunes_and_matches(spark, lake):
+    df = spark.createDataFrame(
+        [(i, "NL" if i % 2 else "DE", float(i)) for i in range(100)],
+        "id bigint, country string, x double",
+    )
+    lake.create(df, "t", partition_by=["country"])
+    lake.append(
+        spark.createDataFrame(
+            [(200, "FR", 9.0)], "id bigint, country string, x double"
+        ),
+        "t",
+    )
+    # partition-value IN pruning
+    out = lake.scan("t", [("country", "in", ["FR", "XX"])])
+    assert {r.id for r in out.collect()} == {200}
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    # data-column IN against zone maps, equality with read().where
+    a = sorted(r.id for r in lake.scan("t", [("id", "in", [3, 200])]).collect())
+    b = sorted(r.id for r in lake.read("t").where("id IN (3, 200)").collect())
+    assert a == b == [3, 200]
+    with pytest.raises(ValueError, match="non-empty"):
+        lake.scan("t", [("id", "in", [])])
+    with pytest.raises(ValueError, match="non-NULL"):
+        lake.scan("t", [("id", "in", [1, None])])
