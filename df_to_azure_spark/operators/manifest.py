@@ -1028,6 +1028,52 @@ class VersionedLake(ParquetLake):
             "n_files bigint, n_batches bigint",
         )
 
+    def file_changes(
+        self, table: str, v_from: int, v_to: int
+    ) -> tuple[list[str], list[str]]:
+        """File-level delta ``(added, removed)`` between two committed
+        versions, computed from the manifests alone — zero data IO.
+        This is the introspection the O(delta) manifests make free."""
+        a = set(self.resolve_manifest(table, v_from)["files"])
+        b = set(self.resolve_manifest(table, v_to)["files"])
+        return sorted(b - a), sorted(a - b)
+
+    def read_changes(
+        self, table: str, v_from: int, v_to: int
+    ) -> DataFrame:
+        """FILE-granular change feed between two versions: rows of
+        files added after ``v_from`` surface as ``change_type='insert'``
+        and rows of files removed as ``change_type='delete'`` — with IO
+        proportional to the CHANGED files, never the table (the scan
+        plans over exactly the added/removed lists from
+        :meth:`file_changes`).
+
+        Granularity contract, stated honestly: for append-only history
+        this is exact row-level CDC (appends only ever add files).  A
+        rewrite (upsert/delete/compact) replaces whole files, so rows
+        the rewrite carried over unchanged appear as a delete+insert
+        pair — the file-level truth, same as parquet-level CDC anywhere.
+        For row-exact diffs of two snapshots use
+        ``operators.diff.table_diff`` (the ``w6_lake_version_diff``
+        path), which pays two full reads instead."""
+        added, removed = self.file_changes(table, v_from, v_to)
+
+        def _load(rels: list[str], version: int, tag: str) -> DataFrame:
+            schema = T.StructType.fromJson(
+                json.loads(self.resolve_manifest(table, version)["schema"])
+            )
+            if not rels:
+                df = self.spark.createDataFrame([], schema)
+            else:
+                df = self.spark.read.option(
+                    "basePath", self.files_dir(table)
+                ).parquet(*[f"{self.table_dir(table)}/{rel}" for rel in rels])
+            return df.withColumn("change_type", F.lit(tag))
+
+        return _load(added, v_to, "insert").unionByName(
+            _load(removed, v_from, "delete"), allowMissingColumns=True
+        )
+
     def restore(self, table: str, version: int) -> int:
         """Roll the table BACK to ``version`` as a NEW commit (Delta's
         RESTORE): the target version's resolved file list is simply

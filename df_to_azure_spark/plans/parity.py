@@ -559,3 +559,37 @@ def w8_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 W8_RESTORE_ORACLE = "SELECT * FROM customer"
+
+
+def w9_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-derived change feed under the hash gate: an append-only
+    chain (create v1, two appends) read back via
+    ``read_changes(v1, v3)`` — IO proportional to the CHANGED files
+    (the manifests name them; nothing else is opened) — must equal the
+    two appended row sets exactly, all ``change_type='insert'``.  The
+    oracle states those row sets directly."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vcdc",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(orders.where(F.col("o_orderkey") % 3 != 0), "orders")
+    lake.append(orders.where(F.col("o_orderkey") % 3 == 0), "orders")
+    lake.append(orders.where(F.col("o_orderkey") % 100 == 50), "orders")
+    return lake.read_changes("orders", 1, 3)
+
+
+W9_CHANGES_ORACLE = """
+SELECT *, 'insert' AS change_type FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT *, 'insert' AS change_type FROM orders WHERE o_orderkey % 100 = 50
+"""

@@ -281,6 +281,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # RESTORE (round 12): roll back to a version by republishing its
     # file list — read must equal the untouched source bit-for-bit
     "w8_table_restore": QuerySpec(P.w8_table_restore, P.W8_RESTORE_ORACLE),
+    # manifest-derived change feed (round 12): IO proportional to the
+    # changed files; exact row CDC on append-only history
+    "w9_incremental_changes": QuerySpec(
+        P.w9_incremental_changes, P.W9_CHANGES_ORACLE
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),

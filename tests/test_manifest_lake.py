@@ -461,3 +461,22 @@ def test_scan_in_predicate_prunes_and_matches(spark, lake):
         lake.scan("t", [("id", "in", [])])
     with pytest.raises(ValueError, match="non-NULL"):
         lake.scan("t", [("id", "in", [1, None])])
+
+
+def test_file_changes_and_read_changes(spark, lake):
+    """Manifest-derived change feed: appends surface as exact inserts
+    with zero un-changed files read; a rewrite surfaces as file-level
+    delete+insert pairs (the documented granularity)."""
+    lake.create(_df(spark, [(1, "a")]), "t")
+    lake.append(_df(spark, [(2, "b")]), "t")
+    lake.append(_df(spark, [(3, "c")]), "t")
+    added, removed = lake.file_changes("t", 1, 3)
+    assert added and removed == []
+    ch = lake.read_changes("t", 1, 3)
+    got = {(r.id, r.v, r.change_type) for r in ch.collect()}
+    assert got == {(2, "b", "insert"), (3, "c", "insert")}
+    # rewrite: whole-file replacement → carried rows appear as both
+    lake.upsert(_df(spark, [(1, "A")]), "t", ["id"])
+    ch2 = {(r.id, r.change_type) for r in lake.read_changes("t", 3, 4).collect()}
+    assert (1, "insert") in ch2 and (1, "delete") in ch2
+    assert (2, "insert") in ch2 and (2, "delete") in ch2  # carried rows
