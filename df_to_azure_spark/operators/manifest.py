@@ -98,33 +98,59 @@ _STATS_TYPES = (
 
 
 def _encode_stat(value, dtype):
-    """JSON-safe, ORDER-PRESERVING encoding of one min/max bound.
+    """JSON-safe, ORDER-PRESERVING encoding of one min/max bound or
+    predicate literal.
 
     Every type maps onto a Python value whose natural ``<`` matches the
-    column's Spark ordering: numbers stay numbers, strings stay strings,
-    dates/timestamps become fixed-width ISO strings (lexicographic ==
-    chronological).  Values that cannot be encoded without risking a
-    wrong comparison (NaN/inf floats, strings > 256 chars — truncating a
-    max is NOT a valid upper bound) return ``_NO_STAT``, which drops the
-    whole (file, column) entry: pruning then conservatively keeps the
-    file.  Decimals/binary/complex types are never stats-eligible."""
+    column's Spark ordering: numbers stay numbers (int/float mixed
+    compares are exact in Python), strings stay strings, dates and
+    timestamps become fixed-width ISO strings (lexicographic ==
+    chronological; ``isoformat`` zero-pads the year, unlike platform
+    ``%Y``).  Anything that cannot be encoded without risking a wrong
+    comparison returns ``_NO_STAT``, which keeps the file: NaN/inf
+    floats, strings > 256 chars (truncating a max is NOT a valid upper
+    bound), cross-class temporal literals (a datetime on a DateType
+    column or a date/str on a TimestampType column — their Spark
+    promotion semantics do not match string-prefix comparison), and any
+    literal whose Python type does not match the column class.
+    Decimals/binary/complex types are never stats-eligible."""
+    import datetime as _dt
+
     if value is None:
         return None
     if isinstance(dtype, T.BooleanType):
-        return bool(value)
+        return bool(value) if isinstance(value, (bool, int)) else _NO_STAT
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return int(value)
+        if isinstance(value, bool):
+            return _NO_STAT
+        if isinstance(value, int):
+            return int(value)
+        if isinstance(value, float):
+            # predicate literal: int-vs-float compares are exact in
+            # Python, so the bound test stays order-true (the caller
+            # additionally refuses to prune huge >2^53 bounds, where
+            # Spark's own double promotion rounds)
+            return value if math.isfinite(value) else _NO_STAT
+        return _NO_STAT
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return _NO_STAT
         v = float(value)
         return v if math.isfinite(v) else _NO_STAT
     if isinstance(dtype, T.StringType):
+        if not isinstance(value, str):
+            return _NO_STAT
         return value if len(value) <= 256 else _NO_STAT
     if isinstance(dtype, T.DateType):
-        return value.isoformat() if not isinstance(value, str) else value
+        if isinstance(value, _dt.datetime) or not isinstance(
+            value, _dt.date
+        ):
+            return _NO_STAT
+        return value.isoformat()
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        if isinstance(value, str):
-            return value
-        return value.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if not isinstance(value, _dt.datetime):
+            return _NO_STAT
+        return value.isoformat(sep=" ", timespec="microseconds")
     return _NO_STAT
 
 
@@ -238,26 +264,39 @@ class VersionedLake(ParquetLake):
         — at most ``checkpoint_interval`` small-file reads, memoized, so
         a long-lived table's commit cost is O(delta) while read planning
         stays O(interval) regardless of table age."""
-        key = (table, version)
-        if key in self._resolved_cache:
-            return self._resolved_cache[key]
-        raw = self._load_manifest(table, version)
-        if "files" in raw:
-            resolved = dict(raw)
-            resolved.setdefault("stats", {})
-        else:
-            base = self.resolve_manifest(table, raw["base"])
+        # iterative walk-back then fold-forward: chains are bounded by
+        # checkpoint_interval in normal operation, but resolution must
+        # not recurse — a large interval would blow Python's stack
+        pending: list[tuple[int, dict]] = []
+        v = version
+        while True:
+            key = (table, v)
+            if key in self._resolved_cache:
+                resolved = self._resolved_cache[key]
+                break
+            raw = self._load_manifest(table, v)
+            if "files" in raw:
+                resolved = dict(raw)
+                resolved.setdefault("stats", {})
+                self._cache_resolved(key, resolved)
+                break
+            pending.append((v, raw))
+            v = raw["base"]
+        for dv, raw in reversed(pending):
             removed = set(raw.get("remove") or [])
             files = sorted(
-                (set(base["files"]) - removed) | set(raw.get("add") or [])
+                (set(resolved["files"]) - removed)
+                | set(raw.get("add") or [])
             )
             fset = set(files)
             stats = {
-                r: s for r, s in base.get("stats", {}).items() if r in fset
+                r: s
+                for r, s in resolved.get("stats", {}).items()
+                if r in fset
             }
             stats.update(raw.get("stats") or {})
             resolved = {
-                "version": version,
+                "version": dv,
                 "op": raw.get("op", "commit"),
                 "files": files,
                 "stats": stats,
@@ -266,10 +305,13 @@ class VersionedLake(ParquetLake):
                 "batch_ids": raw.get("batch_ids", []),
                 "committed_ms": raw.get("committed_ms", 0),
             }
+            self._cache_resolved((table, dv), resolved)
+        return resolved
+
+    def _cache_resolved(self, key: tuple[str, int], resolved: dict) -> None:
         if len(self._resolved_cache) > 128:
             self._resolved_cache.clear()
         self._resolved_cache[key] = resolved
-        return resolved
 
     def _chain_root(self, table: str, version: int) -> int:
         """Version of the full manifest this version's chain roots at."""
@@ -374,24 +416,40 @@ class VersionedLake(ParquetLake):
                 if rows is not None and nl == rows:
                     return False  # all-null file, null-rejecting predicate
                 continue
+            def _unsafe_float(e) -> bool:
+                # float literal against huge int bounds: Spark's own
+                # filter promotes the column to double (rounding above
+                # 2^53), so exact Python comparison could prune a row
+                # Spark's rounded compare would match
+                return isinstance(e, float) and isinstance(
+                    mn, int
+                ) and (abs(mn) >= 2**53 or abs(mx) >= 2**53)
+
             try:
                 if op == "between":
                     lo = _encode_stat(val[0], types[col])
                     hi = _encode_stat(val[1], types[col])
-                    if lo is _NO_STAT or hi is _NO_STAT:
+                    if (
+                        lo is _NO_STAT
+                        or hi is _NO_STAT
+                        or _unsafe_float(lo)
+                        or _unsafe_float(hi)
+                    ):
                         continue
                     if mx < lo or mn > hi:
                         return False
                     continue
                 if op == "in":
                     encs = [_encode_stat(v, types[col]) for v in val]
-                    if any(e is _NO_STAT for e in encs):
+                    if any(
+                        e is _NO_STAT or _unsafe_float(e) for e in encs
+                    ):
                         continue
                     if all(e < mn or e > mx for e in encs):
                         return False
                     continue
                 enc = _encode_stat(val, types[col])
-                if enc is _NO_STAT:
+                if enc is _NO_STAT or _unsafe_float(enc):
                     continue
                 if op == "=" and (enc < mn or enc > mx):
                     return False
@@ -449,15 +507,27 @@ class VersionedLake(ParquetLake):
         read-path lever).  ``self.last_scan_files`` records
         ``(files_read, files_total)`` after each call."""
         ops = {"=", "<", "<=", ">", ">=", "between", "in"}
+        normalized: list[tuple] = []
         for col, op, val in predicates:
             if op not in ops:
                 raise ValueError(f"scan: unsupported op {op!r}")
-            if op == "in" and not tuple(val or ()):
-                raise ValueError("scan: 'in' needs a non-empty value list")
-            if val is None or (
-                op in ("between", "in") and None in tuple(val)
-            ):
+            if op in ("between", "in"):
+                # materialize ONCE: a one-shot iterator consumed during
+                # validation would otherwise reach pruning empty and
+                # silently skip every file
+                val = tuple(val) if val is not None else ()
+                if op == "in" and not val:
+                    raise ValueError(
+                        "scan: 'in' needs a non-empty value list"
+                    )
+                if None in val:
+                    raise ValueError("scan predicates must be non-NULL")
+                if op == "between" and len(val) != 2:
+                    raise ValueError("scan: 'between' takes (lo, hi)")
+            elif val is None:
                 raise ValueError("scan predicates must be non-NULL")
+            normalized.append((col, op, val))
+        predicates = normalized
         v = self.current_version(table) if version is None else version
         if v is None:
             raise PipelineRunError(
@@ -591,10 +661,17 @@ class VersionedLake(ParquetLake):
                         )
                     rels.append(f"files/{rel}")
                     if raw_stats is not None:
-                        # a staged file absent from the aggregation had
-                        # zero rows — record that, it prunes for free
+                        # key by the RAW on-disk path: _file_stats keys
+                        # are the URI unquoted exactly once, which IS
+                        # the on-disk (hive-escaped) name — unquoting
+                        # again here would double-decode escaped
+                        # partition values (e.g. 'a%3Ab' → 'a:b') and
+                        # mis-file every such file as rows:0.
+                        # A staged file genuinely absent from the
+                        # aggregation had zero rows — record that, it
+                        # prunes for free.
                         s = raw_stats.get(
-                            unquote(f"{rel_prefix}{name}"),
+                            f"{rel_prefix}{name}",
                             {"rows": 0, "cols": {}},
                         )
                         if rel_prefix:
@@ -695,6 +772,12 @@ class VersionedLake(ParquetLake):
             kept = {r: stats[r] for r in sorted(stats) if r in in_list}
             if kept:
                 doc["stats"] = kept
+        return self._publish_doc(table, n, doc)
+
+    def _publish_doc(self, table: str, n: int, doc: dict) -> int:
+        """Shared publish tail of the full and delta commit paths:
+        serialize, put-if-absent through the seam, loud OCC loss,
+        cache refresh."""
         payload = json.dumps(doc, separators=(",", ":"))
         if not self._publish_manifest(table, n, payload):
             raise ConcurrentWriteError(
@@ -706,11 +789,24 @@ class VersionedLake(ParquetLake):
 
     def _after_commit(self, table: str, n: int, payload: str) -> None:
         """Refresh the caches after a successful publish: the raw entry
-        becomes authoritative, and every resolved entry for the table is
-        dropped — this also covers a table recreated at the same root
-        (external rmtree + new v1), where stale version-keyed cache hits
-        would otherwise serve the dead table's manifests."""
+        becomes authoritative and every resolved entry for the table is
+        dropped.  A version-1 commit means the table was (re)created —
+        possibly over the grave of an externally-removed table whose
+        higher versions are still raw-cached — so the whole raw history
+        for the table is purged too, not just overwritten at v1."""
+        if n == 1:
+            self._raw_cache = {
+                k: v for k, v in self._raw_cache.items() if k[0] != table
+            }
         self._raw_cache[(table, n)] = json.loads(payload)
+        self._resolved_cache = {
+            k: v for k, v in self._resolved_cache.items() if k[0] != table
+        }
+
+    def _purge_caches(self, table: str) -> None:
+        self._raw_cache = {
+            k: v for k, v in self._raw_cache.items() if k[0] != table
+        }
         self._resolved_cache = {
             k: v for k, v in self._resolved_cache.items() if k[0] != table
         }
@@ -772,14 +868,7 @@ class VersionedLake(ParquetLake):
             kept = {r: stats[r] for r in sorted(stats) if r in in_add}
             if kept:
                 doc["stats"] = kept
-        payload = json.dumps(doc, separators=(",", ":"))
-        if not self._publish_manifest(table, n, payload):
-            raise ConcurrentWriteError(
-                f"lake table {table!r}: version {n} was committed by a "
-                "concurrent writer; re-run to rebase on the new latest"
-            )
-        self._after_commit(table, n, payload)
-        return n
+        return self._publish_doc(table, n, doc)
 
     def _carry_batches(self, table: str, batch_id: str | None) -> list[str]:
         v = self.current_version(table)
@@ -1193,4 +1282,7 @@ class VersionedLake(ParquetLake):
 
         if fs.exists(files_root):
             _sweep(files_root, "files/")
+        # dropped manifests must also leave the caches, or this very
+        # instance could keep time-traveling to versions it just retired
+        self._purge_caches(table)
         return sorted(removed)

@@ -188,3 +188,120 @@ def test_compact_zorder_then_scan_skips_files(spark, lake):
     assert out.count() == 64
     read_files, total = lake.last_scan_files
     assert read_files < total
+
+
+def test_hive_escaped_partition_values_keep_their_stats(spark, lake):
+    """Review regression: partition values containing hive-escaped
+    chars (':' → '%3A' in the dir name) must keep their stats keyed
+    correctly — a double-decode used to mis-file them as rows:0 and
+    scan() silently dropped their rows."""
+    df = spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "plain", 2.0)],
+        "id bigint, country string, x double",
+    )
+    lake.create(df, "t", partition_by=["country"])
+    got = sorted(r.id for r in lake.scan("t", [("id", ">=", 0)]).collect())
+    assert got == [1, 2]
+    # and the escaped partition's own equality scan still works
+    got = [r.id for r in lake.scan("t", [("country", "=", "a:b")]).collect()]
+    assert got == [1]
+
+
+def test_float_literal_on_int_column_does_not_lose_rows(spark, lake):
+    """Review regression: int(2.5) truncation used to prune files whose
+    rows match 'id < 2.5'."""
+    df = spark.createDataFrame([(2,), (3,)], "id bigint")
+    lake.create(df, "t", sort_by=["id"], sort_files=2)
+    a = sorted(r.id for r in lake.scan("t", [("id", "<", 2.5)]).collect())
+    b = sorted(r.id for r in lake.read("t").where("id < 2.5").collect())
+    assert a == b == [2]
+    a = sorted(r.id for r in lake.scan("t", [("id", ">", 2.5)]).collect())
+    assert a == [3]
+
+
+def test_datetime_literal_on_date_column_stays_exact(spark, lake):
+    """Review regression: a datetime literal on a DateType column used
+    to encode as '...T00:00:00' vs stored 'YYYY-MM-DD' bounds and prune
+    boundary files; cross-class temporal literals now never prune."""
+    import datetime as dt
+
+    rows = [(i, dt.date(1995, 12, 28) + dt.timedelta(days=i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "id bigint, d date")
+    lake.create(df, "t", sort_by=["d"], sort_files=2)
+    lit = dt.datetime(1996, 1, 1)
+    a = sorted(r.id for r in lake.scan("t", [("d", "=", lit)]).collect())
+    b = sorted(
+        r.id
+        for r in lake.read("t").where(
+            "d = TIMESTAMP '1996-01-01 00:00:00'"
+        ).collect()
+    )
+    assert a == b == [4]
+
+
+def test_scan_in_accepts_one_shot_iterables(spark, lake):
+    """Review regression: a generator passed as the 'in' value used to
+    be consumed by validation, then prune everything."""
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id bigint")
+    lake.create(df, "t")
+    got = sorted(
+        r.id for r in lake.scan("t", [("id", "in", iter([1, 2]))]).collect()
+    )
+    assert got == [1, 2]
+    got = sorted(
+        r.id
+        for r in lake.scan(
+            "t", [("id", "between", iter([1, 2]))]
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_long_delta_chains_resolve_without_recursion(spark, lake, tmp_path):
+    """Review regression: resolution used to recurse once per delta and
+    blow the stack past ~1000 chain links; it must be iterative.  The
+    chain is built at the manifest layer (no data files needed)."""
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    deep = VersionedLake(spark, str(tmp_path / "deep"), checkpoint_interval=5000)
+    schema = '{"type":"struct","fields":[]}'
+    deep._commit("t", ["files/f0"], None, schema, None, [])
+    for i in range(1, 1101):
+        deep._commit_delta(
+            "t", [f"files/f{i}"], [], None, schema, i, []
+        )
+    fresh = VersionedLake(
+        spark, str(tmp_path / "deep"), checkpoint_interval=5000
+    )
+    resolved = fresh.resolve_manifest("t", 1101)
+    assert len(resolved["files"]) == 1101  # f0 + f1..f1100
+
+
+def test_vacuum_and_recreate_purge_instance_caches(spark, tmp_path):
+    """Review regression: vacuumed versions must not stay readable from
+    this instance's caches, and a recreate must not leave the dead
+    table's higher versions raw-cached.  checkpoint_interval=1 makes
+    every manifest full, so vacuum drops versions 1 and 2 outright
+    (no chain-root rounding keeps them)."""
+    lake = VersionedLake(spark, str(tmp_path / "cp1"), checkpoint_interval=1)
+    lake.create(_int_df(spark, [1]), "t")
+    lake.append(_int_df(spark, [2]), "t")
+    lake.append(_int_df(spark, [3]), "t")
+    lake.read("t", version=2)  # warm the caches
+    lake.vacuum("t", keep_last=1, older_than_ms=0)
+    assert lake.versions("t") == [3]
+    with pytest.raises(Exception):
+        lake.read("t", version=2).collect()
+    # recreate over an externally-removed table
+    import shutil
+
+    shutil.rmtree(f"{lake.root}/t")
+    lake.create(_int_df(spark, [9]), "t")
+    assert lake.versions("t") == [1]
+    with pytest.raises(Exception):
+        lake.read("t", version=3).collect()
+    assert [r.id for r in lake.read("t").collect()] == [9]
+
+
+def _int_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id bigint")
