@@ -77,6 +77,21 @@ _V_WIDTH = 20  # zero-padded version width: lexicographic == numeric order
 # columns (Delta's dataSkippingNumIndexedCols default): stats cost and
 # manifest size stay bounded no matter how wide the table is
 _STATS_MAX_COLS = 32
+# declared dictionary stats: per-file distinct-value sets, recorded only
+# for columns the table OWNER opted in (like Delta's bloom-filter index
+# declaration) and only while a file's distinct count stays ≤ this cap —
+# the equality-pruning lever for low-cardinality columns no clustering
+# order helps (status flags, enum codes)
+_DICT_CAP = 64
+_DICT_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.BooleanType,
+    T.StringType,
+    T.DateType,
+)
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # sentinel: this (file, column) pair must carry NO stats (value not
 # safely encodable — non-finite float, oversized string)
@@ -301,6 +316,7 @@ class VersionedLake(ParquetLake):
                 "files": files,
                 "stats": stats,
                 "partition_by": raw.get("partition_by"),
+                "dict_columns": raw.get("dict_columns") or [],
                 "schema": raw["schema"],
                 "batch_ids": raw.get("batch_ids", []),
                 "committed_ms": raw.get("committed_ms", 0),
@@ -322,6 +338,15 @@ class VersionedLake(ParquetLake):
 
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
+
+    def dict_stats_columns(self, table: str) -> list[str]:
+        """Columns the table declared for dictionary stats (empty when
+        none) — every write path re-reads this so the declaration made
+        at ``create`` time is honored by appends and rewrites."""
+        v = self.current_version(table)
+        if v is None:
+            return []
+        return list(self._load_manifest(table, v).get("dict_columns") or [])
 
     def partition_columns(self, table: str) -> list[str]:
         v = self.current_version(table)
@@ -439,18 +464,27 @@ class VersionedLake(ParquetLake):
                     if mx < lo or mn > hi:
                         return False
                     continue
+                vals = c.get("vals")
                 if op == "in":
                     encs = [_encode_stat(v, types[col]) for v in val]
                     if any(
                         e is _NO_STAT or _unsafe_float(e) for e in encs
                     ):
                         continue
+                    # declared dictionary: none of the literals is among
+                    # the file's recorded distinct values → skip
+                    if vals is not None and all(
+                        e not in vals for e in encs
+                    ):
+                        return False
                     if all(e < mn or e > mx for e in encs):
                         return False
                     continue
                 enc = _encode_stat(val, types[col])
                 if enc is _NO_STAT or _unsafe_float(enc):
                     continue
+                if op == "=" and vals is not None and enc not in vals:
+                    return False
                 if op == "=" and (enc < mn or enc > mx):
                     return False
                 if op == "<" and mn >= enc:
@@ -571,12 +605,19 @@ class VersionedLake(ParquetLake):
     def _file_stats(
         self, stage: str, cid: str, schema: T.StructType,
         partition_by: list[str] | None,
+        dict_columns: list[str] | None = None,
     ) -> dict[str, dict] | None:
         """Per-file zone maps for the staged part-files: ONE distributed
         aggregation over the data just written (page-cache warm), giving
         min/max/null-count per (file, column) for the first
-        ``_STATS_MAX_COLS`` stats-eligible NON-partition columns.  Keys
-        are stage-relative paths; the rename loop remaps them to the
+        ``_STATS_MAX_COLS`` stats-eligible NON-partition columns —
+        declared ``dict_columns`` first, so opting in never pushes a
+        dictionary column past the cap.  For dict columns the same pass
+        also collects the file's distinct-value set, capped at
+        ``_DICT_CAP + 1`` values (one over the cap proves overflow, so
+        an overflowing file simply carries no ``vals`` — the declaration
+        is a hint, never a correctness obligation).  Keys are
+        stage-relative paths; the rename loop remaps them to the
         committed ``files/...`` names.  The collect is one row per
         staged file — bounded by the commit's file count, never by data.
         Partition columns need no zone maps: their per-file value is the
@@ -585,11 +626,23 @@ class VersionedLake(ParquetLake):
         caller can tell "stats ran, this file had zero rows" apart from
         "stats never ran"."""
         parts = set(partition_by or [])
-        eligible = [
+        dcols = [c for c in (dict_columns or []) if c not in parts]
+        by_name = {f.name: f for f in schema.fields}
+        dict_fields = [
+            by_name[c]
+            for c in dcols
+            if c in by_name and isinstance(by_name[c].dataType, _DICT_TYPES)
+        ]
+        dict_names = {f.name for f in dict_fields}
+        eligible = dict_fields + [
             f
             for f in schema.fields
-            if f.name not in parts and isinstance(f.dataType, _STATS_TYPES)
-        ][:_STATS_MAX_COLS]
+            if f.name not in parts
+            and f.name not in dict_names
+            and isinstance(f.dataType, _STATS_TYPES)
+        ]
+        eligible = eligible[:_STATS_MAX_COLS]
+        dict_fields = [f for f in dict_fields if f in eligible]
         if not eligible:
             return None
         df = self.spark.read.option("basePath", stage).parquet(stage)
@@ -599,6 +652,16 @@ class VersionedLake(ParquetLake):
             aggs.append(F.min(c).alias(f"mn__{f.name}"))
             aggs.append(F.max(c).alias(f"mx__{f.name}"))
             aggs.append(F.sum(c.isNull().cast("long")).alias(f"nl__{f.name}"))
+        for f in dict_fields:
+            # sort for determinism, slice to cap+1 so overflow is
+            # detectable without shipping the whole set to the driver
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_set(F.col(f"`{f.name}`"))),
+                    1,
+                    _DICT_CAP + 1,
+                ).alias(f"dv__{f.name}")
+            )
         rows = (
             df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         )
@@ -620,11 +683,25 @@ class VersionedLake(ParquetLake):
                     "mx": mx,
                     "nl": int(r[f"nl__{f.name}"]),
                 }
+            for f in dict_fields:
+                if f.name not in cols:
+                    continue
+                vs = r[f"dv__{f.name}"]
+                if vs is None or len(vs) > _DICT_CAP:
+                    continue
+                enc = [_encode_stat(v, f.dataType) for v in vs]
+                if any(e is _NO_STAT for e in enc):
+                    continue
+                cols[f.name]["vals"] = enc
             out[rel] = {"rows": int(r["__rows"]), "cols": cols}
         return out
 
     def _stage_files(
-        self, df: DataFrame, table: str, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None,
+        dict_columns: list[str] | None = None,
     ) -> tuple[list[str], str]:
         """Write ``df``'s part-files under ``files/`` with a unique
         commit prefix and return their table-relative paths.  Until a
@@ -638,7 +715,9 @@ class VersionedLake(ParquetLake):
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(stage)
-        raw_stats = self._file_stats(stage, cid, df.schema, partition_by)
+        raw_stats = self._file_stats(
+            stage, cid, df.schema, partition_by, dict_columns
+        )
         fs, stage_path, jvm = self._fs(stage)
         files_base = self.files_dir(table)
         rels: list[str] = []
@@ -752,6 +831,7 @@ class VersionedLake(ParquetLake):
         batch_ids: list[str],
         stats: dict[str, dict] | None = None,
         op: str = "commit",
+        dict_columns: list[str] | None = None,
     ) -> int:
         """Atomically publish version ``expected_version + 1`` through
         the :meth:`_publish_manifest` seam: the first committer wins and
@@ -763,6 +843,7 @@ class VersionedLake(ParquetLake):
             "op": op,
             "files": files,
             "partition_by": list(partition_by or []),
+            "dict_columns": list(dict_columns or []),
             "schema": schema_json,
             "batch_ids": sorted(batch_ids),
             "committed_ms": int(time.time() * 1000),
@@ -822,6 +903,7 @@ class VersionedLake(ParquetLake):
         batch_ids: list[str],
         stats: dict[str, dict] | None = None,
         op: str = "commit",
+        dict_columns: list[str] | None = None,
     ) -> int:
         """Commit version ``expected_version + 1`` as an O(delta)
         manifest — ``add``/``remove`` against the previous version plus
@@ -851,6 +933,7 @@ class VersionedLake(ParquetLake):
             return self._commit(
                 table, files, partition_by, schema_json,
                 expected_version, batch_ids, stats=merged, op=op,
+                dict_columns=dict_columns,
             )
         doc = {
             "version": n,
@@ -859,6 +942,7 @@ class VersionedLake(ParquetLake):
             "add": sorted(add),
             "remove": sorted(remove),
             "partition_by": list(partition_by or []),
+            "dict_columns": list(dict_columns or []),
             "schema": schema_json,
             "batch_ids": sorted(batch_ids),
             "committed_ms": int(time.time() * 1000),
@@ -907,10 +991,24 @@ class VersionedLake(ParquetLake):
         sort_by: list[str] | None = None,
         sort_files: int | None = None,
         batch_id: str | None = None,
+        dict_columns: list[str] | None = None,
     ) -> None:
         """Replace the table: stage a complete file set, commit a
         manifest referencing only it.  ``create`` starts a fresh
-        batch-marker history (it is a new logical table state)."""
+        batch-marker history (it is a new logical table state).
+
+        ``dict_columns`` declares low-cardinality columns (status
+        flags, enum codes) whose per-file distinct-value sets should be
+        recorded for equality pruning — the table-level opt-in every
+        later write honors, exactly like Delta's bloom-filter index
+        declaration.  The declaration is a hint: a file whose distinct
+        count exceeds the cap simply carries no value set."""
+        if dict_columns:
+            missing = [c for c in dict_columns if c not in df.columns]
+            if missing:
+                raise PipelineRunError(
+                    f"dict_columns {missing!r} not in the frame's columns"
+                )
         if sort_by:
             if sort_files:
                 df = df.repartitionByRange(sort_files, *sort_by)
@@ -918,12 +1016,15 @@ class VersionedLake(ParquetLake):
                 df = df.repartitionByRange(*sort_by)
             df = df.sortWithinPartitions(*sort_by)
         expected = self.current_version(table)
-        files, schema = self._stage_files(df, table, partition_by)
+        files, schema = self._stage_files(
+            df, table, partition_by, dict_columns
+        )
         b = batch_id if batch_id is not None else self._pending_batch
         self._commit(
             table, files, partition_by, schema, expected,
             [b] if b else [],
             stats=self._pending_stats, op="create",
+            dict_columns=dict_columns,
         )
 
     def append(
@@ -953,6 +1054,7 @@ class VersionedLake(ParquetLake):
             expected = self.current_version(table)
             if expected is None:
                 parts = list(partition_by or [])
+                dcols: list[str] = []
                 mschema = None
             else:
                 m = self.resolve_manifest(table, expected)
@@ -960,9 +1062,12 @@ class VersionedLake(ParquetLake):
                 # into a hive-partitioned tree (or vice versa) would make
                 # the read-side directory structures conflict
                 parts = list(m.get("partition_by") or partition_by or [])
+                dcols = list(m.get("dict_columns") or [])
                 mschema = m.get("schema") if m["files"] else None
             if files is None or staged_parts != parts:
-                files, schema = self._stage_files(df, table, parts or None)
+                files, schema = self._stage_files(
+                    df, table, parts or None, dcols or None
+                )
                 staged_stats = self._pending_stats
                 staged_parts = parts
             try:
@@ -977,6 +1082,7 @@ class VersionedLake(ParquetLake):
                     expected,
                     self._carry_batches(table, batch_id),
                     stats=staged_stats, op="append",
+                    dict_columns=dcols or None,
                 )
                 return
             except ConcurrentWriteError as e:
@@ -992,11 +1098,15 @@ class VersionedLake(ParquetLake):
         makes this one fail instead of silently undoing it — the
         lost-update protection a snapshot swap cannot give."""
         expected = self._read_version.get(table, self.current_version(table))
-        files, schema = self._stage_files(df, table, partition_by)
+        dcols = self.dict_stats_columns(table)
+        files, schema = self._stage_files(
+            df, table, partition_by, dcols or None
+        )
         self._commit(
             table, files, partition_by, schema, expected,
             self._carry_batches(table, None),
             stats=self._pending_stats, op="rewrite",
+            dict_columns=dcols or None,
         )
 
     def compact(
@@ -1071,7 +1181,10 @@ class VersionedLake(ParquetLake):
             )
         affected = existing.where(in_touched)
         merged = upsert_frames(df, affected, keys, sort=False, check_keys=False)
-        new_files, _ = self._stage_files(merged, table, [partition_col])
+        dcols = self.dict_stats_columns(table)
+        new_files, _ = self._stage_files(
+            merged, table, [partition_col], dcols or None
+        )
         new_stats = self._pending_stats
         touched_dirs = {rel.split("/")[1] for rel in new_files}
         m = self.resolve_manifest(table, expected)
@@ -1090,6 +1203,7 @@ class VersionedLake(ParquetLake):
             expected,
             self._carry_batches(table, None),
             stats=new_stats, op="upsert_partitioned",
+            dict_columns=dcols or None,
         )
         return len(touched_dirs)
 
@@ -1190,6 +1304,7 @@ class VersionedLake(ParquetLake):
             self._carry_batches(table, None),
             stats=m.get("stats"),
             op="restore",
+            dict_columns=m.get("dict_columns") or None,
         )
 
     # -- maintenance -----------------------------------------------------

@@ -305,3 +305,61 @@ def test_vacuum_and_recreate_purge_instance_caches(spark, tmp_path):
 
 def _int_df(spark, ids):
     return spark.createDataFrame([(i,) for i in ids], "id bigint")
+
+
+def test_declared_dict_stats_prune_unclustered_equality(spark, tmp_path):
+    """Dictionary stats: the table declares a low-cardinality column at
+    create; equality/IN scans on it then skip files whose recorded
+    value set lacks the literal — the pruning lever for flag columns no
+    clustering order helps (range stats are useless when every file
+    spans the whole domain)."""
+    lake = VersionedLake(spark, str(tmp_path / "dict"))
+    # status repeats everywhere, so per-file min/max spans 'A'..'C' in
+    # every file — only the value SET distinguishes files
+    df = spark.range(0, 400).selectExpr(
+        "id",
+        "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS status",
+    )
+    rare = spark.createDataFrame([(9999, "C")], "id bigint, status string")
+    lake.create(df.repartition(4), "t", dict_columns=["status"])
+    lake.append(rare, "t")  # declaration honored by later writes
+    assert lake.dict_stats_columns("t") == ["status"]
+    m = lake.resolve_manifest("t", 2)
+    assert any(
+        "vals" in st["cols"].get("status", {}) for st in m["stats"].values()
+    )
+    out = lake.scan("t", [("status", "=", "C")])
+    assert [r.id for r in out.collect()] == [9999]
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    # absent value: every file skipped, zero rows — still correct
+    out = lake.scan("t", [("status", "=", "Z")])
+    assert out.count() == 0 and lake.last_scan_files[0] == 0
+    # IN over {rare, absent} opens only the rare file
+    out = lake.scan("t", [("status", "in", ["C", "Z"])])
+    assert [r.id for r in out.collect()] == [9999]
+    assert lake.last_scan_files[0] == 1
+    # equality on a present value matches read().where exactly
+    a = sorted(r.id for r in lake.scan("t", [("status", "=", "A")]).collect())
+    b = sorted(r.id for r in lake.read("t").where("status = 'A'").collect())
+    assert a == b
+
+
+def test_dict_stats_cap_overflow_is_safe(spark, tmp_path):
+    """A declared column whose per-file distinct count exceeds the cap
+    carries no value set — the declaration is a hint, never wrong."""
+    lake = VersionedLake(spark, str(tmp_path / "dictbig"))
+    df = spark.range(0, 300).selectExpr(
+        "id", "CAST(id AS STRING) AS code"
+    )
+    lake.create(df.coalesce(1), "t", dict_columns=["code"])
+    m = lake.resolve_manifest("t", 1)
+    for st in m["stats"].values():
+        if st["rows"]:
+            assert "vals" not in st["cols"].get("code", {})
+    got = sorted(
+        r.id for r in lake.scan("t", [("code", "=", "7")]).collect()
+    )
+    assert got == [7]
+    # unknown column in the declaration fails loudly at create
+    with pytest.raises(PipelineRunError, match="dict_columns"):
+        lake.create(df, "t2", dict_columns=["nope"])
