@@ -593,3 +593,54 @@ SELECT *, 'insert' AS change_type FROM orders WHERE o_orderkey % 3 = 0
 UNION ALL
 SELECT *, 'insert' AS change_type FROM orders WHERE o_orderkey % 100 = 50
 """
+
+
+def w10_dict_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared dictionary stats under the hash gate, on the exact case
+    zone maps CANNOT handle: orders is committed UNSORTED (every file's
+    o_orderstatus min/max spans 'F'..'P'), so a probe for 'G' — inside
+    that range lexicographically — is range-unprunable; the declared
+    per-file value set must still skip ALL files (asserted in-entry: a
+    pruning regression fails the run).  The returned result is the real
+    aggregate over status 'P', hash-checked against plain SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vdict",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(
+        orders.repartition(8), "orders", dict_columns=["o_orderstatus"]
+    )
+    probe = lake.scan("orders", [("o_orderstatus", "=", "G")])
+    if probe.count() != 0 or lake.last_scan_files[0] != 0:
+        raise PipelineRunError(
+            f"dictionary pruning regressed: 'G' probe read "
+            f"{lake.last_scan_files} files"
+        )
+    out = lake.scan("orders", [("o_orderstatus", "=", "P")])
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_price"),
+    )
+
+
+W10_DICT_SCAN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'P'
+GROUP BY o_orderstatus
+"""

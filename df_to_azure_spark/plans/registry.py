@@ -286,6 +286,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "w9_incremental_changes": QuerySpec(
         P.w9_incremental_changes, P.W9_CHANGES_ORACLE
     ),
+    # declared dictionary stats (round 12): equality pruning on an
+    # unclustered enum column where min/max provably cannot skip;
+    # raises in-entry if the dictionary probe reads any file
+    "w10_dict_pruned_scan": QuerySpec(
+        P.w10_dict_pruned_scan, P.W10_DICT_SCAN_ORACLE
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),
