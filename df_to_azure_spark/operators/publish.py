@@ -88,7 +88,15 @@ def publish_with_audit(
     quarantine append is a separate commit carrying its own derived
     marker (``<batch_id>.q``): a crash between the two writes loses
     nothing — the retry skips the already-marked publish and replays
-    only the missing quarantine append, never duplicating either."""
+    only the missing quarantine append, never duplicating either.
+
+    On a plain ``ParquetLake`` with ``batch_id`` set, the quarantine
+    append carries the same derived marker as a SIDE FILE
+    (``_batches/<batch_id>.q`` under the quarantine table) — so a retry
+    never re-appends already-quarantined rows either; the side-file
+    marker keeps the plain lake's documented non-atomic window (marker
+    lands after the write, so a crash exactly between them re-appends
+    once on retry — duplicates possible, drops impossible)."""
     from df_to_azure_spark.operators.manifest import VersionedLake
 
     if not rules:
@@ -179,6 +187,21 @@ def publish_with_audit(
                     dirty, quarantine_table, method=method_q,
                     batch_id=q_marker,
                 )
+        elif batch_id is not None:
+            # mirror the versioned path's derived marker with a side
+            # file (round-12 ADVICE): without it, a retry after a crash
+            # that followed a successful quarantine append would skip
+            # the publish (marker exists) but re-append the dirty rows,
+            # duplicating the quarantine table.  Same non-atomic window
+            # as the plain lake's publish marker, same direction: the
+            # marker lands AFTER the write, so a crash between them
+            # re-appends once — never silently drops.
+            q_marker = f"{lake.table_dir(quarantine_table)}/_batches/{batch_id}.q"
+            q_fs, q_path, _ = lake._fs(q_marker)
+            if not q_fs.exists(q_path):
+                lake.write(dirty, quarantine_table, method=method_q)
+                q_fs.mkdirs(q_path.getParent())
+                q_fs.createNewFile(q_path)
         else:
             lake.write(dirty, quarantine_table, method=method_q)
     return PublishReport(table, n_in, n_in - n_dirty, n_dirty, audit_rows)

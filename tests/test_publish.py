@@ -139,3 +139,31 @@ def test_versioned_quarantine_marker_blocks_duplicates_on_retry(spark, tmp_path)
     assert lake.read("t").count() == 1
     assert lake.read("q").count() == 1
     assert lake.has_batch("q", "b1.q")
+
+
+def test_plain_lake_quarantine_marker_blocks_duplicates_on_retry(spark, tmp_path):
+    """Round-12 ADVICE: on a plain ParquetLake with batch_id set, a
+    blind retry of a fully-successful call used to skip the publish
+    (marker present) but RE-APPEND the dirty rows; the side-file
+    quarantine marker (_batches/<batch_id>.q) now blocks that."""
+    lake = ParquetLake(spark, str(tmp_path))
+    rules = [not_null("v")]
+    mixed = _df(spark, [(1, 5), (2, None)])
+    publish_with_audit(
+        lake, mixed, "t", rules, method="create",
+        max_violation_frac=1.0, quarantine_table="q", batch_id="b1",
+    )
+    # blind retry of the fully-successful call: both writes skipped
+    publish_with_audit(
+        lake, mixed, "t", rules, method="append",
+        max_violation_frac=1.0, quarantine_table="q", batch_id="b1",
+    )
+    assert lake.read("t").count() == 1
+    assert lake.read("q").count() == 1  # NOT duplicated
+    # a NEW batch with dirty rows still appends to quarantine
+    publish_with_audit(
+        lake, _df(spark, [(3, 7), (4, None)]), "t", rules, method="append",
+        max_violation_frac=1.0, quarantine_table="q", batch_id="b2",
+    )
+    assert lake.read("t").count() == 2
+    assert lake.read("q").count() == 2
