@@ -431,14 +431,38 @@ class VersionedLake(ParquetLake):
                 )
             )
 
-        for col, op, val in predicates:
+        for pred in predicates:
+            if len(pred) == 2 and pred[0] == "or":
+                # disjunction of conjunction branches: the file is
+                # skippable only when EVERY branch rules it out
+                if not any(
+                    VersionedLake._file_may_match(st, branch, types)
+                    for branch in pred[1]
+                ):
+                    return False
+                continue
+            col, op, val = pred
             if col in part:
                 # partition value comes from the hive path; exact
                 # (in-)equality only, on decidable renderings
                 pv = part[col]
-                if op == "=" and _hive_decidable(val):
+                if op == "is_null":
+                    if pv != _HIVE_NULL:
+                        return False  # partition value is non-null
+                elif op == "is_not_null":
+                    if pv == _HIVE_NULL:
+                        return False  # whole file is the null partition
+                elif op == "=" and _hive_decidable(val):
                     if pv == _HIVE_NULL or str(val) != unquote(pv):
                         return False  # val is non-null by contract
+                elif op == "!=":
+                    # null partition: no row satisfies a null-rejecting
+                    # '!='; decidable match: every row equals the
+                    # literal, so none differs
+                    if pv == _HIVE_NULL:
+                        return False
+                    if _hive_decidable(val) and str(val) == unquote(pv):
+                        return False
                 elif op == "in" and all(_hive_decidable(v) for v in val):
                     if pv == _HIVE_NULL or all(
                         str(v) != unquote(pv) for v in val
@@ -449,6 +473,17 @@ class VersionedLake(ParquetLake):
             if c is None or col not in types:
                 continue
             mn, mx, nl = c["mn"], c["mx"], c["nl"]
+            # null-predicate pruning decides on the NULL COUNT alone —
+            # it must run before the mn/mx machinery (an all-null file
+            # is exactly what is_null wants to read)
+            if op == "is_null":
+                if nl == 0:
+                    return False
+                continue
+            if op == "is_not_null":
+                if rows is not None and nl == rows:
+                    return False
+                continue
             if mn is None or mx is None:
                 if rows is not None and nl == rows:
                     return False  # all-null file, null-rejecting predicate
@@ -495,6 +530,16 @@ class VersionedLake(ParquetLake):
                 enc = _encode_stat(val, types[col])
                 if enc is _NO_STAT or _unsafe_float(enc):
                     continue
+                if op == "!=":
+                    # prunable only when the file is provably CONSTANT
+                    # and equal to the literal (nulls never satisfy a
+                    # null-rejecting '!=' either): single-value dict
+                    # set, or mn == mx == literal
+                    if vals is not None and list(vals) == [enc]:
+                        return False
+                    if mn == enc and mx == enc:
+                        return False
+                    continue
                 if op == "=" and vals is not None and enc not in vals:
                     return False
                 if op == "=" and (enc < mn or enc > mx):
@@ -540,10 +585,21 @@ class VersionedLake(ParquetLake):
         identical to ``read(table).where(...)``; the stats only cut IO.
 
         ``predicates`` is a conjunction of ``(column, op, value)`` with
-        op in ``= < <= > >= between in`` (``between`` takes a ``(lo,
-        hi)`` tuple, both inclusive; ``in`` takes a non-empty sequence
-        of values).  NULL literals are rejected: every op here is
-        null-rejecting, so the call would be the empty set.
+        op in ``= != < <= > >= between in is_null is_not_null``
+        (``between`` takes a ``(lo, hi)`` tuple, both inclusive; ``in``
+        takes a non-empty sequence of values; ``is_null``/``is_not_null``
+        take ``None``).  A conjunct may also be the 2-tuple
+        ``("or", [branch, ...])`` where each branch is itself a
+        predicate list — a disjunction of conjunctions, pruned as the
+        union of the per-branch keeps.  NULL literals on the other ops
+        are rejected: they are null-rejecting, so the call would be the
+        empty set.
+
+        Null-predicate pruning reads the null counts every stats entry
+        already carries: ``is_null`` skips files with zero nulls in the
+        column, ``is_not_null`` skips all-null files, and ``!=`` skips
+        files provably constant-equal to the literal (single-value
+        dictionary set, or ``mn == mx == literal``).
 
         This is what ``create(sort_by=...)`` / ``compact(zorder_by=...)``
         exist to feed — clustering makes per-file ranges narrow and
@@ -552,28 +608,7 @@ class VersionedLake(ParquetLake):
         same zone maps; at 100 TB file skipping is the single biggest
         read-path lever).  ``self.last_scan_files`` records
         ``(files_read, files_total)`` after each call."""
-        ops = {"=", "<", "<=", ">", ">=", "between", "in"}
-        normalized: list[tuple] = []
-        for col, op, val in predicates:
-            if op not in ops:
-                raise ValueError(f"scan: unsupported op {op!r}")
-            if op in ("between", "in"):
-                # materialize ONCE: a one-shot iterator consumed during
-                # validation would otherwise reach pruning empty and
-                # silently skip every file
-                val = tuple(val) if val is not None else ()
-                if op == "in" and not val:
-                    raise ValueError(
-                        "scan: 'in' needs a non-empty value list"
-                    )
-                if None in val:
-                    raise ValueError("scan predicates must be non-NULL")
-                if op == "between" and len(val) != 2:
-                    raise ValueError("scan: 'between' takes (lo, hi)")
-            elif val is None:
-                raise ValueError("scan predicates must be non-NULL")
-            normalized.append((col, op, val))
-        predicates = normalized
+        predicates = self._normalize_predicates(predicates)
         v = self.current_version(table) if version is None else version
         if v is None:
             raise PipelineRunError(
@@ -604,11 +639,68 @@ class VersionedLake(ParquetLake):
             names = [f.name for f in schema.fields if f.name in set(df.columns)]
             extras = [c for c in df.columns if c not in set(names)]
             df = df.select(*[F.col(f"`{c}`") for c in names + extras])
+        return df.where(self._predicate_condition(predicates))
+
+    @staticmethod
+    def _normalize_predicates(predicates) -> list[tuple]:
+        """Validate + materialize a predicate tree (see :meth:`scan`)."""
+        ops = {
+            "=", "!=", "<", "<=", ">", ">=", "between", "in",
+            "is_null", "is_not_null",
+        }
+        normalized: list[tuple] = []
+        for pred in predicates:
+            if len(pred) == 2 and pred[0] == "or":
+                branches = [
+                    VersionedLake._normalize_predicates(b) for b in pred[1]
+                ]
+                if not branches:
+                    raise ValueError("scan: 'or' needs at least one branch")
+                normalized.append(("or", branches))
+                continue
+            col, op, val = pred
+            if op not in ops:
+                raise ValueError(f"scan: unsupported op {op!r}")
+            if op in ("is_null", "is_not_null"):
+                if val is not None:
+                    raise ValueError(f"scan: {op!r} takes value None")
+            elif op in ("between", "in"):
+                # materialize ONCE: a one-shot iterator consumed during
+                # validation would otherwise reach pruning empty and
+                # silently skip every file
+                val = tuple(val) if val is not None else ()
+                if op == "in" and not val:
+                    raise ValueError(
+                        "scan: 'in' needs a non-empty value list"
+                    )
+                if None in val:
+                    raise ValueError("scan predicates must be non-NULL")
+                if op == "between" and len(val) != 2:
+                    raise ValueError("scan: 'between' takes (lo, hi)")
+            elif val is None:
+                raise ValueError("scan predicates must be non-NULL")
+            normalized.append((col, op, val))
+        return normalized
+
+    @staticmethod
+    def _predicate_condition(predicates):
+        """The predicate tree as ONE Spark filter expression — the
+        residual filter that makes scan ≡ read().where() regardless of
+        what pruning skipped."""
         cond = F.lit(True)
-        for col, op, val in predicates:
+        for pred in predicates:
+            if len(pred) == 2 and pred[0] == "or":
+                disj = F.lit(False)
+                for branch in pred[1]:
+                    disj = disj | VersionedLake._predicate_condition(branch)
+                cond = cond & disj
+                continue
+            col, op, val = pred
             c = F.col(f"`{col}`")
             if op == "=":
                 cond = cond & (c == F.lit(val))
+            elif op == "!=":
+                cond = cond & (c != F.lit(val))
             elif op == "<":
                 cond = cond & (c < F.lit(val))
             elif op == "<=":
@@ -619,9 +711,13 @@ class VersionedLake(ParquetLake):
                 cond = cond & (c >= F.lit(val))
             elif op == "in":
                 cond = cond & c.isin(list(val))
+            elif op == "is_null":
+                cond = cond & c.isNull()
+            elif op == "is_not_null":
+                cond = cond & c.isNotNull()
             else:
                 cond = cond & c.between(F.lit(val[0]), F.lit(val[1]))
-        return df.where(cond)
+        return cond
 
     # -- staging + commit ----------------------------------------------
     def _file_stats(

