@@ -97,6 +97,33 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # safely encodable — non-finite float, oversized string)
 _NO_STAT = object()
 
+# string bounds: at most this long are stored verbatim; longer strings
+# (document text, the LLM pipeline's main payload) get Delta-style
+# truncated-PREFIX bounds instead of no stats at all
+_STR_VERBATIM = 256
+_STR_PREFIX = 64
+
+
+def _truncated_upper_bound(prefix: str):
+    """The smallest convenient string GREATER than every string that
+    starts with ``prefix``: increment the last incrementable code point
+    and drop the tail (Delta's truncated string max — e.g. ``"abc"`` →
+    ``"abd"``).  Skips the surrogate block so the bound stays a valid
+    Unicode scalar (Python's code-point ``<`` and Spark's UTF-8 byte
+    ``<`` agree exactly on scalars).  ``_NO_STAT`` when nothing is
+    incrementable (every char is U+10FFFF) — truncating a max WITHOUT
+    incrementing is never a valid upper bound."""
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp >= 0x10FFFF:
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return "".join(chars[:i]) + chr(nxt)
+    return _NO_STAT
+
 _STATS_TYPES = (
     T.ByteType,
     T.ShortType,
@@ -112,7 +139,7 @@ _STATS_TYPES = (
 )
 
 
-def _encode_stat(value, dtype):
+def _encode_stat(value, dtype, bound: str | None = None):
     """JSON-safe, ORDER-PRESERVING encoding of one min/max bound or
     predicate literal.
 
@@ -123,12 +150,22 @@ def _encode_stat(value, dtype):
     chronological; ``isoformat`` zero-pads the year, unlike platform
     ``%Y``).  Anything that cannot be encoded without risking a wrong
     comparison returns ``_NO_STAT``, which keeps the file: NaN/inf
-    floats, strings > 256 chars (truncating a max is NOT a valid upper
-    bound), cross-class temporal literals (a datetime on a DateType
+    floats, cross-class temporal literals (a datetime on a DateType
     column or a date/str on a TimestampType column — their Spark
-    promotion semantics do not match string-prefix comparison), and any
-    literal whose Python type does not match the column class.
-    Decimals/binary/complex types are never stats-eligible."""
+    promotion semantics do not match string-prefix comparison),
+    tz-aware timestamp literals, and any literal whose Python type does
+    not match the column class.  Decimals/binary/complex types are
+    never stats-eligible.
+
+    ``bound`` widens oversized STRING values instead of dropping them
+    (Delta's truncated string stats): with ``bound='min'`` a string
+    over ``_STR_VERBATIM`` chars encodes as its ``_STR_PREFIX``-char
+    prefix (a prefix is always ≤ the value), with ``bound='max'`` as
+    the prefix INCREMENTED at the cut (always > the value) — so
+    document-text columns carry zone maps at bounded manifest cost.
+    Predicate literals (``bound=None``) are never truncated: they are
+    compared, not stored, and full-length comparison against widened
+    bounds stays conservative."""
     import datetime as _dt
 
     if value is None:
@@ -155,7 +192,11 @@ def _encode_stat(value, dtype):
     if isinstance(dtype, T.StringType):
         if not isinstance(value, str):
             return _NO_STAT
-        return value if len(value) <= 256 else _NO_STAT
+        if bound is None or len(value) <= _STR_VERBATIM:
+            return value
+        if bound == "min":
+            return value[:_STR_PREFIX]
+        return _truncated_upper_bound(value[:_STR_PREFIX])
     if isinstance(dtype, T.DateType):
         if isinstance(value, _dt.datetime) or not isinstance(
             value, _dt.date
@@ -792,8 +833,8 @@ class VersionedLake(ParquetLake):
             rel = unquote(uri.split(marker, 1)[1])
             cols: dict[str, dict] = {}
             for f in eligible:
-                mn = _encode_stat(r[f"mn__{f.name}"], f.dataType)
-                mx = _encode_stat(r[f"mx__{f.name}"], f.dataType)
+                mn = _encode_stat(r[f"mn__{f.name}"], f.dataType, bound="min")
+                mx = _encode_stat(r[f"mx__{f.name}"], f.dataType, bound="max")
                 if mn is _NO_STAT or mx is _NO_STAT:
                     continue
                 cols[f.name] = {
@@ -808,7 +849,15 @@ class VersionedLake(ParquetLake):
                 if vs is None or len(vs) > _DICT_CAP:
                     continue
                 enc = [_encode_stat(v, f.dataType) for v in vs]
-                if any(e is _NO_STAT for e in enc):
+                if any(
+                    e is _NO_STAT
+                    or (isinstance(e, str) and len(e) > _STR_VERBATIM)
+                    for e in enc
+                ):
+                    # dict VALUES are stored verbatim (membership, not
+                    # range, so truncation is meaningless) — a column
+                    # with oversized values just carries no value set,
+                    # keeping manifest size bounded
                     continue
                 cols[f.name]["vals"] = enc
             out[rel] = {"rows": int(r["__rows"]), "cols": cols}

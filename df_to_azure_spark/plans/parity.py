@@ -734,3 +734,58 @@ FROM t
 WHERE (o_note IS NULL OR (o_note IS NOT NULL AND o_orderkey < 1000))
   AND o_orderkey != 8
 """
+
+
+def w12_text_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-prefix string bounds under the hash gate (round-13,
+    verdict gap #2): ``documents.text`` runs 48-550+ chars, so before
+    this round a text-clustered table carried NO text stats at all
+    (truncating a max is not a valid upper bound) and every scan opened
+    every file.  Bounds over 256 chars now encode Delta-style — min =
+    64-char prefix, max = prefix incremented at the cut — so the
+    manifest stays small while a prefix-range probe on the sorted table
+    opens only the files whose widened range admits it (asserted
+    in-entry; this assert FAILS on the round-12 encoder).  The
+    aggregate hash-checks against plain SQL: both engines compare
+    strings in binary order, and pruning can only skip, never lie."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vtext",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(docs, "documents", sort_by=["text"], sort_files=8)
+    out = lake.scan(
+        "documents", [("text", ">=", "k"), ("text", "<", "n")]
+    )
+    read_files, total = lake.last_scan_files
+    if not read_files < total:
+        raise PipelineRunError(
+            f"truncated-prefix text pruning regressed: read "
+            f"{read_files}/{total} files"
+        )
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+W12_TEXT_SCAN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE text >= 'k' AND text < 'n'
+"""

@@ -298,6 +298,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "w11_null_or_pruned_scan": QuerySpec(
         P.w11_null_or_pruned_scan, P.W11_NULL_SCAN_ORACLE
     ),
+    # truncated-prefix string bounds (round 13): long document text
+    # gets Delta-style widened 64-char zone maps; a prefix-range probe
+    # on the text-sorted table must skip files (asserted in-entry)
+    "w12_text_pruned_scan": QuerySpec(
+        P.w12_text_pruned_scan, P.W12_TEXT_SCAN_ORACLE
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),
