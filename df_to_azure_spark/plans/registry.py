@@ -232,6 +232,18 @@ def _stream_dedup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_diff(spark, sf_dir)
 
 
+def _stream_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.cdc_source import stream_cdc_vs_batch_diff
+
+    return stream_cdc_vs_batch_diff(spark, sf_dir)
+
+
+def _stream_cdc_oracle() -> str:
+    from df_to_azure_spark.streaming.cdc_source import STREAM_CDC_DIFF_ORACLE
+
+    return STREAM_CDC_DIFF_ORACLE
+
+
 def _stream_dedup_oracle() -> str:
     from df_to_azure_spark.streaming.events import STREAM_DEDUP_ORACLE
 
@@ -720,6 +732,10 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_totals_diff, _totals_diff_oracle()
     ),
     "stream_dedup_diff": QuerySpec(_stream_dedup_diff, _stream_dedup_oracle()),
+    # streaming CDC source (round 13): the manifest change feed as a
+    # real Structured Streaming source (Python DataSource API) —
+    # streamed rows must equal the batch read of the final table
+    "stream_cdc_diff": QuerySpec(_stream_cdc_diff, _stream_cdc_oracle()),
     "stream_attribution_diff": QuerySpec(
         _stream_attribution_diff, _stream_attr_oracle()
     ),
