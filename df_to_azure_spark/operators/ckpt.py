@@ -1,0 +1,420 @@
+"""Columnar (parquet) checkpoint manifests + vectorized file pruning.
+
+At 10⁵ files the VersionedLake's single-JSON full checkpoint is fine
+(SCALE_r12 §1: 1.0 s write / 1.8 s cold resolve); at 10⁶ it is not
+(measured this round: 9.2 s serialize per checkpoint commit, 433 MB on
+disk, 13 s cold parse — and any per-file-JSON variant is WORSE, because
+materializing 10⁶ Python dicts costs ~15 s regardless of format).  The
+fix is the one Delta ships: the periodic checkpoint becomes a PARQUET
+table — one row per live file, zone-map stats as native typed columns —
+so a cold reader loads it in ~2 s at 10⁶ files (4 MB zstd), and
+``scan()`` pruning evaluates predicates with Arrow compute kernels over
+the stat columns instead of walking Python dicts: vectorized planning in
+milliseconds where the dict walk took ~0.7 s AFTER a 13 s parse.
+
+Layout (one row per file):
+
+- ``rel`` (string), ``rows`` (int64);
+- per stats-eligible column ``c``: ``mn:c`` / ``mx:c`` (typed by the
+  TABLE schema: ints → int64, floats → float64, bool → bool, everything
+  string-encoded by ``_encode_stat`` → string), ``nl:c`` (int64), and
+  for declared dictionary columns ``dv:c`` (list of the same type);
+- per partition column ``p``: ``pt:p`` (string, hive value unquoted,
+  NULL for ``__HIVE_DEFAULT_PARTITION__``).
+
+Correctness contract, same as the dict path: a vector mask is a KEEP
+mask — any null/undecidable comparison keeps the file, every op prunes
+only on proof, and ``scan()`` always applies the residual Spark filter,
+so the vector path can only cut IO, never change results.  The dict
+evaluator (``VersionedLake._file_may_match``) remains the semantics
+reference; ``tests/test_ckpt_vector.py`` fuzzes both over random stats
+and asserts the vector keep-set never drops a file the dict path keeps.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from urllib.parse import unquote
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pyspark.sql import types as T
+
+__all__ = [
+    "ckpt_from_dicts",
+    "ckpt_advance",
+    "ckpt_to_bytes",
+    "ckpt_from_bytes",
+    "vector_keep_rels",
+]
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _stat_arrow_type(dtype) -> pa.DataType | None:
+    """Arrow type of a column's ENCODED stats (mirrors ``_encode_stat``:
+    dates/timestamps/strings encode as strings)."""
+    if isinstance(dtype, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return pa.int64()
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return pa.float64()
+    if isinstance(
+        dtype,
+        (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType),
+    ):
+        return pa.string()
+    return None
+
+
+def _stat_columns(schema: T.StructType, partition_by: list[str]):
+    """(name, arrow_type) per stats-eligible non-partition column."""
+    parts = set(partition_by or [])
+    out = []
+    for f in schema.fields:
+        if f.name in parts:
+            continue
+        at = _stat_arrow_type(f.dataType)
+        if at is not None:
+            out.append((f.name, at))
+    return out
+
+
+def _typed_array(values: list, at: pa.DataType) -> pa.Array:
+    """Build a typed array, degrading any value that does not fit the
+    declared type to NULL (keep-the-file semantics for stats recorded
+    under an evolved column type)."""
+    try:
+        return pa.array(values, type=at)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        coerced = []
+        for v in values:
+            try:
+                coerced.append(
+                    pa.array([v], type=at)[0].as_py() if v is not None else None
+                )
+            except Exception:
+                coerced.append(None)
+        return pa.array(coerced, type=at)
+
+
+def ckpt_from_dicts(
+    files: list[str],
+    stats: dict,
+    schema: T.StructType,
+    partition_by: list[str] | None,
+) -> pa.Table:
+    """Checkpoint table from the JSON-manifest dict representation —
+    the transition path the first parquet checkpoint of an existing
+    table (and every small table) goes through."""
+    parts = list(partition_by or [])
+    cols: dict[str, list] = {"rel": [], "rows": []}
+    stat_cols = _stat_columns(schema, parts)
+    for name, _ in stat_cols:
+        cols[f"mn:{name}"] = []
+        cols[f"mx:{name}"] = []
+        cols[f"nl:{name}"] = []
+        cols[f"dv:{name}"] = []
+    for p in parts:
+        cols[f"pt:{p}"] = []
+    for rel in files:
+        st = stats.get(rel) or {}
+        c = st.get("cols") or {}
+        pt = st.get("part") or {}
+        cols["rel"].append(rel)
+        cols["rows"].append(st.get("rows"))
+        for name, _ in stat_cols:
+            e = c.get(name)
+            cols[f"mn:{name}"].append(None if e is None else e.get("mn"))
+            cols[f"mx:{name}"].append(None if e is None else e.get("mx"))
+            cols[f"nl:{name}"].append(None if e is None else e.get("nl"))
+            cols[f"dv:{name}"].append(None if e is None else e.get("vals"))
+        for p in parts:
+            pv = pt.get(p)
+            cols[f"pt:{p}"].append(
+                None if pv is None or pv == _HIVE_NULL else unquote(pv)
+            )
+    arrays, fields = [], []
+    arrays.append(pa.array(cols["rel"], pa.string()))
+    fields.append(pa.field("rel", pa.string()))
+    arrays.append(_typed_array(cols["rows"], pa.int64()))
+    fields.append(pa.field("rows", pa.int64()))
+    for name, at in stat_cols:
+        arrays.append(_typed_array(cols[f"mn:{name}"], at))
+        fields.append(pa.field(f"mn:{name}", at))
+        arrays.append(_typed_array(cols[f"mx:{name}"], at))
+        fields.append(pa.field(f"mx:{name}", at))
+        arrays.append(_typed_array(cols[f"nl:{name}"], pa.int64()))
+        fields.append(pa.field(f"nl:{name}", pa.int64()))
+        arrays.append(_typed_array(cols[f"dv:{name}"], pa.list_(at)))
+        fields.append(pa.field(f"dv:{name}", pa.list_(at)))
+    for p in parts:
+        arrays.append(pa.array(cols[f"pt:{p}"], pa.string()))
+        fields.append(pa.field(f"pt:{p}", pa.string()))
+    return pa.table(arrays, schema=pa.schema(fields))
+
+
+def ckpt_advance(
+    prev: pa.Table,
+    removed: set[str],
+    add_files: list[str],
+    add_stats: dict,
+    schema: T.StructType,
+    partition_by: list[str] | None,
+) -> pa.Table:
+    """Next checkpoint from the previous one WITHOUT re-materializing
+    the table as Python dicts: filter out removed rels (one is_in
+    kernel), build the added files' rows from their (small) dict stats,
+    and concatenate with schema unification — commit-time checkpoint
+    cost stays O(table) only in Arrow kernels, never in Python."""
+    if removed:
+        keep = pc.invert(
+            pc.is_in(prev.column("rel"), pa.array(sorted(removed), pa.string()))
+        )
+        prev = prev.filter(pc.fill_null(keep, True))
+    if not add_files:
+        return prev
+    add = ckpt_from_dicts(add_files, add_stats, schema, partition_by)
+    return pa.concat_tables([prev, add], promote_options="default")
+
+
+def ckpt_to_bytes(tbl: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink, compression="zstd")
+    return sink.getvalue().to_pybytes()
+
+
+def ckpt_from_bytes(data: bytes) -> pa.Table:
+    return pq.read_table(pa.BufferReader(data))
+
+
+# ---------------------------------------------------------------------------
+# vectorized pruning
+# ---------------------------------------------------------------------------
+
+
+def _keep_all(n: int) -> pa.Array:
+    return pa.array([True] * n, pa.bool_())
+
+
+def _fill_keep(mask) -> pa.ChunkedArray | pa.Array:
+    """Null comparison results mean 'undecidable' → keep."""
+    return pc.fill_null(mask, True)
+
+
+def _list_contains(list_arr, enc) -> tuple:
+    """(contains, decidable) per row for a list column — membership via
+    flatten + parent indices (slice-safe), no per-row Python."""
+    import numpy as np
+
+    la = (
+        list_arr.combine_chunks()
+        if isinstance(list_arr, pa.ChunkedArray)
+        else list_arr
+    )
+    n = len(la)
+    try:
+        flat = pc.list_flatten(la)
+        idx = pc.list_parent_indices(la)
+        hit = pc.equal(flat, pa.scalar(enc, la.type.value_type))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return _keep_all(n), pa.array([False] * n, pa.bool_())
+    hit_idx = idx.filter(pc.fill_null(hit, False)).to_numpy(
+        zero_copy_only=False
+    )
+    contains_np = np.zeros(n, dtype=bool)
+    contains_np[hit_idx] = True
+    return pa.array(contains_np), la.is_valid()
+
+
+def _unsafe_float_mask(enc, mn, mx):
+    """Rows whose int bounds exceed 2^53 cannot be compared exactly
+    against a float literal (Spark's own promotion rounds) → keep."""
+    if not isinstance(enc, float) or not pa.types.is_integer(mn.type):
+        return None
+    lim = 2**53
+    return pc.or_(
+        pc.greater_equal(pc.abs(mn), lim), pc.greater_equal(pc.abs(mx), lim)
+    )
+
+
+def _conjunct_mask(tbl: pa.Table, pred: tuple, types: dict, encode) -> pa.Array:
+    """KEEP mask of one conjunct — the vector twin of one iteration of
+    ``VersionedLake._file_may_match``'s loop (same proofs, same
+    conservative defaults)."""
+    n = tbl.num_rows
+    names = set(tbl.column_names)
+    if len(pred) == 2 and pred[0] == "or":
+        out = pa.array([False] * n, pa.bool_())
+        for branch in pred[1]:
+            out = pc.or_(out, _tree_mask(tbl, branch, types, encode))
+        return out
+    col, op, val = pred
+    if f"pt:{col}" in names:
+        pt = tbl.column(f"pt:{col}")
+        if op == "is_null":
+            return _fill_keep(pc.is_null(pt))
+        if op == "is_not_null":
+            return pc.is_valid(pt)
+
+        def _dec(v) -> bool:
+            import datetime as _dt
+
+            return (
+                isinstance(v, str)
+                or (isinstance(v, int) and not isinstance(v, bool))
+                or (
+                    isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime)
+                )
+            )
+
+        if op == "=" and _dec(val):
+            return pc.fill_null(pc.equal(pt, str(val)), False)
+        if op == "in" and all(_dec(v) for v in val):
+            return pc.fill_null(
+                pc.is_in(pt, pa.array([str(v) for v in val], pa.string())),
+                False,
+            )
+        if op == "!=":
+            if _dec(val):
+                return pc.fill_null(pc.not_equal(pt, str(val)), False)
+            return pc.is_valid(pt)  # null partition never satisfies !=
+        return _keep_all(n)
+    if f"mn:{col}" not in names or col not in types:
+        return _keep_all(n)
+    mn = tbl.column(f"mn:{col}")
+    mx = tbl.column(f"mx:{col}")
+    nl = tbl.column(f"nl:{col}")
+    rows = tbl.column("rows")
+    if op == "is_null":
+        return _fill_keep(pc.invert(pc.equal(nl, 0)))
+    if op == "is_not_null":
+        return _fill_keep(pc.invert(pc.equal(nl, rows)))
+    # every remaining op is null-rejecting: an all-null file (mn null
+    # with nl == rows) is prunable; mn null otherwise keeps
+    allnull_keep = _fill_keep(pc.invert(pc.equal(nl, rows)))
+    undecided = pc.is_null(mn)
+
+    def _with_allnull(range_keep) -> pa.Array:
+        return pc.if_else(undecided, allnull_keep, _fill_keep(range_keep))
+
+    try:
+        if op == "between":
+            lo, hi = encode(val[0], types[col]), encode(val[1], types[col])
+            if lo is None or hi is None:
+                return _keep_all(n)
+            km = pc.and_(pc.greater_equal(mx, lo), pc.less_equal(mn, hi))
+            for e in (lo, hi):
+                u = _unsafe_float_mask(e, mn, mx)
+                if u is not None:
+                    km = pc.or_(km, u)
+            return _with_allnull(km)
+        if op == "in":
+            encs = [encode(v, types[col]) for v in val]
+            if any(e is None for e in encs):
+                return _keep_all(n)
+            km = pa.array([False] * n, pa.bool_())
+            for e in encs:
+                t = pc.and_(pc.less_equal(mn, e), pc.greater_equal(mx, e))
+                u = _unsafe_float_mask(e, mn, mx)
+                if u is not None:
+                    t = pc.or_(t, u)
+                km = pc.or_(km, pc.fill_null(t, True))
+            return pc.if_else(undecided, allnull_keep, km)
+        enc = encode(val, types[col])
+        if enc is None:
+            return _keep_all(n)
+        if op == "=":
+            km = pc.and_(pc.less_equal(mn, enc), pc.greater_equal(mx, enc))
+            u = _unsafe_float_mask(enc, mn, mx)
+            if u is not None:
+                km = pc.or_(km, u)
+            km = _with_allnull(km)
+            dv_name = f"dv:{col}"
+            if dv_name in names and isinstance(enc, (int, float, str, bool)):
+                contains, decidable = _list_contains(tbl.column(dv_name), enc)
+                u2 = _unsafe_float_mask(enc, mn, mx)
+                dict_keep = pc.if_else(
+                    pc.fill_null(decidable, False),
+                    pc.fill_null(contains, True),
+                    _keep_all(n),
+                )
+                if u2 is not None:
+                    dict_keep = pc.or_(dict_keep, pc.fill_null(u2, False))
+                km = pc.and_(km, _fill_keep(dict_keep))
+            return km
+        if op == "!=":
+            km = pc.invert(pc.and_(pc.equal(mn, enc), pc.equal(mx, enc)))
+            u = _unsafe_float_mask(enc, mn, mx)
+            if u is not None:
+                km = pc.or_(km, u)
+            return _with_allnull(km)
+        if op == "<":
+            km = pc.less(mn, enc)
+        elif op == "<=":
+            km = pc.less_equal(mn, enc)
+        elif op == ">":
+            km = pc.greater(mx, enc)
+        else:  # >=
+            km = pc.greater_equal(mx, enc)
+        u = _unsafe_float_mask(enc, mn, mx)
+        if u is not None:
+            km = pc.or_(km, u)
+        return _with_allnull(km)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        # literal not comparable to the stored column type (evolved
+        # schema) — same as the dict path's TypeError: keep
+        return _keep_all(n)
+
+
+def _tree_mask(tbl: pa.Table, predicates: list, types: dict, encode) -> pa.Array:
+    out = _keep_all(tbl.num_rows)
+    for pred in predicates:
+        out = pc.and_(out, _conjunct_mask(tbl, pred, types, encode))
+    return out
+
+
+def vector_keep_rels(
+    tbl: pa.Table,
+    predicates: list,
+    schema: T.StructType,
+    exclude: set[str],
+) -> list[str]:
+    """Rels of checkpoint files the predicates cannot rule out, minus
+    ``exclude`` (files removed by later delta commits).  ``encode`` is
+    injected from ``manifest._encode_stat`` so literal semantics (the
+    cross-class temporal refusals, tz guard, float exactness) are ONE
+    implementation shared with the dict path."""
+    from df_to_azure_spark.operators.manifest import _NO_STAT, _encode_stat
+
+    def encode(v, dtype):
+        e = _encode_stat(v, dtype)
+        if e is _NO_STAT:
+            return None
+        if isinstance(e, float) and not math.isfinite(e):
+            return None
+        return e
+
+    types = {f.name: f.dataType for f in schema.fields}
+    mask = _tree_mask(tbl, predicates, types, encode)
+    # empty part files prune regardless of predicate
+    mask = pc.and_(mask, _fill_keep(pc.invert(pc.equal(tbl.column("rows"), 0))))
+    if exclude:
+        mask = pc.and_(
+            mask,
+            pc.invert(
+                pc.fill_null(
+                    pc.is_in(
+                        tbl.column("rel"),
+                        pa.array(sorted(exclude), pa.string()),
+                    ),
+                    False,
+                )
+            ),
+        )
+    return tbl.column("rel").filter(pc.fill_null(mask, True)).to_pylist()

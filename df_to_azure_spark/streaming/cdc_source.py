@@ -95,19 +95,38 @@ def _load_manifest(root: str, table: str, v: int) -> dict:
         ) from None
 
 
+def _ckpt_rels(root: str, table: str, v: int) -> list[str] | None:
+    """File list from a columnar checkpoint sidecar, if version ``v``
+    has one (the round-13 default: checkpoint versions commit O(delta)
+    JSON plus ``v<N>.ckpt.parquet`` — see ``operators/ckpt.py``)."""
+    path = os.path.join(
+        _manifest_dir(root, table), f"v{v:0{_V_WIDTH}d}.ckpt.parquet"
+    )
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=["rel"]).column("rel").to_pylist()
+
+
 def _resolve_files(root: str, table: str, v: int, memo: dict) -> list[str]:
     """The version's live file list, resolved through the delta chain —
     the pure-Python twin of ``VersionedLake.resolve_manifest`` (files
-    only; iterative, chains are checkpoint-bounded)."""
+    only; iterative; roots at a checkpoint sidecar or a full JSON
+    manifest, so chains stay checkpoint-bounded)."""
     pending = []
     while v not in memo:
+        rels = _ckpt_rels(root, table, v)
+        if rels is not None:
+            memo[v] = sorted(rels)
+            break
         raw = _load_manifest(root, table, v)
         if "files" in raw:
             memo[v] = list(raw["files"])
             break
         pending.append((v, raw))
         v = raw["base"]
-    files = memo[v]  # the chain root (full manifest or memo hit)
+    files = memo[v]  # the chain root (sidecar, full manifest, memo hit)
     for dv, raw in reversed(pending):
         files = sorted(
             (set(files) - set(raw.get("remove") or []))

@@ -393,16 +393,29 @@ def test_delta_manifests_chain_checkpoint_and_vacuum(spark, tmp_path):
     for i in range(1, 6):
         lake.append(_df(spark, [(i, f"v{i}")]), "t")  # v2..v6
     raw = {v: lake._load_manifest("t", v) for v in lake.versions("t")}
-    assert "files" in raw[1] and "files" in raw[3] and "files" in raw[6]
-    for v in (2, 4, 5):
+    assert "files" in raw[1]
+    # round-13 format: checkpoint versions are O(delta) JSON commits
+    # plus a columnar parquet sidecar (the JSON never re-lists the table)
+    for v in (2, 3, 4, 5, 6):
         assert "add" in raw[v] and "files" not in raw[v]
         assert raw[v]["remove"] == [] and len(raw[v]["add"]) >= 1
+    for v in (3, 6):
+        fs, p, _ = lake._fs(lake._ckpt_path("t", v))
+        assert fs.exists(p), f"missing checkpoint sidecar at v{v}"
+    m3 = lake.resolve_manifest("t", 3)
+    expected3 = (
+        set(raw[1]["files"]) | set(raw[2]["add"]) | set(raw[3]["add"])
+    )
+    assert "ckpt_table" in m3 and set(m3["files"]) == expected3
     # resolution equals data at every version (time travel intact)
     assert {r.id for r in lake.read("t").collect()} == set(range(6))
     assert {r.id for r in lake.read("t", version=4).collect()} == set(range(4))
-    # stats resolve across the chain (added files' stats merge in)
+    # stats resolve across the chain: post-root adds as dicts, the
+    # checkpointed bulk as typed sidecar columns — together covering
+    # every live file
     m = lake.resolve_manifest("t", 5)
-    assert set(m["stats"]) == set(m["files"])
+    assert set(m["stats"]) | m["ckpt_rels"] >= set(m["files"])
+    assert set(m["stats"]) == set(m["files"]) - m["ckpt_rels"]
     # a FRESH reader (no caches) resolves identically
     lake2 = VersionedLake(spark, lake.root, checkpoint_interval=3)
     assert {r.id for r in lake2.read("t", version=5).collect()} == set(range(5))

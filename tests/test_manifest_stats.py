@@ -156,6 +156,59 @@ def test_truncated_upper_bound_property():
     assert b == chr(0xE000) and chr(0xD7FF) < b
 
 
+def test_scan_through_checkpoint_sidecar_prunes_and_stays_exact(spark, lake):
+    """Round-13: once a chain roots at a columnar checkpoint sidecar,
+    scan() pruning runs as Arrow kernels over the sidecar's typed stat
+    columns (operators/ckpt.py) — it must prune exactly like the dict
+    path did and stay ≡ read().where()."""
+    lake.checkpoint_interval = 4
+    lake.create(
+        _nums(spark, 0, 1000), "t", sort_by=["id"], sort_files=4,
+        dict_columns=["k"],
+    )
+    for i in range(1, 6):  # v2..v6; v4 becomes a sidecar checkpoint
+        lake.append(_nums(spark, 1000 + i * 100, 1000 + i * 100 + 50), "t")
+    m = lake.resolve_manifest("t", lake.current_version("t"))
+    assert "ckpt_table" in m  # the chain really is sidecar-rooted
+    for preds, cond in [
+        ([("id", "between", (100, 120))], "id BETWEEN 100 AND 120"),
+        ([("id", ">=", 1400)], "id >= 1400"),
+        ([("id", "=", 777)], "id = 777"),
+        ([("id", "!=", 0)], "id != 0"),
+        ([("k", "=", "k000500")], "k = 'k000500'"),
+        ([("k", "is_not_null", None)], "k IS NOT NULL"),
+        (
+            [("or", [[("id", "<", 10)], [("id", ">=", 1540)]])],
+            "id < 10 OR id >= 1540",
+        ),
+    ]:
+        a = sorted(r.id for r in lake.scan("t", preds).collect())
+        b = sorted(r.id for r in lake.read("t").where(cond).collect())
+        assert a == b, cond
+    # selective probes really skip files through the vector path
+    lake.scan("t", [("id", "between", (100, 120))]).collect()
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    # a fresh instance (cold caches) resolves the sidecar identically
+    lake2 = VersionedLake(spark, lake.root, checkpoint_interval=4)
+    a = sorted(r.id for r in lake2.scan("t", [("id", "<", 50)]).collect())
+    assert a == list(range(50))
+    assert lake2.last_scan_files[0] < lake2.last_scan_files[1]
+
+
+def test_restore_of_sidecar_rooted_version_keeps_pruning(spark, lake):
+    lake.checkpoint_interval = 2
+    lake.create(_nums(spark, 0, 400), "t", sort_by=["id"], sort_files=4)
+    lake.append(_nums(spark, 400, 500), "t")  # v2: sidecar checkpoint
+    lake.append(_nums(spark, 500, 600), "t")  # v3
+    lake.restore("t", 2)  # v4, built from the sidecar-rooted resolution
+    fs, p, _ = lake._fs(lake._ckpt_path("t", 4))
+    assert fs.exists(p)  # the restored version carries its own sidecar
+    a = sorted(r.id for r in lake.scan("t", [("id", "<", 100)]).collect())
+    assert a == list(range(100))
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    assert lake.read("t").count() == 500
+
+
 def test_stats_carry_through_append_and_upsert_partitioned(spark, lake):
     df = spark.createDataFrame(
         [(i, "NL" if i % 2 else "DE", float(i)) for i in range(100)],

@@ -156,6 +156,39 @@ def test_vacuumed_manifest_fails_loudly(spark, lake):
             q.stop()
 
 
+def test_stream_resumes_from_sidecar_only_root(spark, lake):
+    """After a vacuum the oldest retained root may be a columnar
+    checkpoint sidecar (no full JSON anywhere) — a stream starting at
+    that version must still resolve deltas from it."""
+    lake.checkpoint_interval = 5
+    lake.create(_df(spark, 0, 10), "t")
+    for i in range(9):  # v2..v10; v5 and v10 are sidecar checkpoints
+        lake.append(_df(spark, 10 + i, 11 + i), "t")
+    lake.vacuum("t", keep_last=1, older_than_ms=0)
+    assert min(lake.versions("t")) == 10
+    got = _run_to_memory(
+        read_changes_stream(spark, lake.root, "t", starting_version=10)
+    )
+    assert got.count() == 0  # nothing after v10 yet
+    lake.append(_df(spark, 100, 105), "t")  # v11
+    got = _run_to_memory(
+        read_changes_stream(spark, lake.root, "t", starting_version=10)
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(100, 105))
+    # a rewrite right after the sidecar root: delete side must resolve
+    # the pre-rewrite file list THROUGH the sidecar
+    lake.upsert(_df(spark, 0, 3, tag="u"), "t", ["id"])
+    got = _run_to_memory(
+        read_changes_stream(spark, lake.root, "t", starting_version=11)
+    )
+    n_live = lake.read("t").count()
+    ins = got.where("_change_type = 'insert'")
+    assert ins.count() == n_live  # full rewrite restages everything
+    a = ins.drop("_change_type", "_commit_version")
+    b = lake.read("t")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_schema_has_meta_columns(spark, lake):
     lake.create(_df(spark, 0, 5), "t")
     stream = read_changes_stream(spark, lake.root, "t")
