@@ -446,39 +446,54 @@ class VersionedLake(ParquetLake):
                 break
             pending.append((v, raw))
             v = raw["base"]
-        for dv, raw in reversed(pending):
-            removed = set(raw.get("remove") or [])
-            files = sorted(
-                (set(resolved["files"]) - removed)
-                | set(raw.get("add") or [])
+        if not pending:
+            return resolved
+        # ONE accumulated fold for the requested version: net added and
+        # net removed are collected across every pending delta first, so
+        # the O(files) set/sort materialization happens once per request
+        # instead of once per delta step (at 10⁶ files a per-step fold
+        # costs ~1.5 s × chain length — the difference between a 2 s and
+        # a 25 s worst-case cold resolve).  Only the requested version is
+        # cached; a sequential walk (history()) still folds once per
+        # version because each resolve finds its predecessor cached.
+        added: dict[str, dict | None] = {}
+        removed: set[str] = set()
+        for _, raw in reversed(pending):  # oldest → newest
+            for r in raw.get("remove") or []:
+                if r in added:
+                    del added[r]  # added then removed since root: net absent
+                else:
+                    removed.add(r)
+            rstats = raw.get("stats") or {}
+            for r in raw.get("add") or []:
+                added[r] = rstats.get(r)
+        files = sorted((set(resolved["files"]) - removed) | added.keys())
+        stats = {
+            r: s
+            for r, s in resolved.get("stats", {}).items()
+            if r not in removed
+        }
+        stats.update({r: s for r, s in added.items() if s is not None})
+        final_v, final_raw = pending[0]
+        out = {
+            "version": final_v,
+            "op": final_raw.get("op", "commit"),
+            "files": files,
+            "stats": stats,
+            "partition_by": final_raw.get("partition_by"),
+            "dict_columns": final_raw.get("dict_columns") or [],
+            "schema": final_raw["schema"],
+            "batch_ids": final_raw.get("batch_ids", []),
+            "committed_ms": final_raw.get("committed_ms", 0),
+        }
+        if "ckpt_table" in resolved:
+            out["ckpt_table"] = resolved["ckpt_table"]
+            out["ckpt_rels"] = resolved["ckpt_rels"]
+            out["ckpt_removed"] = resolved["ckpt_removed"] | (
+                removed & resolved["ckpt_rels"]
             )
-            fset = set(files)
-            stats = {
-                r: s
-                for r, s in resolved.get("stats", {}).items()
-                if r in fset
-            }
-            stats.update(raw.get("stats") or {})
-            nxt = {
-                "version": dv,
-                "op": raw.get("op", "commit"),
-                "files": files,
-                "stats": stats,
-                "partition_by": raw.get("partition_by"),
-                "dict_columns": raw.get("dict_columns") or [],
-                "schema": raw["schema"],
-                "batch_ids": raw.get("batch_ids", []),
-                "committed_ms": raw.get("committed_ms", 0),
-            }
-            if "ckpt_table" in resolved:
-                nxt["ckpt_table"] = resolved["ckpt_table"]
-                nxt["ckpt_rels"] = resolved["ckpt_rels"]
-                nxt["ckpt_removed"] = resolved["ckpt_removed"] | (
-                    removed & resolved["ckpt_rels"]
-                )
-            resolved = nxt
-            self._cache_resolved((table, dv), resolved)
-        return resolved
+        self._cache_resolved((table, final_v), out)
+        return out
 
     def _cache_resolved(self, key: tuple[str, int], resolved: dict) -> None:
         if len(self._resolved_cache) > 128:
