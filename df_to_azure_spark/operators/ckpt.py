@@ -284,6 +284,8 @@ def _conjunct_mask(tbl: pa.Table, pred: tuple, types: dict, encode) -> pa.Array:
             if _dec(val):
                 return pc.fill_null(pc.not_equal(pt, str(val)), False)
             return pc.is_valid(pt)  # null partition never satisfies !=
+        if op == "starts_with" and isinstance(val, str):
+            return pc.fill_null(pc.starts_with(pt, pattern=val), False)
         return _keep_all(n)
     if f"mn:{col}" not in names or col not in types:
         return _keep_all(n)
@@ -329,6 +331,19 @@ def _conjunct_mask(tbl: pa.Table, pred: tuple, types: dict, encode) -> pa.Array:
         enc = encode(val, types[col])
         if enc is None:
             return _keep_all(n)
+        if op == "starts_with":
+            if not isinstance(enc, str):
+                return _keep_all(n)
+            from df_to_azure_spark.operators.manifest import (
+                _NO_STAT,
+                _truncated_upper_bound,
+            )
+
+            km = pc.greater_equal(mx, enc)
+            up = _truncated_upper_bound(enc)
+            if up is not _NO_STAT:
+                km = pc.and_(km, pc.less(mn, up))
+            return _with_allnull(km)
         if op == "=":
             km = pc.and_(pc.less_equal(mn, enc), pc.greater_equal(mx, enc))
             u = _unsafe_float_mask(enc, mn, mx)

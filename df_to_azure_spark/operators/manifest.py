@@ -631,6 +631,9 @@ class VersionedLake(ParquetLake):
                         str(v) != unquote(pv) for v in val
                     ):
                         return False
+                elif op == "starts_with" and isinstance(val, str):
+                    if pv == _HIVE_NULL or not unquote(pv).startswith(val):
+                        return False
                 continue
             c = cols.get(col)
             if c is None or col not in types:
@@ -692,6 +695,20 @@ class VersionedLake(ParquetLake):
                     continue
                 enc = _encode_stat(val, types[col])
                 if enc is _NO_STAT or _unsafe_float(enc):
+                    continue
+                if op == "starts_with":
+                    # strings with prefix p live in [p, increment(p)):
+                    # prunable when the file's range is entirely below
+                    # p or entirely at/above the incremented prefix —
+                    # sound against truncated bounds too (mx is never
+                    # understated, mn never overstated)
+                    if not isinstance(enc, str):
+                        continue
+                    if mx < enc:
+                        return False
+                    up = _truncated_upper_bound(enc)
+                    if up is not _NO_STAT and mn >= up:
+                        return False
                     continue
                 if op == "!=":
                     # prunable only when the file is provably CONSTANT
@@ -770,10 +787,13 @@ class VersionedLake(ParquetLake):
         identical to ``read(table).where(...)``; the stats only cut IO.
 
         ``predicates`` is a conjunction of ``(column, op, value)`` with
-        op in ``= != < <= > >= between in is_null is_not_null``
-        (``between`` takes a ``(lo, hi)`` tuple, both inclusive; ``in``
-        takes a non-empty sequence of values; ``is_null``/``is_not_null``
-        take ``None``).  A conjunct may also be the 2-tuple
+        op in ``= != < <= > >= between in is_null is_not_null
+        starts_with`` (``between`` takes a ``(lo, hi)`` tuple, both
+        inclusive; ``in`` takes a non-empty sequence of values;
+        ``is_null``/``is_not_null`` take ``None``; ``starts_with``
+        takes a string prefix and prunes as the range ``[p,
+        increment(p))`` — the natural probe over truncated-prefix text
+        bounds).  A conjunct may also be the 2-tuple
         ``("or", [branch, ...])`` where each branch is itself a
         predicate list — a disjunction of conjunctions, pruned as the
         union of the per-branch keeps.  NULL literals on the other ops
@@ -831,7 +851,7 @@ class VersionedLake(ParquetLake):
         """Validate + materialize a predicate tree (see :meth:`scan`)."""
         ops = {
             "=", "!=", "<", "<=", ">", ">=", "between", "in",
-            "is_null", "is_not_null",
+            "is_null", "is_not_null", "starts_with",
         }
         normalized: list[tuple] = []
         for pred in predicates:
@@ -849,6 +869,9 @@ class VersionedLake(ParquetLake):
             if op in ("is_null", "is_not_null"):
                 if val is not None:
                     raise ValueError(f"scan: {op!r} takes value None")
+            elif op == "starts_with":
+                if not isinstance(val, str):
+                    raise ValueError("scan: 'starts_with' takes a string")
             elif op in ("between", "in"):
                 # materialize ONCE: a one-shot iterator consumed during
                 # validation would otherwise reach pruning empty and
@@ -900,6 +923,8 @@ class VersionedLake(ParquetLake):
                 cond = cond & c.isNull()
             elif op == "is_not_null":
                 cond = cond & c.isNotNull()
+            elif op == "starts_with":
+                cond = cond & c.startswith(F.lit(val))
             else:
                 cond = cond & c.between(F.lit(val[0]), F.lit(val[1]))
         return cond

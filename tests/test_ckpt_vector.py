@@ -78,10 +78,13 @@ def _rand_stats(rng: random.Random, partitioned: bool):
 def _rand_pred(rng: random.Random):
     col = rng.choice(["id", "x", "s", "flag", "country", "ghost"])
     op = rng.choice(
-        ["=", "!=", "<", "<=", ">", ">=", "between", "in", "is_null", "is_not_null"]
+        ["=", "!=", "<", "<=", ">", ">=", "between", "in", "is_null",
+         "is_not_null", "starts_with"]
     )
     if op in ("is_null", "is_not_null"):
         return (col, op, None)
+    if op == "starts_with":
+        return (col, op, rng.choice(["a", "c", "k", "zz", "N", "k" * 70]))
     if col == "id":
         v = rng.choice([rng.randint(-60, 60), rng.uniform(-60, 60), "oops"])
     elif col == "x":

@@ -351,6 +351,37 @@ def test_datetime_literal_on_date_column_stays_exact(spark, lake):
     assert a == b == [4]
 
 
+def test_starts_with_pruning(spark, lake):
+    """'starts_with' prunes as the range [p, increment(p)) — the
+    natural probe over sorted string (and truncated-prefix text)
+    bounds — and filters exactly like startswith."""
+    lake.create(_nums(spark, 0, 4000), "t", sort_by=["k"], sort_files=8)
+    out = lake.scan("t", [("k", "starts_with", "k0001")])
+    a = sorted(r.id for r in out.collect())
+    b = sorted(
+        r.id for r in lake.read("t").where("k LIKE 'k0001%'").collect()
+    )
+    assert a == b == list(range(100, 200))
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    # long-text table: prefix probe through truncated bounds
+    big_a, big_z = "a" * 400, "z" * 400
+    df = spark.createDataFrame([(1, big_a), (2, big_z)], "id bigint, v string")
+    lake.create(df.repartitionByRange(2, "v"), "t2")
+    out = lake.scan("t2", [("v", "starts_with", "zzz")])
+    assert [r.id for r in out.collect()] == [2]
+    assert lake.last_scan_files == (1, 2)
+    # partition-column prefix pruning
+    df = spark.createDataFrame(
+        [(1, "NL"), (2, "NO"), (3, "DE")], "id bigint, c string"
+    )
+    lake.create(df, "t3", partition_by=["c"])
+    out = lake.scan("t3", [("c", "starts_with", "N")])
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    with pytest.raises(ValueError, match="takes a string"):
+        lake.scan("t", [("k", "starts_with", 5)])
+
+
 def test_null_predicate_pruning(spark, lake):
     """is_null skips zero-null files, is_not_null skips all-null files —
     both decided from the null counts every stats entry already records
