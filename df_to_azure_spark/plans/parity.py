@@ -686,33 +686,37 @@ def w11_null_or_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "orders_notes",
     )
-    probe = lake.scan("orders_notes", [("o_note", "is_null", None)])
-    probe.count()
-    read_files, total = lake.last_scan_files
-    if not read_files < total:
+    lake.scan("orders_notes", [("o_note", "is_null", None)])
+    k1, total = lake.last_scan_files
+    if not k1 < total:
         raise PipelineRunError(
-            f"is_null pruning regressed: read {read_files}/{total} files"
+            f"is_null pruning regressed: read {k1}/{total} files"
         )
+    branch2 = [("o_note", "is_not_null", None), ("o_orderkey", "<", 1000)]
+    lake.scan("orders_notes", branch2)
+    k2 = lake.last_scan_files[0]
     out = lake.scan(
         "orders_notes",
         [
-            (
-                "or",
-                [
-                    [("o_note", "is_null", None)],
-                    [
-                        ("o_note", "is_not_null", None),
-                        ("o_orderkey", "<", 1000),
-                    ],
-                ],
-            ),
+            ("or", [[("o_note", "is_null", None)], branch2]),
             ("o_orderkey", "!=", 8),
         ],
     )
-    if not lake.last_scan_files[0] < lake.last_scan_files[1]:
+    k_or = lake.last_scan_files[0]
+    # data-independent regression gates: an OR scan may open at most
+    # the union of its branches' keeps, and must actually skip whenever
+    # the branches jointly leave room (at tiny SFs the boundary file of
+    # the null/non-null range clustering can legitimately admit both
+    # branches, so a bare k_or < total would be scale-dependent)
+    if k_or > min(total, k1 + k2):
         raise PipelineRunError(
-            f"or-predicate pruning regressed: read "
-            f"{lake.last_scan_files} files"
+            f"or-predicate pruning regressed: read {k_or}/{total} files "
+            f"but the branches keep only {k1}+{k2}"
+        )
+    if k1 + k2 < total and not k_or < total:
+        raise PipelineRunError(
+            f"or-predicate pruning regressed: read {k_or}/{total} files "
+            f"with branch keeps {k1}+{k2}"
         )
     return out.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

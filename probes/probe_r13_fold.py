@@ -1,6 +1,7 @@
 import sys, json, time, tempfile, shutil
-sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/tmp")
-from scale_ckpt_lib import spark, synth_table
+import os
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from probe_r13_lib import spark, synth_table
 from df_to_azure_spark.operators.manifest import VersionedLake
 
 n = 10**6
