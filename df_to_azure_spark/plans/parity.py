@@ -793,3 +793,81 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents
 WHERE text >= 'k' AND text < 'n'
 """
+
+
+def w13_ckpt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-checkpoint scan under the hash gate (round-13 flagship,
+    verdict task 5): orders is committed date-clustered, then an append
+    lands at ``checkpoint_interval=2`` so version 2 is a COLUMNAR
+    parquet checkpoint sidecar (``operators/ckpt.py``) — the resolution
+    root is Arrow, not JSON dicts.  The entry asserts the chain really
+    is sidecar-rooted AND that a 6-month range scan still skips files
+    (pruning now runs as Arrow kernels over the sidecar's typed stat
+    columns); the aggregate hash-checks against plain SQL over the
+    create ∪ append row sets.  This certifies the 10⁶-file read path
+    (SCALE_r13 §2: cold resolve 1.8 s, scan plan 0.1 s) on real data
+    under the same gate as the dict-rooted w7."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vckpt",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root, checkpoint_interval=2)
+    lake.create(
+        orders.where(F.col("o_orderkey") % 5 != 0),
+        "orders",
+        sort_by=["o_orderdate"],
+        sort_files=8,
+    )
+    lake.append(orders.where(F.col("o_orderkey") % 5 == 0), "orders")
+    m = lake.resolve_manifest("orders", 2)
+    if "ckpt_table" not in m:
+        raise PipelineRunError(
+            "version 2 did not resolve through a columnar checkpoint "
+            "sidecar — the round-13 checkpoint format regressed"
+        )
+    out = lake.scan(
+        "orders",
+        [
+            ("o_orderdate", ">=", datetime.datetime(1996, 1, 1)),
+            ("o_orderdate", "<", datetime.datetime(1996, 7, 1)),
+        ],
+    )
+    read_files, total = lake.last_scan_files
+    if not read_files < total:
+        raise PipelineRunError(
+            f"vectorized sidecar pruning regressed: read "
+            f"{read_files}/{total} files"
+        )
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+W13_CKPT_SCAN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

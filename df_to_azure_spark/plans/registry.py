@@ -244,6 +244,20 @@ def _stream_cdc_oracle() -> str:
     return STREAM_CDC_DIFF_ORACLE
 
 
+def _stream_cdc_rewrite_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from df_to_azure_spark.streaming.cdc_source import stream_cdc_rewrite_diff
+
+    return stream_cdc_rewrite_diff(spark, sf_dir)
+
+
+def _stream_cdc_rewrite_oracle() -> str:
+    from df_to_azure_spark.streaming.cdc_source import (
+        STREAM_CDC_REWRITE_DIFF_ORACLE,
+    )
+
+    return STREAM_CDC_REWRITE_DIFF_ORACLE
+
+
 def _stream_dedup_oracle() -> str:
     from df_to_azure_spark.streaming.events import STREAM_DEDUP_ORACLE
 
@@ -315,6 +329,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # on the text-sorted table must skip files (asserted in-entry)
     "w12_text_pruned_scan": QuerySpec(
         P.w12_text_pruned_scan, P.W12_TEXT_SCAN_ORACLE
+    ),
+    # columnar-checkpoint scan (round 13): the chain resolves through
+    # the parquet sidecar and pruning runs as Arrow kernels; raises
+    # in-entry if the sidecar root or the skipping regressed
+    "w13_ckpt_scan": QuerySpec(
+        P.w13_ckpt_scan, P.W13_CKPT_SCAN_ORACLE, headline=True
     ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
@@ -736,6 +756,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # real Structured Streaming source (Python DataSource API) —
     # streamed rows must equal the batch read of the final table
     "stream_cdc_diff": QuerySpec(_stream_cdc_diff, _stream_cdc_oracle()),
+    # the DELETE side of the CDC contract: a keyed-upsert rewrite's
+    # v1→v2 feed must equal (delete = pre-upsert table) ∪ (insert =
+    # post-upsert table); empty-set oracle
+    "stream_cdc_rewrite_diff": QuerySpec(
+        _stream_cdc_rewrite_diff, _stream_cdc_rewrite_oracle()
+    ),
     "stream_attribution_diff": QuerySpec(
         _stream_attribution_diff, _stream_attr_oracle()
     ),

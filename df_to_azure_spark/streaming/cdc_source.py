@@ -378,3 +378,76 @@ SELECT CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
        CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+
+
+def stream_cdc_rewrite_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE side of the CDC contract, hash-gated: customer is
+    committed (v1) then rewritten by a keyed upsert (v2).  A full
+    rewrite restages every file, so the v1→v2 change feed is exactly
+    (delete = the whole pre-upsert table) ∪ (insert = the whole
+    post-upsert table) — both SQL-stateable, so the streamed feed
+    (starting_version=1, skipping the snapshot) diffs against that
+    expectation and the oracle is the EMPTY SET."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.operators.manifest import VersionedLake
+    from df_to_azure_spark.operators.upsert import upsert_frames
+    from df_to_azure_spark.plans.parity import _upsert_delta
+    from df_to_azure_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vcdcrw",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(customer, "customer")
+    lake.upsert(_upsert_delta(customer), "customer", ["c_custkey"])
+
+    _CDC_SEQ[0] += 1
+    name = f"cdc_rw_{_CDC_SEQ[0]}"
+    q = (
+        read_changes_stream(spark, root, "customer", starting_version=1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    streamed = spark.sql(f"SELECT * FROM {name}").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.col("_change_type").alias("change_type"),
+    )
+    expected = customer.withColumn(
+        "change_type", F.lit("delete")
+    ).unionByName(
+        upsert_frames(
+            _upsert_delta(customer), customer, ["c_custkey"],
+            sort=False, check_keys=False,
+        ).withColumn("change_type", F.lit("insert"))
+    )
+    return (
+        streamed.exceptAll(expected)
+        .withColumn("side", F.lit("stream_only"))
+        .unionByName(
+            expected.exceptAll(streamed).withColumn("side", F.lit("batch_only"))
+        )
+    )
+
+
+STREAM_CDC_REWRITE_DIFF_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+       CAST(NULL AS INTEGER) AS c_nationkey, CAST(NULL AS DOUBLE) AS c_acctbal,
+       CAST(NULL AS VARCHAR) AS c_mktsegment,
+       CAST(NULL AS VARCHAR) AS change_type, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
+"""
