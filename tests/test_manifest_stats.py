@@ -195,6 +195,77 @@ def test_scan_through_checkpoint_sidecar_prunes_and_stays_exact(spark, lake):
     assert lake2.last_scan_files[0] < lake2.last_scan_files[1]
 
 
+def test_failed_sidecar_write_is_nonfatal_and_heals(spark, lake, monkeypatch):
+    """Delta's checkpoint contract: the JSON commit is the durable
+    truth; a sidecar write that dies AFTER it must not fail the commit,
+    readers fall through to the previous root, and the next checkpoint
+    heals the chain."""
+    lake.checkpoint_interval = 2
+    lake.create(_nums(spark, 0, 100), "t")
+
+    real = VersionedLake._write_bytes_atomic
+
+    def boom(self, path, data):
+        if path.endswith(".ckpt.parquet"):
+            raise OSError("disk full (simulated)")
+        return real(self, path, data)
+
+    monkeypatch.setattr(VersionedLake, "_write_bytes_atomic", boom)
+    lake.append(_nums(spark, 100, 110), "t")  # v2: checkpoint, sidecar dies
+    fs, p, _ = lake._fs(lake._ckpt_path("t", 2))
+    assert not fs.exists(p)
+    assert {r.id for r in lake.read("t").collect()} == set(range(110))
+    monkeypatch.setattr(VersionedLake, "_write_bytes_atomic", real)
+    lake.append(_nums(spark, 110, 115), "t")  # v3 delta
+    lake.append(_nums(spark, 115, 120), "t")  # v4: checkpoint heals
+    fs, p4, _ = lake._fs(lake._ckpt_path("t", 4))
+    assert fs.exists(p4)
+    # fresh reader resolves through the healed chain
+    lake2 = VersionedLake(spark, lake.root, checkpoint_interval=2)
+    assert lake2.read("t").count() == 120
+    m = lake2.resolve_manifest("t", 4)
+    assert "ckpt_table" in m
+
+
+def test_partitioned_table_through_sidecar_checkpoint(spark, lake):
+    """Hive partition values survive the arrow checkpoint round-trip:
+    partition-column predicates prune via the pt: columns, and
+    upsert_partitioned keeps committing O(delta) on top of the sidecar
+    root."""
+    lake.checkpoint_interval = 2
+    df = spark.createDataFrame(
+        [(i, "NL" if i % 2 else "DE", float(i)) for i in range(100)],
+        "id bigint, country string, x double",
+    )
+    lake.create(df, "t", partition_by=["country"])
+    lake.append(
+        spark.createDataFrame(
+            [(200, "FR", 9.0), (201, None, 1.0)],
+            "id bigint, country string, x double",
+        ),
+        "t",
+    )  # v2: sidecar checkpoint
+    assert "ckpt_table" in lake.resolve_manifest("t", 2)
+    out = lake.scan("t", [("country", "=", "FR")])
+    assert {r.id for r in out.collect()} == {200}
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    out = lake.scan("t", [("country", "is_null", None)])
+    assert {r.id for r in out.collect()} == {201}
+    assert lake.last_scan_files[0] < lake.last_scan_files[1]
+    # partition-scoped upsert on top of the sidecar root
+    lake.upsert_partitioned(
+        spark.createDataFrame([(1, "NL", 111.0)], "id bigint, country string, x double"),
+        "t",
+        ["id"],
+        "country",
+    )
+    got = sorted(r.id for r in lake.scan("t", [("x", ">=", 100.0)]).collect())
+    assert got == [1]
+    a = sorted(r.id for r in lake.scan("t", [("country", "=", "NL")]).collect())
+    b = sorted(r.id for r in lake.read("t").where("country = 'NL'").collect())
+    assert a == b
+
+
 def test_restore_of_sidecar_rooted_version_keeps_pruning(spark, lake):
     lake.checkpoint_interval = 2
     lake.create(_nums(spark, 0, 400), "t", sort_by=["id"], sort_files=4)
