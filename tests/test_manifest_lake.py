@@ -296,6 +296,35 @@ def test_append_schema_evolution_reads_with_merge_schema(spark, lake):
     assert got == {(1, "a", None), (2, "b", 9.5)}
 
 
+def test_schema_evolution_across_sidecar_checkpoint(spark, lake):
+    """An evolved column crossing a columnar checkpoint: the sidecar
+    advance unifies stat schemas (old rows get NULL stats for the new
+    column → always kept), merge_schema reads stay exact, and scan()
+    on the evolved column through the sidecar root never loses rows."""
+    lake.checkpoint_interval = 2
+    lake.create(_df(spark, [(i, f"v{i}") for i in range(20)]), "t")
+    wider = spark.createDataFrame(
+        [(100 + i, "w", float(i)) for i in range(10)],
+        "id bigint, v string, score double",
+    )
+    lake.append(wider, "t")  # v2: sidecar checkpoint with the new column
+    m = lake.resolve_manifest("t", 2)
+    assert "ckpt_table" in m
+    assert lake.read("t").count() == 30
+    got = {
+        (r.id, r.score)
+        for r in lake.read("t", merge_schema=True).where("score >= 5").collect()
+    }
+    assert got == {(105 + i, 5.0 + i) for i in range(5)}
+    # scan on the evolved column: old files carry no score stats in the
+    # sidecar (NULL mn) → kept; new files prune by range; results exact.
+    # NOTE scan() itself plans without mergeSchema by default, so probe
+    # via merge_schema=True
+    out = lake.scan("t", [("score", ">=", 5.0)], merge_schema=True)
+    assert {(r.id, r.score) for r in out.collect()} == got
+    assert lake.last_scan_files[0] <= lake.last_scan_files[1]
+
+
 def test_vacuum_age_gate_spares_inflight_staged_commit(spark, lake):
     """Round-11 judge defect: an ungated vacuum racing a writer in the
     stage→commit window reaped its staged-but-uncommitted files, and the
