@@ -824,7 +824,12 @@ class VersionedLake(ParquetLake):
         self.last_scan_files = (len(kept), total)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not kept:
-            df = self.spark.createDataFrame([], schema)
+            # empty result: skip the residual filter (a filter on the
+            # empty set is a no-op, and under merge_schema the pinned
+            # manifest schema may predate an evolved predicate column —
+            # referencing it here would raise instead of returning the
+            # empty frame)
+            return self.spark.createDataFrame([], schema)
         else:
             reader = self.spark.read.option(
                 "basePath", self.files_dir(table)

@@ -325,6 +325,27 @@ def test_schema_evolution_across_sidecar_checkpoint(spark, lake):
     assert lake.last_scan_files[0] <= lake.last_scan_files[1]
 
 
+def test_fully_pruned_merge_schema_scan_on_evolved_column(spark, lake):
+    """A scan that prunes every file must return the typed empty frame
+    even when a predicate references an evolved column the pinned
+    manifest schema predates (the residual filter would otherwise raise
+    on the manifest-schema empty frame)."""
+    lake.create(_df(spark, [(i, f"v{i}") for i in range(10)]), "t")
+    lake.append(
+        spark.createDataFrame(
+            [(100, "w", 1.5)], "id bigint, v string, score double"
+        ),
+        "t",
+    )
+    out = lake.scan(
+        "t",
+        [("id", ">", 10_000), ("score", ">=", 1.0)],
+        merge_schema=True,
+    )
+    assert out.count() == 0
+    assert lake.last_scan_files[0] == 0
+
+
 def test_vacuum_age_gate_spares_inflight_staged_commit(spark, lake):
     """Round-11 judge defect: an ungated vacuum racing a writer in the
     stage→commit window reaped its staged-but-uncommitted files, and the
