@@ -175,11 +175,16 @@ def ckpt_advance(
         keep = pc.invert(
             pc.is_in(prev.column("rel"), pa.array(sorted(removed), pa.string()))
         )
-        prev = prev.filter(pc.fill_null(keep, True))
+        prev = prev.filter(pc.fill_null(keep, True))  # order-preserving
     if not add_files:
         return prev
     add = ckpt_from_dicts(add_files, add_stats, schema, partition_by)
-    return pa.concat_tables([prev, add], promote_options="default")
+    out = pa.concat_tables([prev, add], promote_options="default")
+    # keep the sidecar rel-sorted: readers materialize the live file
+    # list with sorted(), which is near-O(n) on already-sorted input
+    # (timsort) but pays the full n·log n on the concat tail — sorting
+    # once at checkpoint write is amortized over every cold reader
+    return out.sort_by("rel")
 
 
 def ckpt_to_bytes(tbl: pa.Table) -> bytes:
