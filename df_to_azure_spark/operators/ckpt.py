@@ -332,6 +332,32 @@ def _conjunct_mask(tbl: pa.Table, pred: tuple, types: dict, encode) -> pa.Array:
                 if u is not None:
                     t = pc.or_(t, u)
                 km = pc.or_(km, pc.fill_null(t, True))
+            dv_name = f"dv:{col}"
+            if dv_name in names and all(
+                isinstance(e, (int, float, str, bool)) for e in encs
+            ):
+                # declared dictionary: skip files whose value set
+                # provably contains NONE of the literals (dict twin:
+                # `vals is not None and all(e not in vals)`)
+                dv = tbl.column(dv_name)
+                any_hit = pa.array([False] * n, pa.bool_())
+                unsafe_any = pa.array([False] * n, pa.bool_())
+                decid = None
+                for e in encs:
+                    contains, decidable = _list_contains(dv, e)
+                    if decid is None:
+                        decid = decidable  # per-file vals presence —
+                        # identical for every literal of the column
+                    any_hit = pc.or_(any_hit, pc.fill_null(contains, False))
+                    u2 = _unsafe_float_mask(e, mn, mx)
+                    if u2 is not None:
+                        unsafe_any = pc.or_(
+                            unsafe_any, pc.fill_null(u2, False)
+                        )
+                dict_keep = pc.if_else(
+                    pc.fill_null(decid, False), any_hit, _keep_all(n)
+                )
+                km = pc.and_(km, pc.or_(dict_keep, unsafe_any))
             return pc.if_else(undecided, allnull_keep, km)
         enc = encode(val, types[col])
         if enc is None:
@@ -373,6 +399,26 @@ def _conjunct_mask(tbl: pa.Table, pred: tuple, types: dict, encode) -> pa.Array:
             u = _unsafe_float_mask(enc, mn, mx)
             if u is not None:
                 km = pc.or_(km, u)
+            dv_name = f"dv:{col}"
+            if dv_name in names and isinstance(enc, (int, float, str, bool)):
+                # dict twin: a single-value set equal to the literal
+                # proves the file constant — prunable for '!='
+                dv = tbl.column(dv_name)
+                contains, decidable = _list_contains(dv, enc)
+                const_eq = pc.and_(
+                    pc.and_(
+                        pc.fill_null(decidable, False),
+                        pc.fill_null(
+                            pc.equal(pc.list_value_length(dv), 1), False
+                        ),
+                    ),
+                    pc.fill_null(contains, False),
+                )
+                if u is not None:
+                    const_eq = pc.and_(
+                        const_eq, pc.invert(pc.fill_null(u, False))
+                    )
+                km = pc.and_(km, pc.invert(const_eq))
             return _with_allnull(km)
         if op == "<":
             km = pc.less(mn, enc)

@@ -176,9 +176,29 @@ def test_vector_prunes_designed_cases():
     # dictionary membership prunes the 'BB' probe on the AA/CC file
     assert files[4] not in keeps([("flag", "=", "BB")])
     assert files[4] in keeps([("flag", "=", "CC")])
+    # dict-set 'in': no literal in the value set → pruned
+    assert files[4] not in keeps([("flag", "in", ("BB", "BX"))])
+    assert files[4] in keeps([("flag", "in", ("BB", "CC"))])
     # != prunes the provably-constant file
     assert files[5] not in keeps([("id", "!=", 5)])
     assert files[0] in keeps([("id", "!=", 5)])
+    # != via a single-value dict set (bounds won't prove it: widen mx)
+    files.append("files/f6.parquet")
+    stats[files[6]] = {
+        "rows": 10,
+        "cols": {"flag": {"mn": "AA", "mx": "ZZ", "nl": 0, "vals": ["DD"]}},
+    }
+    tbl6 = ckpt_from_dicts(files, stats, SCHEMA, [])
+
+    def keeps6(preds):
+        return set(
+            vector_keep_rels(
+                tbl6, VersionedLake._normalize_predicates(preds), SCHEMA, set()
+            )
+        )
+
+    assert files[6] not in keeps6([("flag", "!=", "DD")])
+    assert files[6] in keeps6([("flag", "!=", "EE")])
     # or-union
     k = keeps([("or", [[("id", "<", 3)], [("id", ">", 15)]])])
     assert files[0] in k and files[1] in k and files[5] not in k
