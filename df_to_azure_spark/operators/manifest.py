@@ -227,6 +227,54 @@ def _encode_stat(value, dtype, bound: str | None = None):
     return _NO_STAT
 
 
+class _LazyResolved(dict):
+    """Checkpoint-rooted resolved view: ``files`` (the full live-file
+    list) and ``ckpt_rels`` materialize on FIRST ACCESS from the Arrow
+    checkpoint — ``scan()`` plans entirely from the checkpoint columns
+    plus the post-root extras, so a selective scan of a 10⁷-file table
+    never pays the ~20 s Python list build; ``read()`` (which needs
+    every path) pays it once, memoized in place.  ``n_files`` is always
+    present and kernel-computed, so counting consumers (history,
+    empty-table checks, pruning totals) stay O(1) Python."""
+
+    def __missing__(self, key):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if key == "files":
+            rel = self["ckpt_table"].column("rel")
+            removed = self["ckpt_removed"]
+            if removed:
+                rel = rel.filter(
+                    pc.invert(
+                        pc.fill_null(
+                            pc.is_in(
+                                rel, pa.array(sorted(removed), pa.string())
+                            ),
+                            False,
+                        )
+                    )
+                )
+            # sidecars are kept rel-sorted at write, so this sorted()
+            # is the adaptive near-O(n) merge of two sorted runs
+            self["files"] = sorted(
+                rel.to_pylist() + list(self.get("ckpt_extra") or [])
+            )
+            return self["files"]
+        if key == "ckpt_rels":
+            self["ckpt_rels"] = set(
+                self["ckpt_table"].column("rel").to_pylist()
+            )
+            return self["ckpt_rels"]
+        raise KeyError(key)
+
+
+def _resolved_count(m: dict) -> int:
+    """Live-file count of a resolved view without forcing the lazy
+    list (``n_files`` is precomputed on checkpoint-rooted chains)."""
+    return m["n_files"] if "n_files" in m else len(m["files"])
+
+
 class VersionedLake(ParquetLake):
     """Drop-in ``ParquetLake`` with atomic versioned-manifest commits.
 
@@ -394,22 +442,22 @@ class VersionedLake(ParquetLake):
         if not fs.exists(jpath):
             return None
         tbl = ckpt_from_bytes(self._read_bytes(path))
-        rels = tbl.column("rel").to_pylist()
-        return {
-            "version": v,
-            "op": raw.get("op", "commit"),
-            "files": sorted(rels),
-            "stats": {},
-            "ckpt_table": tbl,
-            "ckpt_rels": set(rels),
-            "ckpt_removed": set(),
-            "ckpt_extra": [],
-            "partition_by": raw.get("partition_by"),
-            "dict_columns": raw.get("dict_columns") or [],
-            "schema": raw["schema"],
-            "batch_ids": raw.get("batch_ids", []),
-            "committed_ms": raw.get("committed_ms", 0),
-        }
+        return _LazyResolved(
+            {
+                "version": v,
+                "op": raw.get("op", "commit"),
+                "n_files": tbl.num_rows,
+                "stats": {},
+                "ckpt_table": tbl,
+                "ckpt_removed": set(),
+                "ckpt_extra": [],
+                "partition_by": raw.get("partition_by"),
+                "dict_columns": raw.get("dict_columns") or [],
+                "schema": raw["schema"],
+                "batch_ids": raw.get("batch_ids", []),
+                "committed_ms": raw.get("committed_ms", 0),
+            }
+        )
 
     def resolve_manifest(self, table: str, version: int) -> dict:
         """The version's LOGICAL manifest: the raw file is either full
@@ -468,7 +516,6 @@ class VersionedLake(ParquetLake):
             rstats = raw.get("stats") or {}
             for r in raw.get("add") or []:
                 added[r] = rstats.get(r)
-        files = sorted((set(resolved["files"]) - removed) | added.keys())
         stats = {
             r: s
             for r, s in resolved.get("stats", {}).items()
@@ -476,10 +523,9 @@ class VersionedLake(ParquetLake):
         }
         stats.update({r: s for r, s in added.items() if s is not None})
         final_v, final_raw = pending[0]
-        out = {
+        meta = {
             "version": final_v,
             "op": final_raw.get("op", "commit"),
-            "files": files,
             "stats": stats,
             "partition_by": final_raw.get("partition_by"),
             "dict_columns": final_raw.get("dict_columns") or [],
@@ -488,8 +534,8 @@ class VersionedLake(ParquetLake):
             "committed_ms": final_raw.get("committed_ms", 0),
         }
         if "ckpt_table" in resolved:
+            out = _LazyResolved(meta)
             out["ckpt_table"] = resolved["ckpt_table"]
-            out["ckpt_rels"] = resolved["ckpt_rels"]
             # `removed` may contain post-root rels when resolution is
             # segmented through a cached mid-chain view (this batch's
             # netting only pairs add+remove within the batch) — that is
@@ -505,6 +551,34 @@ class VersionedLake(ParquetLake):
                 set(resolved.get("ckpt_extra") or []) - removed
                 | added.keys()
             )
+            # count kernel-side: the checkpoint rows minus those of the
+            # cumulative removed set that really are checkpoint rels,
+            # plus the extras — no Python list/set over the bulk
+            rel = out["ckpt_table"].column("rel")
+            n_rm = 0
+            if out["ckpt_removed"]:
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                n_rm = _pc.sum(
+                    _pc.fill_null(
+                        _pc.is_in(
+                            rel,
+                            _pa.array(
+                                sorted(out["ckpt_removed"]), _pa.string()
+                            ),
+                        ),
+                        False,
+                    ).cast(_pa.int64())
+                ).as_py()
+            out["n_files"] = (
+                out["ckpt_table"].num_rows - int(n_rm) + len(out["ckpt_extra"])
+            )
+        else:
+            meta["files"] = sorted(
+                (set(resolved["files"]) - removed) | added.keys()
+            )
+            out = meta
         self._cache_resolved((table, final_v), out)
         return out
 
@@ -774,7 +848,7 @@ class VersionedLake(ParquetLake):
                 if rel not in stats
                 or self._file_may_match(stats[rel], predicates, types)
             ]
-            return kept, len(m["files"])
+            return kept, _resolved_count(m)
         kept = [
             rel
             for rel in m["files"]
@@ -1494,7 +1568,7 @@ class VersionedLake(ParquetLake):
                 # the read-side directory structures conflict
                 parts = list(m.get("partition_by") or partition_by or [])
                 dcols = list(m.get("dict_columns") or [])
-                mschema = m.get("schema") if m["files"] else None
+                mschema = m.get("schema") if _resolved_count(m) else None
             if files is None or staged_parts != parts:
                 files, schema = self._stage_files(
                     df, table, parts or None, dcols or None
@@ -1555,7 +1629,7 @@ class VersionedLake(ParquetLake):
             raise PipelineRunError(
                 f"lake table {table!r} does not exist under {self.root}"
             )
-        before = len(self.resolve_manifest(table, v)["files"])
+        before = _resolved_count(self.resolve_manifest(table, v))
         parts = self.partition_columns(table)
         df = self.read(table, merge_schema=True)
         if zorder_by:
@@ -1652,7 +1726,7 @@ class VersionedLake(ParquetLake):
                     v,
                     m.get("op", "commit"),
                     int(m.get("committed_ms", 0)),
-                    len(m["files"]),
+                    _resolved_count(m),
                     len(m.get("batch_ids", [])),
                 )
             )

@@ -66,8 +66,9 @@ t6 = time.time()
 from df_to_azure_spark.operators.ckpt import ckpt_advance
 from pyspark.sql import types as T
 schema = T.StructType.fromJson(json.loads(schema_json))
+first_rel = m["ckpt_table"].column("rel")[0].as_py()
 t7 = time.time()
-nxt = ckpt_advance(m["ckpt_table"], {m["files"][0]}, ["files/new.parquet"],
+nxt = ckpt_advance(m["ckpt_table"], {first_rel}, ["files/new.parquet"],
                    {"files/new.parquet": {"rows": 5, "cols": {}}}, schema, [])
 data2 = ckpt_to_bytes(nxt)
 t8 = time.time()
