@@ -296,6 +296,32 @@ def test_append_schema_evolution_reads_with_merge_schema(spark, lake):
     assert got == {(1, "a", None), (2, "b", 9.5)}
 
 
+def test_interleaved_writers_across_checkpoint_boundaries(spark, tmp_path):
+    """Two independent lake instances (separate caches — the
+    multi-writer shape) interleave appends across sidecar checkpoint
+    versions: appends auto-rebase through OCC, every checkpoint version
+    gets its sidecar, and a fresh third reader resolves the final state
+    exactly."""
+    root = str(tmp_path / "mw")
+    a = VersionedLake(spark, root, checkpoint_interval=2)
+    b = VersionedLake(spark, root, checkpoint_interval=2)
+    a.create(_df(spark, [(0, "a0")]), "t")  # v1
+    b.append(_df(spark, [(1, "b1")]), "t")  # v2: checkpoint (b's view)
+    a.append(_df(spark, [(2, "a2")]), "t")  # v3 (a rebases past b's v2)
+    b.append(_df(spark, [(3, "b3")]), "t")  # v4: checkpoint
+    a.append(_df(spark, [(4, "a4")]), "t")  # v5
+    for v in (2, 4):
+        fs, p, _ = a._fs(a._ckpt_path("t", v))
+        assert fs.exists(p), f"missing sidecar at v{v}"
+    fresh = VersionedLake(spark, root, checkpoint_interval=2)
+    got = {(r.id, r.v) for r in fresh.read("t").collect()}
+    assert got == {(0, "a0"), (1, "b1"), (2, "a2"), (3, "b3"), (4, "a4")}
+    m = fresh.resolve_manifest("t", 5)
+    assert "ckpt_table" in m  # rooted at v4's sidecar
+    # time travel across the interleaving stays exact
+    assert fresh.read("t", version=3).count() == 3
+
+
 def test_schema_evolution_across_sidecar_checkpoint(spark, lake):
     """An evolved column crossing a columnar checkpoint: the sidecar
     advance unifies stat schemas (old rows get NULL stats for the new
