@@ -871,3 +871,49 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def w14_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``starts_with`` predicate under the hash gate (round-13): on the
+    text-sorted documents table a prefix probe prunes as the range
+    ``[p, increment(p))`` over the truncated-prefix bounds, opening
+    only the files whose widened range admits the prefix (asserted
+    in-entry).  The oracle states the same probe as ``LIKE 'p%'`` —
+    both engines compare strings in binary order, and the plain-ASCII
+    prefix needs no LIKE escaping."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vprefix",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(docs, "documents", sort_by=["text"], sort_files=8)
+    out = lake.scan("documents", [("text", "starts_with", "ba")])
+    read_files, total = lake.last_scan_files
+    if not read_files < total:
+        raise PipelineRunError(
+            f"starts_with pruning regressed: read {read_files}/{total} files"
+        )
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+    )
+
+
+W14_PREFIX_SCAN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE text LIKE 'ba%'
+"""

@@ -336,6 +336,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "w13_ckpt_scan": QuerySpec(
         P.w13_ckpt_scan, P.W13_CKPT_SCAN_ORACLE, headline=True
     ),
+    # starts_with prefix pruning (round 13) on the text-sorted
+    # documents table; raises in-entry if the prefix probe stops
+    # skipping files
+    "w14_prefix_scan": QuerySpec(P.w14_prefix_scan, P.W14_PREFIX_SCAN_ORACLE),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),
