@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "ckpt_from_dicts",
+    "ckpt_to_dicts",
     "ckpt_advance",
     "ckpt_to_bytes",
     "ckpt_from_bytes",
@@ -156,6 +157,62 @@ def ckpt_from_dicts(
         arrays.append(pa.array(cols[f"pt:{p}"], pa.string()))
         fields.append(pa.field(f"pt:{p}", pa.string()))
     return pa.table(arrays, schema=pa.schema(fields))
+
+
+def ckpt_to_dicts(tbl: pa.Table) -> dict[str, dict]:
+    """Inverse of :func:`ckpt_from_dicts`: re-materialize the sidecar
+    rows as JSON-manifest per-file stats dicts.  This is the legacy
+    bridge for a ``checkpoint_format`` switch — a table whose chain
+    roots at a parquet sidecar being re-checkpointed in ``'json'`` mode
+    would otherwise carry only the post-root delta's stats in the full
+    JSON manifest, silently dropping zone maps for the bulk of the
+    table.  O(files) Python dicts by construction (that IS the json
+    format's cost — the parquet default never calls this).
+
+    Encoding notes: a column entry exists iff its null count is non-null
+    (``ckpt_from_dicts`` writes all-None triples for absent entries); a
+    file with a null ``rows`` carried no stats at all and gets no dict
+    entry (stats-less keep).  Hive partition values are re-quoted with
+    ``urllib.parse.quote(safe='')`` — the dict evaluator only ever
+    compares ``unquote(pv)``, and ``unquote∘quote`` is exact, so the
+    round-trip is sound even where hive's own escape set differs."""
+    from urllib.parse import quote
+
+    names = tbl.column_names
+    stat_names = [n[3:] for n in names if n.startswith("mn:")]
+    part_names = [n[3:] for n in names if n.startswith("pt:")]
+    data = {n: tbl.column(n).to_pylist() for n in names}
+    out: dict[str, dict] = {}
+    for i, rel in enumerate(data["rel"]):
+        rows = data["rows"][i]
+        if rows is None:
+            continue
+        cols: dict[str, dict] = {}
+        for c in stat_names:
+            nlv = data[f"nl:{c}"][i]
+            if nlv is None:
+                continue
+            e: dict = {
+                "mn": data[f"mn:{c}"][i],
+                "mx": data[f"mx:{c}"][i],
+                "nl": int(nlv),
+            }
+            dv = data.get(f"dv:{c}")
+            if dv is not None and dv[i] is not None:
+                e["vals"] = list(dv[i])
+            cols[c] = e
+        st: dict = {"rows": int(rows), "cols": cols}
+        if part_names:
+            st["part"] = {
+                p: (
+                    _HIVE_NULL
+                    if data[f"pt:{p}"][i] is None
+                    else quote(data[f"pt:{p}"][i], safe="")
+                )
+                for p in part_names
+            }
+        out[rel] = st
+    return out
 
 
 def ckpt_advance(

@@ -903,9 +903,30 @@ class VersionedLake(ParquetLake):
                 f"lake table {table!r} does not exist under {self.root}"
             )
         m = self.resolve_manifest(table, v)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not merge_schema:
+            # validate predicate columns against the manifest schema
+            # (plus partition columns) BEFORE pruning: without this, a
+            # typo'd column name raises AnalysisException when any file
+            # survives pruning but silently returns an empty frame when
+            # other conjuncts prune everything — an inconsistent error
+            # surface.  merge_schema=True stays the one deliberate
+            # pass-through: an evolved predicate column may exist only
+            # in files newer than the pinned manifest schema.
+            known = {f.name for f in schema.fields} | set(
+                m.get("partition_by") or []
+            )
+            unknown = sorted(
+                self._predicate_column_names(predicates) - known
+            )
+            if unknown:
+                raise PipelineRunError(
+                    f"scan: predicate column(s) {unknown} are not in "
+                    f"table {table!r}'s schema; pass merge_schema=True "
+                    "only for columns added by schema evolution"
+                )
         kept, total = self._prune(m, predicates)
         self.last_scan_files = (len(kept), total)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not kept:
             # empty result: skip the residual filter (a filter on the
             # empty set is a no-op, and under merge_schema the pinned
@@ -933,6 +954,18 @@ class VersionedLake(ParquetLake):
             extras = [c for c in df.columns if c not in set(names)]
             df = df.select(*[F.col(f"`{c}`") for c in names + extras])
         return df.where(self._predicate_condition(predicates))
+
+    @staticmethod
+    def _predicate_column_names(predicates) -> set[str]:
+        """Every column a (normalized) predicate tree references."""
+        cols: set[str] = set()
+        for pred in predicates:
+            if len(pred) == 2 and pred[0] == "or":
+                for branch in pred[1]:
+                    cols |= VersionedLake._predicate_column_names(branch)
+            else:
+                cols.add(pred[0])
+        return cols
 
     @staticmethod
     def _normalize_predicates(predicates) -> list[tuple]:
@@ -1378,11 +1411,28 @@ class VersionedLake(ParquetLake):
                 (set(base["files"]) - set(remove)) | set(add)
             )
             fset = set(files)
-            merged = {
-                r: s
-                for r, s in base.get("stats", {}).items()
-                if r in fset
-            }
+            if "ckpt_table" in base:
+                # legacy 'json' checkpoint over a parquet-rooted chain
+                # (a checkpoint_format switch): the resolved view's dict
+                # stats cover only the post-root delta — re-materialize
+                # the bulk's stats from the sidecar columns so the full
+                # JSON manifest keeps the whole table's zone maps
+                from df_to_azure_spark.operators.ckpt import ckpt_to_dicts
+
+                merged = {
+                    r: s
+                    for r, s in ckpt_to_dicts(base["ckpt_table"]).items()
+                    if r in fset
+                }
+            else:
+                merged = {}
+            merged.update(
+                {
+                    r: s
+                    for r, s in base.get("stats", {}).items()
+                    if r in fset
+                }
+            )
             merged.update(stats or {})
             return self._commit(
                 table, files, partition_by, schema_json,
@@ -1816,14 +1866,32 @@ class VersionedLake(ParquetLake):
             # which the full-JSON commit above cannot carry — write the
             # new version's own sidecar from the SAME resolution so the
             # restored table keeps its pruning power (resolution prefers
-            # the sidecar over the partial-stats JSON)
+            # the sidecar over the partial-stats JSON).  Best-effort like
+            # every sidecar write (_write_ckpt_sidecar): the restore is
+            # already durable at this point, so an IO failure here must
+            # degrade to partial-stats JSON (pruning lost, results
+            # correct) instead of raising out of a committed restore —
+            # a caller retry would otherwise publish a duplicate.
             from df_to_azure_spark.operators.ckpt import ckpt_to_bytes
 
-            self._write_bytes_atomic(
-                self._ckpt_path(table, n),
-                ckpt_to_bytes(self._ckpt_table_from_resolved(m)),
-            )
-            self._resolved_cache.pop((table, n), None)
+            try:
+                self._write_bytes_atomic(
+                    self._ckpt_path(table, n),
+                    ckpt_to_bytes(self._ckpt_table_from_resolved(m)),
+                )
+                self._resolved_cache.pop((table, n), None)
+            except Exception:  # noqa: BLE001 — sidecar loss is recoverable
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "checkpoint sidecar write failed for restored %s v%d; "
+                    "the restore itself is committed — pruning degrades to "
+                    "the JSON manifest's partial stats until the next "
+                    "checkpoint",
+                    table,
+                    n,
+                    exc_info=True,
+                )
         return n
 
     # -- maintenance -----------------------------------------------------

@@ -30,6 +30,14 @@ exactly Delta's rule that ``deletedFileRetentionDuration`` must exceed
 downstream consumer lag.  A stream that falls behind a vacuum horizon
 fails loudly at ``partitions()`` instead of fabricating a delta.
 
+Trigger note: Spark 4's Python DataSource API does not yet hand custom
+stream readers the AvailableNow contract, so ``trigger(availableNow=
+True)`` logs a one-time warning and FALLS BACK to a single
+``Trigger.Once``-style drain of everything up to ``latestOffset`` —
+expected behavior, not a defect: one batch covers the same version
+range, offsets/commit bookkeeping are unchanged, and the
+stream-vs-batch twins pin the equivalence.
+
 Local-path scope, stated honestly: manifest resolution here is plain
 ``open()``/``os.listdir`` (the DataSource API hands executors no JVM,
 hence no Hadoop FileSystem).  ``file://`` roots — this container, NFS,
@@ -232,6 +240,12 @@ class LakeCdcStreamReader(DataSourceStreamReader):
                 parts.append(InputPartition((rel, "insert", v)))
             for rel in removed:
                 parts.append(InputPartition((rel, "delete", v)))
+        # evict memoized file lists below the batch end: the planner
+        # only ever needs v-1 when commit v is a full manifest, and the
+        # next batch starts at e — without this a long-running stream
+        # over a large table accumulates one O(table) list per full
+        # manifest crossed, growing driver memory without bound
+        self._memo = {k: f for k, f in self._memo.items() if k >= e}
         # no partitions is legal (e.g. a metadata-only commit): Spark
         # plans an empty micro-batch — but the API needs >= 1 partition
         return parts or [InputPartition(None)]

@@ -569,3 +569,109 @@ def test_file_changes_and_read_changes(spark, lake):
     ch2 = {(r.id, r.change_type) for r in lake.read_changes("t", 3, 4).collect()}
     assert (1, "insert") in ch2 and (1, "delete") in ch2
     assert (2, "insert") in ch2 and (2, "delete") in ch2  # carried rows
+
+
+def test_restore_sidecar_failure_degrades_not_raises(spark, lake, monkeypatch):
+    """Round-13 advisor: the restore-path sidecar write runs AFTER the
+    restore commit has published, so an IO failure there must degrade to
+    partial-stats JSON (pruning lost, results correct) — raising would
+    make a caller retry publish a duplicate restore commit."""
+    lake.checkpoint_interval = 2
+    lake.create(_df(spark, [(i, f"v{i}") for i in range(8)]), "t")
+    lake.append(_df(spark, [(100, "x")]), "t")
+    assert "ckpt_table" in lake.resolve_manifest("t", 2)
+
+    def boom(path, data):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(lake, "_write_bytes_atomic", boom)
+    n = lake.restore("t", 2)  # must NOT raise
+    assert n == 3
+    assert {r.id for r in lake.read("t").collect()} == set(range(8)) | {100}
+    # scan still correct (pruning may be weaker without the sidecar)
+    assert {r.id for r in lake.scan("t", [("id", "=", 100)]).collect()} == {100}
+
+
+def test_json_mode_checkpoint_rematerializes_sidecar_stats(spark, tmp_path):
+    """Round-13 advisor: reopening a parquet-checkpoint table in legacy
+    checkpoint_format='json' must re-materialize the sidecar's per-file
+    stats into the full JSON manifest — otherwise the format switch
+    silently drops zone maps (and hive partition values) for the bulk
+    of the table."""
+    root = str(tmp_path / "lake")
+    pq_lake = VersionedLake(spark, root, checkpoint_interval=2)
+    df = spark.createDataFrame(
+        [(i, "FR" if i % 2 else "a b/c=d", float(i)) for i in range(16)],
+        "id bigint, country string, x double",
+    )
+    pq_lake.create(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        "t",
+        partition_by=["country"],
+    )
+    pq_lake.append(
+        spark.createDataFrame(
+            [(100, "DE", 1.0)], "id bigint, country string, x double"
+        ),
+        "t",
+    )
+    assert "ckpt_table" in pq_lake.resolve_manifest("t", 2)
+
+    js_lake = VersionedLake(
+        spark, root, checkpoint_interval=2, checkpoint_format="json"
+    )
+    js_lake.append(
+        spark.createDataFrame(
+            [(101, "DE", 2.0)], "id bigint, country string, x double"
+        ),
+        "t",
+    )  # v3: delta off the sidecar root
+    js_lake.append(
+        spark.createDataFrame(
+            [(102, "DE", 3.0)], "id bigint, country string, x double"
+        ),
+        "t",
+    )  # v4: json-mode full checkpoint — the re-materialization path
+    raw = js_lake._load_manifest("t", 4)
+    assert "files" in raw
+    # every live file carries stats again, including the sidecar bulk
+    assert set(raw["stats"]) == set(raw["files"])
+    # hive partition values round-tripped (quote∘unquote exact): a scan
+    # on the escaped partition value and on the zone-mapped id column
+    # both stay ≡ read().where() and still skip files
+    got = {
+        r.id
+        for r in js_lake.scan("t", [("country", "=", "a b/c=d")]).collect()
+    }
+    want = {
+        r.id
+        for r in js_lake.read("t").where("country = 'a b/c=d'").collect()
+    }
+    assert got == want and got
+    assert js_lake.last_scan_files[0] < js_lake.last_scan_files[1]
+    js_lake.scan("t", [("id", "<", 4)])
+    assert js_lake.last_scan_files[0] < js_lake.last_scan_files[1]
+
+
+def test_scan_unknown_column_raises_consistently(spark, lake):
+    """Round-13 advisor: a typo'd predicate column must raise whether or
+    not other conjuncts prune every file — not silently return empty in
+    the fully-pruned case.  merge_schema=True keeps the evolved-column
+    pass-through."""
+    lake.create(_df(spark, [(i, f"v{i}") for i in range(10)]), "t")
+    with pytest.raises(PipelineRunError, match="no_such_col"):
+        lake.scan("t", [("id", ">", 10_000), ("no_such_col", "=", 1)])
+    with pytest.raises(PipelineRunError, match="no_such_col"):
+        lake.scan("t", [("id", ">=", 0), ("no_such_col", "=", 1)])
+    with pytest.raises(PipelineRunError, match="no_such_col"):
+        lake.scan("t", [("or", [[("no_such_col", "=", 1)], [("id", "=", 1)]])])
+    # evolved column, merge_schema=True: still passes through (the
+    # column exists only in files newer than the manifest schema)
+    lake.append(
+        spark.createDataFrame(
+            [(100, "w", 7)], "id bigint, v string, evolved bigint"
+        ),
+        "t",
+    )
+    out = lake.scan("t", [("evolved", "=", 7)], merge_schema=True)
+    assert {r.id for r in out.collect()} == {100}

@@ -195,3 +195,35 @@ def test_schema_has_meta_columns(spark, lake):
     names = [f.name for f in stream.schema.fields]
     assert names == ["id", "v", "_change_type", "_commit_version"]
     assert stream.isStreaming
+
+
+def test_planner_memo_is_bounded(spark, lake):
+    """Round-13 advisor: the reader's resolved-file-list memo must not
+    grow one O(table) entry per full-manifest version crossed — a
+    long-running stream over a large table would otherwise grow driver
+    memory without bound.  After planning, only versions >= the batch
+    end may remain memoized, and repeated planning stays correct."""
+    from df_to_azure_spark.streaming.cdc_source import (
+        LakeCdcDataSource,
+        LakeCdcStreamReader,
+    )
+
+    lake.checkpoint_interval = 2  # json-mode full manifests need resolves
+    lake.checkpoint_format = "json"
+    lake.create(_df(spark, 0, 10), "t")
+    for i in range(1, 7):
+        lake.append(_df(spark, 10 * i, 10 * i + 10), "t")
+    src = LakeCdcDataSource(
+        options={"root": lake.root, "table": "t", "starting_version": "0"}
+    )
+    reader = LakeCdcStreamReader(src.options, src.schema())
+    parts_all = reader.partitions({"version": 0}, {"version": 7})
+    assert all(k >= 7 for k in reader._memo)
+    # planning the same range again (a restart replay) is unaffected
+    reader2 = LakeCdcStreamReader(src.options, src.schema())
+    chunks = []
+    for s, e in [(0, 3), (3, 5), (5, 7)]:
+        chunks += reader2.partitions({"version": s}, {"version": e})
+        assert all(k >= e for k in reader2._memo)
+    key = lambda p: p.value  # noqa: E731
+    assert sorted(map(key, parts_all)) == sorted(map(key, chunks))
