@@ -326,6 +326,11 @@ class VersionedLake(ParquetLake):
         # (files read, files total) of the most recent scan() — the
         # observable data-skipping effect, probed by tests and SCALE_r12
         self.last_scan_files: tuple[int, int] | None = None
+        # (dropped, rewritten, carried) of the most recent
+        # delete_where/merge_keyed — the observable rewrite-bounding
+        # effect (carried files moved through the O(delta) commit
+        # without being read or restaged)
+        self.last_rewrite_files: tuple[int, int, int] | None = None
 
     # -- paths -------------------------------------------------------
     def files_dir(self, table: str) -> str:
@@ -825,6 +830,174 @@ class VersionedLake(ParquetLake):
                 continue
         return True
 
+    @staticmethod
+    def _file_all_match(
+        st: dict, predicates: list[tuple], types: dict
+    ) -> bool:
+        """Conservative WHOLE-FILE match test — the dual of
+        :meth:`_file_may_match`: True ONLY when the file's recorded
+        stats prove EVERY row satisfies every conjunct, so
+        ``delete_where`` can drop the file outright instead of
+        rewriting it (Delta's full-file delete — the path a retention
+        or partition-scoped delete takes at scale).  Any missing or
+        undecidable stat returns False: the failure mode is always
+        "rewrite instead of drop", never row loss.
+
+        Truncated string bounds stay sound here because they widen
+        outward (stored ``mn`` ≤ true min, stored ``mx`` ≥ true max):
+        every proof below only gets HARDER under widening.  Float
+        literals against ≥2^53 integer bounds are refused exactly as in
+        the keep test — Spark's own comparison promotes through double
+        there, and an all-match claim must mirror what the residual
+        filter would do."""
+        import datetime as _dt
+
+        part = st.get("part") or {}
+        cols = st.get("cols") or {}
+        rows = st.get("rows")
+        if not rows:
+            return False  # unknown/zero row count: nothing to drop
+
+        def _hive_decidable(v) -> bool:
+            return (
+                isinstance(v, str)
+                or (isinstance(v, int) and not isinstance(v, bool))
+                or (
+                    isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime)
+                )
+            )
+
+        for pred in predicates:
+            if len(pred) == 2 and pred[0] == "or":
+                # sufficient: some branch matches every row
+                if not any(
+                    VersionedLake._file_all_match(st, branch, types)
+                    for branch in pred[1]
+                ):
+                    return False
+                continue
+            col, op, val = pred
+            if col in part:
+                pv = part[col]
+                if op == "is_null":
+                    if pv != _HIVE_NULL:
+                        return False
+                elif op == "is_not_null":
+                    if pv == _HIVE_NULL:
+                        return False
+                elif pv == _HIVE_NULL:
+                    return False  # null value satisfies no other op
+                elif op == "=":
+                    if not (
+                        _hive_decidable(val) and str(val) == unquote(pv)
+                    ):
+                        return False
+                elif op == "!=":
+                    if not (
+                        _hive_decidable(val) and str(val) != unquote(pv)
+                    ):
+                        return False
+                elif op == "in":
+                    if not (
+                        all(_hive_decidable(v) for v in val)
+                        and unquote(pv) in {str(v) for v in val}
+                    ):
+                        return False
+                elif op == "starts_with":
+                    if not (
+                        isinstance(val, str)
+                        and unquote(pv).startswith(val)
+                    ):
+                        return False
+                else:
+                    return False  # range ops on hive values: undecidable
+                continue
+            c = cols.get(col)
+            if c is None or col not in types:
+                return False
+            mn, mx, nl = c["mn"], c["mx"], c["nl"]
+            if op == "is_null":
+                if nl != rows:
+                    return False
+                continue
+            if op == "is_not_null":
+                if nl != 0:
+                    return False
+                continue
+            # every remaining op is null-rejecting: any null row breaks
+            # the all-match claim
+            if nl != 0 or mn is None or mx is None:
+                return False
+
+            def _unsafe_float(e) -> bool:
+                return isinstance(e, float) and isinstance(
+                    mn, int
+                ) and (abs(mn) >= 2**53 or abs(mx) >= 2**53)
+
+            try:
+                if op == "between":
+                    lo = _encode_stat(val[0], types[col])
+                    hi = _encode_stat(val[1], types[col])
+                    if (
+                        lo is _NO_STAT
+                        or hi is _NO_STAT
+                        or _unsafe_float(lo)
+                        or _unsafe_float(hi)
+                    ):
+                        return False
+                    if not (mn >= lo and mx <= hi):
+                        return False
+                    continue
+                if op == "in":
+                    encs = [_encode_stat(v, types[col]) for v in val]
+                    if any(
+                        e is _NO_STAT or _unsafe_float(e) for e in encs
+                    ):
+                        return False
+                    vals = c.get("vals")
+                    if vals is not None and all(v in encs for v in vals):
+                        continue
+                    if mn == mx and mn in encs:
+                        continue
+                    return False
+                enc = _encode_stat(val, types[col])
+                if enc is _NO_STAT or _unsafe_float(enc):
+                    return False
+                if op == "=":
+                    if not (mn == enc and mx == enc):
+                        return False
+                    # widened string bounds can never collide into
+                    # equality (min truncates, max increments at the
+                    # cut), so mn == mx == enc proves a constant file
+                elif op == "!=":
+                    if not (mx < enc or mn > enc):
+                        return False
+                elif op == "<":
+                    if not mx < enc:
+                        return False
+                elif op == "<=":
+                    if not mx <= enc:
+                        return False
+                elif op == ">":
+                    if not mn > enc:
+                        return False
+                elif op == ">=":
+                    if not mn >= enc:
+                        return False
+                elif op == "starts_with":
+                    # all strings in [p, increment(p)) start with p
+                    if not isinstance(enc, str):
+                        return False
+                    up = _truncated_upper_bound(enc)
+                    if up is _NO_STAT or not (mn >= enc and mx < up):
+                        return False
+                else:
+                    return False
+            except TypeError:
+                return False  # evolved-type stats: undecidable
+        return True
+
     def _prune(
         self, m: dict, predicates: list[tuple]
     ) -> tuple[list[str], int]:
@@ -905,26 +1078,7 @@ class VersionedLake(ParquetLake):
         m = self.resolve_manifest(table, v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not merge_schema:
-            # validate predicate columns against the manifest schema
-            # (plus partition columns) BEFORE pruning: without this, a
-            # typo'd column name raises AnalysisException when any file
-            # survives pruning but silently returns an empty frame when
-            # other conjuncts prune everything — an inconsistent error
-            # surface.  merge_schema=True stays the one deliberate
-            # pass-through: an evolved predicate column may exist only
-            # in files newer than the pinned manifest schema.
-            known = {f.name for f in schema.fields} | set(
-                m.get("partition_by") or []
-            )
-            unknown = sorted(
-                self._predicate_column_names(predicates) - known
-            )
-            if unknown:
-                raise PipelineRunError(
-                    f"scan: predicate column(s) {unknown} are not in "
-                    f"table {table!r}'s schema; pass merge_schema=True "
-                    "only for columns added by schema evolution"
-                )
+            self._validate_predicate_columns(m, schema, predicates, table)
         kept, total = self._prune(m, predicates)
         self.last_scan_files = (len(kept), total)
         if not kept:
@@ -954,6 +1108,29 @@ class VersionedLake(ParquetLake):
             extras = [c for c in df.columns if c not in set(names)]
             df = df.select(*[F.col(f"`{c}`") for c in names + extras])
         return df.where(self._predicate_condition(predicates))
+
+    @staticmethod
+    def _validate_predicate_columns(m, schema, predicates, table) -> None:
+        """Validate predicate column names against the manifest schema
+        (plus partition columns) BEFORE pruning: without this, a typo'd
+        column name raises AnalysisException when any file survives
+        pruning but silently returns an empty frame when other conjuncts
+        prune everything — an inconsistent error surface.  ``scan``'s
+        ``merge_schema=True`` stays the one deliberate pass-through: an
+        evolved predicate column may exist only in files newer than the
+        pinned manifest schema."""
+        known = {f.name for f in schema.fields} | set(
+            m.get("partition_by") or []
+        )
+        unknown = sorted(
+            VersionedLake._predicate_column_names(predicates) - known
+        )
+        if unknown:
+            raise PipelineRunError(
+                f"predicate column(s) {unknown} are not in table "
+                f"{table!r}'s schema (scan accepts merge_schema=True "
+                "for columns added by schema evolution)"
+            )
 
     @staticmethod
     def _predicate_column_names(predicates) -> set[str]:
@@ -1761,6 +1938,258 @@ class VersionedLake(ParquetLake):
             dict_columns=dcols or None,
         )
         return len(touched_dirs)
+
+    def _read_rels(
+        self, table: str, rels: list[str], schema_json: str
+    ) -> DataFrame:
+        """Plan over an explicit file subset in manifest-schema column
+        order (hive-partitioned reads append partition columns last;
+        rewrite verbs need the declared order for stable staging)."""
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if not rels:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option(
+            "basePath", self.files_dir(table)
+        ).parquet(*[f"{self.table_dir(table)}/{rel}" for rel in rels])
+        names = [f.name for f in schema.fields if f.name in set(df.columns)]
+        extras = [c for c in df.columns if c not in set(names)]
+        return df.select(*[F.col(f"`{c}`") for c in names + extras])
+
+    def delete_where(self, table: str, predicates: list[tuple]) -> int:
+        """Predicate-scoped DELETE with pruning-bounded IO (Delta's
+        ``DELETE WHERE`` design; the CRUD verb the reference's SQL path
+        gets from the database for free — ``/root/reference/df_to_azure/
+        db.py:20-53`` runs inside Azure SQL's transaction; this gives
+        the versioned lake the same verb).  ``predicates`` is
+        :meth:`scan`'s conjunction tree; rows where it evaluates TRUE
+        are deleted (NULL rows survive, SQL ``DELETE WHERE``
+        semantics).
+
+        IO is proportional to the files that MAY match, never the
+        table: the zone-map keep-set bounds the rewrite, files pruning
+        excludes carry over verbatim through the O(delta) commit, and
+        files whose stats prove EVERY row matches (a partition-value
+        delete, a clustered range delete past its boundary files) are
+        dropped with NO rewrite at all (:meth:`_file_all_match`) — at
+        100 TB a retention delete on a date-clustered table is
+        manifest-only work plus the two boundary files.  The commit is
+        remove+add, so ``read_changes`` and the CDC stream emit the
+        delete side (carried-over rows of rewritten files surface as
+        delete+insert pairs — the documented file-granular contract).
+
+        OCC: the expected version is the version the keep-set was
+        computed against; an interleaved commit fails this one loudly.
+        Returns the number of files touched (dropped + rewritten);
+        ``last_rewrite_files = (dropped, rewritten, carried)`` records
+        the split."""
+        predicates = self._normalize_predicates(predicates)
+        v = self.current_version(table)
+        if v is None:
+            raise PipelineRunError(
+                f"lake table {table!r} does not exist under {self.root}"
+            )
+        m = self.resolve_manifest(table, v)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        self._validate_predicate_columns(m, schema, predicates, table)
+        candidates, total = self._prune(m, predicates)
+        stats = m.get("stats") or {}
+        types = {f.name: f.dataType for f in schema.fields}
+        if "ckpt_table" in m and candidates:
+            # the checkpoint bulk's stats live in Arrow columns; the
+            # all-match test needs dicts — materialize them for the
+            # CANDIDATE files only (the keep-set, already small for a
+            # selective delete), never the whole sidecar
+            from df_to_azure_spark.operators.ckpt import ckpt_to_dicts
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            tbl = m["ckpt_table"]
+            need = set(candidates) - set(stats)
+            if need:
+                sub = tbl.filter(
+                    pc.fill_null(
+                        pc.is_in(
+                            tbl.column("rel"),
+                            pa.array(sorted(need), pa.string()),
+                        ),
+                        False,
+                    )
+                )
+                stats = {**ckpt_to_dicts(sub), **stats}
+        dropped = [
+            rel
+            for rel in candidates
+            if rel in stats
+            and self._file_all_match(stats[rel], predicates, types)
+        ]
+        drop_set = set(dropped)
+        rewrite = [rel for rel in candidates if rel not in drop_set]
+        self.last_rewrite_files = (
+            len(dropped),
+            len(rewrite),
+            total - len(candidates),
+        )
+        if not candidates:
+            return 0  # nothing can match: no commit, table unchanged
+        parts = list(m.get("partition_by") or [])
+        dcols = self.dict_stats_columns(table)
+        new_files: list[str] = []
+        new_stats: dict[str, dict] = {}
+        if rewrite:
+            df = self._read_rels(table, rewrite, m["schema"])
+            # NULL predicate rows SURVIVE a delete (WHERE semantics)
+            survivors = df.where(
+                ~F.coalesce(
+                    self._predicate_condition(predicates), F.lit(False)
+                )
+            )
+            new_files, _ = self._stage_files(
+                survivors, table, parts or None, dcols or None
+            )
+            new_stats = self._pending_stats
+        self._commit_delta(
+            table,
+            new_files,
+            candidates,
+            parts or None,
+            m["schema"],
+            v,
+            self._carry_batches(table, None),
+            stats=new_stats,
+            op="delete",
+            dict_columns=dcols or None,
+        )
+        return len(candidates)
+
+    def merge_keyed(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        when_matched: str | None = "update_all",
+        when_not_matched: str | None = "insert_all",
+    ) -> int:
+        """Row-level keyed MERGE on ANY versioned table — no partition
+        requirement (the gap ``upsert_partitioned`` left; reference
+        anchor: the staged SQL MERGE flow ``/root/reference/df_to_azure/
+        db.py:20-53`` — same clause semantics as ``merge_frames``).
+
+        Pruning-bounded rewrite: one small aggregation takes the
+        delta's per-key-column min/max, and only files whose zone maps
+        intersect that key envelope are read and rewritten — on a
+        key-clustered table a small delta touches a handful of files
+        out of millions, everything else carries verbatim through the
+        O(delta) commit.  This is sound because a file pruned on any
+        key column's range provably contains no row matching any delta
+        key.  Insert-only merges never rewrite at all: unmatched delta
+        rows stage as NEW files (append shape).  The commit is
+        remove+add, so the CDC feed emits the delete side of every
+        rewritten file.
+
+        Delta keys must be non-NULL (SQL ``MERGE ON k = k`` never
+        matches NULL, and a NULL key is invisible to range pruning) —
+        violations raise before any write.  Returns the number of
+        files rewritten; ``last_rewrite_files = (0, rewritten,
+        carried)``."""
+        from df_to_azure_spark.operators.upsert import (
+            check_same_columns,
+            merge_frames,
+        )
+
+        ensure_unique_keys(df, keys)
+        v = self.current_version(table)
+        if v is None:
+            raise PipelineRunError(
+                f"lake table {table!r} does not exist under {self.root}"
+            )
+        m = self.resolve_manifest(table, v)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        check_same_columns(df, self.spark.createDataFrame([], schema))
+        null_key = df.where(
+            " OR ".join(f"`{k}` IS NULL" for k in keys)
+        ).limit(1)
+        if null_key.count() > 0:
+            raise PipelineRunError(
+                f"merge_keyed: delta contains NULL values in key(s) "
+                f"{keys!r}; MERGE keys must be non-NULL"
+            )
+        # the delta's key envelope: ONE tiny aggregation, model-sized
+        # collect (2 values per key column)
+        aggs = []
+        for k in keys:
+            aggs.append(F.min(F.col(f"`{k}`")).alias(f"mn__{k}"))
+            aggs.append(F.max(F.col(f"`{k}`")).alias(f"mx__{k}"))
+        env = df.agg(*aggs).collect()[0]
+        if env[f"mn__{keys[0]}"] is None:
+            self.last_rewrite_files = (0, 0, _resolved_count(m))
+            return 0  # empty delta: nothing to update or insert
+        preds = self._normalize_predicates(
+            [
+                (k, "between", (env[f"mn__{k}"], env[f"mx__{k}"]))
+                for k in keys
+            ]
+        )
+        candidates, total = self._prune(m, preds)
+        parts = list(m.get("partition_by") or [])
+        dcols = self.dict_stats_columns(table)
+        if when_matched is None:
+            # insert-only: existing rows are untouched by contract, so
+            # stage ONLY the unmatched delta rows as new files — an
+            # append-shaped commit, zero rewrites
+            affected = self._read_rels(table, candidates, m["schema"])
+            inserts = df.join(
+                affected.select(*keys).dropDuplicates(keys),
+                keys,
+                "left_anti",
+            )
+            new_files, _ = self._stage_files(
+                inserts, table, parts or None, dcols or None
+            )
+            self.last_rewrite_files = (0, 0, total)
+            self._commit_delta(
+                table,
+                new_files,
+                [],
+                parts or None,
+                m["schema"],
+                v,
+                self._carry_batches(table, None),
+                stats=self._pending_stats,
+                op="merge",
+                dict_columns=dcols or None,
+            )
+            return 0
+        affected = self._read_rels(table, candidates, m["schema"])
+        merged = merge_frames(
+            df,
+            affected,
+            keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            check_keys=False,
+        )
+        new_files, _ = self._stage_files(
+            merged, table, parts or None, dcols or None
+        )
+        self.last_rewrite_files = (
+            0,
+            len(candidates),
+            total - len(candidates),
+        )
+        self._commit_delta(
+            table,
+            new_files,
+            candidates,
+            parts or None,
+            m["schema"],
+            v,
+            self._carry_batches(table, None),
+            stats=self._pending_stats,
+            op="merge",
+            dict_columns=dcols or None,
+        )
+        return len(candidates)
 
     def history(self, table: str) -> DataFrame:
         """Commit history as a DataFrame — ``(version, op, committed_ms,

@@ -917,3 +917,199 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents
 WHERE text LIKE 'ba%'
 """
+
+
+def w15_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped DELETE under the hash gate (round-14, verdict
+    task 1): orders is committed date-clustered, then
+    ``delete_where`` removes a two-year range.  The pruning keep-set
+    bounds the rewrite — in-entry asserts pin that (a) interior files
+    whose stats prove every row matches are DROPPED with no rewrite
+    (manifest-only work, the retention-delete shape at 100 TB), (b) at
+    most the two boundary files are rewritten, and (c) every untouched
+    file is carried VERBATIM (same physical rel in the next manifest,
+    never a rewritten copy).  The surviving table hash-checks against
+    plain SQL with ``NOT COALESCE(pred, FALSE)`` — the exact
+    NULL-semantics contract of the verb.  Reference anchor: the SQL
+    path gets DELETE from the database transaction for free
+    (``/root/reference/df_to_azure/db.py:20-53``); this gives the lake
+    the same verb."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vdelete",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(orders, "orders", sort_by=["o_orderdate"], sort_files=8)
+    before = set(lake.resolve_manifest("orders", 1)["files"])
+    touched = lake.delete_where(
+        "orders",
+        [
+            ("o_orderdate", ">=", datetime.datetime(1996, 1, 1)),
+            ("o_orderdate", "<", datetime.datetime(1998, 1, 1)),
+        ],
+    )
+    dropped, rewritten, carried = lake.last_rewrite_files
+    if not (dropped >= 1 and rewritten <= 2 and carried >= 1):
+        raise PipelineRunError(
+            f"delete_where rewrite bounding regressed: dropped={dropped} "
+            f"rewritten={rewritten} carried={carried} (a 2-year range on "
+            "an 8-file date-clustered table must whole-drop interior "
+            "files and rewrite at most the two boundary files)"
+        )
+    after = set(
+        lake.resolve_manifest("orders", lake.current_version("orders"))[
+            "files"
+        ]
+    )
+    if len(before & after) != carried or touched != dropped + rewritten:
+        raise PipelineRunError(
+            "delete_where carried-file contract regressed: untouched "
+            "files must survive as the SAME rels, not rewritten copies"
+        )
+    return (
+        lake.read("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+W15_DELETE_SCAN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderdate) AS min_date,
+       MAX(o_orderdate) AS max_date
+FROM orders
+WHERE NOT COALESCE(
+    o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01', FALSE)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def w16_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level keyed MERGE on an UNPARTITIONED versioned table under
+    the hash gate (round-14, verdict task 1): orders is committed
+    key-clustered, the delta updates every 13th key inside the
+    [10%, 20%] key quantile band and inserts 30 brand-new (negative)
+    keys, and ``merge_keyed`` rewrites ONLY the files whose zone maps
+    intersect the delta's key envelope — asserted in-entry, along with
+    the carried files surviving as the same physical rels.  The merged
+    table hash-checks against the delta∪anti-join statement of MERGE
+    (reference anchor: the staged SQL MERGE flow
+    ``/root/reference/df_to_azure/db.py:20-53`` — same clause
+    semantics, now on the lake with pruning-bounded IO)."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vmerge",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(orders, "orders", sort_by=["o_orderkey"], sort_files=8)
+    before = set(lake.resolve_manifest("orders", 1)["files"])
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = max_key // 10, max_key // 5
+    updates = orders.where(
+        (F.col("o_orderkey") >= lo)
+        & (F.col("o_orderkey") <= hi)
+        & (F.col("o_orderkey") % 13 == 0)
+    ).withColumn("o_totalprice", F.lit(-1.0))
+    inserts = spark.range(-30, 0).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit(1).cast("bigint").alias("o_custkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(7.5).alias("o_totalprice"),
+        F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    lake.merge_keyed(updates.unionByName(inserts), "orders", ["o_orderkey"])
+    dropped, rewritten, carried = lake.last_rewrite_files
+    if not (rewritten >= 1 and carried >= 4):
+        raise PipelineRunError(
+            f"merge_keyed envelope pruning regressed: rewritten="
+            f"{rewritten} carried={carried} (a [-30, 20%-quantile] key "
+            "envelope on an 8-file key-clustered table must carry most "
+            "files verbatim)"
+        )
+    after = set(
+        lake.resolve_manifest("orders", lake.current_version("orders"))[
+            "files"
+        ]
+    )
+    if len(before & after) != carried:
+        raise PipelineRunError(
+            "merge_keyed carried-file contract regressed: untouched "
+            "files must survive as the SAME rels, not rewritten copies"
+        )
+    return (
+        lake.read("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+W16_MERGE_KEYED_ORACLE = """
+WITH delta AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(-1.0 AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderkey >= (SELECT MAX(o_orderkey) // 10 FROM orders)
+    AND o_orderkey <= (SELECT MAX(o_orderkey) // 5 FROM orders)
+    AND o_orderkey % 13 = 0
+  UNION ALL
+  SELECT k AS o_orderkey, CAST(1 AS BIGINT) AS o_custkey,
+         'X' AS o_orderstatus, CAST(7.5 AS DOUBLE) AS o_totalprice,
+         TIMESTAMP '1995-01-01' AS o_orderdate,
+         '1-URGENT' AS o_orderpriority
+  FROM range(-30, 0) t(k)
+),
+merged AS (
+  SELECT * FROM delta
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

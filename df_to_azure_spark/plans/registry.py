@@ -340,6 +340,17 @@ REGISTRY: dict[str, QuerySpec] = {
     # documents table; raises in-entry if the prefix probe stops
     # skipping files
     "w14_prefix_scan": QuerySpec(P.w14_prefix_scan, P.W14_PREFIX_SCAN_ORACLE),
+    # predicate-scoped DELETE (round 14): the pruning keep-set bounds
+    # the rewrite — interior all-match files drop with no IO, boundary
+    # files rewrite, the rest carry verbatim; raises in-entry on any
+    # rewrite-bounding or carried-file regression
+    "w15_delete_scan": QuerySpec(
+        P.w15_delete_scan, P.W15_DELETE_SCAN_ORACLE, headline=True
+    ),
+    # row-level keyed MERGE on an unpartitioned table (round 14): only
+    # files intersecting the delta's key envelope rewrite; raises
+    # in-entry if envelope pruning or the carried-file contract regress
+    "w16_merge_keyed": QuerySpec(P.w16_merge_keyed, P.W16_MERGE_KEYED_ORACLE),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),

@@ -675,3 +675,205 @@ def test_scan_unknown_column_raises_consistently(spark, lake):
     )
     out = lake.scan("t", [("evolved", "=", 7)], merge_schema=True)
     assert {r.id for r in out.collect()} == {100}
+
+
+def _rels(lake, table, v):
+    return set(lake.resolve_manifest(table, v)["files"])
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, lake):
+    """Predicate-scoped DELETE (round-14): only files whose zone maps
+    may match are rewritten; everything else carries over verbatim (same
+    physical rel in the next manifest), and the result ≡ filtering the
+    full table with NOT(pred) under SQL NULL semantics."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}" if i % 7 else None) for i in range(100)],
+        "id bigint, v string",
+    )
+    lake.create(
+        df.repartitionByRange(5, "id").sortWithinPartitions("id"), "t"
+    )
+    before = _rels(lake, "t", 1)
+    touched = lake.delete_where("t", [("id", "between", (10, 29))])
+    dropped, rewritten, carried = lake.last_rewrite_files
+    assert touched == dropped + rewritten
+    assert carried > 0 and dropped + rewritten < len(before)
+    after = _rels(lake, "t", 2)
+    # carried files are the SAME rels — not rewritten copies
+    assert len(before & after) == carried
+    got = sorted(r.id for r in lake.read("t").collect())
+    assert got == [i for i in range(100) if not (10 <= i <= 29)]
+
+
+def test_delete_where_null_rows_survive(spark, lake):
+    """DELETE WHERE p deletes rows where p is TRUE; NULL-predicate rows
+    survive (SQL semantics) — pinned because the residual rewrite uses
+    a negated filter, where a naive ~cond would drop NULLs too."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id bigint, v string"
+    )
+    lake.create(df, "t")
+    lake.delete_where("t", [("v", "=", "a")])
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(2, None), (3, "b"), (4, None)}
+
+
+def test_delete_where_drops_fully_matching_files_without_rewrite(spark, lake):
+    """The all-match fast path: a partition-value delete (and a
+    clustered range delete swallowing whole files) removes those files
+    from the manifest WITHOUT reading or rewriting them — manifest-only
+    work, the 100 TB retention-delete shape."""
+    df = spark.createDataFrame(
+        [(i, "FR" if i < 50 else "DE", float(i)) for i in range(100)],
+        "id bigint, country string, x double",
+    )
+    lake.create(df, "t", partition_by=["country"])
+    touched = lake.delete_where("t", [("country", "=", "FR")])
+    dropped, rewritten, carried = lake.last_rewrite_files
+    assert touched == dropped and rewritten == 0 and dropped > 0
+    assert {r.country for r in lake.read("t").collect()} == {"DE"}
+    # clustered range delete: interior files drop, boundary files rewrite
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id bigint, x double"
+    )
+    lake.create(
+        df2.repartitionByRange(10, "id").sortWithinPartitions("id"), "t2"
+    )
+    lake.delete_where("t2", [("id", ">=", 150), ("id", "<", 850)])
+    dropped, rewritten, carried = lake.last_rewrite_files
+    assert dropped > 0 and rewritten <= 2 and carried > 0
+    assert lake.read("t2").count() == 300
+    got = sorted(r.id for r in lake.read("t2").collect())
+    assert got == list(range(150)) + list(range(850, 1000))
+
+
+def test_delete_where_no_match_is_no_op(spark, lake):
+    lake.create(_df(spark, [(1, "a"), (2, "b")]), "t")
+    assert lake.delete_where("t", [("id", ">", 10_000)]) == 0
+    assert lake.current_version("t") == 1  # no commit published
+    with pytest.raises(PipelineRunError, match="typo"):
+        lake.delete_where("t", [("typo", "=", 1)])
+
+
+def test_delete_where_emits_cdc_delete_side(spark, lake):
+    """CDC consistency: the remove+add commit makes read_changes (and
+    the streaming source, which shares the manifest-diff contract)
+    surface deleted files' rows as 'delete' and rewritten survivors as
+    'insert' — untouched files never appear in the feed."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id bigint, v string"
+    )
+    lake.create(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"), "t"
+    )
+    lake.delete_where("t", [("id", "between", (0, 14))])
+    ch = lake.read_changes("t", 1, 2)
+    dels = {r.id for r in ch.where("change_type = 'delete'").collect()}
+    ins = {r.id for r in ch.where("change_type = 'insert'").collect()}
+    assert set(range(15)) <= dels  # every deleted row surfaces
+    assert ins == dels - set(range(15))  # carried rows of rewritten files
+    assert dels <= set(range(20))  # untouched files stay out of the feed
+
+
+def test_merge_keyed_prunes_rewrite_to_key_envelope(spark, lake):
+    """Row-level keyed MERGE on an UNPARTITIONED key-clustered table:
+    only files intersecting the delta's key envelope are rewritten,
+    updates land, inserts land, everything else carries verbatim."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(200)],
+        "id bigint, v string, x double",
+    )
+    lake.create(
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"), "t"
+    )
+    before = _rels(lake, "t", 1)
+    delta = spark.createDataFrame(
+        [(10, "NEW10", -1.0), (11, "NEW11", -2.0), (205, "INS", 0.5)],
+        "id bigint, v string, x double",
+    )
+    # envelope is [10, 205] — on this clustering that still skips the
+    # low files below 10?  id 10 is near the low edge; assert carried>0
+    rewritten = lake.merge_keyed(delta, "t", ["id"])
+    dropped, rew, carried = lake.last_rewrite_files
+    assert rewritten == rew and dropped == 0
+    after = _rels(lake, "t", 2)
+    assert len(before & after) == carried
+    out = {r.id: (r.v, r.x) for r in lake.read("t").collect()}
+    assert out[10] == ("NEW10", -1.0) and out[11] == ("NEW11", -2.0)
+    assert out[205] == ("INS", 0.5) and out[12] == ("v12", 12.0)
+    assert len(out) == 201
+    # a TIGHT envelope on the clustered key skips most files
+    delta2 = spark.createDataFrame(
+        [(30, "T30", 0.0), (31, "T31", 0.0)], "id bigint, v string, x double"
+    )
+    lake.merge_keyed(delta2, "t", ["id"])
+    d2, r2, c2 = lake.last_rewrite_files
+    assert r2 <= 2 and c2 > 0
+
+
+def test_merge_keyed_clause_variants_and_guards(spark, lake):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+    )
+    lake.create(df, "t")
+    # update-only: new keys dropped
+    lake.merge_keyed(
+        spark.createDataFrame([(2, "B"), (9, "X")], "id bigint, v string"),
+        "t",
+        ["id"],
+        when_not_matched=None,
+    )
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # insert-only: append-shaped commit, zero rewrites, matched keys untouched
+    v_before = lake.current_version("t")
+    lake.merge_keyed(
+        spark.createDataFrame([(2, "ZZZ"), (7, "g")], "id bigint, v string"),
+        "t",
+        ["id"],
+        when_matched=None,
+    )
+    assert lake.last_rewrite_files[1] == 0
+    got = {(r.id, r.v) for r in lake.read("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (7, "g")}
+    m = lake._load_manifest("t", v_before + 1)
+    assert m.get("remove") in (None, [])  # append-shaped: no file removed
+    # NULL keys refused
+    with pytest.raises(PipelineRunError, match="NULL"):
+        lake.merge_keyed(
+            spark.createDataFrame([(None, "n")], "id bigint, v string"),
+            "t",
+            ["id"],
+        )
+    # empty delta: no commit at all
+    v = lake.current_version("t")
+    assert lake.merge_keyed(
+        spark.createDataFrame([], "id bigint, v string"), "t", ["id"]
+    ) == 0
+    assert lake.current_version("t") == v
+
+
+def test_delete_where_occ_loses_to_interleaved_commit(spark, lake):
+    """The rewrite's expected version is the version the keep-set was
+    computed against — an interleaved commit must fail the delete
+    loudly instead of silently resurrecting deleted rows."""
+    lake.create(_df(spark, [(i, "x") for i in range(10)]), "t")
+    orig = lake._prune
+
+    def racing_prune(m, predicates):
+        out = orig(m, predicates)
+        # a concurrent writer lands AFTER the keep-set is computed
+        lake2 = VersionedLake(spark, lake.root)
+        lake2.append(_df(spark, [(100, "y")]), "t")
+        lake._prune = orig
+        return out
+
+    lake._prune = racing_prune
+    with pytest.raises(ConcurrentWriteError):
+        lake.delete_where("t", [("id", "<", 5)])
+    # table unchanged by the failed delete; retry converges
+    assert lake.read("t").count() == 11
+    lake.delete_where("t", [("id", "<", 5)])
+    assert sorted(r.id for r in lake.read("t").collect()) == [
+        5, 6, 7, 8, 9, 100,
+    ]

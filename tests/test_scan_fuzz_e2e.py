@@ -184,3 +184,47 @@ def test_scan_equals_read_where_fuzz(spark, tmp_path, layout):
         assert got == expect, (layout, trial, preds)
         k, total = lake.last_scan_files
         assert 0 <= k <= total, (layout, trial)
+
+
+@pytest.mark.parametrize("layout", ["sorted", "hive"])
+def test_delete_where_equals_antifilter_fuzz(spark, tmp_path, layout):
+    """delete_where(preds) must leave exactly
+    ``read().where(NOT coalesce(pred, FALSE))`` — over the same hostile
+    value/literal space as the scan fuzz.  This is the class of probe
+    that would catch a wrong _file_all_match proof (a false whole-file
+    drop is silent row loss) or a NULL-semantics slip in the residual
+    rewrite."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random((hash(layout) ^ 0xD1E7) & 0xFFFF)
+    lake = VersionedLake(spark, str(tmp_path / f"dz_{layout}"))
+    for trial in range(6):
+        df = spark.createDataFrame(_rand_rows(rng, 80), COLS)
+        if layout == "sorted":
+            lake.create(
+                df, "t", sort_by=["id"], sort_files=3, dict_columns=["flag"]
+            )
+        else:
+            lake.create(df, "t", partition_by=["flag"])
+        preds = _rand_tree(rng)
+        try:
+            normalized = lake._normalize_predicates(preds)
+        except ValueError:
+            continue
+        cond = lake._predicate_condition(normalized)
+        full = lake.read("t")
+        try:
+            expect = _canon(
+                full.where(~F.coalesce(cond, F.lit(False))).collect()
+            )
+        except Exception:
+            try:
+                lake.delete_where("t", preds)
+            except Exception:
+                pass
+            continue
+        lake.delete_where("t", preds)
+        got = _canon(lake.read("t").collect())
+        assert got == expect, (layout, trial, preds)
+        dropped, rewritten, carried = lake.last_rewrite_files
+        assert dropped >= 0 and rewritten >= 0 and carried >= 0
