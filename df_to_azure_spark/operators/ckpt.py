@@ -69,6 +69,11 @@ def _stat_arrow_type(dtype) -> pa.DataType | None:
         (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType),
     ):
         return pa.string()
+    if isinstance(dtype, T.DecimalType):
+        # bounds are UNSCALED integers against the declared scale
+        # (manifest._encode_stat); precision > 18 would overflow int64
+        # and is not stats-eligible
+        return pa.int64() if dtype.precision <= 18 else None
     return None
 
 
@@ -489,9 +494,17 @@ def _conjunct_mask(tbl: pa.Table, pred: tuple, types: dict, encode) -> pa.Array:
         if u is not None:
             km = pc.or_(km, u)
         return _with_allnull(km)
-    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+    except (
+        pa.ArrowInvalid,
+        pa.ArrowTypeError,
+        pa.ArrowNotImplementedError,
+        TypeError,
+        OverflowError,
+    ):
         # literal not comparable to the stored column type (evolved
-        # schema) — same as the dict path's TypeError: keep
+        # schema), or a scalar Arrow cannot represent (oversized int —
+        # pyarrow raises plain TypeError/OverflowError there, not an
+        # Arrow error) — same as the dict path's TypeError: keep
         return _keep_all(n)
 
 
@@ -520,6 +533,15 @@ def vector_keep_rels(
         if e is _NO_STAT:
             return None
         if isinstance(e, float) and not math.isfinite(e):
+            return None
+        if isinstance(e, int) and not isinstance(e, bool) and not (
+            -(2**63) <= e < 2**63
+        ):
+            # beyond int64 (e.g. a decimal literal whose unscaled value
+            # exceeds the column's own precision): Arrow cannot build
+            # the scalar (raises plain TypeError, not ArrowInvalid) —
+            # undecidable here, keep; the dict evaluator still compares
+            # such literals exactly in Python
             return None
         return e
 

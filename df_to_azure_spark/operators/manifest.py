@@ -141,7 +141,24 @@ _STATS_TYPES = (
     T.DateType,
     T.TimestampType,
     T.TimestampNTZType,
+    T.DecimalType,  # precision ≤ _DECIMAL_MAX_PRECISION only (see below)
 )
+
+# decimal bounds encode as UNSCALED integers against the declared scale
+# (exact: integer order == decimal order at a fixed scale).  Precision
+# is capped at 18 so the unscaled value always fits the checkpoint
+# sidecar's int64 stat columns; wider decimals carry no stats (kept,
+# never mispruned) — the reference's SQL world stores money as
+# numeric(18,2) (SURVEY §1.3), squarely inside the cap.
+_DECIMAL_MAX_PRECISION = 18
+
+
+def _stats_eligible(dtype) -> bool:
+    if not isinstance(dtype, _STATS_TYPES):
+        return False
+    if isinstance(dtype, T.DecimalType):
+        return dtype.precision <= _DECIMAL_MAX_PRECISION
+    return True
 
 
 def _encode_stat(value, dtype, bound: str | None = None):
@@ -208,6 +225,34 @@ def _encode_stat(value, dtype, bound: str | None = None):
         ):
             return _NO_STAT
         return value.isoformat()
+    if isinstance(dtype, T.DecimalType):
+        import decimal as _dec
+
+        if dtype.precision > _DECIMAL_MAX_PRECISION or isinstance(
+            value, bool
+        ):
+            return _NO_STAT
+        if isinstance(value, int):
+            # int literals scale up exactly (may exceed the column's
+            # range — comparison against unscaled bounds stays exact
+            # in Python; the Arrow path degrades an overflowing scalar
+            # to keep-all)
+            return value * 10**dtype.scale
+        if isinstance(value, _dec.Decimal):
+            if not value.is_finite():
+                return _NO_STAT
+            scaled = value.scaleb(dtype.scale)
+            quantized = int(scaled)
+            # literals quantize EXACTLY or carry no stat: a literal
+            # with more fractional digits than the declared scale
+            # cannot be represented as an unscaled int without
+            # rounding, and a rounded bound test could prune a file
+            # Spark's exact decimal comparison would match
+            return quantized if scaled == quantized else _NO_STAT
+        # float literals are refused outright: Spark compares decimal
+        # vs double through double promotion (rounding above 2^53),
+        # which exact integer comparison cannot mirror safely
+        return _NO_STAT
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         if not isinstance(value, _dt.datetime):
             return _NO_STAT
@@ -1265,7 +1310,7 @@ class VersionedLake(ParquetLake):
             for f in schema.fields
             if f.name not in parts
             and f.name not in dict_names
-            and isinstance(f.dataType, _STATS_TYPES)
+            and _stats_eligible(f.dataType)
         ]
         eligible = eligible[:_STATS_MAX_COLS]
         dict_fields = [f for f in dict_fields if f in eligible]

@@ -1113,3 +1113,67 @@ FROM merged
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def w17_decimal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal zone maps under the hash gate (round-14, verdict gap #4):
+    ``o_totalprice`` is cast to the reference's money type
+    (``numeric(18,2)`` — SURVEY §1.3), the table is committed
+    price-clustered, and a decimal range scan must skip files: bounds
+    encode as UNSCALED ints against the declared scale, literals
+    quantize exactly or refuse to prune.  The aggregate hash-checks
+    against DuckDB computing on its own DECIMAL(18,2) — exact on both
+    engines because the unscaled-int encoding is exact (kept small per
+    the decimal precision-cap rule: no operand ever exceeds p=18
+    before the final DOUBLE cast)."""
+    import decimal
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "amt", F.expr("CAST(o_totalprice AS DECIMAL(18,2))")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vdec",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(orders, "orders", sort_by=["amt"], sort_files=8)
+    out = lake.scan(
+        "orders",
+        [
+            ("amt", ">=", decimal.Decimal("50000.00")),
+            ("amt", "<", decimal.Decimal("150000.00")),
+        ],
+    )
+    read_files, total = lake.last_scan_files
+    if not read_files < total:
+        raise PipelineRunError(
+            f"decimal zone-map pruning regressed: read "
+            f"{read_files}/{total} files on a price-clustered table"
+        )
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("CAST(SUM(amt) AS DOUBLE)").alias("sum_amt"),
+        F.expr("CAST(MIN(amt) AS DOUBLE)").alias("min_amt"),
+        F.expr("CAST(MAX(amt) AS DOUBLE)").alias("max_amt"),
+    )
+
+
+W17_DECIMAL_SCAN_ORACLE = """
+WITH t AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(amt) AS DOUBLE) AS sum_amt,
+       CAST(MIN(amt) AS DOUBLE) AS min_amt,
+       CAST(MAX(amt) AS DOUBLE) AS max_amt
+FROM t
+WHERE amt >= 50000.00 AND amt < 150000.00
+"""

@@ -351,6 +351,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # files intersecting the delta's key envelope rewrite; raises
     # in-entry if envelope pruning or the carried-file contract regress
     "w16_merge_keyed": QuerySpec(P.w16_merge_keyed, P.W16_MERGE_KEYED_ORACLE),
+    # decimal zone maps (round 14): numeric(18,2) bounds encode as
+    # unscaled ints; a decimal range scan on a price-clustered table
+    # must skip files (asserted in-entry)
+    "w17_decimal_scan": QuerySpec(
+        P.w17_decimal_scan, P.W17_DECIMAL_SCAN_ORACLE
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),
