@@ -117,20 +117,35 @@ def ckpt_from_dicts(
     """Checkpoint table from the JSON-manifest dict representation —
     the transition path the first parquet checkpoint of an existing
     table (and every small table) goes through."""
+    import base64
+
     parts = list(partition_by or [])
     cols: dict[str, list] = {"rel": [], "rows": []}
     stat_cols = _stat_columns(schema, parts)
+    # bloom blobs ride as binary columns; the declared set is whatever
+    # the stats dicts actually carry (a file without an index stays
+    # null — probe-side keep)
+    bloom_cols = sorted(
+        {
+            c
+            for st in stats.values()
+            for c in (st.get("bf") or {})
+        }
+    )
     for name, _ in stat_cols:
         cols[f"mn:{name}"] = []
         cols[f"mx:{name}"] = []
         cols[f"nl:{name}"] = []
         cols[f"dv:{name}"] = []
+    for b in bloom_cols:
+        cols[f"bf:{b}"] = []
     for p in parts:
         cols[f"pt:{p}"] = []
     for rel in files:
         st = stats.get(rel) or {}
         c = st.get("cols") or {}
         pt = st.get("part") or {}
+        bf = st.get("bf") or {}
         cols["rel"].append(rel)
         cols["rows"].append(st.get("rows"))
         for name, _ in stat_cols:
@@ -139,6 +154,11 @@ def ckpt_from_dicts(
             cols[f"mx:{name}"].append(None if e is None else e.get("mx"))
             cols[f"nl:{name}"].append(None if e is None else e.get("nl"))
             cols[f"dv:{name}"].append(None if e is None else e.get("vals"))
+        for b in bloom_cols:
+            raw = bf.get(b)
+            cols[f"bf:{b}"].append(
+                None if raw is None else base64.b85decode(raw)
+            )
         for p in parts:
             pv = pt.get(p)
             cols[f"pt:{p}"].append(
@@ -158,6 +178,9 @@ def ckpt_from_dicts(
         fields.append(pa.field(f"nl:{name}", pa.int64()))
         arrays.append(_typed_array(cols[f"dv:{name}"], pa.list_(at)))
         fields.append(pa.field(f"dv:{name}", pa.list_(at)))
+    for b in bloom_cols:
+        arrays.append(pa.array(cols[f"bf:{b}"], pa.binary()))
+        fields.append(pa.field(f"bf:{b}", pa.binary()))
     for p in parts:
         arrays.append(pa.array(cols[f"pt:{p}"], pa.string()))
         fields.append(pa.field(f"pt:{p}", pa.string()))
@@ -183,9 +206,12 @@ def ckpt_to_dicts(tbl: pa.Table) -> dict[str, dict]:
     round-trip is sound even where hive's own escape set differs."""
     from urllib.parse import quote
 
+    import base64
+
     names = tbl.column_names
     stat_names = [n[3:] for n in names if n.startswith("mn:")]
     part_names = [n[3:] for n in names if n.startswith("pt:")]
+    bloom_names = [n[3:] for n in names if n.startswith("bf:")]
     data = {n: tbl.column(n).to_pylist() for n in names}
     out: dict[str, dict] = {}
     for i, rel in enumerate(data["rel"]):
@@ -207,6 +233,13 @@ def ckpt_to_dicts(tbl: pa.Table) -> dict[str, dict]:
                 e["vals"] = list(dv[i])
             cols[c] = e
         st: dict = {"rows": int(rows), "cols": cols}
+        bf = {}
+        for b in bloom_names:
+            raw = data[f"bf:{b}"][i]
+            if raw is not None:
+                bf[b] = base64.b85encode(bytes(raw)).decode("ascii")
+        if bf:
+            st["bf"] = bf
         if part_names:
             st["part"] = {
                 p: (

@@ -98,6 +98,98 @@ _DICT_TYPES = (
     T.DateType,
 )
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# per-file bloom filter indexes (Delta's bloom-filter index design):
+# declared at create via bloom_columns=, built from ONE distributed
+# aggregation over the staged files (the _file_stats pattern), stored
+# as a base85 string in the per-file stats ("bf") and as a binary
+# column in the checkpoint sidecar.  The point-lookup lever zone maps
+# cannot give: an unclustered high-cardinality id probe opens only the
+# files whose bloom admits the key.
+#
+# Hashing: double hashing over Spark's own xxhash64 — h1 = xxhash64(c),
+# h2 = xxhash64(SALT, c); position_i = (h1 + i*h2) mod m, computed
+# JVM-side per row at write and replicated EXACTLY for the probe
+# literal by hashing it through a one-row Spark job (same engine, same
+# hash, zero reimplementation risk; memoized per lake instance).
+# Blob layout: "<II" (k, m) header + ceil(m/8) bytes, bit p at byte
+# p>>3, bit p&7 (words assembled little-endian from the bit_or agg).
+_BLOOM_K = 7
+_BLOOM_SALT = "dfa-bloom-s1"
+_BLOOM_MIN_BITS = 1 << 13  # 1 KiB floor
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB cap per file per column
+# default sizing: ~10 bits/row at k=7 → ~1% FPR, sized from the
+# commit's LARGEST staged file and clamped.  Honest scale note: beyond
+# ~1M rows/file the cap dilutes the filter — cap rows per file
+# (spark.sql.files.maxRecordsPerFile) or pass create(bloom_bits=...)
+_BLOOM_BITS_PER_ROW = 10
+_BLOOM_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+)
+_INT_RANGES = {
+    T.ByteType: (-(1 << 7), 1 << 7),
+    T.ShortType: (-(1 << 15), 1 << 15),
+    T.IntegerType: (-(1 << 31), 1 << 31),
+    T.LongType: (-(1 << 63), 1 << 63),
+}
+
+
+def _bloom_probe_value_ok(value, dtype) -> bool:
+    """True when ``value`` can be hashed AS the column's type without a
+    lossy cast: probing with a mis-typed literal would hash differently
+    than the stored rows and produce a false miss (row loss)."""
+    if isinstance(dtype, T.StringType):
+        return isinstance(value, str)
+    for cls, (lo, hi) in _INT_RANGES.items():
+        if isinstance(dtype, cls):
+            return (
+                isinstance(value, int)
+                and not isinstance(value, bool)
+                and lo <= value < hi
+            )
+    return False
+
+
+def _bloom_blob(dtype_str: str, k: int, m: int, bits: bytes) -> bytes:
+    """Self-describing blob: the hashed column type travels with the
+    bits, so a probe against an EVOLVED column type (int widened to
+    long hashes differently under xxhash64) detects the mismatch and
+    keeps the file instead of producing a false miss."""
+    import struct
+
+    t = dtype_str.encode("utf-8")
+    return struct.pack("<HII", len(t), k, m) + t + bits
+
+
+def _bloom_parse(blob: bytes):
+    """(dtype_str, k, m, bits_offset) or None on a malformed blob."""
+    import struct
+
+    try:
+        tlen, k, m = struct.unpack_from("<HII", blob, 0)
+        t = blob[10 : 10 + tlen].decode("utf-8")
+        if k < 1 or m < 8 or len(blob) < 10 + tlen + ((m + 63) // 64) * 8:
+            return None
+        return t, k, m, 10 + tlen
+    except Exception:  # noqa: BLE001 — conservative keep on any junk
+        return None
+
+
+def _bloom_test(blob: bytes, off: int, k: int, m: int, h1: int, h2: int) -> bool:
+    """Membership: all k double-hashed positions set.  False means the
+    value is PROVABLY absent from the file (same position arithmetic as
+    the write-side Spark expressions: pmod chains on non-negative
+    residues < m, exactly Python's ``%`` for positive m)."""
+    b1, b2 = h1 % m, h2 % m
+    for i in range(k):
+        p = (b1 + i * b2) % m
+        if not (blob[off + (p >> 3)] >> (p & 7)) & 1:
+            return False
+    return True
 # sentinel: this (file, column) pair must carry NO stats (value not
 # safely encodable — non-finite float, oversized string)
 _NO_STAT = object()
@@ -376,6 +468,13 @@ class VersionedLake(ParquetLake):
         # effect (carried files moved through the O(delta) commit
         # without being read or restaged)
         self.last_rewrite_files: tuple[int, int, int] | None = None
+        # create-time bloom declaration being committed (cleared after)
+        self._pending_bloom_spec: tuple[list[str], int | None] | None = None
+        # probe-literal hash memo: (dtype simpleString, value) →
+        # (h1, h2) from a one-row Spark job — the literal is hashed by
+        # the SAME engine expressions that hashed the rows, so write
+        # and probe can never drift
+        self._bloom_hash_cache: dict[tuple, tuple[int, int]] = {}
 
     # -- paths -------------------------------------------------------
     def files_dir(self, table: str) -> str:
@@ -503,6 +602,7 @@ class VersionedLake(ParquetLake):
                 "ckpt_extra": [],
                 "partition_by": raw.get("partition_by"),
                 "dict_columns": raw.get("dict_columns") or [],
+                "bloom_columns": raw.get("bloom_columns") or [],
                 "schema": raw["schema"],
                 "batch_ids": raw.get("batch_ids", []),
                 "committed_ms": raw.get("committed_ms", 0),
@@ -579,6 +679,7 @@ class VersionedLake(ParquetLake):
             "stats": stats,
             "partition_by": final_raw.get("partition_by"),
             "dict_columns": final_raw.get("dict_columns") or [],
+            "bloom_columns": final_raw.get("bloom_columns") or [],
             "schema": final_raw["schema"],
             "batch_ids": final_raw.get("batch_ids", []),
             "committed_ms": final_raw.get("committed_ms", 0),
@@ -650,6 +751,27 @@ class VersionedLake(ParquetLake):
 
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
+
+    def bloom_stats_columns(self, table: str) -> list[str]:
+        """Columns the table declared for per-file bloom indexes."""
+        return self._bloom_spec_for(table)[0]
+
+    def _bloom_spec_for(self, table: str) -> tuple[list[str], int | None]:
+        """(bloom_columns, bloom_bits) in effect for the next write of
+        ``table``: the pending create-time declaration if one is being
+        committed, else the current manifest's — so the declaration
+        made at ``create`` is honored by every later write, exactly
+        like ``dict_columns``."""
+        if self._pending_bloom_spec is not None:
+            return self._pending_bloom_spec
+        v = self.current_version(table)
+        if v is None:
+            return [], None
+        raw = self._load_manifest(table, v)
+        return (
+            list(raw.get("bloom_columns") or []),
+            raw.get("bloom_bits"),
+        )
 
     def dict_stats_columns(self, table: str) -> list[str]:
         """Columns the table declared for dictionary stats (empty when
@@ -1043,6 +1165,151 @@ class VersionedLake(ParquetLake):
                 return False  # evolved-type stats: undecidable
         return True
 
+    def _literal_bloom_hashes(
+        self, needed: list[tuple]
+    ) -> dict[tuple, tuple[int, int]]:
+        """(h1, h2) per (dtype, value) probe literal, computed by ONE
+        one-row Spark job over the SAME xxhash64 expressions the write
+        side used (exact by construction — no Python reimplementation
+        of Spark's hash to drift), memoized per lake instance."""
+        missing = [
+            (dt, v)
+            for dt, v in needed
+            if (dt.simpleString(), v) not in self._bloom_hash_cache
+        ]
+        if missing:
+            exprs = []
+            for i, (dt, v) in enumerate(missing):
+                lit = F.lit(v).cast(dt)
+                exprs.append(F.xxhash64(lit).alias(f"a{i}"))
+                exprs.append(
+                    F.xxhash64(F.lit(_BLOOM_SALT), lit).alias(f"b{i}")
+                )
+            row = self.spark.range(1).select(*exprs).collect()[0]
+            if len(self._bloom_hash_cache) > 4096:
+                self._bloom_hash_cache.clear()
+            for i, (dt, v) in enumerate(missing):
+                self._bloom_hash_cache[(dt.simpleString(), v)] = (
+                    int(row[f"a{i}"]),
+                    int(row[f"b{i}"]),
+                )
+        return {
+            (dt.simpleString(), v): self._bloom_hash_cache[
+                (dt.simpleString(), v)
+            ]
+            for dt, v in needed
+        }
+
+    def _bloom_prune(
+        self, m: dict, kept: list[str], predicates: list[tuple], types: dict
+    ) -> list[str]:
+        """Second pruning stage over the zone-map keep-set: drop kept
+        files whose bloom index PROVES the probe key absent.  Applies
+        to top-level ``=`` / ``in`` conjuncts on declared bloom columns
+        (a conjunct inside an ``or`` branch is skipped — conservative).
+        A file without a blob, a malformed blob, or a blob hashed under
+        an evolved column type keeps the file; false positives open a
+        file the residual filter then empties — never wrong results."""
+        bcols = set(m.get("bloom_columns") or [])
+        if not bcols or not kept:
+            return kept
+        probes = []  # (col, dtype, values)
+        for pred in predicates:
+            if len(pred) == 2 and pred[0] == "or":
+                continue
+            col, op, val = pred
+            if col not in bcols or col not in types:
+                continue
+            dtype = types[col]
+            if not isinstance(dtype, _BLOOM_TYPES):
+                continue
+            vals = (
+                [val]
+                if op == "="
+                else list(val)
+                if op == "in"
+                else None
+            )
+            if vals is None or not all(
+                _bloom_probe_value_ok(v, dtype) for v in vals
+            ):
+                continue
+            probes.append((col, dtype, vals))
+        if not probes:
+            return kept
+        hashes = self._literal_bloom_hashes(
+            [(dt, v) for _, dt, vals in probes for v in vals]
+        )
+        import base64
+
+        stats = m.get("stats") or {}
+        ckpt_bf: dict[str, dict[str, bytes | None]] = {}
+        if "ckpt_table" in m:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            tbl = m["ckpt_table"]
+            names = set(tbl.column_names)
+            want = [c for c, _, _ in probes if f"bf:{c}" in names]
+            if want:
+                sub = tbl.filter(
+                    pc.fill_null(
+                        pc.is_in(
+                            tbl.column("rel"),
+                            pa.array(sorted(set(kept)), pa.string()),
+                        ),
+                        False,
+                    )
+                )
+                rels = sub.column("rel").to_pylist()
+                for c in want:
+                    ckpt_bf[c] = dict(
+                        zip(rels, sub.column(f"bf:{c}").to_pylist())
+                    )
+        out = []
+        blob_cache: dict[tuple, tuple | None] = {}
+        for rel in kept:
+            st = stats.get(rel)
+            drop = False
+            for col, dtype, vals in probes:
+                raw = None
+                if st is not None:
+                    bf = st.get("bf")
+                    if bf is not None:
+                        raw = bf.get(col)
+                if raw is None and col in ckpt_bf:
+                    raw = ckpt_bf[col].get(rel)
+                if raw is None:
+                    continue  # no index for this file: keep
+                ck = (id(raw),)
+                parsed = blob_cache.get(ck)
+                if parsed is None:
+                    blob = (
+                        base64.b85decode(raw)
+                        if isinstance(raw, str)
+                        else bytes(raw)
+                    )
+                    parsed = (_bloom_parse(blob), blob)
+                    blob_cache[ck] = parsed
+                hdr, blob = parsed
+                if hdr is None:
+                    continue  # malformed: keep
+                tstr, k, mbits, off = hdr
+                if tstr != dtype.simpleString():
+                    continue  # evolved column type: keep
+                if not any(
+                    _bloom_test(
+                        blob, off, k, mbits,
+                        *hashes[(dtype.simpleString(), v)],
+                    )
+                    for v in vals
+                ):
+                    drop = True
+                    break
+            if not drop:
+                out.append(rel)
+        return out
+
     def _prune(
         self, m: dict, predicates: list[tuple]
     ) -> tuple[list[str], int]:
@@ -1066,14 +1333,20 @@ class VersionedLake(ParquetLake):
                 if rel not in stats
                 or self._file_may_match(stats[rel], predicates, types)
             ]
-            return kept, _resolved_count(m)
+            return (
+                self._bloom_prune(m, kept, predicates, types),
+                _resolved_count(m),
+            )
         kept = [
             rel
             for rel in m["files"]
             if rel not in stats
             or self._file_may_match(stats[rel], predicates, types)
         ]
-        return kept, len(m["files"])
+        return (
+            self._bloom_prune(m, kept, predicates, types),
+            len(m["files"]),
+        )
 
     def scan(
         self,
@@ -1375,6 +1648,113 @@ class VersionedLake(ParquetLake):
             out[rel] = {"rows": int(r["__rows"]), "cols": cols}
         return out
 
+    def _file_blooms(
+        self,
+        stage: str,
+        cid: str,
+        schema: T.StructType,
+        partition_by: list[str] | None,
+        bloom_columns: list[str],
+        bloom_bits: int | None,
+        raw_stats: dict[str, dict] | None,
+    ) -> dict[str, dict]:
+        """Per-file bloom filters for the staged part-files: ONE
+        distributed aggregation (the ``_file_stats`` pattern, page-cache
+        warm).  Per row and declared column, k double-hashed positions
+        (JVM-side xxhash64 arithmetic, NULLs excluded — extra bits only
+        ever add false positives, never misses); a word-level ``bit_or``
+        with map-side partial aggregation means the shuffle carries at
+        most ``files × columns × m/64`` words no matter the row count.
+        Sized from the commit's largest staged file at ~10 bits/row
+        (k=7 → ~1% FPR), clamped to [1 KiB, 1 MiB] per file per column
+        unless ``bloom_bits`` pins it.  Returns base85 blob strings
+        keyed like ``_file_stats`` (stage-relative path → column)."""
+        import base64
+        import struct
+
+        import numpy as np
+
+        parts = set(partition_by or [])
+        by_name = {f.name: f for f in schema.fields}
+        fields = [
+            by_name[c]
+            for c in bloom_columns
+            if c in by_name
+            and c not in parts
+            and isinstance(by_name[c].dataType, _BLOOM_TYPES)
+        ]
+        if not fields:
+            return {}
+        if bloom_bits:
+            m = max(64, (int(bloom_bits) + 63) // 64 * 64)
+        else:
+            max_rows = max(
+                [st.get("rows") or 0 for st in (raw_stats or {}).values()]
+                or [0]
+            )
+            m = _BLOOM_MIN_BITS
+            target = max(1, max_rows) * _BLOOM_BITS_PER_ROW
+            while m < target and m < _BLOOM_MAX_BITS:
+                m <<= 1
+        k = _BLOOM_K
+        df = self.spark.read.option("basePath", stage).parquet(stage)
+        unioned = None
+        for ci, f in enumerate(fields):
+            c = F.col(f"`{f.name}`")
+            h1 = F.pmod(F.xxhash64(c), F.lit(m).cast("long"))
+            h2 = F.pmod(
+                F.xxhash64(F.lit(_BLOOM_SALT), c), F.lit(m).cast("long")
+            )
+            # residues < m ≤ 2^23 and i ≤ k: the position arithmetic
+            # never overflows a long (ANSI-safe)
+            pos = F.explode(
+                F.array(
+                    [
+                        F.pmod(h1 + F.lit(i) * h2, F.lit(m).cast("long"))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+            part = df.where(c.isNotNull()).select(
+                F.input_file_name().alias("__f"),
+                F.lit(ci).alias("ci"),
+                pos,
+            )
+            unioned = part if unioned is None else unioned.unionAll(part)
+        rows = (
+            unioned.groupBy(
+                "__f", "ci", F.expr("pos div 64").alias("word")
+            )
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))"
+                ).alias("w")
+            )
+            .collect()
+        )
+        marker = f"/.stage-{cid}/"
+        nwords = m // 64
+        acc: dict[tuple[str, int], np.ndarray] = {}
+        for r in rows:
+            uri = r["__f"]
+            if marker not in uri:
+                continue
+            rel = unquote(uri.split(marker, 1)[1])
+            arr = acc.setdefault(
+                (rel, r["ci"]), np.zeros(nwords, dtype=np.int64)
+            )
+            arr[int(r["word"])] = np.int64(r["w"])
+        out: dict[str, dict] = {}
+        for (rel, ci), arr in acc.items():
+            f = fields[ci]
+            blob = _bloom_blob(
+                f.dataType.simpleString(), k, m, arr.astype("<i8").tobytes()
+            )
+            out.setdefault(rel, {})[f.name] = base64.b85encode(blob).decode(
+                "ascii"
+            )
+        return out
+
     def _stage_files(
         self,
         df: DataFrame,
@@ -1396,6 +1776,14 @@ class VersionedLake(ParquetLake):
         w.parquet(stage)
         raw_stats = self._file_stats(
             stage, cid, df.schema, partition_by, dict_columns
+        )
+        bcols, bbits = self._bloom_spec_for(table)
+        raw_blooms = (
+            self._file_blooms(
+                stage, cid, df.schema, partition_by, bcols, bbits, raw_stats
+            )
+            if bcols and raw_stats is not None
+            else {}
         )
         fs, stage_path, jvm = self._fs(stage)
         files_base = self.files_dir(table)
@@ -1440,6 +1828,10 @@ class VersionedLake(ParquetLake):
                             fallback.append(f"files/{rel}")
                         else:
                             consumed.add(raw_key)
+                        bf = raw_blooms.get(raw_key)
+                        if bf:
+                            s = dict(s)
+                            s["bf"] = bf
                         if rel_prefix:
                             s = dict(s)
                             s["part"] = dict(
@@ -1543,6 +1935,11 @@ class VersionedLake(ParquetLake):
             "batch_ids": sorted(batch_ids),
             "committed_ms": int(time.time() * 1000),
         }
+        bcols, bbits = self._bloom_spec_for(table)
+        if bcols:
+            doc["bloom_columns"] = bcols
+            if bbits:
+                doc["bloom_bits"] = int(bbits)
         if stats:
             in_list = set(files)
             kept = {r: stats[r] for r in sorted(stats) if r in in_list}
@@ -1673,6 +2070,11 @@ class VersionedLake(ParquetLake):
             "batch_ids": sorted(batch_ids),
             "committed_ms": int(time.time() * 1000),
         }
+        bcols, bbits = self._bloom_spec_for(table)
+        if bcols:
+            doc["bloom_columns"] = bcols
+            if bbits:
+                doc["bloom_bits"] = int(bbits)
         if stats:
             in_add = set(add)
             kept = {r: stats[r] for r in sorted(stats) if r in in_add}
@@ -1769,6 +2171,8 @@ class VersionedLake(ParquetLake):
         sort_files: int | None = None,
         batch_id: str | None = None,
         dict_columns: list[str] | None = None,
+        bloom_columns: list[str] | None = None,
+        bloom_bits: int | None = None,
     ) -> None:
         """Replace the table: stage a complete file set, commit a
         manifest referencing only it.  ``create`` starts a fresh
@@ -1779,12 +2183,38 @@ class VersionedLake(ParquetLake):
         recorded for equality pruning — the table-level opt-in every
         later write honors, exactly like Delta's bloom-filter index
         declaration.  The declaration is a hint: a file whose distinct
-        count exceeds the cap simply carries no value set."""
+        count exceeds the cap simply carries no value set.
+
+        ``bloom_columns`` declares HIGH-cardinality columns (user ids,
+        document ids — the ones no clustering order or dictionary
+        helps) that get a per-file bloom filter index: an unclustered
+        equality/IN probe then opens only the files whose bloom admits
+        the key instead of every file.  ``bloom_bits`` pins the filter
+        size per file (default: ~10 bits/row from the commit's largest
+        file, clamped to [1 KiB, 1 MiB] — cap rows per file or raise
+        this for very large files)."""
         if dict_columns:
             missing = [c for c in dict_columns if c not in df.columns]
             if missing:
                 raise PipelineRunError(
                     f"dict_columns {missing!r} not in the frame's columns"
+                )
+        if bloom_columns:
+            by_name = {f.name: f.dataType for f in df.schema.fields}
+            missing = [c for c in bloom_columns if c not in by_name]
+            if missing:
+                raise PipelineRunError(
+                    f"bloom_columns {missing!r} not in the frame's columns"
+                )
+            bad = [
+                c
+                for c in bloom_columns
+                if not isinstance(by_name[c], _BLOOM_TYPES)
+            ]
+            if bad:
+                raise PipelineRunError(
+                    f"bloom_columns {bad!r} have unsupported types; "
+                    "bloom indexes cover integral and string columns"
                 )
         if sort_by:
             if sort_files:
@@ -1793,16 +2223,23 @@ class VersionedLake(ParquetLake):
                 df = df.repartitionByRange(*sort_by)
             df = df.sortWithinPartitions(*sort_by)
         expected = self.current_version(table)
-        files, schema = self._stage_files(
-            df, table, partition_by, dict_columns
+        self._pending_bloom_spec = (
+            list(bloom_columns or []),
+            int(bloom_bits) if bloom_bits else None,
         )
-        b = batch_id if batch_id is not None else self._pending_batch
-        self._commit(
-            table, files, partition_by, schema, expected,
-            [b] if b else [],
-            stats=self._pending_stats, op="create",
-            dict_columns=dict_columns,
-        )
+        try:
+            files, schema = self._stage_files(
+                df, table, partition_by, dict_columns
+            )
+            b = batch_id if batch_id is not None else self._pending_batch
+            self._commit(
+                table, files, partition_by, schema, expected,
+                [b] if b else [],
+                stats=self._pending_stats, op="create",
+                dict_columns=dict_columns,
+            )
+        finally:
+            self._pending_bloom_spec = None
 
     def append(
         self,
@@ -2324,17 +2761,28 @@ class VersionedLake(ParquetLake):
                 f"lake table {table!r} does not exist under {self.root}"
             )
         m = self.resolve_manifest(table, version)
-        n = self._commit(
-            table,
-            m["files"],
-            m.get("partition_by") or None,
-            m["schema"],
-            current,
-            self._carry_batches(table, None),
-            stats=m.get("stats"),
-            op="restore",
-            dict_columns=m.get("dict_columns") or None,
+        target_raw = self._load_manifest(table, version)
+        # the restored state's bloom declaration follows the TARGET
+        # version, not the latest (the files being re-published carry
+        # the target's index blobs)
+        self._pending_bloom_spec = (
+            list(target_raw.get("bloom_columns") or []),
+            target_raw.get("bloom_bits"),
         )
+        try:
+            n = self._commit(
+                table,
+                m["files"],
+                m.get("partition_by") or None,
+                m["schema"],
+                current,
+                self._carry_batches(table, None),
+                stats=m.get("stats"),
+                op="restore",
+                dict_columns=m.get("dict_columns") or None,
+            )
+        finally:
+            self._pending_bloom_spec = None
         if "ckpt_table" in m:
             # the target's stats live (mostly) in its chain-root sidecar,
             # which the full-JSON commit above cannot carry — write the

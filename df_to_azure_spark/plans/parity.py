@@ -1177,3 +1177,73 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM t
 WHERE amt >= 50000.00 AND amt < 150000.00
 """
+
+
+def w18_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom indexes under the hash gate (round-14, verdict
+    gap #2): customer gains a high-cardinality hashed ``uid`` and is
+    committed UNCLUSTERED with ``bloom_columns=["uid"]`` — every
+    file's zone map spans the whole uid range, so min/max pruning is
+    useless by construction.  In-entry asserts pin both counts the
+    verdict asked for: the same absent-key probe wrapped in an ``or``
+    branch (bloom skips or-branches by contract) keeps ALL files —
+    zone maps alone prune nothing — while the plain probe opens ≤ 2 of
+    8 (k=7, ~1%% FPR per file).  A present-key probe's rows hash-check
+    against DuckDB computing the same derived uid."""
+    import os
+    import shutil
+    import tempfile
+
+    from df_to_azure_spark.exceptions import PipelineRunError
+    from df_to_azure_spark.operators.manifest import VersionedLake
+
+    customer = load_table(spark, sf_dir, "customer").withColumn(
+        "uid", F.expr("c_custkey * 2654435761 % 1000003")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dfa_spark_vbloom",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = VersionedLake(spark, root)
+    lake.create(
+        customer.repartition(8), "customer", bloom_columns=["uid"]
+    )
+    uids = {r.uid for r in customer.select("uid").distinct().collect()}
+    absent = next(v for v in range(54_321, 2_000_000) if v not in uids)
+    lake.scan("customer", [("or", [[("uid", "=", absent)]])])
+    zone_kept, total = lake.last_scan_files
+    if zone_kept != total:
+        raise PipelineRunError(
+            f"bloom certification premise broke: zone maps alone kept "
+            f"{zone_kept}/{total} files — the layout must make min/max "
+            "pruning useless so the bloom is what does the work"
+        )
+    lake.scan("customer", [("uid", "=", absent)])
+    bloom_kept, _ = lake.last_scan_files
+    if bloom_kept > 2:
+        raise PipelineRunError(
+            f"bloom point-lookup pruning regressed: absent key opened "
+            f"{bloom_kept}/{total} files (zone maps keep all {total})"
+        )
+    present = 42 * 2654435761 % 1000003
+    return (
+        lake.scan("customer", [("uid", "=", present)])
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("uid").cast("bigint").alias("uid"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+W18_BLOOM_PROBE_ORACLE = """
+WITH t AS (
+  SELECT c_custkey, c_custkey * 2654435761 % 1000003 AS uid FROM customer
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(uid AS BIGINT) AS uid
+FROM t
+WHERE uid = 42 * 2654435761 % 1000003
+ORDER BY c_custkey
+"""

@@ -357,6 +357,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "w17_decimal_scan": QuerySpec(
         P.w17_decimal_scan, P.W17_DECIMAL_SCAN_ORACLE
     ),
+    # per-file bloom indexes (round 14): an unclustered point lookup
+    # opens <= 2 of 8 files while zone maps alone keep all (both
+    # counts asserted in-entry)
+    "w18_bloom_probe": QuerySpec(
+        P.w18_bloom_probe, P.W18_BLOOM_PROBE_ORACLE, headline=True
+    ),
     "w4_upsert_cell_level": QuerySpec(P.w4_upsert_cell_level, P.W4_CELL_ORACLE),
     "w3_merge_update_only": QuerySpec(P.w3_merge_update_only, P.W3_UPDATE_ONLY_ORACLE),
     "w3_merge_insert_only": QuerySpec(P.w3_merge_insert_only, P.W3_INSERT_ONLY_ORACLE),

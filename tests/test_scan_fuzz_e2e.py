@@ -161,11 +161,20 @@ def test_scan_equals_read_where_fuzz(spark, tmp_path, layout):
     )
     df = spark.createDataFrame(_rand_rows(rng, 120), COLS)
     if layout == "sorted":
-        lake.create(df, "t", sort_by=["id"], sort_files=4, dict_columns=["flag"])
+        # bloom indexes on the id and string columns: equality/IN
+        # probes in the tree then fuzz the bloom path (absent keys,
+        # extreme ints, unicode/empty strings) against Spark itself
+        lake.create(
+            df, "t", sort_by=["id"], sort_files=4, dict_columns=["flag"],
+            bloom_columns=["id", "s"],
+        )
     elif layout == "unsorted":
         lake.create(df.repartition(5), "t", dict_columns=["flag"])
     elif layout == "ckpt":
-        lake.create(df, "t", sort_by=["ts"], sort_files=3, dict_columns=["flag"])
+        lake.create(
+            df, "t", sort_by=["ts"], sort_files=3, dict_columns=["flag"],
+            bloom_columns=["id", "s"],
+        )
         # v2 = columnar checkpoint sidecar: the scan below exercises
         # the Arrow evaluator with post-root extras
         lake.append(spark.createDataFrame(_rand_rows(rng, 40), COLS), "t")
@@ -224,7 +233,8 @@ def test_delete_where_equals_antifilter_fuzz(spark, tmp_path, layout):
         df = spark.createDataFrame(_rand_rows(rng, 80), COLS)
         if layout == "sorted":
             lake.create(
-                df, "t", sort_by=["id"], sort_files=3, dict_columns=["flag"]
+                df, "t", sort_by=["id"], sort_files=3, dict_columns=["flag"],
+                bloom_columns=["id", "s"],
             )
         else:
             lake.create(df, "t", partition_by=["flag"])
