@@ -364,6 +364,13 @@ def _encode_stat(value, dtype, bound: str | None = None):
     return _NO_STAT
 
 
+def _is_ckpt_rooted(m: dict) -> bool:
+    """True when the resolved view's chain roots at a columnar
+    checkpoint sidecar — materialized (``ckpt_table``) or still lazy
+    (``ckpt_path`` only; accessing ``m["ckpt_table"]`` loads it)."""
+    return "ckpt_table" in m or "ckpt_path" in m
+
+
 class _LazyResolved(dict):
     """Checkpoint-rooted resolved view: ``files`` (the full live-file
     list) and ``ckpt_rels`` materialize on FIRST ACCESS from the Arrow
@@ -371,13 +378,26 @@ class _LazyResolved(dict):
     plus the post-root extras, so a selective scan of a 10⁷-file table
     never pays the ~20 s Python list build; ``read()`` (which needs
     every path) pays it once, memoized in place.  ``n_files`` is always
-    present and kernel-computed, so counting consumers (history,
-    empty-table checks, pruning totals) stay O(1) Python."""
+    present (or lazily computed by a stored closure on big-sidecar
+    chains) so counting consumers (history, empty-table checks,
+    pruning totals) stay cheap.  Above ``spark_prune_threshold`` rows
+    even ``ckpt_table`` itself is lazy: the view carries only the
+    sidecar's LOCAL PATH (``ckpt_path``) plus its footer row count,
+    and ``scan()`` plans through a distributed job without the driver
+    ever loading the checkpoint (``operators/ckpt.spark_keep_rels``)."""
 
     def __missing__(self, key):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        if key == "ckpt_table":
+            import pyarrow.parquet as pq
+
+            self["ckpt_table"] = pq.read_table(self["ckpt_path"])
+            return self["ckpt_table"]
+        if key == "n_files":
+            self["n_files"] = self["_n_files_fn"](self)
+            return self["n_files"]
         if key == "files":
             rel = self["ckpt_table"].column("rel")
             removed = self["ckpt_removed"]
@@ -431,6 +451,7 @@ class VersionedLake(ParquetLake):
         root: str,
         checkpoint_interval: int = 20,
         checkpoint_format: str = "parquet",
+        spark_prune_threshold: int = 4_000_000,
     ):
         super().__init__(spark, root)
         if checkpoint_interval < 1:
@@ -451,6 +472,13 @@ class VersionedLake(ParquetLake):
         # behavior (full JSON manifest at every interval-th version).
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_format = checkpoint_format
+        # sidecars at or above this many rows (files) stay LAZY on
+        # resolve — footer metadata only — and scan() plans them with a
+        # distributed mapInArrow job instead of a driver-side Arrow
+        # read (SCALE_r14: at 10⁷ files the driver-side cold read alone
+        # is ~9 s and ~1 GB RSS; below the threshold the driver path is
+        # faster, so 10⁶-file tables keep the measured 0.9 s resolve)
+        self.spark_prune_threshold = spark_prune_threshold
         self._read_version: dict[str, int] = {}
         self._pending_batch: str | None = None
         # raw + resolved manifest caches: manifests are immutable once
@@ -590,14 +618,31 @@ class VersionedLake(ParquetLake):
         fs, jpath, _ = self._fs(path)
         if not fs.exists(jpath):
             return None
-        tbl = ckpt_from_bytes(self._read_bytes(path))
+        base: dict = {}
+        local = (
+            jpath.toUri().getPath()
+            if fs.getUri().getScheme() == "file"
+            else None
+        )
+        if local is not None:
+            # footer-only peek: row count without loading the table —
+            # big sidecars stay LAZY so resolve is O(footer) and the
+            # distributed planner can run without the driver ever
+            # materializing the checkpoint
+            import pyarrow.parquet as pq
+
+            n = pq.read_metadata(local).num_rows
+            if n >= self.spark_prune_threshold:
+                base = {"ckpt_path": local, "n_files": n}
+        if not base:
+            tbl = ckpt_from_bytes(self._read_bytes(path))
+            base = {"ckpt_table": tbl, "n_files": tbl.num_rows}
         return _LazyResolved(
             {
+                **base,
                 "version": v,
                 "op": raw.get("op", "commit"),
-                "n_files": tbl.num_rows,
                 "stats": {},
-                "ckpt_table": tbl,
                 "ckpt_removed": set(),
                 "ckpt_extra": [],
                 "partition_by": raw.get("partition_by"),
@@ -684,9 +729,13 @@ class VersionedLake(ParquetLake):
             "batch_ids": final_raw.get("batch_ids", []),
             "committed_ms": final_raw.get("committed_ms", 0),
         }
-        if "ckpt_table" in resolved:
+        if _is_ckpt_rooted(resolved):
             out = _LazyResolved(meta)
-            out["ckpt_table"] = resolved["ckpt_table"]
+            if "ckpt_table" in resolved:
+                out["ckpt_table"] = resolved["ckpt_table"]
+            else:
+                # big-sidecar chain: stay lazy — forward the path only
+                out["ckpt_path"] = resolved["ckpt_path"]
             # `removed` may contain post-root rels when resolution is
             # segmented through a cached mid-chain view (this batch's
             # netting only pairs add+remove within the batch) — that is
@@ -702,29 +751,49 @@ class VersionedLake(ParquetLake):
                 set(resolved.get("ckpt_extra") or []) - removed
                 | added.keys()
             )
-            # count kernel-side: the checkpoint rows minus those of the
-            # cumulative removed set that really are checkpoint rels,
-            # plus the extras — no Python list/set over the bulk
-            rel = out["ckpt_table"].column("rel")
-            n_rm = 0
-            if out["ckpt_removed"]:
-                import pyarrow as _pa
-                import pyarrow.compute as _pc
+            if "ckpt_table" in out:
+                # count kernel-side: the checkpoint rows minus those of
+                # the cumulative removed set that really are checkpoint
+                # rels, plus the extras — no Python over the bulk
+                rel = out["ckpt_table"].column("rel")
+                n_rm = 0
+                if out["ckpt_removed"]:
+                    import pyarrow as _pa
+                    import pyarrow.compute as _pc
 
-                n_rm = _pc.sum(
-                    _pc.fill_null(
-                        _pc.is_in(
-                            rel,
-                            _pa.array(
-                                sorted(out["ckpt_removed"]), _pa.string()
+                    n_rm = _pc.sum(
+                        _pc.fill_null(
+                            _pc.is_in(
+                                rel,
+                                _pa.array(
+                                    sorted(out["ckpt_removed"]), _pa.string()
+                                ),
                             ),
-                        ),
-                        False,
-                    ).cast(_pa.int64())
-                ).as_py()
-            out["n_files"] = (
-                out["ckpt_table"].num_rows - int(n_rm) + len(out["ckpt_extra"])
-            )
+                            False,
+                        ).cast(_pa.int64())
+                    ).as_py()
+                out["n_files"] = (
+                    out["ckpt_table"].num_rows
+                    - int(n_rm)
+                    + len(out["ckpt_extra"])
+                )
+            else:
+                # exact count WITHOUT materializing: a distributed
+                # filter-count over the sidecar's rel column, deferred
+                # until a consumer actually asks (_LazyResolved pays it
+                # once; ~0.3 s at 10⁷ vs a ~9 s driver read)
+                _spark = self.spark
+
+                def _count(view, _spark=_spark):
+                    df = _spark.read.parquet(view["ckpt_path"]).select(
+                        "rel"
+                    )
+                    rm = view["ckpt_removed"]
+                    if rm:
+                        df = df.where(~F.col("rel").isin(sorted(rm)))
+                    return df.count() + len(view["ckpt_extra"])
+
+                out["_n_files_fn"] = _count
         else:
             meta["files"] = sorted(
                 (set(resolved["files"]) - removed) | added.keys()
@@ -1200,19 +1269,17 @@ class VersionedLake(ParquetLake):
             for dt, v in needed
         }
 
-    def _bloom_prune(
-        self, m: dict, kept: list[str], predicates: list[tuple], types: dict
-    ) -> list[str]:
-        """Second pruning stage over the zone-map keep-set: drop kept
-        files whose bloom index PROVES the probe key absent.  Applies
-        to top-level ``=`` / ``in`` conjuncts on declared bloom columns
-        (a conjunct inside an ``or`` branch is skipped — conservative).
-        A file without a blob, a malformed blob, or a blob hashed under
-        an evolved column type keeps the file; false positives open a
-        file the residual filter then empties — never wrong results."""
+    @staticmethod
+    def _bloom_probes(
+        m: dict, predicates: list[tuple], types: dict
+    ) -> list[tuple]:
+        """Bloom-testable probes in a predicate tree: top-level ``=`` /
+        ``in`` conjuncts on declared bloom columns whose literals hash
+        losslessly as the column type (a conjunct inside an ``or``
+        branch is skipped — conservative)."""
         bcols = set(m.get("bloom_columns") or [])
-        if not bcols or not kept:
-            return kept
+        if not bcols:
+            return []
         probes = []  # (col, dtype, values)
         for pred in predicates:
             if len(pred) == 2 and pred[0] == "or":
@@ -1235,6 +1302,19 @@ class VersionedLake(ParquetLake):
             ):
                 continue
             probes.append((col, dtype, vals))
+        return probes
+
+    def _bloom_prune(
+        self, m: dict, kept: list[str], predicates: list[tuple], types: dict
+    ) -> list[str]:
+        """Second pruning stage over the zone-map keep-set: drop kept
+        files whose bloom index PROVES the probe key absent.  A file
+        without a blob, a malformed blob, or a blob hashed under an
+        evolved column type keeps the file; false positives open a
+        file the residual filter then empties — never wrong results."""
+        if not kept:
+            return kept
+        probes = self._bloom_probes(m, predicates, types)
         if not probes:
             return kept
         hashes = self._literal_bloom_hashes(
@@ -1316,17 +1396,36 @@ class VersionedLake(ParquetLake):
         stats = m.get("stats") or {}
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         types = {f.name: f.dataType for f in schema.fields}
-        if "ckpt_table" in m:
+        if _is_ckpt_rooted(m):
             # checkpoint-rooted chain: the bulk of the table evaluates
             # as Arrow kernels over the sidecar's typed stat columns
             # (operators/ckpt.py — same proofs as _file_may_match,
             # fuzz-pinned never to drop a file the dict path keeps);
-            # only the post-root delta files walk the dict path
-            from df_to_azure_spark.operators.ckpt import vector_keep_rels
-
-            kept = vector_keep_rels(
-                m["ckpt_table"], predicates, schema, m["ckpt_removed"]
+            # only the post-root delta files walk the dict path.  On a
+            # still-lazy big sidecar (>= spark_prune_threshold rows)
+            # the SAME mask runs as a distributed mapInArrow job over
+            # the sidecar parquet — the driver never loads the
+            # checkpoint; bloom-probed scans materialize instead (the
+            # blob lookup needs the Arrow table)
+            from df_to_azure_spark.operators.ckpt import (
+                spark_keep_rels,
+                vector_keep_rels,
             )
+
+            if "ckpt_table" not in m and not self._bloom_probes(
+                m, predicates, types
+            ):
+                kept = spark_keep_rels(
+                    self.spark,
+                    m["ckpt_path"],
+                    predicates,
+                    schema,
+                    m["ckpt_removed"],
+                )
+            else:
+                kept = vector_keep_rels(
+                    m["ckpt_table"], predicates, schema, m["ckpt_removed"]
+                )
             kept += [
                 rel
                 for rel in m.get("ckpt_extra") or []
@@ -2030,7 +2129,7 @@ class VersionedLake(ParquetLake):
                 (set(base["files"]) - set(remove)) | set(add)
             )
             fset = set(files)
-            if "ckpt_table" in base:
+            if _is_ckpt_rooted(base):
                 # legacy 'json' checkpoint over a parquet-rooted chain
                 # (a checkpoint_format switch): the resolved view's dict
                 # stats cover only the post-root delta — re-materialize
@@ -2097,7 +2196,7 @@ class VersionedLake(ParquetLake):
 
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         parts = list(m.get("partition_by") or [])
-        if "ckpt_table" in m:
+        if _is_ckpt_rooted(m):
             add_files = list(m.get("ckpt_extra") or [])
             return ckpt_advance(
                 m["ckpt_table"],
@@ -2476,7 +2575,7 @@ class VersionedLake(ParquetLake):
         candidates, total = self._prune(m, predicates)
         stats = m.get("stats") or {}
         types = {f.name: f.dataType for f in schema.fields}
-        if "ckpt_table" in m and candidates:
+        if _is_ckpt_rooted(m) and candidates:
             # the checkpoint bulk's stats live in Arrow columns; the
             # all-match test needs dicts — materialize them for the
             # CANDIDATE files only (the keep-set, already small for a
@@ -2783,7 +2882,7 @@ class VersionedLake(ParquetLake):
             )
         finally:
             self._pending_bloom_spec = None
-        if "ckpt_table" in m:
+        if _is_ckpt_rooted(m):
             # the target's stats live (mostly) in its chain-root sidecar,
             # which the full-JSON commit above cannot carry — write the
             # new version's own sidecar from the SAME resolution so the

@@ -149,15 +149,21 @@ def _canon(rows):
     return sorted(out)
 
 
-@pytest.mark.parametrize("layout", ["sorted", "unsorted", "ckpt", "hive"])
+@pytest.mark.parametrize(
+    "layout", ["sorted", "unsorted", "ckpt", "ckpt-spark", "hive"]
+)
 def test_scan_equals_read_where_fuzz(spark, tmp_path, layout):
     # crc32, not hash(): str hashes are salted per process, which
     # would make every run fuzz a different (irreproducible) seed
     rng = random.Random(zlib.crc32(layout.encode()) & 0xFFFF)
+    # ckpt-spark: same chain shape as ckpt, but spark_prune_threshold=0
+    # forces the DISTRIBUTED planner (lazy sidecar + mapInArrow mask)
+    # over the whole hostile predicate space
     lake = VersionedLake(
         spark,
         str(tmp_path / f"fz_{layout}"),
-        checkpoint_interval=2 if layout == "ckpt" else 20,
+        checkpoint_interval=2 if layout.startswith("ckpt") else 20,
+        spark_prune_threshold=0 if layout == "ckpt-spark" else 4_000_000,
     )
     df = spark.createDataFrame(_rand_rows(rng, 120), COLS)
     if layout == "sorted":
@@ -170,7 +176,7 @@ def test_scan_equals_read_where_fuzz(spark, tmp_path, layout):
         )
     elif layout == "unsorted":
         lake.create(df.repartition(5), "t", dict_columns=["flag"])
-    elif layout == "ckpt":
+    elif layout.startswith("ckpt"):
         lake.create(
             df, "t", sort_by=["ts"], sort_files=3, dict_columns=["flag"],
             bloom_columns=["id", "s"],
@@ -179,9 +185,11 @@ def test_scan_equals_read_where_fuzz(spark, tmp_path, layout):
         # the Arrow evaluator with post-root extras
         lake.append(spark.createDataFrame(_rand_rows(rng, 40), COLS), "t")
         lake.append(spark.createDataFrame(_rand_rows(rng, 20), COLS), "t")
-        assert "ckpt_table" in lake.resolve_manifest(
-            "t", lake.current_version("t")
-        )
+        m = lake.resolve_manifest("t", lake.current_version("t"))
+        if layout == "ckpt-spark":
+            assert "ckpt_path" in m and "ckpt_table" not in m  # lazy root
+        else:
+            assert "ckpt_table" in m
     else:  # hive
         lake.create(df, "t", partition_by=["flag"])
     # fixed column order on BOTH sides: read() appends hive partition
