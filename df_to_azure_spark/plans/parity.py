@@ -1211,7 +1211,15 @@ def w18_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.repartition(8), "customer", bloom_columns=["uid"]
     )
     uids = {r.uid for r in customer.select("uid").distinct().collect()}
-    absent = next(v for v in range(54_321, 2_000_000) if v not in uids)
+    # the absent probe key must sit INSIDE every file's [min,max] so the
+    # premise "zone maps alone keep all files" holds at every SF: at
+    # sf0.001 a fixed low anchor (the old 54_321) fell below several
+    # files' min and zone maps pruned on their own.  Walking up from the
+    # MEDIAN uid keeps the probe inside each file's envelope — every
+    # file holds ~n/8 hash-scattered uids, so its range straddles the
+    # median at any n.
+    mid = sorted(uids)[len(uids) // 2]
+    absent = next(v for v in range(mid + 1, 2_000_000) if v not in uids)
     lake.scan("customer", [("or", [[("uid", "=", absent)]])])
     zone_kept, total = lake.last_scan_files
     if zone_kept != total:
