@@ -40,7 +40,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["two_phase_rank", "ntile_from_rank", "with_rank_family"]
+__all__ = [
+    "two_phase_rank",
+    "ntile_from_rank",
+    "with_rank_family",
+    "bracketed_middle_rows",
+]
 
 
 def _sort_cols(order_by: Sequence[tuple[str, str]]) -> list[Column]:
@@ -179,6 +184,103 @@ def two_phase_rank(
         )
         out = out.drop("__sumoff")
     return out.drop("__pid", "__off")
+
+
+def bracketed_middle_rows(
+    df: DataFrame,
+    val_col: str,
+    tie_break: Sequence[str],
+    rank_col: str = "__rn",
+    total_col: str = "__grp_n",
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Exact global MEDIAN selection over a non-null double ``val_col``:
+    return the row(s) at global ranks ``(n+1) DIV 2`` and ``n DIV 2 + 1``
+    of ``ORDER BY val_col, *tie_break`` with ``rank_col`` (global, 1-based)
+    and ``total_col`` (= n) attached — bit-identical to ranking every row,
+    WITHOUT range-shuffling the whole frame.
+
+    Selection-by-value bracketing (the distributed quickselect step):
+
+    1. one map-side aggregation job → ``n, min, max`` (three scalars);
+    2. one map-side histogram job → per-bucket counts over ``n_buckets``
+       equal-width buckets of ``[min, max]`` (≤ ``n_buckets`` rows
+       shuffled, a config constant);
+    3. the cumulative bucket counts locate the bucket(s) holding the two
+       middle ranks; only rows in those buckets (expected ``n/n_buckets``)
+       flow into ``two_phase_rank``, with the exact count of rows below
+       the bracket folded back in as a rank offset.
+
+    Exactness: the bucket index is ONE deterministic expression of the
+    value (``floor((v - min)/w)`` clamped), so the histogram's cumulative
+    counts are exact predicate counts and the bracket filter reuses the
+    same expression — no row can sit on the wrong side.  Because
+    ``val_col`` is the leading sort key, the values at the two middle
+    ranks are a pure function of the value multiset; the tie-break only
+    fixes WHICH physical row carries them, and callers aggregate the
+    values.  Degenerate brackets (all values equal, or min = max) fall
+    back to ranking the full frame — today's shape, still exact.
+
+    The two driver actions collect 1 and ≤ ``n_buckets`` rows — the same
+    config-bounded class as ``two_phase_rank``'s offset pass, never data-
+    sized.  At 100 TB this replaces a full range shuffle + pinned
+    checkpoint of the pair frame with two shuffle-free aggregation passes
+    (guide §2.3 "aggregate before you shuffle", §2.4 "remove shuffles").
+    """
+    order_by = [(val_col, "asc")] + [(t, "asc") for t in tie_break]
+    head = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(val_col).alias("__lo"),
+        F.max(val_col).alias("__hi"),
+    ).collect()[0]
+    n = head["__n"]
+    if n == 0:
+        # empty input: preserve the empty-selection shape downstream
+        return (
+            df.withColumn(rank_col, F.lit(None).cast("bigint"))
+            .withColumn(total_col, F.lit(None).cast("bigint"))
+            .where(F.lit(False))
+        )
+    r1, r2 = (n + 1) // 2, n // 2 + 1
+    lo, hi = float(head["__lo"]), float(head["__hi"])
+    width = (hi - lo) / n_buckets
+    if width > 0.0 and lo + width > lo:
+        bucket = F.expr(
+            f"least(greatest(CAST(floor((CAST({val_col} AS DOUBLE)"
+            f" - CAST({lo!r} AS DOUBLE)) / CAST({width!r} AS DOUBLE))"
+            f" AS BIGINT), CAST(0 AS BIGINT)),"
+            f" CAST({n_buckets - 1} AS BIGINT))"
+        )
+        hist = {
+            r["__b"]: r["__c"]
+            for r in df.groupBy(bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
+        cum, b1, b2, below1 = 0, None, None, 0
+        for b in sorted(hist):
+            if b1 is None and cum + hist[b] >= r1:
+                b1, below1 = b, cum
+            if cum + hist[b] >= r2:
+                b2 = b
+                break
+            cum += hist[b]
+        filtered = df.where(bucket.between(b1, b2))
+        offset = below1
+    else:
+        # min == max (or width underflow): every row ties on the value —
+        # rank the full frame, the degenerate-but-correct fallback
+        filtered, offset = df, 0
+    ranked = two_phase_rank(
+        filtered, order_by, rank_col=rank_col, total_col="__local_n"
+    )
+    g = (F.col(rank_col) + F.lit(offset)).cast("bigint")
+    return (
+        ranked.withColumn(rank_col, g)
+        .withColumn(total_col, F.lit(n).cast("bigint"))
+        .where((F.col(rank_col) == r1) | (F.col(rank_col) == r2))
+        .drop("__local_n")
+    )
 
 
 def with_rank_family(

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from df_to_azure_spark.functions.distrank import two_phase_rank
+from df_to_azure_spark.functions.distrank import (
+    bracketed_middle_rows,
+    two_phase_rank,
+)
 from df_to_azure_spark.sources import load_table
 
 
@@ -194,38 +197,46 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shrugs off the outlier days OLS chases.
 
     The median over ~2.9 M pairwise slopes needs one exact global
-    order statistic — served by ``two_phase_rank`` (repartitionByRange →
-    bounded offset collect → partitioned window), NOT a single-partition
-    window; this is the operator's intended production shape.  Pair
-    count is |days|² (calendar-bounded, data-independent); slopes are
-    one IEEE division ROUND(9) each, compared bit-identically by both
-    engines; the median picks the two middle elements by exact integer
-    rank arithmetic and averages them (division by 2 is exact).  The
-    intercept is a second, |days|-sized median of residuals."""
-    daily = _daily_revenue(spark, sf_dir)  # no pin: see mann_kendall note
+    order statistic.  Round 14 (optimization): served by
+    ``bracketed_middle_rows`` — two shuffle-free map-side aggregation
+    passes (n/min/max, then an 8192-bucket histogram) bracket the two
+    middle ranks by VALUE, and only the bracketed sliver (expected
+    |pairs|/8192 rows) flows through ``two_phase_rank``; previously the
+    whole pair frame paid a range shuffle + pinned checkpoint.  Results
+    are bit-identical (exact integer rank arithmetic over exact bucket
+    counts; the same ranks select the same slope values).  Pair count
+    is |days|² (calendar-bounded, data-independent); slopes are one
+    IEEE division ROUND(9) each, compared bit-identically by both
+    engines.  The intercept is a second, |days|-sized median of
+    residuals — small enough that the plain two-phase rank stays.
+
+    ``slopes`` IS pinned here (unlike mann_kendall's unpinned single
+    pass, see its note): the bracketing makes three passes over the
+    pair frame (n/min/max, histogram, bracket filter), so each pass
+    would otherwise replay the broadcast pair join; the pin is one
+    in-memory copy of (da, db, slope) — the same frame the old
+    implementation materialized anyway through its range shuffle, now
+    written once and never shuffled."""
+    daily = _daily_revenue(spark, sf_dir).localCheckpoint()
     a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    # nullif keeps the division ANSI-safe if the optimizer pushes the
+    # bracket filter into the join condition (where it may evaluate
+    # before the da < db conjunct, on da = db pairs); for every row the
+    # join admits, db - da > 0 and the value is bit-identical
     slopes = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
         "da",
         "db",
         F.expr(
-            "ROUND(CAST(rb - ra AS DOUBLE) / CAST(db - da AS DOUBLE), 9)"
+            "ROUND(CAST(rb - ra AS DOUBLE)"
+            " / CAST(nullif(db - da, 0) AS DOUBLE), 9)"
         ).alias("slope"),
-    )
-    ranked = two_phase_rank(
-        slopes, [("slope", "asc"), ("da", "asc"), ("db", "asc")]
-    )
-    med_slope = (
-        ranked.where(
-            (F.col("__rn") == F.expr("(__grp_n + 1) DIV 2"))
-            | (F.col("__rn") == F.expr("__grp_n DIV 2 + 1"))
-        )
-        .agg(
-            F.max("__grp_n").cast("bigint").alias("n_pairs"),
-            F.expr(
-                "CAST(SUM(slope) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
-            ).alias("slope_per_day"),
-        )
+    ).localCheckpoint()
+    med_slope = bracketed_middle_rows(slopes, "slope", ["da", "db"]).agg(
+        F.max("__grp_n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(SUM(slope) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("slope_per_day"),
     )
     resid = daily.crossJoin(F.broadcast(med_slope)).select(
         "d",

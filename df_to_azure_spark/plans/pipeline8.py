@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from df_to_azure_spark.functions.distrank import two_phase_rank
+from df_to_azure_spark.operators.partitioning import spread
 from df_to_azure_spark.sources import load_table
 
 # --------------------------------------------------------------------------
@@ -660,7 +661,15 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, one 32-row fold — no data-sized shuffle beyond the
     B-key aggregation, and the whole replicate axis is model-sized."""
     thr = _poisson_thresholds()
-    orders = load_table(spark, sf_dir, "orders")
+    # spread BEFORE the B-way explode + per-row md5: the bench tables are
+    # single-row-group files (one scan task), and the n·B md5 stream is
+    # this query's whole cost — it must run on every core (guide §2.1);
+    # at 100 TB the scan arrives in thousands of splits and spread is a
+    # no-op.  Projecting to the two needed columns first keeps the
+    # repartition payload minimal (guide §2.3)
+    orders = spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     reps = orders.selectExpr(
         "o_orderkey",
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))"

@@ -233,3 +233,65 @@ def test_two_phase_rank_empty_input(spark):
     assert got.count() == 0
     fam = with_rank_family(got, ["v"])
     assert fam.count() == 0
+
+
+# --------------------------------------------------------------------------
+# bracketed_middle_rows: histogram-bracketed exact median selection
+# --------------------------------------------------------------------------
+
+
+def _middle_via_full_rank(df):
+    ranked = two_phase_rank(df, [("v", "asc"), ("id", "asc")])
+    sel = ranked.where(
+        (F.col("__rn") == F.expr("(__grp_n + 1) DIV 2"))
+        | (F.col("__rn") == F.expr("__grp_n DIV 2 + 1"))
+    )
+    return sorted(
+        (r["id"], r["v"], r["__rn"], r["__grp_n"]) for r in sel.collect()
+    )
+
+
+def test_bracketed_middle_rows_matches_full_rank(spark):
+    from df_to_azure_spark.functions.distrank import bracketed_middle_rows
+
+    import random
+
+    rnd = random.Random(7)
+    for n, tag in ((101, "odd"), (100, "even"), (1, "single"), (2, "pair")):
+        rows = [(i, rnd.uniform(-50.0, 50.0)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id: long, v: double")
+        got = sorted(
+            (r["id"], r["v"], r["__rn"], r["__grp_n"])
+            for r in bracketed_middle_rows(df, "v", ["id"]).collect()
+        )
+        assert got == _middle_via_full_rank(df), tag
+
+
+def test_bracketed_middle_rows_tie_heavy_and_degenerate(spark):
+    from df_to_azure_spark.functions.distrank import bracketed_middle_rows
+
+    # 90% of the mass on ONE value (the median lands inside the tie run)
+    rows = [(i, 3.25) for i in range(90)] + [
+        (90 + i, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id: long, v: double")
+    got = sorted(
+        (r["v"], r["__rn"], r["__grp_n"])
+        for r in bracketed_middle_rows(df, "v", ["id"]).collect()
+    )
+    want = sorted(
+        (v, rn, g) for (_i, v, rn, g) in _middle_via_full_rank(df)
+    )
+    assert got == want
+    # all-equal input: min == max, the degenerate full-rank fallback
+    df2 = spark.createDataFrame([(i, 1.5) for i in range(33)], "id: long, v: double")
+    out2 = bracketed_middle_rows(df2, "v", ["id"]).collect()
+    assert [(r["__rn"], r["__grp_n"]) for r in out2] == [(17, 33)]
+    assert out2[0]["v"] == 1.5
+
+
+def test_bracketed_middle_rows_empty(spark):
+    from df_to_azure_spark.functions.distrank import bracketed_middle_rows
+
+    df = spark.createDataFrame([], "id: long, v: double")
+    assert bracketed_middle_rows(df, "v", ["id"]).count() == 0
