@@ -259,14 +259,19 @@ def minhash_lsh_pairs(
     set is tiny → broadcast anti-join.
     """
     # signatures are expensive (num_hashes passes over the shingle array):
-    # compute ONCE and persist, so neither the band explode nor the two
-    # join sides re-evaluate the hash expressions.  At cluster scale this
-    # persist becomes a checkpoint/table write between stages.  The cache
-    # is released on the NEXT call (or via clear_signature_cache()), so at
-    # most one signature frame is ever pinned per session.
+    # compute ONCE and pin, so neither the band explode nor the two join
+    # sides re-evaluate the Arrow kernel.  Eager localCheckpoint instead
+    # of persist(): the pinned RDD scan exposes exact runtime stats to
+    # AQE (an InMemoryRelation hides them — the winnow lesson above),
+    # measured 3.16 -> 2.83 s at sf0.1, rows identical.  At cluster
+    # scale this pin becomes a checkpoint/table write between stages.
+    # clear_signature_cache() stays for callers of the old contract (the
+    # pinned blocks are released by the ContextCleaner once the frame is
+    # unreferenced).
     clear_signature_cache()
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
-    _SIG_CACHE.append(sigs)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint()
 
     banded, bucket_cols = _banded(sigs, id_col, num_hashes, bands)
 
@@ -605,13 +610,18 @@ def winnow_overlap_pairs(
     signal, and would make cap² work in one reducer — they are dropped
     from the fingerprint universe (intersections AND sizes, keeping the
     Jaccard internally consistent)."""
-    # NOT persisted, deliberately: the fingerprint frame feeds five
-    # consumers, but caching it behind an InMemoryRelation blocks AQE's
-    # runtime re-planning of the hot-cap anti-join and posting self-join
-    # — measured 1.8s (no persist, AQE broadcast + reused exchanges) vs
-    # 2.6-3.0s (persisted) at sf0.1.  Recomputation is the cheaper side
-    # of that trade here because winnowing already sparsifies the frame.
-    fps = winnow_fingerprints(_spread(df), text_col, id_col, shingle_n, window)
+    # localCheckpoint, not persist: the fingerprint frame feeds five
+    # consumers (hot-cap agg, the anti-join probe, sizes, both posting
+    # sides) and unpinned each re-runs the winnowing window chain.
+    # persist() was tried in an earlier round and REGRESSED (2.6-3.0 s
+    # vs 1.8 s) because the InMemoryRelation hides runtime stats from
+    # AQE's re-planning of the anti-join and posting self-join; an
+    # eager localCheckpoint materializes once AND leaves AQE its exact
+    # RDD-scan stats — measured 4.14 -> 2.41 s median at sf0.1 with a
+    # far tighter spread (guide §2.4/§5), rows identical.
+    fps = winnow_fingerprints(
+        _spread(df), text_col, id_col, shingle_n, window
+    ).localCheckpoint()
     if hot_fp_cap is not None:
         hot = (
             fps.groupBy("fp")

@@ -172,8 +172,12 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n = nodes.count()
+    # checkpoint='local': pin the nodes/degree-edge frames the unrolled
+    # chain re-reads each iteration (A/B 4.41 -> 3.64 s median, rows
+    # identical; see graph.pagerank docstring)
     return G.pagerank(
-        edges, n_nodes=n, iters=_PR_ITERS, damping=_PR_DAMPING
+        edges, n_nodes=n, iters=_PR_ITERS, damping=_PR_DAMPING,
+        checkpoint="local",
     ).select(F.col("node").alias("part_id"), "rank")
 
 

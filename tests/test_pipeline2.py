@@ -56,6 +56,23 @@ def test_pagerank_partitioning_invariant(spark):
     assert a == b
 
 
+def test_pagerank_checkpoint_local_identical(spark):
+    """checkpoint='local' pins the nodes/degree-edge frames (a pure
+    evaluation-strategy knob) — ranks must be bit-identical to the
+    default pure-plan path, and bad modes must raise."""
+    import pytest
+
+    pairs = [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, pagerank(e, n_nodes=23, iters=3).collect()))
+    b = sorted(
+        map(tuple, pagerank(e, n_nodes=23, iters=3, checkpoint="local").collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="checkpoint"):
+        pagerank(e, n_nodes=23, iters=3, checkpoint="persist")
+
+
 # --------------------------------------------------------------- semdedup
 
 
