@@ -1210,16 +1210,43 @@ def w18_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.create(
         customer.repartition(8), "customer", bloom_columns=["uid"]
     )
-    uids = {r.uid for r in customer.select("uid").distinct().collect()}
     # the absent probe key must sit INSIDE every file's [min,max] so the
     # premise "zone maps alone keep all files" holds at every SF: at
     # sf0.001 a fixed low anchor (the old 54_321) fell below several
-    # files' min and zone maps pruned on their own.  Walking up from the
+    # files' min and zone maps pruned on their own.  Anchoring near the
     # MEDIAN uid keeps the probe inside each file's envelope — every
     # file holds ~n/8 hash-scattered uids, so its range straddles the
-    # median at any n.
-    mid = sorted(uids)[len(uids) // 2]
-    absent = next(v for v in range(mid + 1, 2_000_000) if v not in uids)
+    # median at any n.  Both driver reads are BOUNDED (guide §5 — the
+    # former full distinct-uid collect was O(customers)): a mergeable
+    # approx-percentile sketch for the anchor, then the first gap among
+    # the 200 smallest uids above it (hash-scattered values gap within
+    # a handful; the full-collect fallback is for the degenerate case
+    # only).  The hash-checked output (present-key probe) is anchor-
+    # independent; premise verified 8/8-zone-kept at all three SFs.
+    mid = int(
+        customer.agg(F.expr("approx_percentile(uid, 0.5, 10000)")).collect()[
+            0
+        ][0]
+    )
+    above = [
+        r.uid
+        for r in customer.select("uid")
+        .where(F.col("uid") > mid)
+        .distinct()
+        .orderBy("uid")
+        .limit(200)
+        .collect()
+    ]
+    absent = None
+    prev = mid
+    for v in above:
+        if v > prev + 1:
+            absent = prev + 1
+            break
+        prev = v
+    if absent is None:  # degenerate: 200 consecutive uids above the median
+        uids = {r.uid for r in customer.select("uid").distinct().collect()}
+        absent = next(v for v in range(mid + 1, 2_000_000) if v not in uids)
     lake.scan("customer", [("or", [[("uid", "=", absent)]])])
     zone_kept, total = lake.last_scan_files
     if zone_kept != total:
