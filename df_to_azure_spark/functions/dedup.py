@@ -1157,12 +1157,17 @@ def tfidf_cosine_pairs(
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = per_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
+    # document frequency as a tok-partitioned COUNT window instead of a
+    # groupBy + self-join back onto per_tok: per_tok is scanned once and
+    # the dfreq-join exchange disappears (per_tok fed BOTH the agg and
+    # the join probe side before — one whole explode→agg pass saved)
+    wdf = W.partitionBy("tok")
+    with_df = per_tok.withColumn("df_tok", F.count(F.lit(1)).over(wdf))
     if hot_df_cap is not None:
-        dfreq = dfreq.where(F.col("df_tok") <= int(hot_df_cap))
+        with_df = with_df.where(F.col("df_tok") <= int(hot_df_cap))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_corpus"))
     weighted = (
-        per_tok.join(dfreq, "tok")
+        with_df
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w",

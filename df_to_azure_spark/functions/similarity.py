@@ -2311,15 +2311,23 @@ def nn_descent_graph(
                 F.col("w").alias("u"), F.col("u").alias("w"), "cos_sim"
             )
         )
-        l_nbrs = (
+        # one grouped pass replaces the old distinct + self-join pair
+        # generation: collect each node's (forward ∪ reverse) neighbor
+        # SET once — collect_set absorbs the distinct — then emit the
+        # ordered pairs map-side by exploding the set against itself.
+        # Same pair set (pool.distinct() below normalizes either way),
+        # two fewer exchanges per round and no double evaluation of the
+        # union subtree under both self-join sides.  |set| ≤ 2k, so the
+        # per-node array and its ≤(2k)² explosion stay constant-bounded.
+        nbrs = (
             b.select(F.col("u").alias("node"), F.col("w").alias("nbr"))
             .union(rev.select(F.col("u").alias("node"), F.col("w").alias("nbr")))
-            .distinct()
+            .groupBy("node")
+            .agg(F.collect_set("nbr").alias("nbrs"))
         )
         co = (
-            l_nbrs.alias("a")
-            .join(l_nbrs.alias("b"), "node")
-            .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
+            nbrs.select(F.explode("nbrs").alias("u"), "nbrs")
+            .select("u", F.explode("nbrs").alias("w"))
             .where(F.col("u") != F.col("w"))
         )
         pool = co.union(b.select("u", "w")).distinct()
