@@ -236,16 +236,30 @@ def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.where(split >= 80)
 
     train_tok = train.select("lang", F.explode(TXT.tokens("text")).alias("tok"))
-    c_lw = train_tok.groupBy("lang", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # the aggregated (lang, tok) count table IS the trained model — pin
+    # it (model-sized: vocabulary × languages, never corpus-sized) and
+    # derive vocabulary size and per-language token totals FROM it, so
+    # the train split is tokenized exactly once instead of three times
+    # (t_l = Σ_tok c ≡ Σ_doc token_count; V = distinct tok of c_lw)
+    c_lw = (
+        train_tok.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
     )
-    # 5-row language frame: doc prior + token total per language
-    per_lang = train.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(TXT.token_count("text").cast("bigint")).alias("t_l"),
+    # 5-row language frame: doc prior (text-free scan) + token total
+    # (from the pinned model; left join keeps a lang whose train docs
+    # are all token-less, as the direct SUM(token_count) did)
+    n_docs_l = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    t_l = c_lw.groupBy("lang").agg(F.sum("c").alias("t_l"))
+    per_lang = n_docs_l.join(t_l, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce(F.col("t_l"), F.lit(0).cast("bigint")).alias("t_l"),
     )
     # 1-row corpus frames: smoothed vocabulary size + train doc total
-    vocab_n = train_tok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    vocab_n = c_lw.agg(F.countDistinct("tok").cast("bigint").alias("v"))
     totals = train.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_train")
     ).crossJoin(F.broadcast(vocab_n))

@@ -77,6 +77,12 @@ def hourly_concurrency(sessions: DataFrame) -> DataFrame:
             ).alias("seg_end"),
         )
     )
+    # pin the clipped segments: three consumers (both sweep-line union
+    # legs + the per-hour stats agg) would otherwise each re-run the
+    # sessionize window chain upstream; the pinned frame is 3 narrow
+    # columns over rows every consumer already shuffles by hour
+    if not seg.isStreaming:
+        seg = seg.localCheckpoint()
     bounds = seg.select(
         "hour", F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
     ).unionAll(

@@ -69,7 +69,13 @@ def doc_kn_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from df_to_azure_spark.functions.sampling import with_split
 
     docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks_arr = docs.select("doc_id", "split", TXT.tokens("text").alias("t"))
+    # pin the tokenized arrays: the train aggregation chain and the test
+    # scoring stream are the two consumers of this frame, and without
+    # the pin each re-runs the regex tokenize over the full document
+    # scan — the pinned copy is the same rows both sides already read
+    toks_arr = docs.select(
+        "doc_id", "split", TXT.tokens("text").alias("t")
+    ).localCheckpoint()
     tg = (
         toks_arr.where(F.size("t") >= 3)
         .select(

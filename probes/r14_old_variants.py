@@ -217,3 +217,292 @@ def old_doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=PL3._TFIDF_THRESHOLD,
         term_shingle_n=PL3._TFIDF_SHINGLE_N,
     )
+
+
+def old_nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14 nb_language_confusion: vocab_n / t_l each re-tokenize the
+    train split (3 tokenize passes over train instead of 1)."""
+    from df_to_azure_spark.functions import text as TXT
+    from df_to_azure_spark.plans.pipeline10 import _NB_DP, _SPLIT_SPARK
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(_SPLIT_SPARK)
+    train = docs.where(split < 80)
+    test = docs.where(split >= 80)
+
+    train_tok = train.select("lang", F.explode(TXT.tokens("text")).alias("tok"))
+    c_lw = train_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_lang = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TXT.token_count("text").cast("bigint")).alias("t_l"),
+    )
+    vocab_n = train_tok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    totals = train.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    ).crossJoin(F.broadcast(vocab_n))
+    lang_model = (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            F.expr(
+                f"CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)), {_NB_DP})"
+                f" AS DECIMAL(20,{_NB_DP})) AS prior"
+            ),
+            F.expr(
+                f"CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)), {_NB_DP})"
+                f" AS DECIMAL(20,{_NB_DP})) AS lnp0"
+            ),
+            F.expr("t_l + v AS den"),
+        )
+    )
+    c_aug = c_lw.join(F.broadcast(lang_model), "lang").select(
+        "lang",
+        "tok",
+        F.expr(
+            f"CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / CAST(den AS DOUBLE)), {_NB_DP})"
+            f" AS DECIMAL(20,{_NB_DP})) - lnp0 AS delta"
+        ),
+    )
+    test_tok = (
+        test.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    corr = (
+        test_tok.join(c_aug, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                f"SUM(CAST(CAST(m AS DECIMAL(10,0)) * delta"
+                f" AS DECIMAL(38,{_NB_DP}))) AS corr"
+            )
+        )
+    )
+    test_docs = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        TXT.token_count("text").cast("bigint").alias("m_total"),
+    )
+    scored = (
+        test_docs.crossJoin(F.broadcast(lang_model))
+        .join(corr, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.expr(
+                f"CAST(prior AS DECIMAL(25,{_NB_DP}))"
+                f" + CAST(CAST(m_total AS DECIMAL(10,0)) * lnp0"
+                f" AS DECIMAL(25,{_NB_DP}))"
+                f" + COALESCE(CAST(corr AS DECIMAL(25,{_NB_DP})),"
+                f" CAST(0 AS DECIMAL(25,{_NB_DP}))) AS score"
+            ),
+        )
+    )
+    w_doc = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"), "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select("lang", "predicted", "n")
+    )
+
+
+def old_doc_kn_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14 doc_kn_trigram_surprisal: the tokenize pass runs once per
+    split side (train aggregation chain + test scoring stream)."""
+    from df_to_azure_spark.functions import text as TXT
+    from df_to_azure_spark.functions.sampling import with_split
+    from df_to_azure_spark.plans.pipeline9 import _KN3_CLAMP
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_arr = docs.select("doc_id", "split", TXT.tokens("text").alias("t"))
+    tg = (
+        toks_arr.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2,"
+                    " element_at(t, i + 2) AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+    )
+    tgc = (
+        tg.where(F.col("split") == "train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_tg"))
+    )
+    ctx12 = tgc.groupBy("w1", "w2").agg(
+        F.sum("n_tg").alias("c12"), F.count(F.lit(1)).alias("n1p12")
+    )
+    a23 = tgc.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1p_23"))
+    mid = a23.groupBy("w2").agg(
+        F.sum("n1p_23").alias("n2mid"), F.count(F.lit(1)).alias("n1p_2dot")
+    )
+    cont = a23.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_3"))
+    nbb = a23.agg(F.count(F.lit(1)).alias("n_bb"))
+    scored = (
+        tg.where(F.col("split") == "test")
+        .join(tgc, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(a23, ["w2", "w3"], "left")
+        .join(mid, "w2", "left")
+        .join(cont, "w3", "left")
+        .crossJoin(F.broadcast(nbb))
+        .selectExpr(
+            "doc_id",
+            """CASE WHEN n2mid IS NOT NULL THEN
+                 GREATEST(CAST(GREATEST(4 * coalesce(n1p_23, 0) - 3, 0)
+                   AS DECIMAL(38,0)) * n_bb
+                   + CAST(3 AS DECIMAL(38,0)) * n1p_2dot
+                     * coalesce(n1p_3, 0), CAST(1 AS DECIMAL(38,0)))
+               ELSE CAST(GREATEST(coalesce(n1p_3, 0), 1) AS DECIMAL(38,0))
+               END AS num_l""",
+            """CASE WHEN n2mid IS NOT NULL THEN
+                 CAST(4 AS DECIMAL(38,0)) * n2mid * n_bb
+               ELSE CAST(n_bb AS DECIMAL(38,0)) END AS den_l""",
+            "c12",
+            "n1p12",
+            "coalesce(n_tg, 0) AS n_tg0",
+        )
+        .selectExpr(
+            "doc_id",
+            """CASE WHEN c12 IS NOT NULL THEN
+                 GREATEST(CAST(GREATEST(4 * n_tg0 - 3, 0) AS DECIMAL(38,0))
+                   * den_l + CAST(3 AS DECIMAL(38,0)) * n1p12 * num_l,
+                   CAST(1 AS DECIMAL(38,0)))
+               ELSE num_l END AS num""",
+            """CASE WHEN c12 IS NOT NULL THEN
+                 CAST(4 AS DECIMAL(38,0)) * c12 * den_l
+               ELSE den_l END AS den""",
+            "IF(c12 IS NULL, 1, 0) AS oov_ctx",
+        )
+        .selectExpr(
+            "doc_id",
+            f"length(bin(CAST(LEAST(den DIV num, {_KN3_CLAMP}) AS BIGINT)))"
+            " AS bits",
+            "oov_ctx",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.expr(
+            "CAST((2000000 * SUM(bits) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        ).alias("mean_kn3_bits"),
+        F.max("bits").cast("bigint").alias("max_kn3_bits"),
+        F.expr(
+            "CAST((2000000 * SUM(oov_ctx) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        ).alias("oov_ctx_rate"),
+    )
+
+
+def old_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14 dsir: the token explode is evaluated by both the count
+    aggregation and the per-doc scoring join."""
+    from df_to_azure_spark.functions import text as TXT
+    from df_to_azure_spark.plans.pipeline2 import _DSIR_TARGET_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(TXT.tokens("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET_SOURCE, 1)).alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").alias("r_tot"),
+        F.sum("t_cnt").alias("t_tot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.expr(
+            "ROUND(LN((CAST(t_cnt AS DOUBLE) + CAST(1 AS DOUBLE))"
+            " / CAST(t_tot + v AS DOUBLE)) "
+            "- LN((CAST(r_cnt AS DOUBLE) + CAST(1 AS DOUBLE))"
+            " / CAST(r_tot + v AS DOUBLE)), 6)"
+        ).alias("w"),
+    )
+    return (
+        toks.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6)"
+            ).alias("dsir_logratio"),
+        )
+        .withColumn("target_like", F.col("dsir_logratio") >= 0.0)
+    )
+
+
+def old_session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14 session_concurrency_hourly: the clipped-segment frame
+    (and the sessionize chain above it) is re-evaluated by all three
+    consumers (two sweep-line union legs + the stats agg)."""
+    from df_to_azure_spark.streaming.events import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(events, gap_minutes=30)
+    seg = (
+        sessions
+        .select(
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col("session_start")),
+                    F.date_trunc("hour", F.col("session_end")),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+            "session_start",
+            "session_end",
+        )
+        .select(
+            "hour",
+            F.greatest("session_start", F.col("hour")).alias("seg_start"),
+            F.least(
+                "session_end", F.col("hour") + F.expr("INTERVAL 1 HOUR")
+            ).alias("seg_end"),
+        )
+    )
+    bounds = seg.select(
+        "hour", F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("hour", F.col("seg_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sweep = W.partitionBy("hour").orderBy(
+        F.asc("ts"), F.desc("delta")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    peaks = bounds.withColumn("running", F.sum("delta").over(sweep)).groupBy(
+        "hour"
+    ).agg(F.max("running").cast("bigint").alias("peak_concurrency"))
+    stats = seg.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(
+            F.unix_micros("seg_end") - F.unix_micros("seg_start")
+        ).cast("bigint").alias("busy_us"),
+    )
+    return stats.join(peaks, "hour").select(
+        "hour", "n_segments", "peak_concurrency", "busy_us"
+    )
