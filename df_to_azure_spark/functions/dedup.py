@@ -855,6 +855,9 @@ def duplicate_spans_global(
         # same 48-bit portable fingerprint as shared_span_pairs
         F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
     )
+    # NOT pinned (measured r14: localCheckpoint here is 1.15x SLOWER —
+    # materializing the fingerprint rows costs more than the second
+    # shingle+md5 explode the count agg re-runs)
     dup = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))

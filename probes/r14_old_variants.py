@@ -506,3 +506,62 @@ def old_session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFram
     return stats.join(peaks, "hour").select(
         "hour", "n_segments", "peak_concurrency", "busy_us"
     )
+
+
+def old_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14 duplicate_spans_global: the positional-fingerprint explode
+    is evaluated by both the occurrence count and the semi-join probe."""
+    from df_to_azure_spark.functions.dedup import _spread, shingles
+
+    df = load_table(spark, sf_dir, "documents")
+    id_col, text_col, shingle_n, min_span_tokens = "doc_id", "text", 8, 12
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, shingle_n)).alias("pos0", "s"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    marked = sh.join(dup, "h", "left_semi").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    spans = islands.groupBy(id_col, "isl").agg(
+        F.min("pos").alias("start_pos"),
+        (F.count(F.lit(1)) + (shingle_n - 1)).cast("bigint").alias("span_tokens"),
+    )
+    return spans.where(F.col("span_tokens") >= min_span_tokens).select(
+        id_col, "start_pos", "span_tokens"
+    )
+
+
+def nnd_search_ckpt_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current nn_descent_search_knn (checkpoint='local')."""
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.plans import training_data as TD
+
+    emb, graph, queries = TD._nnd_search_graph(spark, sf_dir)
+    return SIM.nn_descent_search(
+        emb, graph, queries, planes=TD._nnd_planes(), k=TD._NND_SEARCH_K,
+        beam=TD._NND_SEARCH_BEAM, hops=TD._NND_SEARCH_HOPS, exclude_self=True,
+        checkpoint="local",
+    )
+
+
+def nnd_search_ckpt_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: checkpoint='none' (hop frames are query-batch-bounded)."""
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.plans import training_data as TD
+
+    emb, graph, queries = TD._nnd_search_graph(spark, sf_dir)
+    return SIM.nn_descent_search(
+        emb, graph, queries, planes=TD._nnd_planes(), k=TD._NND_SEARCH_K,
+        beam=TD._NND_SEARCH_BEAM, hops=TD._NND_SEARCH_HOPS, exclude_self=True,
+        checkpoint="none",
+    )
