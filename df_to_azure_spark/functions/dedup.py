@@ -1280,19 +1280,21 @@ def prefix_filter_jaccard_join(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
     ).localCheckpoint()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
     from pyspark.sql import Window as W
 
+    # doc size as a COUNT(*) window over the SAME doc-keyed exchange the
+    # prefix ranking already pays (r14: replaces a separate groupBy(id)
+    # aggregation over sh plus its three joins — onto ranked and onto
+    # both sides of the final gate; sz rides through cand/inter instead)
+    wdoc = W.partitionBy(id_col)
     ranked = (
         sh.join(dfreq, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
         .withColumn(
             "rk",
-            F.row_number().over(
-                W.partitionBy(id_col).orderBy(F.asc("df_s"), F.asc("s"))
-            ),
+            F.row_number().over(wdoc.orderBy(F.asc("df_s"), F.asc("s"))),
         )
-        .join(sizes, id_col)
         # prefix length n - ceil(tau*n) + 1, ceil as exact int division
         .where(F.expr(f"rk <= sz - (({tn} * sz + {td} - 1) DIV {td}) + 1"))
         .select(id_col, "s", "rk", "sz")
@@ -1324,12 +1326,19 @@ def prefix_filter_jaccard_join(
                     F.col("b.sz") - F.col("b.rk"),
                 )
             ).alias("ub_row"),
-            (F.col("a.sz") + F.col("b.sz")).alias("sz_sum"),
+            # sz is constant per doc, so MIN just carries the value —
+            # the pair keeps its sizes and the final gate needs no join
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.min("ub_row").alias("ub"), F.min("sz_sum").alias("sz_sum"))
-        .where(F.expr(f"({td} + {tn}) * ub >= {tn} * sz_sum"))
-        .select("id_a", "id_b")
+        .agg(
+            F.min("ub_row").alias("ub"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
+        .where(F.expr(f"({td} + {tn}) * ub >= {tn} * (sz_a + sz_b)"))
+        .select("id_a", "id_b", "sz_a", "sz_b")
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("s_b"))
@@ -1339,19 +1348,13 @@ def prefix_filter_jaccard_join(
             sb,
             (F.col("id_b") == F.col("doc_b")) & (F.col("s_b") == F.col("s_a")),
         )
-        .groupBy("id_a", "id_b")
+        # grouping by the pair-constant sizes adds no cardinality and
+        # lets the final gate read them without re-joining doc sizes
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
-        .where(F.expr(f"({td} + {tn}) * n_inter >= {tn} * (sz_a + sz_b)"))
+    out = inter.where(
+        F.expr(f"({td} + {tn}) * n_inter >= {tn} * (sz_a + sz_b)")
     )
     return out.select(
         "id_a",

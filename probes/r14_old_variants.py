@@ -565,3 +565,91 @@ def nnd_search_ckpt_none(spark: SparkSession, sf_dir: str) -> DataFrame:
         beam=TD._NND_SEARCH_BEAM, hops=TD._NND_SEARCH_HOPS, exclude_self=True,
         checkpoint="none",
     )
+
+
+def old_prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14-session-2 prefix_filter_jaccard_join: doc sizes via a
+    separate groupBy aggregation joined three times (ranking + both
+    sides of the final gate)."""
+    from df_to_azure_spark.functions.dedup import _spread, shingles
+    from df_to_azure_spark.plans import pipeline7 as PL7
+
+    df = load_table(spark, sf_dir, "documents")
+    id_col, text_col = "doc_id", "text"
+    shingle_n, tn, td = 3, PL7._PF_TAU_NUM, PL7._PF_TAU_DEN
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    ).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.asc("df_s"), F.asc("s"))
+            ),
+        )
+        .join(sizes, id_col)
+        .where(F.expr(f"rk <= sz - (({tn} * sz + {td} - 1) DIV {td}) + 1"))
+        .select(id_col, "s", "rk", "sz")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.least(F.col("a.rk"), F.col("b.rk"))
+                + F.least(
+                    F.col("a.sz") - F.col("a.rk"),
+                    F.col("b.sz") - F.col("b.rk"),
+                )
+            ).alias("ub_row"),
+            (F.col("a.sz") + F.col("b.sz")).alias("sz_sum"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("ub_row").alias("ub"), F.min("sz_sum").alias("sz_sum"))
+        .where(F.expr(f"({td} + {tn}) * ub >= {tn} * sz_sum"))
+        .select("id_a", "id_b")
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("doc_b")) & (F.col("s_b") == F.col("s_a")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .where(F.expr(f"({td} + {tn}) * n_inter >= {tn} * (sz_a + sz_b)"))
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.expr(
+            "CAST((2000000 * n_inter + (sz_a + sz_b - n_inter))"
+            " DIV (2 * (sz_a + sz_b - n_inter)) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("jaccard"),
+    )
