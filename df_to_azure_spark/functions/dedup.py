@@ -1416,20 +1416,22 @@ def prefix_filter_jaccard_between(
 
     sh_a, sh_b = _sh(df_a, "a"), _sh(df_b, "b")
     both = sh_a.unionByName(sh_b)
-    sizes = both.groupBy("side", "id").agg(F.count(F.lit(1)).alias("sz"))
     # ONE shared global order: df over the union of both corpora
     dfreq = both.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
     from pyspark.sql import Window as W
 
+    # doc size as a COUNT(*) window over the SAME (side, id)-keyed
+    # exchange the prefix ranking already pays (r14: same fold as the
+    # self-join variant — drops the sizes aggregation and its three
+    # joins; sz rides through cand/inter as pair-constant columns)
+    wdoc = W.partitionBy("side", "id")
     ranked = (
         both.join(dfreq, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
         .withColumn(
             "rk",
-            F.row_number().over(
-                W.partitionBy("side", "id").orderBy(F.asc("df_s"), F.asc("s"))
-            ),
+            F.row_number().over(wdoc.orderBy(F.asc("df_s"), F.asc("s"))),
         )
-        .join(sizes, ["side", "id"])
         .where(F.expr(f"rk <= sz - (({tn} * sz + {td} - 1) DIV {td}) + 1"))
         .select("side", "id", "s", "rk", "sz")
     )
@@ -1447,12 +1449,17 @@ def prefix_filter_jaccard_between(
                     F.col("b.sz") - F.col("b.rk"),
                 )
             ).alias("ub_row"),
-            (F.col("a.sz") + F.col("b.sz")).alias("sz_sum"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.min("ub_row").alias("ub"), F.min("sz_sum").alias("sz_sum"))
-        .where(F.expr(f"({td} + {tn}) * ub >= {tn} * sz_sum"))
-        .select("id_a", "id_b")
+        .agg(
+            F.min("ub_row").alias("ub"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
+        .where(F.expr(f"({td} + {tn}) * ub >= {tn} * (sz_a + sz_b)"))
+        .select("id_a", "id_b", "sz_a", "sz_b")
     )
     fa = sh_a.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     fb = sh_b.select(F.col("id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -1462,18 +1469,11 @@ def prefix_filter_jaccard_between(
             fb,
             (F.col("id_b") == F.col("doc_b")) & (F.col("s_b") == F.col("s_a")),
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sz_a = sizes.where(F.col("side") == "a").select(
-        F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
-    )
-    sz_b = sizes.where(F.col("side") == "b").select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
-    )
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        inter
         .where(F.expr(f"({td} + {tn}) * n_inter >= {tn} * (sz_a + sz_b)"))
         .select(
             "id_a",
