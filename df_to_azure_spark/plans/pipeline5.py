@@ -1215,6 +1215,11 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``COUNT(matched positions) = k`` per probe key.  Exact integers
     until the two output rates (one division each; EXP only in the
     theoretical rate, ROUND(6))."""
+    # NOT pinned (measured r14: localCheckpoint on these two distinct
+    # key frames is 1.20x SLOWER at sf0.1 — the two eager pin jobs cost
+    # more than the redundant warm scans their three consumers re-run;
+    # at cluster scale the distinct frames are key-domain-sized and the
+    # trade may flip, but the local default follows the measurement)
     build = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")

@@ -653,3 +653,82 @@ def old_prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             " / CAST(1000000 AS DOUBLE)"
         ).alias("jaccard"),
     )
+
+
+def old_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filter semi-join prefilter — THE shuffle-elimination
+    device for 100 TB joins (ship a kilobyte bitset to the probe side
+    instead of shuffling the probe table): build an
+    ``m=4096``/``k=3`` filter over the BUILDING-segment
+    customer keys, probe every ordering customer, and measure the
+    false-positive rate against the exact semi-join, next to the
+    ``(1−e^{{−kn/m}})^k`` theoretical rate.
+
+    Portable like the other sketches: bit positions are md5 integer
+    arithmetic, the bitset is the ≤ m-row distinct position frame
+    (broadcast — exactly how the prefilter deploys), membership is
+    ``COUNT(matched positions) = k`` per probe key.  Exact integers
+    until the two output rates (one division each; EXP only in the
+    theoretical rate, ROUND(6))."""
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    ks = spark.range(3).select(F.col("id").cast("int").alias("j"))
+    pos_expr = (
+        "CAST(conv(substring(md5(CONCAT(CAST(j AS STRING), '#',"
+        " CAST(key AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        f" % {4096}"
+    )
+    bits = (
+        build.crossJoin(F.broadcast(ks))
+        .select(F.expr(pos_expr).alias("pos"))
+        .distinct()
+    )
+    probed = (
+        probe.crossJoin(F.broadcast(ks))
+        .select("key", F.expr(pos_expr).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == 3)
+        .select("key")
+    )
+    truth = probe.join(build, "key", "left_semi")
+    n_build = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    stats = (
+        probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+        .crossJoin(F.broadcast(probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pass"))))
+        .crossJoin(F.broadcast(truth.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"))))
+        .crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+    )
+    return stats.select(
+        "n_build",
+        "n_bits_set",
+        "n_probe",
+        "n_true",
+        "n_pass",
+        F.expr("CAST(n_pass - n_true AS BIGINT)").alias("n_false_pos"),
+        F.expr(
+            "CASE WHEN n_probe = n_true THEN CAST(0 AS DOUBLE)"
+            " ELSE ROUND(CAST(n_pass - n_true AS DOUBLE)"
+            "      / CAST(n_probe - n_true AS DOUBLE), 6) END"
+        ).alias("fp_rate"),
+        F.expr(
+            f"ROUND(POWER(CAST(1 AS DOUBLE) - EXP(-CAST({3} AS DOUBLE)"
+            f" * CAST(n_build AS DOUBLE) / CAST({4096} AS DOUBLE)),"
+            f" CAST({3} AS DOUBLE)), 6)"
+        ).alias("fp_theoretical"),
+    )
+
