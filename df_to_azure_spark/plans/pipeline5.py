@@ -2314,33 +2314,41 @@ def _build_ann_index(spark: SparkSession, sf_dir: str):
     root = _ann_index_root(sf_dir)
     lake = ParquetLake(spark, root)
     emb = load_table(spark, sf_dir, "embeddings")
-    adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
-    rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
-    builds = [
-        (SIM.lsh_index(emb, _lsh_knn_planes()), "lsh_index"),
-        (SIM.ivf_index(emb, _ivf_centroids()), "ivf_index"),
-        (
-            SIM.pq_codes(emb, adc_books).withColumnRenamed(
-                "vec_id", "neighbor_id"
-            ),
-            "pq_adc_codes",
-        ),
-        (
-            SIM.pq_codes(emb, rr_books).withColumnRenamed(
-                "vec_id", "neighbor_id"
-            ),
-            "pq_rerank_codes",
-        ),
-    ]
+
     # the four builds are independent single-output jobs writing to
     # disjoint dirs; submitting them from threads lets the scheduler
     # overlap their stages (each leaves most of the cluster idle between
-    # stage boundaries) — results are unaffected, only wall-clock
-    with ThreadPoolExecutor(max_workers=len(builds)) as pool:
-        futs = [
-            pool.submit(lake.write, df, table, method="create")
-            for df, table in builds
-        ]
+    # stage boundaries) — results are unaffected, only wall-clock.
+    # The PQ codebook sampling (a small exemplar collect each) runs
+    # INSIDE its build's thread (r14): serially on the driver it
+    # delayed the whole pool by two round-trips; the sampled books are
+    # deterministic, so artifacts are unchanged.
+    def _pq_build(m: int, k: int, table: str):
+        books = SIM.sample_codebooks(emb, m, k)
+        lake.write(
+            SIM.pq_codes(emb, books).withColumnRenamed(
+                "vec_id", "neighbor_id"
+            ),
+            table,
+            method="create",
+        )
+
+    tasks = [
+        lambda: lake.write(
+            SIM.lsh_index(emb, _lsh_knn_planes()), "lsh_index",
+            method="create",
+        ),
+        lambda: lake.write(
+            SIM.ivf_index(emb, _ivf_centroids()), "ivf_index",
+            method="create",
+        ),
+        lambda: _pq_build(TD._PQ_M, TD._PQ_K, "pq_adc_codes"),
+        lambda: _pq_build(
+            TD._PQ_RERANK_M, TD._PQ_RERANK_K, "pq_rerank_codes"
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futs = [pool.submit(t) for t in tasks]
         for f in futs:
             f.result()
     with open(os.path.join(root, "COMPLETE"), "w") as fh:

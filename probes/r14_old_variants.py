@@ -732,3 +732,88 @@ def old_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp_theoretical"),
     )
 
+
+
+def old_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14-session-2 ann_index_build: both PQ codebook collects run
+    serially on the driver BEFORE the thread pool starts the four
+    builds."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.operators.lake import ParquetLake
+    from df_to_azure_spark.plans import training_data as TD
+    from df_to_azure_spark.plans import pipeline5 as PL5
+    from df_to_azure_spark.plans.training_data import (
+        _ivf_centroids,
+        _lsh_knn_planes,
+    )
+
+    root = PL5._ann_index_root(sf_dir)
+    lake = ParquetLake(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
+    rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
+    builds = [
+        (SIM.lsh_index(emb, _lsh_knn_planes()), "lsh_index"),
+        (SIM.ivf_index(emb, _ivf_centroids()), "ivf_index"),
+        (
+            SIM.pq_codes(emb, adc_books).withColumnRenamed(
+                "vec_id", "neighbor_id"
+            ),
+            "pq_adc_codes",
+        ),
+        (
+            SIM.pq_codes(emb, rr_books).withColumnRenamed(
+                "vec_id", "neighbor_id"
+            ),
+            "pq_rerank_codes",
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=len(builds)) as pool:
+        futs = [
+            pool.submit(lake.write, df, table, method="create")
+            for df, table in builds
+        ]
+        for f in futs:
+            f.result()
+    with open(os.path.join(root, "COMPLETE"), "w") as fh:
+        fh.write(
+            f"v{PL5._ANN_INDEX_VERSION} tables={','.join(PL5._ANN_TABLES)}\n"
+        )
+
+    def _summary(table, variant, group_cols, checksum):
+        df = lake.read(table)
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct(*group_cols).cast("bigint").alias("n_groups"),
+            F.sum(checksum).cast("bigint").alias("code_checksum"),
+        ).select(F.lit(variant).alias("variant"), "*")
+
+    def _pq_checksum(m):
+        cs = F.col("code_0").cast("bigint")
+        for i in range(1, m):
+            cs = cs + F.col(f"code_{i}").cast("bigint") * F.lit(i + 1)
+        return cs
+
+    out = _summary("lsh_index", "lsh", [F.col("bucket")], F.col("bucket"))
+    out = out.unionByName(
+        _summary("ivf_index", "ivf", [F.col("cid")], F.col("cid").cast("bigint"))
+    )
+    out = out.unionByName(
+        _summary(
+            "pq_adc_codes",
+            "pq_adc",
+            [F.col(f"code_{i}") for i in range(TD._PQ_M)],
+            _pq_checksum(TD._PQ_M),
+        )
+    )
+    return out.unionByName(
+        _summary(
+            "pq_rerank_codes",
+            "pq_rerank",
+            [F.col(f"code_{i}") for i in range(TD._PQ_RERANK_M)],
+            _pq_checksum(TD._PQ_RERANK_M),
+        )
+    )
