@@ -2519,11 +2519,12 @@ def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = _ensure_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
-    rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
     # Each pin is an independent ~1 s search job over a stored artifact
     # (dominated by fixed scheduler overhead, not data); submitting the
-    # five from threads overlaps them — pinned contents are unchanged
+    # five from threads overlaps them — pinned contents are unchanged.
+    # The PQ codebook samplings run INSIDE their pin's thread (r14,
+    # same overlap as _build_ann_index): serial driver collects here
+    # delayed the whole pool by two job round-trips.
     pins = {
         "exact": lambda: SIM.cosine_topk(
             queries, emb, k=_IR_K
@@ -2539,13 +2540,16 @@ def ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             nprobe=2,
         ).localCheckpoint(),
         "pq_adc": lambda: SIM.pq_adc_topk_from_codes(
-            queries, lake.read("pq_adc_codes"), adc_books, k=_IR_K
+            queries,
+            lake.read("pq_adc_codes"),
+            SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K),
+            k=_IR_K,
         ).localCheckpoint(),
         "pq_rerank": lambda: SIM.pq_rerank_topk_from_codes(
             queries,
             lake.read("pq_rerank_codes"),
             emb,
-            rr_books,
+            SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K),
             k=_IR_K,
             shortlist=TD._PQ_RERANK_C,
         ).localCheckpoint(),

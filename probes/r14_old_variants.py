@@ -817,3 +817,69 @@ def old_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_checksum(TD._PQ_RERANK_M),
         )
     )
+
+
+def old_ann_retrieval_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r14-session-2 ann_retrieval_matrix: both PQ codebook collects
+    run serially on the driver before the pin thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from df_to_azure_spark.functions import similarity as SIM
+    from df_to_azure_spark.plans import pipeline5 as PL5
+    from df_to_azure_spark.plans import training_data as TD
+    from df_to_azure_spark.plans.training_data import (
+        _ivf_centroids,
+        _lsh_knn_planes,
+    )
+
+    K = PL5._IR_K
+    lake = PL5._ensure_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    adc_books = SIM.sample_codebooks(emb, TD._PQ_M, TD._PQ_K)
+    rr_books = SIM.sample_codebooks(emb, TD._PQ_RERANK_M, TD._PQ_RERANK_K)
+    pins = {
+        "exact": lambda: SIM.cosine_topk(queries, emb, k=K).localCheckpoint(),
+        "lsh": lambda: SIM.lsh_topk_from_index(
+            queries, lake.read("lsh_index"), _lsh_knn_planes(), k=K
+        ).localCheckpoint(),
+        "ivf": lambda: SIM.ivf_topk_from_index(
+            queries, lake.read("ivf_index"), _ivf_centroids(), k=K, nprobe=2
+        ).localCheckpoint(),
+        "pq_adc": lambda: SIM.pq_adc_topk_from_codes(
+            queries, lake.read("pq_adc_codes"), adc_books, k=K
+        ).localCheckpoint(),
+        "pq_rerank": lambda: SIM.pq_rerank_topk_from_codes(
+            queries, lake.read("pq_rerank_codes"), emb, rr_books,
+            k=K, shortlist=TD._PQ_RERANK_C,
+        ).localCheckpoint(),
+    }
+    with ThreadPoolExecutor(max_workers=len(pins)) as pool:
+        futs = {name: pool.submit(fn) for name, fn in pins.items()}
+        pinned = {name: f.result() for name, f in futs.items()}
+    truth = pinned["exact"].select("query_id", "neighbor_id")
+    variants = [
+        ("lsh", pinned["lsh"]),
+        ("ivf", pinned["ivf"]),
+        ("pq_adc", pinned["pq_adc"]),
+        ("pq_rerank", pinned["pq_rerank"]),
+        (
+            "hybrid_rrf",
+            SIM.rrf_fuse([pinned["lsh"], pinned["ivf"]], k_const=60, topk=K),
+        ),
+    ]
+
+    def _eval(name, cand):
+        return (
+            SIM.retrieval_metrics(truth, cand, k=K)
+            .select(F.lit(name).alias("variant"), "*")
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+        evs = [pool.submit(_eval, name, cand) for name, cand in variants]
+        frames = [f.result() for f in evs]
+    out = frames[0]
+    for m in frames[1:]:
+        out = out.unionByName(m)
+    return out
