@@ -1207,8 +1207,16 @@ def w18_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     lake = VersionedLake(spark, root)
-    lake.create(
-        customer.repartition(8), "customer", bloom_columns=["uid"]
+    # the anchor jobs below read only the SOURCE frame, never the lake —
+    # run the create in a worker thread so the two bounded anchor reads
+    # overlap the write + stats/bloom aggregations (guide §2.6); the
+    # thread is joined before the first scan touches the table
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    create_fut = pool.submit(
+        lake.create, customer.repartition(8), "customer",
+        bloom_columns=["uid"],
     )
     # the absent probe key must sit INSIDE every file's [min,max] so the
     # premise "zone maps alone keep all files" holds at every SF: at
@@ -1247,6 +1255,8 @@ def w18_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if absent is None:  # degenerate: 200 consecutive uids above the median
         uids = {r.uid for r in customer.select("uid").distinct().collect()}
         absent = next(v for v in range(mid + 1, 2_000_000) if v not in uids)
+    create_fut.result()  # table durable before any scan plans against it
+    pool.shutdown()
     lake.scan("customer", [("or", [[("uid", "=", absent)]])])
     zone_kept, total = lake.last_scan_files
     if zone_kept != total:
