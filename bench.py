@@ -24,7 +24,7 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from df_to_azure_spark.plans.registry import headline_queries
-    from df_to_azure_spark.session import get_spark
+    from df_to_azure_spark.session import get_spark, release_pins
 
     spark = get_spark(app_name="bench")
 
@@ -36,11 +36,21 @@ def main() -> None:
         # shared-box contention a single run would absorb (round-3
         # lesson: sub-second deltas were pure run variance)
         materialize(fn(spark, sf_dir))
+        release_pins(spark)
         samples = []
         for _ in range(3):
             t0 = time.monotonic()
             materialize(fn(spark, sf_dir))
             samples.append(time.monotonic() - t0)
+            # pin lifecycle (round-15 measurement fix, declared in
+            # OPTIMIZATION_r15.md): each run's localCheckpoint pins are
+            # garbage once the run's output is materialized, but the
+            # ContextCleaner frees them far too lazily for a 45-query x 4-run
+            # session — dead storage blocks accumulate and tax every LATER
+            # query's numbers.  Releasing between runs keeps each timed run
+            # self-contained: pin CREATION still happens (and is timed)
+            # inside every run; only the previous run's dead blocks go.
+            release_pins(spark)
         times[name] = round(sorted(samples)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

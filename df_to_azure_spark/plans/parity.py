@@ -1214,10 +1214,45 @@ def w18_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
-    create_fut = pool.submit(
-        lake.create, customer.repartition(8), "customer",
-        bloom_columns=["uid"],
+    try:
+        create_fut = pool.submit(
+            lake.create, customer.repartition(8), "customer",
+            bloom_columns=["uid"],
+        )
+        absent = _w18_absent_anchor(customer)
+        create_fut.result()  # table durable before any scan plans against it
+    finally:
+        # exception-safe (ADVICE r14): whatever the anchor computation
+        # raises, wait out the background create so its own exception (the
+        # likelier root cause) surfaces instead of being orphaned
+        pool.shutdown(wait=True)
+    lake.scan("customer", [("or", [[("uid", "=", absent)]])])
+    zone_kept, total = lake.last_scan_files
+    if zone_kept != total:
+        raise PipelineRunError(
+            f"bloom certification premise broke: zone maps alone kept "
+            f"{zone_kept}/{total} files — the layout must make min/max "
+            "pruning useless so the bloom is what does the work"
+        )
+    lake.scan("customer", [("uid", "=", absent)])
+    bloom_kept, _ = lake.last_scan_files
+    if bloom_kept > 2:
+        raise PipelineRunError(
+            f"bloom point-lookup pruning regressed: absent key opened "
+            f"{bloom_kept}/{total} files (zone maps keep all {total})"
+        )
+    present = 42 * 2654435761 % 1000003
+    return (
+        lake.scan("customer", [("uid", "=", present)])
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("uid").cast("bigint").alias("uid"),
+        )
+        .orderBy("c_custkey")
     )
+
+
+def _w18_absent_anchor(customer: DataFrame) -> int:
     # the absent probe key must sit INSIDE every file's [min,max] so the
     # premise "zone maps alone keep all files" holds at every SF: at
     # sf0.001 a fixed low anchor (the old 54_321) fell below several
@@ -1255,32 +1290,7 @@ def w18_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if absent is None:  # degenerate: 200 consecutive uids above the median
         uids = {r.uid for r in customer.select("uid").distinct().collect()}
         absent = next(v for v in range(mid + 1, 2_000_000) if v not in uids)
-    create_fut.result()  # table durable before any scan plans against it
-    pool.shutdown()
-    lake.scan("customer", [("or", [[("uid", "=", absent)]])])
-    zone_kept, total = lake.last_scan_files
-    if zone_kept != total:
-        raise PipelineRunError(
-            f"bloom certification premise broke: zone maps alone kept "
-            f"{zone_kept}/{total} files — the layout must make min/max "
-            "pruning useless so the bloom is what does the work"
-        )
-    lake.scan("customer", [("uid", "=", absent)])
-    bloom_kept, _ = lake.last_scan_files
-    if bloom_kept > 2:
-        raise PipelineRunError(
-            f"bloom point-lookup pruning regressed: absent key opened "
-            f"{bloom_kept}/{total} files (zone maps keep all {total})"
-        )
-    present = 42 * 2654435761 % 1000003
-    return (
-        lake.scan("customer", [("uid", "=", present)])
-        .select(
-            F.col("c_custkey").cast("bigint").alias("c_custkey"),
-            F.col("uid").cast("bigint").alias("uid"),
-        )
-        .orderBy("c_custkey")
-    )
+    return absent
 
 
 W18_BLOOM_PROBE_ORACLE = """

@@ -1310,10 +1310,18 @@ def _nnd_search_graph(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     graph = _NND_GRAPH_MEMO.get(key)
     if graph is None:
-        graph = SIM.nn_descent_graph(
-            emb, planes=_nnd_planes(), k=_NND_K, init_cap=_NND_CAP,
-            rounds=_NND_ROUNDS, checkpoint="local",
-        ).localCheckpoint()
+        from df_to_azure_spark.session import protect_pin
+
+        # protect_pin: the memoized graph is the one SESSION-lifetime pin
+        # in the engine — release_pins (bench pin hygiene) must not drop
+        # its blocks between queries, or the next search call would read
+        # a dead checkpoint
+        graph = protect_pin(
+            SIM.nn_descent_graph(
+                emb, planes=_nnd_planes(), k=_NND_K, init_cap=_NND_CAP,
+                rounds=_NND_ROUNDS, checkpoint="local",
+            ).localCheckpoint()
+        )
         _NND_GRAPH_MEMO[key] = graph
     queries = emb.where(F.col("vec_id") < _NND_SEARCH_Q).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -75,6 +75,55 @@ def get_spark(
     return spark
 
 
+# RDD ids of pins with declared session lifetime (e.g. the prebuilt
+# nn-descent graph memo — the in-session stand-in for a stored index that
+# BOTH search entries read; its build cost is priced by its own headline
+# entry).  release_pins skips these; everything else is per-query garbage.
+_PROTECTED_PIN_IDS: set[int] = set()
+
+
+def protect_pin(df) -> "DataFrame":
+    """Mark an (eagerly localCheckpoint'd) frame as session-lifetime so
+    ``release_pins`` leaves its blocks alone.  Returns the frame."""
+    _PROTECTED_PIN_IDS.add(
+        df._jdf.queryExecution().analyzed().rdd().id()
+    )
+    return df
+
+
+def release_pins(spark: SparkSession) -> int:
+    """Release every persistent RDD block the session currently holds.
+
+    The engine pins eagerly-reused intermediates with ``localCheckpoint()``
+    inside each query invocation (one pin per consumer fan-out; see the
+    per-site comments).  Pinned blocks are freed only when the
+    ContextCleaner notices the RDD became unreferenced, which in a long
+    many-query session lags far behind creation — a 45-query bench session
+    accumulates hundreds of dead storage blocks whose block-manager
+    bookkeeping and GC pressure tax every later, unrelated query.
+
+    Call this BETWEEN queries, after the previous query's outputs are fully
+    materialized and before the next one starts.  Safe by construction:
+    every pin is created inside the query function whose returned frame
+    consumes it, so once that frame has been materialized the pins are
+    garbage; nothing in the engine holds a pinned frame across query
+    invocations (the minhash/semdedup per-call caches are cleared on entry
+    of each call).  A ``persist()``-ed frame released here simply recomputes
+    from lineage if ever re-used; a localCheckpoint'd frame cannot, but none
+    is ever re-consumed after its query's materialization.
+
+    Returns the number of RDDs released.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in jmap.values():
+        if jrdd.id() in _PROTECTED_PIN_IDS:
+            continue
+        jrdd.unpersist(False)
+        n += 1
+    return n
+
+
 def ensure_package_on_workers(spark: SparkSession) -> None:
     """Runtime counterpart of ``_ensure_worker_import_path`` for sessions
     whose JVM is already running (e.g. a harness-provided session): zip
