@@ -1120,28 +1120,23 @@ def ivf_pq_residual_topk_from_codes(
         cell_rows, "m int, code int, cell array<double>"
     )
     sv = F.slice(F.col("qres"), F.col("m") * sub + 1, sub)
-    # eager-pin the table: it is MODEL-sized (queries × nprobe × M × K
-    # rows), and each of the M broadcast joins below would otherwise
-    # re-execute the whole probe-window + HOF-distance subtree — measured
-    # 4× ~7 s of pure re-evaluation at sf0.1 before the pin.  Eager +
-    # non-fault-tolerant (localCheckpoint) — acceptable because the
-    # pinned frame is model-sized and trivially recomputed by a retry of
-    # the whole query; the corpus-sized artifact is the stored codes
-    # table, never a checkpoint.
-    dtable = (
-        probes.crossJoin(F.broadcast(cells))
-        .select(
-            "query_id",
-            "cid",
-            "m",
-            "code",
-            (
-                dot(sv, sv)
-                - 2.0 * dot(sv, F.col("cell"))
-                + dot(F.col("cell"), F.col("cell"))
-            ).alias("d"),
-        )
-        .localCheckpoint()
+    # NOT pinned (round-15): the table once fed M separate broadcast
+    # joins, each re-executing the probe-window + HOF-distance subtree
+    # (measured 4× ~7 s at sf0.1 — hence the old eager localCheckpoint);
+    # since the single-map refactor its ONLY consumer is the ``dmap``
+    # aggregation below, so the pin bought nothing and cost one serial
+    # job per search.  The subtree executes exactly once inside the
+    # broadcast build.
+    dtable = probes.crossJoin(F.broadcast(cells)).select(
+        "query_id",
+        "cid",
+        "m",
+        "code",
+        (
+            dot(sv, sv)
+            - 2.0 * dot(sv, F.col("cell"))
+            + dot(F.col("cell"), F.col("cell"))
+        ).alias("d"),
     )
 
     # ONE lookup map per query over its PROBED lists: key
@@ -2251,10 +2246,16 @@ def nn_descent_graph(
         if centroids is not None
         else hyperplane_bucket(F.col("vv"), planes)
     )
+    # per-node norm computed ONCE in the pinned frame: every refine round
+    # scores ~|nodes|·(2k)² candidate pairs, and cosine(a,b) recomputes
+    # sqrt(dot(a,a))·sqrt(dot(b,b)) per PAIR — two of the three HOF dot
+    # folds are per-node constants.  Pinning them cuts 2/3 of the scoring
+    # HOF work per round; dot/(un·wn) is the same doubles in the same
+    # order as cosine()'s norm(a)·norm(b), so cos_sim is bit-identical.
     v = _pin(
         corpus.select(
             F.col(id_col).alias("nid"), _as_double(vec_col).alias("vv")
-        ).select("nid", "vv", cell.alias("cid")),
+        ).select("nid", "vv", cell.alias("cid"), norm(F.col("vv")).alias("nrm")),
         checkpoint,
     )
     ranked = v.select("cid", "nid").withColumn(
@@ -2284,8 +2285,14 @@ def nn_descent_graph(
         .select("u", "w")
     )
 
-    vu = v.select(F.col("nid").alias("u"), F.col("vv").alias("uv"))
-    vw = v.select(F.col("nid").alias("w"), F.col("vv").alias("wv"))
+    vu = v.select(
+        F.col("nid").alias("u"), F.col("vv").alias("uv"),
+        F.col("nrm").alias("un"),
+    )
+    vw = v.select(
+        F.col("nid").alias("w"), F.col("vv").alias("wv"),
+        F.col("nrm").alias("wn"),
+    )
 
     def _score(pairs: DataFrame) -> DataFrame:
         return (
@@ -2293,7 +2300,11 @@ def nn_descent_graph(
             .join(vw, "w")
             .select(
                 "u", "w",
-                F.round(cosine(F.col("uv"), F.col("wv")), 8).alias("cos_sim"),
+                F.round(
+                    dot(F.col("uv"), F.col("wv"))
+                    / (F.col("un") * F.col("wn")),
+                    8,
+                ).alias("cos_sim"),
             )
         )
 
@@ -2400,10 +2411,17 @@ def nn_descent_search(
         if centroids is not None
         else hyperplane_bucket(F.col("cv"), planes)
     )
+    # norms ride the pinned frames (round-15, same as the build): each
+    # hop scores beam·k candidates per query and cosine() would redo two
+    # constant sqrt(dot(x,x)) folds per PAIR — dot/(qn·cn) is the same
+    # doubles in the same order, one fold per pair instead of three
     v = _pin(
         corpus.select(
             F.col(id_col).alias("nid"), _as_double(vec_col).alias("cv")
-        ).select("nid", "cv", corpus_cell.alias("cid")),
+        ).select(
+            "nid", "cv", corpus_cell.alias("cid"),
+            norm(F.col("cv")).alias("cn"),
+        ),
         checkpoint,
     )
     query_cell = (
@@ -2415,7 +2433,10 @@ def nn_descent_search(
         queries.select(
             F.col(query_id_col).alias("qid"),
             _as_double(query_vec_col).alias("qv"),
-        ).select("qid", "qv", query_cell.alias("qcid")),
+        ).select(
+            "qid", "qv", query_cell.alias("qcid"),
+            norm(F.col("qv")).alias("qn"),
+        ),
         checkpoint,
     )
     entries = (
@@ -2429,12 +2450,20 @@ def nn_descent_search(
     edges = graph.select(
         F.col(id_col).alias("nid"), F.col("neighbor_id").alias("nbr")
     )
-    vecs = v.select("nid", "cv")
+    vecs = v.select("nid", "cv", "cn")
 
     def _score(cand: DataFrame) -> DataFrame:
-        out = cand.join(vecs, "nid").join(q.select("qid", "qv"), "qid").select(
-            "qid", "nid",
-            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        out = (
+            cand.join(vecs, "nid")
+            .join(q.select("qid", "qv", "qn"), "qid")
+            .select(
+                "qid", "nid",
+                F.round(
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")),
+                    8,
+                ).alias("cos_sim"),
+            )
         )
         if exclude_self:
             out = out.where(F.col("qid") != F.col("nid"))

@@ -1756,6 +1756,7 @@ class VersionedLake(ParquetLake):
         bloom_columns: list[str],
         bloom_bits: int | None,
         raw_stats: dict[str, dict] | None,
+        max_rows: int | None = None,
     ) -> dict[str, dict]:
         """Per-file bloom filters for the staged part-files: ONE
         distributed aggregation (the ``_file_stats`` pattern, page-cache
@@ -1787,10 +1788,11 @@ class VersionedLake(ParquetLake):
         if bloom_bits:
             m = max(64, (int(bloom_bits) + 63) // 64 * 64)
         else:
-            max_rows = max(
-                [st.get("rows") or 0 for st in (raw_stats or {}).values()]
-                or [0]
-            )
+            if max_rows is None:
+                max_rows = max(
+                    [st.get("rows") or 0 for st in (raw_stats or {}).values()]
+                    or [0]
+                )
             m = _BLOOM_MIN_BITS
             target = max(1, max_rows) * _BLOOM_BITS_PER_ROW
             while m < target and m < _BLOOM_MAX_BITS:
@@ -1854,6 +1856,36 @@ class VersionedLake(ParquetLake):
             )
         return out
 
+    @staticmethod
+    def _staged_max_rows(stage: str) -> int | None:
+        """Max row count over the staged part-files, read from the local
+        parquet FOOTERS — O(files) driver metadata reads, no Spark job.
+        Exactly the number ``_file_stats`` would report per file (both
+        count physical rows), so bloom sizing is unchanged; returns
+        ``None`` when the stage is not a local directory (non-local
+        filesystems fall back to the sequential stats-then-bloom path)."""
+        import os
+
+        path = stage[len("file:"):] if stage.startswith("file:") else stage
+        if not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            mx = 0
+            for dirpath, _dirs, names in os.walk(path):
+                for name in names:
+                    if name.startswith("part-") and name.endswith(".parquet"):
+                        mx = max(
+                            mx,
+                            pq.ParquetFile(
+                                os.path.join(dirpath, name)
+                            ).metadata.num_rows,
+                        )
+            return mx
+        except Exception:
+            return None
+
     def _stage_files(
         self,
         df: DataFrame,
@@ -1873,17 +1905,46 @@ class VersionedLake(ParquetLake):
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(stage)
-        raw_stats = self._file_stats(
-            stage, cid, df.schema, partition_by, dict_columns
-        )
         bcols, bbits = self._bloom_spec_for(table)
-        raw_blooms = (
-            self._file_blooms(
-                stage, cid, df.schema, partition_by, bcols, bbits, raw_stats
-            )
-            if bcols and raw_stats is not None
-            else {}
+        footer_max = (
+            self._staged_max_rows(stage) if bcols and not bbits else None
         )
+        if bcols and (bbits or footer_max is not None):
+            # stats and bloom are independent full-scan aggregations over
+            # the just-written stage; the bloom's only stats dependency
+            # was its SIZE (max rows per staged file), which the local
+            # parquet FOOTERS give for free — so the two jobs overlap
+            # from a 2-thread pool (guide §2.6) instead of running
+            # serially.  A literal single-pass fuse is the wrong shape:
+            # the bloom's word-level bit_or keeps its map-side partial
+            # aggregation only under its own (file, col, word) grouping.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                stats_fut = pool.submit(
+                    self._file_stats, stage, cid, df.schema, partition_by,
+                    dict_columns,
+                )
+                blooms_fut = pool.submit(
+                    self._file_blooms, stage, cid, df.schema, partition_by,
+                    bcols, bbits, None, footer_max,
+                )
+                raw_stats = stats_fut.result()
+                raw_blooms = blooms_fut.result()
+            if raw_stats is None:
+                raw_blooms = {}
+        else:
+            raw_stats = self._file_stats(
+                stage, cid, df.schema, partition_by, dict_columns
+            )
+            raw_blooms = (
+                self._file_blooms(
+                    stage, cid, df.schema, partition_by, bcols, bbits,
+                    raw_stats,
+                )
+                if bcols and raw_stats is not None
+                else {}
+            )
         fs, stage_path, jvm = self._fs(stage)
         files_base = self.files_dir(table)
         rels: list[str] = []

@@ -253,7 +253,11 @@ def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     t_l = c_lw.groupBy("lang").agg(F.sum("c").alias("t_l"))
-    per_lang = n_docs_l.join(t_l, "lang", "left").select(
+    # both sides are |languages| rows (≤5) — broadcast the token-total
+    # side so the left join is a BroadcastHashJoin instead of a
+    # sort-merge (r14 verdict: the model-side fold added exchanges; the
+    # broadcast claws the SMJ's two exchanges + sorts back)
+    per_lang = n_docs_l.join(F.broadcast(t_l), "lang", "left").select(
         "lang",
         "n_docs",
         F.coalesce(F.col("t_l"), F.lit(0).cast("bigint")).alias("t_l"),

@@ -1969,9 +1969,14 @@ def ivf_pq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books = SIM.sample_codebooks(res, _PQ_M, _PQ_K, vec_col="rv")
     queries = emb.where(F.col("vec_id") < 5)
+    # checkpoint='none' (round-15): the single-map search consumes the
+    # encoded table exactly ONCE, so the eager codes pin was a pure extra
+    # serial job + materialization (A/B 0.85×, rows identical); at scale
+    # unpinned is also right — the encode is map-side and the real stored
+    # artifact is the lake codes table, never a checkpoint
     return SIM.ivf_pq_residual_topk(
         queries, emb, cents, books, k=10, nprobe=_IVFPQ_NPROBE,
-        checkpoint="local",
+        checkpoint="none",
     )
 
 

@@ -24,7 +24,12 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_all_queries_execute_smoke(spark, sf_smoke):
+    from df_to_azure_spark.session import release_pins
+
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_smoke)
         assert df.columns, name
         assert df.count() >= 0, name
+        # drain dead localCheckpoint blocks per query — a 367-query loop
+        # in one session otherwise accumulates the round-15 pin tax
+        release_pins(spark)

@@ -639,9 +639,22 @@ def test_long_delta_chains_resolve_without_recursion(spark, lake, tmp_path):
     deep = VersionedLake(spark, str(tmp_path / "deep"), checkpoint_interval=5000)
     schema = '{"type":"struct","fields":[]}'
     deep._commit("t", ["files/f0"], None, schema, None, [])
-    for i in range(1, 1101):
-        deep._commit_delta(
-            "t", [f"files/f{i}"], [], None, schema, i, []
+    # one REAL delta through the committer gives the exact wire format;
+    # the other 1099 links stamp that template with plain file IO — the
+    # regression under test is RESOLUTION recursion depth, and driving
+    # 1100 separate py4j FS commits took ~250 s for no extra coverage
+    deep._commit_delta("t", ["files/f1"], [], None, schema, 1, [])
+    import json as _json
+
+    mdir = tmp_path / "deep" / "t" / "_manifests"
+    template = _json.loads((mdir / f"v{2:020d}.json").read_text())
+    for n in range(3, 1102):
+        doc = dict(template)
+        doc["version"] = n
+        doc["base"] = n - 1
+        doc["add"] = [f"files/f{n - 1}"]
+        (mdir / f"v{n:020d}.json").write_text(
+            _json.dumps(doc, separators=(",", ":"))
         )
     fresh = VersionedLake(
         spark, str(tmp_path / "deep"), checkpoint_interval=5000

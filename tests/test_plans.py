@@ -48,6 +48,7 @@ BOUNDED_BROADCAST_VARS = {
     "avg_bal",  # 1-row global aggregate (q22 scalar subquery)
     "total_value",  # 1-row global aggregate (q11 fraction-of-total threshold)
     "event_types",  # distinct event_type — bounded by the type domain (~5)
+    "t_l",  # per-language token totals — bounded by the lang domain (~5)
     "n_docs",  # 1-row global aggregate (doc_tfidf_terms corpus count)
     "totals",  # 1-row global aggregate (bigram_collocations); per-source
     # counts bounded by the source domain (source_ks_matrix)
@@ -190,6 +191,8 @@ def test_upsert_anti_join_carries_keys_only(spark, sf_smoke):
 
 
 def test_no_accidental_cartesian_products(spark, sf_smoke):
+    from df_to_azure_spark.session import release_pins
+
     # cross joins are intentional ONLY in the brute-force similarity ops
     allowed = {"knn_topk", "embedding_neardup_pairs", "lsh_knn"}
     for name in REGISTRY:
@@ -197,6 +200,9 @@ def test_no_accidental_cartesian_products(spark, sf_smoke):
             continue
         plan = _plan(spark, name, sf_smoke)
         assert "CartesianProduct" not in plan, name
+        # eager entries execute builds/pins during construction; drain
+        # the dead blocks per-query, not once per 360-query test
+        release_pins(spark)
 
 
 def test_events_hourly_partial_aggregation(spark, sf_smoke):

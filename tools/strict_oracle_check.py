@@ -89,7 +89,7 @@ def main():
     only = set(args[1:])
 
     from df_to_azure_spark.plans.registry import REGISTRY
-    from df_to_azure_spark.session import get_spark
+    from df_to_azure_spark.session import get_spark, release_pins
 
     spark = get_spark(app_name="strict_oracle_check")
     con = duckdb.connect()
@@ -122,6 +122,9 @@ def main():
             passed.append(name)
             results[name] = {"status": "ok"}
             print(f"  ok {name}")
+        # pin hygiene (round 15): a 367-entry session otherwise
+        # accumulates dead localCheckpoint blocks that tax later entries
+        release_pins(spark)
 
     print(f"\n{len(passed)} passed, {len(failed)} FAILED, {len(rows_only)} rows-only")
     if json_out:
