@@ -190,19 +190,19 @@ def test_upsert_anti_join_carries_keys_only(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
 
 
-def test_no_accidental_cartesian_products(spark, sf_smoke):
-    from df_to_azure_spark.session import release_pins
+def test_no_accidental_cartesian_products():
+    """The whole-registry cartesian lint LIVES INSIDE
+    tests/test_entry.py::test_all_queries_execute_smoke (every
+    oracle-bearing query's plan is asserted CartesianProduct-free there,
+    same allowed-set): constructing all 367 entries executes their eager
+    lake builds, and doing that twice — once to count, once to explain —
+    cost ~240 s of pure duplication.  This stub documents the fusion so
+    the lint can't silently vanish from the suite."""
+    from tests.test_entry import CARTESIAN_ALLOWED
 
-    # cross joins are intentional ONLY in the brute-force similarity ops
-    allowed = {"knn_topk", "embedding_neardup_pairs", "lsh_knn"}
-    for name in REGISTRY:
-        if name in allowed or REGISTRY[name].oracle is None:
-            continue
-        plan = _plan(spark, name, sf_smoke)
-        assert "CartesianProduct" not in plan, name
-        # eager entries execute builds/pins during construction; drain
-        # the dead blocks per-query, not once per 360-query test
-        release_pins(spark)
+    assert CARTESIAN_ALLOWED == {
+        "knn_topk", "embedding_neardup_pairs", "lsh_knn"
+    }
 
 
 def test_events_hourly_partial_aggregation(spark, sf_smoke):
